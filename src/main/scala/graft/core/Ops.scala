@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Thin typed operator algebra mirroring the reference MR-MPI surface
+  * (`/root/reference/mapreduce-7Apr14/src/mapreduce.h:59-118`) where Spark
+  * lacks a one-word equivalent. This is a library of *plan fragments*, not
+  * a KV emulation: every helper stays declarative so Catalyst keeps
+  * predicate pushdown / partial aggregation / whole-stage codegen.
+  *
+  * Mapping (SURVEY.md §2.1): `collate`→groupBy, `add`→union,
+  * `compress`→partial agg (automatic), `gather(n)`→coalesce,
+  * `sort_keys/values`→orderBy, `collapse`→collect_list, top-k idiom
+  * (`oink/wordfreq.cpp:65-82`)→orderBy+limit (TakeOrderedAndProject).
+  */
+object Ops {
+
+  /** `invert` (`/root/reference/oink/map_invert.cpp:9-15`): (k,v)→(v,k). */
+  def invert(df: DataFrame): DataFrame = {
+    require(df.columns.length == 2, "invert expects a 2-column (key,value) frame")
+    val Array(k, v) = df.columns
+    df.select(col(v), col(k))
+  }
+
+  /** `add` (`mapreduce.cpp:345-371`): append pairs of another KV. Spark
+    * unions are metadata-only — no shuffle, no materialization. */
+  def unionAdd(dfs: DataFrame*): DataFrame = dfs.reduce(_ union _)
+
+  /** Distributed group-count — `collate` + `reduce_count`
+    * (`oink/reduce_count.cpp:9-20`). Catalyst plans a partial (map-side)
+    * aggregate before the shuffle, which is exactly the reference's
+    * `compress`-then-`collate` pre-aggregation idiom. */
+  def groupCount(df: DataFrame, keys: Column*): DataFrame =
+    df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+
+  /** `cull` (`oink/reduce_cull.cpp:9-20`): dedupe on the full row. */
+  def cull(df: DataFrame): DataFrame = df.distinct()
+
+  /** Two-level histogram (`oink/histo.cpp:36-73`): frequency of
+    * frequencies of `key`, descending. */
+  def histogram(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("cnt").desc)
+
+  /** Global top-k by `order` — the reference's per-proc-top-k +
+    * gather(1) + final sort idiom (`oink/wordfreq.cpp:65-112`). Spark
+    * plans `TakeOrderedAndProject`: each partition keeps only k rows
+    * before the single-stage gather, so this scales to any input size. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** `collapse`-like (`mapreduce.cpp:654-675`): one row per key carrying
+    * all values as a canonically sorted array. Unlike the reference
+    * (whole-partition KMV), keyed collapse stays distributed. */
+  def collapseToList(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(sort_array(collect_list(value)).as("vals"))
+
+  /** `sort_multivalues` (`mapreduce.cpp:2115-2265`) as a string digest:
+    * values per key, sorted and joined — hashable by the oracle. */
+  def collapseToSortedString(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("k"))
+      .agg(concat_ws(",", sort_array(collect_list(value.cast("string")))).as("vals"))
+}

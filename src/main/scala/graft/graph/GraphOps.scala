@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OINK graph primitives re-expressed as declarative Spark plans.
+  * Reference semantics per file:line in each Scaladoc; SURVEY.md §2.5-2.6.
+  *
+  * All operate on a directed edge DataFrame `(src BIGINT, dst BIGINT)`;
+  * duplicates/self-loops allowed on input (the reference's raw edge-list
+  * contract, FIXTURES.md §1).
+  */
+object GraphOps {
+
+  /** `degree dupflag=1` (`/root/reference/oink/degree.cpp:36-59`):
+    * out-degree per vertex (src endpoint only). */
+  def outDegree(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+
+  /** `degree dupflag=2`: both endpoints contribute. `explode` keeps this
+    * one shuffle (map-side explode, partial count, single exchange). */
+  def degreeBoth(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** `degree_stats` (`oink/degree_stats.cpp:35-70`): histogram of degrees,
+    * descending — two chained aggregations, both with map-side partials. */
+  def degreeStats(edges: DataFrame): DataFrame =
+    degreeBoth(edges).groupBy(col("deg")).agg(count(lit(1)).as("nvert"))
+      .orderBy(col("deg").desc)
+
+  /** `degree_weight` (`oink/degree_weight.cpp:36-60`): per-edge weight
+    * 1/outdeg(src). The degree side is a tiny aggregate of the edge list
+    * itself — broadcast it so the big edge table never shuffles. */
+  def degreeWeight(edges: DataFrame): DataFrame =
+    edges.join(broadcast(outDegree(edges)), col("src") === col("v"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("deg").cast("double")).as("weight"))
+
+  /** `edge_upper` (`oink/edge_upper.cpp:37-61`, `map_edge_upper.cpp:9-23`):
+    * canonicalize to vi<vj, drop self-loops, dedupe. */
+  def edgeUpper(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("vi"),
+        greatest(col("src"), col("dst")).as("vj"))
+      .where(col("vi") =!= col("vj"))
+      .distinct()
+
+  /** `vertex_extract` (`oink/vertex_extract.cpp:36-54`): distinct vertices. */
+  def vertexExtract(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+
+  /** `neighbor` (`oink/neighbor.cpp:34-52`): adjacency list per src,
+    * digested to a canonical sorted comma-joined string so the result is
+    * deterministic and oracle-hashable. */
+  def neighbors(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("v"))
+      .agg(concat_ws(",", sort_array(collect_list(col("dst")))).as("nbrs"))
+
+  /** Undirected expansion used by CC / triangles / MIS: canonical edges
+    * in both directions. */
+  def undirected(edges: DataFrame): DataFrame = {
+    val e = edgeUpper(edges)
+    e.union(e.select(col("vj").as("vi"), col("vi").as("vj")))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank with the reference's exact numeric semantics
+  * (`/root/reference/mr-pr-cpp.cpp:110-180`, identical in the mpi and
+  * mpi-base variants — SURVEY.md §2.4):
+  *
+  *  - init rank vector `(1, 0, …, 0)` — NOT uniform (`mr-pr-cpp.cpp:125-128`)
+  *  - dense page universe `0..websize-1`; ids never mentioned in the edge
+  *    list are dangling pages (`mr-pr-cpp.cpp:203-210`)
+  *  - each iteration: `sum_pr`/`dangling_pr` from the PRE-normalized
+  *    vector (`mr-pr-cpp.cpp:131-138`); from iteration 1 on normalize
+  *    `old_pr = pr/sum_pr` (`:140-147`); update
+  *    `pr[i] = α·Σ_{j→i} old_pr[j]/outdeg(j) + α·dangling_pr/n + (1−α)/n`
+  *    (`:149-173`); L1 convergence `Σ|pr−old_pr| ≤ tol` (`:161-174`)
+  *  - constants α=0.85, tol=1e-5, maxIter=10000 (`mr-pr-cpp.cpp:11-13`)
+  *
+  * Spark-first design (NOT a translation of the reference's machinery):
+  * the rank vector is a DataFrame `(id, pr)`; the per-iteration state
+  * carries `(id, outdeg, pr, old_pr)` so that sum/dangling/diff reduce to
+  * ONE fused aggregate action per iteration (the reference runs three
+  * separate driver loops). The edge list is hash-partitioned on `src`
+  * once and cached — across iterations only the small rank frame
+  * shuffles, the (potentially 100 TB) edge table never re-shuffles.
+  * Lineage is truncated with `localCheckpoint` every `checkpointEvery`
+  * iterations; on a real cluster swap for `checkpoint` on HDFS.
+  */
+object PageRank {
+
+  val DefaultAlpha = 0.85
+  val DefaultTol = 1e-5
+  val DefaultMaxIter = 10000
+
+  /** Run to convergence. Returns `(id BIGINT, rank DOUBLE)` for the dense
+    * universe, ascending ids not guaranteed — order downstream if needed.
+    *
+    * @param websize optional page-universe size; derived as max(id)+1
+    *                when absent (the reference's rule).
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      websize: Option[Long] = None,
+      alpha: Double = DefaultAlpha,
+      tol: Double = DefaultTol,
+      maxIter: Int = DefaultMaxIter,
+      checkpointEvery: Int = 10): DataFrame = {
+    val (ranks, _) = runWithStats(spark, edges, websize, alpha, tol, maxIter, checkpointEvery)
+    ranks
+  }
+
+  /** As [[run]] but also returns the iteration count (for tests/bench). */
+  def runWithStats(
+      spark: SparkSession,
+      edges: DataFrame,
+      websize: Option[Long],
+      alpha: Double,
+      tol: Double,
+      maxIter: Int,
+      checkpointEvery: Int): (DataFrame, Int) = {
+
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val n: Long = websize.getOrElse {
+      val row = e.agg(greatest(max("src"), max("dst"))).head()
+      if (row.isNullAt(0)) 1L else row.getLong(0) + 1L
+    }
+
+    // Static per-vertex frame: (id, outdeg); outdeg null => dangling.
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val verts = spark.range(n).toDF("id")
+      .join(outdeg, Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count() // materialize once
+
+    val oneIv = (1.0 - alpha) / n // (1-α)·sum_pr/n with sum_pr≡1 after normalize
+
+    // state: (id, outdeg, pr, old_pr). old_pr only meaningful after an update.
+    var state = verts
+      .withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
+      .withColumn("old_pr", lit(0.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var diff = Double.MaxValue
+    while (diff > tol && iter < maxIter) {
+      // ONE action: Σpr and Σ dangling pr of the current (pre-normalized)
+      // vector, plus (from iteration 1) the L1 diff of the previous update,
+      // fused into a single aggregate (mr-pr-cpp.cpp:131-138,161-174).
+      val row = state.agg(
+        sum("pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)),
+        sum(abs(col("pr") - col("old_pr")))).head()
+      val sumPr = row.getDouble(0)
+      val danglingPr = row.getDouble(1)
+      if (iter > 0) {
+        diff = row.getDouble(2)
+        // The reference re-checks the guard at loop top AFTER the update
+        // that produced this diff; stopping here performs the same number
+        // of updates (mr-pr-cpp.cpp:130,161-178).
+        if (diff <= tol) return (finish(state), iter)
+      }
+
+      val normalized =
+        if (iter == 0) state.withColumn("old_pr", col("pr"))
+        else state.withColumn("old_pr", col("pr") / sumPr)
+
+      // α·Σ_{j→i} old_pr[j]/outdeg(j): edge-side stays partitioned on src;
+      // only the small rank frame shuffles to meet it, then one exchange
+      // on dst for the sum. Map-side partial aggregation applies.
+      val contrib = e
+        .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
+          e("src") === col("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum("c").as("h"))
+
+      val oneAv = alpha * danglingPr / n
+      val next = normalized.drop("pr")
+        .join(contrib, Seq("id"), "left")
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
+        .drop("h")
+        .select("id", "outdeg", "pr", "old_pr")
+
+      val persisted =
+        if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      // Materialization happens in the next loop's agg; unpersist lazily.
+      val prev = state
+      state = persisted
+      prev.unpersist(false)
+      iter += 1
+    }
+    (finish(state), iter)
+  }
+
+  private def finish(state: DataFrame): DataFrame =
+    state.select(col("id"), col("pr").as("rank"))
+
+  /** Fixed-iteration variant (no convergence test) — used by the
+    * SQL-oracle-checked query entry, where the oracle unrolls the same
+    * number of iterations. */
+  def runFixed(
+      spark: SparkSession,
+      edges: DataFrame,
+      websize: Long,
+      iterations: Int,
+      alpha: Double = DefaultAlpha): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = websize
+    val oneIv = (1.0 - alpha) / n
+
+    var state = verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    while (iter < iterations) {
+      val row = state.agg(
+        sum("pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0))).head()
+      val sumPr = row.getDouble(0)
+      val danglingPr = row.getDouble(1)
+      val normalized =
+        if (iter == 0) state.withColumn("old_pr", col("pr"))
+        else state.withColumn("old_pr", col("pr") / sumPr)
+      val contrib = e
+        .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
+          e("src") === col("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum("c").as("h"))
+      val oneAv = alpha * danglingPr / n
+      val next = normalized.select("id", "outdeg")
+        .join(contrib, Seq("id"), "left")
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
+        .select("id", "outdeg", "pr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = state
+      state = next
+      prev.unpersist(false)
+      iter += 1
+    }
+    state.select(col("id"), col("pr").as("rank"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (`/root/testdata/sf0.001` etc., see TESTDATA.md) plus the canonical derived
+  * edge list every graph query and its DuckDB oracle share.
+  *
+  * The reference's graph queries consume whitespace edge lists
+  * (`/root/reference/oink/map_read_edge.cpp:9-25`); the driver harness
+  * instead supplies relational parquet. We bridge the two by deriving a
+  * deterministic synthetic graph from `orders`: vertex universe is the
+  * dense range `0..GraphN-1` (mirroring the reference's dense
+  * `0..max_id` page-universe semantics, `/root/reference/mr-pr-cpp.cpp:203-210`)
+  * and each order contributes the directed edge
+  * `(o_custkey mod GraphN) -> (o_orderkey mod GraphN)`.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Vertex-universe size of the derived graph (dense ids 0..GraphN-1). */
+  val GraphN: Long = 401L
+
+  /** Canonical derived directed edge list: `(src BIGINT, dst BIGINT)`,
+    * duplicates and self-loops retained (the raw reference edge-list
+    * format allows both — FIXTURES.md §1). */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).select(
+      (col("o_custkey") % GraphN).cast("long").as("src"),
+      (col("o_orderkey") % GraphN).cast("long").as("dst"))
+
+  /** DuckDB CTE text computing the identical edge list. */
+  val EdgesSql: String =
+    s"SELECT CAST(o_custkey % $GraphN AS BIGINT) AS src, " +
+    s"CAST(o_orderkey % $GraphN AS BIGINT) AS dst FROM orders"
+
+  /** Dense vertex universe 0..GraphN-1 as a single-column DataFrame. */
+  def vertexUniverse(spark: SparkSession): DataFrame =
+    spark.range(GraphN).toDF("id")
+
+  val VertexUniverseSql: String =
+    s"SELECT CAST(range AS BIGINT) AS id FROM range($GraphN)"
+}

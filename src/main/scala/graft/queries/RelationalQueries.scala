@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+import graft.io.Tables
+
+/** Driver-gate queries demonstrating the reference's core operator
+  * algebra (SURVEY.md §2.1/§2.8) on the TPC-H-ish testdata tables.
+  * Every query has an exactly-matching DuckDB oracle in [[oracles]]:
+  * column names are aliased identically on both sides and any column
+  * whose value is an order-sensitive float aggregate is rounded
+  * identically on both sides.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // collate+reduce with map-side partial agg (reference `compress` idiom,
+    // mapreduce.cpp:717-819): one shuffle, partials before the exchange.
+    "q1_agg" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))),
+
+    // projection+filter pushed into the parquet scan (PushedFilters /
+    // ReadSchema — the reference does this manually in map fns).
+    "q2_filter_project" -> ((s, dir) => Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))),
+
+    // join with broadcast dim (reference `broadcast`, mapreduce.cpp:542-596):
+    // nation is tiny → broadcast; orders⋈customer shuffles on the key.
+    "q3_join_agg" -> ((s, dir) => Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("cnt"))),
+
+    // top-k idiom (oink/wordfreq.cpp:65-112) → TakeOrderedAndProject.
+    "q4_topk" -> ((s, dir) => Ops.topK(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      10, col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // `add`/`open`/`close` accumulation (mapreduce.cpp:345-371) → union.
+    "q5_union" -> ((s, dir) => Ops.unionAdd(
+        Tables.customer(s, dir).select(lit("c").as("side"), col("c_acctbal").as("bal")),
+        Tables.supplier(s, dir).select(lit("s").as("side"), col("s_acctbal").as("bal")))
+      .groupBy("side")
+      .agg(count(lit(1)).as("cnt"), round(sum("bal"), 4).as("total"))),
+
+    // `cull` dedupe (oink/reduce_cull.cpp:9-20).
+    "q6_distinct" -> ((s, dir) =>
+      Ops.cull(Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus"))),
+
+    // `invert` (oink/map_invert.cpp:9-15): (key,value)→(value,key).
+    "q7_invert" -> ((s, dir) => Ops.invert(
+      Tables.orders(s, dir).groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt")))),
+
+    // `collapse`/`sort_multivalues` (mapreduce.cpp:654-675, 2115-2265):
+    // per-key values as a canonical sorted digest.
+    "q8_collapse" -> ((s, dir) => Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(concat_ws(",", sort_array(collect_set(col("c_nationkey")))).as("nations"))),
+
+    // two-level histogram (oink/histo.cpp:36-73).
+    "q9_histogram" -> ((s, dir) =>
+      Ops.histogram(Tables.orders(s, dir), col("o_custkey"))),
+
+    // windowed top-1 per group (reference's sort+stateful-limit idiom,
+    // oink/wordfreq.cpp:65-82, generalized).
+    "q10_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .drop("rn")
+    }),
+
+    // kv_stats (mapreduce.cpp:2845-2913): global counts/bytes.
+    "q11_stats" -> ((s, dir) => Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("nkv"),
+        countDistinct("l_orderkey").as("nkeys"),
+        sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("strbytes")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_union" ->
+      """SELECT side, count(*) AS cnt, round(sum(bal), 4) AS total FROM (
+        | SELECT 'c' AS side, c_acctbal AS bal FROM customer
+        | UNION ALL
+        | SELECT 's' AS side, s_acctbal AS bal FROM supplier
+        |) GROUP BY side""".stripMargin,
+
+    "q6_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q7_invert" ->
+      """SELECT count(*) AS cnt, prio FROM
+        | (SELECT o_orderpriority AS prio FROM orders) GROUP BY prio""".stripMargin,
+
+    "q8_collapse" ->
+      """SELECT c_mktsegment AS seg,
+        | array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q9_histogram" ->
+      """SELECT cnt, count(*) AS freq FROM
+        | (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey)
+        |GROUP BY cnt ORDER BY cnt DESC""".stripMargin,
+
+    "q10_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "q11_stats" ->
+      """SELECT count(*) AS nkv, count(DISTINCT l_orderkey) AS nkeys,
+        | sum(length(l_returnflag) + length(l_linestatus)) AS strbytes
+        |FROM lineitem""".stripMargin
+  )
+}
