@@ -35,8 +35,26 @@ object Hashing {
   def rand01(seed: Long, c: Column): Column =
     hash60(seed, c).cast("double") / lit(Hash60Max.toDouble)
 
+  /** Seeded variant with a column seed (e.g. one row per hash function
+    * id): hash60 of "seed|x". */
+  def hash60c(seed: Column, c: Column): Column =
+    hash60(concat_ws("|", seed, c))
+
   /** Exclusive upper bound of hash60 (2^60). */
   val Hash60Max: Long = 1L << 60
+
+  /** Driver-side (plain JVM) hash60 of a string — identical value to the
+    * Spark/DuckDB expressions. Used to fabricate deterministic constants
+    * (e.g. LSH hyperplanes) that both engines can re-derive. */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Driver-side uniform double in [0,1) — see [[rand01]]. */
+  def rand01Local(seed: Long, s: String): Double =
+    hash60Local(s"$seed|$s").toDouble / Hash60Max.toDouble
 
   // ---- matching DuckDB SQL fragments (for oracle construction) ----
 

@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Hashing
+
+/** Maximal independent set — the reference's `luby_find`
+  * (`/root/reference/oink/luby_find.cpp:53-91`): Luby's algorithm. Each
+  * vertex draws a random priority; a vertex wins a round when its
+  * priority beats every ACTIVE neighbor's; winners enter the MIS,
+  * winners and their neighbors leave the active set; repeat until no
+  * vertex is active.
+  *
+  * The reference seeds per-vertex RNG as `srand48(v + seed)`
+  * (`luby_find.cpp:130-138`) precisely so results are decomposition-
+  * independent; we keep that property with the portable
+  * `hash60(seed, v)` priority (ties broken by vertex id), making the
+  * output fully deterministic for a given seed and independent of
+  * partitioning — with fixed priorities the rounds converge to the
+  * greedy MIS of the priority order.
+  *
+  * Scale design: ONE state frame `(v, p, st)` of constant size |V|; each
+  * round is two joins against the (static, cached, src-partitioned)
+  * undirected edge list and ends in an eager `localCheckpoint`, so plan
+  * depth is constant across rounds. Rounds are O(log n) w.h.p.
+  */
+object LubyMIS {
+
+  private val Active = "A"
+  private val InMis = "I"
+  private val Out = "O"
+
+  /** @return single-column (v BIGINT): the MIS, deterministic per seed. */
+  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): DataFrame = {
+    val und = GraphOps.undirected(edges)
+      .repartition(col("vi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = GraphOps.vertexExtract(edges)
+      .select(col("v"), Hashing.hash60(seed, col("v")).as("p"), lit(Active).as("st"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var remaining = state.where(col("st") === Active).count()
+    while (remaining > 0 && iter < maxIter) {
+      val act = state.where(col("st") === Active)
+      // best (priority, id) among ACTIVE neighbors of each vertex
+      val pj = act.select(col("v").as("vj"), col("p").as("pj"))
+      val nbrBest = und.join(pj, "vj")
+        .groupBy(col("vi").as("v"))
+        .agg(min(struct(col("pj"), col("vj"))).as("best"))
+      val winners = act.join(nbrBest, Seq("v"), "left")
+        .where(col("best").isNull || struct(col("p"), col("v")) < col("best"))
+        .select("v")
+      val loserNbrs = und
+        .join(winners.withColumnRenamed("v", "vi"), Seq("vi"), "left_semi")
+        .select(col("vj").as("v")).distinct()
+
+      state = state
+        .join(winners.withColumn("w", lit(true)), Seq("v"), "left")
+        .join(loserNbrs.withColumn("l", lit(true)), Seq("v"), "left")
+        .select(col("v"), col("p"),
+          when(col("st") =!= Active, col("st"))
+            .when(col("w"), InMis)
+            .when(col("l"), Out)
+            .otherwise(Active).as("st"))
+        .localCheckpoint(true) // constant plan depth, round state is tiny vs |E|
+      remaining = state.where(col("st") === Active).count()
+      iter += 1
+    }
+    und.unpersist(false)
+    state.where(col("st") === InMis).select("v")
+  }
+}

@@ -126,13 +126,14 @@ object PageRank {
         .drop("h")
         .select("id", "outdeg", "pr", "old_pr")
 
-      val persisted =
-        if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(true)
-        else next.persist(StorageLevel.MEMORY_AND_DISK)
-      // Materialization happens in the next loop's agg; unpersist lazily.
-      val prev = state
-      state = persisted
-      prev.unpersist(false)
+      // Eager localCheckpoint EVERY iteration: `normalized` appears twice
+      // in `next`'s plan (contrib + base), so without truncation the
+      // logical plan doubles per iteration — caching alone does not stop
+      // Catalyst re-analyzing an exponentially growing tree. On a real
+      // cluster swap for reliable `checkpoint` at `checkpointEvery`.
+      val cp = next.localCheckpoint(true)
+      state.unpersist(false)
+      state = cp
       iter += 1
     }
     (finish(state), iter)
@@ -158,7 +159,7 @@ object PageRank {
     val oneIv = (1.0 - alpha) / n
 
     var state = verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
       val row = state.agg(
@@ -179,10 +180,9 @@ object PageRank {
         .join(contrib, Seq("id"), "left")
         .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
         .select("id", "outdeg", "pr")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = state
+        .localCheckpoint(true) // truncate plan every iteration (see run())
+      state.unpersist(false)
       state = next
-      prev.unpersist(false)
       iter += 1
     }
     state.select(col("id"), col("pr").as("rank"))

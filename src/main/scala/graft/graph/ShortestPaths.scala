@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Single-source shortest paths — the reference's `sssp`
+  * (`/root/reference/oink/sssp.cpp:49-186`): iterative relaxation — merge
+  * newly discovered paths into the vertex state, keep the shortest per
+  * vertex (`pick_shortest`, `sssp.cpp:244+`), expand along out-edges,
+  * repeat until no distance improves.
+  *
+  * Spark-first: frontier-based Bellman-Ford over DataFrames. Only the
+  * vertices whose distance improved last round (`frontier`) are expanded,
+  * so per-round work tracks the BFS wavefront, not the whole graph —
+  * the same effect as the reference's "changed" flags. Edges are
+  * partitioned once on `src` and reused every round.
+  */
+object ShortestPaths {
+
+  /** @param edges  (src, dst) plus optional `weight` column (default 1.0)
+    * @param source source vertex id
+    * @return (v BIGINT, dist DOUBLE) for reachable vertices only —
+    *         the reference likewise only tracks discovered vertices.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      source: Long,
+      maxIter: Int = 200): DataFrame = {
+    import spark.implicits._
+    val weighted =
+      (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight").cast("double"))
+       else edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = Seq((source, 0.0)).toDF("v", "dist")
+    var frontier = dist
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIter) {
+      val candidates = weighted
+        .join(frontier, weighted("src") === frontier("v"))
+        .select(col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
+      // Eager localCheckpoint every round: `dist` appears twice in the
+      // round plan (union + improvement anti-check) — truncate or the
+      // logical tree doubles per round (see PageRank.run).
+      val merged = dist.union(candidates)
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      // improved = vertices whose best distance changed this round
+      val improved = merged.join(dist.withColumnRenamed("dist", "old"), Seq("v"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select("v", "dist")
+        .localCheckpoint(true)
+      active = improved.count()
+      dist.unpersist(false)
+      frontier.unpersist(false)
+      dist = merged
+      frontier = improved
+      iter += 1
+    }
+    weighted.unpersist(false)
+    dist
+  }
+}

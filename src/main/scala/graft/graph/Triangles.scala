@@ -1,0 +1,65 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle enumeration — the reference's `tri_find` implements Cohen's
+  * MapReduce algorithm (`/root/reference/oink/tri_find.cpp:43-82`):
+  * augment edges with degrees, let the LOW-degree endpoint of each edge
+  * emit candidate "angles", then semi-join candidates against the edge
+  * set (`reduce_emit_triangles`, `tri_find.cpp:280-325`).
+  *
+  * The low-degree orientation is the load-bearing trick
+  * (`tri_find.cpp:184-203`) and is preserved here: every edge is oriented
+  * from its lower-(degree, id) endpoint to the higher one, so the
+  * self-join fan-out per vertex is bounded by O(sqrt(|E|)) even on
+  * power-law graphs — without it a single hub vertex would produce a
+  * deg² candidate explosion. Output triangles are emitted id-sorted
+  * (a < b < c), so the result set is independent of the orientation.
+  */
+object Triangles {
+
+  /** @param edges raw directed edge list (dups/self-loops tolerated)
+    * @return (a BIGINT, b BIGINT, c BIGINT) with a < b < c, one row per
+    *         triangle of the undirected simple graph.
+    */
+  def run(edges: DataFrame): DataFrame = {
+    val eu = GraphOps.edgeUpper(edges) // (vi < vj), distinct
+
+    // degree in the simple undirected graph
+    val deg = eu.select(explode(array(col("vi"), col("vj"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+    // orient each edge from lower (deg, id) endpoint -> higher
+    val d1 = deg.select(col("v").as("vi"), col("deg").as("di"))
+    val d2 = deg.select(col("v").as("vj"), col("deg").as("dj"))
+    val oriented = eu.join(d1, "vi").join(d2, "vj")
+      .select(
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("vi") < col("vj")), col("vi"))
+          .otherwise(col("vj")).as("lo"),
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("vi") < col("vj")), col("vj"))
+          .otherwise(col("vi")).as("hi"))
+
+    // angles: two oriented edges sharing their low vertex
+    val a1 = oriented.select(col("lo").as("p"), col("hi").as("x"))
+    val a2 = oriented.select(col("lo").as("p"), col("hi").as("y"))
+    val angles = a1.join(a2, "p").where(col("x") < col("y"))
+
+    // close the wedge: (x,y) must be an edge (canonical, x<y already)
+    val closed = angles.join(eu,
+      angles("x") === eu("vi") && angles("y") === eu("vj"), "left_semi")
+
+    closed.select(
+      least(col("p"), col("x")).as("a"),
+      when(col("p") < col("x"), col("x")).otherwise(
+        when(col("p") < col("y"), col("p")).otherwise(col("y"))).as("b"),
+      greatest(col("p"), col("y")).as("c"))
+  }
+
+  /** Per-vertex incident triangle count — `neigh_tri`-adjacent stat
+    * (`oink/neigh_tri.cpp:39-60`). */
+  def perVertexCount(edges: DataFrame): DataFrame =
+    run(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("ntri"))
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. Everything is
+  * expressed with codegen'd column functions over the portable
+  * [[Hashing.hash60]], so results are deterministic, partitioning-
+  * independent, and reproducible by the DuckDB oracle.
+  *
+  * Scale shape (100 TB corpus):
+  *  - exact: one hash-shuffle on a 60-bit digest — no full-text compare.
+  *  - MinHash: signature computation is a single scan (shingle explode ×
+  *    16 hashes, map-side partial min); LSH banding turns all-pairs into
+  *    per-bucket joins, the standard way near-dup detection survives
+  *    web scale. Candidate verification joins stay per-bucket.
+  *  - SimHash: one scan to 16-bit sketches; Hamming-near pairs via
+  *    bucket-join on the sketch.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val BandSize = 4
+  def numBands: Int = NumHashes / BandSize
+
+  /** Exact-duplicate groups: content digest → group size (count > 1 are
+    * duplicate sets). Deterministic; never compares full texts. */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(Hashing.hash60(text).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(id).as("keeper_id"))
+
+  /** MinHash signatures: one row per doc with mh0..mh15 columns —
+    * min over word-3-gram shingle hashes for 16 seeded hash functions. */
+  def minHashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      explode(TextAnalysis.shingles(text, 3)).as("sh"))
+    val aggs = (0 until NumHashes).map { h =>
+      min(Hashing.hash60(h.toLong, col("sh"))).as(s"mh$h")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band table: (doc_id, band, band_hash) — docs sharing any
+    * (band, band_hash) are near-dup candidates. */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(h => col(s"mh$h"))
+      struct(lit(b).as("band"),
+        Hashing.hash60(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** MinHash/LSH candidate duplicate pairs (a < b), deduped across
+    * bands. The join is keyed on (band, band_hash): only same-bucket
+    * docs ever meet — no all-pairs blow-up. */
+  def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bands = lshBands(minHashSignatures(docs, id, text))
+    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 16-bit SimHash over token hashes: bit j set iff the sum over tokens
+    * of ±1 (sign of token-hash bit j) is positive. Duplicate tokens
+    * weigh multiply — standard SimHash with unit weights. */
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("w"))
+      .withColumn("th", Hashing.hash60(col("w")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact word-set Jaccard for candidate pairs. `pairs` must have
+    * columns (a, b); returns (a, b, jaccard). Intended for the small
+    * post-LSH candidate set — the expensive exact check never touches
+    * non-candidate pairs. */
+  def ngramJaccard(docs: DataFrame, id: Column, text: Column, pairs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("w"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = toks.select(col("doc_id").as("a"), col("w"))
+    val tb = toks.select(col("doc_id").as("b"), col("w"))
+    val inter = pairs.join(ta, "a").join(tb, Seq("b", "w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ninter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
+  }
+}

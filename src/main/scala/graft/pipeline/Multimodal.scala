@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side shape —
+  * schema, batch iteration, partition sizing — is real and tested; the
+  * actual media decode is STUBBED (no image/audio libraries in this
+  * environment) behind [[StubDecoder]], a deterministic fake whose
+  * replacement is the only integration point a real codec needs.
+  *
+  * Scale notes: payloads are processed with `mapPartitions` over an
+  * Iterator (streaming, batch-shaped like `mapInPandas` batches — no
+  * whole-partition materialization), metadata-only queries never touch
+  * the payload bytes thanks to parquet column pruning, and
+  * `spark.sql.files.maxPartitionBytes` governs scan granularity for
+  * fat binary columns.
+  */
+object Multimodal {
+
+  /** A decoded media record: what a real decoder would emit. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      feature_hash: Long)
+
+  /** Deterministic fake decode: dimensions derived from the payload hash.
+    * ??? -> replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
+    * — signature stays `Array[Byte] => (width, height, channels)`. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val h = Hashing.hash60Local(new String(payload.take(32), "ISO-8859-1"))
+      (((h % 1024) + 1).toInt, (((h >> 10) % 1024) + 1).toInt, 3)
+    }
+  }
+
+  /** Attach a synthetic binary payload column to a text table — the
+    * testdata stand-in for real media bytes. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Typed mapPartitions decode pass (the mapInPandas-batch analogue):
+    * streams the partition iterator, emits typed features. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload(docs).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, c) = StubDecoder.decode(payload)
+          MediaFeatures(id, payload.length.toLong, w, h, c,
+            Hashing.hash60Local(new String(payload, "ISO-8859-1")))
+        }
+      }
+  }
+
+  /** Declarative metadata-only variant (columnar, codegen'd, oracle-
+    * checkable): identical feature math expressed as column functions —
+    * the path a metadata query takes without ever decoding payloads. */
+  def featuresSql(docs: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val h = Hashing.hash60(substring(col("text"), 1, 32))
+    docs.select(
+      col("doc_id"),
+      length(payload).cast("long").as("byte_len"),
+      ((h % 1024) + 1).cast("int").as("width"),
+      ((shiftright(h, 10) % 1024) + 1).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+}

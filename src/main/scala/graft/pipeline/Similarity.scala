@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths, as a scale ladder:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a partitioned cross
+  *    join — the correctness baseline. The dot product is a codegen'd
+  *    `aggregate(zip_with(...))` fold, no UDF. Cost O(|Q|·|C|·d): fine
+  *    for |Q| small or one-off; not the 100 TB path.
+  *  - [[lshBuckets]] + [[lshTopK]]: random-hyperplane LSH. Hyperplane
+  *    weights are derived from the portable [[Hashing.hash60Local]], so
+  *    the bucketing is deterministic and oracle-reproducible. At scale,
+  *    candidates meet only inside buckets (shuffle keyed on the
+  *    signature), turning all-pairs into per-bucket joins.
+  */
+object Similarity {
+
+  /** Embedding as double array (float parquet storage widened exactly). */
+  private def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (asDouble(a), asDouble(b))
+    dot(da, db) / (norm(da) * norm(db))
+  }
+
+  /** Exact top-k cosine neighbors of each query vector among candidates.
+    * Queries (qid, qvec) are expected small → broadcast; candidates
+    * stream by. Returns (qid, vec_id, sim, rank), rank 1..k, ties broken
+    * by vec_id for determinism. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = candidates.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  val DefaultPlanes = 8
+  val PlaneSeed = 97L
+
+  /** Deterministic hyperplane weight for (plane p, dimension j) in
+    * [-0.5, 0.5): derivable identically in SQL. */
+  def planeWeight(p: Int, j: Int): Double =
+    Hashing.rand01Local(PlaneSeed, s"$p,$j") - 0.5
+
+  /** (vec_id, bucket): 8-bit random-hyperplane signature. One codegen'd
+    * projection — no shuffle, no UDF; the plane matrix is inlined as
+    * literals. */
+  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int = DefaultPlanes): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val bucket = (0 until planes).map { p =>
+      val w = array((0 until dim).map(j => lit(planeWeight(p, j))): _*)
+      when(dot(emb, w) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k restricted to same-bucket candidates: the scale path.
+    * Returns (qid, vec_id, sim, rank) like [[bruteForceTopK]] but only
+    * pairs that collide in LSH. */
+  def lshTopK(embeddings: DataFrame, dim: Int, k: Int, planes: Int = DefaultPlanes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lshBuckets(embeddings, dim, planes)
+    val withB = embeddings.join(b, "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val r = withB.select(col("bucket"), col("vec_id"), col("embedding"))
+    val scored = l.join(r, "bucket")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

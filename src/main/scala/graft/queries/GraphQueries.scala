@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{GraphOps, PageRank}
+import graft.graph.{ConnectedComponents, GraphOps, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -15,6 +15,17 @@ object GraphQueries {
 
   private def E = Tables.EdgesSql
   private val N = Tables.GraphN
+
+  // g_cc/g_cc_stats and g_tri/g_tri_count share their expensive stage;
+  // memoize per (session, dir) so a Verify sweep computes each once.
+  private val ccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ccOf(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((s, dir),
+      ConnectedComponents.run(s, Tables.edges(s, dir)).persist())
+  private val triCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def triOf(s: SparkSession, dir: String): DataFrame =
+    triCache.getOrElseUpdate((s, dir),
+      Triangles.run(Tables.edges(s, dir)).persist())
 
   val queries: Map[String, Q] = Map(
     "g_degree" -> ((s, dir) => GraphOps.outDegree(Tables.edges(s, dir))),
@@ -35,7 +46,26 @@ object GraphQueries {
     // (SURVEY.md §2.4); the oracle unrolls the same three iterations.
     "g_pagerank" -> ((s, dir) =>
       PageRank.runFixed(s, Tables.edges(s, dir), N, iterations = 3)
-        .select(col("id"), round(col("rank"), 9).as("rank")))
+        .select(col("id"), round(col("rank"), 9).as("rank"))),
+
+    "g_cc" -> ((s, dir) => ccOf(s, dir)),
+
+    "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
+
+    "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
+
+    "g_tri" -> ((s, dir) => triOf(s, dir)),
+
+    "g_tri_count" -> ((s, dir) => triOf(s, dir)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("ntri"))),
+
+    // Deterministic per-seed (hash-priority Luby) but the round structure
+    // is not SQL-expressible → rows-only check; independence+maximality
+    // are asserted in LubyMISSpec.
+    "g_luby" -> ((s, dir) => LubyMIS.run(s, Tables.edges(s, dir), seed = 11L)),
+
+    "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,7 +108,70 @@ object GraphQueries {
          |SELECT src AS v, array_to_string(list_sort(list(dst)), ',') AS nbrs
          |FROM edges GROUP BY src""".stripMargin,
 
-    "g_pagerank" -> pagerankSql(3)
+    "g_pagerank" -> pagerankSql(3),
+
+    // Reachability-closure min-label — same fixpoint the iterative
+    // propagation converges to.
+    "g_cc" ->
+      s"""WITH RECURSIVE edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+         |verts AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v)
+         |SELECT v, min(r) AS comp FROM reach GROUP BY v""".stripMargin,
+
+    "g_cc_stats" ->
+      s"""WITH RECURSIVE edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+         |verts AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
+         |cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
+         |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
+         |ORDER BY size DESC""".stripMargin,
+
+    // Unit-weight BFS from source 0; the hop guard bounds recursion, far
+    // above the graph's diameter.
+    "g_sssp" ->
+      s"""WITH RECURSIVE edges AS ($E),
+         |walk(v, d) AS (
+         |  SELECT CAST(0 AS BIGINT) AS v, CAST(0.0 AS DOUBLE) AS d
+         |  UNION
+         |  SELECT e.dst, w.d + 1.0 FROM walk w JOIN edges e ON e.src = w.v
+         |  WHERE w.d < 40)
+         |SELECT v, min(d) AS dist FROM walk GROUP BY v""".stripMargin,
+
+    "g_tri" ->
+      s"""WITH edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst)
+         |SELECT e1.vi AS a, e1.vj AS b, e2.vj AS c
+         |FROM eu e1 JOIN eu e2 ON e2.vi = e1.vj
+         |JOIN eu e3 ON e3.vi = e1.vi AND e3.vj = e2.vj""".stripMargin,
+
+    "g_tri_count" ->
+      s"""WITH edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.vi AS a, e1.vj AS b, e2.vj AS c
+         | FROM eu e1 JOIN eu e2 ON e2.vi = e1.vj
+         | JOIN eu e3 ON e3.vi = e1.vi AND e3.vj = e2.vj)
+         |SELECT v, count(*) AS ntri FROM (
+         | SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         | UNION ALL SELECT c FROM tri) GROUP BY v""".stripMargin,
+
+    "g_rmat" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L)
   )
 
   /** Unrolled n-iteration PageRank oracle mirroring PageRank.runFixed:

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting, word
+  * frequency. All are single-pass, codegen-friendly column expressions —
+  * no UDFs — so they survive 100 TB scans (predicate/column pruning
+  * reach the parquet reader, everything else stays in WholeStageCodegen).
+  *
+  * The word-frequency path descends from the reference's `wordfreq`
+  * (`/root/reference/oink/wordfreq.cpp:40-112`, `examples/wordfreq.cpp:
+  * 43-96`); the rest extend the surface for LLM-corpus curation, with
+  * deterministic, SQL-expressible semantics so the DuckDB oracle can
+  * verify them.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace(single-space)-separated tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** `wordfreq N` — global top-N words with deterministic tie-break.
+    * Catalyst plans partial counts before the exchange and
+    * TakeOrderedAndProject for the limit (the reference hand-writes both:
+    * per-proc top-10 then gather+sort). */
+  def wordFreq(docs: DataFrame, text: Column, n: Int): DataFrame =
+    docs.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(n)
+
+  /** Language-marker stopword sets for the n-gram-free language-ID
+    * heuristic. Scores are marker-token occurrence counts. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  /** Language ID: argmax of marker counts, first-listed language wins
+    * ties, "und" (undetermined) when no marker occurs. */
+  def langId(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("w").isin(markers: _*), 1).otherwise(0)).as(s"s_$lang")
+    }
+    val scored = toks.groupBy("doc_id").agg(scores.head, scores.tail: _*)
+    // argmax with fixed priority order = fold over languages
+    val best = LangMarkers.foldLeft((lit(0L), lit("und"))) {
+      case ((bestScore, bestLang), (lang, _)) =>
+        val s = col(s"s_$lang")
+        (when(s > bestScore, s).otherwise(bestScore),
+         when(s > bestScore, lang).otherwise(bestLang))
+    }._2
+    scored.select(col("doc_id"), best.as("lang_pred"))
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * and a composite score in [0,1]. Deterministic arithmetic only. */
+  def quality(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val stop = LangMarkers.head._2 // english markers double as stopwords
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("long")
+    val meanLen = (length(concat_ws("", toks)).cast("double") / nTok)
+    val stopRatio = nStop.cast("double") / nTok
+    val score = least(lit(1.0), nTok.cast("double") / lit(100.0)) *
+      (lit(1.0) - stopRatio)
+    docs.select(
+      id.as("doc_id"),
+      nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Token statistics: whitespace tokens + a bytes/4 BPE-like estimate
+    * (the classic "~4 chars per token" heuristic). */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      size(tokens(text)).cast("long").as("ws_tokens"),
+      ceil(length(text).cast("double") / 4.0).cast("long").as("bpe_est"))
+
+  /** Document fingerprints: whole-text hash, 64-char-prefix hash, and a
+    * min-shingle hash (min over word-3-gram shingle hashes — a k=1
+    * MinHash, the rolling-fingerprint analogue). */
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sh = shingles(text, 3)
+    docs.select(
+      id.as("doc_id"),
+      Hashing.hash60(text).as("fp"),
+      Hashing.hash60(substring(text, 1, 64)).as("prefix_fp"),
+      array_min(transform(sh, s => Hashing.hash60(s))).as("min_shingle_fp"))
+  }
+
+  /** Word n-gram shingles of `text` (empty array when too short). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array())
+  }
+}

@@ -1,0 +1,84 @@
+package graft.graph
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the OINK graph primitives and iterative algorithms
+  * on hand-checkable graphs (SURVEY.md §7.4). */
+class GraphAlgoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tiny = Seq(
+    (0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (4L, 4L), (0L, 1L))
+    .toDF("src", "dst") // includes a duplicate edge and a self-loop
+
+  test("outDegree counts duplicate edges (raw multiset semantics)") {
+    val d = GraphOps.outDegree(tiny).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 3, 1L -> 2, 2L -> 1, 4L -> 1))
+  }
+
+  test("edgeUpper canonicalizes, dedupes, drops self-loops") {
+    val e = GraphOps.edgeUpper(tiny).as[(Long, Long)].collect().toSet
+    assert(e == Set((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 4L)))
+  }
+
+  test("vertexExtract returns distinct endpoint set") {
+    val v = GraphOps.vertexExtract(tiny).as[Long].collect().toSet
+    assert(v == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("neighbors digests sorted adjacency with duplicates") {
+    val n = GraphOps.neighbors(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(0L) == "1,1,2") // duplicate (0,1) kept, sorted
+  }
+
+  test("connected components: two components plus isolated self-loop") {
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (9L, 9L)).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0, 1L -> 0, 2L -> 0, 5L -> 5, 6L -> 5, 9L -> 9))
+  }
+
+  test("sssp unit-weight BFS distances on a diamond with a shortcut") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (0L, 4L))
+      .toDF("src", "dst")
+    val d = ShortestPaths.run(spark, edges, 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0, 3L -> 2.0, 4L -> 1.0))
+  }
+
+  test("sssp honors explicit weights") {
+    val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 2.0))
+      .toDF("src", "dst", "weight")
+    val d = ShortestPaths.run(spark, edges, 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(0L -> 0.0, 1L -> 3.0, 2L -> 1.0))
+  }
+
+  test("triangle enumeration matches brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = Triangles.run(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force on the simple undirected graph
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val verts = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      a <- verts; b <- verts if a < b && simple((a, b))
+      c <- verts if b < c && simple((b, c)) && simple((a, c))
+    } yield (a, b, c)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "test graph should contain triangles")
+  }
+
+  test("rmat generation is deterministic and in-range") {
+    val a = RMat.generate(spark, 6, 300, seed = 5).as[(Long, Long)].collect().toSet
+    val b = RMat.generate(spark, 6, 300, seed = 5).as[(Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.forall { case (s, d) => s >= 0 && s < 64 && d >= 0 && d < 64 })
+    val c = RMat.generate(spark, 6, 300, seed = 6).as[(Long, Long)].collect().toSet
+    assert(a != c, "different seed should give a different graph")
+  }
+}
