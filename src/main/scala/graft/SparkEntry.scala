@@ -23,8 +23,10 @@ object SparkEntry {
       websize = Some(Tables.GraphN))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++
+      TextQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++
+      TextQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Driver-gate queries over the `events` stream table: tumbling-window
+  * aggregation (the batch twin of the Structured Streaming path in
+  * [[graft.streaming.EventStreams]]), gap-based sessionization, and JSON
+  * property extraction.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); sessions read it as BIGINT
+  * nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`) and all time
+  * math happens in exact integer MICROSECONDS (`ts div 1000`) — never
+  * floating seconds, so the DuckDB oracle (epoch_ns // 1000) matches
+  * bit-for-bit. Window starts are `us - us % 3600e6`, identical to
+  * `date_trunc('hour')` for post-1970 data.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with ts_us BIGINT epoch-microseconds. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour window per event_type. Same plan a streaming
+    // aggregation compiles to, minus the state store.
+    "e_window_agg" -> ((s, dir) => eventsUs(s, dir)
+      .groupBy(
+        (col("ts_us") - (col("ts_us") % (3600L * 1000000L))).as("win_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("total_value"))),
+
+    // Gap-based sessionization (30 min): the flatMapGroupsWithState
+    // batch analogue, expressed with window functions.
+    "e_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    }),
+
+    // JSON property extraction (props is a JSON string).
+    "e_json" -> ((s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(avg(get_json_object(col("props"), "$.k").cast("int")), 6).as("avg_k"),
+        count(lit(1)).as("cnt")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_window_agg" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events)
+        |SELECT ts_us - (ts_us % CAST(3600000000 AS BIGINT)) AS win_start_us,
+        | event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "e_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |flags AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |       OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (SELECT user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flags)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "e_json" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

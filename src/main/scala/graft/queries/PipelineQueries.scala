@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.functions.Hashing
+
+/** Driver-gate queries for the dedup / similarity-search / multimodal
+  * operators (the LLM-data-pipeline suite). All hash arithmetic rides on
+  * the portable hash60, so even MinHash signatures, LSH bands, SimHash
+  * sketches and R-MAT-style derived constants hash-match a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+  private val Dim = 64
+
+  val queries: Map[String, Q] = Map(
+    "d_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
+
+    "d_minhash_sig" -> ((s, dir) =>
+      Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"))),
+
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashCandidates(docs(s, dir), col("doc_id"), col("text"))),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Exact n-gram Jaccard over blocked pairs (same n_chars ⇒ candidate):
+    // the post-LSH verification stage, bounded by the blocking key.
+    "d_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id").as("a"), col("n_chars"))
+      val b = d.select(col("doc_id").as("b"), col("n_chars"))
+      val pairs = a.join(b, "n_chars").where(col("a") < col("b")).select("a", "b")
+      Dedup.ngramJaccard(d, col("doc_id"), col("text"), pairs)
+    }),
+
+    "s_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(queries, e, k = 3)
+    }),
+
+    "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
+
+    "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
+  )
+
+  private def H(e: String) = Hashing.hash60Sql(e)
+  private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
+
+  /** Shared CTE: word-3-gram shingles per doc. */
+  private val ShinglesCte =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS sh
+      |  FROM t, (SELECT unnest(range(256)) AS i) r
+      |  WHERE i <= len(toks) - 3)""".stripMargin
+
+  private val SigSelect = (0 until Dedup.NumHashes)
+    .map(h => s"min(${Hs(h.toLong, "sh")}) AS mh$h").mkString(",\n  ")
+
+  private val BandsCte = {
+    val bands = (0 until Dedup.numBands).map { b =>
+      val cols = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+        .map(h => s"mh$h").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${H(s"concat_ws(',', $cols)")} AS band_hash FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"bands AS ($bands)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" ->
+      s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
+         | min(doc_id) AS keeper_id
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_minhash_sig" ->
+      s"""WITH $ShinglesCte
+         |SELECT doc_id,
+         |  $SigSelect
+         |FROM sh GROUP BY doc_id""".stripMargin,
+
+    "d_minhash_pairs" ->
+      s"""WITH $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_hash = y.band_hash
+         |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    "d_simhash" -> {
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |th AS (SELECT doc_id, ${H("w")} AS th FROM toks WHERE w <> ''),
+         |bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bs""".stripMargin
+    },
+
+    "d_jaccard" ->
+      """WITH toks AS (
+        | SELECT DISTINCT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |pairs AS (
+        | SELECT x.doc_id AS a, y.doc_id AS b
+        | FROM documents x JOIN documents y ON x.n_chars = y.n_chars
+        | WHERE x.doc_id < y.doc_id),
+        |inter AS (
+        | SELECT p.a, p.b, count(*) AS ninter
+        | FROM pairs p JOIN toks ta ON ta.doc_id = p.a
+        |   JOIN toks tb ON tb.doc_id = p.b AND tb.w = ta.w
+        | GROUP BY p.a, p.b)
+        |SELECT p.a, p.b,
+        | round(CAST(coalesce(i.ninter, 0) AS DOUBLE) /
+        |   (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |JOIN sizes sa ON sa.doc_id = p.a
+        |JOIN sizes sb ON sb.doc_id = p.b""".stripMargin,
+
+    "s_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        | SELECT q.qid, e.vec_id,
+        |  round(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM pairs)
+        |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "s_ann_lsh" -> {
+      // hyperplane weights re-derived in SQL from the same hash formula
+      val planes = Similarity.DefaultPlanes
+      val seed = Similarity.PlaneSeed
+      val w = Hashing.rand01Sql(seed, "concat_ws(',', p, j)")
+      s"""WITH planes AS (
+         | SELECT p, j, ($w - 0.5) AS w
+         | FROM (SELECT unnest(range($planes)) AS p) pp,
+         |      (SELECT unnest(range($Dim)) AS j) jj),
+         |dots AS (
+         | SELECT e.vec_id, pl.p,
+         |   sum(CAST(e.embedding[CAST(pl.j AS INTEGER) + 1] AS DOUBLE) * pl.w) AS dot
+         | FROM embeddings e, planes pl
+         | GROUP BY e.vec_id, pl.p)
+         |SELECT vec_id,
+         | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM dots GROUP BY vec_id""".stripMargin
+    },
+
+    "mm_features" ->
+      s"""SELECT doc_id,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         | CAST((${H("substr(text, 1, 32)")} % 1024) + 1 AS INTEGER) AS width,
+         | CAST(((${H("substr(text, 1, 32)")} >> 10) % 1024) + 1 AS INTEGER) AS height,
+         | 3 AS channels
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.text.TextAnalysis
+import graft.functions.Hashing
+
+/** Driver-gate queries for the text-analysis operators over the
+  * `documents` table (SURVEY.md §2.5 wordfreq lineage + the LLM-pipeline
+  * text suite). DuckDB oracles replicate the exact token/shingle/hash
+  * arithmetic via the portable md5-based hash60.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  val queries: Map[String, Q] = Map(
+    "t_wordfreq" -> ((s, dir) =>
+      TextAnalysis.wordFreq(docs(s, dir), col("text"), 20)),
+
+    "t_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
+
+    "t_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), col("doc_id"), col("text"))),
+
+    "t_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
+
+    "t_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text")))
+  )
+
+  private val H = (e: String) => Hashing.hash60Sql(e)
+  private val markers = TextAnalysis.LangMarkers
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "t_wordfreq" ->
+      """SELECT w AS word, count(*) AS cnt FROM (
+        | SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w
+        |ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+
+    "t_langid" -> {
+      val scoreCols = markers.map { case (lang, ws) =>
+        s"sum(CASE WHEN w IN (${inList(ws)}) THEN 1 ELSE 0 END) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val m = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scoreCols
+         |  FROM toks WHERE w <> '' GROUP BY doc_id),
+         |mx AS (SELECT *, $m AS m FROM sc)
+         |SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $pick END AS lang_pred
+         |FROM mx""".stripMargin
+    },
+
+    "t_quality" -> {
+      val stop = inList(markers.head._2)
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+         | round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+         | round(least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
+         |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
+         |FROM t""".stripMargin
+    },
+
+    "t_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_est
+        |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
+         |  FROM t, (SELECT unnest(range(256)) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |m AS (SELECT doc_id, min(${H("s")}) AS min_shingle_fp FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, ${H("d.text")} AS fp,
+         |  ${H("substr(d.text, 1, 64)")} AS prefix_fp,
+         |  m.min_shingle_fp
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+  )
+}

