@@ -1,24 +1,87 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — one JSON line on stdout per the driver contract.
+  *
+  * Two sections:
+  *  - `queries`: headline operators from SparkEntry on
+  *    SPARK_GRAFT_SF_DIR (default sf0.1), each fully materialized via the
+  *    noop sink (a bare count() would let parquet scans shortcut to
+  *    metadata). Reported seconds are per-query wall time, steady state
+  *    (session + codegen warmed by a prior untimed pass at sf0.001).
+  *  - `mr_phase_ms`: the reference's own metric — the MapReduce-phase
+  *    runtime building the inverse adjacency `incoming[]`
+  *    (BASELINE.md; `mr-pr-cpp.cpp:220-226` times exactly this, file
+  *    parsing excluded) — on the reference's barabasi/erdos datasets,
+  *    median of 3 runs, edges pre-parsed and cached like the reference's
+  *    pre-parsed vectors.
+  */
 object Bench {
+
+  private val Headline = Seq(
+    "q1_agg", "q2_filter_project", "q3_join_agg", "q10_window",
+    "g_pagerank", "g_cc", "g_tri", "g_sssp",
+    "t_wordfreq", "d_minhash_pairs", "d_simhash", "s_ann_brute",
+    "e_sessionize", "e_window_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm: session, codegen, file listing — untimed, smallest sf
+    Headline.foreach { name =>
+      try materialize(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
+    }
+
+    val results = Headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Reference-metric section: inverse-adjacency build (collate+reduce
+    // to incoming[] lists), timed like the reference's MapReduce phase.
+    val mrPhase = Seq("barabasi-100000", "erdos-100000").flatMap { name =>
+      val path = s"/root/reference/test/$name.txt"
+      if (!new java.io.File(path).exists()) None
+      else {
+        val edges = graft.io.EdgeListIO.read(spark, path).cache()
+        edges.count() // parse+cache untimed (reference excludes parsing)
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(edges.groupBy("dst").agg(collect_list("src")))
+          (System.nanoTime() - t0) / 1e6
+        }
+        edges.unpersist(false)
+        Some(name -> times.sorted.apply(1)) // median
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mr = mrPhase.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"mr_phase_ms":$mr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

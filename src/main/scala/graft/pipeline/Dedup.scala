@@ -26,19 +26,34 @@ object Dedup {
   val BandSize = 4
   def numBands: Int = NumHashes / BandSize
 
+  /** Mersenne prime modulus for the affine MinHash permutations. One md5
+    * base hash per shingle + 16 integer (a·x+b) mod p maps — 16× less
+    * hashing than 16 md5s, with a·x ≤ 2^62 so the arithmetic never
+    * overflows BIGINT (DuckDB errors on overflow; Spark would wrap —
+    * staying under 2^63 keeps both engines identical). */
+  val MinHashP: Long = (1L << 31) - 1
+
+  /** Affine coefficients (a_h, b_h), a_h ∈ [1, p-1], b_h ∈ [0, p-1],
+    * derived from the portable hash so the oracle uses the same values. */
+  def minHashCoeffs(h: Int): (Long, Long) = (
+    (Hashing.hash60Local(s"minhash-a$h") % (MinHashP - 1)) + 1,
+    Hashing.hash60Local(s"minhash-b$h") % MinHashP)
+
   /** Exact-duplicate groups: content digest → group size (count > 1 are
     * duplicate sets). Deterministic; never compares full texts. */
   def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.groupBy(Hashing.hash60(text).as("content_hash"))
       .agg(count(lit(1)).as("cnt"), min(id).as("keeper_id"))
 
-  /** MinHash signatures: one row per doc with mh0..mh15 columns —
-    * min over word-3-gram shingle hashes for 16 seeded hash functions. */
+  /** MinHash signatures: one row per doc with mh0..mh15 columns — min
+    * over affine permutations of the word-3-gram shingle base hash. */
   def minHashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sh = docs.select(id.as("doc_id"),
-      explode(TextAnalysis.shingles(text, 3)).as("sh"))
+    val sh = docs
+      .select(id.as("doc_id"), explode(TextAnalysis.shingles(text, 3)).as("sh"))
+      .select(col("doc_id"), (Hashing.hash60(col("sh")) % MinHashP).as("x"))
     val aggs = (0 until NumHashes).map { h =>
-      min(Hashing.hash60(h.toLong, col("sh"))).as(s"mh$h")
+      val (a, b) = minHashCoeffs(h)
+      min((lit(a) * col("x") + lit(b)) % MinHashP).as(s"mh$h")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -57,18 +57,21 @@ object PipelineQueries {
   private def H(e: String) = Hashing.hash60Sql(e)
   private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
 
-  /** Shared CTE: word-3-gram shingles per doc. */
+  /** Shared CTE: word-3-gram shingle base hashes (mod p) per doc. */
   private val ShinglesCte =
-    """t AS (SELECT doc_id,
+    s"""t AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),
       |sh AS (SELECT doc_id,
-      |  concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS sh
+      |  (${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} % ${Dedup.MinHashP}) AS x
       |  FROM t, (SELECT unnest(range(256)) AS i) r
       |  WHERE i <= len(toks) - 3)""".stripMargin
 
   private val SigSelect = (0 until Dedup.NumHashes)
-    .map(h => s"min(${Hs(h.toLong, "sh")}) AS mh$h").mkString(",\n  ")
+    .map { h =>
+      val (a, b) = Dedup.minHashCoeffs(h)
+      s"min(($a * x + $b) % ${Dedup.MinHashP}) AS mh$h"
+    }.mkString(",\n  ")
 
   private val BandsCte = {
     val bands = (0 until Dedup.numBands).map { b =>

@@ -16,10 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Streaming source over a parquet directory with the events schema. */
+  /** Streaming source over the testdata directory (FileStreamSource
+    * monitors a directory; the glob filter selects the events table). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
   }
 
   /** 1-hour tumbling windowed counts/sums per event_type with a 2-hour

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.testkit.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely unrelated content here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "shrt")) // too short for 3-gram shingles
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exact(docs, col("doc_id"), col("text"))
+    val dup = g.where(col("cnt") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keeper_id") == 1L)
+    assert(g.count() == 4) // 4 distinct contents
+  }
+
+  test("minhash LSH surfaces exact and near dups, not the unrelated doc") {
+    val pairs = Dedup.minHashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs((1L, 4L)), "exact dup must collide in every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc should not be a candidate")
+  }
+
+  test("minhash estimates jaccard: identical docs agree on all hashes") {
+    val sig = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    assert(!sig.contains(5L), "sub-shingle-length doc yields no signature")
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = Dedup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming <= 6, s"near-dup hamming $hamming too large")
+  }
+
+  test("ngram jaccard: exact dup 1.0, near dup high, disjoint 0") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val j = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force ANN finds the nearest vector and honors k + ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(q, vecs, 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(4L, 1L))
+  }
+
+  test("LSH buckets put near-identical vectors together") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) += (i * 0.001f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(2L), "same-direction vectors share a bucket")
+    assert(b(0L) != b(1L), "opposite vectors land in different buckets")
+  }
+
+  test("multimodal: typed mapPartitions decode equals declarative metadata path") {
+    val typed = Multimodal.extractFeatures(spark, docs)
+      .select("doc_id", "byte_len", "width", "height", "channels")
+    val sql = Multimodal.featuresSql(docs)
+    assert(typed.except(sql).isEmpty && sql.except(typed).isEmpty)
+  }
+
+  test("langid picks the marker-dominant language") {
+    val d = Seq(
+      (1L, "the cat and the dog is a friend of mine"),
+      (2L, "der hund und die katze ist das haus"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val m = TextAnalysis.langId(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("quality and token counts are consistent") {
+    val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .where(col("doc_id") === 1).head()
+    assert(q.getAs[Long]("n_tokens") == 9)
+    val t = TextAnalysis.tokenCounts(docs, col("doc_id"), col("text"))
+      .where(col("doc_id") === 5).head()
+    assert(t.getAs[Long]("ws_tokens") == 1)
+    assert(t.getAs[Long]("bpe_est") == 1) // ceil(4/4)
+  }
+}

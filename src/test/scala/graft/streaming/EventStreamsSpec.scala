@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.testkit.SparkSpec
+import graft.queries.EventQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming twins must agree with their batch counterparts on the same
+  * data (the memory-sink local smoke per the Spark guide). */
+class EventStreamsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch e_window_agg result") {
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedAgg(stream), "win_out", OutputMode.Append)
+    try {
+      // Append mode emits a window only once the 2h watermark passes its
+      // end: streamed rows must be a subset of batch, and every window
+      // closed by the final watermark must be present.
+      val s = spark.table("win_out").select("win_start_us", "event_type", "cnt")
+      val b = EventQueries.queries("e_window_agg")(spark, dir)
+        .select("win_start_us", "event_type", "cnt")
+      val maxUs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val closed = b.where(col("win_start_us") + (3600L * 1000000L) <
+        maxUs - (2L * 3600L * 1000000L))
+      assert(s.count() > 0, "stream emitted nothing")
+      assert(s.except(b).isEmpty, "streamed window disagrees with batch")
+      assert(closed.except(s).isEmpty, "watermark-closed window missing from stream")
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions; final state holds the rest") {
+    import spark.implicits._
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val us = 1000000L
+    val events = Seq(
+      (1L, 1L, 1000L * us), (1L, 2L, 1060L * us), // session A
+      (1L, 3L, 1000L * us + 3600L * us),          // session B (1h later)
+      (2L, 4L, 500L * us))
+      .toDF("user_id", "event_id", "ts_ns_like")
+      .select(col("user_id"), col("event_id"),
+        (col("ts_ns_like") * 1000).as("ts")) // to nanos
+    val sessions = EventStreams.sessionize(spark, events)
+    // batch run over a bounded frame: only session A closes (B and user-2
+    // have no successor event) — flatMapGroupsWithState appends closed ones.
+    val out = sessions.collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.getAs[Long]("user_id") == 1L)
+    assert(s.getAs[Long]("n_events") == 2L)
+    assert(s.getAs[Long]("start_us") == 1000L * us && s.getAs[Long]("end_us") == 1060L * us)
+  }
+}
