@@ -1,47 +1,105 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
-import graft.graph.PageRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph._
 import graft.io.EdgeListIO
+import graft.text.TextAnalysis
 
-/** CLI runner mirroring the reference binaries' interface
-  * (`./mr-pr-cpp.o <input> -o <output>`, usage/`-o` validation at
-  * `/root/reference/mr-pr-cpp.cpp:187-193`), so the reference's
-  * `run.sh`-style end-to-end + checker workflow reproduces against this
-  * engine: `runMain graft.cli.Main pagerank test/bull.txt -o out.txt`.
+/** CLI runner mirroring the reference's entry points: the PageRank
+  * binaries (`./mr-pr-cpp.o <input> -o <output>`, usage at
+  * `/root/reference/mr-pr-cpp.cpp:187-193`) and the OINK named commands
+  * (`/root/reference/oink/` — degree, degree_stats, edge_upper,
+  * vertex_extract, neighbor, histo, wordfreq, cc_find, cc_stats, sssp,
+  * tri_find, luby_find, rmat; SURVEY.md §2.5), so `run.sh`-style
+  * end-to-end workflows and the golden checker reproduce against this
+  * engine:
+  *
+  * {{{
+  * runMain graft.cli.Main pagerank test/bull.txt -o out.txt
+  * runMain graft.cli.Main degree edges.txt -o degrees.csv
+  * runMain graft.cli.Main sssp edges.txt -o dist.csv --source 0
+  * runMain graft.cli.Main rmat - -o edges.csv --levels 10 --edges 4096 --seed 7
+  * }}}
   */
 object Main {
 
+  private val commands = Seq("pagerank", "degree", "degree_stats",
+    "edge_upper", "vertex_extract", "neighbor", "histo", "wordfreq",
+    "cc_find", "cc_stats", "sssp", "tri_find", "luby_find", "rmat")
+
   def usage(): Nothing = {
     System.err.println(
-      """usage: graft.cli.Main <command> <input> -o <output>
-        |commands: pagerank""".stripMargin)
+      s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
+         |commands: ${commands.mkString(" ")}
+         |options: --source N (sssp) --seed N (luby_find, rmat)
+         |         --levels N --edges N (rmat) --top N (wordfreq)""".stripMargin)
     sys.exit(2)
   }
 
-  def main(args: Array[String]): Unit = args match {
-    case Array("pagerank", input, "-o", output) =>
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-        .appName("graft-cli")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      try {
-        val edges = EdgeListIO.readValidated(spark, input)
-        val t0 = System.nanoTime()
-        val (ranks, iters) = PageRank.runWithStats(spark, edges, None,
-          PageRank.DefaultAlpha, PageRank.DefaultTol, PageRank.DefaultMaxIter, 10)
-        EdgeListIO.writeGolden(ranks, output)
-        val ms = (System.nanoTime() - t0) / 1e6
-        println(f"Pagerank finished in $ms%.1f ms ($iters iterations)")
-      } catch {
-        case EdgeListIO.InvalidLine(n, _) =>
-          System.err.println(s"invalid input at line number : $n")
-          sys.exit(1)
-      } finally spark.stop()
-    case _ => usage()
+  private def opts(rest: Array[String]): Map[String, String] =
+    rest.grouped(2).collect { case Array(k, v) if k.startsWith("--") =>
+      k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4 || args(2) != "-o") usage()
+    val Array(cmd, input, _, output) = args.take(4)
+    if (!commands.contains(cmd)) usage()
+    val o = opts(args.drop(4))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def edges() = EdgeListIO.readValidated(spark, input)
+
+    try {
+      val t0 = System.nanoTime()
+      cmd match {
+        case "pagerank" =>
+          val (ranks, iters) = PageRank.runWithStats(spark, edges(), None,
+            PageRank.DefaultAlpha, PageRank.DefaultTol, PageRank.DefaultMaxIter, 10)
+          EdgeListIO.writeGolden(ranks, output)
+          println(f"Pagerank finished in ${(System.nanoTime() - t0) / 1e6}%.1f ms ($iters iterations)")
+          spark.stop(); return
+        case _ => ()
+      }
+      val result: DataFrame = cmd match {
+        case "degree"         => GraphOps.outDegree(edges()).orderBy("v")
+        case "degree_stats"   => GraphOps.degreeStats(edges())
+        case "edge_upper"     => GraphOps.edgeUpper(edges()).orderBy("vi", "vj")
+        case "vertex_extract" => GraphOps.vertexExtract(edges()).orderBy("v")
+        case "neighbor"       => GraphOps.neighbors(edges()).orderBy("v")
+        case "histo"          => // histogram of out-degrees (oink/histo.cpp)
+          GraphOps.degreeStats(edges())
+        case "wordfreq"       =>
+          val docs = spark.read.textFile(input).toDF("text")
+          TextAnalysis.wordFreq(docs, col("text"), o.getOrElse("top", "10").toInt)
+        case "cc_find"        => ConnectedComponents.run(spark, edges()).orderBy("v")
+        case "cc_stats"       => ConnectedComponents.stats(ConnectedComponents.run(spark, edges()))
+        case "sssp"           => ShortestPaths.run(spark, edges(),
+          o.getOrElse("source", "0").toLong).orderBy("v")
+        case "tri_find"       => Triangles.run(edges()).orderBy("a", "b", "c")
+        case "luby_find"      => LubyMIS.run(spark, edges(),
+          o.getOrElse("seed", "1").toLong).orderBy("v")
+        case "rmat"           => RMat.generate(spark,
+          o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
+          o.getOrElse("seed", "1").toLong)
+      }
+      // single ordered CSV, like the reference's print sinks
+      result.coalesce(1).write.mode("overwrite")
+        .option("sep", " ").csv(output)
+      println(f"$cmd finished in ${(System.nanoTime() - t0) / 1e6}%.1f ms -> $output")
+    } catch {
+      case EdgeListIO.InvalidLine(n, _) =>
+        System.err.println(s"invalid input at line number : $n")
+        sys.exit(1)
+    } finally spark.stop()
   }
 }
