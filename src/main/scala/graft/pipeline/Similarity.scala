@@ -29,7 +29,15 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine of two `array<float>` columns — the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression: one fused loop,
+    * no intermediate array, bit-identical to [[cosineComposed]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
+
+  /** Composed-builtin form (4 array walks + a zip_with allocation) —
+    * kept as the cross-check reference for CosineSimilaritySpec. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val (da, db) = (asDouble(a), asDouble(b))
     dot(da, db) / (norm(da) * norm(db))
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇔ catalyst Expression bridge. Spark 4's Column wraps a
+  * connect-agnostic ColumnNode; the conversion helpers live in
+  * `org.apache.spark.sql.classic` with `private[sql]` visibility, so
+  * extension expressions (graft.functions.CosineSimilarity) reach them
+  * through this in-package shim — the standard pattern for Catalyst
+  * extension libraries. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
