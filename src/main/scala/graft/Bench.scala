@@ -57,21 +57,42 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Reference-metric section: inverse-adjacency build (collate+reduce
-    // to incoming[] lists), timed like the reference's MapReduce phase.
+    // Reference-metric section: inverse-adjacency build, timed like the
+    // reference's MapReduce phase (parse excluded). Two shapes:
+    //  - local: single-partition hash grouping — comparable to the cpp
+    //    variant (threaded shared-memory, no communication);
+    //  - shuffle: hash-exchange + per-partition grouping — comparable to
+    //    the MPI variants (communication included), and the shape that
+    //    scales out.
+    import spark.implicits._
     val mrPhase = Seq("barabasi-100000", "erdos-100000").flatMap { name =>
       val path = s"/root/reference/test/$name.txt"
-      if (!new java.io.File(path).exists()) None
+      if (!new java.io.File(path).exists()) Nil
       else {
         val edges = graft.io.EdgeListIO.read(spark, path).cache()
         edges.count() // parse+cache untimed (reference excludes parsing)
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          materialize(edges.groupBy("dst").agg(collect_list("src")))
-          (System.nanoTime() - t0) / 1e6
+        val e1 = edges.coalesce(1).cache(); e1.count()
+        def median(f: => Unit): Double = {
+          val ts = (1 to 5).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+          }
+          ts.sorted.apply(2)
         }
-        edges.unpersist(false)
-        Some(name -> times.sorted.apply(1)) // median
+        val local = median {
+          e1.as[(Long, Long)].mapPartitions { it =>
+            val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+            it.foreach { case (s, d) =>
+              m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+            }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
+          }.write.format("noop").mode("overwrite").save()
+        }
+        val shuffle = median {
+          materialize(edges.groupBy("dst").agg(collect_list("src")))
+        }
+        edges.unpersist(false); e1.unpersist(false)
+        Seq(s"$name-local" -> local, s"$name-shuffle" -> shuffle)
       }
     }
 

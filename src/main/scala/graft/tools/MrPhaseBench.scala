@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmark: variants of the reference's MapReduce phase
+  * (inverse-adjacency build) to pick the best shape for Bench. */
+object MrPhaseBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val path = "/root/reference/test/barabasi-100000.txt"
+    val edges = graft.io.EdgeListIO.read(spark, path).cache()
+    edges.count()
+    val edges1 = edges.coalesce(1).cache(); edges1.count()
+
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-28s median=${ts.sorted.apply(2)}%8.1f ms  all=${ts.map(t => f"$t%.0f").mkString(",")}")
+    }
+
+    time("groupBy_collect_list")(noop(edges.groupBy("dst").agg(collect_list("src"))))
+    time("coalesced1_groupBy")(noop(edges1.groupBy("dst").agg(collect_list("src"))))
+    time("rdd_groupByKey")(
+      edges.as[(Long, Long)].rdd.map(e => (e._2, e._1)).groupByKey(8).foreach(_ => ()))
+    time("mapPartitions_local_group") {
+      edges1.as[(Long, Long)].mapPartitions { it =>
+        val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        it.foreach { case (s, d) =>
+          m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
+      }.write.format("noop").mode("overwrite").save()
+    }
+    time("repart_sortWithin") {
+      noop(edges.repartition(8, col("dst")).sortWithinPartitions("dst"))
+    }
+    spark.stop()
+  }
+}
