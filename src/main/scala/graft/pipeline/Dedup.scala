@@ -48,8 +48,7 @@ object Dedup {
   /** MinHash signatures: one row per doc with mh0..mh15 columns — min
     * over affine permutations of the word-3-gram shingle base hash. */
   def minHashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sh = docs
-      .select(id.as("doc_id"), explode(TextAnalysis.shingles(text, 3)).as("sh"))
+    val sh = TextAnalysis.explodedShingles(docs, id, text, 3)
       .select(col("doc_id"), (Hashing.hash60(col("sh")) % MinHashP).as("x"))
     val aggs = (0 until NumHashes).map { h =>
       val (a, b) = minHashCoeffs(h)

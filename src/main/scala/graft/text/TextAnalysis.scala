@@ -89,21 +89,32 @@ object TextAnalysis {
   /** Document fingerprints: whole-text hash, 64-char-prefix hash, and a
     * min-shingle hash (min over word-3-gram shingle hashes — a k=1
     * MinHash, the rolling-fingerprint analogue). */
-  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sh = shingles(text, 3)
-    docs.select(
-      id.as("doc_id"),
-      Hashing.hash60(text).as("fp"),
-      Hashing.hash60(substring(text, 1, 64)).as("prefix_fp"),
-      array_min(transform(sh, s => Hashing.hash60(s))).as("min_shingle_fp"))
-  }
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), text.as("t"), tokens(text).as("toks"))
+      .select(
+        col("doc_id"),
+        Hashing.hash60(col("t")).as("fp"),
+        Hashing.hash60(substring(col("t"), 1, 64)).as("prefix_fp"),
+        array_min(transform(shinglesFromTokens(col("toks"), 3),
+          s => Hashing.hash60(s))).as("min_shingle_fp"))
 
-  /** Word n-gram shingles of `text` (empty array when too short). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
+    * Callers must bind `toks` to an attribute (e.g. via a prior select),
+    * not pass `tokens(text)` inline — the expression references the
+    * array 3n times per shingle, and an inlined `split()` would be
+    * recomputed for each reference instead of once per row. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
-  }
+
+  /** (doc_id, sh) exploded word-n-gram shingles, tokens materialized
+    * once per row. */
+  def explodedShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+
+  /** Word n-gram shingles of `text` (empty array when too short). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }
