@@ -62,4 +62,39 @@ object Ops {
   def collapseToSortedString(df: DataFrame, key: Column, value: Column): DataFrame =
     df.groupBy(key.as("k"))
       .agg(concat_ws(",", sort_array(collect_list(value.cast("string")))).as("vals"))
+
+  /** Skew-resistant two-stage aggregation: spray each hot key across
+    * `salts` partial groups, then merge. Semantics-preserving for
+    * decomposable aggregates (sum/count here) — the classic mitigation
+    * when one key would otherwise serialize a reducer at 100 TB. The
+    * reference hits the same problem as CC "big zones" and solves it the
+    * same way (random scatter, `cc_find.cpp:202-300`). */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"),
+        (spark_partition_id() % salts).as("salt"))
+      .groupBy("k", "salt")
+      .agg(sum("v").as("ps"), count(lit(1)).as("pc")) // stage 1: salted partials
+      .groupBy("k")
+      .agg(sum("ps").as("total"), sum("pc").as("cnt")) // stage 2: merge
+
+  /** As-of join: for each left row, the most recent right value at or
+    * before its timestamp, per key. Composed from window functions (the
+    * Spark-first preference ladder: built-ins before custom plans) —
+    * one shuffle on (key), one sort, no point lookups. Left columns:
+    * (k, ts, …) and right: (k, ts, v). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(key), col(ts), col(value).as("__v"), lit(0).as("__side"))
+    // At equal ts, right rows come first (side 0 < 1); among tied right
+    // rows the ordering on __v makes the picked value deterministic.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("asof_" + value, last("__v", ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__side", "__v")
+  }
 }

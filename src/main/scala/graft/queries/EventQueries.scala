@@ -55,7 +55,19 @@ object EventQueries {
       .groupBy("event_type")
       .agg(
         round(avg(get_json_object(col("props"), "$.k").cast("int")), 6).as("avg_k"),
-        count(lit(1)).as("cnt")))
+        count(lit(1)).as("cnt"))),
+
+    // As-of join: each event annotated with the user's most recent
+    // signup value at-or-before the event time (graft.core.Ops.asofJoin —
+    // one shuffle on the key, one sort; no per-row lookups).
+    "e_asof" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val left = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      graft.core.Ops.asofJoin(left, signups, "user_id", "ts_us", "value")
+        .select("user_id", "event_id", "ts_us", "asof_value")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +97,20 @@ object EventQueries {
       """SELECT event_type,
         | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
         | count(*) AS cnt
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "e_asof" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |u AS (
+        | SELECT user_id, event_id, ts_us,
+        |   CAST(NULL AS DOUBLE) AS v, 1 AS side FROM e
+        | UNION ALL
+        | SELECT user_id, CAST(NULL AS BIGINT), ts_us, value AS v, 0 AS side
+        | FROM e WHERE event_type = 'signup'),
+        |w AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts_us, side, v
+        |   ROWS UNBOUNDED PRECEDING) AS asof_value FROM u)
+        |SELECT user_id, event_id, ts_us, asof_value
+        |FROM w WHERE side = 1""".stripMargin
   )
 }

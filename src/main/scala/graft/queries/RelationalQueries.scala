@@ -92,7 +92,25 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("nkv"),
         countDistinct("l_orderkey").as("nkeys"),
-        sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("strbytes")))
+        sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("strbytes"))),
+
+    // Skew-resistant salted aggregation — the CC "big zone" scatter
+    // (cc_find.cpp:202-300) generalized; semantics-preserving, so the
+    // oracle is the PLAIN group-by.
+    "q13_salted_agg" -> ((s, dir) => Ops.saltedSumCount(
+        Tables.events(s, dir), col("event_type"), col("value"), salts = 8)
+      .select(col("k"), round(col("total"), 4).as("total"), col("cnt"))),
+
+    // Hierarchical aggregation (engine extension; absent in reference).
+    "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // Pivot (engine extension): event_type columns per user decile.
+    "q16_pivot" -> ((s, dir) => Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 4)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +173,25 @@ object RelationalQueries {
     "q11_stats" ->
       """SELECT count(*) AS nkv, count(DISTINCT l_orderkey) AS nkeys,
         | sum(length(l_returnflag) + length(l_linestatus)) AS strbytes
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q13_salted_agg" ->
+      """SELECT event_type AS k, round(sum(value), 4) AS total,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

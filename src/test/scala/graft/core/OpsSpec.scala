@@ -1,0 +1,52 @@
+package graft.core
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks the most recent right value at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 250L), (2L, 12L, 50L))
+      .toDF("k", "event_id", "ts")
+    val right = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 60L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = Ops.asofJoin(left, right, "k", "ts", "v")
+      .select("event_id", "asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      10L -> Some(1.0), // equal-ts right row counts (at-or-before)
+      11L -> Some(2.0),
+      12L -> None))     // no signup yet for user 2 at ts 50
+  }
+
+  test("salted aggregation equals plain group-by") {
+    val df = Seq.tabulate(1000)(i => ("hot", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("cold", i.toDouble))
+    val salted = Ops.saltedSumCount(df.toDF("k", "v"), col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted("hot") == ((0 until 1000).map(_.toDouble).sum, 1000L))
+    assert(salted("cold") == ((0 until 10).map(_.toDouble).sum, 10L))
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("invert, histogram, topK basics") {
+    val kv = Seq(("a", 1L), ("b", 2L)).toDF("key", "value")
+    assert(Ops.invert(kv).columns.toSeq == Seq("value", "key"))
+    val h = Ops.histogram(
+      Seq("x", "x", "y", "z").toDF("v"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(2L -> 1L, 1L -> 2L)) // one key twice, two keys once
+    val top = Ops.topK(Seq(3, 1, 2).toDF("n"), 2, col("n").desc)
+      .as[Int].collect().toSeq
+    assert(top == Seq(3, 2))
+  }
+}
