@@ -51,6 +51,20 @@ object PipelineQueries {
 
     "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
 
+    // Embedding-cosine near-dup pairs, LSH-bucket-restricted (the scale
+    // path: same-bucket candidates only, never all-pairs).
+    "d_embdup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val withB = e.join(Similarity.lshBuckets(e, Dim), "vec_id")
+      val l = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      l.join(r, "bucket")
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Similarity.cosine(col("ea"), col("eb")), 6).as("sim"))
+        .where(col("sim") >= 0.2)
+    }),
+
     "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
   )
 
@@ -171,6 +185,33 @@ object PipelineQueries {
          |SELECT vec_id,
          | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
          |FROM dots GROUP BY vec_id""".stripMargin
+    },
+
+    "d_embdup" -> {
+      val planes = Similarity.DefaultPlanes
+      val seed = Similarity.PlaneSeed
+      val w = Hashing.rand01Sql(seed, "concat_ws(',', p, j)")
+      s"""WITH planes AS (
+         | SELECT p, j, ($w - 0.5) AS w
+         | FROM (SELECT unnest(range($planes)) AS p) pp,
+         |      (SELECT unnest(range($Dim)) AS j) jj),
+         |dots AS (
+         | SELECT e.vec_id, pl.p,
+         |   sum(CAST(e.embedding[CAST(pl.j AS INTEGER) + 1] AS DOUBLE) * pl.w) AS dot
+         | FROM embeddings e, planes pl
+         | GROUP BY e.vec_id, pl.p),
+         |buckets AS (SELECT vec_id,
+         | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |wb AS (SELECT e.vec_id, e.embedding, b.bucket
+         | FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+         |pairs AS (
+         | SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) /
+         |   (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) *
+         |    sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6) AS sim
+         | FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, sim FROM pairs WHERE sim >= 0.2""".stripMargin
     },
 
     "mm_features" ->
