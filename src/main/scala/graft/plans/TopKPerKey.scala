@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Per-key top-k as a first-class operator — the reference's
+  * per-proc-top-k idiom (`/root/reference/oink/wordfreq.cpp:65-82`: each
+  * proc keeps 10 rows, then gather + final sort) promoted to a Catalyst
+  * operator pair, because the built-in formulation
+  * (`row_number().over(Window.partitionBy(k).orderBy(o)) <= k`) must
+  * fully SORT every partition: O(n log n) and the whole input crosses
+  * the shuffle. This operator keeps a bounded heap per key on the map
+  * side, so only ≤ k rows per (key, input-partition) reach the exchange
+  * — at 100 TB that is the difference between shuffling the corpus and
+  * shuffling k·|keys| rows.
+  *
+  * Planning: the logical node expands to Partial → Exchange → Final
+  * exactly like hash aggregation; EnsureRequirements inserts the
+  * exchange from the Final node's ClusteredDistribution requirement.
+  * Results match the window formulation exactly when the ordering is
+  * total (tie-break columns included) — asserted by TopKPerKeySpec and
+  * the w_topk_custom DuckDB oracle.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions ({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(sortOrder, childOutput)
+      // per key: bounded "worst-on-top" heap of the current best k rows
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val reverse = ordering.reverse // head = worst of the kept rows
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { h =>
+        val rows = h.toArray(new Array[InternalRow](h.size()))
+        java.util.Arrays.sort(rows, ordering)
+        rows.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+
+  /** Column API: top-k rows per key by `order` (include tie-break
+    * columns for a total order — determinism requires it, exactly as
+    * with the window formulation). Installs the strategy on first use.
+    *
+    * Columns are materialized to ANALYZED catalyst expressions by
+    * harvesting throwaway `sort`/`select` plans — Spark 4 Columns wrap
+    * lazy ColumnNode expressions that only standard Dataset operations
+    * resolve (and whose wrappers are not task-serializable). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val spark = df.sparkSession
+    Bridge.addStrategy(spark, TopKStrategy)
+    val Sort(order, _, child, _) =
+      df.sort(orderCols: _*).queryExecution.analyzed: @unchecked
+    val Project(projectList, _) =
+      df.select(keyCols: _*).queryExecution.analyzed: @unchecked
+    val keys = projectList.map { case a: Alias => a.child; case e => e }
+    Bridge.ofRows(spark, TopKPerKey(keys, order, k, child))
+  }
+}

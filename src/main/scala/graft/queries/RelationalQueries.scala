@@ -110,7 +110,18 @@ object RelationalQueries {
     "q16_pivot" -> ((s, dir) => Tables.events(s, dir)
       .groupBy((col("user_id") % 10).as("bucket"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-      .agg(round(sum("value"), 4)))
+      .agg(round(sum("value"), 4))),
+
+    // Custom physical operator: per-key top-k with map-side bounded
+    // heaps (graft.plans.TopKPerKey) — the reference's per-proc-top-k
+    // idiom as a LogicalPlan+Strategy+SparkPlan; only <= k rows per
+    // (key, partition) cross the exchange.
+    "q17_topk_per_key" -> ((s, dir) => graft.plans.TopKPerKey.topKPerKey(
+        Tables.lineitem(s, dir),
+        Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 2)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +195,13 @@ object RelationalQueries {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q17_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 2""".stripMargin,
 
     "q16_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
