@@ -52,6 +52,33 @@ object EdgeListIO {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", " ").schema("src LONG, dst LONG").csv(path)
 
+  /** `read_edge_weight` (`oink/map_read_edge_weight.cpp:9-27`):
+    * `vi vj weight` lines. */
+  def readWeighted(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", " ")
+      .schema("src LONG, dst LONG, weight DOUBLE").csv(path)
+
+  /** `read_edge_label` (`oink/map_read_edge_label.cpp`): `vi vj label`. */
+  def readLabeled(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", " ")
+      .schema("src LONG, dst LONG, label INT").csv(path)
+
+  /** `read_vertex_weight` / `read_vertex_label`
+    * (`oink/map_read_vertex_weight.cpp`, `map_read_vertex_label.cpp`). */
+  def readVertexWeighted(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", " ").schema("id LONG, weight DOUBLE").csv(path)
+
+  def readVertexLabeled(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", " ").schema("id LONG, label INT").csv(path)
+
+  /** `read_words` (`oink/map_read_words.cpp:9-30`): whitespace tokens of
+    * arbitrary text files as a single-column frame. */
+  def readWords(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.textFile(path).toDF("line")
+      .select(explode(filter(split(col("line"), "\\s+"), w => w =!= lit(""))).as("word"))
+  }
+
   /** C++ `operator<<(double)` under `setprecision(12)`: up to 12
     * significant digits, trailing zeros trimmed, scientific notation for
     * exponent < -5 or >= 12 — what the golden files contain. */
