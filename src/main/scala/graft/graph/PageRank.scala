@@ -162,23 +162,25 @@ object PageRank {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
-      val row = state.agg(
-        sum("pr"),
-        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0))).head()
-      val sumPr = row.getDouble(0)
-      val danglingPr = row.getDouble(1)
+      // No convergence test → no driver-side scalars needed: sum_pr and
+      // dangling_pr ride along as a broadcast 1-row frame, so each
+      // iteration is a SINGLE job (the checkpoint materialization).
+      val stats = state.agg(
+        sum("pr").as("sum_pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
+      val withStats = state.crossJoin(broadcast(stats))
       val normalized =
-        if (iter == 0) state.withColumn("old_pr", col("pr"))
-        else state.withColumn("old_pr", col("pr") / sumPr)
+        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
       val contrib = e
         .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
           e("src") === col("id"))
         .groupBy(e("dst").as("id"))
         .agg(sum("c").as("h"))
-      val oneAv = alpha * danglingPr / n
-      val next = normalized.select("id", "outdeg")
+      val next = normalized.select("id", "outdeg", "dangling_pr")
         .join(contrib, Seq("id"), "left")
-        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
+          ((lit(alpha) * col("dangling_pr") / lit(n.toDouble)) + lit(oneIv)))
         .select("id", "outdeg", "pr")
         .localCheckpoint(true) // truncate plan every iteration (see run())
       state.unpersist(false)

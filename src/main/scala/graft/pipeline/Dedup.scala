@@ -98,6 +98,32 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via
+    * bit-flip probe expansion: each doc emits its sketch plus every
+    * sketch within `maxDist` bit flips (C(16,≤2)=137 probes for 16 bits)
+    * and pairs meet on probe equality — probes multiply the SMALL side,
+    * candidates never go all-pairs. The oracle is the plain all-pairs
+    * xor-popcount filter, equal by construction. */
+  def simHashNearPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int = 2): DataFrame = {
+    val bits = 16
+    val masks: Seq[Long] = {
+      val single = (0 until bits).map(1L << _)
+      val zero = Seq(0L)
+      val one = if (maxDist >= 1) single else Nil
+      val two = if (maxDist >= 2)
+        (for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j))
+      else Nil
+      zero ++ one ++ two
+    }
+    val sh = simHash(docs, id, text)
+    val probes = sh.select(col("doc_id").as("a"),
+      explode(array(masks.map(m => col("simhash").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val targets = sh.select(col("doc_id").as("b"), col("simhash").as("probe"))
+    probes.join(targets, "probe")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Exact word-set Jaccard for candidate pairs. `pairs` must have
     * columns (a, b); returns (a, b, jaccard). Intended for the small
     * post-LSH candidate set — the expensive exact check never touches

@@ -54,6 +54,15 @@ object GraphQueries {
 
     "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
 
+    // Weighted variant (the reference's sssp consumes weighted edges,
+    // oink/sssp.cpp): weights = 1/outdeg(src). Iterative-relaxation
+    // semantics are not bounded-recursion SQL-expressible for real-
+    // valued weights → rows-only check; exactness is covered by
+    // GraphAlgoSpec's weighted test.
+    "g_sssp_w" -> ((s, dir) => ShortestPaths.run(s,
+      GraphOps.degreeWeight(Tables.edges(s, dir)), source = 0L)
+      .select(col("v"), round(col("dist"), 9).as("dist"))),
+
     "g_tri" -> ((s, dir) => triOf(s, dir)),
 
     "g_tri_count" -> ((s, dir) => triOf(s, dir)

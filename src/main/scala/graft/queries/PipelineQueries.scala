@@ -32,6 +32,11 @@ object PipelineQueries {
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Hamming-near pairs via bit-flip probe expansion (scale path);
+    // oracle is the plain all-pairs xor-popcount filter.
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashNearPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 2)),
+
     // Exact n-gram Jaccard over blocked pairs (same n_chars ⇒ candidate):
     // the post-LSH verification stage, bounded by the blocking key.
     "d_jaccard" -> ((s, dir) => {
@@ -129,6 +134,23 @@ object PipelineQueries {
          |th AS (SELECT doc_id, ${H("w")} AS th FROM toks WHERE w <> ''),
          |bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bs""".stripMargin
+    },
+
+    "d_simhash_pairs" -> {
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |th AS (SELECT doc_id, ${H("w")} AS th FROM toks WHERE w <> ''),
+         |bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bs)
+         |SELECT x.doc_id AS a, y.doc_id AS b
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin
     },
 
     "d_jaccard" ->
