@@ -64,4 +64,48 @@ object ShortestPaths {
     weighted.unpersist(false)
     dist
   }
+
+  /** Multi-source variant — the reference's `sssp ncnt seed` runs ncnt
+    * searches (`oink/sssp.cpp:49-186`); here ALL sources advance in ONE
+    * iterative pass with state keyed on (source, v), so the edge table
+    * is scanned once per round regardless of source count. Sources are
+    * explicit (callers derive them from a seed hash for the reference's
+    * randomized semantics — determinism first, `luby`-style). */
+  def runMulti(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxIter: Int = 200): DataFrame = {
+    import spark.implicits._
+    val weighted =
+      (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight").cast("double"))
+       else edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist = sources.map(s => (s, s, 0.0)).toDF("source", "v", "dist")
+    var frontier = dist
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIter) {
+      val candidates = weighted
+        .join(frontier, weighted("src") === frontier("v"))
+        .select(col("source"), col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
+      val merged = dist.union(candidates)
+        .groupBy("source", "v").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val improved = merged
+        .join(dist.withColumnRenamed("dist", "old"), Seq("source", "v"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select("source", "v", "dist")
+        .localCheckpoint(true)
+      active = improved.count()
+      dist.unpersist(false); frontier.unpersist(false)
+      dist = merged
+      frontier = improved
+      iter += 1
+    }
+    weighted.unpersist(false)
+    dist
+  }
 }

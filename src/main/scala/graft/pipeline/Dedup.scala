@@ -69,16 +69,36 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** MinHash/LSH candidate duplicate pairs (a < b), deduped across
+  /** Candidate pairs (a < b) from a signature frame, deduped across
     * bands. The join is keyed on (band, band_hash): only same-bucket
     * docs ever meet — no all-pairs blow-up. */
-  def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val bands = lshBands(minHashSignatures(docs, id, text))
+  def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
+    val bands = lshBands(signatures)
     val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("b"))
     l.join(r, Seq("band", "band_hash"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** MinHash/LSH candidate duplicate pairs (a < b). */
+  def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame =
+    candidatesFromSignatures(minHashSignatures(docs, id, text))
+
+  /** Candidates with the MinHash Jaccard estimate: the fraction of the
+    * 16 signature components the pair agrees on. The estimate is free
+    * (signatures already exist); exact verification (ngramJaccard) is
+    * reserved for pairs above threshold. */
+  def minHashScored(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sig = minHashSignatures(docs, id, text)
+    val mh = (0 until NumHashes).map(h => s"mh$h")
+    val sa = sig.select(col("doc_id").as("a") +: mh.map(c => col(c).as(s"a_$c")): _*)
+    val sb = sig.select(col("doc_id").as("b") +: mh.map(c => col(c).as(s"b_$c")): _*)
+    candidatesFromSignatures(sig)
+      .join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(mh.map(c => when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / NumHashes, 6).as("est_jaccard"))
   }
 
   /** 16-bit SimHash over token hashes: bit j set iff the sum over tokens

@@ -54,6 +54,12 @@ object GraphQueries {
 
     "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
 
+    // Multi-source (the reference's `sssp ncnt seed` runs ncnt random-
+    // source searches): all sources advance in one iterative pass,
+    // state keyed (source, v). Fixed deterministic sources.
+    "g_sssp_multi" -> ((s, dir) => ShortestPaths.runMulti(
+      s, Tables.edges(s, dir), sources = Seq(0L, 7L, 13L))),
+
     // Weighted variant (the reference's sssp consumes weighted edges,
     // oink/sssp.cpp): weights = 1/outdeg(src). Iterative-relaxation
     // semantics are not bounded-recursion SQL-expressible for real-
@@ -149,6 +155,16 @@ object GraphQueries {
          |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
          |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
          |ORDER BY size DESC""".stripMargin,
+
+    "g_sssp_multi" ->
+      s"""WITH RECURSIVE edges AS ($E),
+         |walk(source, v, d) AS (
+         |  SELECT s.source, s.source AS v, CAST(0.0 AS DOUBLE) AS d
+         |  FROM (SELECT CAST(unnest([0, 7, 13]) AS BIGINT) AS source) s
+         |  UNION
+         |  SELECT w.source, e.dst, w.d + 1.0
+         |  FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 40)
+         |SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v""".stripMargin,
 
     // Unit-weight BFS from source 0; the hop guard bounds recursion, far
     // above the graph's diameter.

@@ -29,6 +29,9 @@ object PipelineQueries {
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashCandidates(docs(s, dir), col("doc_id"), col("text"))),
 
+    "d_minhash_scored" -> ((s, dir) =>
+      Dedup.minHashScored(docs(s, dir), col("doc_id"), col("text"))),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -121,6 +124,25 @@ object PipelineQueries {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.band_hash = y.band_hash
          |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    "d_minhash_scored" -> {
+      val agree = (0 until Dedup.NumHashes)
+        .map(h => s"(CASE WHEN sa.mh$h = sb.mh$h THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte,
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         | WHERE x.doc_id < y.doc_id)
+         |SELECT p.a, p.b,
+         | round(CAST($agree AS DOUBLE) / ${Dedup.NumHashes}, 6) AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.a
+         |JOIN sigs sb ON sb.doc_id = p.b""".stripMargin
+    },
 
     "d_simhash" -> {
       val bitSums = (0 until 16)
