@@ -46,6 +46,26 @@ class PipelineSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming $hamming too large")
   }
 
+  test("simhash near-pair probe expansion equals all-pairs hamming filter") {
+    val sh = Dedup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 2
+    } yield (a, b)).toSet
+    val got = Dedup.simHashNearPairs(docs, col("doc_id"), col("text"), maxDist = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got((1L, 4L)), "exact dup pair must be present")
+  }
+
+  test("minhash scored candidates: exact dup scores 1.0, others below") {
+    val scored = Dedup.minHashScored(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored((1L, 4L)) == 1.0)
+    assert(scored.filterNot(_._1 == (1L, 4L)).values.forall(_ < 1.0))
+  }
+
   test("ngram jaccard: exact dup 1.0, near dup high, disjoint 0") {
     val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("a", "b")
     val j = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), pairs)
