@@ -144,6 +144,20 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** The full production near-dup chain: LSH candidates → MinHash
+    * Jaccard estimate → threshold → EXACT word-set Jaccard verification
+    * of the survivors only. Each stage shrinks the pair set, so the
+    * expensive exact check touches a vanishing fraction of the corpus —
+    * the 100 TB shape end to end. */
+  def dedupPipeline(docs: DataFrame, id: Column, text: Column,
+      estThreshold: Double): DataFrame = {
+    val candidates = minHashScored(docs, id, text)
+      .where(col("est_jaccard") >= estThreshold)
+    ngramJaccard(docs, id, text, candidates.select("a", "b"))
+      .join(candidates, Seq("a", "b"))
+      .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+  }
+
   /** Exact word-set Jaccard for candidate pairs. `pairs` must have
     * columns (a, b); returns (a, b, jaccard). Intended for the small
     * post-LSH candidate set — the expensive exact check never touches

@@ -32,6 +32,11 @@ object PipelineQueries {
     "d_minhash_scored" -> ((s, dir) =>
       Dedup.minHashScored(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Full near-dup chain: LSH candidates -> estimate -> threshold ->
+    // exact verification of survivors only.
+    "d_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(docs(s, dir), col("doc_id"), col("text"), estThreshold = 0.2)),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -142,6 +147,44 @@ object PipelineQueries {
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.a
          |JOIN sigs sb ON sb.doc_id = p.b""".stripMargin
+    },
+
+    "d_dedup_pipeline" -> {
+      val agree = (0 until Dedup.NumHashes)
+        .map(h => s"(CASE WHEN sa.mh$h = sb.mh$h THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte,
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         | WHERE x.doc_id < y.doc_id),
+         |cand AS (
+         | SELECT p.a, p.b,
+         |  round(CAST($agree AS DOUBLE) / ${Dedup.NumHashes}, 6) AS est_jaccard
+         | FROM pairs p
+         | JOIN sigs sa ON sa.doc_id = p.a
+         | JOIN sigs sb ON sb.doc_id = p.b),
+         |surv AS (SELECT * FROM cand WHERE est_jaccard >= 0.2),
+         |wtoks AS (
+         | SELECT DISTINCT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> ''),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM wtoks GROUP BY doc_id),
+         |inter AS (
+         | SELECT s.a, s.b, count(*) AS ninter
+         | FROM surv s JOIN wtoks ta ON ta.doc_id = s.a
+         |   JOIN wtoks tb ON tb.doc_id = s.b AND tb.w = ta.w
+         | GROUP BY s.a, s.b)
+         |SELECT s.a, s.b, s.est_jaccard,
+         | round(CAST(coalesce(i.ninter, 0) AS DOUBLE) /
+         |   (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+         |FROM surv s
+         |LEFT JOIN inter i ON i.a = s.a AND i.b = s.b
+         |JOIN sizes sa ON sa.doc_id = s.a
+         |JOIN sizes sb ON sb.doc_id = s.b""".stripMargin
     },
 
     "d_simhash" -> {
