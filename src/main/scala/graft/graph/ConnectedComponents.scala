@@ -2,60 +2,103 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
-/** Connected components — the reference's `cc_find` zone-propagation
-  * (`/root/reference/oink/cc_find.cpp:38-109`: iteratively assign every
-  * vertex the minimum "zone" id among itself and its neighbors until no
-  * zone changes). The reference's big-zone random-scatter splitting
-  * (`cc_find.cpp:202-300`) is an artifact of MR-MPI reducer skew; in
-  * Spark the same skew is handled by AQE skew-join splitting, so the
-  * algorithm reduces to plain min-label propagation (SURVEY.md §7.3).
+/** Connected components — the reference's `cc_find` zone assignment
+  * (`/root/reference/oink/cc_find.cpp:38-109`: every vertex ends up with
+  * the minimum "zone" id of its component). The reference reaches the
+  * fixpoint by min-label propagation, which needs O(diameter) rounds; at
+  * 100 TB a high-diameter graph (road networks, chains of crawl links)
+  * makes that a scale-killer, so this implementation uses the
+  * large-star/small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14): the same per-round primitive
+  * (groupBy min + self-join), but edges are rewired toward component
+  * minima so the fixpoint arrives in O(log n) rounds regardless of
+  * diameter. The reference's big-zone random-scatter splitting
+  * (`cc_find.cpp:202-300`) is an artifact of MR-MPI reducer skew; here
+  * the hub-key skew of the star steps is handled by AQE skew-join
+  * splitting (SURVEY.md §7.3).
   *
-  * Scale notes: each round is one join + one aggregation, both keyed on
-  * vertex id, so successive rounds reuse the same hash partitioning.
-  * Rounds = graph diameter; for 100 TB graphs with large diameter,
-  * switch to the large-star/small-star variant (same primitive per
-  * round, O(log n) rounds) — the round body below is deliberately
-  * factored so only the neighbor-min expression differs.
+  * Scale notes: per round, large-star is one groupBy(min) + one join on
+  * the current edge set, small-star the same on the larger-endpoint
+  * orientation — all keyed shuffles that AQE can split on skew. Edge-set
+  * convergence is detected with a count+hash signature (one lightweight
+  * aggregate per round) instead of a set-difference join.
   */
 object ConnectedComponents {
+
+  /** Large-star: for every vertex u with neighborhood N(u), connect each
+    * strictly larger neighbor to m = min(N(u) ∪ {u}). Keeps stars rooted
+    * at local minima; halves long chains.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val und = edges.union(edges.select(col("vj").as("vi"), col("vi").as("vj")))
+    val mins = und.groupBy("vi").agg(min("vj").as("mn"))
+      .select(col("vi").as("u"), least(col("mn"), col("vi")).as("m"))
+    und.join(mins, und("vi") === col("u"))
+      .where(col("vj") > col("vi"))
+      .select(col("vj").as("vi"), col("m").as("vj"))
+      .distinct()
+  }
+
+  /** Small-star: orient each edge toward its larger endpoint, then link
+    * every smaller neighbor (and u itself) to m = min(N(u) ∪ {u}).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+        greatest(col("vi"), col("vj")).as("u"),
+        least(col("vi"), col("vj")).as("v"))
+      .where(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("vi"), col("m").as("vj"))
+      .union(mins.select(col("u").as("vi"), col("m").as("vj")))
+      .distinct()
+  }
 
   /** @param edges directed edge list; components are of the undirected
     *              graph (the reference treats edges as undirected zones).
     * @return (v BIGINT, comp BIGINT) — comp = min vertex id reachable.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val und = GraphOps.undirected(edges)
-      .repartition(col("vi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runCounted(spark, edges, maxIter)._1
 
-    var comp = GraphOps.vertexExtract(edges)
-      .withColumn("comp", col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Like [[run]] but also reports the number of star rounds executed —
+    * the O(log n) bound is asserted in GraphAlgoSpec on a long chain.
+    */
+  def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val verts = GraphOps.vertexExtract(edges)
 
+    // Canonical undirected edge set; the star steps rewrite it in place.
+    var e = GraphOps.edgeUpper(edges).localCheckpoint(true)
+
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(vi, vj))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min neighbor component per vertex; partial (map-side) min applies.
-      val nbrMin = und.join(comp, und("vi") === comp("v"))
-        .groupBy(und("vj").as("v"))
-        .agg(min("comp").as("nbr_comp"))
-      // Eager localCheckpoint every round: `comp` appears twice in the
-      // round plan (join + least), so the logical tree would double per
-      // round without truncation (see PageRank.run).
-      val next = comp.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).cast("long").as("chg"))
-        .localCheckpoint(true)
-      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
-      comp.unpersist(false)
-      comp = next.drop("chg")
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // Eager localCheckpoint every round: each star step references the
+      // round's edge set twice (groupBy + join), so the logical plan
+      // would double per round without truncation (see PageRank.run).
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
       iter += 1
     }
-    und.unpersist(false)
-    comp
+
+    // At the fixpoint the edge set is a star forest (v, root). Roots and
+    // isolated vertices map to themselves.
+    val comp = verts.join(e, verts("v") === e("vi"), "left")
+      .select(col("v"), coalesce(col("vj"), col("v")).as("comp"))
+    (comp, iter)
   }
 
   /** `cc_stats` (`oink/cc_stats.cpp:37-62`): component-size histogram. */

@@ -183,7 +183,7 @@ object RelationalQueries {
 
     "q11_stats" ->
       """SELECT count(*) AS nkv, count(DISTINCT l_orderkey) AS nkeys,
-        | sum(length(l_returnflag) + length(l_linestatus)) AS strbytes
+        | CAST(sum(length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS strbytes
         |FROM lineitem""".stripMargin,
 
     "q13_salted_agg" ->

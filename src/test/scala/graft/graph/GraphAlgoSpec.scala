@@ -40,6 +40,16 @@ class GraphAlgoSpec extends SparkSpec {
     assert(cc == Map(0L -> 0, 1L -> 0, 2L -> 0, 5L -> 5, 6L -> 5, 9L -> 9))
   }
 
+  test("connected components converge in O(log n) rounds on a long chain") {
+    val n = 1000
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (comp, rounds) = ConnectedComponents.runCounted(spark, chain)
+    assert(rounds <= 15, s"expected O(log n) star rounds on a $n-chain, got $rounds")
+    val c = comp.agg(countDistinct("comp"), count(lit(1))).head()
+    assert(c.getLong(0) == 1 && c.getLong(1) == n)
+    assert(comp.agg(max("comp")).head().getLong(0) == 0L, "root must be the min id")
+  }
+
   test("sssp unit-weight BFS distances on a diamond with a shortcut") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (0L, 4L))
       .toDF("src", "dst")
