@@ -17,8 +17,8 @@ import graft.text.TextAnalysis
   *    16 hashes, map-side partial min); LSH banding turns all-pairs into
   *    per-bucket joins, the standard way near-dup detection survives
   *    web scale. Candidate verification joins stay per-bucket.
-  *  - SimHash: one scan to 16-bit sketches; Hamming-near pairs via
-  *    bucket-join on the sketch.
+  *  - SimHash: one scan to 60-bit sketches; Hamming-near pairs via
+  *    pigeonhole band-join on sketch bands + exact popcount verify.
   */
 object Dedup {
 
@@ -101,46 +101,60 @@ object Dedup {
           .reduce(_ + _).cast("double") / NumHashes, 6).as("est_jaccard"))
   }
 
-  /** 16-bit SimHash over token hashes: bit j set iff the sum over tokens
+  /** Sketch width. 60, not 64: the portable [[Hashing.hash60]] yields 60
+    * independent bits, and staying below the BIGINT sign bit keeps the
+    * arithmetic identical in Spark and DuckDB (DuckDB errors on BIGINT
+    * overflow; bit 63 would flip the sign). At 2^60 sketch space a web
+    * corpus no longer collapses into the 65 536 buckets of a 16-bit
+    * sketch — each 20-bit band alone has 2^20 buckets. */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over token hashes: bit j set iff the sum over tokens
     * of ±1 (sign of token-hash bit j) is positive. Duplicate tokens
     * weigh multiply — standard SimHash with unit weights. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
       explode(TextAnalysis.tokens(text)).as("w"))
       .withColumn("th", Hashing.hash60(col("w")))
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
     }
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until SimHashBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via
-    * bit-flip probe expansion: each doc emits its sketch plus every
-    * sketch within `maxDist` bit flips (C(16,≤2)=137 probes for 16 bits)
-    * and pairs meet on probe equality — probes multiply the SMALL side,
-    * candidates never go all-pairs. The oracle is the plain all-pairs
-    * xor-popcount filter, equal by construction. */
+    * band-partitioned probing (pigeonhole): the 60-bit sketch splits into
+    * `maxDist + 1` contiguous bands, and two sketches within `maxDist`
+    * bit flips must agree exactly on at least one band — so candidates
+    * meet on (band, band bits) equality and the exact xor-popcount check
+    * runs only inside buckets. Unlike flat bit-flip expansion
+    * (C(60,≤2) = 1831 probes per doc), this emits `maxDist + 1` rows per
+    * doc and each band key carries ≥20 bits, so bucket cardinality
+    * survives a web-scale corpus. The oracle is the plain all-pairs
+    * xor-popcount filter — equal by construction (banding has perfect
+    * recall at ≤ maxDist; the popcount filter removes false positives). */
   def simHashNearPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int = 2): DataFrame = {
-    val bits = 16
-    val masks: Seq[Long] = {
-      val single = (0 until bits).map(1L << _)
-      val zero = Seq(0L)
-      val one = if (maxDist >= 1) single else Nil
-      val two = if (maxDist >= 2)
-        (for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j))
-      else Nil
-      zero ++ one ++ two
-    }
+    val nb = maxDist + 1
+    val bandBits = SimHashBits / nb
     val sh = simHash(docs, id, text)
-    val probes = sh.select(col("doc_id").as("a"),
-      explode(array(masks.map(m => col("simhash").bitwiseXOR(lit(m))): _*)).as("probe"))
-    val targets = sh.select(col("doc_id").as("b"), col("simhash").as("probe"))
-    probes.join(targets, "probe")
-      .where(col("a") < col("b"))
+    def banded(idAs: String, shAs: String) =
+      sh.select(col("doc_id").as(idAs), col("simhash").as(shAs),
+        explode(array((0 until nb).map { b =>
+          val width = if (b == nb - 1) SimHashBits - b * bandBits else bandBits
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bandBits)
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col(idAs), col(shAs), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = banded("a", "sha")
+    val r = banded("b", "shb")
+    l.join(r, Seq("band", "bits"))
+      .where(col("a") < col("b") &&
+        expr("bit_count(sha ^ shb)") <= maxDist)
       .select("a", "b").distinct()
   }
 

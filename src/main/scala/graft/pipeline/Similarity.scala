@@ -57,36 +57,71 @@ object Similarity {
   }
 
   val DefaultPlanes = 8
+  val DefaultTables = 4
   val PlaneSeed = 97L
 
   /** Deterministic hyperplane weight for (plane p, dimension j) in
-    * [-0.5, 0.5): derivable identically in SQL. */
+    * [-0.5, 0.5): derivable identically in SQL. A single infinite plane
+    * family serves every LSH table — table t consumes planes
+    * [t·planes, (t+1)·planes), so table 0 is byte-identical to the
+    * single-table layout. */
   def planeWeight(p: Int, j: Int): Double =
     Hashing.rand01Local(PlaneSeed, s"$p,$j") - 0.5
 
-  /** (vec_id, bucket): 8-bit random-hyperplane signature. One codegen'd
-    * projection — no shuffle, no UDF; the plane matrix is inlined as
-    * literals. */
-  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int = DefaultPlanes): DataFrame = {
+  /** Signature of one table: bit (p − offset) of the bucket is the sign
+    * of the projection onto plane p, p ∈ [offset, offset + planes). */
+  private def bucketExpr(dim: Int, planes: Int, offset: Int): Column = {
     val emb = asDouble(col("embedding"))
-    val bucket = (0 until planes).map { p =>
-      val w = array((0 until dim).map(j => lit(planeWeight(p, j))): _*)
-      when(dot(emb, w) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    (0 until planes).map { i =>
+      val w = array((0 until dim).map(j => lit(planeWeight(offset + i, j))): _*)
+      when(dot(emb, w) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    embeddings.select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** ANN top-k restricted to same-bucket candidates: the scale path.
-    * Returns (qid, vec_id, sim, rank) like [[bruteForceTopK]] but only
-    * pairs that collide in LSH. */
-  def lshTopK(embeddings: DataFrame, dim: Int, k: Int, planes: Int = DefaultPlanes): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = lshBuckets(embeddings, dim, planes)
-    val withB = embeddings.join(b, "vec_id")
-    val l = withB.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val r = withB.select(col("bucket"), col("vec_id"), col("embedding"))
-    val scored = l.join(r, "bucket")
+  /** (vec_id, bucket): random-hyperplane signature of table 0. One
+    * codegen'd projection — no shuffle, no UDF; the plane matrix is
+    * inlined as literals. */
+  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int = DefaultPlanes): DataFrame =
+    embeddings.select(col("vec_id"), bucketExpr(dim, planes, 0).as("bucket"))
+
+  /** (vec_id, table, bucket) across `tables` independent hyperplane
+    * tables, in one scan (all projections fuse into one codegen'd
+    * projection + explode). More planes per table sharpens precision
+    * (2^planes buckets); more tables is OR-amplification — a true
+    * neighbor pair is a candidate if it collides in ANY table, which
+    * restores the recall that a high plane count alone would lose. */
+  def lshBucketsMulti(embeddings: DataFrame, dim: Int,
+      planes: Int = DefaultPlanes, tables: Int = DefaultTables): DataFrame =
+    embeddings.select(col("vec_id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"), bucketExpr(dim, planes, t * planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  /** Distinct directed candidate pairs (qid, vec_id) colliding in at
+    * least one table. The join is keyed on (table, bucket) — per-bucket
+    * joins only, never all-pairs; dedup across tables happens before any
+    * scoring so each pair's cosine is computed once. */
+  def lshCandidates(embeddings: DataFrame, dim: Int,
+      planes: Int = DefaultPlanes, tables: Int = DefaultTables): DataFrame = {
+    val b = lshBucketsMulti(embeddings, dim, planes, tables)
+    val l = b.select(col("tbl"), col("bucket"), col("vec_id").as("qid"))
+    val r = b.select(col("tbl"), col("bucket"), col("vec_id"))
+    l.join(r, Seq("tbl", "bucket"))
       .where(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+  }
+
+  /** ANN top-k restricted to multi-table LSH candidates: the scale path.
+    * Returns (qid, vec_id, sim, rank) like [[bruteForceTopK]] but only
+    * scores pairs that collide in some table. */
+  def lshTopK(embeddings: DataFrame, dim: Int, k: Int,
+      planes: Int = DefaultPlanes, tables: Int = DefaultTables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = lshCandidates(embeddings, dim, planes, tables)
+      .join(q, "qid")
+      .join(embeddings, "vec_id")
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)

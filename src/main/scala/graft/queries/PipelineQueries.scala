@@ -45,13 +45,12 @@ object PipelineQueries {
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 2)),
 
-    // Exact n-gram Jaccard over blocked pairs (same n_chars ⇒ candidate):
-    // the post-LSH verification stage, bounded by the blocking key.
+    // Exact n-gram Jaccard over the MinHash/LSH candidate pairs — the
+    // post-LSH verification stage keyed the way production runs it: the
+    // expensive exact check only ever touches same-bucket candidates.
     "d_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      val a = d.select(col("doc_id").as("a"), col("n_chars"))
-      val b = d.select(col("doc_id").as("b"), col("n_chars"))
-      val pairs = a.join(b, "n_chars").where(col("a") < col("b")).select("a", "b")
+      val pairs = Dedup.minHashCandidates(d, col("doc_id"), col("text"))
       Dedup.ngramJaccard(d, col("doc_id"), col("text"), pairs)
     }),
 
@@ -63,6 +62,12 @@ object PipelineQueries {
     }),
 
     "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
+
+    // Multi-table OR-amplified LSH top-k — the ANN scale path: per-
+    // bucket candidate joins across 4 independent 8-plane tables, one
+    // cosine per deduped pair, windowed top-3.
+    "s_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), Dim, k = 3)),
 
     // Embedding-cosine near-dup pairs, LSH-bucket-restricted (the scale
     // path: same-bucket candidates only, never all-pairs).
@@ -84,14 +89,16 @@ object PipelineQueries {
   private def H(e: String) = Hashing.hash60Sql(e)
   private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
 
-  /** Shared CTE: word-3-gram shingle base hashes (mod p) per doc. */
+  /** Shared CTE: word-3-gram shingle base hashes (mod p) per doc. The
+    * shingle-index range is derived from the longest document, so no
+    * document ever silently loses shingles. */
   private val ShinglesCte =
     s"""t AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),
       |sh AS (SELECT doc_id,
       |  (${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} % ${Dedup.MinHashP}) AS x
-      |  FROM t, (SELECT unnest(range(256)) AS i) r
+      |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
       |  WHERE i <= len(toks) - 3)""".stripMargin
 
   private val SigSelect = (0 until Dedup.NumHashes)
@@ -188,10 +195,10 @@ object PipelineQueries {
     },
 
     "d_simhash" -> {
-      val bitSums = (0 until 16)
+      val bitSums = (0 until Dedup.SimHashBits)
         .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
         .mkString(",\n  ")
-      val bits = (0 until 16)
+      val bits = (0 until Dedup.SimHashBits)
         .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH toks AS (
@@ -202,10 +209,10 @@ object PipelineQueries {
     },
 
     "d_simhash_pairs" -> {
-      val bitSums = (0 until 16)
+      val bitSums = (0 until Dedup.SimHashBits)
         .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
         .mkString(",\n  ")
-      val bits = (0 until 16)
+      val bits = (0 until Dedup.SimHashBits)
         .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH toks AS (
@@ -219,19 +226,23 @@ object PipelineQueries {
     },
 
     "d_jaccard" ->
-      """WITH toks AS (
+      s"""WITH $ShinglesCte,
+        |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+        |$BandsCte,
+        |pairs AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |   ON x.band = y.band AND x.band_hash = y.band_hash
+        | WHERE x.doc_id < y.doc_id),
+        |wtoks AS (
         | SELECT DISTINCT doc_id, w FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         | WHERE w <> ''),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-        |pairs AS (
-        | SELECT x.doc_id AS a, y.doc_id AS b
-        | FROM documents x JOIN documents y ON x.n_chars = y.n_chars
-        | WHERE x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM wtoks GROUP BY doc_id),
         |inter AS (
         | SELECT p.a, p.b, count(*) AS ninter
-        | FROM pairs p JOIN toks ta ON ta.doc_id = p.a
-        |   JOIN toks tb ON tb.doc_id = p.b AND tb.w = ta.w
+        | FROM pairs p JOIN wtoks ta ON ta.doc_id = p.a
+        |   JOIN wtoks tb ON tb.doc_id = p.b AND tb.w = ta.w
         | GROUP BY p.a, p.b)
         |SELECT p.a, p.b,
         | round(CAST(coalesce(i.ninter, 0) AS DOUBLE) /
@@ -272,6 +283,41 @@ object PipelineQueries {
          |SELECT vec_id,
          | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
          |FROM dots GROUP BY vec_id""".stripMargin
+    },
+
+    "s_ann_lsh_topk" -> {
+      val planes = Similarity.DefaultPlanes
+      val tables = Similarity.DefaultTables
+      val seed = Similarity.PlaneSeed
+      val w = Hashing.rand01Sql(seed, "concat_ws(',', p, j)")
+      s"""WITH planes AS (
+         | SELECT p, j, ($w - 0.5) AS w
+         | FROM (SELECT unnest(range(${tables * planes})) AS p) pp,
+         |      (SELECT unnest(range($Dim)) AS j) jj),
+         |dots AS (
+         | SELECT e.vec_id, pl.p,
+         |   sum(CAST(e.embedding[CAST(pl.j AS INTEGER) + 1] AS DOUBLE) * pl.w) AS dot
+         | FROM embeddings e, planes pl
+         | GROUP BY e.vec_id, pl.p),
+         |buckets AS (SELECT vec_id, CAST(p // $planes AS INTEGER) AS tbl,
+         | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p % $planes AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id, p // $planes),
+         |cand AS (
+         | SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vec_id
+         | FROM buckets x JOIN buckets y
+         |   ON x.tbl = y.tbl AND x.bucket = y.bucket
+         | WHERE x.vec_id <> y.vec_id),
+         |scored AS (
+         | SELECT c.qid, c.vec_id,
+         |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+         |   (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+         |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+         | FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+         |   JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin
     },
 
     "d_embdup" -> {

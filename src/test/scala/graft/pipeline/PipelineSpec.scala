@@ -42,8 +42,10 @@ class PipelineSpec extends SparkSpec {
     val sh = Dedup.simHash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(4L))
-    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
-    assert(hamming <= 6, s"near-dup hamming $hamming too large")
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(near <= Dedup.SimHashBits / 3, s"near-dup hamming $near too large")
+    assert(near < far, "near-dup must be closer than the unrelated doc")
   }
 
   test("simhash near-pair probe expansion equals all-pairs hamming filter") {
@@ -100,6 +102,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(0L) == b(2L), "same-direction vectors share a bucket")
     assert(b(0L) != b(1L), "opposite vectors land in different buckets")
+  }
+
+  test("multi-table LSH top-k: OR-amplification recovers brute-force recall") {
+    val rnd = new scala.util.Random(11)
+    // 5 clusters of 8 vectors: near-neighbors are in-cluster by construction.
+    val vecs = (0 until 40).map { i =>
+      val center = Array.tabulate(8)(j => if (j == i % 5) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = pairSet(Similarity.bruteForceTopK(q, vecs, 3))
+    val multi = pairSet(Similarity.lshTopK(vecs, dim = 8, k = 3, planes = 4, tables = 4))
+    val single = pairSet(Similarity.lshTopK(vecs, dim = 8, k = 3, planes = 4, tables = 1))
+    val recallMulti = (bf & multi).size.toDouble / bf.size
+    val recallSingle = (bf & single).size.toDouble / bf.size
+    assert(recallMulti >= recallSingle,
+      s"OR-amplification must not lose recall ($recallMulti < $recallSingle)")
+    assert(recallMulti >= 0.6, s"multi-table recall $recallMulti too low")
   }
 
   test("multimodal: typed mapPartitions decode equals declarative metadata path") {
