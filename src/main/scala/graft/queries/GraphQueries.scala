@@ -61,10 +61,9 @@ object GraphQueries {
       s, Tables.edges(s, dir), sources = Seq(0L, 7L, 13L))),
 
     // Weighted variant (the reference's sssp consumes weighted edges,
-    // oink/sssp.cpp): weights = 1/outdeg(src). Iterative-relaxation
-    // semantics are not bounded-recursion SQL-expressible for real-
-    // valued weights → rows-only check; exactness is covered by
-    // GraphAlgoSpec's weighted test.
+    // oink/sssp.cpp): weights = 1/outdeg(src). Oracle unrolls the same
+    // Bellman-Ford recurrence round by round (bit-identical double
+    // sums), like the PageRank oracle.
     "g_sssp_w" -> ((s, dir) => ShortestPaths.run(s,
       GraphOps.degreeWeight(Tables.edges(s, dir)), source = 0L)
       .select(col("v"), round(col("dist"), 9).as("dist"))),
@@ -75,9 +74,9 @@ object GraphQueries {
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("ntri"))),
 
-    // Deterministic per-seed (hash-priority Luby) but the round structure
-    // is not SQL-expressible → rows-only check; independence+maximality
-    // are asserted in LubyMISSpec.
+    // Deterministic per-seed: with fixed hash priorities Luby's rounds
+    // converge to the greedy MIS of the (priority, id) order, which the
+    // oracle computes sequentially via a recursive CTE.
     "g_luby" -> ((s, dir) => LubyMIS.run(s, Tables.edges(s, dir), seed = 11L)),
 
     "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L))
@@ -196,8 +195,72 @@ object GraphQueries {
          | SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
          | UNION ALL SELECT c FROM tri) GROUP BY v""".stripMargin,
 
-    "g_rmat" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L)
+    "g_rmat" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L),
+
+    "g_sssp_w" -> ssspWeightedSql(rounds = 40),
+
+    "g_luby" -> lubySql(seed = 11L)
   )
+
+  /** Unrolled weighted Bellman-Ford oracle mirroring ShortestPaths.run
+    * over degreeWeight edges: r_{k+1}(v) = min(r_k(v), min_{(u,v)∈E}
+    * r_k(u) + w(u,v)). Both engines evaluate the identical double
+    * recurrence, so sums (and their min) are bit-identical; `rounds`
+    * must be ≥ the converged iteration count (40 ≫ the weighted
+    * shortest-path hop radius of the test graphs). */
+  def ssspWeightedSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED: DuckDB inlines CTEs by default, which would re-open
+    // the parquet scan once per unrolled round (EMFILE at 40 rounds).
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    sb.append("outdeg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),\n")
+    sb.append("w AS MATERIALIZED (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / o.deg AS weight\n")
+    sb.append("      FROM edges e JOIN outdeg o ON e.src = o.v),\n")
+    sb.append("r0(v, d) AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0.0 AS DOUBLE) AS d)")
+    for (k <- 1 to rounds) {
+      sb.append(",\n")
+      // each round references the previous twice — materialize or the
+      // inlined plan doubles per round (2^rounds blowup)
+      sb.append(s"r$k AS MATERIALIZED (SELECT v, min(d) AS d FROM (\n")
+      sb.append(s"  SELECT v, d FROM r${k - 1}\n")
+      sb.append(s"  UNION ALL\n")
+      sb.append(s"  SELECT w.dst AS v, r.d + w.weight AS d FROM r${k - 1} r JOIN w ON w.src = r.v\n")
+      sb.append(s") GROUP BY v)")
+    }
+    sb.append(s"\nSELECT v, round(d, 9) AS dist FROM r$rounds")
+    sb.toString
+  }
+
+  /** Greedy-MIS oracle for LubyMIS.run: with fixed priorities the
+    * parallel rounds converge to the lexicographically-first MIS of the
+    * (priority, id) order, computed here sequentially — one vertex per
+    * recursive-CTE iteration, carrying the accepted set as a list and
+    * rejecting any vertex with an already-accepted neighbor. */
+  def lubySql(seed: Long): String = {
+    import graft.functions.Hashing
+    s"""WITH RECURSIVE edges AS ($E),
+       |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+       |       FROM edges WHERE src <> dst),
+       |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+       |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY p, v) AS BIGINT) AS rk
+       |       FROM (SELECT v, ${Hashing.hash60Sql(seed, "v")} AS p FROM verts)),
+       |nbrs AS (SELECT r1.rk AS rk, list(r2.rk) AS nb
+       |         FROM und u JOIN rk r1 ON u.vi = r1.v JOIN rk r2 ON u.vj = r2.v
+       |         GROUP BY r1.rk),
+       |g(i, mis) AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS mis
+       |  UNION ALL
+       |  SELECT g.i + 1,
+       |    CASE WHEN n.nb IS NOT NULL AND list_has_any(n.nb, g.mis)
+       |         THEN g.mis ELSE list_append(g.mis, g.i + 1) END
+       |  FROM g LEFT JOIN nbrs n ON n.rk = g.i + 1
+       |  WHERE g.i < (SELECT count(*) FROM verts))
+       |SELECT r.v FROM rk r
+       |JOIN (SELECT mis FROM g ORDER BY i DESC LIMIT 1) m
+       |  ON list_contains(m.mis, r.rk)""".stripMargin
+  }
 
   /** Unrolled n-iteration PageRank oracle mirroring PageRank.runFixed:
     * per iteration, sum/dangling from the pre-normalized vector,
