@@ -80,14 +80,16 @@ object EdgeListIO {
   }
 
   /** C++ `operator<<(double)` under `setprecision(12)`: up to 12
-    * significant digits, trailing zeros trimmed, scientific notation for
-    * exponent < -5 or >= 12 — what the golden files contain. */
+    * significant digits, trailing zeros trimmed, scientific notation
+    * when the decimal exponent < -4 or >= 12 (%g semantics) — what the
+    * golden files contain. Byte-level parity with the reference's cpp
+    * goldens is asserted by EdgeListIOSpec over barabasi-100000. */
   def formatRank(x: Double): String = {
     if (x == 0.0) return "0"
     val bd = new java.math.BigDecimal(x).round(new java.math.MathContext(12))
     val unscaled = bd.stripTrailingZeros()
     val exp = unscaled.precision() - unscaled.scale() - 1 // decimal exponent
-    if (exp < -5 || exp >= 12) {
+    if (exp < -4 || exp >= 12) {
       val m = java.math.BigDecimal.valueOf(unscaled.unscaledValue().longValue(), unscaled.precision() - 1)
       val mant = m.stripTrailingZeros().toPlainString
       val sign = if (exp < 0) "-" else "+"

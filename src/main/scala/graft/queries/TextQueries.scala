@@ -88,7 +88,7 @@ object TextQueries {
          |  FROM documents),
          |sh AS (SELECT doc_id,
          |  concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
-         |  FROM t, (SELECT unnest(range(256)) AS i) r
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
          |  WHERE i <= len(toks) - 3),
          |m AS (SELECT doc_id, min(${H("s")}) AS min_shingle_fp FROM sh GROUP BY doc_id)
          |SELECT d.doc_id, ${H("d.text")} AS fp,

@@ -41,20 +41,32 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("cnt"), col("total_value"))
 
-  final case class Event(user_id: Long, event_id: Long, ts_us: Long)
+  final case class Event(user_id: Long, event_id: Long, ts_us: Long,
+      tts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  /** Stateful sessionization: per-user 30-minute-gap sessions emitted on
-    * processing-time timeout. State per key is one (start, last, count)
-    * triple — constant size, watermark-pruned. */
+  /** Stateful sessionization: per-user 30-minute-gap sessions. A session
+    * closes (and emits) when a later event for the user exceeds the gap,
+    * OR when the event-time watermark passes lastEvent+gap — the
+    * event-time timeout that flushes trailing open sessions and prunes
+    * their state in a real stream. State per key is one (start, last,
+    * count) triple. In batch execution timeouts never fire, so a bounded
+    * run emits only successor-closed sessions (EventStreamsSpec). */
   def sessionize(spark: SparkSession, events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        timestamp_micros(expr("ts div 1000")).as("tts"))
       .as[Event]
+      .withWatermark("tts", "30 minutes")
 
     def update(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
+      }
       val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
       var cur = state.getOption
       val out = Seq.newBuilder[Session]
@@ -69,12 +81,22 @@ object EventStreams {
             cur = Some(SessionState(e.ts_us, e.ts_us, 1))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        // close at lastEvent+gap in event time; clamp above the current
+        // watermark (setTimeoutTimestamp rejects past timestamps). In
+        // batch there is no watermark — timeouts never fire there anyway.
+        val timeoutMs = s.lastUs / 1000 + gapUs / 1000
+        val floorMs =
+          try state.getCurrentWatermarkMs() + 1
+          catch { case _: UnsupportedOperationException => Long.MinValue }
+        state.setTimeoutTimestamp(math.max(timeoutMs, floorMs))
+      }
       out.result().iterator
     }
 
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
       .toDF()
   }
 

@@ -39,6 +39,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(d(3).isEmpty)
   }
 
+  test("mismatched dimensions yield null (both eval paths), like the composed form") {
+    val d = Seq((Array(1f, 0f, 1f), Array(1f, 0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .head()
+    assert(d.isNullAt(0) && d.isNullAt(1))
+    // parquet-backed to exercise the codegen path too
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.select(Similarity.cosine(
+        slice(col("embedding"), 1, 8), col("embedding")).as("c"))
+      .where(col("c").isNotNull).count()
+    assert(n == 0L)
+  }
+
   test("participates in whole-stage codegen (no CodegenFallback)") {
     // parquet-backed (a local relation would be constant-folded away)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

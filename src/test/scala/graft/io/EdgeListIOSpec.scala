@@ -46,4 +46,22 @@ class EdgeListIOSpec extends SparkSpec {
     for (x <- Seq(0.100073081953, 1.0 / 3.0, 1e-7, 0.25, 1.0))
       assert(math.abs(EdgeListIO.formatRank(x).toDouble - x) <= 1e-12 * math.max(1, x))
   }
+
+  test("formatRank is byte-identical to the reference cpp golden notation") {
+    // barabasi-100000 spans fixed and scientific notation (8021 e-05
+    // lines, plus e-06/e-07): every value string must reproduce exactly.
+    val src = scala.io.Source.fromFile(
+      "/root/reference/result/barabasi-100000-pr-cpp.txt")
+    try {
+      var checked = 0
+      var sci = 0
+      src.getLines().foreach { line =>
+        val v = line.split("\\s=\\s")(1)
+        assert(EdgeListIO.formatRank(v.toDouble) == v, s"line: $line")
+        checked += 1
+        if (v.contains("e-")) sci += 1
+      }
+      assert(checked > 100000 && sci > 8000)
+    } finally src.close()
+  }
 }

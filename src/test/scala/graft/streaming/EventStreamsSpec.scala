@@ -32,6 +32,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer flushes a trailing session via event-time timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val events = ms.toDF().select(col("_1").as("user_id"),
+      col("_2").as("event_id"), (col("_3") * 1000).as("ts")) // to nanos
+    val q = EventStreams.sessionize(spark, events).writeStream
+      .outputMode("append").format("memory").queryName("sess_stream").start()
+    try {
+      ms.addData((1L, 1L, 1000L * us), (1L, 2L, 1060L * us))
+      q.processAllAvailable() // watermark after batch: max(0, 1060s-30min)
+      ms.addData((2L, 3L, 20000L * us))
+      q.processAllAvailable() // watermark advances to 20000s-30min ≫ timeout
+      ms.addData((2L, 4L, 20001L * us))
+      q.processAllAvailable() // next batch fires the pending timeout
+      val flushed = spark.table("sess_stream")
+        .where(col("user_id") === 1L).collect()
+      assert(flushed.length == 1, "trailing session was not flushed by timeout")
+      assert(flushed.head.getAs[Long]("n_events") == 2L)
+      assert(flushed.head.getAs[Long]("end_us") == 1060L * us)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session
