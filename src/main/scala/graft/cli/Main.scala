@@ -32,8 +32,9 @@ object Main {
     System.err.println(
       s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
          |commands: ${commands.mkString(" ")}
-         |options: --source N (sssp) --seed N (luby_find, rmat)
-         |         --levels N --edges N (rmat) --top N (wordfreq)""".stripMargin)
+         |options: --source N | --nsources N --seed N (sssp)
+         |         --seed N (luby_find, rmat) --levels N --edges N (rmat)
+         |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
   }
 
@@ -79,10 +80,22 @@ object Main {
         case "histo"          => // histogram of out-degrees (oink/histo.cpp)
           GraphOps.degreeStats(edges())
         case "wordfreq"       =>
-          val docs = spark.read.textFile(input).toDF("text")
+          // the reference's file-list map walks directories recursively
+          // (mapreduce.cpp:1022-1043, findfiles 2725-2843): accept a
+          // file, a glob, or a directory tree
+          val docs = spark.read
+            .option("recursiveFileLookup", "true")
+            .textFile(input).toDF("text")
           TextAnalysis.wordFreq(docs, col("text"), o.getOrElse("top", "10").toInt)
         case "cc_find"        => ConnectedComponents.run(spark, edges()).orderBy("v")
         case "cc_stats"       => ConnectedComponents.stats(ConnectedComponents.run(spark, edges()))
+        case "sssp" if o.contains("nsources") =>
+          // the reference's `sssp ncnt seed` (oink/sssp.cpp:54): ncnt
+          // seeded random sources, one multi-source pass
+          val e = edges()
+          ShortestPaths.runMulti(spark, e, ShortestPaths.seededSources(
+            e, o.getOrElse("seed", "1").toLong, o("nsources").toInt))
+            .orderBy("source", "v")
         case "sssp"           => ShortestPaths.run(spark, edges(),
           o.getOrElse("source", "0").toLong).orderBy("v")
         case "tri_find"       => Triangles.run(edges()).orderBy("a", "b", "c")

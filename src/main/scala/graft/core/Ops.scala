@@ -63,19 +63,29 @@ object Ops {
     df.groupBy(key.as("k"))
       .agg(concat_ws(",", sort_array(collect_list(value.cast("string")))).as("vals"))
 
-  /** Skew-resistant two-stage aggregation: spray each hot key across
-    * `salts` partial groups, then merge. Semantics-preserving for
-    * decomposable aggregates (sum/count here) — the classic mitigation
-    * when one key would otherwise serialize a reducer at 100 TB. The
-    * reference hits the same problem as CC "big zones" and solves it the
-    * same way (random scatter, `cc_find.cpp:202-300`). */
-  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+  /** Skew-resistant two-stage aggregation for a NON-decomposable
+    * aggregate (per-key value list). Decomposable aggregates (sum,
+    * count, min, max) never need salting — Catalyst's map-side partial
+    * aggregation already reduces a hot key to one row per input
+    * partition before the shuffle. A collect_list has no bounded
+    * partial form: every value of the hottest key crosses the shuffle
+    * and funnels through one reducer as row-at-a-time input. Salting
+    * builds the hot key's list in `salts` parallel partials so the
+    * final task merges a handful of pre-assembled arrays instead of
+    * millions of individual rows (the list bytes themselves still land
+    * on one reducer — irreducible for an exact per-key list). Same
+    * trick as the reference's CC "big zone" random scatter
+    * (`cc_find.cpp:202-300`). Output: (k, vals) with vals the
+    * canonically sorted comma-joined values. */
+  def saltedCollapse(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
     df.select(key.as("k"), value.as("v"),
         (spark_partition_id() % salts).as("salt"))
       .groupBy("k", "salt")
-      .agg(sum("v").as("ps"), count(lit(1)).as("pc")) // stage 1: salted partials
+      .agg(collect_list("v").as("pv")) // stage 1: salted partial lists
       .groupBy("k")
-      .agg(sum("ps").as("total"), sum("pc").as("cnt")) // stage 2: merge
+      .agg(array_join( // stage 2: merge + canonical order
+        transform(sort_array(flatten(collect_list(col("pv")))), _.cast("string")),
+        ",").as("vals"))
 
   /** As-of join: for each left row, the most recent right value at or
     * before its timestamp, per key. Composed from window functions (the

@@ -63,4 +63,22 @@ object GraphOps {
     val e = edgeUpper(edges)
     e.union(e.select(col("vj").as("vi"), col("vi").as("vj")))
   }
+
+  /** `neigh_tri` (`oink/neigh_tri.cpp:39-60`): per vertex, its neighbor
+    * edges plus the OPPOSITE edge of every triangle containing it —
+    * map1 (`neigh_tri.cpp:143-162`) keys each triangle under all three
+    * vertices with the facing edge as value; print (`:126-137`) emits
+    * `vi vj` for neighbor values and `vj vk` for triangle values. One
+    * map-side explode on the (already small) triangle list unioned with
+    * a projection of the edge list — no extra shuffle. */
+  def neighTri(edges: DataFrame, triangles: DataFrame): DataFrame = {
+    val nbrRows = edges.select(
+      col("src").as("v"), col("src").as("ea"), col("dst").as("eb"))
+    val triRows = triangles.select(explode(array(
+        struct(col("a").as("v"), col("b").as("ea"), col("c").as("eb")),
+        struct(col("b").as("v"), col("a").as("ea"), col("c").as("eb")),
+        struct(col("c").as("v"), col("a").as("ea"), col("b").as("eb")))).as("r"))
+      .select("r.v", "r.ea", "r.eb")
+    nbrRows.unionByName(triRows)
+  }
 }

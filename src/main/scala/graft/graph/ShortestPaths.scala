@@ -65,12 +65,29 @@ object ShortestPaths {
     dist
   }
 
+  /** The reference's randomized source selection made deterministic:
+    * `sssp ncnt seed` seeds `srand48(seed)` and draws ncnt sources from
+    * the valid (non-singleton) vertex list (`oink/sssp.cpp:54`,
+    * `get_good_sources`). We draw index `hash60(seed|i) % |V|` into the
+    * id-ordered vertex list — partitioning-independent, identical in
+    * the DuckDB oracle. The rank window is one pass over |V| (≪ |E|);
+    * duplicates collapse. */
+  def seededSources(edges: DataFrame, seed: Long, count: Int): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val verts = GraphOps.vertexExtract(edges)
+    val n = verts.count()
+    val wanted = (0 until count).map(i => graft.functions.Hashing.hash60Local(s"$seed|$i") % n)
+    verts.withColumn("rn", row_number().over(Window.orderBy("v")) - 1)
+      .where(col("rn").isin(wanted: _*))
+      .select("v").collect().map(_.getLong(0)).toSeq.distinct
+  }
+
   /** Multi-source variant — the reference's `sssp ncnt seed` runs ncnt
     * searches (`oink/sssp.cpp:49-186`); here ALL sources advance in ONE
     * iterative pass with state keyed on (source, v), so the edge table
     * is scanned once per round regardless of source count. Sources are
-    * explicit (callers derive them from a seed hash for the reference's
-    * randomized semantics — determinism first, `luby`-style). */
+    * explicit (see [[seededSources]] for the reference's randomized
+    * contract — determinism first, `luby`-style). */
   def runMulti(
       spark: SparkSession,
       edges: DataFrame,

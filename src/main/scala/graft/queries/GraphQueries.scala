@@ -16,6 +16,10 @@ object GraphQueries {
   private def E = Tables.EdgesSql
   private val N = Tables.GraphN
 
+  // g_sssp_multi's seeded-source contract (oink/sssp.cpp:54).
+  private val SsspSeed = 5L
+  private val SsspCount = 3
+
   // g_cc/g_cc_stats and g_tri/g_tri_count share their expensive stage;
   // memoize per (session, dir) so a Verify sweep computes each once.
   private val ccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -26,6 +30,16 @@ object GraphQueries {
   private def triOf(s: SparkSession, dir: String): DataFrame =
     triCache.getOrElseUpdate((s, dir),
       Triangles.run(Tables.edges(s, dir)).persist())
+
+  /** Release the memoized cc/tri frames — call after a sweep (Verify,
+    * Bench) so persisted blocks don't outlive their usefulness in a
+    * long-lived session. */
+  def clearCaches(): Unit = {
+    ccCache.values.foreach(_.unpersist(false))
+    ccCache.clear()
+    triCache.values.foreach(_.unpersist(false))
+    triCache.clear()
+  }
 
   val queries: Map[String, Q] = Map(
     "g_degree" -> ((s, dir) => GraphOps.outDegree(Tables.edges(s, dir))),
@@ -56,9 +70,14 @@ object GraphQueries {
 
     // Multi-source (the reference's `sssp ncnt seed` runs ncnt random-
     // source searches): all sources advance in one iterative pass,
-    // state keyed (source, v). Fixed deterministic sources.
-    "g_sssp_multi" -> ((s, dir) => ShortestPaths.runMulti(
-      s, Tables.edges(s, dir), sources = Seq(0L, 7L, 13L))),
+    // state keyed (source, v). Sources derive from hash60(seed|i) into
+    // the ranked vertex list — the reference's srand48(seed) contract,
+    // made deterministic; the oracle replays the same derivation.
+    "g_sssp_multi" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      ShortestPaths.runMulti(s, e,
+        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+    }),
 
     // Weighted variant (the reference's sssp consumes weighted edges,
     // oink/sssp.cpp): weights = 1/outdeg(src). Oracle unrolls the same
@@ -73,6 +92,11 @@ object GraphQueries {
     "g_tri_count" -> ((s, dir) => triOf(s, dir)
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("ntri"))),
+
+    // Faithful neigh_tri: neighbor edges + opposite triangle edges per
+    // vertex (oink/neigh_tri.cpp:39-60).
+    "g_neigh_tri" -> ((s, dir) =>
+      GraphOps.neighTri(Tables.edges(s, dir), triOf(s, dir))),
 
     // Deterministic per-seed: with fixed hash priorities Luby's rounds
     // converge to the greedy MIS of the (priority, id) order, which the
@@ -157,9 +181,15 @@ object GraphQueries {
 
     "g_sssp_multi" ->
       s"""WITH RECURSIVE edges AS ($E),
+         |verts AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+         |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM verts),
+         |srcs AS (SELECT DISTINCT r.v AS source FROM ranked r JOIN
+         |  (SELECT ${graft.functions.Hashing.hash60Sql(SsspSeed, "i")}
+         |     % (SELECT count(*) FROM verts) AS want
+         |   FROM (SELECT unnest(range($SsspCount)) AS i)) w ON r.rn = w.want),
          |walk(source, v, d) AS (
-         |  SELECT s.source, s.source AS v, CAST(0.0 AS DOUBLE) AS d
-         |  FROM (SELECT CAST(unnest([0, 7, 13]) AS BIGINT) AS source) s
+         |  SELECT source, source AS v, CAST(0.0 AS DOUBLE) AS d FROM srcs
          |  UNION
          |  SELECT w.source, e.dst, w.d + 1.0
          |  FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 40)
@@ -194,6 +224,18 @@ object GraphQueries {
          |SELECT v, count(*) AS ntri FROM (
          | SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
          | UNION ALL SELECT c FROM tri) GROUP BY v""".stripMargin,
+
+    "g_neigh_tri" ->
+      s"""WITH edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.vi AS a, e1.vj AS b, e2.vj AS c
+         | FROM eu e1 JOIN eu e2 ON e2.vi = e1.vj
+         | JOIN eu e3 ON e3.vi = e1.vi AND e3.vj = e2.vj)
+         |SELECT src AS v, src AS ea, dst AS eb FROM edges
+         |UNION ALL SELECT a AS v, b AS ea, c AS eb FROM tri
+         |UNION ALL SELECT b AS v, a AS ea, c AS eb FROM tri
+         |UNION ALL SELECT c AS v, a AS ea, b AS eb FROM tri""".stripMargin,
 
     "g_rmat" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L),
 

@@ -95,11 +95,12 @@ object RelationalQueries {
         sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("strbytes"))),
 
     // Skew-resistant salted aggregation — the CC "big zone" scatter
-    // (cc_find.cpp:202-300) generalized; semantics-preserving, so the
-    // oracle is the PLAIN group-by.
-    "q13_salted_agg" -> ((s, dir) => Ops.saltedSumCount(
-        Tables.events(s, dir), col("event_type"), col("value"), salts = 8)
-      .select(col("k"), round(col("total"), 4).as("total"), col("cnt"))),
+    // (cc_find.cpp:202-300) generalized, targeted at a NON-decomposable
+    // aggregate (per-key value list; sums/counts get map-side partial
+    // aggregation for free). Semantics-preserving, so the oracle is the
+    // PLAIN group-by list.
+    "q13_salted_agg" -> ((s, dir) => Ops.saltedCollapse(
+        Tables.events(s, dir), col("event_type"), col("user_id"), salts = 8)),
 
     // Hierarchical aggregation (engine extension; absent in reference).
     "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
@@ -187,8 +188,8 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
 
     "q13_salted_agg" ->
-      """SELECT event_type AS k, round(sum(value), 4) AS total,
-        | count(*) AS cnt
+      """SELECT event_type AS k,
+        | array_to_string(list_sort(list(user_id)), ',') AS vals
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q15_rollup" ->

@@ -21,13 +21,17 @@ class OpsSpec extends SparkSpec {
       12L -> None))     // no signup yet for user 2 at ts 50
   }
 
-  test("salted aggregation equals plain group-by") {
-    val df = Seq.tabulate(1000)(i => ("hot", i.toDouble)) ++
-      Seq.tabulate(10)(i => ("cold", i.toDouble))
-    val salted = Ops.saltedSumCount(df.toDF("k", "v"), col("k"), col("v"), salts = 8)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    assert(salted("hot") == ((0 until 1000).map(_.toDouble).sum, 1000L))
-    assert(salted("cold") == ((0 until 10).map(_.toDouble).sum, 10L))
+  test("salted collapse equals plain group-by collect") {
+    val df = (Seq.tabulate(1000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(10)(i => ("cold", i.toLong))).toDF("k", "v")
+      .repartition(8) // spread the hot key across partitions → real salts
+    val salted = Ops.saltedCollapse(df, col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val plain = df.groupBy("k")
+      .agg(array_join(transform(sort_array(collect_list("v")), _.cast("string")), ",").as("vals"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot").split(",").length == 1000)
   }
 
   test("cosine_sim is callable from SQL after registration") {
