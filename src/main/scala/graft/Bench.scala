@@ -96,13 +96,49 @@ object Bench {
       }
     }
 
+    // Extras: custom-operator-vs-builtin and streaming throughput.
+    //  - topk: TopKPerKey (bounded map-side heaps, ≤k rows/key/partition
+    //    cross the exchange) vs the window row_number formulation (full
+    //    partition sort, whole input shuffles) on lineitem.
+    //  - streaming: micro-batch rows/sec through the windowed-agg
+    //    pipeline (watermark + stateful agg), AvailableNow drain.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val topkArgs = (Seq(col("l_suppkey")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+    materialize(graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)) // warm
+    val topkCustom = timeIt(materialize(
+      graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    def windowed = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
+    materialize(windowed) // warm
+    val topkWindow = timeIt(materialize(windowed))
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val streamSec = timeIt {
+      val q = graft.streaming.EventStreams.runToMemory(
+        graft.streaming.EventStreams.windowedAgg(
+          graft.streaming.EventStreams.readEvents(spark, sfDir)),
+        "bench_stream", org.apache.spark.sql.streaming.OutputMode.Append)
+      q.stop()
+    }
+    val extras = Seq(
+      "topk_custom_sec" -> topkCustom,
+      "topk_window_sec" -> topkWindow,
+      "stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0))
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val mr = mrPhase.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
       .mkString("{", ",", "}")
+    val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"mr_phase_ms":$mr,"sf":"$sfDir"}""")
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"mr_phase_ms":$mr,"extras":$ex,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,9 +22,15 @@ import graft.functions.Hashing
   * greedy MIS of the priority order.
   *
   * Scale design: ONE state frame `(v, p, st)` of constant size |V|; each
-  * round is two joins against the (static, cached, src-partitioned)
-  * undirected edge list and ends in an eager `localCheckpoint`, so plan
-  * depth is constant across rounds. Rounds are O(log n) w.h.p.
+  * round is two joins against the ACTIVE edge frame and ends in an eager
+  * `localCheckpoint`, so plan depth is constant across rounds. The
+  * active edge frame shrinks every round to edges whose BOTH endpoints
+  * are still active (a constant fraction of vertices leaves per round,
+  * so per-round join work decays geometrically instead of re-scanning
+  * the full edge list O(log n) times — the frame a 100 TB graph needs).
+  * Edges touching inactive vertices are irrelevant to both the
+  * neighbor-best and loser-neighbor joins, so the shrink is semantics-
+  * preserving. Rounds are O(log n) w.h.p.
   */
 object LubyMIS {
 
@@ -34,9 +40,9 @@ object LubyMIS {
 
   /** @return single-column (v BIGINT): the MIS, deterministic per seed. */
   def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): DataFrame = {
-    val und = GraphOps.undirected(edges)
+    var activeEdges = GraphOps.undirected(edges)
       .repartition(col("vi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var state = GraphOps.vertexExtract(edges)
       .select(col("v"), Hashing.hash60(seed, col("v")).as("p"), lit(Active).as("st"))
@@ -48,13 +54,13 @@ object LubyMIS {
       val act = state.where(col("st") === Active)
       // best (priority, id) among ACTIVE neighbors of each vertex
       val pj = act.select(col("v").as("vj"), col("p").as("pj"))
-      val nbrBest = und.join(pj, "vj")
+      val nbrBest = activeEdges.join(pj, "vj")
         .groupBy(col("vi").as("v"))
         .agg(min(struct(col("pj"), col("vj"))).as("best"))
       val winners = act.join(nbrBest, Seq("v"), "left")
         .where(col("best").isNull || struct(col("p"), col("v")) < col("best"))
         .select("v")
-      val loserNbrs = und
+      val loserNbrs = activeEdges
         .join(winners.withColumnRenamed("v", "vi"), Seq("vi"), "left_semi")
         .select(col("vj").as("v")).distinct()
 
@@ -68,9 +74,18 @@ object LubyMIS {
             .otherwise(Active).as("st"))
         .localCheckpoint(true) // constant plan depth, round state is tiny vs |E|
       remaining = state.where(col("st") === Active).count()
+      // shrink to edges between still-active endpoints — winners and
+      // their neighborhoods (a constant fraction per round) drop out
+      if (remaining > 0) {
+        val still = state.where(col("st") === Active).select("v")
+        activeEdges = activeEdges
+          .join(still.withColumnRenamed("v", "vi"), Seq("vi"), "left_semi")
+          .join(still.withColumnRenamed("v", "vj"), Seq("vj"), "left_semi")
+          .select("vi", "vj")
+          .localCheckpoint(true)
+      }
       iter += 1
     }
-    und.unpersist(false)
     state.where(col("st") === InMis).select("v")
   }
 }
