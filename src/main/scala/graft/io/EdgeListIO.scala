@@ -32,7 +32,10 @@ object EdgeListIO {
     */
   def readValidated(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.textFile(path)
+    // Directory trees/globs read like the reference's file-list map; for
+    // multi-file input the abort line number is global across the
+    // partition-ordered concatenation (the reference aborts per file).
+    val lines = spark.read.option("recursiveFileLookup", "true").textFile(path)
     // RDD zipWithIndex preserves textfile line order (partition-ordered).
     val numbered = lines.rdd.zipWithIndex().toDF("line", "idx")
     val bad = numbered
@@ -48,34 +51,42 @@ object EdgeListIO {
   }
 
   /** Unvalidated fast path (schema-on-read CSV, filters/projection push
-    * into the scan). */
+    * into the scan). Like every reader here, `path` may be a single
+    * file, a glob, or a directory tree — the reference's file-list map
+    * walks directories recursively (`mapreduce.cpp:1022-1043`,
+    * `findfiles` recursion `:2725-2843`); Spark's equivalent is native
+    * glob expansion plus `recursiveFileLookup`. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ").schema("src LONG, dst LONG").csv(path)
+    spark.read.option("sep", " ").option("recursiveFileLookup", "true")
+      .schema("src LONG, dst LONG").csv(path)
 
   /** `read_edge_weight` (`oink/map_read_edge_weight.cpp:9-27`):
     * `vi vj weight` lines. */
   def readWeighted(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ")
+    spark.read.option("sep", " ").option("recursiveFileLookup", "true")
       .schema("src LONG, dst LONG, weight DOUBLE").csv(path)
 
   /** `read_edge_label` (`oink/map_read_edge_label.cpp`): `vi vj label`. */
   def readLabeled(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ")
+    spark.read.option("sep", " ").option("recursiveFileLookup", "true")
       .schema("src LONG, dst LONG, label INT").csv(path)
 
   /** `read_vertex_weight` / `read_vertex_label`
     * (`oink/map_read_vertex_weight.cpp`, `map_read_vertex_label.cpp`). */
   def readVertexWeighted(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ").schema("id LONG, weight DOUBLE").csv(path)
+    spark.read.option("sep", " ").option("recursiveFileLookup", "true")
+      .schema("id LONG, weight DOUBLE").csv(path)
 
   def readVertexLabeled(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ").schema("id LONG, label INT").csv(path)
+    spark.read.option("sep", " ").option("recursiveFileLookup", "true")
+      .schema("id LONG, label INT").csv(path)
 
   /** `read_words` (`oink/map_read_words.cpp:9-30`): whitespace tokens of
-    * arbitrary text files as a single-column frame. */
+    * arbitrary text files as a single-column frame; directory trees
+    * welcome (file-list map semantics). */
   def readWords(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.textFile(path).toDF("line")
+    spark.read.option("recursiveFileLookup", "true").textFile(path).toDF("line")
       .select(explode(filter(split(col("line"), "\\s+"), w => w =!= lit(""))).as("word"))
   }
 

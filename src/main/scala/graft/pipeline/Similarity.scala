@@ -127,4 +127,65 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ---- IVF (inverted-file) ANN: the second scale path ----
+
+  val IvfSeed = 131L
+  val DefaultNList = 16
+  val DefaultNProbe = 4
+
+  /** Deterministic coarse quantizer: the `nlist` corpus vectors with the
+    * smallest `hash60(seed|vec_id)` are the centroids — a seeded uniform
+    * sample (also the classic k-means init), chosen over trained k-means
+    * so the quantizer is partitioning-independent and the DuckDB oracle
+    * can re-derive it. nlist×dim is tiny → always broadcastable. */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int = DefaultNList): DataFrame =
+    embeddings.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        Hashing.hash60(IvfSeed, col("vec_id")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nlist)
+      .select("cid", "cvec")
+
+  /** (vec_id, cid): each vector assigned to its max-cosine centroid,
+    * ties to the smallest cid. The centroid table is broadcast and the
+    * argmax is a max(struct) aggregate — partial aggregation collapses
+    * the |C|·nlist comparison rows map-side, so NOTHING shuffles but
+    * one row per vector. */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("embedding"), col("cvec")), 6).as("csim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"))
+
+  /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query,
+    * exact cosine inside the probed lists only. Returns
+    * (qid, vec_id, sim, rank) like the other ANN paths. At 100 TB the
+    * candidate join is keyed on cid — per-list joins sized |C|/nlist,
+    * never all-pairs — and probe selection rides [[graft.plans.TopKPerKey]]
+    * (bounded map-side heaps), so only nprobe rows per query reach the
+    * exchange. */
+  def ivfTopK(embeddings: DataFrame, k: Int,
+      nlist: Int = DefaultNList, nprobe: Int = DefaultNProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(embeddings, nlist)
+    val lists = ivfAssign(embeddings, cents)
+    val qScored = embeddings
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("csim"))
+    val probes = graft.plans.TopKPerKey.topKPerKey(qScored,
+        Seq(col("qid")), Seq(col("csim").desc, col("cid").asc), nprobe)
+      .select("qid", "cid")
+    val q = embeddings.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = probes.join(lists, "cid")
+      .where(col("qid") =!= col("vec_id"))
+      .join(q, "qid")
+      .join(embeddings, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -69,6 +69,11 @@ object PipelineQueries {
     "s_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), Dim, k = 3)),
 
+    // IVF ANN top-k — the second scale path: seeded deterministic coarse
+    // quantizer (nlist centroids), per-list assignment, nprobe-list
+    // probing, exact cosine inside probed lists only.
+    "s_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 3)),
+
     // Embedding-cosine near-dup pairs, LSH-bucket-restricted (the scale
     // path: same-bucket candidates only, never all-pairs).
     "d_embdup" -> ((s, dir) => {
@@ -88,6 +93,13 @@ object PipelineQueries {
 
   private def H(e: String) = Hashing.hash60Sql(e)
   private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
+
+  /** round-6 cosine of two FLOAT[] columns — matches the Spark side's
+    * rounded native expression bit-for-bit (sequential fold order). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+       | (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+       |  sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
 
   /** Shared CTE: word-3-gram shingle base hashes (mod p) per doc. The
     * shingle-index range is derived from the longest document, so no
@@ -316,6 +328,36 @@ object PipelineQueries {
          |   JOIN embeddings e ON e.vec_id = c.vec_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "s_ann_ivf" -> {
+      val nlist = Similarity.DefaultNList
+      val nprobe = Similarity.DefaultNProbe
+      s"""WITH cents AS (
+         | SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         | ORDER BY ${Hs(Similarity.IvfSeed, "vec_id")}, vec_id LIMIT $nlist),
+         |csc AS MATERIALIZED (
+         | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cvec")} AS csim
+         | FROM embeddings e, cents c),
+         |assigned AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         | WHERE rn = 1),
+         |probes AS (
+         | SELECT vec_id AS qid, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         | WHERE rn <= $nprobe),
+         |scored AS (
+         | SELECT p.qid, a.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim
+         | FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid
+         | JOIN embeddings q ON q.vec_id = p.qid
+         | JOIN embeddings e ON e.vec_id = a.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
     },

@@ -36,6 +36,17 @@ class EdgeListIOSpec extends SparkSpec {
     assert((vw.getLong(0), vw.getDouble(1)) == ((5L, 2.5)))
   }
 
+  test("readers walk directory trees recursively (file-list map semantics)") {
+    val dir = Files.createTempDirectory("edgetree")
+    Files.createDirectory(dir.resolve("sub"))
+    Files.writeString(dir.resolve("a.txt"), "0 1\n1 2\n")
+    Files.writeString(dir.resolve("sub").resolve("b.txt"), "2 3\n")
+    val got = EdgeListIO.read(spark, dir.toString).as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (1L, 2L), (2L, 3L)))
+    val words = EdgeListIO.readWords(spark, dir.toString).count()
+    assert(words == 6L)
+  }
+
   test("readWords tokenizes on whitespace runs") {
     val p = tmp("the  quick\tbrown\nfox the\n")
     val words = EdgeListIO.readWords(spark, p).as[String].collect().toSeq

@@ -124,6 +124,26 @@ class PipelineSpec extends SparkSpec {
     assert(recallMulti >= 0.6, s"multi-table recall $recallMulti too low")
   }
 
+  test("IVF top-k: probing more lists recovers brute-force recall") {
+    val rnd = new scala.util.Random(23)
+    // 5 clusters of 8 vectors: near-neighbors are in-cluster by construction.
+    val vecs = (0 until 40).map { i =>
+      val center = Array.tabulate(8)(j => if (j == i % 5) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = pairSet(Similarity.bruteForceTopK(q, vecs, 3))
+    val wide = pairSet(Similarity.ivfTopK(vecs, k = 3, nlist = 8, nprobe = 4))
+    val narrow = pairSet(Similarity.ivfTopK(vecs, k = 3, nlist = 8, nprobe = 1))
+    val recallWide = (bf & wide).size.toDouble / bf.size
+    val recallNarrow = (bf & narrow).size.toDouble / bf.size
+    assert(recallWide >= recallNarrow,
+      s"more probes must not lose recall ($recallWide < $recallNarrow)")
+    assert(recallWide >= 0.6, s"IVF nprobe=4 recall $recallWide too low")
+  }
+
   test("multimodal: typed mapPartitions decode equals declarative metadata path") {
     val typed = Multimodal.extractFeatures(spark, docs)
       .select("doc_id", "byte_len", "width", "height", "channels")
