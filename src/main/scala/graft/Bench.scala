@@ -48,14 +48,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // median of 3: single-run numbers on a shared JVM swing 2-3× with
+    // GC/JIT state; the median is what a steady-state cluster run sees.
+    // The cc/tri memo is cleared per rep so every rep does real work.
     val results = Headline.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(SparkEntry.queries(name)(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val ts = (1 to 3).map { _ =>
+        graft.queries.GraphQueries.clearCaches()
+        val t0 = System.nanoTime()
+        try materialize(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // drop dead localCheckpoint blocks: the ContextCleaner frees them
+      // only after the driver GC collects the orphaned RDD references
+      System.gc()
+      name -> ts.sorted.apply(1)
     }
+    System.gc() // settle the heap before the ms-scale reference metric
 
     // Reference-metric section: inverse-adjacency build, timed like the
     // reference's MapReduce phase (parse excluded). Two shapes:
@@ -88,8 +99,21 @@ object Bench {
             m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
           }.write.format("noop").mode("overwrite").save()
         }
+        // hash exchange + per-partition local hash grouping — literally
+        // the reference's aggregate()+convert() pair (and measured ~1.5×
+        // faster than groupBy+collect_list, whose array building is not
+        // part of the reference's phase)
         val shuffle = median {
-          materialize(edges.groupBy("dst").agg(collect_list("src")))
+          edges.as[(Long, Long)]
+            .repartition(cpus.toInt, col("dst"))
+            .mapPartitions { it =>
+              val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+              it.foreach { case (s, d) =>
+                m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+              }
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
+            }.write.format("noop").mode("overwrite").save()
         }
         edges.unpersist(false); e1.unpersist(false)
         Seq(s"$name-local" -> local, s"$name-shuffle" -> shuffle)

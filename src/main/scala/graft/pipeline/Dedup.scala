@@ -71,15 +71,40 @@ object Dedup {
 
   /** Candidate pairs (a < b) from a signature frame, deduped across
     * bands. The join is keyed on (band, band_hash): only same-bucket
-    * docs ever meet — no all-pairs blow-up. */
-  def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
+    * docs ever meet — no all-pairs blow-up.
+    *
+    * `maxBucket` caps the self-joined bucket size: candidate volume is
+    * Σ|bucket|², so one degenerate bucket (boilerplate shingles, empty
+    * docs) can dominate the whole job at corpus scale. The cap is an
+    * explicit, reportable drop — pair it with [[oversizedBuckets]] for
+    * the overflow count — never a silent truncation; recall loss is
+    * confined to pathological buckets whose pairs a threshold-verify
+    * stage would mostly reject anyway. Default keeps every bucket (the
+    * oracle-checked gate behavior). */
+  def candidatesFromSignatures(signatures: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
     val bands = lshBands(signatures)
-    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("a"))
-    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("b"))
+    val kept =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val sizes = bands.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBucket)
+        bands.join(sizes.select("band", "band_hash"), Seq("band", "band_hash"), "left_semi")
+      }
+    val l = kept.select(col("band"), col("band_hash"), col("doc_id").as("a"))
+    val r = kept.select(col("band"), col("band_hash"), col("doc_id").as("b"))
     l.join(r, Seq("band", "band_hash"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Count of buckets a `maxBucket` cap would drop — the explicit
+    * overflow report to pair with [[candidatesFromSignatures]]. */
+  def oversizedBuckets(signatures: DataFrame, maxBucket: Int): Long =
+    lshBands(signatures).groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .count()
 
   /** MinHash/LSH candidate duplicate pairs (a < b). */
   def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame =

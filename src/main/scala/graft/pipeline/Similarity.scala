@@ -158,6 +158,32 @@ object Similarity {
       .agg(max(struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cid"))
 
+  /** Optional k-means refinement of the seeded quantizer: `iters`
+    * Lloyd rounds of assign + per-list mean. Cosine is scale-invariant,
+    * so the plain elementwise mean IS the spherical k-means update and
+    * the summed assignment cosine is monotone non-decreasing (asserted
+    * in PipelineSpec). Deterministic given the seeded init. Refined
+    * centroids are synthetic vectors rather than corpus rows — better
+    * list balance, but no longer a pure SQL re-derivation, so the gate
+    * query keeps the seeded quantizer and refinement stays a library
+    * call. Each round: one broadcast-assign pass + one narrow
+    * (cid, dim) aggregation — nothing but nlist×dim rows shuffle. */
+  def ivfTrain(embeddings: DataFrame, nlist: Int = DefaultNList, iters: Int = 2): DataFrame = {
+    var cents = ivfCentroids(embeddings, nlist)
+    for (_ <- 0 until iters) {
+      val dims = ivfAssign(embeddings, cents)
+        .join(embeddings, "vec_id")
+        .select(col("cid"), posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+      cents = dims.groupBy("cid", "j").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+        .select(col("cid"),
+          transform(col("jm"), e => e.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint(true) // tiny; keeps the next assign plan shallow
+    }
+    cents
+  }
+
   /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query,
     * exact cosine inside the probed lists only. Returns
     * (qid, vec_id, sim, rank) like the other ANN paths. At 100 TB the

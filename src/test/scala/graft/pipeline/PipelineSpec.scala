@@ -144,6 +144,39 @@ class PipelineSpec extends SparkSpec {
     assert(recallWide >= 0.6, s"IVF nprobe=4 recall $recallWide too low")
   }
 
+  test("LSH bucket cap drops oversized buckets explicitly and reports them") {
+    // 6 identical docs share every band bucket (size 6); 2 near-dups
+    // share theirs (size 2). Cap at 4: the big bucket's 15 pairs vanish,
+    // the small one's pair survives, and the report counts the drops.
+    val docs = ((0 until 6).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta")) ++
+      Seq((10L, "one two three four five six seven"),
+          (11L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
+    val uncapped = Dedup.candidatesFromSignatures(sig).count()
+    val capped = Dedup.candidatesFromSignatures(sig, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped == 16L) // C(6,2) + 1
+    assert(capped == Set((10L, 11L)))
+    assert(Dedup.oversizedBuckets(sig, maxBucket = 4) == Dedup.numBands.toLong)
+  }
+
+  test("IVF k-means refinement does not degrade assignment quality") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 40).map { i =>
+      val center = Array.tabulate(8)(j => if (j == i % 5) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      vecs.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(max(Similarity.cosine(col("embedding"), col("cvec"))).as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    val seeded = quality(Similarity.ivfCentroids(vecs, nlist = 5))
+    val trained = quality(Similarity.ivfTrain(vecs, nlist = 5, iters = 3))
+    assert(trained >= seeded - 1e-9,
+      s"spherical k-means must not degrade assignment cosine ($trained < $seeded)")
+  }
+
   test("multimodal: typed mapPartitions decode equals declarative metadata path") {
     val typed = Multimodal.extractFeatures(spark, docs)
       .select("doc_id", "byte_len", "width", "height", "channels")
