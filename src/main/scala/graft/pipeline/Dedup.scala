@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 import graft.text.TextAnalysis
@@ -218,6 +218,23 @@ object Dedup {
     ngramJaccard(docs, id, text, candidates.select("a", "b"))
       .join(candidates, Seq("a", "b"))
       .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Canonical dedup clusters: connected components over the near-dup
+    * candidate graph, keeper = the smallest doc_id of each cluster.
+    * Near-duplication is not transitive pair-by-pair, but production
+    * dedup keeps ONE representative per connected cluster (else A~B,
+    * B~C with keeper-per-pair can drop both B and C yet keep neither
+    * linked doc consistent). Composes the engine's own O(log n)
+    * large-star/small-star CC over the LSH pairs — graph machinery and
+    * pipeline machinery are the same engine. Output: one row per
+    * clustered doc (docs with no near-dup are implicitly their own
+    * keeper and don't appear). */
+  def dedupClusters(spark: SparkSession, docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = minHashCandidates(docs, id, text)
+    graft.graph.ConnectedComponents
+      .run(spark, pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("v").as("doc_id"), col("comp").as("keeper_id"))
   }
 
   /** Exact word-set Jaccard for candidate pairs. `pairs` must have

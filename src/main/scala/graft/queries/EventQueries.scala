@@ -67,7 +67,17 @@ object EventQueries {
         .select(col("user_id"), col("ts_us"), col("value"))
       graft.core.Ops.asofJoin(left, signups, "user_id", "ts_us", "value")
         .select("user_id", "event_id", "ts_us", "asof_value")
-    })
+    }),
+
+    // Deterministic stratified sampling: hash-keyed keep decisions are
+    // reproducible across retries/repartitions and join-stable; the
+    // rate CASE folds into the scan filter (no shuffle, no UDF).
+    "e_sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratified(
+        Tables.events(s, dir).select("event_id", "event_type", "user_id"),
+        key = col("event_id"), stratum = col("event_type"),
+        rates = Map("view" -> 0.1, "click" -> 0.5), default = 0.9,
+        seed = 41L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +121,13 @@ object EventQueries {
         |   PARTITION BY user_id ORDER BY ts_us, side, v
         |   ROWS UNBOUNDED PRECEDING) AS asof_value FROM u)
         |SELECT user_id, event_id, ts_us, asof_value
-        |FROM w WHERE side = 1""".stripMargin
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "e_sample_stratified" ->
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE ${graft.functions.Hashing.rand01Sql(41L, "event_id")} <
+         |  CASE WHEN event_type = 'view' THEN 0.1
+         |       WHEN event_type = 'click' THEN 0.5
+         |       ELSE 0.9 END""".stripMargin
   )
 }

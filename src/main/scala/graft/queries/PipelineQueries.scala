@@ -37,6 +37,11 @@ object PipelineQueries {
     "d_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(docs(s, dir), col("doc_id"), col("text"), estThreshold = 0.2)),
 
+    // Dedup cluster assignment: CC over the LSH candidate graph, keeper
+    // = min doc_id per cluster — the production "which docs to drop".
+    "d_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(s, docs(s, dir), col("doc_id"), col("text"))),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -167,6 +172,24 @@ object PipelineQueries {
          |JOIN sigs sa ON sa.doc_id = p.a
          |JOIN sigs sb ON sb.doc_id = p.b""".stripMargin
     },
+
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte,
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         | WHERE x.doc_id < y.doc_id),
+         |und AS (SELECT a AS vi, b AS vj FROM pairs
+         |        UNION ALL SELECT b AS vi, a AS vj FROM pairs),
+         |verts AS (SELECT DISTINCT vi AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v)
+         |SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v""".stripMargin,
 
     "d_dedup_pipeline" -> {
       val agree = (0 until Dedup.NumHashes)

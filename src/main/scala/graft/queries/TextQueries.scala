@@ -31,7 +31,20 @@ object TextQueries {
       TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
 
     "t_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text")))
+      TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Corpus-level training-budget stats: docs and token mass per
+    // predicted language — the numbers a data-mixture plan is built
+    // from. Two single-scan aggregates joined on doc_id.
+    "t_corpus_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.langId(d, col("doc_id"), col("text"))
+        .join(TextAnalysis.tokenCounts(d, col("doc_id"), col("text")), "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("ndocs"),
+          sum("ws_tokens").as("total_tokens"),
+          sum("bpe_est").as("total_bpe"))
+    })
   )
 
   private val H = (e: String) => Hashing.hash60Sql(e)
@@ -60,6 +73,31 @@ object TextQueries {
          |mx AS (SELECT *, $m AS m FROM sc)
          |SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $pick END AS lang_pred
          |FROM mx""".stripMargin
+    },
+
+    "t_corpus_stats" -> {
+      val scoreCols = markers.map { case (lang, ws) =>
+        s"sum(CASE WHEN w IN (${inList(ws)}) THEN 1 ELSE 0 END) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val m = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scoreCols
+         |  FROM toks WHERE w <> '' GROUP BY doc_id),
+         |mx AS (SELECT *, $m AS m FROM sc),
+         |lang AS (SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $pick END AS lang_pred
+         |  FROM mx),
+         |tok AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+         |  CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_est
+         |  FROM documents)
+         |SELECT lang_pred, count(*) AS ndocs,
+         | CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(bpe_est) AS BIGINT) AS total_bpe
+         |FROM lang JOIN tok USING (doc_id) GROUP BY lang_pred""".stripMargin
     },
 
     "t_quality" -> {

@@ -144,6 +144,21 @@ class PipelineSpec extends SparkSpec {
     assert(recallWide >= 0.6, s"IVF nprobe=4 recall $recallWide too low")
   }
 
+  test("stratified sampling is deterministic, partitioning-independent, and rate-true") {
+    val df = spark.range(4000).select(col("id"), (col("id") % 3).cast("string").as("st"))
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratified(d, col("id"), col("st"),
+        Map("0" -> 0.2), default = 0.7, seed = 7L)
+        .select("id").as[Long].collect().toSet
+    val s1 = sample(df)
+    val s2 = sample(df.repartition(17)) // different partitioning, same rows
+    assert(s1 == s2)
+    val zeroRate = s1.count(_ % 3 == 0).toDouble / (4000 / 3)
+    val otherRate = s1.count(_ % 3 != 0).toDouble / (4000 * 2 / 3)
+    assert(math.abs(zeroRate - 0.2) < 0.05, s"stratum-0 rate $zeroRate")
+    assert(math.abs(otherRate - 0.7) < 0.05, s"default rate $otherRate")
+  }
+
   test("LSH bucket cap drops oversized buckets explicitly and reports them") {
     // 6 identical docs share every band bucket (size 6); 2 near-dups
     // share theirs (size 2). Cap at 4: the big bucket's 15 pairs vanish,
