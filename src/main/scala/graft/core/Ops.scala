@@ -87,6 +87,30 @@ object Ops {
         transform(sort_array(flatten(collect_list(col("pv")))), _.cast("string")),
         ",").as("vals"))
 
+  /** Range (interval) join: each left POINT row joined to right
+    * INTERVAL rows containing it, optionally under equi-`keys`. Spark
+    * plans a raw BETWEEN predicate as BroadcastNestedLoopJoin —
+    * per-partition all-pairs, fatal at scale. Here intervals replicate
+    * to every fixed-width bin they overlap, points hash to their single
+    * bin, and the join is a plain shuffled equi-join on (keys, bin)
+    * with the exact BETWEEN as a residual filter. Replication factor is
+    * span/binWidth + 1 — pick binWidth near the typical interval span.
+    * Domain: non-negative values (epoch micros); `div` truncation ==
+    * floor there, matching the oracle's `//`.
+    *
+    * @param point name of the left point column
+    * @param start/end names of the right interval bound columns (inclusive)
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      point: String, start: String, end: String, binWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bin", expr(s"$point div $binWidth"))
+    val rb = right.withColumn("__bin",
+      explode(sequence(expr(s"$start div $binWidth"), expr(s"$end div $binWidth"))))
+    lb.join(rb, keys :+ "__bin")
+      .where(col(point) >= col(start) && col(point) <= col(end))
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, the most recent right value at or
     * before its timestamp, per key. Composed from window functions (the
     * Spark-first preference ladder: built-ins before custom plans) —

@@ -39,7 +39,12 @@ object LubyMIS {
   private val Out = "O"
 
   /** @return single-column (v BIGINT): the MIS, deterministic per seed. */
-  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): DataFrame =
+    runCounted(spark, edges, seed, maxIter)._1
+
+  /** Like [[run]] but also reports the round count — the O(log n)
+    * w.h.p. bound is asserted in LubyMISSpec on a long chain. */
+  def runCounted(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): (DataFrame, Int) = {
     var activeEdges = GraphOps.undirected(edges)
       .repartition(col("vi"))
       .localCheckpoint(true)
@@ -86,6 +91,6 @@ object LubyMIS {
       }
       iter += 1
     }
-    state.where(col("st") === InMis).select("v")
+    (state.where(col("st") === InMis).select("v"), iter)
   }
 }

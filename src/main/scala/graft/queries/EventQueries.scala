@@ -69,6 +69,20 @@ object EventQueries {
         .select("user_id", "event_id", "ts_us", "asof_value")
     }),
 
+    // Range join: every event falling inside a 30-minute window opened
+    // by each purchase of the same user. Bin-bucketized equi-join +
+    // residual BETWEEN (Ops.rangeJoin) — never a nested-loop join.
+    "e_range_join" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val points = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val intervals = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("interval_id"),
+          col("ts_us").as("win_s"), (col("ts_us") + 1800L * 1000000L).as("win_e"))
+      graft.core.Ops.rangeJoin(points, intervals, Seq("user_id"),
+          "ts_us", "win_s", "win_e", binWidth = 1800L * 1000000L)
+        .select("interval_id", "event_id", "ts_us")
+    }),
+
     // Deterministic stratified sampling: hash-keyed keep decisions are
     // reproducible across retries/repartitions and join-stable; the
     // rate CASE folds into the scan filter (no shuffle, no UDF).
@@ -122,6 +136,15 @@ object EventQueries {
         |   ROWS UNBOUNDED PRECEDING) AS asof_value FROM u)
         |SELECT user_id, event_id, ts_us, asof_value
         |FROM w WHERE side = 1""".stripMargin,
+
+    "e_range_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |iv AS (SELECT user_id, event_id AS interval_id, ts_us AS win_s,
+        |         ts_us + CAST(1800000000 AS BIGINT) AS win_e
+        |       FROM e WHERE event_type = 'purchase')
+        |SELECT iv.interval_id, p.event_id, p.ts_us
+        |FROM iv JOIN e p ON p.user_id = iv.user_id
+        | AND p.ts_us >= iv.win_s AND p.ts_us <= iv.win_e""".stripMargin,
 
     "e_sample_stratified" ->
       s"""SELECT event_id, event_type, user_id FROM events

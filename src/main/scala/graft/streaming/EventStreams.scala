@@ -100,6 +100,21 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup — the unbounded-input twin of
+    * [[graft.pipeline.Dedup.exact]]: first occurrence of each key
+    * combination wins, with per-key state pruned once the event-time
+    * watermark passes (duplicates at 100 TB/day arrive close together —
+    * replays, at-least-once sources — so a horizon-bounded state is the
+    * standard shape; `dropDuplicatesWithinWatermark` keys the state
+    * store exactly like a streaming aggregation). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+      .drop("tts")
+
   /** Drive a streaming frame into an in-memory table and block until the
     * source drains — the local smoke harness. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {

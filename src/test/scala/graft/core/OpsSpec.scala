@@ -34,6 +34,20 @@ class OpsSpec extends SparkSpec {
     assert(salted("hot").split(",").length == 1000)
   }
 
+  test("rangeJoin equals the naive BETWEEN join and avoids nested-loop plans") {
+    val points = Seq((1L, 10L, 100L), (1L, 11L, 250L), (2L, 12L, 50L), (1L, 13L, 301L))
+      .toDF("k", "pid", "t")
+    val ivs = Seq((1L, 100L, 90L, 260L), (1L, 101L, 240L, 300L), (2L, 102L, 0L, 40L))
+      .toDF("k", "iid", "s", "e")
+    val ranged = Ops.rangeJoin(points, ivs, Seq("k"), "t", "s", "e", binWidth = 50L)
+    val got = ranged.select("iid", "pid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, Seq("k"))
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == naive && got == Set((100L, 10L), (100L, 11L), (101L, 11L)))
+    assert(!ranged.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

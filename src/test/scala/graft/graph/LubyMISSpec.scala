@@ -34,6 +34,14 @@ class LubyMISSpec extends SparkSpec {
     assert(mis(7L), "self-loop-only vertex is independent — must be included")
   }
 
+  test("1000-vertex chain converges in O(log n)-ish rounds, not O(n)") {
+    val edges = (0L until 999L).map(i => (i, i + 1))
+    val (mis, rounds) = LubyMIS.runCounted(spark, edges.toDF("src", "dst"), seed = 13L)
+    val got = mis.as[Long].collect().toSet
+    assertMIS(edges, got)
+    assert(rounds <= 25, s"chain took $rounds rounds — frontier not shrinking")
+  }
+
   test("deterministic per seed, and converges on a denser graph") {
     val rnd = new scala.util.Random(5)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -56,6 +56,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per key within the watermark horizon") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().select(col("_1").as("user_id"),
+      col("_2").as("event_type"), (col("_3") * 1000).as("ts"))
+    val q = EventStreams.dedupStream(events, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      ms.addData((1L, "click", 1000L * us), (1L, "click", 1001L * us),
+        (1L, "view", 1002L * us), (2L, "click", 1003L * us))
+      q.processAllAvailable()
+      ms.addData((1L, "click", 1004L * us)) // replay within horizon → dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+      assert(rows.sorted == Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session
