@@ -102,6 +102,17 @@ object RelationalQueries {
     "q13_salted_agg" -> ((s, dir) => Ops.saltedCollapse(
         Tables.events(s, dir), col("event_type"), col("user_id"), salts = 8)),
 
+    // Exact per-group percentiles — the distribution numbers a curation
+    // run reports. Spark's percentile is a single-pass typed-buffer
+    // aggregate; at 100 TB swap for approx_percentile (t-digest) where
+    // exactness isn't contractual.
+    "q18_percentiles" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+
     // Hierarchical aggregation (engine extension; absent in reference).
     "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
       .rollup("o_orderpriority", "o_orderstatus")
@@ -191,6 +202,13 @@ object RelationalQueries {
       """SELECT event_type AS k,
         | array_to_string(list_sort(list(user_id)), ',') AS vals
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q15_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension class must wire the SQL function and the planner
+  * strategy into a fresh session with no imperative registration.
+  * `spark.sql.extensions` is a STATIC conf read from the SparkContext,
+  * which this JVM shares across suites — so the test drives the same
+  * extension object through `Builder.withExtensions` (the programmatic
+  * twin of the conf; both funnel into the builder's applyExtensions).
+  * The default session is cleared for the build and restored after. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions wires functions and strategy at session build") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // function injection: SQL works with no GraftFunctions.register call
+      val c = spark.sql(
+        "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      // strategy injection: present in the session's planner without any
+      // Bridge.addStrategy call on this session
+      assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
