@@ -1,0 +1,212 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+import graft.graph._
+import graft.text.TextAnalysis
+
+/** Interpreter for the reference's OINK script language
+  * (`/root/reference/mapreduce-7Apr14/oink/input.cpp:392-407` parses,
+  * `oink/object.cpp:96-295` manages named MR objects) — the last layer
+  * a user of the reference drives. Surface per the shipped examples
+  * (`examples/in.{rmat,tri,cc,luby,sssp,wordfreq}`):
+  *
+  *  - `# comment`, blank lines
+  *  - `variable NAME equal time|nprocs` — builtins; `time` is elapsed
+  *    seconds at substitution time, `nprocs` the session parallelism
+  *  - external variables (the binary's `-var name v1 v2...`) — passed
+  *    in by the caller; referenced as `v_NAME` in `-i` slots
+  *  - `set key value` — scratch/verbosity/timer knobs; accepted and
+  *    recorded (Spark owns spill + logging, so they are advisory here)
+  *  - `CMD arg... -i in... -o FILE OBJ` — named commands; FILE=NULL
+  *    skips the file sink, OBJ=NULL skips binding the result
+  *  - `OBJ map/mr SRC FUNC` — apply a map function to a named object
+  *    (`add_weight`, `invert`)
+  *  - `print "text with $var"`
+  *
+  * Commands run the same Spark implementations as [[Main]]; results are
+  * named DataFrames in a registry instead of spilled KV files. MR-MPI
+  * tuning parameters with no Spark meaning (cc_find's big-zone
+  * `nthresh` — skew handled by AQE; rmat's extra-shuffle `fraction`)
+  * are accepted and ignored, documented here rather than silently
+  * swallowed. */
+object OinkScript {
+
+  final case class ScriptError(line: String, msg: String)
+    extends RuntimeException(s"$msg in: $line")
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.cli.OinkScript <script> [-var name v1 v2 ...]")
+      sys.exit(2)
+    }
+    val script = scala.io.Source.fromFile(args(0)).getLines().toSeq
+    val vars = mutable.Map[String, Seq[String]]()
+    var rest = args.drop(1).toList
+    while (rest.nonEmpty) rest match {
+      case "-var" :: name :: tail =>
+        val (vals, next) = tail.span(!_.startsWith("-"))
+        vars(name) = vals
+        rest = next
+      case other => throw new IllegalArgumentException(s"bad args: $other")
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-oink")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, script, vars.toMap)
+    finally spark.stop()
+  }
+
+  /** Execute `lines`; returns the final named-object registry (exposed
+    * for tests). `extVars` are the binary's `-var` variables. */
+  def run(spark: SparkSession, lines: Seq[String],
+      extVars: Map[String, Seq[String]] = Map.empty): Map[String, DataFrame] = {
+    val t0 = System.nanoTime()
+    val objects = mutable.Map[String, DataFrame]()
+    // variable name -> thunk evaluated at substitution time
+    val variables = mutable.Map[String, () => String]()
+    extVars.foreach { case (k, v) => variables(k) = () => v.mkString(" ") }
+
+    def subst(s: String): String =
+      variables.foldLeft(s) { case (acc, (k, f)) =>
+        if (acc.contains("$" + k)) acc.replace("$" + k, f()) else acc
+      }
+
+    def obj(name: String, line: String): DataFrame =
+      objects.getOrElse(name, throw ScriptError(line, s"unknown MR object '$name'"))
+
+    /** split `CMD a b -i x y -o f o` into (positional, inputs, outputs) */
+    def parse(tokens: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+      val i = tokens.indexOf("-i")
+      val o = tokens.indexOf("-o")
+      val posEnd = Seq(i, o).filter(_ >= 0).sorted.headOption.getOrElse(tokens.length)
+      val ins = if (i < 0) Nil else tokens.slice(i + 1, if (o > i) o else tokens.length)
+      val outs = if (o < 0) Nil else tokens.slice(o + 1, if (i > o) i else tokens.length)
+      (tokens.take(posEnd), ins, outs)
+    }
+
+    def sinkAndBind(df: DataFrame, outs: Seq[String], line: String): Unit = {
+      outs.headOption.filter(_ != "NULL").foreach { file =>
+        df.coalesce(1).write.mode("overwrite").option("sep", " ").csv(file)
+      }
+      outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = df)
+      if (outs.isEmpty) throw ScriptError(line, "command requires -o FILE OBJ")
+    }
+
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
+      val tokens = tokenize(line)
+      tokens match {
+        case Seq("variable", name, "equal", "time") =>
+          variables(name) = () => f"${(System.nanoTime() - t0) / 1e9}%.3f"
+        case Seq("variable", name, "equal", "nprocs") =>
+          variables(name) = () => spark.sparkContext.defaultParallelism.toString
+        case Seq("variable", name, "equal", value) =>
+          variables(name) = () => value
+        case Seq("set", _*) => () // advisory knobs (scratch/verbosity/timer)
+        case Seq("print", text) =>
+          println(subst(text)) // scalastyle:ignore
+        // OBJ map/mr SRC FUNC — named-object map application
+        case Seq(dst, "map/mr", src, fn) =>
+          val in = obj(src, line)
+          objects(dst) = fn match {
+            case "add_weight" => in.withColumn("weight", lit(1.0))
+            case "invert"     => graft.core.Ops.invert(in)
+            case other        => throw ScriptError(line, s"unknown map func '$other'")
+          }
+        case cmd +: restTokens =>
+          // registry convention: edge frames carry (src, dst [, weight])
+          val (pos, ins, outs) = parse(restTokens)
+          def in0 = obj(ins.head, line)
+          cmd match {
+            case "rmat" | "rmat2" =>
+              // rmat N M a b c d fraction seed (rmat.cpp:37-90): 2^N
+              // vertices, M edges per vertex; `fraction` (random bit
+              // re-shuffle) accepted, only the examples' 0.0 supported
+              val Seq(n, m, a, b, c, d, _fraction, seed) = pos.take(8): @unchecked
+              val df = RMat.generate(spark, n.toInt, m.toLong << n.toInt, seed.toLong,
+                a.toDouble, b.toDouble, c.toDouble, d.toDouble)
+              sinkAndBind(df, outs, line)
+            case "edge_upper" =>
+              sinkAndBind(GraphOps.edgeUpper(in0)
+                .select(col("vi").as("src"), col("vj").as("dst")), outs, line)
+            case "degree" =>
+              val dup = pos.headOption.map(_.toInt).getOrElse(1)
+              val df = if (dup == 2) GraphOps.degreeBoth(in0) else GraphOps.outDegree(in0)
+              if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
+            case "degree_stats" =>
+              val df = GraphOps.degreeStats(in0)
+              if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
+            case "cc_find" =>
+              // positional nthresh = MR-MPI big-zone scatter threshold;
+              // skew is AQE's job here — accepted, not used
+              sinkAndBind(ConnectedComponents.run(spark, in0), outs, line)
+            case "cc_stats" =>
+              val df = ConnectedComponents.stats(
+                if (ins.nonEmpty && in0.columns.contains("comp")) in0
+                else ConnectedComponents.run(spark, in0))
+              if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
+            case "tri_find" =>
+              sinkAndBind(Triangles.run(in0), outs, line)
+            case "luby_find" =>
+              val seed = pos.headOption.map(_.toLong).getOrElse(1L)
+              sinkAndBind(LubyMIS.run(spark, in0, seed), outs, line)
+            case "sssp" =>
+              // sssp ncnt seed (sssp.cpp:395-401)
+              val Seq(ncnt, seed) = pos.take(2): @unchecked
+              val sources = ShortestPaths.seededSources(in0, seed.toLong, ncnt.toInt)
+              sinkAndBind(ShortestPaths.runMulti(spark, in0, sources), outs, line)
+            case "wordfreq" =>
+              // wordfreq ntop (wordfreq.cpp:94-98); -i is a file-list
+              // variable (the binary's `-var files ...`)
+              val ntop = pos.headOption.map(_.toInt).getOrElse(10)
+              val paths = ins.map {
+                case v if v.startsWith("v_") =>
+                  variables.getOrElse(v.drop(2),
+                    throw ScriptError(line, s"unknown variable '$v'"))().split("\\s+").toSeq
+                case p => Seq(p)
+              }.flatten
+              val docs = paths.map(p => spark.read
+                  .option("recursiveFileLookup", "true").textFile(p).toDF("text"))
+                .reduce(_ union _)
+              sinkAndBind(TextAnalysis.wordFreq(docs, col("text"), ntop), outs, line)
+            case "vertex_extract" =>
+              sinkAndBind(GraphOps.vertexExtract(in0), outs, line)
+            case "neighbor" =>
+              sinkAndBind(GraphOps.neighbors(in0), outs, line)
+            case "histo" =>
+              val df = GraphOps.degreeStats(in0)
+              if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
+            case _ => throw ScriptError(line, s"unknown command '$cmd'")
+          }
+      }
+    }
+    objects.toMap
+  }
+
+  /** whitespace split, double-quoted strings kept whole */
+  private def tokenize(line: String): Seq[String] = {
+    val out = mutable.Buffer[String]()
+    var i = 0
+    while (i < line.length) {
+      if (line(i).isWhitespace) i += 1
+      else if (line(i) == '"') {
+        val j = line.indexOf('"', i + 1)
+        out += line.substring(i + 1, if (j < 0) line.length else j)
+        i = if (j < 0) line.length else j + 1
+      } else {
+        var j = i
+        while (j < line.length && !line(j).isWhitespace) j += 1
+        out += line.substring(i, j)
+        i = j
+      }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,66 @@
+package graft.cli
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The interpreter must run the reference's shipped example scripts
+  * (small-scale parameter variants) end to end, with results equal to
+  * the direct API calls. */
+class OinkScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("in.luby shape: rmat -> edge_upper -> luby_find -> print") {
+    val dir = Files.createTempDirectory("oink")
+    val out = dir.resolve("mis.csv").toString
+    val reg = OinkScript.run(spark, Seq(
+      "# OINK script for Luby's algorithm",
+      "variable t equal time",
+      "variable p equal nprocs",
+      "set scratch SCRATCH",
+      "rmat 8 4 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
+      "edge_upper -i mre -o NULL mre",
+      s"luby_find 12345 -i mre -o $out NULL",
+      "print \"MIS: $t secs on $p procs\""))
+    assert(reg.contains("mre"))
+    val direct = graft.graph.LubyMIS.run(spark, reg("mre"), seed = 12345L).count()
+    val written = spark.read.schema("v LONG").option("sep", " ").csv(out).count()
+    assert(written == direct && written > 0)
+  }
+
+  test("in.sssp shape: map/mr add_weight feeds the weighted sssp") {
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 4 3 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
+      "mre map/mr mre add_weight",
+      "sssp 2 12345 -i mre -o NULL mrd"))
+    val d = reg("mrd")
+    assert(d.columns.toSeq == Seq("source", "v", "dist"))
+    assert(d.count() > 0)
+    assert(reg("mre").columns.contains("weight"))
+  }
+
+  test("in.wordfreq shape: -var files variable resolves in -i") {
+    val dir = Files.createTempDirectory("oinkwf")
+    Files.writeString(dir.resolve("a.txt"), "alpha beta alpha\n")
+    Files.writeString(dir.resolve("b.txt"), "beta gamma\n")
+    val reg = OinkScript.run(spark, Seq(
+      "wordfreq 10 -i v_files -o NULL mrw"),
+      extVars = Map("files" -> Seq(
+        dir.resolve("a.txt").toString, dir.resolve("b.txt").toString)))
+    val freq = reg("mrw").as[(String, Long)].collect().toMap
+    assert(freq == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
+  test("in.cc shape: cc_find result feeds cc_stats by name") {
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
+      "edge_upper -i mre -o NULL mre",
+      "cc_find 0 -i mre -o NULL mrc",
+      "cc_stats -i mrc -o NULL mrs"))
+    val stats = reg("mrs")
+    assert(stats.columns.toSeq == Seq("size", "ncomp"))
+    val direct = graft.graph.ConnectedComponents.stats(
+      graft.graph.ConnectedComponents.run(spark, reg("mre"))).count()
+    assert(stats.count() == direct)
+  }
+}
