@@ -32,19 +32,30 @@ object EdgeListIO {
     */
   def readValidated(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    // Directory trees/globs read like the reference's file-list map; for
-    // multi-file input the abort line number is global across the
-    // partition-ordered concatenation (the reference aborts per file).
+    // Directory trees/globs read like the reference's file-list map.
     val lines = spark.read.option("recursiveFileLookup", "true").textFile(path)
-    // RDD zipWithIndex preserves textfile line order (partition-ordered).
-    val numbered = lines.rdd.zipWithIndex().toDF("line", "idx")
+    // RDD zipWithIndex preserves textfile line order (partition-ordered);
+    // the per-file line number (the reference validates file by file,
+    // mr-pr-cpp.cpp:89-108) is the rank of the global index within its
+    // file — a window over the validation pass only, not the data path.
+    val numbered = lines
+      .select(col("value").as("line"), input_file_name().as("f"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getString(0), r.getString(1), i) }
+      .toDF("line", "f", "gidx")
     val bad = numbered
       .where(!col("line").rlike(LinePattern))
-      .orderBy("idx")
-      .select(col("idx") + 1, col("line"))
+      .orderBy("gidx")
       .limit(1)
+      .select("gidx", "f", "line")
       .collect()
-    bad.headOption.foreach(r => throw InvalidLine(r.getLong(0), r.getString(1)))
+    bad.headOption.foreach { r =>
+      // exact per-file number: count this file's lines up to the offender
+      val n = numbered
+        .where(col("f") === r.getString(1) && col("gidx") <= r.getLong(0))
+        .count()
+      throw InvalidLine(n, r.getString(2))
+    }
     numbered.select(
       split(col("line"), "\\s").getItem(0).cast("long").as("src"),
       split(col("line"), "\\s").getItem(1).cast("long").as("dst"))

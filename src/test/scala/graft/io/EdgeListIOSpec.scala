@@ -47,6 +47,16 @@ class EdgeListIOSpec extends SparkSpec {
     assert(words == 6L)
   }
 
+  test("multi-file validation aborts with the PER-FILE line number") {
+    val dir = Files.createTempDirectory("edgebad")
+    Files.writeString(dir.resolve("a.txt"), "0 1\n1 2\n2 3\n")
+    Files.writeString(dir.resolve("b.txt"), "5 6\nBAD LINE\n")
+    val e = intercept[EdgeListIO.InvalidLine] {
+      EdgeListIO.readValidated(spark, dir.toString)
+    }
+    assert(e.lineNumber == 2, s"expected line 2 of b.txt, got ${e.lineNumber}")
+  }
+
   test("readWords tokenizes on whitespace runs") {
     val p = tmp("the  quick\tbrown\nfox the\n")
     val words = EdgeListIO.readWords(spark, p).as[String].collect().toSeq
