@@ -100,8 +100,35 @@ object OinkScript {
       if (outs.isEmpty) throw ScriptError(line, "command requires -o FILE OBJ")
     }
 
-    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
-      val tokens = tokenize(line)
+    // LAMMPS-style control flow (input.cpp:394-401, 527-720):
+    // loop variables + label/jump/next, and if "expr" then/else with
+    // quoted sub-commands. Program-counter execution over the filtered
+    // line array; `next` on an exhausted loop variable deletes it and
+    // skips the following jump (the reference's loop-exit idiom).
+    val prog = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
+    val loopMax = mutable.Map[String, Int]()
+    var skipNextJump = false
+    var pc = 0
+
+    def evalBool(expr: String, line: String): Boolean = {
+      val s = subst(expr).trim
+      val m = "^\\s*(-?[0-9.]+)\\s*(==|!=|<=|>=|<|>)\\s*(-?[0-9.]+)\\s*$".r
+      s match {
+        case m(a, op, b) =>
+          val (x, y) = (a.toDouble, b.toDouble)
+          op match {
+            case "==" => x == y; case "!=" => x != y
+            case "<=" => x <= y; case ">=" => x >= y
+            case "<"  => x < y;  case ">"  => x > y
+          }
+        case _ => throw ScriptError(line, s"unsupported boolean '$s'")
+      }
+    }
+
+    def exec(line: String): Unit = {
+      // substitute $vars before parsing (input.cpp:280-282); a value
+      // with spaces expands to multiple tokens, as in the reference
+      val tokens = tokenize(subst(line))
       tokens match {
         case Seq("variable", name, "equal", "time") =>
           variables(name) = () => f"${(System.nanoTime() - t0) / 1e9}%.3f"
@@ -109,6 +136,35 @@ object OinkScript {
           variables(name) = () => spark.sparkContext.defaultParallelism.toString
         case Seq("variable", name, "equal", value) =>
           variables(name) = () => value
+        case Seq("variable", name, "loop", n) =>
+          if (!variables.contains(name)) { // re-entry keeps the counter
+            variables(name) = () => "1"
+            loopMax(name) = n.toInt
+          }
+        case Seq("next", name) =>
+          val cur = variables.getOrElse(name,
+            throw ScriptError(line, s"unknown variable '$name'"))().toInt
+          if (cur >= loopMax.getOrElse(name, Int.MaxValue)) {
+            variables.remove(name); loopMax.remove(name)
+            skipNextJump = true
+          } else {
+            val v = (cur + 1).toString
+            variables(name) = () => v
+          }
+        case Seq("label", _) => () // position marker; jump searches for it
+        case Seq("jump", _, labelName) =>
+          if (skipNextJump) skipNextJump = false
+          else {
+            val target = prog.indexWhere(l => tokenize(l) == Seq("label", labelName))
+            if (target < 0) throw ScriptError(line, s"label '$labelName' not found")
+            pc = target // pc += 1 below lands on the line after the label
+          }
+        case "if" +: cond +: "then" +: branches =>
+          val elseIdx = branches.indexOf("else")
+          val (thenCmds, elseCmds) =
+            if (elseIdx < 0) (branches, Seq.empty[String])
+            else (branches.take(elseIdx), branches.drop(elseIdx + 1))
+          (if (evalBool(cond, line)) thenCmds else elseCmds).foreach(exec)
         case Seq("set", _*) => () // advisory knobs (scratch/verbosity/timer)
         case Seq("print", text) =>
           println(subst(text)) // scalastyle:ignore
@@ -186,6 +242,11 @@ object OinkScript {
             case _ => throw ScriptError(line, s"unknown command '$cmd'")
           }
       }
+    }
+
+    while (pc < prog.length) {
+      exec(prog(pc))
+      pc += 1
     }
     objects.toMap
   }

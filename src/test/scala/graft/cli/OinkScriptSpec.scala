@@ -51,6 +51,21 @@ class OinkScriptSpec extends SparkSpec {
     assert(freq == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
   }
 
+  test("control flow: loop variable + label/jump/next, and if/then/else") {
+    val reg = OinkScript.run(spark, Seq(
+      "variable i loop 3",
+      "label top",
+      "rmat 4 2 0.25 0.25 0.25 0.25 0.0 $i -o NULL mr$i",
+      "next i",
+      "jump SELF top",
+      "if \"2 < 3\" then \"rmat 4 2 0.25 0.25 0.25 0.25 0.0 9 -o NULL mrthen\" " +
+        "else \"rmat 4 2 0.25 0.25 0.25 0.25 0.0 9 -o NULL mrelse\""))
+    assert(Set("mr1", "mr2", "mr3", "mrthen").subsetOf(reg.keySet))
+    assert(!reg.contains("mrelse"))
+    // per-iteration seeds differ -> different graphs
+    assert(reg("mr1").collect().toSet != reg("mr2").collect().toSet)
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
