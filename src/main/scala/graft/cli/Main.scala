@@ -25,8 +25,9 @@ import graft.text.TextAnalysis
 object Main {
 
   private val commands = Seq("pagerank", "degree", "degree_stats",
-    "edge_upper", "vertex_extract", "neighbor", "histo", "wordfreq",
-    "cc_find", "cc_stats", "sssp", "tri_find", "luby_find", "rmat")
+    "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
+    "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
+    "rmat")
 
   def usage(): Nothing = {
     System.err.println(
@@ -99,6 +100,9 @@ object Main {
         case "sssp"           => ShortestPaths.run(spark, edges(),
           o.getOrElse("source", "0").toLong).orderBy("v")
         case "tri_find"       => Triangles.run(edges()).orderBy("a", "b", "c")
+        case "neigh_tri"      => // neighbor edges + opposite triangle edges
+          val e = edges()
+          GraphOps.neighTri(e, Triangles.run(e)).orderBy("v", "ea", "eb")
         case "luby_find"      => LubyMIS.run(spark, edges(),
           o.getOrElse("seed", "1").toLong).orderBy("v")
         case "rmat"           => RMat.generate(spark,
