@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      new ExpressionInfo(graft.functions.Hashing.getClass.getName, "hash60"),
+      graft.functions.GraftFunctions.hash60Builder _))
   }
 }

@@ -7,7 +7,30 @@ import org.apache.spark.sql.graftbridge.Bridge
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the
   * Column API. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)))
+    Bridge.registerFunction(spark, "hash60", hash60Builder)
+  }
+
+  /** SQL surface for the portable 60-bit hash every deterministic
+    * operator derives from (same value in DuckDB: see
+    * [[Hashing.hash60Sql]]) — `hash60(x)` or seeded `hash60(seed, x)`.
+    * Built as raw catalyst nodes (a Column round-trip would hand the
+    * analyzer an Unevaluable lazy wrapper). */
+  private[graft] def hash60Builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+    def h(e: Expression): Expression =
+      Cast(Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType)
+    exprs match {
+      case Seq(x) => h(x)
+      case Seq(seed, x) => h(ConcatWs(Seq(Literal("|"),
+        Cast(seed, StringType), Cast(x, StringType))))
+      case _ => throw new IllegalArgumentException("hash60 expects 1 or 2 arguments")
+    }
+  }
 }

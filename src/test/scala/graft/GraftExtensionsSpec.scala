@@ -30,6 +30,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
+      // hash60 from SQL must equal the driver-side derivation
+      val h = spark.sql("SELECT hash60('abc') AS h, hash60(7, 'abc') AS hs").head()
+      assert(h.getLong(0) == graft.functions.Hashing.hash60Local("abc"))
+      assert(h.getLong(1) == graft.functions.Hashing.hash60Local("7|abc"))
       // strategy injection: present in the session's planner without any
       // Bridge.addStrategy call on this session
       assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
