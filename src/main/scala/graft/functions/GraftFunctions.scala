@@ -23,9 +23,13 @@ object GraftFunctions {
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+    // Route every input through StringType before the binary cast: a
+    // direct integral->binary cast yields big-endian bytes, which would
+    // diverge from the documented DuckDB parity (md5 of the decimal
+    // string) and from the seeded 2-arg form.
     def h(e: Expression): Expression =
-      Cast(Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
-        Literal(16), Literal(10)), LongType)
+      Cast(Conv(Substring(Md5(Cast(Cast(e, StringType), BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
     exprs match {
       case Seq(x) => h(x)
       case Seq(seed, x) => h(ConcatWs(Seq(Literal("|"),

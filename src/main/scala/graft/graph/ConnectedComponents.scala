@@ -94,6 +94,14 @@ object ConnectedComponents {
       iter += 1
     }
 
+    // The extraction below is only valid at the fixpoint (star forest =
+    // exactly one root per non-root vertex); a maxIter bailout would
+    // silently emit multiple (v, comp) rows per vertex.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter star rounds " +
+          "(O(log n) expected; raise maxIter)")
+
     // At the fixpoint the edge set is a star forest (v, root). Roots and
     // isolated vertices map to themselves.
     val comp = verts.join(e, verts("v") === e("vi"), "left")

@@ -70,16 +70,18 @@ object ShortestPaths {
     * the valid (non-singleton) vertex list (`oink/sssp.cpp:54`,
     * `get_good_sources`). We draw index `hash60(seed|i) % |V|` into the
     * id-ordered vertex list — partitioning-independent, identical in
-    * the DuckDB oracle. The rank window is one pass over |V| (≪ |E|);
-    * duplicates collapse. */
+    * the DuckDB oracle. Ranks come from a distributed sortBy +
+    * zipWithIndex (range-partitioned, like readValidated) — a global
+    * row_number window would funnel all of |V| through one task. */
   def seededSources(edges: DataFrame, seed: Long, count: Int): Seq[Long] = {
-    import org.apache.spark.sql.expressions.Window
     val verts = GraphOps.vertexExtract(edges)
     val n = verts.count()
-    val wanted = (0 until count).map(i => graft.functions.Hashing.hash60Local(s"$seed|$i") % n)
-    verts.withColumn("rn", row_number().over(Window.orderBy("v")) - 1)
-      .where(col("rn").isin(wanted: _*))
-      .select("v").collect().map(_.getLong(0)).toSeq.distinct
+    val wanted = (0 until count)
+      .map(i => graft.functions.Hashing.hash60Local(s"$seed|$i") % n).toSet
+    verts.select("v").rdd.map(_.getLong(0)).sortBy(identity)
+      .zipWithIndex()
+      .collect { case (v, rn) if wanted.contains(rn) => v }
+      .collect().toSeq.sorted.distinct
   }
 
   /** Multi-source variant — the reference's `sssp ncnt seed` runs ncnt

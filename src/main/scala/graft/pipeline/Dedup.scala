@@ -163,15 +163,24 @@ object Dedup {
         shiftleft(shiftright(col("th"), j).bitwiseAND(lit(1L)), k * CounterBits)
       }.reduce(_ + _)).as(s"p$p")
     }
+    val sketch = (0 until SimHashBits).map { j =>
+      val p = j / CountersPerLong
+      val k = j % CountersPerLong
+      val ones = shiftright(col(s"p$p"), k * CounterBits)
+        .bitwiseAND(lit((1L << CounterBits) - 1))
+      when(ones * 2 > col("ntok"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // Enforce the packed-counter ceiling instead of silently carrying
+    // into the adjacent 20-bit slot: a doc with >= 2^20 tokens fails
+    // loudly (pre-truncate upstream if such docs are expected).
     toks.groupBy("doc_id").agg(packs.head, (packs.tail :+ count(lit(1)).as("ntok")): _*)
       .select(col("doc_id"),
-        (0 until SimHashBits).map { j =>
-          val p = j / CountersPerLong
-          val k = j % CountersPerLong
-          val ones = shiftright(col(s"p$p"), k * CounterBits)
-            .bitwiseAND(lit((1L << CounterBits) - 1))
-          when(ones * 2 > col("ntok"), lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        when(col("ntok") < lit(1L << CounterBits), sketch)
+          .otherwise(raise_error(format_string(
+            "simHash counter overflow: document %s has %s tokens (max %s)",
+            col("doc_id").cast("string"), col("ntok"),
+            lit((1L << CounterBits) - 1))).cast("long"))
+          .as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via

@@ -34,6 +34,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h = spark.sql("SELECT hash60('abc') AS h, hash60(7, 'abc') AS hs").head()
       assert(h.getLong(0) == graft.functions.Hashing.hash60Local("abc"))
       assert(h.getLong(1) == graft.functions.Hashing.hash60Local("7|abc"))
+      // non-string args hash their decimal-string rendering (DuckDB
+      // parity), not their big-endian binary cast
+      val hn = spark.sql(
+        "SELECT hash60(CAST(42 AS BIGINT)) AS hi, hash60(CAST(42 AS INT)) AS hj").head()
+      assert(hn.getLong(0) == graft.functions.Hashing.hash60Local("42"))
+      assert(hn.getLong(1) == graft.functions.Hashing.hash60Local("42"))
       // strategy injection: present in the session's planner without any
       // Bridge.addStrategy call on this session
       assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))

@@ -50,6 +50,14 @@ class GraphAlgoSpec extends SparkSpec {
     assert(comp.agg(max("comp")).head().getLong(0) == 0L, "root must be the min id")
   }
 
+  test("connected components refuse a maxIter bailout instead of emitting garbage") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, edges, maxIter = 0).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("sssp unit-weight BFS distances on a diamond with a shortcut") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (0L, 4L))
       .toDF("src", "dst")

@@ -48,6 +48,18 @@ class PipelineSpec extends SparkSpec {
     assert(near < far, "near-dup must be closer than the unrelated doc")
   }
 
+  test("simhash fails loudly past the packed-counter token ceiling") {
+    // 2^20 tokens would overflow a 20-bit counter slot; the guard must
+    // raise instead of silently carrying into the neighboring counter.
+    val big = Seq((1L, ("w " * (1 << 20)).trim)).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.simHash(big, col("doc_id"), col("text")).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("simHash counter overflow"))
+  }
+
   test("simhash near-pair probe expansion equals all-pairs hamming filter") {
     val sh = Dedup.simHash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
