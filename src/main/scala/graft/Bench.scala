@@ -36,6 +36,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // measure operators, not the cc/tri memo's block-manager writes
+      .config("spark.graft.memoize", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -48,11 +50,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // median of 3: single-run numbers on a shared JVM swing 2-3× with
-    // GC/JIT state; the median is what a steady-state cluster run sees.
-    // The cc/tri memo is cleared per rep so every rep does real work.
+    // median of 5: single-run numbers on a shared JVM swing 2-3× with
+    // GC/JIT state and host noisy-neighbor jitter; the median is what a
+    // steady-state cluster run sees. The cc/tri memo is cleared per rep
+    // so every rep does real work.
     val results = Headline.map { name =>
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 5).map { _ =>
         graft.queries.GraphQueries.clearCaches()
         val t0 = System.nanoTime()
         try materialize(SparkEntry.queries(name)(spark, sfDir))
@@ -64,7 +67,7 @@ object Bench {
       // drop dead localCheckpoint blocks: the ContextCleaner frees them
       // only after the driver GC collects the orphaned RDD references
       System.gc()
-      name -> ts.sorted.apply(1)
+      name -> ts.sorted.apply(2)
     }
     System.gc() // settle the heap before the ms-scale reference metric
 
@@ -89,32 +92,24 @@ object Bench {
           }
           ts.sorted.apply(2)
         }
-        val local = median {
-          e1.as[(Long, Long)].mapPartitions { it =>
-            val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-            it.foreach { case (s, d) =>
-              m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
-            }
-            import scala.jdk.CollectionConverters._
-            m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
-          }.write.format("noop").mode("overwrite").save()
-        }
+        // Both shapes group with LongAdjacencyMap (primitive long keys +
+        // long[] adjacency — the reference's KMV build without boxing)
+        // over the cached InternalRows directly: the tuple deserializer
+        // alone costs more than the whole grouping loop (MrPhaseBench:
+        // 81 ms tuple path vs 31 ms InternalRow path on barabasi-100000).
+        def grouped(df: DataFrame): Unit =
+          df.queryExecution.toRdd.mapPartitions { it =>
+            val m = new graft.core.LongAdjacencyMap()
+            it.foreach { r => m.add(r.getLong(1), r.getLong(0)) }
+            m.groupSizes
+          }.foreach(_ => ())
+        val local = median(grouped(e1))
         // hash exchange + per-partition local hash grouping — literally
-        // the reference's aggregate()+convert() pair (and measured ~1.5×
+        // the reference's aggregate()+convert() pair (and measured ~2×
         // faster than groupBy+collect_list, whose array building is not
-        // part of the reference's phase)
-        val shuffle = median {
-          edges.as[(Long, Long)]
-            .repartition(cpus.toInt, col("dst"))
-            .mapPartitions { it =>
-              val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-              it.foreach { case (s, d) =>
-                m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
-              }
-              import scala.jdk.CollectionConverters._
-              m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
-            }.write.format("noop").mode("overwrite").save()
-        }
+        // part of the reference's phase); wall time here is the exchange
+        // itself, Spark's fixed scale-out cost on a 1 MB graph
+        val shuffle = median(grouped(edges.repartition(cpus.toInt, col("dst"))))
         edges.unpersist(false); e1.unpersist(false)
         Seq(s"$name-local" -> local, s"$name-shuffle" -> shuffle)
       }

@@ -40,8 +40,17 @@ object Triangles {
         when(col("di") < col("dj") || (col("di") === col("dj") && col("vi") < col("vj")), col("vj"))
           .otherwise(col("vi")).as("hi"))
 
-    // angles: two oriented edges sharing their low vertex
-    val a1 = oriented.select(col("lo").as("p"), col("hi").as("x"))
+    // angles: two oriented edges sharing their low vertex. The probe
+    // side is spread round-robin across the full core count first:
+    // wedge generation fans out each probe row by outdeg(lo), which
+    // cost-based stats cannot see — without the explicit spread, AQE
+    // coalesces the (tiny, ~|E| row) probe input to one or two
+    // partitions and the (huge) generated wedge set runs near-serially.
+    // Round-robin beats hash-on-lo here: the join needs no co-location
+    // when the build side broadcasts, and a hub vertex's rows spread
+    // over all partitions instead of landing in one.
+    val np = edges.sparkSession.sparkContext.defaultParallelism
+    val a1 = oriented.repartition(np).select(col("lo").as("p"), col("hi").as("x"))
     val a2 = oriented.select(col("lo").as("p"), col("hi").as("y"))
     val angles = a1.join(a2, "p").where(col("x") < col("y"))
 

@@ -22,14 +22,24 @@ object GraphQueries {
 
   // g_cc/g_cc_stats and g_tri/g_tri_count share their expensive stage;
   // memoize per (session, dir) so a Verify sweep computes each once.
+  // The persist is governed by spark.graft.memoize (default true): a
+  // Verify sweep wants the reuse, but a benchmark rep must not pay the
+  // block-manager write — at sf0.1 the triangle set is 6.4M rows, and
+  // caching it costs more than enumerating it.
+  private def memoize(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.memoize", "true").toBoolean
   private val ccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def ccOf(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((s, dir),
-      ConnectedComponents.run(s, Tables.edges(s, dir)).persist())
+    ccCache.getOrElseUpdate((s, dir), {
+      val df = ConnectedComponents.run(s, Tables.edges(s, dir))
+      if (memoize(s)) df.persist() else df
+    })
   private val triCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def triOf(s: SparkSession, dir: String): DataFrame =
-    triCache.getOrElseUpdate((s, dir),
-      Triangles.run(Tables.edges(s, dir)).persist())
+    triCache.getOrElseUpdate((s, dir), {
+      val df = Triangles.run(Tables.edges(s, dir))
+      if (memoize(s)) df.persist() else df
+    })
 
   /** Release the memoized cc/tri frames — call after a sweep (Verify,
     * Bench) so persisted blocks don't outlive their usefulness in a

@@ -46,6 +46,52 @@ object MrPhaseBench {
     time("repart_sortWithin") {
       noop(edges.repartition(8, col("dst")).sortWithinPartitions("dst"))
     }
+    time("mapPartitions_primitive_map") {
+      edges1.as[(Long, Long)].mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { case (s, d) => m.add(d, s) }
+        m.groupSizes
+      }.write.format("noop").mode("overwrite").save()
+    }
+    time("shuffle_primitive_map") {
+      edges.as[(Long, Long)]
+        .repartition(32, col("dst"))
+        .mapPartitions { it =>
+          val m = new graft.core.LongAdjacencyMap()
+          it.foreach { case (s, d) => m.add(d, s) }
+          m.groupSizes
+        }.write.format("noop").mode("overwrite").save()
+    }
+    time("mapPartitions_internalrow") {
+      // bypass the tuple deserializer: read the cached InternalRows
+      // directly (row object is reused; two getLong calls per edge)
+      val rdd = edges1.queryExecution.toRdd.mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { r => m.add(r.getLong(1), r.getLong(0)) }
+        m.groupSizes
+      }
+      rdd.foreach(_ => ())
+    }
+    time("shuffle_internalrow") {
+      val rdd = edges.repartition(32, col("dst")).queryExecution.toRdd.mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { r => m.add(r.getLong(1), r.getLong(0)) }
+        m.groupSizes
+      }
+      rdd.foreach(_ => ())
+    }
+    time("shuffle_boxed_map") {
+      edges.as[(Long, Long)]
+        .repartition(32, col("dst"))
+        .mapPartitions { it =>
+          val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+          it.foreach { case (s, d) =>
+            m.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.size()))
+        }.write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
