@@ -33,6 +33,22 @@ object TextQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))),
 
+    // PII-style scrubbing over a deterministic fixture: the synthetic
+    // corpus contains no addresses/numbers, so the gate query appends a
+    // per-doc contact line (identically in the oracle SQL) and verifies
+    // the redaction regexes + counts over it.
+    "t_redact" -> ((s, dir) =>
+      TextAnalysis.redact(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com ref "), (col("doc_id") + 7) * 123457L).as("text")),
+        col("doc_id"), col("text"))),
+
+    // Concat-and-chunk sequence packing: 512-token budget, 8 shards.
+    "t_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), col("doc_id"), col("text"),
+        budget = 512L, nShards = 8)),
+
     // Corpus-level training-budget stats: docs and token mass per
     // predicted language — the numbers a data-mixture plan is built
     // from. Two single-scan aggregates joined on doc_id.
@@ -99,6 +115,35 @@ object TextQueries {
          | CAST(sum(bpe_est) AS BIGINT) AS total_bpe
          |FROM lang JOIN tok USING (doc_id) GROUP BY lang_pred""".stripMargin
     },
+
+    "t_redact" -> {
+      val email = TextAnalysis.EmailRe
+      val num = TextAnalysis.LongNumRe
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.com ref ' || CAST((doc_id + 7) * 123457 AS VARCHAR) AS text
+         |  FROM documents),
+         |ne AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS no_email FROM d)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(no_email, '$num')) AS BIGINT) AS n_nums,
+         |  regexp_replace(no_email, '$num', '<NUM>', 'g') AS clean_text
+         |FROM ne""".stripMargin
+    },
+
+    "t_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |  (${H("CAST(doc_id AS VARCHAR)")} % 8) AS shard FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id), 0) - n_tokens AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  cum_before // 512 AS seq_id,
+         |  cum_before % 512 AS seq_offset,
+         |  (n_tokens > 0 AND (cum_before + n_tokens - 1) // 512 > cum_before // 512) AS spans_cut
+         |FROM c""".stripMargin,
 
     "t_quality" -> {
       val stop = inList(markers.head._2)

@@ -98,6 +98,60 @@ object TextAnalysis {
         array_min(transform(shinglesFromTokens(col("toks"), 3),
           s => Hashing.hash60(s))).as("min_shingle_fp"))
 
+  /** Email-address pattern for [[redact]] — intersection of Java-regex
+    * and RE2 syntax so Spark and the DuckDB oracle match byte for byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (6+) — account/phone/ssn-shaped tokens. */
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII-style scrubbing, the standard pre-training redaction pass:
+    * emails then long digit runs are replaced with typed placeholders,
+    * with per-document match counts for curation stats. Order matters
+    * and is part of the contract: emails are scrubbed first, digit runs
+    * are counted and scrubbed on the email-scrubbed text (an address's
+    * digits must not also count as a number). Pure regexp_replace /
+    * regexp_extract_all column expressions — single scan, codegen. */
+  def redact(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    docs.select(
+      id.as("doc_id"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(LongNumRe), lit(0))).cast("long").as("n_nums"),
+      regexp_replace(noEmail, LongNumRe, "<NUM>").as("clean_text"))
+  }
+
+  /** Concat-and-chunk sequence packing — assigns every document a
+    * position in a fixed-token-budget training-sequence stream. The
+    * corpus is sharded by `hash60(doc_id) % nShards` (packing is
+    * per-shard, the way a per-worker packer runs in production — a
+    * single global ordering would funnel the corpus through one task);
+    * within a shard, documents are concatenated in doc_id order and cut
+    * every `budget` tokens. Emitted per document: its shard, the
+    * sequence index its first token lands in, the offset there, and
+    * whether it spans a cut. Deterministic, partitioning-independent,
+    * window-expressible in both engines. */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+      budget: Long, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      id.as("doc_id"),
+      size(tokens(text)).cast("long").as("n_tokens"),
+      (Hashing.hash60(id.cast("string")) % nShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    base
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        (col("cum_before") % budget).as("seq_offset"),
+        // guarded: for an empty doc the last-token index would be -1,
+        // and Spark's `div` truncates toward zero while DuckDB floors
+        (col("n_tokens") > 0 &&
+          expr(s"(cum_before + n_tokens - 1) div $budget") >
+            expr(s"cum_before div $budget")).as("spans_cut"))
+  }
+
   /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
     * Callers must bind `toks` to an attribute (e.g. via a prior select),
     * not pass `tokens(text)` inline — the expression references the

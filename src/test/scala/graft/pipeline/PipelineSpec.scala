@@ -89,6 +89,39 @@ class PipelineSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("redact scrubs emails then digit runs, with per-doc counts") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com or call 5551234567"),
+      (2L, "short num 12345 survives, 123456 does not"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((1L, 1L, "mail me at <EMAIL> or call <NUM>")))
+    assert(r(2L) == ((0L, 1L, "short num 12345 survives, <NUM> does not")))
+    assert(r(3L) == ((0L, 0L, "no pii here")))
+  }
+
+  test("packSequences chunks each shard's doc_id-ordered token stream") {
+    val d = Seq.tabulate(12)(i => (i.toLong, Seq.fill(300)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.packSequences(d, col("doc_id"), col("text"),
+        budget = 512L, nShards = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(p.size == 12)
+    // per shard: docs in doc_id order, 300 tokens each, cut every 512
+    p.groupBy(_._2._1).foreach { case (_, docsInShard) =>
+      val ordered = docsInShard.toSeq.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, (_, ntok, seqId, off, spans)) =>
+        assert(ntok == 300L)
+        assert(seqId == cum / 512 && off == cum % 512)
+        assert(spans == ((cum + 299) / 512 > cum / 512))
+        cum += 300
+      }
+    }
+  }
+
   test("brute-force ANN finds the nearest vector and honors k + ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
