@@ -83,11 +83,17 @@ object ConnectedComponents {
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      // Eager localCheckpoint every round: each star step references the
+      // localCheckpoint every round: each star step references the
       // round's edge set twice (groupBy + join), so the logical plan
       // would double per round without truncation (see PageRank.run).
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
+      // Lazy (eager=false): the plan is truncated to a LogicalRDD leaf
+      // immediately, but the blocks materialize inside the signature
+      // aggregate below — one job per round instead of a checkpoint job
+      // plus a signature job. The aggregate scans every partition, so
+      // the checkpoint is complete when the job ends.
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = signature(next) // materializes `next`
+      e.unpersist(false) // safe: successor's blocks exist now
       converged = nextSig == sig
       sig = nextSig
       e = next

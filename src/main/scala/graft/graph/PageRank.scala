@@ -88,14 +88,23 @@ object PageRank {
 
     var iter = 0
     var diff = Double.MaxValue
+    // previous round's state, released only after the aggregate below has
+    // materialized the current (lazily checkpointed) state — unpersisting
+    // a localCheckpoint before its successor materializes would destroy
+    // the only copy of the recomputation source.
+    var toRelease: DataFrame = null
     while (diff > tol && iter < maxIter) {
-      // ONE action: Σpr and Σ dangling pr of the current (pre-normalized)
-      // vector, plus (from iteration 1) the L1 diff of the previous update,
-      // fused into a single aggregate (mr-pr-cpp.cpp:131-138,161-174).
+      // ONE action per iteration: Σpr and Σ dangling pr of the current
+      // (pre-normalized) vector, plus (from iteration 1) the L1 diff of
+      // the previous update, fused into a single aggregate
+      // (mr-pr-cpp.cpp:131-138,161-174). This same aggregate also
+      // materializes the previous round's lazy localCheckpoint — the
+      // checkpoint-then-aggregate pair costs one job, not two.
       val row = state.agg(
         sum("pr"),
         sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)),
         sum(abs(col("pr") - col("old_pr")))).head()
+      if (toRelease != null) { toRelease.unpersist(false); toRelease = null }
       val sumPr = row.getDouble(0)
       val danglingPr = row.getDouble(1)
       if (iter > 0) {
@@ -126,13 +135,15 @@ object PageRank {
         .drop("h")
         .select("id", "outdeg", "pr", "old_pr")
 
-      // Eager localCheckpoint EVERY iteration: `normalized` appears twice
+      // localCheckpoint EVERY iteration: `normalized` appears twice
       // in `next`'s plan (contrib + base), so without truncation the
       // logical plan doubles per iteration — caching alone does not stop
-      // Catalyst re-analyzing an exponentially growing tree. On a real
-      // cluster swap for reliable `checkpoint` at `checkpointEvery`.
-      val cp = next.localCheckpoint(true)
-      state.unpersist(false)
+      // Catalyst re-analyzing an exponentially growing tree. Lazy: the
+      // next loop-top aggregate (or the caller's first action) scans all
+      // partitions and materializes it. On a real cluster swap for
+      // reliable `checkpoint` at `checkpointEvery`.
+      val cp = next.localCheckpoint(false)
+      toRelease = state
       state = cp
       iter += 1
     }

@@ -43,17 +43,23 @@ object ShortestPaths {
       val candidates = weighted
         .join(frontier, weighted("src") === frontier("v"))
         .select(col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
-      // Eager localCheckpoint every round: `dist` appears twice in the
+      // localCheckpoint every round: `dist` appears twice in the
       // round plan (union + improvement anti-check) — truncate or the
-      // logical tree doubles per round (see PageRank.run).
+      // logical tree doubles per round (see PageRank.run). Lazy: the
+      // improvement join below scans all of `merged`, so the count
+      // action materializes both frames in a single job per round.
       val merged = dist.union(candidates)
         .groupBy("v").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-      // improved = vertices whose best distance changed this round
+        .localCheckpoint(false)
+      // improved = vertices whose best distance changed this round.
+      // No checkpoint needed: its lineage is one join of two already-
+      // checkpointed frames, so the plan stays shallow; persist + the
+      // count action below materializes it in one job instead of the
+      // two (checkpoint job + count job) a localCheckpoint would take.
       val improved = merged.join(dist.withColumnRenamed("dist", "old"), Seq("v"), "left")
         .where(col("old").isNull || col("dist") < col("old"))
         .select("v", "dist")
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
       dist.unpersist(false)
       frontier.unpersist(false)
@@ -112,12 +118,14 @@ object ShortestPaths {
         .select(col("source"), col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
       val merged = dist.union(candidates)
         .groupBy("source", "v").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // fused with the count job, see run()
+      // shallow lineage off two checkpointed frames — persist + count
+      // materializes in one job (see run() above)
       val improved = merged
         .join(dist.withColumnRenamed("dist", "old"), Seq("source", "v"), "left")
         .where(col("old").isNull || col("dist") < col("old"))
         .select("source", "v", "dist")
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
       dist.unpersist(false); frontier.unpersist(false)
       dist = merged
