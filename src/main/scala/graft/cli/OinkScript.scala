@@ -100,12 +100,32 @@ object OinkScript {
       if (outs.isEmpty) throw ScriptError(line, "command requires -o FILE OBJ")
     }
 
+    // `include FILE` splices the named script in place (the reference
+    // pushes the file onto its parse stack, input.cpp:405-427 — a static
+    // splice is equivalent for label/jump, which search the whole
+    // program). Paths may reference external `-var`s; cycles abort.
+    def splice(ls: Seq[String], seen: Set[String]): Seq[String] =
+      ls.flatMap { l =>
+        val t = l.trim
+        if (tokenize(t).headOption.contains("include")) {
+          tokenize(subst(t)) match {
+            case Seq(_, path) =>
+              if (seen(path)) throw ScriptError(l, s"include cycle at '$path'")
+              val src = scala.io.Source.fromFile(path)
+              try splice(src.getLines().toList, seen + path)
+              finally src.close()
+            case _ => throw ScriptError(l, "include expects exactly one path")
+          }
+        } else Seq(l)
+      }
+
     // LAMMPS-style control flow (input.cpp:394-401, 527-720):
     // loop variables + label/jump/next, and if "expr" then/else with
     // quoted sub-commands. Program-counter execution over the filtered
     // line array; `next` on an exhausted loop variable deletes it and
     // skips the following jump (the reference's loop-exit idiom).
-    val prog = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
+    val prog = splice(lines, Set.empty)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
     val loopMax = mutable.Map[String, Int]()
     var skipNextJump = false
     var pc = 0

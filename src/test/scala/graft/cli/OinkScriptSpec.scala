@@ -66,6 +66,23 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("mr1").collect().toSet != reg("mr2").collect().toSet)
   }
 
+  test("include splices a sub-script in place, with cycle detection") {
+    val dir = Files.createTempDirectory("oinkinc")
+    val sub = dir.resolve("sub.oink")
+    Files.writeString(sub, "rmat 4 2 0.25 0.25 0.25 0.25 0.0 5 -o NULL mrinc\n")
+    val reg = OinkScript.run(spark, Seq(
+      s"include $sub",
+      "edge_upper -i mrinc -o NULL mru"))
+    assert(reg.contains("mrinc") && reg.contains("mru"))
+    // a script including itself must abort, not loop
+    val cyc = dir.resolve("cyc.oink")
+    Files.writeString(cyc, s"include $cyc\n")
+    val ex = intercept[OinkScript.ScriptError] {
+      OinkScript.run(spark, Seq(s"include $cyc"))
+    }
+    assert(ex.getMessage.contains("include cycle"))
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
