@@ -56,6 +56,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the standard 4× bandwidth
+    * /memory lever for ANN at corpus scale (a 100 TB float corpus ships
+    * 25 TB of int8 codes plus one double scale per vector). scale =
+    * max|v|/127; codes are round-half-up of v/scale, which lands in
+    * [-127, 127] by construction (|v/scale| ≤ 127, and floor(±127 + 0.5)
+    * stays in range), so no clamp is needed. floor(x + 0.5) rather than
+    * round(): both engines floor identically, while round() half-way
+    * tie-breaking differs between them. Emitted code stats are integer
+    * aggregates of the code array — exact, order-independent, and
+    * enough for the oracle to pin every code without comparing array
+    * renderings. */
+  def quantizeInt8(embeddings: DataFrame, id: Column, emb: Column): DataFrame =
+    embeddings
+      .select(id.as("vec_id"), asDouble(emb).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x / col("scale") + 0.5))))
+      .select(col("vec_id"), col("scale"),
+        size(col("q")).cast("long").as("dim"),
+        aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+
   val DefaultPlanes = 8
   val DefaultTables = 4
   val PlaneSeed = 97L

@@ -68,6 +68,11 @@ object PipelineQueries {
 
     "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
 
+    // Symmetric per-vector int8 quantization (4x ANN bandwidth lever);
+    // the oracle pins every code through exact integer code-statistics.
+    "s_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), col("vec_id"), col("embedding"))),
+
     // Multi-table OR-amplified LSH top-k — the ANN scale path: per-
     // bucket candidate joins across 4 independent 8-plane tables, one
     // cosine per deduped pair, windowed top-3.
@@ -300,6 +305,22 @@ object PipelineQueries {
         |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM pairs)
         |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "s_quantize" ->
+      """WITH t AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM t),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv FROM s)
+        |SELECT vec_id, scale,
+        | CAST(len(qv) AS BIGINT) AS dim,
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        | CAST(list_min(qv) AS BIGINT) AS q_min,
+        | CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
 
     "s_ann_lsh" -> {
       // hyperplane weights re-derived in SQL from the same hash formula

@@ -33,6 +33,11 @@ object TextQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Within-doc duplicate-3-gram fraction (Gopher/C4-style repetition
+    // quality filter).
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), col("doc_id"), col("text"))),
+
     // PII-style scrubbing over a deterministic fixture: the synthetic
     // corpus contains no addresses/numbers, so the gate query appends a
     // per-doc contact line (identically in the oracle SQL) and verifies
@@ -115,6 +120,23 @@ object TextQueries {
          | CAST(sum(bpe_est) AS BIGINT) AS total_bpe
          |FROM lang JOIN tok USING (doc_id) GROUP BY lang_pred""".stripMargin
     },
+
+    "t_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
+        |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+        |  WHERE i <= len(toks) - 3),
+        |c AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY doc_id, s)
+        |SELECT doc_id,
+        | CAST(sum(cnt) AS BIGINT) AS n_shingles,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | round(CAST(1.0 AS DOUBLE) -
+        |   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS rep_ratio,
+        | CAST(max(cnt) AS BIGINT) AS max_repeat
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "t_redact" -> {
       val email = TextAnalysis.EmailRe

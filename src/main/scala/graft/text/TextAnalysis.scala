@@ -98,6 +98,24 @@ object TextAnalysis {
         array_min(transform(shinglesFromTokens(col("toks"), 3),
           s => Hashing.hash60(s))).as("min_shingle_fp"))
 
+  /** Within-document repetition signals — the classic quality filter
+    * (Gopher/C4-style): the fraction of word-3-gram occurrences that are
+    * repeats of an earlier 3-gram in the same document, plus the highest
+    * single-3-gram count. Boilerplate and template spam score high; docs
+    * shorter than n tokens emit no row (no shingles — same in the
+    * oracle). Two hash aggregations, no UDFs. */
+  def repetition(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    explodedShingles(docs, id, text, n)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_repeat"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double"), 6).as("rep_ratio"),
+        col("max_repeat"))
+
   /** Email-address pattern for [[redact]] — intersection of Java-regex
     * and RE2 syntax so Spark and the DuckDB oracle match byte for byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

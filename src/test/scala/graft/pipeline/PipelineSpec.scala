@@ -122,6 +122,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetition flags duplicate 3-grams; short docs emit no row") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),     // "a b c" ×3 among repeats
+      (2L, "all distinct words here no repeats at all ok"),
+      (3L, "x y")).toDF("doc_id", "text") // < 3 tokens -> no shingles
+    val r = TextAnalysis.repetition(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(!r.contains(3L))
+    assert(r(2L)._3 == 0.0 && r(2L)._4 == 1L)
+    // doc 1: 7 shingles, 3 distinct ("a b c","b c a","c a b") -> 4/7 repeated
+    assert(r(1L) == ((7L, 3L, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6, 3L)))
+  }
+
+  test("int8 quantization: codes stay in [-127,127], stats match by hand") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(d, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // scale = 1/127; codes = [127, -63, 32, 0] (round-half-up)
+    assert(q(1L) == ((1.0 / 127.0, 4L, 96L, 222L, -63L, 127L)))
+    // all-zero vector: scale 0, all codes 0
+    assert(q(2L) == ((0.0, 2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("brute-force ANN finds the nearest vector and honors k + ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
