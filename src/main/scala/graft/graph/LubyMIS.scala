@@ -22,8 +22,9 @@ import graft.functions.Hashing
   * greedy MIS of the priority order.
   *
   * Scale design: ONE state frame `(v, p, st)` of constant size |V|; each
-  * round is two joins against the ACTIVE edge frame and ends in an eager
-  * `localCheckpoint`, so plan depth is constant across rounds. The
+  * round is two joins against the ACTIVE edge frame and ends in a lazy
+  * `localCheckpoint` materialized by the round's count, so plan depth is
+  * constant across rounds and each round costs one job. The
   * active edge frame shrinks every round to edges whose BOTH endpoints
   * are still active (a constant fraction of vertices leaves per round,
   * so per-round join work decays geometrically instead of re-scanning
@@ -45,13 +46,19 @@ object LubyMIS {
   /** Like [[run]] but also reports the round count — the O(log n)
     * w.h.p. bound is asserted in LubyMISSpec on a long chain. */
   def runCounted(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): (DataFrame, Int) = {
+    // All checkpoints here are LAZY (see ConnectedComponents.runCounted):
+    // the plan truncates to a LogicalRDD leaf immediately, and the blocks
+    // materialize inside the round's own count action — one job per round
+    // instead of three (state checkpoint + count + edge-shrink
+    // checkpoint). Nothing is unpersisted mid-loop, so a lazy frame's
+    // recomputation sources always survive until it materializes.
     var activeEdges = GraphOps.undirected(edges)
       .repartition(col("vi"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var state = GraphOps.vertexExtract(edges)
       .select(col("v"), Hashing.hash60(seed, col("v")).as("p"), lit(Active).as("st"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var iter = 0
     var remaining = state.where(col("st") === Active).count()
@@ -77,7 +84,7 @@ object LubyMIS {
             .when(col("w"), InMis)
             .when(col("l"), Out)
             .otherwise(Active).as("st"))
-        .localCheckpoint(true) // constant plan depth, round state is tiny vs |E|
+        .localCheckpoint(false) // constant plan depth; materialized by the count below
       remaining = state.where(col("st") === Active).count()
       // shrink to edges between still-active endpoints — winners and
       // their neighborhoods (a constant fraction per round) drop out
@@ -87,7 +94,7 @@ object LubyMIS {
           .join(still.withColumnRenamed("v", "vi"), Seq("vi"), "left_semi")
           .join(still.withColumnRenamed("v", "vj"), Seq("vj"), "left_semi")
           .select("vi", "vj")
-          .localCheckpoint(true)
+          .localCheckpoint(false) // materialized by next round's joins
       }
       iter += 1
     }

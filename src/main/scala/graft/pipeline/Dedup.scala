@@ -57,17 +57,38 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-shingle base hashes of a text column as a row-local ARRAY —
+    * `hash60(shingle) % p`, the value the affine permutations map over.
+    * Bind the result to an attribute before feeding [[rowSignature]]
+    * (it references the array 16 times). */
+  def baseHashes(text: Column): Column =
+    transform(TextAnalysis.shingles(text, 3), s => Hashing.hash60(s) % MinHashP)
+
+  /** Row-local MinHash signature mh0..mh15 over a pre-bound
+    * [[baseHashes]] array — identical values to the
+    * [[minHashSignatures]] aggregate (asserted in PipelineSpec), but
+    * STATELESS: the form a streaming pipeline needs, where no
+    * shuffle/groupBy may precede the stateful stage. Empty array (doc
+    * shorter than the shingle width) yields nulls — filter upstream. */
+  def rowSignature(xs: Column): Seq[Column] =
+    (0 until NumHashes).map { h =>
+      val (a, b) = minHashCoeffs(h)
+      array_min(transform(xs, x => (lit(a) * x + lit(b)) % MinHashP)).as(s"mh$h")
+    }
+
+  /** Array-of-structs (band, band_hash) over the mh0..mh15 columns —
+    * shared by the batch band table and the streaming band explode. */
+  def bandStructs: Column = array((0 until numBands).map { b =>
+    val cols = (b * BandSize until (b + 1) * BandSize).map(h => col(s"mh$h"))
+    struct(lit(b).as("band"),
+      Hashing.hash60(concat_ws(",", cols: _*)).as("band_hash"))
+  }: _*)
+
   /** LSH band table: (doc_id, band, band_hash) — docs sharing any
     * (band, band_hash) are near-dup candidates. */
-  def lshBands(signatures: DataFrame): DataFrame = {
-    val bands = (0 until numBands).map { b =>
-      val cols = (b * BandSize until (b + 1) * BandSize).map(h => col(s"mh$h"))
-      struct(lit(b).as("band"),
-        Hashing.hash60(concat_ws(",", cols: _*)).as("band_hash"))
-    }
-    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+  def lshBands(signatures: DataFrame): DataFrame =
+    signatures.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-  }
 
   /** Candidate pairs (a < b) from a signature frame, deduped across
     * bands. The join is keyed on (band, band_hash): only same-bucket

@@ -115,6 +115,76 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys)
       .drop("tts")
 
+  final case class BandHit(band: Int, band_hash: Long, doc_id: Long,
+      ts_us: Long, tts: java.sql.Timestamp)
+  final case class BucketState(rep: Long, lastUs: Long)
+  final case class DupCandidate(a: Long, b: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-dup candidates — the unbounded-input
+    * twin of [[graft.pipeline.Dedup.minHashCandidates]]. Signatures are
+    * computed ROW-LOCALLY ([[graft.pipeline.Dedup.rowSignature]] — same
+    * values as the batch aggregate, but no groupBy may precede a
+    * stateful stage), band keys explode per row, and the stateful stage
+    * keys on (band, band_hash): the first document seen in a bucket
+    * becomes its representative (one long of state per live bucket),
+    * every later arrival emits a (rep, doc, band) candidate. Event-time
+    * timeout prunes buckets the watermark has passed — near-dups at
+    * stream scale arrive close together (replays, crawl re-fetches), so
+    * a horizon-bounded state is the standard shape. A pair colliding in
+    * k bands emits k rows; distinct (a, b) downstream if needed.
+    *
+    * @param docs streaming frame with doc_id BIGINT, text STRING, and
+    *             event-time tts TIMESTAMP columns
+    * @param horizonUs watermark delay and bucket-state lifetime, micros
+    */
+  def nearDupStream(spark: SparkSession, docs: DataFrame,
+      horizonUs: Long = 7200L * 1000000L): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+
+    val sig = docs
+      .select(col("doc_id"), col("tts"), Dedup.baseHashes(col("text")).as("xs"))
+      .where(size(col("xs")) > 0)
+      .select(Seq(col("doc_id"), col("tts")) ++ Dedup.rowSignature(col("xs")): _*)
+    val hits = sig
+      .select(col("doc_id"), col("tts"), unix_micros(col("tts")).as("ts_us"),
+        explode(Dedup.bandStructs).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
+        col("doc_id"), col("ts_us"), col("tts"))
+      .as[BandHit]
+      .withWatermark("tts", s"${horizonUs / 1000000L} seconds")
+
+    def update(key: (Int, Long), rows: Iterator[BandHit],
+        state: GroupState[BucketState]): Iterator[DupCandidate] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[DupCandidate]
+      sorted.foreach { r =>
+        cur match {
+          case Some(s) =>
+            if (r.doc_id != s.rep) out += DupCandidate(s.rep, r.doc_id, key._1)
+            cur = Some(s.copy(lastUs = math.max(s.lastUs, r.ts_us)))
+          case None =>
+            cur = Some(BucketState(r.doc_id, r.ts_us))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        val timeoutMs = s.lastUs / 1000 + horizonUs / 1000
+        val floorMs =
+          try state.getCurrentWatermarkMs() + 1
+          catch { case _: UnsupportedOperationException => Long.MinValue }
+        state.setTimeoutTimestamp(math.max(timeoutMs, floorMs))
+      }
+      out.result().iterator
+    }
+
+    hits.groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
   /** Drive a streaming frame into an in-memory table and block until the
     * source drains — the local smoke harness. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {

@@ -30,6 +30,17 @@ class PipelineSpec extends SparkSpec {
       "unrelated doc should not be a candidate")
   }
 
+  test("row-local minhash signature equals the batch aggregate") {
+    val batch = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    val rowWise = docs
+      .select(col("doc_id"), Dedup.baseHashes(col("text")).as("xs"))
+      .where(size(col("xs")) > 0)
+      .select(col("doc_id") +: Dedup.rowSignature(col("xs")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(rowWise == batch)
+  }
+
   test("minhash estimates jaccard: identical docs agree on all hashes") {
     val sig = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap

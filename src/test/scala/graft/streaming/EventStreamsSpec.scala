@@ -78,6 +78,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags exact and near duplicates, not unrelated docs") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+      timestamp_micros(col("_3")).as("tts"))
+    val q = EventStreams.nearDupStream(spark, docs).writeStream
+      .outputMode("append").format("memory").queryName("neardup_stream").start()
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", 1000L * us),
+        (3L, "completely different words entirely unrelated content here", 1001L * us))
+      q.processAllAvailable()
+      ms.addData( // exact dup of doc 1, arriving later
+        (4L, "the quick brown fox jumps over the lazy dog", 1010L * us))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream")
+        .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 4L)),
+        s"expected exactly the exact-dup pair, got $pairs")
+      // exact dup collides in every band
+      assert(spark.table("neardup_stream").count() == 4L)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session
