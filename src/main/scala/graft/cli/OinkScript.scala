@@ -92,9 +92,18 @@ object OinkScript {
       (tokens.take(posEnd), ins, outs)
     }
 
+    // `shell cd` scope — relative file sinks/sources resolve against it
+    // (input.cpp's shell passthrough changes the process cwd; a JVM
+    // cannot, so the interpreter tracks it and resolves paths itself)
+    var cwd = new java.io.File(".").getCanonicalFile
+    def resolve(path: String): String = {
+      val f = new java.io.File(path)
+      if (f.isAbsolute) path else new java.io.File(cwd, path).getPath
+    }
+
     def sinkAndBind(df: DataFrame, outs: Seq[String], line: String): Unit = {
       outs.headOption.filter(_ != "NULL").foreach { file =>
-        df.coalesce(1).write.mode("overwrite").option("sep", " ").csv(file)
+        df.coalesce(1).write.mode("overwrite").option("sep", " ").csv(resolve(file))
       }
       outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = df)
       if (outs.isEmpty) throw ScriptError(line, "command requires -o FILE OBJ")
@@ -186,6 +195,25 @@ object OinkScript {
             else (branches.take(elseIdx), branches.drop(elseIdx + 1))
           (if (evalBool(cond, line)) thenCmds else elseCmds).foreach(exec)
         case Seq("set", _*) => () // advisory knobs (scratch/verbosity/timer)
+        // `shell cmd args` (input.cpp:394-401 passes to the host shell) —
+        // the safe filesystem subset, interpreted: cd scopes relative
+        // sink/source paths; mkdir/rm manage scratch dirs. Anything else
+        // is an explicit error, not a silent host exec.
+        case Seq("shell", "cd", path) =>
+          val target = new java.io.File(resolve(path)).getCanonicalFile
+          if (!target.isDirectory) throw ScriptError(line, s"cd: no such directory '$path'")
+          cwd = target
+        case Seq("shell", "mkdir", paths @ _*) =>
+          paths.foreach(p => java.nio.file.Files
+            .createDirectories(java.nio.file.Paths.get(resolve(p))))
+        case Seq("shell", "rm", paths @ _*) =>
+          paths.foreach { p =>
+            val f = new java.io.File(resolve(p))
+            if (f.isDirectory) throw ScriptError(line, s"rm: '$p' is a directory")
+            f.delete()
+          }
+        case Seq("shell", other @ _*) =>
+          throw ScriptError(line, s"unsupported shell command '${other.mkString(" ")}'")
         case Seq("print", text) =>
           println(subst(text)) // scalastyle:ignore
         // OBJ map/mr SRC FUNC — named-object map application
@@ -249,7 +277,7 @@ object OinkScript {
                 case p => Seq(p)
               }.flatten
               val docs = paths.map(p => spark.read
-                  .option("recursiveFileLookup", "true").textFile(p).toDF("text"))
+                  .option("recursiveFileLookup", "true").textFile(resolve(p)).toDF("text"))
                 .reduce(_ union _)
               sinkAndBind(TextAnalysis.wordFreq(docs, col("text"), ntop), outs, line)
             case "vertex_extract" =>

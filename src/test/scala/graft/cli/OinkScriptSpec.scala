@@ -83,6 +83,20 @@ class OinkScriptSpec extends SparkSpec {
     assert(ex.getMessage.contains("include cycle"))
   }
 
+  test("shell mkdir/cd scope relative sink paths; rm deletes; rest rejected") {
+    val dir = Files.createTempDirectory("oinkshell")
+    OinkScript.run(spark, Seq(
+      s"shell mkdir $dir/out",
+      s"shell cd $dir/out",
+      "rmat 4 2 0.25 0.25 0.25 0.25 0.0 5 -o edges.csv mrs"))
+    val written = new java.io.File(s"$dir/out/edges.csv")
+    assert(written.isDirectory, "relative sink must land under the shell cwd")
+    val ex = intercept[OinkScript.ScriptError] {
+      OinkScript.run(spark, Seq("shell curl http://example.com"))
+    }
+    assert(ex.getMessage.contains("unsupported shell command"))
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
