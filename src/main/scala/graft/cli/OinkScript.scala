@@ -97,8 +97,12 @@ object OinkScript {
     // cannot, so the interpreter tracks it and resolves paths itself)
     var cwd = new java.io.File(".").getCanonicalFile
     def resolve(path: String): String = {
-      val f = new java.io.File(path)
-      if (f.isAbsolute) path else new java.io.File(cwd, path).getPath
+      // scheme-qualified URIs (hdfs://, s3a://, file:) pass through
+      // untouched — only bare relative paths join the shell cwd
+      val isUri = try new java.net.URI(path).isAbsolute
+        catch { case _: java.net.URISyntaxException => false }
+      if (isUri || new java.io.File(path).isAbsolute) path
+      else new java.io.File(cwd, path).getPath
     }
 
     def sinkAndBind(df: DataFrame, outs: Seq[String], line: String): Unit = {
@@ -154,11 +158,26 @@ object OinkScript {
       }
     }
 
+    // runtime include nesting (e.g. inside an if/then branch, where the
+    // static splice above cannot reach) — guarded against cycles
+    val includeActive = mutable.Set[String]()
+
     def exec(line: String): Unit = {
       // substitute $vars before parsing (input.cpp:280-282); a value
       // with spaces expands to multiple tokens, as in the reference
       val tokens = tokenize(subst(line))
       tokens match {
+        case Seq("include", path) =>
+          // top-level includes were spliced statically; this case serves
+          // quoted sub-commands. Lines run sequentially (label/jump
+          // inside a runtime include is out of scope).
+          if (includeActive(path)) throw ScriptError(line, s"include cycle at '$path'")
+          includeActive += path
+          try {
+            val src = scala.io.Source.fromFile(path)
+            val ls = try src.getLines().toList finally src.close()
+            ls.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach(exec)
+          } finally includeActive -= path
         case Seq("variable", name, "equal", "time") =>
           variables(name) = () => f"${(System.nanoTime() - t0) / 1e9}%.3f"
         case Seq("variable", name, "equal", "nprocs") =>
@@ -210,7 +229,7 @@ object OinkScript {
           paths.foreach { p =>
             val f = new java.io.File(resolve(p))
             if (f.isDirectory) throw ScriptError(line, s"rm: '$p' is a directory")
-            f.delete()
+            if (!f.delete()) throw ScriptError(line, s"rm: cannot remove '$p'")
           }
         case Seq("shell", other @ _*) =>
           throw ScriptError(line, s"unsupported shell command '${other.mkString(" ")}'")

@@ -38,7 +38,9 @@ final class LongAdjacencyMap(initialCapacity: Int = 1 << 16) {
   }
 
   def add(key: Long, value: Long): Unit = {
-    if (n * 10 >= cap * 7) grow()
+    // long arithmetic: at ~188M keys `n * 10` overflows Int and the
+    // guard would fire on every add while `cap <<= 1` wraps negative
+    if (n.toLong * 10 >= cap.toLong * 7) grow()
     val i = slot(key)
     if (!used(i)) {
       used(i) = true; keys(i) = key
@@ -55,6 +57,9 @@ final class LongAdjacencyMap(initialCapacity: Int = 1 << 16) {
   }
 
   private def grow(): Unit = {
+    if (cap >= (1 << 30))
+      throw new IllegalStateException(
+        s"LongAdjacencyMap at maximum capacity ($n keys) — repartition the input")
     val oldCap = cap; val oldKeys = keys; val oldUsed = used
     val oldVals = vals; val oldLens = lens
     cap <<= 1; mask = cap - 1

@@ -93,7 +93,9 @@ object ConnectedComponents {
       // the checkpoint is complete when the job ends.
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next) // materializes `next`
-      e.unpersist(false) // safe: successor's blocks exist now
+      // safe: successor's blocks exist now. Dataset.unpersist cannot see
+      // checkpoint blocks (RDD-level persist), hence the bridge call.
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(e)
       converged = nextSig == sig
       sig = nextSig
       e = next

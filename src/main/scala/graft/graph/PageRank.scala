@@ -104,7 +104,11 @@ object PageRank {
         sum("pr"),
         sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)),
         sum(abs(col("pr") - col("old_pr")))).head()
-      if (toRelease != null) { toRelease.unpersist(false); toRelease = null }
+      if (toRelease != null) {
+        toRelease.unpersist(false) // covers the CacheManager-persisted initial state
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+        toRelease = null
+      }
       val sumPr = row.getDouble(0)
       val danglingPr = row.getDouble(1)
       if (iter > 0) {

@@ -61,7 +61,10 @@ object ShortestPaths {
         .select("v", "dist")
         .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
-      dist.unpersist(false)
+      // old dist is checkpoint-backed: Dataset.unpersist cannot see its
+      // RDD-level blocks, so release goes through the bridge. The
+      // frontier is plain-persisted — normal unpersist applies.
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(dist)
       frontier.unpersist(false)
       dist = merged
       frontier = improved
@@ -127,7 +130,8 @@ object ShortestPaths {
         .select("source", "v", "dist")
         .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
-      dist.unpersist(false); frontier.unpersist(false)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(dist) // see run()
+      frontier.unpersist(false)
       dist = merged
       frontier = improved
       iter += 1

@@ -41,16 +41,19 @@ object Triangles {
           .otherwise(col("vi")).as("hi"))
 
     // angles: two oriented edges sharing their low vertex. The probe
-    // side is spread round-robin across the full core count first:
+    // side is hash-spread on `lo` across the full core count first:
     // wedge generation fans out each probe row by outdeg(lo), which
     // cost-based stats cannot see — without the explicit spread, AQE
     // coalesces the (tiny, ~|E| row) probe input to one or two
-    // partitions and the (huge) generated wedge set runs near-serially.
-    // Round-robin beats hash-on-lo here: the join needs no co-location
-    // when the build side broadcasts, and a hub vertex's rows spread
-    // over all partitions instead of landing in one.
+    // partitions and the (huge) generated wedge set runs near-serially
+    // (measured 2.9x at sf0.1). Hash on the join key, not round-robin:
+    // when the edge set outgrows the broadcast threshold and the join
+    // becomes sort-merge, hash(lo, np) already satisfies the join's
+    // required distribution, so the exchange is reused rather than
+    // doubled. Per-key skew of wedge fan-out is bounded by the
+    // low-degree orientation (O(sqrt |E|) per vertex).
     val np = edges.sparkSession.sparkContext.defaultParallelism
-    val a1 = oriented.repartition(np).select(col("lo").as("p"), col("hi").as("x"))
+    val a1 = oriented.repartition(np, col("lo")).select(col("lo").as("p"), col("hi").as("x"))
     val a2 = oriented.select(col("lo").as("p"), col("hi").as("y"))
     val angles = a1.join(a2, "p").where(col("x") < col("y"))
 

@@ -57,12 +57,16 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-shingle base hashes of a text column as a row-local ARRAY —
-    * `hash60(shingle) % p`, the value the affine permutations map over.
-    * Bind the result to an attribute before feeding [[rowSignature]]
-    * (it references the array 16 times). */
-  def baseHashes(text: Column): Column =
-    transform(TextAnalysis.shingles(text, 3), s => Hashing.hash60(s) % MinHashP)
+  /** Per-shingle base hashes as a row-local ARRAY — `hash60(shingle) %
+    * p`, the value the affine permutations map over. `toks` must be a
+    * PRE-BOUND token-array attribute (select `TextAnalysis.tokens(text)`
+    * first): shingle construction references the token array 3n times,
+    * and an inlined `split()` would re-tokenize the document for each
+    * reference ([[TextAnalysis.shinglesFromTokens]] contract). Bind the
+    * result to an attribute before feeding [[rowSignature]] (it
+    * references this array 16 times). */
+  def baseHashes(toks: Column): Column =
+    transform(TextAnalysis.shinglesFromTokens(toks, 3), s => Hashing.hash60(s) % MinHashP)
 
   /** Row-local MinHash signature mh0..mh15 over a pre-bound
     * [[baseHashes]] array — identical values to the

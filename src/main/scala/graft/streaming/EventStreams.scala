@@ -143,7 +143,9 @@ object EventStreams {
     import graft.pipeline.Dedup
 
     val sig = docs
-      .select(col("doc_id"), col("tts"), Dedup.baseHashes(col("text")).as("xs"))
+      .select(col("doc_id"), col("tts"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("tts"), Dedup.baseHashes(col("toks")).as("xs"))
       .where(size(col("xs")) > 0)
       .select(Seq(col("doc_id"), col("tts")) ++ Dedup.rowSignature(col("xs")): _*)
     val hits = sig

@@ -26,6 +26,19 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Release the block-manager storage behind a (local)checkpointed
+    * DataFrame. `Dataset.unpersist` only uncaches CacheManager entries;
+    * a checkpoint's blocks were persisted at the RDD level inside
+    * `RDD.localCheckpoint` and are invisible to it — without this, every
+    * iteration's checkpoint lives until the driver GCs the orphaned RDD
+    * and the ContextCleaner gets around to it. No-op for plans that are
+    * not checkpoint-backed. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Install an extra planner strategy on a live session (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

@@ -74,6 +74,10 @@ class OinkScriptSpec extends SparkSpec {
       s"include $sub",
       "edge_upper -i mrinc -o NULL mru"))
     assert(reg.contains("mrinc") && reg.contains("mru"))
+    // include must also work as a quoted sub-command (runtime path)
+    val reg2 = OinkScript.run(spark, Seq(
+      "if \"1 == 1\" then \"include " + sub + "\""))
+    assert(reg2.contains("mrinc"))
     // a script including itself must abort, not loop
     val cyc = dir.resolve("cyc.oink")
     Files.writeString(cyc, s"include $cyc\n")

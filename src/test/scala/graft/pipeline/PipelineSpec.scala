@@ -34,7 +34,8 @@ class PipelineSpec extends SparkSpec {
     val batch = Dedup.minHashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
     val rowWise = docs
-      .select(col("doc_id"), Dedup.baseHashes(col("text")).as("xs"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.baseHashes(col("toks")).as("xs"))
       .where(size(col("xs")) > 0)
       .select(col("doc_id") +: Dedup.rowSignature(col("xs")): _*)
       .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
