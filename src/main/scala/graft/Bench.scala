@@ -39,7 +39,10 @@ object Bench {
       // measure operators, not the cc/tri memo's block-manager writes
       .config("spark.graft.memoize", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the iterative algorithms intentionally unpersist finished
+    // localCheckpoints, which logs a WARN per round — noise that would
+    // swamp the one-line JSON contract in the captured tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
