@@ -32,6 +32,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Every testdata table name, in TESTDATA.md order. */
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register each testdata table as a temp view so `spark.sql` text
+    * queries run against the same data the DataFrame surface sees —
+    * the SQL entry point a user of the engine's extension functions
+    * (`hash60`, `cosine_sim`) drives. Skips files absent from `dir`. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    AllTables.foreach { name =>
+      if (new java.io.File(s"$dir/$name.parquet").exists())
+        table(spark, dir, name).createOrReplaceTempView(name)
+    }
+
   /** Vertex-universe size of the derived graph (dense ids 0..GraphN-1). */
   val GraphN: Long = 401L
 

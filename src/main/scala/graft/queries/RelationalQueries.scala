@@ -133,7 +133,22 @@ object RelationalQueries {
         Seq(col("l_suppkey")),
         Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
         k = 2)
-      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // SQL-text entry point: the same data through `spark.sql` over
+    // registered temp views, exercising the engine's injected SQL
+    // function (hash60) — the path a SQL-first user of the extension
+    // drives. All-exact aggregates so the oracle pins every value.
+    "q19_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      graft.functions.GraftFunctions.register(s)
+      s.sql("""SELECT o_orderpriority,
+              |       count(*) AS cnt,
+              |       hash60(o_orderpriority) AS pri_hash,
+              |       min(o_orderkey) AS min_key,
+              |       max(o_orderkey) AS max_key
+              |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +217,14 @@ object RelationalQueries {
       """SELECT event_type AS k,
         | array_to_string(list_sort(list(user_id)), ',') AS vals
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q19_sql" ->
+      s"""SELECT o_orderpriority,
+         | count(*) AS cnt,
+         | ${graft.functions.Hashing.hash60Sql("o_orderpriority")} AS pri_hash,
+         | min(o_orderkey) AS min_key,
+         | max(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q18_percentiles" ->
       """SELECT l_returnflag,
