@@ -174,7 +174,9 @@ object OinkScript {
           if (includeActive(path)) throw ScriptError(line, s"include cycle at '$path'")
           includeActive += path
           try {
-            val src = scala.io.Source.fromFile(path)
+            // resolve() against the tracked script cwd — a prior `shell cd`
+            // must scope relative include paths exactly like sinks/sources
+            val src = scala.io.Source.fromFile(resolve(path))
             val ls = try src.getLines().toList finally src.close()
             ls.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach(exec)
           } finally includeActive -= path

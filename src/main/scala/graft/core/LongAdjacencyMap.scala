@@ -14,7 +14,12 @@ package graft.core
   * `mapPartitions`, never shared.
   */
 final class LongAdjacencyMap(initialCapacity: Int = 1 << 16) {
-  private var cap = Integer.highestOneBit(math.max(initialCapacity - 1, 15)) << 1
+  // clamp to the 2^30 ceiling grow() enforces — highestOneBit(>2^29)<<1
+  // overflows Int to a negative capacity/mask otherwise
+  private var cap = {
+    val want = Integer.highestOneBit(math.max(initialCapacity - 1, 15)) << 1
+    if (want <= 0 || want > (1 << 30)) 1 << 30 else want
+  }
   private var mask = cap - 1
   private var keys = new Array[Long](cap)
   private var used = new Array[Boolean](cap)
@@ -92,8 +97,9 @@ final class LongAdjacencyMap(initialCapacity: Int = 1 << 16) {
     }
   }
 
-  /** (key, values) pairs; the array is the live backing store (length
-    * may exceed the group size — use the Int of the pair). */
+  /** (key, values, liveLength) triples; the array is the live backing
+    * store whose length may exceed the group size — only the first
+    * `liveLength` elements are valid. */
   def groups: Iterator[(Long, Array[Long], Int)] = new Iterator[(Long, Array[Long], Int)] {
     private var i = advance(0)
     private def advance(from: Int): Int = {

@@ -70,6 +70,7 @@ object ShortestPaths {
       frontier = improved
       iter += 1
     }
+    frontier.unpersist(false) // the last round's improved frame
     weighted.unpersist(false)
     dist
   }
@@ -136,6 +137,7 @@ object ShortestPaths {
       frontier = improved
       iter += 1
     }
+    frontier.unpersist(false) // the last round's improved frame
     weighted.unpersist(false)
     dist
   }

@@ -40,11 +40,17 @@ object Tables {
     * queries run against the same data the DataFrame surface sees —
     * the SQL entry point a user of the engine's extension functions
     * (`hash60`, `cosine_sim`) drives. Skips files absent from `dir`. */
-  def registerViews(spark: SparkSession, dir: String): Unit =
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    // existence via the Hadoop FileSystem for the session — java.io.File
+    // is always false for non-local URIs (hdfs://, s3a://) and would
+    // silently register nothing on a real cluster
+    val conf = spark.sessionState.newHadoopConf()
     AllTables.foreach { name =>
-      if (new java.io.File(s"$dir/$name.parquet").exists())
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      if (path.getFileSystem(conf).exists(path))
         table(spark, dir, name).createOrReplaceTempView(name)
     }
+  }
 
   /** Vertex-universe size of the derived graph (dense ids 0..GraphN-1). */
   val GraphN: Long = 401L
