@@ -271,6 +271,35 @@ object Dedup {
       .select(col("v").as("doc_id"), col("comp").as("keeper_id"))
   }
 
+  /** Benchmark decontamination — flag training documents sharing any
+    * word n-gram with an evaluation/benchmark corpus: the standard
+    * overlap check run before training so eval answers don't leak into
+    * the training set (n = 8–13 words in practice; shorter n-grams occur
+    * by chance in any natural corpus).
+    *
+    * Scale shape: shingles are hashed to 60-bit fingerprints so the
+    * benchmark side collapses to a compact distinct-Long set that is
+    * BROADCAST — an eval suite is tiny next to a training corpus, so the
+    * corpus side never shuffles for the membership check: scan → explode
+    * → hash → broadcast hash-join → count. (The per-doc `distinct`
+    * before the join is the only corpus shuffle, and it carries only the
+    * contamination candidates' (doc_id, hash) pairs after the join-side
+    * filter Catalyst pushes through it.)
+    *
+    * @return (doc_id, n_overlap) — contaminated training docs with the
+    *         count of DISTINCT shared n-grams; clean docs don't appear.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      id: Column, text: Column, n: Int = 8): DataFrame = {
+    def hashed(df: DataFrame) =
+      TextAnalysis.explodedShingles(df, id, text, n)
+        .select(col("doc_id"), Hashing.hash60(col("sh")).as("g"))
+    val benchSet = hashed(bench).select("g").distinct()
+    hashed(train).distinct()
+      .join(broadcast(benchSet), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Exact word-set Jaccard for candidate pairs. `pairs` must have
     * columns (a, b); returns (a, b, jaccard). Intended for the small
     * post-LSH candidate set — the expensive exact check never touches

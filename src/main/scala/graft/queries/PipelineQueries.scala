@@ -98,6 +98,16 @@ object PipelineQueries {
         .where(col("sim") >= 0.2)
     }),
 
+    // Benchmark decontamination: docs from source src0 act as the held-
+    // out eval set; training docs (every other source) sharing any word
+    // 8-gram with it are flagged with their distinct-overlap count.
+    "d_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        col("doc_id"), col("text"), n = 8)
+    }),
+
     "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
   )
 
@@ -143,6 +153,21 @@ object PipelineQueries {
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_decontaminate" -> {
+      val gram8 = "concat_ws(' ', " +
+        (1 to 8).map(k => s"toks[i+$k]").mkString(", ") + ")"
+      s"""WITH t AS (SELECT doc_id, source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, ${H(gram8)} AS g
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 8),
+         |b AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+         |tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM tr JOIN b USING (g) GROUP BY doc_id""".stripMargin
+    },
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte

@@ -54,6 +54,11 @@ object TextQueries {
       TextAnalysis.packSequences(docs(s, dir), col("doc_id"), col("text"),
         budget = 512L, nShards = 8)),
 
+    // Unigram-LM log-loss / perplexity quality scoring: the corpus's own
+    // unigram distribution is the model (CCNet-style, no external LM).
+    "t_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramLogLoss(docs(s, dir), col("doc_id"), col("text"))),
+
     // Corpus-level training-budget stats: docs and token mass per
     // predicted language — the numbers a data-mixture plan is built
     // from. Two single-scan aggregates joined on doc_id.
@@ -180,6 +185,21 @@ object TextQueries {
          |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
          |FROM t""".stripMargin
     },
+
+    "t_perplexity" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, w, count(*) AS k FROM tk WHERE w <> ''
+        |  GROUP BY doc_id, w),
+        |vocab AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM pairs GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+        |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  round(sum(CAST(k AS DOUBLE) *
+        |      -ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |    CAST(sum(k) AS DOUBLE), 6) AS avg_nll
+        |  FROM pairs JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 6) AS ppl
+        |FROM agg""".stripMargin,
 
     "t_tokens" ->
       """SELECT doc_id,

@@ -115,6 +115,33 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys)
       .drop("tts")
 
+  /** Stream-stream range join — the unbounded-input twin of the batch
+    * `e_range_join` plan ([[graft.core.Ops.rangeJoin]]): every event
+    * falling inside the `windowUs` window opened by each purchase of the
+    * same user. Both sides carry watermarks and the join condition
+    * time-bounds the event side against the purchase side, so Spark
+    * derives eviction bounds for BOTH join state stores — the only
+    * stream-stream inner-join shape that runs unbounded (an
+    * unconstrained join would buffer each side forever). */
+  def rangeJoinStream(events: DataFrame,
+      windowUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
+    val withTts = events.withColumn("tts", timestamp_micros(expr("ts div 1000")))
+    val points = withTts
+      .select(col("user_id"), col("event_id"), col("tts"),
+        expr("ts div 1000").as("ts_us"))
+      .withWatermark("tts", horizon)
+    val purchases = withTts
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("interval_id"), col("tts").as("p_tts"))
+      .withWatermark("p_tts", horizon)
+    purchases.join(points,
+        col("user_id") === col("p_user") &&
+          col("tts") >= col("p_tts") &&
+          col("tts") <= col("p_tts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("interval_id"), col("event_id"), col("ts_us"))
+  }
+
   final case class BandHit(band: Int, band_hash: Long, doc_id: Long,
       ts_us: Long, tts: java.sql.Timestamp)
   final case class BucketState(rep: Long, lastUs: Long)

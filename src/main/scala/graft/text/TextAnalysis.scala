@@ -170,6 +170,35 @@ object TextAnalysis {
             expr(s"cum_before div $budget")).as("spans_cut"))
   }
 
+  /** Unigram-LM log-loss scoring — the CCNet/KenLM-style quality signal
+    * computed without an external model: the "model" is the corpus's own
+    * unigram distribution p(w) = count(w)/N. Per document: token count,
+    * mean negative log-probability of its tokens, and the perplexity
+    * exp(avg_nll). High-loss documents are gibberish/rare-token spam;
+    * suspiciously low-loss ones are boilerplate.
+    *
+    * Scale shape: token OCCURRENCES collapse to per-doc (doc_id, w, k)
+    * counts first — one map-side-combined shuffle — and both the
+    * vocabulary table and the probability join work on those distinct
+    * pairs, never the raw token stream. The two consumers of the pair
+    * frame share one exchange (Spark's ReuseExchange dedups identical
+    * subplans). The vocab and total frames are broadcast: a vocabulary
+    * is millions of rows against a corpus of billions. */
+  def unigramLogLoss(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val vocab = pairs.groupBy("w").agg(sum("k").as("c"))
+    val total = vocab.agg(sum("c").as("n"))
+    val nll = sum(col("k").cast("double") *
+        -log(col("c").cast("double") / col("n").cast("double"))) /
+      sum("k").cast("double")
+    pairs.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"), round(nll, 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
+  }
+
   /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
     * Callers must bind `toks` to an attribute (e.g. via a prior select),
     * not pass `tokens(text)` inline — the expression references the

@@ -293,6 +293,30 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("decontaminate flags the docs sharing n-grams with the benchmark") {
+    val bench = docs.where(col("doc_id") === 1L)
+    val train = docs.where(col("doc_id") =!= 1L)
+    val out = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 4 is an exact dup (all 7 shingles), doc 2 differs in the last
+    // word (6 of 7 shingles); docs 3 (disjoint) and 5 (too short) are clean
+    assert(out == Map(4L -> 7L, 2L -> 6L))
+  }
+
+  test("unigram log-loss matches hand-computed probabilities") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus: a->2, b->2, c->1, N=5
+    val out = TextAnalysis.unigramLogLoss(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"), r.getAs[Double]("ppl")))).toMap
+    val nll1 = -math.log(2.0 / 5.0)                          // all tokens p=2/5
+    val nll2 = (-math.log(2.0 / 5.0) - math.log(1.0 / 5.0)) / 2.0
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - nll1) < 1e-6)
+    assert(math.abs(out(2L)._2 - nll2) < 1e-6)
+    assert(math.abs(out(2L)._3 - math.exp(out(2L)._2)) < 1e-5)
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()

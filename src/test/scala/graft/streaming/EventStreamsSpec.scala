@@ -32,6 +32,20 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream range join equals the batch e_range_join result") {
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.rangeJoinStream(stream), "rj_out", OutputMode.Append)
+    try {
+      val s = spark.table("rj_out")
+      val b = EventQueries.queries("e_range_join")(spark, dir)
+      // a single AvailableNow batch holds both sides in full, so the
+      // inner join must emit exactly the batch twin's rows
+      assert(s.count() == b.count() && s.except(b).isEmpty && b.except(s).isEmpty,
+        "streamed range join disagrees with batch twin")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer flushes a trailing session via event-time timeout") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
