@@ -32,4 +32,39 @@ object Sampling {
     }
     df.where(Hashing.rand01(seed, key) < rate)
   }
+
+  /** Token-budget mixture sampling — the data-mixing step of a training
+    * run: given target shares per domain (e.g. web 60% / code 30% /
+    * books 10%) and a total token budget, derive each domain's keep rate
+    * from its actual token mass and hash-sample documents to hit the
+    * mixture. Domains with less mass than their target keep everything
+    * (rate caps at 1 — no upsampling; repeat-epoch decisions live in the
+    * trainer, not the sampler). Unlisted domains default to share 0.
+    *
+    * Scale shape: one aggregate scan computes per-domain token mass
+    * (map-side combined, domain-cardinality rows), the rate table is
+    * BROADCAST back, and the keep decision is the same pushdown-friendly
+    * deterministic hash filter as [[uniform]] — re-runs and retries keep
+    * identical rows.
+    *
+    * @return kept docs as (doc_id, domain, n_tokens, keep_rate) —
+    *         keep_rate carried so downstream loss reweighting can
+    *         importance-correct if desired.
+    */
+  def tokenBudgetMixture(docs: DataFrame, id: Column, text: Column,
+      domain: Column, shares: Map[String, Double], totalBudget: Long,
+      seed: Long): DataFrame = {
+    val base = docs.select(id.as("doc_id"), domain.as("domain"),
+      size(graft.text.TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+    val share = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, w)) => when(col("domain") === lit(s), lit(w)).otherwise(acc)
+    }
+    val rates = base.groupBy("domain").agg(sum("n_tokens").as("mass"))
+      .select(col("domain"), least(lit(1.0),
+        share * totalBudget.toDouble / col("mass").cast("double")).as("keep_rate"))
+    base.join(broadcast(rates), "domain")
+      .where(Hashing.rand01(seed, col("doc_id")) < col("keep_rate"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        round(col("keep_rate"), 6).as("keep_rate"))
+  }
 }

@@ -108,6 +108,15 @@ object PipelineQueries {
         col("doc_id"), col("text"), n = 8)
     }),
 
+    // Token-budget mixture sampling (domain reweighting): hit a 2000-
+    // token budget at 40/40/20 shares across three sources; every other
+    // source's share defaults to 0 and drops out.
+    "d_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.tokenBudgetMixture(docs(s, dir),
+        col("doc_id"), col("text"), col("source"),
+        shares = Map("src1" -> 0.4, "src2" -> 0.4, "src3" -> 0.2),
+        totalBudget = 2000L, seed = 7L)),
+
     "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
   )
 
@@ -168,6 +177,19 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_overlap
          |FROM tr JOIN b USING (g) GROUP BY doc_id""".stripMargin
     },
+
+    "d_mix" ->
+      s"""WITH base AS (SELECT doc_id, source AS domain,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |rates AS (SELECT domain, least(CAST(1.0 AS DOUBLE),
+         |    (CASE WHEN domain = 'src1' THEN 0.4 WHEN domain = 'src2' THEN 0.4
+         |          WHEN domain = 'src3' THEN 0.2 ELSE 0.0 END)
+         |      * CAST(2000 AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)) AS keep_rate
+         |  FROM base GROUP BY domain)
+         |SELECT doc_id, domain, n_tokens, round(keep_rate, 6) AS keep_rate
+         |FROM base JOIN rates USING (domain)
+         |WHERE ${Hashing.rand01Sql(7L, "doc_id")} < keep_rate""".stripMargin,
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte

@@ -317,6 +317,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(2L)._3 - math.exp(out(2L)._2)) < 1e-5)
   }
 
+  test("token-budget mixture keeps listed domains at mass-derived rates") {
+    val d = (1L to 4L).map(i =>
+      (i, if (i <= 2) "a" else "b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "dom", "text") // 10 tokens each; mass(a)=mass(b)=20
+    def mix(budget: Long) = Sampling.tokenBudgetMixture(
+      d, col("doc_id"), col("text"), col("dom"),
+      shares = Map("a" -> 1.0), totalBudget = budget, seed = 7L)
+    // share(b)=0 -> b never appears; rate caps at 1.0 -> all of a kept
+    val all = mix(100L).collect()
+    assert(all.length == 2 && all.forall(r => r.getAs[String]("domain") == "a"
+      && r.getAs[Double]("keep_rate") == 1.0 && r.getAs[Long]("n_tokens") == 10L))
+    // half the budget -> rate 0.5, and the same run twice keeps the same rows
+    val half = mix(10L)
+    assert(half.head().getAs[Double]("keep_rate") == 0.5)
+    val ids = half.select("doc_id").as[Long].collect().toSet
+    assert(ids == mix(10L).select("doc_id").as[Long].collect().toSet)
+    assert(ids.subsetOf(Set(1L, 2L)))
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()
