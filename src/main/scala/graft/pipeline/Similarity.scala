@@ -209,6 +209,89 @@ object Similarity {
     cents
   }
 
+  // ---- PQ (product quantization) ANN: the compressed-domain path ----
+
+  val PqSeed = 173L
+  val DefaultSubspaces = 8
+  val DefaultCodewords = 16
+
+  /** Squared L2 via the dot-product identity |a|² − 2a·b + |b|² — three
+    * of the same sequential folds the DuckDB oracle's list_dot_product
+    * reproduces bit-for-bit (a fused (a−b)² fold would sum in a
+    * different order and drift). */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (code, subsp, cw): deterministic per-subspace codebooks. The
+    * `codewords` corpus vectors with the smallest `hash60(seed|vec_id)`
+    * are the seeds (same seeded-sample quantizer as [[ivfCentroids]] —
+    * partitioning-independent, SQL-re-derivable); subspace s's codebook
+    * is their s-th subvector slice. The global row_number runs over
+    * `codewords` rows — trivially small by construction. */
+  def pqCodebook(embeddings: DataFrame, dim: Int,
+      subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = dim / subspaces
+    val seeds = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        Hashing.hash60(PqSeed, col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(codewords)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+    seeds.select(col("code"),
+      posexplode(array((0 until subspaces).map(s =>
+        slice(col("v"), s * ds + 1, ds)): _*)).as(Seq("subsp", "cw")))
+  }
+
+  /** (vec_id, subsp, sub): each vector cut into `subspaces` slices. */
+  private def subVectors(embeddings: DataFrame, dim: Int, subspaces: Int): DataFrame = {
+    val ds = dim / subspaces
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col("v"), s * ds + 1, ds)): _*)).as(Seq("subsp", "sub")))
+  }
+
+  /** (vec_id, subsp, code): nearest codeword per subspace (squared-L2
+    * argmin, ties to the smallest code). The codebook (subspaces ×
+    * codewords rows) is broadcast; the argmin is a min(struct) partial
+    * aggregate, so only one row per (vector, subspace) shuffles — at
+    * corpus scale this pass compresses dim floats to `subspaces` bytes
+    * per vector, the 32× storage lever PQ exists for. */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame, dim: Int,
+      subspaces: Int = DefaultSubspaces): DataFrame =
+    subVectors(embeddings, dim, subspaces)
+      .join(broadcast(codebook), "subsp")
+      .select(col("vec_id"), col("subsp"), col("code"),
+        sqDist(col("sub"), col("cw")).as("d2"))
+      .groupBy("vec_id", "subsp")
+      .agg(min(struct(col("d2"), col("code"))).as("mc"))
+      .select(col("vec_id"), col("subsp"), col("mc.code").as("code"))
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): each query
+    * precomputes its distance table to every codeword (queries ×
+    * subspaces × codewords rows — broadcast), and a candidate's
+    * approximate distance is a sum of `subspaces` table lookups over its
+    * codes; the full-precision corpus is never touched at query time.
+    * Returns (qid, vec_id, ad2, rank), rank 1..k by ascending
+    * approximate squared distance, ties to the smallest vec_id. */
+  def pqTopK(embeddings: DataFrame, dim: Int, k: Int,
+      subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(embeddings, dim, subspaces, codewords)
+    val codes = pqEncode(embeddings, cb, dim, subspaces)
+    val dtab = subVectors(embeddings, dim, subspaces)
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cb), "subsp")
+      .select(col("qid"), col("subsp"), col("code"),
+        sqDist(col("sub"), col("cw")).as("qd2"))
+    val scored = codes.join(broadcast(dtab), Seq("subsp", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(round(sum("qd2"), 6).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query,
     * exact cosine inside the probed lists only. Returns
     * (qid, vec_id, sim, rank) like the other ANN paths. At 100 TB the

@@ -84,6 +84,11 @@ object PipelineQueries {
     // probing, exact cosine inside probed lists only.
     "s_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 3)),
 
+    // PQ ANN top-k — the compressed-domain path: seeded per-subspace
+    // codebooks (8 subspaces × 16 codewords), byte codes per vector,
+    // asymmetric-distance top-3 from broadcast lookup tables.
+    "s_ann_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir), Dim, k = 3)),
+
     // Embedding-cosine near-dup pairs, LSH-bucket-restricted (the scale
     // path: same-bucket candidates only, never all-pairs).
     "d_embdup" -> ((s, dir) => {
@@ -450,6 +455,39 @@ object PipelineQueries {
          |ranked AS (SELECT *, row_number() OVER
          | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "s_ann_pq" -> {
+      val m = Similarity.DefaultSubspaces
+      val kw = Similarity.DefaultCodewords
+      val ds = Dim / m
+      val d2 = (a: String, b: String) =>
+        s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v, ${Hs(Similarity.PqSeed, "vec_id")} AS h
+         |  FROM e ORDER BY h, vec_id LIMIT $kw),
+         |sidx AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM seeds),
+         |ss AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS subsp),
+         |cb AS MATERIALIZED (SELECT code, subsp,
+         |  v[subsp * $ds + 1 : subsp * $ds + $ds] AS cw FROM sidx, ss),
+         |subs AS MATERIALIZED (SELECT vec_id, subsp,
+         |  v[subsp * $ds + 1 : subsp * $ds + $ds] AS sub FROM e, ss),
+         |enc AS (SELECT vec_id, subsp, code, ${d2("sub", "cw")} AS d2
+         |  FROM subs JOIN cb USING (subsp)),
+         |codes AS (SELECT vec_id, subsp, code FROM (
+         |  SELECT vec_id, subsp, code, row_number() OVER
+         |    (PARTITION BY vec_id, subsp ORDER BY d2, code) AS rn FROM enc)
+         |  WHERE rn = 1),
+         |dtab AS (SELECT s.vec_id AS qid, s.subsp, c.code, ${d2("s.sub", "c.cw")} AS qd2
+         |  FROM subs s JOIN cb c USING (subsp)),
+         |sc AS (SELECT qid, vec_id, round(sum(qd2), 6) AS ad2
+         |  FROM codes JOIN dtab USING (subsp, code)
+         |  WHERE qid <> vec_id GROUP BY qid, vec_id),
+         |ranked AS (SELECT qid, vec_id, ad2, row_number() OVER
+         |  (PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM sc)
+         |SELECT qid, vec_id, ad2, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
     },
 

@@ -317,6 +317,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(2L)._3 - math.exp(out(2L)._2)) < 1e-5)
   }
 
+  test("PQ ADC ranks an exact duplicate vector first; codes stay in range") {
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat())))
+    val vecs = (base :+ ((40L, base.head._2))).toDF("vec_id", "embedding")
+    // vec 40 duplicates vec 0 -> identical codes -> the minimum possible
+    // ADC distance for each other (encode argmin == the query's own
+    // distance-table argmin per subspace)
+    val top1 = Similarity.pqTopK(vecs, dim = 16, k = 1, subspaces = 4, codewords = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 40L && top1(40L) == 0L)
+    val cb = Similarity.pqCodebook(vecs, dim = 16, subspaces = 4, codewords = 8)
+    val codes = Similarity.pqEncode(vecs, cb, dim = 16, subspaces = 4)
+    assert(codes.count() == 41L * 4)
+    val r = codes.agg(min("code"), max("code")).head()
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 8)
+  }
+
   test("token-budget mixture keeps listed domains at mass-derived rates") {
     val d = (1L to 4L).map(i =>
       (i, if (i <= 2) "a" else "b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
