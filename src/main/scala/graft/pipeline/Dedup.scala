@@ -271,6 +271,26 @@ object Dedup {
       .select(col("v").as("doc_id"), col("comp").as("keeper_id"))
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: drop new
+    * documents whose content digest already exists in the accumulated
+    * corpus, then keep one representative (min doc_id) per digest within
+    * the new batch itself. Only 60-bit digests ever join — never text —
+    * and the anti-join shuffles on the digest, the right shape when the
+    * EXISTING side is the big one (a year of corpus vs a day of intake);
+    * at extreme scale a bloom filter built over the existing digests
+    * prefilters the join input, trading one scan for most of the
+    * shuffle.
+    *
+    * @return surviving new docs as (doc_id, content_hash). */
+  def exactIncremental(newDocs: DataFrame, existing: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val newH = newDocs.select(id.as("doc_id"), Hashing.hash60(text).as("content_hash"))
+    val oldH = existing.select(Hashing.hash60(text).as("content_hash")).distinct()
+    newH.join(oldH, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "content_hash")
+  }
+
   /** Benchmark decontamination — flag training documents sharing any
     * word n-gram with an evaluation/benchmark corpus: the standard
     * overlap check run before training so eval answers don't leak into

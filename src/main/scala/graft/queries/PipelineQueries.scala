@@ -103,6 +103,16 @@ object PipelineQueries {
         .where(col("sim") >= 0.2)
     }),
 
+    // Incremental exact dedup: src0 docs are the accumulated corpus; the
+    // other sources are the incoming batch — drop digests already seen,
+    // keep one doc per new digest.
+    "d_exact_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactIncremental(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        col("doc_id"), col("text"))
+    }),
+
     // Benchmark decontamination: docs from source src0 act as the held-
     // out eval set; training docs (every other source) sharing any word
     // 8-gram with it are flagged with their distinct-overlap count.
@@ -167,6 +177,15 @@ object PipelineQueries {
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_exact_inc" ->
+      s"""WITH oldh AS (SELECT DISTINCT ${H("text")} AS content_hash
+         |  FROM documents WHERE source = 'src0'),
+         |newh AS (SELECT doc_id, ${H("text")} AS content_hash
+         |  FROM documents WHERE source <> 'src0')
+         |SELECT min(doc_id) AS doc_id, content_hash FROM newh
+         |WHERE content_hash NOT IN (SELECT content_hash FROM oldh)
+         |GROUP BY content_hash""".stripMargin,
 
     "d_decontaminate" -> {
       val gram8 = "concat_ws(' ', " +

@@ -293,6 +293,14 @@ class PipelineSpec extends SparkSpec {
     assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("incremental exact dedup drops digests seen in the existing corpus") {
+    val existing = docs.where(col("doc_id") === 1L)
+    val fresh = docs.where(col("doc_id") =!= 1L)
+    val kept = Dedup.exactIncremental(fresh, existing, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L)) // 4 is an exact dup of existing doc 1
+  }
+
   test("decontaminate flags the docs sharing n-grams with the benchmark") {
     val bench = docs.where(col("doc_id") === 1L)
     val train = docs.where(col("doc_id") =!= 1L)
