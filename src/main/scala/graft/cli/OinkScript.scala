@@ -124,7 +124,10 @@ object OinkScript {
           tokenize(subst(t)) match {
             case Seq(_, path) =>
               if (seen(path)) throw ScriptError(l, s"include cycle at '$path'")
-              val src = scala.io.Source.fromFile(path)
+              // splice runs before any `shell cd`, so resolve() sees the
+              // launch cwd — same result as a bare path, kept for
+              // consistency with the runtime include/sink/source cases
+              val src = scala.io.Source.fromFile(resolve(path))
               try splice(src.getLines().toList, seen + path)
               finally src.close()
             case _ => throw ScriptError(l, "include expects exactly one path")

@@ -320,6 +320,50 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Substring-span duplication statistics — the ExactSubstr shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): a token span duplicated ANYWHERE else
+    * in the corpus marks every token it covers as duplicated text, and
+    * per-document coverage drives the drop/trim decision. The suffix
+    * array of the paper is a single-machine structure; the distributed
+    * equivalent fingerprints every width-`k` token window (60-bit hash
+    * of the window), marks windows whose fingerprint occurs in more
+    * than one document, and unions the covered token positions.
+    *
+    * Scale shape: one scan to (doc_id, pos, fingerprint); duplicated
+    * fingerprints found by a count-distinct aggregate over the
+    * fingerprint key (shuffle carries only 60-bit hashes + ids, never
+    * text); coverage is a position-range explode of the duplicated
+    * windows only — bounded by k × dup-window count, a vanishing
+    * fraction of the corpus. No all-pairs stage anywhere.
+    *
+    * @return one row per document: (doc_id, n_tokens, n_dup_spans,
+    *         n_dup_tokens, dup_frac) — docs with no duplicated span
+    *         report zeros, so the output is a total corpus report. */
+  def substrSpanStats(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val t = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    val nt = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val sh = t.select(col("doc_id"),
+        posexplode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), Hashing.hash60(col("sh")).as("g"))
+    val dup = sh.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("g")
+    val dupSpans = sh.join(dup, "g").select("doc_id", "pos")
+    val spans = dupSpans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dupSpans
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    nt.join(spans, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans", "n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"), col("n_dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+          .as("dup_frac"))
+  }
+
   /** Exact word-set Jaccard for candidate pairs. `pairs` must have
     * columns (a, b); returns (a, b, jaccard). Intended for the small
     * post-LSH candidate set — the expensive exact check never touches

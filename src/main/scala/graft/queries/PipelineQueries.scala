@@ -123,6 +123,12 @@ object PipelineQueries {
         col("doc_id"), col("text"), n = 8)
     }),
 
+    // Substring-span dedup report (ExactSubstr shape): per-doc count of
+    // width-8 token windows whose fingerprint occurs in >1 document,
+    // plus the token positions those windows cover.
+    "d_substr" -> ((s, dir) =>
+      Dedup.substrSpanStats(docs(s, dir), col("doc_id"), col("text"), k = 8)),
+
     // Token-budget mixture sampling (domain reweighting): hit a 2000-
     // token budget at 40/40/20 shares across three sources; every other
     // source's share defaults to 0 and drops out.
@@ -214,6 +220,34 @@ object PipelineQueries {
          |SELECT doc_id, domain, n_tokens, round(keep_rate, 6) AS keep_rate
          |FROM base JOIN rates USING (domain)
          |WHERE ${Hashing.rand01Sql(7L, "doc_id")} < keep_rate""".stripMargin,
+
+    "d_substr" -> {
+      val gram8 = "concat_ws(' ', " +
+        (1 to 8).map(k => s"toks[i+$k]").mkString(", ") + ")"
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, ${H(gram8)} AS g
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 8),
+         |dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         |dsp AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+         |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM dsp GROUP BY doc_id),
+         |cov AS (SELECT doc_id, count(*) AS n_dup_tokens FROM (
+         |  SELECT DISTINCT doc_id, pos + o AS tp
+         |  FROM dsp, (SELECT CAST(unnest(range(8)) AS INTEGER) AS o) oo)
+         |  GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT n.doc_id, n.n_tokens,
+         | CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         | CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         | CASE WHEN n.n_tokens = 0 THEN 0.0
+         |   ELSE round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+         | END AS dup_frac
+         |FROM nt n
+         |LEFT JOIN spans s ON s.doc_id = n.doc_id
+         |LEFT JOIN cov c ON c.doc_id = n.doc_id""".stripMargin
+    },
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte

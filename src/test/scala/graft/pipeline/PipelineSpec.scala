@@ -361,6 +361,21 @@ class PipelineSpec extends SparkSpec {
     assert(ids.subsetOf(Set(1L, 2L)))
   }
 
+  test("substring-span stats: union coverage, left-join zeros, short docs") {
+    // width-8 windows over the shared fixture: docs 1/2/4 share the
+    // window at pos 0; docs 1/4 also share pos 1; docs 3 (unique
+    // window) and 5 (too short for any window) must report zeros.
+    val out = Dedup.substrSpanStats(docs, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((9L, 2L, 9L, 1.0)))      // spans at 0 and 1 union to all 9 tokens
+    assert(out(2L) == ((9L, 1L, 8L, 0.888889))) // only pos 0 duplicated -> tokens 0-7
+    assert(out(4L) == out(1L))                  // exact dup of doc 1
+    assert(out(3L) == ((8L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 0L, 0L, 0.0)))
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()
