@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash60"),
       new ExpressionInfo(graft.functions.Hashing.getClass.getName, "hash60"),
       graft.functions.GraftFunctions.hash60Builder _))
+    ext.injectFunction((
+      FunctionIdentifier("hll60"),
+      new ExpressionInfo(classOf[graft.functions.HllSketch60].getName, "hll60"),
+      graft.functions.GraftFunctions.hll60Builder _))
   }
 }

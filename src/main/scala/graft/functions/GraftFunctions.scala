@@ -11,6 +11,15 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)))
     Bridge.registerFunction(spark, "hash60", hash60Builder)
+    Bridge.registerFunction(spark, "hll60", hll60Builder)
+  }
+
+  /** SQL surface for the HLL distinct sketch: `hll60(hash60(x))`. */
+  private[graft] def hll60Builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, "hll60 expects exactly one hash60 argument")
+    HllSketch60(exprs.head).toAggregateExpression()
   }
 
   /** SQL surface for the portable 60-bit hash every deterministic

@@ -51,6 +51,30 @@ object Sampling {
     *         keep_rate carried so downstream loss reweighting can
     *         importance-correct if desired.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): draw `k`
+    * rows where selection probability is proportional to `weight`, in
+    * one distributed pass. Each row gets the deterministic uniform
+    * u = rand01(seed, key) and priority ln(u)/w; the k LARGEST
+    * priorities are the sample — the distributed equivalent of the
+    * paper's reservoir, with the same marginal distribution.
+    *
+    * Scale shape: priorities are computed in the scan (no shuffle), and
+    * the global top-k runs as TakeOrderedAndProject — per-partition
+    * heaps of size k, k rows to the driver — never a full sort. The
+    * returned frame excludes the float priority so downstream equality
+    * checks (and the oracle) compare exact row sets only.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Long): DataFrame = {
+    val pri = log(Hashing.rand01(seed, key)) / weight.cast("double")
+    df.where(weight > 0)
+      .withColumn("__pri", pri)
+      .orderBy(col("__pri").desc, key.asc)
+      .limit(k)
+      .drop("__pri")
+  }
+
   def tokenBudgetMixture(docs: DataFrame, id: Column, text: Column,
       domain: Column, shares: Map[String, Double], totalBudget: Long,
       seed: Long): DataFrame = {

@@ -183,6 +183,39 @@ object Similarity {
       .agg(max(struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cid"))
 
+  /** Semantic-dedup prune list (the SemDeDup shape of Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster embeddings with the
+    * coarse quantizer, then compare vectors ONLY within their cluster
+    * and prune every vector with a lower-id cluster-mate above the
+    * cosine threshold. One-pass variant: the pruned-by row may itself
+    * be pruned (the iterative keeper-chain refinement is the connected-
+    * components path in [[Dedup.dedupClusters]]) — deterministic,
+    * order-free, and what a single distributed sweep can decide.
+    *
+    * Scale shape: the clustering IS the candidate blocking — pairwise
+    * cosine never crosses cluster boundaries, so the quadratic term is
+    * bounded by the largest cluster, not the corpus. The pair join
+    * shuffles on cid; centroids broadcast.
+    *
+    * @return one row per pruned vector: (cid, vec_id, n_similar,
+    *         max_sim) — max_sim is the strongest lower-id match. */
+  def semDedupPrune(embeddings: DataFrame, nlist: Int = DefaultNList,
+      tau: Double = 0.2): DataFrame = {
+    val asg = ivfAssign(embeddings, ivfCentroids(embeddings, nlist))
+    val withC = embeddings.join(asg, "vec_id")
+    val l = withC.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = withC.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, "cid")
+      .where(col("a") < col("b"))
+      .select(col("cid"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .where(col("sim") >= tau)
+      .groupBy("cid", "b")
+      .agg(count(lit(1)).as("n_similar"), max("sim").as("max_sim"))
+      .withColumnRenamed("b", "vec_id")
+  }
+
   /** Optional k-means refinement of the seeded quantizer: `iters`
     * Lloyd rounds of assign + per-list mean. Cosine is scale-invariant,
     * so the plain elementwise mean IS the spherical k-means update and

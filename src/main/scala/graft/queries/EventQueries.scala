@@ -91,7 +91,22 @@ object EventQueries {
         Tables.events(s, dir).select("event_id", "event_type", "user_id"),
         key = col("event_id"), stratum = col("event_type"),
         rates = Map("view" -> 0.1, "click" -> 0.5), default = 0.9,
-        seed = 41L))
+        seed = 41L)),
+
+    // Approximate distinct users per event type via the custom HLL
+    // aggregate (graft.functions.HllSketch60) next to the exact count —
+    // at corpus scale the sketch shuffles 256 bytes per group instead of
+    // every distinct key; the exact column is the small-SF audit.
+    "e_approx_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val approx = ev.groupBy("event_type")
+        .agg(graft.functions.HllSketch60.hll60(
+          graft.functions.Hashing.hash60(col("user_id").cast("string")))
+          .as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      approx.join(exact, Seq("event_type"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +166,15 @@ object EventQueries {
          |WHERE ${graft.functions.Hashing.rand01Sql(41L, "event_id")} <
          |  CASE WHEN event_type = 'view' THEN 0.1
          |       WHEN event_type = 'click' THEN 0.5
-         |       ELSE 0.9 END""".stripMargin
+         |       ELSE 0.9 END""".stripMargin,
+
+    "e_approx_distinct" ->
+      s"""WITH sk AS (${graft.functions.HllSketch60.oracleSql("events",
+             graft.functions.Hashing.hash60Sql("CAST(user_id AS VARCHAR)"),
+             "event_type")}),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, sk.approx_distinct AS approx_users, ex.exact_users
+         |FROM sk JOIN ex USING (event_type)""".stripMargin
   )
 }

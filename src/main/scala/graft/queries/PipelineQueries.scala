@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -138,7 +138,22 @@ object PipelineQueries {
         shares = Map("src1" -> 0.4, "src2" -> 0.4, "src3" -> 0.2),
         totalBudget = 2000L, seed = 7L)),
 
-    "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
+    "mm_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // 50 docs drawn with probability proportional to length — the
+    // deterministic distributed reservoir (per-partition heaps, no sort).
+    "d_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        docs(s, dir).select("doc_id", "n_chars"),
+        key = col("doc_id"), weight = col("n_chars"), k = 50, seed = 11L)),
+
+    // Semantic dedup (SemDeDup shape): IVF-cluster the embeddings, prune
+    // vectors with a lower-id cluster-mate above the cosine threshold —
+    // clustering doubles as candidate blocking, so pairwise cosine never
+    // crosses cluster boundaries.
+    "d_semdedup" -> ((s, dir) =>
+      Similarity.semDedupPrune(emb(s, dir), tau = 0.2))
   )
 
   private def H(e: String) = Hashing.hash60Sql(e)
@@ -509,6 +524,35 @@ object PipelineQueries {
          | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "d_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE n_chars > 0
+         |ORDER BY ln(${Hashing.rand01Sql(11L, "doc_id")})
+         |  / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
+         |LIMIT 50""".stripMargin,
+
+    "d_semdedup" -> {
+      val nlist = Similarity.DefaultNList
+      s"""WITH cents AS (
+         | SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         | ORDER BY ${Hs(Similarity.IvfSeed, "vec_id")}, vec_id LIMIT $nlist),
+         |csc AS MATERIALIZED (
+         | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cvec")} AS csim
+         | FROM embeddings e, cents c),
+         |assigned AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         | WHERE rn = 1),
+         |pr AS (
+         | SELECT l.cid, r.vec_id AS b, ${cosSql("le.embedding", "re.embedding")} AS sim
+         | FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id < r.vec_id
+         | JOIN embeddings le ON le.vec_id = l.vec_id
+         | JOIN embeddings re ON re.vec_id = r.vec_id)
+         |SELECT cid, b AS vec_id, count(*) AS n_similar, max(sim) AS max_sim
+         |FROM pr WHERE sim >= 0.2e0 GROUP BY 1, 2""".stripMargin
     },
 
     "s_ann_pq" -> {

@@ -59,6 +59,13 @@ object TextQueries {
     "t_perplexity" -> ((s, dir) =>
       TextAnalysis.unigramLogLoss(docs(s, dir), col("doc_id"), col("text"))),
 
+    // BM25 keyword retrieval: score every document against a fixed
+    // 3-term query (term filter before the shuffle, broadcast df/corpus
+    // stats, fixed-order term sum).
+    "t_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), col("doc_id"), col("text"),
+        Bm25Terms)),
+
     // Corpus-level training-budget stats: docs and token mass per
     // predicted language — the numbers a data-mixture plan is built
     // from. Two single-scan aggregates joined on doc_id.
@@ -76,6 +83,9 @@ object TextQueries {
   private val H = (e: String) => Hashing.hash60Sql(e)
   private val markers = TextAnalysis.LangMarkers
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Fixed bag-of-words query for the BM25 gate. */
+  private val Bm25Terms = Seq("hash", "join", "spark")
 
   val oracles: Map[String, String] = Map(
     "t_wordfreq" ->
@@ -200,6 +210,42 @@ object TextQueries {
         |  FROM pairs JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id)
         |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM agg""".stripMargin,
+
+    // Float-literal discipline: every fractional constant is written
+    // with an e0 suffix so DuckDB parses DOUBLE, not DECIMAL (decimal
+    // arithmetic would diverge from Spark's double math), and compound
+    // constants stay in operand form ((1.2e0 + 1.0e0), never 2.2e0) so
+    // both engines fold the identical IEEE operations.
+    "t_bm25" -> {
+      val score =
+        """ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+          |    / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+          |  * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+          |  / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+          |     + 0.75e0 * (CAST(dl AS DOUBLE)
+          |                 / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+          .stripMargin
+      val termSums = Bm25Terms.map(t =>
+        s"coalesce(sum(CASE WHEN w = '$t' THEN s END), 0.0e0) AS s_$t")
+        .mkString(",\n  ")
+      val total = Bm25Terms.map(t => s"s_$t").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+         |  WHERE w IN (${inList(Bm25Terms)}) GROUP BY 1, 2),
+         |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.w,
+         |  $score AS s
+         |  FROM tf JOIN dfx USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+         |px AS (SELECT doc_id,
+         |  $termSums
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, round($total, 6) AS bm25 FROM px""".stripMargin
+    },
 
     "t_tokens" ->
       """SELECT doc_id,

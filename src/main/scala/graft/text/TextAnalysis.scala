@@ -199,6 +199,49 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
   }
 
+  /** BM25 relevance (Robertson & Zaragoza, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond", FnTIR 2009) of every document against
+    * a fixed bag-of-words query — keyword retrieval over the corpus, the
+    * lexical complement of the embedding ANN path in
+    * [[graft.pipeline.Similarity]]. Returns (doc_id, bm25) for documents
+    * containing at least one query term.
+    *
+    * Scale shape: the token stream collapses to per-doc (doc_id, term,
+    * tf) counts for the query terms ONLY — the `isin` filter runs before
+    * the map-side combine, so the shuffle carries a handful of rows per
+    * matching doc, not the corpus vocabulary. Document-frequency and
+    * corpus-length stats are tiny aggregates joined back by broadcast.
+    * The per-doc score sums term contributions in FIXED query order
+    * (one conditional sum per term), keeping the result independent of
+    * aggregation order — the property that makes it oracle-checkable.
+    */
+  def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_len").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfd = col("tf").cast("double")
+    val score = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val perTerm = tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"), score.as("s"))
+    val termCols = terms.map(t =>
+      coalesce(sum(when(col("w") === t, col("s"))), lit(0.0)).as(s"s_$t"))
+    perTerm.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"),
+        round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
+  }
+
   /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
     * Callers must bind `toks` to an attribute (e.g. via a prior select),
     * not pass `tokens(text)` inline — the expression references the

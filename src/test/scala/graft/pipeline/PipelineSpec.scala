@@ -376,6 +376,54 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, 0L, 0.0)))
   }
 
+  test("bm25 matches the formula by hand and skips term-free docs") {
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, col("doc_id"), col("text"), Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 10.0 / 4
+    def s(tf: Long, df: Long, dl: Long): Double =
+      math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!out.contains(4L), "doc without query terms must be absent")
+    assert(out(1L) == r6(s(2, 1, 3)))          // only 'a'
+    assert(out(2L) == r6(s(1, 2, 2)))          // only 'c'
+    assert(out(3L) == r6(s(3, 2, 3)))
+  }
+
+  test("weighted sample: deterministic, partition-independent, favors weight") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 500) 20L else 1L)).toDF("id", "w")
+    def draw(parts: Int) = Sampling.weightedSample(
+        rows.repartition(parts), col("id"), col("w"), k = 100, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    val a = draw(1); val b = draw(7)
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.size == 100)
+    val heavy = a.count(_ <= 500)
+    assert(heavy > 80, s"20x-weighted half got only $heavy of 100 slots")
+    // k >= population keeps every positive-weight row
+    val small = Seq((1L, 5L), (2L, 0L), (3L, 1L)).toDF("id", "w")
+    val all = Sampling.weightedSample(small, col("id"), col("w"), 10, 3L)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 3L), "zero-weight rows never sampled; rest all kept")
+  }
+
+  test("semantic dedup prunes the higher-id exact duplicate only") {
+    val rnd = new scala.util.Random(9)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat())))
+    // vec 30 duplicates vec 7; all others are random (cosine ~0.75 on
+    // random positive vectors, far below tau=0.99)
+    val vecs = (base :+ ((30L, base(7)._2))).toDF("vec_id", "embedding")
+    val pruned = Similarity.semDedupPrune(vecs, nlist = 4, tau = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_similar"), r.getAs[Double]("max_sim")))).toMap
+    assert(pruned.keySet == Set(30L), s"expected only the duplicate, got $pruned")
+    assert(pruned(30L) == ((1L, 1.0)))
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()
