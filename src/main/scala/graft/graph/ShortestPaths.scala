@@ -36,41 +36,45 @@ object ShortestPaths {
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     var dist = Seq((source, 0.0)).toDF("v", "dist")
+    var distCk: DataFrame = null // checkpoint frame owning dist's blocks
     var frontier = dist
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIter) {
       val candidates = weighted
         .join(frontier, weighted("src") === frontier("v"))
-        .select(col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
-      // localCheckpoint every round: `dist` appears twice in the
-      // round plan (union + improvement anti-check) — truncate or the
-      // logical tree doubles per round (see PageRank.run). Lazy: the
-      // improvement join below scans all of `merged`, so the count
-      // action materializes both frames in a single job per round.
-      val merged = dist.union(candidates)
-        .groupBy("v").agg(min("dist").as("dist"))
+        .select(col("dst").as("v"), (col("dist") + col("weight")).as("dist"),
+          lit(false).as("old"))
+      // One aggregation decides BOTH the new state and the improvement
+      // set: prior rows ride the union tagged old=true, so min(dist) is
+      // the merged distance and min(dist WHERE old) the previous one —
+      // the improvement anti-join of earlier revisions collapsed into
+      // the groupBy (one shuffle per round, not two).
+      // localCheckpoint every round: truncate or the logical tree
+      // doubles per round (see PageRank.run). Lazy: the count action
+      // below materializes it inside this round's single job.
+      val merged = dist.withColumn("old", lit(true)).union(candidates)
+        .groupBy("v").agg(min("dist").as("dist"),
+          min(when(col("old"), col("dist"))).as("old_dist"))
         .localCheckpoint(false)
-      // improved = vertices whose best distance changed this round.
-      // No checkpoint needed: its lineage is one join of two already-
-      // checkpointed frames, so the plan stays shallow; persist + the
-      // count action below materializes it in one job instead of the
-      // two (checkpoint job + count job) a localCheckpoint would take.
-      val improved = merged.join(dist.withColumnRenamed("dist", "old"), Seq("v"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
+      // improved = discovered (no old_dist) or strictly shorter. A plain
+      // filter over the checkpoint — no persist needed: the one re-read
+      // next round scans the checkpoint blocks.
+      val improved = merged
+        .where(col("old_dist").isNull || col("dist") < col("old_dist"))
         .select("v", "dist")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
-      // old dist is checkpoint-backed: Dataset.unpersist cannot see its
-      // RDD-level blocks, so release goes through the bridge. The
-      // frontier is plain-persisted — normal unpersist applies.
-      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(dist)
-      frontier.unpersist(false)
-      dist = merged
+      // Predecessor checkpoint blocks release only AFTER the successor
+      // materialized (the count above) — they were its recomputation
+      // source. Dataset.unpersist cannot see RDD-level checkpoint
+      // blocks, so release goes through the bridge.
+      if (distCk != null)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(distCk)
+      distCk = merged
+      dist = merged.select("v", "dist")
       frontier = improved
       iter += 1
     }
-    frontier.unpersist(false) // the last round's improved frame
     weighted.unpersist(false)
     dist
   }
@@ -113,31 +117,32 @@ object ShortestPaths {
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     var dist = sources.map(s => (s, s, 0.0)).toDF("source", "v", "dist")
+    var distCk: DataFrame = null
     var frontier = dist
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIter) {
       val candidates = weighted
         .join(frontier, weighted("src") === frontier("v"))
-        .select(col("source"), col("dst").as("v"), (col("dist") + col("weight")).as("dist"))
-      val merged = dist.union(candidates)
-        .groupBy("source", "v").agg(min("dist").as("dist"))
-        .localCheckpoint(false) // fused with the count job, see run()
-      // shallow lineage off two checkpointed frames — persist + count
-      // materializes in one job (see run() above)
+        .select(col("source"), col("dst").as("v"),
+          (col("dist") + col("weight")).as("dist"), lit(false).as("old"))
+      // old/new-tagged union: merge and improvement check in ONE
+      // aggregation — see run() for the shape and checkpoint rationale.
+      val merged = dist.withColumn("old", lit(true)).union(candidates)
+        .groupBy("source", "v").agg(min("dist").as("dist"),
+          min(when(col("old"), col("dist"))).as("old_dist"))
+        .localCheckpoint(false)
       val improved = merged
-        .join(dist.withColumnRenamed("dist", "old"), Seq("source", "v"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
+        .where(col("old_dist").isNull || col("dist") < col("old_dist"))
         .select("source", "v", "dist")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       active = improved.count()
-      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(dist) // see run()
-      frontier.unpersist(false)
-      dist = merged
+      if (distCk != null)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(distCk)
+      distCk = merged
+      dist = merged.select("source", "v", "dist")
       frontier = improved
       iter += 1
     }
-    frontier.unpersist(false) // the last round's improved frame
     weighted.unpersist(false)
     dist
   }
