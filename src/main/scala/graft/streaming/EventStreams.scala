@@ -41,6 +41,25 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Windowed approximate distinct users per event type via the custom
+    * HLL aggregate ([[graft.functions.HllSketch60]]). The state store
+    * holds one 256-byte register array per open (window, type) group —
+    * constant per group no matter how many distinct users stream
+    * through, which is the whole point at stream scale; an exact
+    * distinct would grow state linearly. The typed-imperative buffer
+    * serializes into the state row like any built-in sketch. */
+  def approxDistinctStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HllSketch60.hll60(
+        graft.functions.Hashing.hash60(col("user_id").cast("string")))
+        .as("approx_users"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("approx_users"))
+
   final case class Event(user_id: Long, event_id: Long, ts_us: Long,
       tts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

@@ -32,6 +32,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL approx-distinct equals the batch sketch per window") {
+    import graft.functions.{Hashing, HllSketch60}
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.approxDistinctStream(stream), "hll_out", OutputMode.Append)
+    try {
+      val s = spark.table("hll_out")
+      // batch twin: same windowing, same sketch — estimates must agree
+      // EXACTLY (registers merge by max; order cannot matter)
+      val b = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("win_start_us",
+          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+        .groupBy("win_start_us", "event_type")
+        .agg(HllSketch60.hll60(Hashing.hash60(col("user_id").cast("string")))
+          .as("approx_users"))
+      assert(s.count() > 0, "stream emitted nothing")
+      assert(s.except(b).isEmpty, "streamed sketch estimate disagrees with batch")
+    } finally q.stop()
+  }
+
   test("stream-stream range join equals the batch e_range_join result") {
     val stream = EventStreams.readEvents(spark, dir)
     val q = EventStreams.runToMemory(
