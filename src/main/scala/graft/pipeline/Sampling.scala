@@ -33,6 +33,54 @@ object Sampling {
     df.where(Hashing.rand01(seed, key) < rate)
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much its hashed-bigram distribution looks
+    * like a TARGET corpus versus the RAW corpus — the log importance
+    * ratio Σ k_b·(ln p_target(b) − ln p_raw(b)) over the doc's hashed
+    * feature counts, with add-one smoothing over `buckets` hash
+    * buckets. High scores mark raw documents worth keeping when
+    * curating toward the target distribution; feed the weights to
+    * [[weightedSample]] for the paper's resampling step.
+    *
+    * Scale shape: bigrams hash straight into a bounded bucket space, so
+    * both bag models are `buckets`-row aggregates (map-side combined)
+    * that BROADCAST back; per-doc scoring is one (doc, bucket) count
+    * aggregate and a broadcast join — the raw corpus is never shuffled
+    * by anything wider than its own (doc, bucket) pairs.
+    *
+    * @return (doc_id, n_bigrams, logw) for every document in `raw` —
+    *         docs too short for a bigram score 0. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, buckets: Int = 1 << 14): DataFrame = {
+    import graft.text.TextAnalysis
+    def feats(df: DataFrame): DataFrame = df
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("sh"))
+      .select(col("doc_id"), (Hashing.hash60(col("sh")) % buckets).as("b"))
+    val docFeats = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+    val rawCounts = docFeats.groupBy("b").agg(sum("k").as("cr"))
+    val tgtCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rawCounts.agg(sum("cr").as("r_tot"))
+      .crossJoin(tgtCounts.agg(sum("ct").as("t_tot")))
+    // every doc bucket exists in rawCounts by construction; target
+    // counts default to 0 and ride on the +1 smoothing
+    val ratio = rawCounts.join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+             (col("t_tot").cast("double") + lit(buckets.toDouble))) -
+         log((col("cr").cast("double") + lit(1.0)) /
+             (col("r_tot").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    val scored = docFeats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        round(sum(col("k").cast("double") * col("lr")), 6).as("logw"))
+    raw.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams")).na.fill(0.0, Seq("logw"))
+  }
+
   /** Token-budget mixture sampling — the data-mixing step of a training
     * run: given target shares per domain (e.g. web 60% / code 30% /
     * books 10%) and a total token budget, derive each domain's keep rate

@@ -148,6 +148,15 @@ object PipelineQueries {
         docs(s, dir).select("doc_id", "n_chars"),
         key = col("doc_id"), weight = col("n_chars"), k = 50, seed = 11L)),
 
+    // DSIR importance weights: score every doc by hashed-bigram log
+    // likelihood ratio toward the English subset (the "target"
+    // distribution) vs the whole corpus.
+    "d_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirLogWeights(d, d.where(col("lang") === "en"),
+        col("doc_id"), col("text"))
+    }),
+
     // Semantic dedup (SemDeDup shape): IVF-cluster the embeddings, prune
     // vectors with a lower-id cluster-mate above the cosine threshold —
     // clustering doubles as candidate blocking, so pairwise cosine never
@@ -532,6 +541,35 @@ object PipelineQueries {
          |ORDER BY ln(${Hashing.rand01Sql(11L, "doc_id")})
          |  / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
          |LIMIT 50""".stripMargin,
+
+    "d_dsir" -> {
+      val B = 1 << 14
+      val gram2 = "concat_ws(' ', toks[i+1], toks[i+2])"
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, ${H(gram2)} % $B AS b
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 2),
+         |dfx AS (SELECT doc_id, b, count(*) AS k FROM f GROUP BY 1, 2),
+         |cr AS (SELECT b, sum(k) AS cr FROM dfx GROUP BY 1),
+         |tg AS (SELECT b, count(*) AS ct
+         |  FROM f JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cr) FROM cr) AS r_tot,
+         |               (SELECT sum(ct) FROM tg) AS t_tot),
+         |lr AS (SELECT cr.b,
+         |  ln((CAST(coalesce(tg.ct, 0) AS DOUBLE) + 1.0e0)
+         |     / (CAST(t_tot AS DOUBLE) + ${B}.0e0))
+         |  - ln((CAST(cr.cr AS DOUBLE) + 1.0e0)
+         |     / (CAST(r_tot AS DOUBLE) + ${B}.0e0)) AS lr
+         |  FROM cr LEFT JOIN tg ON tg.b = cr.b CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  round(sum(CAST(k AS DOUBLE) * lr), 6) AS logw
+         |  FROM dfx JOIN lr USING (b) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.logw, 0.0e0) AS logw
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
+    },
 
     "d_semdedup" -> {
       val nlist = Similarity.DefaultNList

@@ -424,6 +424,23 @@ class PipelineSpec extends SparkSpec {
     assert(pruned(30L) == ((1L, 1.0)))
   }
 
+  test("dsir weights favor target-like docs; short docs score zero") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // matches target bigrams
+      (2L, "gamma delta gamma delta"), // matches nothing in target
+      (3L, "alpha beta gamma delta"), // half-match
+      (4L, "solo")) // no bigram
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("logw")))).toMap
+    assert(w(4L) == ((0L, 0.0)))
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
+      s"expected target-likeness ordering, got $w")
+    assert(w(1L)._1 == 3L && w(3L)._1 == 3L)
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()
