@@ -134,14 +134,15 @@ object HllSketch60 {
        |        ELSE ${W + 1} - length(bin(h % $two52)) END, $RhoCap) AS rho
        |  FROM hh),
        |mx AS (SELECT g, bucket, MAX(rho) AS mr FROM rr GROUP BY 1, 2),
-       |st AS (SELECT g, COUNT(*) AS nb, SUM(power(2.0, -mr)) AS sp
+       |st AS (SELECT g, COUNT(*) AS nb, SUM(power(2.0e0, -mr)) AS sp
        |  FROM mx GROUP BY 1),
        |ee AS (SELECT g, ($M - nb) AS zeros,
-       |  (0.7213 / (1.0 + 1.079 / $M)) * $M * $M / (($M - nb) * 1.0 + sp) AS raw
+       |  (0.7213e0 / (1.0e0 + 1.079e0 / $M)) * $M * $M
+       |    / (($M - nb) * 1.0e0 + sp) AS raw
        |  FROM st)
-       |SELECT g AS $groupCol, floor((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
-       |  THEN $M * ln($M * 1.0 / zeros) ELSE raw END) * 10000.0 + 0.5)
-       |  / 10000.0 AS approx_distinct
+       |SELECT g AS $groupCol, floor((CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
+       |  THEN $M * ln($M * 1.0e0 / zeros) ELSE raw END) * 10000.0e0 + 0.5e0)
+       |  / 10000.0e0 AS approx_distinct
        |FROM ee""".stripMargin
   }
 }

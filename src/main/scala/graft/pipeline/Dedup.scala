@@ -301,10 +301,11 @@ object Dedup {
     * benchmark side collapses to a compact distinct-Long set that is
     * BROADCAST — an eval suite is tiny next to a training corpus, so the
     * corpus side never shuffles for the membership check: scan → explode
-    * → hash → broadcast hash-join → count. (The per-doc `distinct`
-    * before the join is the only corpus shuffle, and it carries only the
-    * contamination candidates' (doc_id, hash) pairs after the join-side
-    * filter Catalyst pushes through it.)
+    * → hash → broadcast hash-join → count. The broadcast join runs
+    * BEFORE the per-doc distinct, so the only corpus shuffle carries the
+    * contamination candidates' (doc_id, hash) pairs — nothing pushes a
+    * join below an Aggregate, so ordering it this way in the plan is on
+    * us, not Catalyst.
     *
     * @return (doc_id, n_overlap) — contaminated training docs with the
     *         count of DISTINCT shared n-grams; clean docs don't appear.
@@ -315,9 +316,9 @@ object Dedup {
       TextAnalysis.explodedShingles(df, id, text, n)
         .select(col("doc_id"), Hashing.hash60(col("sh")).as("g"))
     val benchSet = hashed(bench).select("g").distinct()
-    hashed(train).distinct()
+    hashed(train)
       .join(broadcast(benchSet), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_overlap"))
   }
 
   /** Substring-span duplication statistics — the ExactSubstr shape of
@@ -327,8 +328,10 @@ object Dedup {
     * per-document coverage drives the drop/trim decision. The suffix
     * array of the paper is a single-machine structure; the distributed
     * equivalent fingerprints every width-`k` token window (60-bit hash
-    * of the window), marks windows whose fingerprint occurs in more
-    * than one document, and unions the covered token positions.
+    * of the window), marks windows whose fingerprint occurs more than
+    * once corpus-wide — across documents OR repeated inside one (the
+    * internal-boilerplate case ExactSubstr exists to catch) — and
+    * unions the covered token positions.
     *
     * Scale shape: one scan to (doc_id, pos, fingerprint); duplicated
     * fingerprints found by a count-distinct aggregate over the
@@ -347,7 +350,7 @@ object Dedup {
         posexplode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"), Hashing.hash60(col("sh")).as("g"))
     val dup = sh.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .where(col("nd") > 1).select("g")
     val dupSpans = sh.join(dup, "g").select("doc_id", "pos")
     val spans = dupSpans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))

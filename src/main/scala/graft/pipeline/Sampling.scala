@@ -81,24 +81,6 @@ object Sampling {
       .na.fill(0L, Seq("n_bigrams")).na.fill(0.0, Seq("logw"))
   }
 
-  /** Token-budget mixture sampling — the data-mixing step of a training
-    * run: given target shares per domain (e.g. web 60% / code 30% /
-    * books 10%) and a total token budget, derive each domain's keep rate
-    * from its actual token mass and hash-sample documents to hit the
-    * mixture. Domains with less mass than their target keep everything
-    * (rate caps at 1 — no upsampling; repeat-epoch decisions live in the
-    * trainer, not the sampler). Unlisted domains default to share 0.
-    *
-    * Scale shape: one aggregate scan computes per-domain token mass
-    * (map-side combined, domain-cardinality rows), the rate table is
-    * BROADCAST back, and the keep decision is the same pushdown-friendly
-    * deterministic hash filter as [[uniform]] — re-runs and retries keep
-    * identical rows.
-    *
-    * @return kept docs as (doc_id, domain, n_tokens, keep_rate) —
-    *         keep_rate carried so downstream loss reweighting can
-    *         importance-correct if desired.
-    */
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
     * "Weighted random sampling with a reservoir", IPL 2006): draw `k`
     * rows where selection probability is proportional to `weight`, in
@@ -123,6 +105,24 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Token-budget mixture sampling — the data-mixing step of a training
+    * run: given target shares per domain (e.g. web 60% / code 30% /
+    * books 10%) and a total token budget, derive each domain's keep rate
+    * from its actual token mass and hash-sample documents to hit the
+    * mixture. Domains with less mass than their target keep everything
+    * (rate caps at 1 — no upsampling; repeat-epoch decisions live in the
+    * trainer, not the sampler). Unlisted domains default to share 0.
+    *
+    * Scale shape: one aggregate scan computes per-domain token mass
+    * (map-side combined, domain-cardinality rows), the rate table is
+    * BROADCAST back, and the keep decision is the same pushdown-friendly
+    * deterministic hash filter as [[uniform]] — re-runs and retries keep
+    * identical rows.
+    *
+    * @return kept docs as (doc_id, domain, n_tokens, keep_rate) —
+    *         keep_rate carried so downstream loss reweighting can
+    *         importance-correct if desired.
+    */
   def tokenBudgetMixture(docs: DataFrame, id: Column, text: Column,
       domain: Column, shares: Map[String, Double], totalBudget: Long,
       seed: Long): DataFrame = {

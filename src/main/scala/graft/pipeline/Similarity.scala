@@ -301,19 +301,21 @@ object Similarity {
       .agg(min(struct(col("d2"), col("code"))).as("mc"))
       .select(col("vec_id"), col("subsp"), col("mc.code").as("code"))
 
-  /** PQ ANN top-k by asymmetric distance computation (ADC): each query
-    * precomputes its distance table to every codeword (queries ×
-    * subspaces × codewords rows — broadcast), and a candidate's
-    * approximate distance is a sum of `subspaces` table lookups over its
-    * codes; the full-precision corpus is never touched at query time.
-    * Returns (qid, vec_id, ad2, rank), rank 1..k by ascending
-    * approximate squared distance, ties to the smallest vec_id. */
-  def pqTopK(embeddings: DataFrame, dim: Int, k: Int,
+  /** PQ ANN search by asymmetric distance computation (ADC): each query
+    * precomputes its distance table to every codeword (|Q| × subspaces ×
+    * codewords rows — BROADCAST, which is why `queries` must be the
+    * small side: the scale contract is a bounded query set against an
+    * arbitrarily large coded corpus), and a candidate's approximate
+    * distance is a sum of `subspaces` table lookups over its codes; the
+    * full-precision corpus is never touched at query time. Returns
+    * (qid, vec_id, ad2, rank), rank 1..k by ascending approximate
+    * squared distance, ties to the smallest vec_id. */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = pqCodebook(embeddings, dim, subspaces, codewords)
-    val codes = pqEncode(embeddings, cb, dim, subspaces)
-    val dtab = subVectors(embeddings, dim, subspaces)
+    val cb = pqCodebook(corpus, dim, subspaces, codewords)
+    val codes = pqEncode(corpus, cb, dim, subspaces)
+    val dtab = subVectors(queries, dim, subspaces)
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(cb), "subsp")
       .select(col("qid"), col("subsp"), col("code"),
@@ -324,6 +326,14 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Every-vector-against-the-corpus convenience over [[pqSearch]] —
+    * broadcasts a CORPUS-sized distance table, so this self-search form
+    * is for test/gate scale only; at corpus scale call [[pqSearch]]
+    * with a bounded query frame. */
+  def pqTopK(embeddings: DataFrame, dim: Int, k: Int,
+      subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame =
+    pqSearch(embeddings, embeddings, dim, k, subspaces, codewords)
 
   /** IVF ANN top-k: probe the `nprobe` nearest centroid lists per query,
     * exact cosine inside the probed lists only. Returns

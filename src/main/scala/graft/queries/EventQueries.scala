@@ -97,16 +97,12 @@ object EventQueries {
     // aggregate (graft.functions.HllSketch60) next to the exact count —
     // at corpus scale the sketch shuffles 256 bytes per group instead of
     // every distinct key; the exact column is the small-SF audit.
-    "e_approx_distinct" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val approx = ev.groupBy("event_type")
+    "e_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
         .agg(graft.functions.HllSketch60.hll60(
-          graft.functions.Hashing.hash60(col("user_id").cast("string")))
-          .as("approx_users"))
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct("user_id").as("exact_users"))
-      approx.join(exact, Seq("event_type"))
-    })
+            graft.functions.Hashing.hash60(col("user_id").cast("string")))
+            .as("approx_users"),
+          countDistinct("user_id").as("exact_users")))
   )
 
   val oracles: Map[String, String] = Map(

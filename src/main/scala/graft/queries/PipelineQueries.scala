@@ -124,8 +124,9 @@ object PipelineQueries {
     }),
 
     // Substring-span dedup report (ExactSubstr shape): per-doc count of
-    // width-8 token windows whose fingerprint occurs in >1 document,
-    // plus the token positions those windows cover.
+    // width-8 token windows whose fingerprint occurs more than once
+    // corpus-wide (cross-doc or repeated within one doc), plus the
+    // token positions those windows cover.
     "d_substr" -> ((s, dir) =>
       Dedup.substrSpanStats(docs(s, dir), col("doc_id"), col("text"), k = 8)),
 
@@ -214,7 +215,8 @@ object PipelineQueries {
          |newh AS (SELECT doc_id, ${H("text")} AS content_hash
          |  FROM documents WHERE source <> 'src0')
          |SELECT min(doc_id) AS doc_id, content_hash FROM newh
-         |WHERE content_hash NOT IN (SELECT content_hash FROM oldh)
+         |WHERE NOT EXISTS (SELECT 1 FROM oldh
+         |  WHERE oldh.content_hash = newh.content_hash)
          |GROUP BY content_hash""".stripMargin,
 
     "d_decontaminate" -> {
@@ -254,7 +256,7 @@ object PipelineQueries {
          |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, ${H(gram8)} AS g
          |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
          |  WHERE i <= len(toks) - 8),
-         |dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
          |dsp AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
          |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM dsp GROUP BY doc_id),
          |cov AS (SELECT doc_id, count(*) AS n_dup_tokens FROM (

@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.io.Tables
 
-/** Dev probe: wall-time g_sssp / g_pagerank / g_cc back-to-back on one
-  * JVM to separate real per-round cost from host noise. Not a gate. */
+/** Dev probe: wall-time g_sssp / g_pagerank back-to-back on one JVM to
+  * separate real per-round cost from host noise. Not a gate. */
 object SsspProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

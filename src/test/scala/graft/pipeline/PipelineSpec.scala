@@ -376,6 +376,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, 0L, 0.0)))
   }
 
+  test("substring-span stats count WITHIN-document duplicated spans too") {
+    // one doc repeating its own 8-token window (internal boilerplate,
+    // the case ExactSubstr exists for) plus an unrelated clean doc
+    val d = Seq(
+      (1L, "a b c d e f g h a b c d e f g h"),
+      (2L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val out = Dedup.substrSpanStats(d, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((2L, 16L, 1.0)),
+      s"self-repeated window must flag both occurrences, got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0.0)))
+  }
+
   test("bm25 matches the formula by hand and skips term-free docs") {
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"), (4L, "b b"))
       .toDF("doc_id", "text")
