@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{ConnectedComponents, GraphOps, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
+import graft.graph.{ConnectedComponents, GraphOps, KCore, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -113,7 +113,12 @@ object GraphQueries {
     // oracle computes sequentially via a recursive CTE.
     "g_luby" -> ((s, dir) => LubyMIS.run(s, Tables.edges(s, dir), seed = 11L)),
 
-    "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L))
+    "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L)),
+
+    // k-core extraction (k=56 peels 3 rounds at sf0.01); the oracle
+    // unrolls 8 peel rounds — past the fixpoint, where extra rounds are
+    // no-ops.
+    "g_kcore" -> ((s, dir) => KCore.run(s, Tables.edges(s, dir), k = 56))
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,8 +256,35 @@ object GraphQueries {
 
     "g_sssp_w" -> ssspWeightedSql(rounds = 40),
 
-    "g_luby" -> lubySql(seed = 11L)
+    "g_luby" -> lubySql(seed = 11L),
+
+    "g_kcore" -> kcoreSql(k = 56, rounds = 8)
   )
+
+  /** Unrolled k-core peel mirroring KCore.run: each round recomputes
+    * undirected degrees and keeps edges whose BOTH endpoints are ≥ k.
+    * `rounds` must exceed the peel depth (extra rounds are no-ops at
+    * the fixpoint). CTEs are MATERIALIZED — inlining re-opens the
+    * parquet per reference and doubles plans per level. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      val d =
+        s"""d$i AS MATERIALIZED (SELECT v AS vi, count(*) AS deg FROM (
+           |  SELECT vi AS v FROM e$i UNION ALL SELECT vj AS v FROM e$i)
+           |  GROUP BY 1)""".stripMargin
+      val e =
+        s"""e${i + 1} AS MATERIALIZED (SELECT e.vi, e.vj FROM e$i e
+           |  JOIN d$i a ON a.vi = e.vi AND a.deg >= $k
+           |  JOIN d$i b ON b.vi = e.vj AND b.deg >= $k)""".stripMargin
+      s"$d,\n$e"
+    }.mkString(",\n")
+    s"""WITH edges AS ($E),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS vi, greatest(src, dst) AS vj
+       |  FROM edges WHERE least(src, dst) <> greatest(src, dst)),
+       |$steps
+       |SELECT vi AS v, deg FROM d${rounds - 1} WHERE deg >= $k""".stripMargin
+  }
 
   /** Unrolled weighted Bellman-Ford oracle mirroring ShortestPaths.run
     * over degreeWeight edges: r_{k+1}(v) = min(r_k(v), min_{(u,v)∈E}

@@ -74,6 +74,38 @@ class GraphAlgoSpec extends SparkSpec {
     assert(d == Map(0L -> 0.0, 1L -> 3.0, 2L -> 1.0))
   }
 
+  test("k-core peels cascades: pendant chain collapses, clique survives") {
+    // 4-clique (0-3) with a chain 3-4-5 hanging off it: the 2-core must
+    // peel 5 (deg 1), THEN 4 (deg drops to 1) — a 2-round cascade —
+    // and keep the clique at its internal degrees.
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = (clique ++ Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    val core = KCore.run(spark, edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"expected the bare 4-clique, got $core")
+    // k above the max degree empties the core after full cascade
+    assert(KCore.run(spark, edges, k = 5).isEmpty)
+    // brute-force cross-check on a random graph
+    val rnd0 = new scala.util.Random(13)
+    val re = Seq.fill(150)((rnd0.nextInt(30).toLong, rnd0.nextInt(30).toLong))
+    val got = KCore.run(spark, re.toDF("src", "dst"), k = 6)
+      .as[(Long, Long)].collect().toMap
+    var es = re.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val bad = deg.filter(_._2 < 6).keySet
+      changed = bad.nonEmpty
+      es = es.filterNot(e => bad(e._1) || bad(e._2))
+    }
+    val expected = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    assert(got == expected)
+  }
+
   test("triangle enumeration matches brute force on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
