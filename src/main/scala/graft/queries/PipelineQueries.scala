@@ -158,6 +158,20 @@ object PipelineQueries {
         col("doc_id"), col("text"))
     }),
 
+    // End-to-end DSIR selection: importance weights -> exp -> weighted
+    // sampling without replacement (the paper's importance RESAMPLING
+    // step) — 100 docs drawn with probability proportional to the
+    // importance ratio toward the English target.
+    "d_dsir_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Sampling.dsirLogWeights(d, d.where(col("lang") === "en"),
+        col("doc_id"), col("text"))
+      Sampling.weightedSample(
+        w.select(col("doc_id"), exp(col("logw")).as("w")),
+        key = col("doc_id"), weight = col("w"), k = 100, seed = 23L)
+        .select("doc_id")
+    }),
+
     // Semantic dedup (SemDeDup shape): IVF-cluster the embeddings, prune
     // vectors with a lower-id cluster-mate above the cosine threshold —
     // clustering doubles as candidate blocking, so pairwise cosine never
@@ -168,6 +182,35 @@ object PipelineQueries {
 
   private def H(e: String) = Hashing.hash60Sql(e)
   private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
+
+  /** Shared DSIR CTE chain (hashed-bigram LLR toward the English subset,
+    * mirroring Sampling.dsirLogWeights): terminal CTE `sc` yields
+    * (doc_id, n_bigrams, logw) for docs with at least one bigram. */
+  private lazy val DsirCtes: String = {
+    val B = 1 << 14
+    val gram2 = "concat_ws(' ', toks[i+1], toks[i+2])"
+    s"""t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, ${H(gram2)} % $B AS b
+       |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+       |  WHERE i <= len(toks) - 2),
+       |dfx AS (SELECT doc_id, b, count(*) AS k FROM f GROUP BY 1, 2),
+       |cr AS (SELECT b, sum(k) AS cr FROM dfx GROUP BY 1),
+       |tg AS (SELECT b, count(*) AS ct
+       |  FROM f JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM cr) AS r_tot,
+       |               (SELECT sum(ct) FROM tg) AS t_tot),
+       |lr AS (SELECT cr.b,
+       |  ln((CAST(coalesce(tg.ct, 0) AS DOUBLE) + 1.0e0)
+       |     / (CAST(t_tot AS DOUBLE) + ${B}.0e0))
+       |  - ln((CAST(cr.cr AS DOUBLE) + 1.0e0)
+       |     / (CAST(r_tot AS DOUBLE) + ${B}.0e0)) AS lr
+       |  FROM cr LEFT JOIN tg ON tg.b = cr.b CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |  round(sum(CAST(k AS DOUBLE) * lr), 6) AS logw
+       |  FROM dfx JOIN lr USING (b) GROUP BY 1)""".stripMargin
+  }
 
   /** round-6 cosine of two FLOAT[] columns — matches the Spark side's
     * rounded native expression bit-for-bit (sequential fold order). */
@@ -544,34 +587,19 @@ object PipelineQueries {
          |  / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
          |LIMIT 50""".stripMargin,
 
-    "d_dsir" -> {
-      val B = 1 << 14
-      val gram2 = "concat_ws(' ', toks[i+1], toks[i+2])"
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |f AS (SELECT doc_id, ${H(gram2)} % $B AS b
-         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
-         |  WHERE i <= len(toks) - 2),
-         |dfx AS (SELECT doc_id, b, count(*) AS k FROM f GROUP BY 1, 2),
-         |cr AS (SELECT b, sum(k) AS cr FROM dfx GROUP BY 1),
-         |tg AS (SELECT b, count(*) AS ct
-         |  FROM f JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-         |tot AS (SELECT (SELECT sum(cr) FROM cr) AS r_tot,
-         |               (SELECT sum(ct) FROM tg) AS t_tot),
-         |lr AS (SELECT cr.b,
-         |  ln((CAST(coalesce(tg.ct, 0) AS DOUBLE) + 1.0e0)
-         |     / (CAST(t_tot AS DOUBLE) + ${B}.0e0))
-         |  - ln((CAST(cr.cr AS DOUBLE) + 1.0e0)
-         |     / (CAST(r_tot AS DOUBLE) + ${B}.0e0)) AS lr
-         |  FROM cr LEFT JOIN tg ON tg.b = cr.b CROSS JOIN tot),
-         |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         |  round(sum(CAST(k AS DOUBLE) * lr), 6) AS logw
-         |  FROM dfx JOIN lr USING (b) GROUP BY 1)
+    "d_dsir" ->
+      s"""WITH $DsirCtes
          |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
          |  coalesce(sc.logw, 0.0e0) AS logw
-         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+
+    "d_dsir_resample" ->
+      s"""WITH $DsirCtes,
+         |ww AS (SELECT d.doc_id, exp(coalesce(sc.logw, 0.0e0)) AS w
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT doc_id FROM ww WHERE w > 0
+         |ORDER BY ln(${Hashing.rand01Sql(23L, "doc_id")}) / w DESC, doc_id ASC
+         |LIMIT 100""".stripMargin,
 
     "d_semdedup" -> {
       val nlist = Similarity.DefaultNList
