@@ -59,6 +59,18 @@ object TextQueries {
     "t_perplexity" -> ((s, dir) =>
       TextAnalysis.unigramLogLoss(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Count-min sketch point queries: estimate the top-20 words'
+    // frequencies from 4x1024 integer counters next to the exact count
+    // (est >= exact by construction; all-integer, exact oracle).
+    "t_countmin" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val top = TextAnalysis.wordFreq(d, col("text"), 20)
+        .withColumnRenamed("cnt", "exact_cnt")
+        .withColumnRenamed("word", "word")
+      TextAnalysis.countMinEstimate(
+        TextAnalysis.countMinCounters(d, col("text")), top)
+    }),
+
     // BM25 keyword retrieval: score every document against a fixed
     // 3-term query (term filter before the shuffle, broadcast df/corpus
     // stats, fixed-order term sum).
@@ -210,6 +222,27 @@ object TextQueries {
         |  FROM pairs JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id)
         |SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 6) AS ppl
         |FROM agg""".stripMargin,
+
+    "t_countmin" -> {
+      val W = TextAnalysis.CmWidth
+      def hs(i: Int, e: String) =
+        s"${Hashing.hash60Sql(TextAnalysis.CmSeed + i, e)} % $W"
+      val ctes = (0 until TextAnalysis.CmRows).map(i =>
+        s"c$i AS (SELECT ${hs(i, "w")} AS b, count(*) AS cnt FROM tw GROUP BY 1)")
+        .mkString(",\n")
+      val joins = (0 until TextAnalysis.CmRows).map(i =>
+        s"JOIN c$i x$i ON x$i.b = ${hs(i, "t.word")}").mkString("\n")
+      val mins = (0 until TextAnalysis.CmRows).map(i => s"x$i.cnt").mkString(", ")
+      s"""WITH tw AS (SELECT w FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |top AS (SELECT w AS word, count(*) AS exact_cnt FROM tw
+         |  GROUP BY 1 ORDER BY exact_cnt DESC, word ASC LIMIT 20),
+         |$ctes
+         |SELECT t.word, t.exact_cnt, least($mins) AS cm_est
+         |FROM top t
+         |$joins""".stripMargin
+    },
 
     // Float-literal discipline: every fractional constant is written
     // with an e0 suffix so DuckDB parses DOUBLE, not DECIMAL (decimal

@@ -199,6 +199,55 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
   }
 
+  // ---- count-min frequency sketch (Cormode & Muthukrishnan, "An
+  // improved data stream summary: the count-min sketch and its
+  // applications", J. Algorithms 2005) ----
+
+  val CmRows = 4
+  val CmWidth = 1024
+  val CmSeed = 101L
+
+  /** Count-min counter table over the corpus token stream: `CmRows`
+    * independent hash rows × `CmWidth` buckets, i.e. a fixed
+    * rows×width-row frame no matter the corpus size — the whole point
+    * at scale: exact per-token counts need a vocabulary-sized shuffle,
+    * the sketch needs 4096 counters (map-side combined, so the
+    * exchange carries at most partitions×4096 rows). Every counter is
+    * an integer sum of integers, so the sketch — unlike most float
+    * sketches — is exactly reproducible by the SQL oracle with no
+    * rounding discipline at all.
+    *
+    * @return (row, b, cnt): counter value for bucket `b` of hash row
+    *         `row`. */
+  def countMinCounters(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(explode(tokens(text)).as("w"))
+    val pairs = (0 until CmRows).map { i =>
+      struct(lit(i).as("row"),
+        (Hashing.hash60(CmSeed + i, col("w")) % CmWidth).as("b"))
+    }
+    toks.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.row").as("row"), col("p.b").as("b"))
+      .groupBy("row", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each word in `words` (a small frame
+    * with a `word` column): the estimate is the MIN over the word's
+    * counter in each hash row — ≥ the true count always, with the
+    * classic (ε, δ) overestimate bound. The counter table broadcasts
+    * (it is 4096 rows by construction). */
+  def countMinEstimate(counters: DataFrame, words: DataFrame): DataFrame = {
+    val withBuckets = (0 until CmRows).foldLeft(words) { (df, i) =>
+      df.withColumn(s"b_$i", Hashing.hash60(CmSeed + i, col("word")) % CmWidth)
+    }
+    val joined = (0 until CmRows).foldLeft(withBuckets) { (df, i) =>
+      df.join(broadcast(counters.where(col("row") === i)
+          .select(col("b").as(s"b_$i"), col("cnt").as(s"c_$i"))),
+        Seq(s"b_$i"))
+    }
+    joined.select(col("word") +: words.columns.filter(_ != "word").map(col) :+
+      least((0 until CmRows).map(i => col(s"c_$i")): _*).as("cm_est"): _*)
+  }
+
   /** BM25 relevance (Robertson & Zaragoza, "The Probabilistic Relevance
     * Framework: BM25 and Beyond", FnTIR 2009) of every document against
     * a fixed bag-of-words query — keyword retrieval over the corpus, the

@@ -456,6 +456,27 @@ class PipelineSpec extends SparkSpec {
     assert(w(1L)._1 == 3L && w(3L)._1 == 3L)
   }
 
+  test("count-min estimates never undercount and match exact on this corpus") {
+    val counters = TextAnalysis.countMinCounters(docs, col("text"))
+    assert(counters.count() <= TextAnalysis.CmRows.toLong * TextAnalysis.CmWidth)
+    // sketch mass conservation: each row's counters sum to the token count
+    val totals = counters.groupBy("row").agg(sum("cnt").as("t"))
+      .select("t").as[Long].collect().toSet
+    val nTokens = docs.select(explode(TextAnalysis.tokens(col("text")))).count()
+    assert(totals == Set(nTokens), s"row sums $totals != token count $nTokens")
+    val words = docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+    val est = TextAnalysis.countMinEstimate(counters, words)
+      .collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("exact_cnt"), r.getAs[Long]("cm_est")))).toMap
+    est.foreach { case (w, (exact, cm)) =>
+      assert(cm >= exact, s"count-min undercounted '$w': $cm < $exact")
+    }
+    // tiny distinct vocabulary vs 1024 buckets -> no collisions expected
+    assert(est.values.forall { case (e, c) => e == c },
+      "unexpected collision in a ~30-word vocabulary over 1024 buckets")
+  }
+
   test("quality and token counts are consistent") {
     val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
       .where(col("doc_id") === 1).head()
