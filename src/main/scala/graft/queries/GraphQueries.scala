@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{ConnectedComponents, GraphOps, KCore, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
+import graft.graph.{ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -118,7 +118,16 @@ object GraphQueries {
     // k-core extraction (k=56 peels 3 rounds at sf0.01); the oracle
     // unrolls 8 peel rounds — past the fixpoint, where extra rounds are
     // no-ops.
-    "g_kcore" -> ((s, dir) => KCore.run(s, Tables.edges(s, dir), k = 56))
+    "g_kcore" -> ((s, dir) => KCore.run(s, Tables.edges(s, dir), k = 56)),
+
+    // Synchronous 4-round label propagation — deterministic (smallest-
+    // label tie-break), so the oracle replays the identical rounds.
+    "g_lpa" -> ((s, dir) =>
+      LabelPropagation.run(s, Tables.edges(s, dir), rounds = 4)),
+
+    // Full core-number decomposition via the H-index fixpoint; the
+    // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
+    "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,7 +267,11 @@ object GraphQueries {
 
     "g_luby" -> lubySql(seed = 11L),
 
-    "g_kcore" -> kcoreSql(k = 56, rounds = 8)
+    "g_kcore" -> kcoreSql(k = 56, rounds = 8),
+
+    "g_lpa" -> LabelPropagation.oracleSql(E, rounds = 4),
+
+    "g_coreness" -> Coreness.oracleSql(E, rounds = 10)
   )
 
   /** Unrolled k-core peel mirroring KCore.run: each round recomputes
