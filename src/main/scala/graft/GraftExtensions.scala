@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll60"),
       new ExpressionInfo(classOf[graft.functions.HllSketch60].getName, "hll60"),
       graft.functions.GraftFunctions.hll60Builder _))
+    ext.injectFunction((
+      FunctionIdentifier("hdrq"),
+      new ExpressionInfo(classOf[graft.functions.HdrQuantiles].getName, "hdrq"),
+      graft.functions.GraftFunctions.hdrqBuilder _))
   }
 }

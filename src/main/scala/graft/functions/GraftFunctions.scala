@@ -12,6 +12,17 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)))
     Bridge.registerFunction(spark, "hash60", hash60Builder)
     Bridge.registerFunction(spark, "hll60", hll60Builder)
+    Bridge.registerFunction(spark, "hdrq", hdrqBuilder)
+  }
+
+  /** SQL surface for the HDR-bin quantile sketch:
+    * `hdrq(v, array(0.5, 0.95))` → ARRAY<BIGINT>. */
+  private[graft] def hdrqBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      "hdrq expects (BIGINT value, ARRAY<DOUBLE> quantiles)")
+    HdrQuantiles(exprs.head, exprs(1)).toAggregateExpression()
   }
 
   /** SQL surface for the HLL distinct sketch: `hll60(hash60(x))`. */

@@ -113,6 +113,19 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
 
+    // Sketch counterpart of q18: single-pass mergeable HDR-bin quantiles
+    // (graft.functions.HdrQuantiles) over exact integer cents — bounded
+    // state per group, ≤1.6% relative error, bit-exact DuckDB replica.
+    "q20_quantile_sketch" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.HdrQuantiles.hdrQuantiles(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        Seq(0.5, 0.95, 0.99)).as("qq"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p50_cents"),
+        element_at(col("qq"), 2).as("p95_cents"),
+        element_at(col("qq"), 3).as("p99_cents"))),
+
     // Hierarchical aggregation (engine extension; absent in reference).
     "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
       .rollup("o_orderpriority", "o_orderstatus")
@@ -232,6 +245,11 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q20_quantile_sketch" -> graft.functions.HdrQuantiles.oracleSql(
+      "lineitem", "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)",
+      "l_returnflag",
+      Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99)),
 
     "q15_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,

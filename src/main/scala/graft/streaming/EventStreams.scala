@@ -60,6 +60,27 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("approx_users"))
 
+  /** Windowed value quantiles per event type via the HDR-bin sketch
+    * ([[graft.functions.HdrQuantiles]]): state per open (window, type)
+    * group is one sparse bin-count array (≤ 4033 slots, in practice a
+    * few dozen), never the values — same bounded-state story as
+    * [[approxDistinctStream]]. Values are exact integer cents so the
+    * sketch is bit-reproducible against its batch twin. */
+  def quantileStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HdrQuantiles.hdrQuantiles(
+        floor(col("value") * 100 + 0.5).cast("long"),
+        Seq(0.5, 0.95, 0.99)).as("qq"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"),
+        element_at(col("qq"), 1).as("p50_cents"),
+        element_at(col("qq"), 2).as("p95_cents"),
+        element_at(col("qq"), 3).as("p99_cents"))
+
   final case class Event(user_id: Long, event_id: Long, ts_us: Long,
       tts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

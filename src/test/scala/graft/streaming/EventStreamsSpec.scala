@@ -52,6 +52,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HDR quantiles equal the batch sketch per window") {
+    import graft.functions.HdrQuantiles
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.quantileStream(stream), "hdrq_out", OutputMode.Append)
+    try {
+      val s = spark.table("hdrq_out")
+      // batch twin: bin counts add, so any merge order yields the same
+      // cumulative ranks — estimates must agree EXACTLY
+      val b = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("win_start_us",
+          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+        .groupBy("win_start_us", "event_type")
+        .agg(HdrQuantiles.hdrQuantiles(
+          floor(col("value") * 100 + 0.5).cast("long"),
+          Seq(0.5, 0.95, 0.99)).as("qq"))
+        .select(col("win_start_us"), col("event_type"),
+          element_at(col("qq"), 1).as("p50_cents"),
+          element_at(col("qq"), 2).as("p95_cents"),
+          element_at(col("qq"), 3).as("p99_cents"))
+      assert(s.count() > 0, "stream emitted nothing")
+      assert(s.except(b).isEmpty, "streamed quantiles disagree with batch")
+    } finally q.stop()
+  }
+
   test("stream-stream range join equals the batch e_range_join result") {
     val stream = EventStreams.readEvents(spark, dir)
     val q = EventStreams.runToMemory(
