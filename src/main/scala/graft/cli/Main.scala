@@ -27,7 +27,7 @@ object Main {
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
-    "kcore", "rmat")
+    "kcore", "coreness", "lpa", "rmat")
 
   def usage(): Nothing = {
     System.err.println(
@@ -35,7 +35,7 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N | --nsources N --seed N (sssp)
          |         --seed N (luby_find, rmat) --levels N --edges N (rmat)
-         |         --k N (kcore)
+         |         --k N (kcore) --rounds N (lpa)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
   }
@@ -108,6 +108,9 @@ object Main {
           o.getOrElse("seed", "1").toLong).orderBy("v")
         case "kcore"          => KCore.run(spark, edges(),
           o.getOrElse("k", "2").toInt).orderBy("v")
+        case "coreness"       => graft.graph.Coreness.run(spark, edges()).orderBy("v")
+        case "lpa"            => graft.graph.LabelPropagation.run(spark, edges(),
+          o.getOrElse("rounds", "4").toInt).orderBy("v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)

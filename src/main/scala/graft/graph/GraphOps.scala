@@ -81,4 +81,23 @@ object GraphOps {
       .select("r.v", "r.ea", "r.eb")
     nbrRows.unionByName(triRows)
   }
+
+  /** Local clustering coefficient on the simple undirected graph:
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 where deg < 2. Takes the
+    * (possibly memoized) triangle enumeration so the expensive stage is
+    * shared; the only float is one division of exact integers, so a SQL
+    * oracle reproduces it bit-for-bit. */
+  def localClustering(edges: DataFrame, triangles: DataFrame): DataFrame = {
+    val deg = undirected(edges).groupBy(col("vi").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val tc = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("tv"))
+      .groupBy("tv").agg(count(lit(1)).as("ntri"))
+    deg.join(tc, deg("v") === tc("tv"), "left")
+      .select(deg("v"), col("deg"), coalesce(col("ntri"), lit(0L)).as("ntri"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          (col("ntri") * 2).cast("double") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
 }

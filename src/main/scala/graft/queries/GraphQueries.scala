@@ -127,8 +127,47 @@ object GraphQueries {
 
     // Full core-number decomposition via the H-index fixpoint; the
     // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
-    "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir)))
+    "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir))),
+
+    // Local clustering coefficient: 2·tri(v) / (deg·(deg−1)) on the
+    // simple undirected graph — reuses the memoized triangle frame; the
+    // single double division of exact integers is bit-identical in both
+    // engines.
+    "g_clustering" -> ((s, dir) =>
+      GraphOps.localClustering(Tables.edges(s, dir), triOf(s, dir))),
+
+    // Closeness centrality of the seeded multi-source BFS sources:
+    // integer-exact reach count and distance total, plus their double
+    // ratio — no float accumulation, so the oracle matches exactly.
+    "g_closeness" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      ShortestPaths.runMulti(s, e,
+        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"))
+        .withColumn("closeness",
+          when(col("total_dist") > 0,
+            (col("n_reached") - 1).cast("double") / col("total_dist"))
+            .otherwise(lit(0.0)))
+    })
   )
+
+  /** Shared CTE prefix for the seeded multi-source BFS (g_sssp_multi,
+    * g_closeness): source derivation + recursive unit-weight walk. */
+  private def multiWalkCtes: String =
+    s"""WITH RECURSIVE edges AS ($E),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+       |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM verts),
+       |srcs AS (SELECT DISTINCT r.v AS source FROM ranked r JOIN
+       |  (SELECT ${graft.functions.Hashing.hash60Sql(SsspSeed, "i")}
+       |     % (SELECT count(*) FROM verts) AS want
+       |   FROM (SELECT unnest(range($SsspCount)) AS i)) w ON r.rn = w.want),
+       |walk(source, v, d) AS (
+       |  SELECT source, source AS v, CAST(0.0 AS DOUBLE) AS d FROM srcs
+       |  UNION
+       |  SELECT w.source, e.dst, w.d + 1.0
+       |  FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 40)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "g_degree" ->
@@ -204,20 +243,17 @@ object GraphQueries {
          |ORDER BY size DESC""".stripMargin,
 
     "g_sssp_multi" ->
-      s"""WITH RECURSIVE edges AS ($E),
-         |verts AS (SELECT DISTINCT v FROM
-         |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
-         |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM verts),
-         |srcs AS (SELECT DISTINCT r.v AS source FROM ranked r JOIN
-         |  (SELECT ${graft.functions.Hashing.hash60Sql(SsspSeed, "i")}
-         |     % (SELECT count(*) FROM verts) AS want
-         |   FROM (SELECT unnest(range($SsspCount)) AS i)) w ON r.rn = w.want),
-         |walk(source, v, d) AS (
-         |  SELECT source, source AS v, CAST(0.0 AS DOUBLE) AS d FROM srcs
-         |  UNION
-         |  SELECT w.source, e.dst, w.d + 1.0
-         |  FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 40)
+      s"""$multiWalkCtes
          |SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v""".stripMargin,
+
+    "g_closeness" ->
+      s"""$multiWalkCtes,
+         |dd AS (SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v)
+         |SELECT source, count(*) AS n_reached, sum(dist) AS total_dist,
+         |  CASE WHEN sum(dist) > 0
+         |       THEN CAST(count(*) - 1 AS DOUBLE) / sum(dist)
+         |       ELSE CAST(0 AS DOUBLE) END AS closeness
+         |FROM dd GROUP BY source""".stripMargin,
 
     // Unit-weight BFS from source 0; the hop guard bounds recursion, far
     // above the graph's diameter.
@@ -271,7 +307,26 @@ object GraphQueries {
 
     "g_lpa" -> LabelPropagation.oracleSql(E, rounds = 4),
 
-    "g_coreness" -> Coreness.oracleSql(E, rounds = 10)
+    "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
+
+    "g_clustering" ->
+      s"""WITH edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj, vi FROM eu),
+         |dg AS (SELECT vi AS v, count(*) AS deg FROM und GROUP BY 1),
+         |tri AS (SELECT e1.vi AS a, e1.vj AS b, e2.vj AS c
+         | FROM eu e1 JOIN eu e2 ON e2.vi = e1.vj
+         | JOIN eu e3 ON e3.vi = e1.vi AND e3.vj = e2.vj),
+         |tc AS (SELECT tv, count(*) AS ntri FROM (
+         | SELECT a AS tv FROM tri UNION ALL SELECT b FROM tri
+         | UNION ALL SELECT c FROM tri) GROUP BY tv)
+         |SELECT d.v, d.deg, coalesce(tc.ntri, 0) AS ntri,
+         |  CASE WHEN d.deg >= 2
+         |       THEN CAST(coalesce(tc.ntri, 0) * 2 AS DOUBLE)
+         |            / (d.deg * (d.deg - 1))
+         |       ELSE CAST(0 AS DOUBLE) END AS lcc
+         |FROM dg d LEFT JOIN tc ON tc.tv = d.v""".stripMargin
   )
 
   /** Unrolled k-core peel mirroring KCore.run: each round recomputes

@@ -56,6 +56,15 @@ class CorenessLpaSpec extends SparkSpec {
       3L -> 2L, 4L -> 2L, 5L -> 2L), s"got $got")
   }
 
+  test("local clustering coefficient matches hand computation") {
+    // triangle 0-1-2 with pendant 2-3
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.localClustering(edges, Triangles.run(edges))
+      .select("v", "lcc").as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 1.0, 1L -> 1.0, 2L -> (1.0 / 3.0), 3L -> 0.0),
+      s"got $got")
+  }
+
   test("lpa is invariant to input partitioning and row order") {
     val rnd = new scala.util.Random(41)
     val raw = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
