@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -136,6 +136,15 @@ object GraphQueries {
     "g_clustering" -> ((s, dir) =>
       GraphOps.localClustering(Tables.edges(s, dir), triOf(s, dir))),
 
+    // Seeded-source Brandes betweenness dependencies: integer path
+    // counts plus the backward dependency sweep, every float sum a
+    // sorted left fold — bit-exact against the unrolled oracle.
+    "g_betweenness" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      Betweenness.run(s, e,
+        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+    }),
+
     // Closeness centrality of the seeded multi-source BFS sources:
     // integer-exact reach count and distance total, plus their double
     // ratio — no float accumulation, so the oracle matches exactly.
@@ -152,17 +161,22 @@ object GraphQueries {
     })
   )
 
-  /** Shared CTE prefix for the seeded multi-source BFS (g_sssp_multi,
-    * g_closeness): source derivation + recursive unit-weight walk. */
-  private def multiWalkCtes: String =
-    s"""WITH RECURSIVE edges AS ($E),
-       |verts AS (SELECT DISTINCT v FROM
+  /** Seeded-source derivation CTEs (the reference's `sssp ncnt seed`
+    * contract) — shared by g_sssp_multi / g_closeness / g_betweenness. */
+  private def seededSrcsCtes: String =
+    s"""verts AS (SELECT DISTINCT v FROM
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM verts),
        |srcs AS (SELECT DISTINCT r.v AS source FROM ranked r JOIN
        |  (SELECT ${graft.functions.Hashing.hash60Sql(SsspSeed, "i")}
        |     % (SELECT count(*) FROM verts) AS want
-       |   FROM (SELECT unnest(range($SsspCount)) AS i)) w ON r.rn = w.want),
+       |   FROM (SELECT unnest(range($SsspCount)) AS i)) w ON r.rn = w.want)""".stripMargin
+
+  /** Shared CTE prefix for the seeded multi-source BFS (g_sssp_multi,
+    * g_closeness): source derivation + recursive unit-weight walk. */
+  private def multiWalkCtes: String =
+    s"""WITH RECURSIVE edges AS ($E),
+       |$seededSrcsCtes,
        |walk(source, v, d) AS (
        |  SELECT source, source AS v, CAST(0.0 AS DOUBLE) AS d FROM srcs
        |  UNION
@@ -308,6 +322,8 @@ object GraphQueries {
     "g_lpa" -> LabelPropagation.oracleSql(E, rounds = 4),
 
     "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
+
+    "g_betweenness" -> Betweenness.oracleSql(E, seededSrcsCtes, levels = 8),
 
     "g_clustering" ->
       s"""WITH edges AS ($E),
