@@ -145,6 +145,24 @@ object GraphQueries {
         ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
     }),
 
+    // Harmonic centrality (the disconnect-robust closeness variant,
+    // Boldi & Vigna "Axioms for centrality" 2014): Σ 1/dist over
+    // reached vertices — a float sum, so it folds in sorted-v order
+    // (same discipline as g_betweenness) for exact oracle parity.
+    "g_harmonic" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      ShortestPaths.runMulti(s, e,
+          ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+        .where(col("dist") > 0)
+        .select(col("source"), col("v"),
+          (lit(1.0) / col("dist")).as("term"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_reached"),
+          aggregate(
+            sort_array(collect_list(struct(col("v").as("v"), col("term").as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("harmonic"))
+    }),
+
     // Closeness centrality of the seeded multi-source BFS sources:
     // integer-exact reach count and distance total, plus their double
     // ratio — no float accumulation, so the oracle matches exactly.
@@ -259,6 +277,16 @@ object GraphQueries {
     "g_sssp_multi" ->
       s"""$multiWalkCtes
          |SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v""".stripMargin,
+
+    "g_harmonic" ->
+      s"""$multiWalkCtes,
+         |dd AS (SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v)
+         |SELECT source, count(*) AS n_reached,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list_sort(list(struct_pack(v := v,
+         |      t := CAST(1 AS DOUBLE) / dist))), x -> x.t)),
+         |    (a, x) -> a + x) AS harmonic
+         |FROM dd WHERE dist > 0 GROUP BY source""".stripMargin,
 
     "g_closeness" ->
       s"""$multiWalkCtes,

@@ -37,6 +37,28 @@ object PipelineQueries {
     "d_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(docs(s, dir), col("doc_id"), col("text"), estThreshold = 0.2)),
 
+    // End-to-end corpus curation: language gate + quality gates +
+    // repetition gate + exact dedup keeper — the standard pretraining
+    // filter chain as ONE composed plan (every stage individually
+    // gate-verified; composition keeps 371/500 docs at sf0.01). All
+    // filter columns are the components' exactly-reproducible values,
+    // so the keep set matches the oracle bit-for-bit.
+    "d_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lang = graft.text.TextAnalysis.langId(d, col("doc_id"), col("text"))
+      val q = graft.text.TextAnalysis.quality(d, col("doc_id"), col("text"))
+        .select("doc_id", "n_tokens", "stopword_ratio")
+      val r = graft.text.TextAnalysis.repetition(d, col("doc_id"), col("text"))
+        .select("doc_id", "rep_ratio")
+      val keep = Dedup.exact(d, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      lang.join(q, "doc_id").join(r, "doc_id").join(keep, "doc_id")
+        .where(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
+          col("stopword_ratio") >= 0.02 && col("rep_ratio") <= 0.05)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("stopword_ratio"), col("rep_ratio"))
+    }),
+
     // Dedup cluster assignment: CC over the LSH candidate graph, keeper
     // = min doc_id per cluster — the production "which docs to drop".
     "d_dedup_clusters" -> ((s, dir) =>
@@ -251,6 +273,21 @@ object PipelineQueries {
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // Composition of the t_langid / t_quality / t_repetition / d_exact
+    // oracles (each a verified replica of its stage) under the same
+    // thresholds as the Spark chain.
+    "d_curate" ->
+      s"""WITH l AS (${TextQueries.oracles("t_langid")}),
+         |q AS (${TextQueries.oracles("t_quality")}),
+         |r AS (${TextQueries.oracles("t_repetition")}),
+         |x AS (SELECT ${H("text")} AS content_hash, min(doc_id) AS keeper_id
+         |      FROM documents GROUP BY 1)
+         |SELECT doc_id, l.lang_pred, q.n_tokens, q.stopword_ratio, r.rep_ratio
+         |FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |JOIN (SELECT keeper_id AS doc_id FROM x) k USING (doc_id)
+         |WHERE l.lang_pred = 'en' AND q.n_tokens >= 30
+         |  AND q.stopword_ratio >= 0.02 AND r.rep_ratio <= 0.05""".stripMargin,
 
     "d_exact_inc" ->
       s"""WITH oldh AS (SELECT DISTINCT ${H("text")} AS content_hash
