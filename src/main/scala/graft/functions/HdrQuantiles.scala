@@ -52,6 +52,9 @@ case class HdrQuantiles(
         }))
       TypeCheckResult.TypeCheckFailure(
         "hdrq expects a foldable numeric array of quantiles")
+    else if (try qs.exists(q => q < 0.0 || q > 1.0) catch { case _: Exception => true })
+      TypeCheckResult.TypeCheckFailure(
+        "hdrq quantiles must all lie in [0, 1]")
     else TypeCheckResult.TypeCheckSuccess
 
   // SQL literals like array(0.5) arrive as ARRAY<DECIMAL>; normalize
@@ -187,7 +190,8 @@ object HdrQuantiles {
     val qvalues = qs.map { case (_, q) => s"($q)" }.mkString(", ")
     val qcols = qs.map { case (alias, q) =>
       s"max(CASE WHEN q = $q THEN lo END) AS $alias" }.mkString(",\n  ")
-    s"""WITH vals AS (SELECT $groupCol AS g, $valueExpr AS v FROM $table),
+    s"""WITH vals AS (SELECT $groupCol AS g, $valueExpr AS v FROM $table
+       |  WHERE ($valueExpr) IS NOT NULL),
        |bins AS (
        |  SELECT g,
        |    CASE WHEN v <= 0 THEN 0 ELSE
@@ -204,9 +208,11 @@ object HdrQuantiles {
        |pick AS (SELECT r.g, r.q, min(c.idx) AS idx FROM ranks r JOIN cum c
        |  ON c.g = r.g AND c.cum >= r.r GROUP BY 1, 2),
        |rep AS (SELECT g, q,
-       |  CASE WHEN idx = 0 THEN 0
-       |       WHEN (idx-1)//64 <= $M THEN (1 << ((idx-1)//64)) + (idx-1)%64
-       |       ELSE ((1 << $M) + (idx-1)%64) << ((idx-1)//64 - $M) END AS lo
+       |  CASE WHEN idx = 0 THEN CAST(0 AS BIGINT)
+       |       WHEN (idx-1)//64 <= $M
+       |         THEN (CAST(1 AS BIGINT) << ((idx-1)//64)) + (idx-1)%64
+       |       ELSE ((CAST(1 AS BIGINT) << $M) + (idx-1)%64) << ((idx-1)//64 - $M)
+       |  END AS lo
        |  FROM pick)
        |SELECT g AS $groupCol,
        |  $qcols

@@ -70,6 +70,10 @@ object Coreness {
       throw new IllegalStateException(
         s"coreness did not converge within $maxIter H-index rounds")
     und.unpersist(false)
+    // the result reads only curCk's blocks; the penultimate round's
+    // checkpoint is no longer referenced and can release now
+    if (prevCk != null)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(prevCk)
     h.select(col("v"), col("hv").as("coreness"))
   }
 

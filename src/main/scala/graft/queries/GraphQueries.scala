@@ -41,14 +41,31 @@ object GraphQueries {
       if (memoize(s)) df.persist() else df
     })
 
-  /** Release the memoized cc/tri frames — call after a sweep (Verify,
-    * Bench) so persisted blocks don't outlive their usefulness in a
-    * long-lived session. */
+  // g_sssp_multi / g_closeness / g_harmonic share the seeded
+  // multi-source BFS, and g_betweenness its source derivation — same
+  // memoization shape as cc/tri above.
+  private val srcsCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Long]]
+  private def srcsOf(s: SparkSession, dir: String): Seq[Long] =
+    srcsCache.getOrElseUpdate((s, dir), ShortestPaths.seededSources(
+      Tables.edges(s, dir), seed = SsspSeed, count = SsspCount))
+  private val ssspCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ssspOf(s: SparkSession, dir: String): DataFrame =
+    ssspCache.getOrElseUpdate((s, dir), {
+      val df = ShortestPaths.runMulti(s, Tables.edges(s, dir), srcsOf(s, dir))
+      if (memoize(s)) df.persist() else df
+    })
+
+  /** Release the memoized cc/tri/sssp frames — call after a sweep
+    * (Verify, Bench) so persisted blocks don't outlive their usefulness
+    * in a long-lived session. */
   def clearCaches(): Unit = {
     ccCache.values.foreach(_.unpersist(false))
     ccCache.clear()
     triCache.values.foreach(_.unpersist(false))
     triCache.clear()
+    ssspCache.values.foreach(_.unpersist(false))
+    ssspCache.clear()
+    srcsCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -83,11 +100,7 @@ object GraphQueries {
     // state keyed (source, v). Sources derive from hash60(seed|i) into
     // the ranked vertex list — the reference's srand48(seed) contract,
     // made deterministic; the oracle replays the same derivation.
-    "g_sssp_multi" -> ((s, dir) => {
-      val e = Tables.edges(s, dir)
-      ShortestPaths.runMulti(s, e,
-        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
-    }),
+    "g_sssp_multi" -> ((s, dir) => ssspOf(s, dir)),
 
     // Weighted variant (the reference's sssp consumes weighted edges,
     // oink/sssp.cpp): weights = 1/outdeg(src). Oracle unrolls the same
@@ -139,44 +152,37 @@ object GraphQueries {
     // Seeded-source Brandes betweenness dependencies: integer path
     // counts plus the backward dependency sweep, every float sum a
     // sorted left fold — bit-exact against the unrolled oracle.
-    "g_betweenness" -> ((s, dir) => {
-      val e = Tables.edges(s, dir)
-      Betweenness.run(s, e,
-        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
-    }),
+    "g_betweenness" -> ((s, dir) =>
+      Betweenness.run(s, Tables.edges(s, dir), srcsOf(s, dir))),
 
     // Harmonic centrality (the disconnect-robust closeness variant,
-    // Boldi & Vigna "Axioms for centrality" 2014): Σ 1/dist over
-    // reached vertices — a float sum, so it folds in sorted-v order
-    // (same discipline as g_betweenness) for exact oracle parity.
-    "g_harmonic" -> ((s, dir) => {
-      val e = Tables.edges(s, dir)
-      ShortestPaths.runMulti(s, e,
-          ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+    // Boldi & Vigna "Axioms for centrality" 2014), computed per BFS
+    // LEVEL: Σ_d count_d/d, folded in ascending-dist order — the
+    // aggregation buffer holds one term per level (≤ diameter), never
+    // one per vertex, and the float fold order is canonical so the
+    // oracle matches exactly.
+    "g_harmonic" -> ((s, dir) =>
+      ssspOf(s, dir)
         .where(col("dist") > 0)
-        .select(col("source"), col("v"),
-          (lit(1.0) / col("dist")).as("term"))
+        .groupBy("source", "dist").agg(count(lit(1)).as("cnt"))
+        .withColumn("term", col("cnt").cast("double") / col("dist"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_reached"),
+        .agg(sum("cnt").as("n_reached"),
           aggregate(
-            sort_array(collect_list(struct(col("v").as("v"), col("term").as("t")))),
-            lit(0.0), (acc, x) => acc + x.getField("t")).as("harmonic"))
-    }),
+            sort_array(collect_list(struct(col("dist").as("d"), col("term").as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("harmonic"))),
 
     // Closeness centrality of the seeded multi-source BFS sources:
     // integer-exact reach count and distance total, plus their double
     // ratio — no float accumulation, so the oracle matches exactly.
-    "g_closeness" -> ((s, dir) => {
-      val e = Tables.edges(s, dir)
-      ShortestPaths.runMulti(s, e,
-        ShortestPaths.seededSources(e, seed = SsspSeed, count = SsspCount))
+    "g_closeness" -> ((s, dir) =>
+      ssspOf(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"))
         .withColumn("closeness",
           when(col("total_dist") > 0,
             (col("n_reached") - 1).cast("double") / col("total_dist"))
-            .otherwise(lit(0.0)))
-    })
+            .otherwise(lit(0.0))))
   )
 
   /** Seeded-source derivation CTEs (the reference's `sssp ncnt seed`
@@ -280,13 +286,16 @@ object GraphQueries {
 
     "g_harmonic" ->
       s"""$multiWalkCtes,
-         |dd AS (SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v)
-         |SELECT source, count(*) AS n_reached,
+         |dd AS (SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v),
+         |lv AS (SELECT source, dist, count(*) AS cnt,
+         |  CAST(count(*) AS DOUBLE) / dist AS term
+         |  FROM dd WHERE dist > 0 GROUP BY source, dist)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_reached,
          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(list_sort(list(struct_pack(v := v,
-         |      t := CAST(1 AS DOUBLE) / dist))), x -> x.t)),
+         |    list_transform(list_sort(list(struct_pack(d := dist, t := term))),
+         |      x -> x.t)),
          |    (a, x) -> a + x) AS harmonic
-         |FROM dd WHERE dist > 0 GROUP BY source""".stripMargin,
+         |FROM lv GROUP BY source""".stripMargin,
 
     "g_closeness" ->
       s"""$multiWalkCtes,
@@ -351,7 +360,11 @@ object GraphQueries {
 
     "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
 
-    "g_betweenness" -> Betweenness.oracleSql(E, seededSrcsCtes, levels = 8),
+    // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
+    // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
+    // no-ops, and a depth beyond the unroll would otherwise make the
+    // oracle silently undercount instead of erroring
+    "g_betweenness" -> Betweenness.oracleSql(E, seededSrcsCtes, levels = 12),
 
     "g_clustering" ->
       s"""WITH edges AS ($E),
