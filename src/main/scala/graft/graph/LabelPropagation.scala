@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * aggregations carry map-side partials; a hot vertex's label votes
   * pre-combine before the shuffle, so degree skew bounds at #labels per
   * vertex per partition, not degree. The undirected edge frame is
-  * hash-partitioned on the probe key once and reused every round —
-  * at 100 TB only the O(|V|) label frame moves per round.
+  * computed once and cached across rounds — at 100 TB only the O(|V|)
+  * label frame (or its broadcast) moves per round.
   */
 object LabelPropagation {
 
@@ -39,11 +39,12 @@ object LabelPropagation {
   def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e0 = GraphOps.edgeUpper(edges)
-    // one explicit exchange on the probe key; every round references the
-    // SAME frame, so the identical exchange subplan collapses to one
-    // physical shuffle via ReusedExchange — no persist (and no block leak)
+    // computed once and cached: every round probes this frame, and the
+    // join plans its own exchange (or broadcast) per AQE — an explicit
+    // pre-repartition only adds a wasted shuffle when the label frame
+    // broadcasts (verified on the formatted plan)
     val und = e0.union(e0.select(col("vj").as("vi"), col("vi").as("vj")))
-      .repartition(col("vj"))
+      .persist()
     var lab = und.select(col("vi").as("v")).distinct()
       .withColumn("label", col("v"))
     for (_ <- 1 to rounds) {
@@ -58,9 +59,13 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("label"))
     }
-    // fixed small round count: the plan nests `rounds` join+agg levels,
-    // fine without per-round checkpoint truncation
-    lab
+    // materialize the final labels so the cached edge frame can release
+    // before returning (the checkpoint also truncates the nested
+    // `rounds`-deep plan the caller would otherwise re-optimize)
+    val out = lab.localCheckpoint(false)
+    out.count()
+    und.unpersist(false)
+    out
   }
 
   /** Unrolled DuckDB oracle replaying the identical synchronous rounds;
