@@ -27,13 +27,13 @@ object Main {
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
-    "kcore", "coreness", "lpa", "rmat")
+    "kcore", "coreness", "lpa", "betweenness", "rmat")
 
   def usage(): Nothing = {
     System.err.println(
       s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
          |commands: ${commands.mkString(" ")}
-         |options: --source N | --nsources N --seed N (sssp)
+         |options: --source N | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat) --levels N --edges N (rmat)
          |         --k N (kcore) --rounds N (lpa)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
@@ -111,6 +111,11 @@ object Main {
         case "coreness"       => graft.graph.Coreness.run(spark, edges()).orderBy("v")
         case "lpa"            => graft.graph.LabelPropagation.run(spark, edges(),
           o.getOrElse("rounds", "4").toInt).orderBy("v")
+        case "betweenness"    => // seeded like the reference's `sssp ncnt seed`
+          val e = edges()
+          graft.graph.Betweenness.run(spark, e, ShortestPaths.seededSources(
+            e, o.getOrElse("seed", "1").toLong,
+            o.getOrElse("nsources", "3").toInt)).orderBy("source", "v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)
