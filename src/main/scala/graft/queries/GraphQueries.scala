@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, ShortestPaths, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -141,6 +141,12 @@ object GraphQueries {
     // Full core-number decomposition via the H-index fixpoint; the
     // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
     "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir))),
+
+    // Deterministic random-walk corpus (DeepWalk/node2vec input): every
+    // next-hop choice is hash(seed, walk, step, position) % degree, so
+    // walks reproduce under any partitioning and in the SQL replica.
+    "g_walks" -> ((s, dir) =>
+      RandomWalks.run(s, Tables.edges(s, dir), seed = 9L, length = 5)),
 
     // Local clustering coefficient: 2·tri(v) / (deg·(deg−1)) on the
     // simple undirected graph — reuses the memoized triangle frame; the
@@ -359,6 +365,8 @@ object GraphQueries {
     "g_lpa" -> LabelPropagation.oracleSql(E, rounds = 4),
 
     "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
+
+    "g_walks" -> RandomWalks.oracleSql(E, seed = 9L, length = 5),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are

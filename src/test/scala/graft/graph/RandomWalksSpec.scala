@@ -1,0 +1,48 @@
+package graft.graph
+
+import graft.testkit.SparkSpec
+
+/** Deterministic random walks: validity, coverage, reproducibility. */
+class RandomWalksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("walks are valid paths and stop only at sinks") {
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val walks = RandomWalks.run(spark, raw.toDF("src", "dst"), seed = 9L, length = 5)
+      .as[(Long, Long, Long)].collect()
+    val adj = raw.filter(e => e._1 != e._2).groupBy(_._1)
+      .map { case (k, es) => k -> es.map(_._2).toSet }
+    val starts = adj.keySet
+    // one walk per vertex with out-edges, starting at itself
+    assert(walks.filter(_._2 == 0).map(_._1).toSet == starts)
+    walks.filter(_._2 == 0).foreach(w => assert(w._1 == w._3))
+    val byWalk = walks.groupBy(_._1)
+    for ((start, rows) <- byWalk) {
+      val path = rows.sortBy(_._2).map(_._3)
+      // consecutive positions are edges
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(adj.getOrElse(a, Set.empty).contains(b),
+          s"walk from $start uses non-edge $a->$b") }
+      // the walk only stops early at a sink
+      if (path.length < 6)
+        assert(!adj.contains(path.last),
+          s"walk from $start stopped at non-sink ${path.last}")
+    }
+  }
+
+  test("walks are reproducible across partitionings and differ by seed") {
+    val rnd = new scala.util.Random(31)
+    val raw = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val a = RandomWalks.run(spark, raw.toDF("src", "dst"), 9L, 5)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = RandomWalks.run(spark,
+        scala.util.Random.shuffle(raw).toDF("src", "dst").repartition(11), 9L, 5)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b, "same seed must reproduce identical walks")
+    val c = RandomWalks.run(spark, raw.toDF("src", "dst"), 10L, 5)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a != c, "different seeds should diverge")
+  }
+}
