@@ -40,6 +40,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT hash60(CAST(42 AS BIGINT)) AS hi, hash60(CAST(42 AS INT)) AS hj").head()
       assert(hn.getLong(0) == graft.functions.Hashing.hash60Local("42"))
       assert(hn.getLong(1) == graft.functions.Hashing.hash60Local("42"))
+      // the sketch aggregates are injected too
+      val sk = spark.sql(
+        "SELECT hll60(hash60('x')) AS d, element_at(hdrq(CAST(7 AS BIGINT), array(0.5)), 1) AS q").head()
+      assert(sk.getDouble(0) > 0.0 && sk.getLong(1) == 7L)
       // strategy injection: present in the session's planner without any
       // Bridge.addStrategy call on this session
       assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
