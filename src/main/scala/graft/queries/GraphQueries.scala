@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -141,6 +141,11 @@ object GraphQueries {
     // Full core-number decomposition via the H-index fixpoint; the
     // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
     "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir))),
+
+    // Unnormalized 3-iteration HITS: every score an exact BIGINT (the
+    // L2 normalization is the only float part of HITS and rankings
+    // don't need it), so the oracle is the identical integer recurrence.
+    "g_hits" -> ((s, dir) => Hits.run(s, Tables.edges(s, dir), iterations = 3)),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -367,6 +372,8 @@ object GraphQueries {
     "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
 
     "g_walks" -> RandomWalks.oracleSql(E, seed = 9L, length = 5),
+
+    "g_hits" -> Hits.oracleSql(E, iterations = 3),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
