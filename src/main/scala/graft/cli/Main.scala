@@ -27,7 +27,7 @@ object Main {
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
-    "kcore", "coreness", "lpa", "betweenness", "rmat")
+    "kcore", "coreness", "lpa", "betweenness", "hits", "walks", "rmat")
 
   def usage(): Nothing = {
     System.err.println(
@@ -35,7 +35,8 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat) --levels N --edges N (rmat)
-         |         --k N (kcore) --rounds N (lpa)
+         |         --k N (kcore) --rounds N (lpa) --iters N (hits)
+         |         --seed N --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
   }
@@ -116,6 +117,11 @@ object Main {
           graft.graph.Betweenness.run(spark, e, ShortestPaths.seededSources(
             e, o.getOrElse("seed", "1").toLong,
             o.getOrElse("nsources", "3").toInt)).orderBy("source", "v")
+        case "hits"           => graft.graph.Hits.run(spark, edges(),
+          o.getOrElse("iters", "3").toInt).orderBy("v")
+        case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
+          o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
+          .orderBy("start", "step")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)
