@@ -166,6 +166,14 @@ object GraphQueries {
     "g_betweenness" -> ((s, dir) =>
       Betweenness.run(s, Tables.edges(s, dir), srcsOf(s, dir))),
 
+    // Per-source eccentricity (max BFS depth) — the diagnostic that
+    // sizes every unrolled-oracle depth bound; integer-exact.
+    "g_eccentricity" -> ((s, dir) =>
+      ssspOf(s, dir)
+        .groupBy("source")
+        .agg(max(col("dist")).cast("long").as("eccentricity"),
+          count(lit(1)).as("n_reached"))),
+
     // Harmonic centrality (the disconnect-robust closeness variant,
     // Boldi & Vigna "Axioms for centrality" 2014), computed per BFS
     // LEVEL: Σ_d count_d/d, folded in ascending-dist order — the
@@ -294,6 +302,13 @@ object GraphQueries {
     "g_sssp_multi" ->
       s"""$multiWalkCtes
          |SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v""".stripMargin,
+
+    "g_eccentricity" ->
+      s"""$multiWalkCtes,
+         |dd AS (SELECT source, v, min(d) AS dist FROM walk GROUP BY source, v)
+         |SELECT source, CAST(max(dist) AS BIGINT) AS eccentricity,
+         |  count(*) AS n_reached
+         |FROM dd GROUP BY source""".stripMargin,
 
     "g_harmonic" ->
       s"""$multiWalkCtes,
