@@ -306,6 +306,28 @@ object OinkScript {
               sinkAndBind(TextAnalysis.wordFreq(docs, col("text"), ntop), outs, line)
             case "vertex_extract" =>
               sinkAndBind(GraphOps.vertexExtract(in0), outs, line)
+            // engine extensions beyond the reference's script set — the
+            // same Spark implementations the CLI exposes
+            case "kcore" =>
+              val k = pos.headOption.map(_.toInt).getOrElse(2)
+              sinkAndBind(KCore.run(spark, in0, k), outs, line)
+            case "coreness" =>
+              sinkAndBind(Coreness.run(spark, in0), outs, line)
+            case "lpa" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(4)
+              sinkAndBind(LabelPropagation.run(spark, in0, rounds), outs, line)
+            case "betweenness" =>
+              // betweenness ncnt seed — seeded like sssp
+              val Seq(ncnt, seed) = pos.take(2): @unchecked
+              sinkAndBind(Betweenness.run(spark, in0,
+                ShortestPaths.seededSources(in0, seed.toLong, ncnt.toInt)), outs, line)
+            case "hits" =>
+              val iters = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(Hits.run(spark, in0, iters), outs, line)
+            case "walks" =>
+              // walks seed length
+              val Seq(seed, len) = pos.take(2): @unchecked
+              sinkAndBind(RandomWalks.run(spark, in0, seed.toLong, len.toInt), outs, line)
             case "neighbor" =>
               sinkAndBind(GraphOps.neighbors(in0), outs, line)
             case "histo" =>

@@ -101,6 +101,22 @@ class OinkScriptSpec extends SparkSpec {
     assert(ex.getMessage.contains("unsupported shell command"))
   }
 
+  test("extension commands: coreness/lpa/hits/walks/betweenness run from scripts") {
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 6 4 0.25 0.25 0.25 0.25 0.0 7 -o NULL mre",
+      "coreness -i mre -o NULL mrk",
+      "lpa 4 -i mre -o NULL mrl",
+      "hits 3 -i mre -o NULL mrh",
+      "walks 9 5 -i mre -o NULL mrw",
+      "betweenness 2 7 -i mre -o NULL mrb"))
+    assert(reg("mrk").columns.toSeq == Seq("v", "coreness") && reg("mrk").count() > 0)
+    assert(reg("mrl").columns.toSeq == Seq("v", "label") && reg("mrl").count() > 0)
+    assert(reg("mrh").columns.toSeq == Seq("v", "authority", "hub") && reg("mrh").count() > 0)
+    assert(reg("mrw").columns.toSeq == Seq("start", "step", "v") && reg("mrw").count() > 0)
+    assert(reg("mrb").columns.toSeq == Seq("source", "v", "dist", "sigma", "delta")
+      && reg("mrb").count() > 0)
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
