@@ -30,6 +30,28 @@ class HdrQuantilesSpec extends SparkSpec {
       assert(binOf(a) <= binOf(b)) }
   }
 
+  test("bin math holds across the full positive range (randomized)") {
+    // magnitude-uniform sampling: random bit width, then random bits
+    for (seed <- Seq(3, 19, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val vs = Seq.fill(20000) {
+        val bits = rnd.nextInt(63) + 1
+        (rnd.nextLong() & ((1L << bits) - 1)) | (1L << (bits - 1))
+      }
+      for (v <- vs) {
+        val b = binOf(v)
+        assert(b >= 1 && b < HdrQuantiles.Bins)
+        assert(lowerOf(b) <= v && (v - lowerOf(b)).toDouble / v <=
+          math.pow(2.0, -M) + 1e-12, s"bound violated at $v (bin $b)")
+      }
+      // monotone: sorted values map to non-decreasing bins
+      val sorted = vs.sorted
+      sorted.zip(sorted.tail).foreach { case (x, y) => assert(binOf(x) <= binOf(y)) }
+      // exact below 2^(M+1): the bin IS the value
+      (1L until 128L).foreach(v => assert(lowerOf(binOf(v)) == v))
+    }
+  }
+
   test("sketch quantiles are within the relative-error bound of exact") {
     val rnd = new scala.util.Random(17)
     val vals = Seq.fill(5000)((rnd.nextDouble() * 1e6).toLong + 1)
