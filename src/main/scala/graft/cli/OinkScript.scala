@@ -317,17 +317,19 @@ object OinkScript {
               val rounds = pos.headOption.map(_.toInt).getOrElse(4)
               sinkAndBind(LabelPropagation.run(spark, in0, rounds), outs, line)
             case "betweenness" =>
-              // betweenness ncnt seed — seeded like sssp
-              val Seq(ncnt, seed) = pos.take(2): @unchecked
+              // betweenness [ncnt] [seed] — seeded like sssp
+              val ncnt = pos.lift(0).map(_.toInt).getOrElse(3)
+              val seed = pos.lift(1).map(_.toLong).getOrElse(1L)
               sinkAndBind(Betweenness.run(spark, in0,
-                ShortestPaths.seededSources(in0, seed.toLong, ncnt.toInt)), outs, line)
+                ShortestPaths.seededSources(in0, seed, ncnt)), outs, line)
             case "hits" =>
               val iters = pos.headOption.map(_.toInt).getOrElse(3)
               sinkAndBind(Hits.run(spark, in0, iters), outs, line)
             case "walks" =>
-              // walks seed length
-              val Seq(seed, len) = pos.take(2): @unchecked
-              sinkAndBind(RandomWalks.run(spark, in0, seed.toLong, len.toInt), outs, line)
+              // walks [seed] [length]
+              val seed = pos.lift(0).map(_.toLong).getOrElse(1L)
+              val len = pos.lift(1).map(_.toInt).getOrElse(5)
+              sinkAndBind(RandomWalks.run(spark, in0, seed, len), outs, line)
             case "neighbor" =>
               sinkAndBind(GraphOps.neighbors(in0), outs, line)
             case "histo" =>

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * positive scalar per iteration), so the oracle matches exactly and
   * merge order is irrelevant. The price is growth ~(Σdeg)^k: 3
   * iterations peak at ~3·10^15 on the densest test graph, two orders
-  * under BIGINT range; callers needing more rounds should rescale
-  * between iterations (documented, not gated).
+  * under BIGINT range, and run() caps there; callers needing more
+  * rounds must rescale between iterations.
   *
   * Shape: two vertex-keyed join+sum aggregations per iteration against
   * the cached edge frame — map-side partials bound hot-vertex skew, and
@@ -28,11 +28,13 @@ object Hits {
   /** @return (v BIGINT, authority BIGINT, hub BIGINT) over all vertices;
     *         sources with no in-edges score authority 0, sinks hub 0. */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 3): DataFrame = {
-    require(iterations >= 1 && iterations <= 4,
-      s"unnormalized HITS overflows BIGINT past ~4 iterations, got $iterations")
+    // growth is ~(Σdeg/|V|)^2 per iteration: the densest test graph peaks
+    // at ~3·10^15 after 3 rounds, and a 4th would pass BIGINT range —
+    // the cap enforces the documented bound
+    require(iterations >= 1 && iterations <= 3,
+      s"unnormalized HITS overflows BIGINT past 3 iterations, got $iterations")
     val e = edges.select(col("src"), col("dst")).persist()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val verts = GraphOps.vertexExtract(e)
     var h = verts.withColumn("s", lit(1L))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {

@@ -41,14 +41,23 @@ object RandomWalks {
         row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist()
+    // one row per source: lets the state compute its pick BEFORE the
+    // adjacency join, so that join is a true equi-join on (src, rn) —
+    // one matched row per walk — instead of an src-only join that
+    // fans out over deg(v) neighbors and filters (a celebrity vertex
+    // would otherwise cost its whole degree per resident walk)
+    val degs = adj.select(col("src").as("dv"), col("deg")).distinct()
     var state = adj.select(col("src").as("start")).distinct()
       .select(col("start"), lit(0L).as("step"), col("start").as("v"))
     val levels = scala.collection.mutable.Buffer(state)
     for (k <- 0 until length) {
-      val pick = Hashing.hash60(concat_ws("|",
-        lit(seed), col("start"), lit(k), col("v"))) % col("deg")
-      state = state
-        .join(adj, adj("src") === state("v") && adj("rn") === pick)
+      val picked = state
+        .join(degs, col("v") === col("dv"))
+        .select(col("start"), col("v"),
+          (Hashing.hash60(concat_ws("|",
+            lit(seed), col("start"), lit(k), col("v"))) % col("deg")).as("pick"))
+      state = picked
+        .join(adj, adj("src") === picked("v") && adj("rn") === picked("pick"))
         .select(col("start"), lit((k + 1).toLong).as("step"), col("dst").as("v"))
       levels += state
     }
