@@ -70,11 +70,20 @@ object Betweenness {
         vis = vis.union(grown).localCheckpoint(false)
         frontier = grown
         lagged = Seq(oldVis, oldFrontier)
+      } else {
+        // terminating round: the empty checkpoint has no further reader
+        Bridge.releaseCheckpoint(grown)
       }
     }
-    if (n > 0)
+    if (n > 0) {
+      // a long-lived session must not inherit this loop's blocks on the
+      // failure path — drop everything before throwing
+      lagged.foreach(Bridge.releaseCheckpoint)
+      if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
+      Bridge.releaseCheckpoint(vis)
+      e.unpersist(false)
       throw new IllegalStateException(s"BFS did not drain in $maxIter levels")
-    lagged.foreach(Bridge.releaseCheckpoint)
+    }
     if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
     val maxDepth = depth - 1
 
@@ -168,7 +177,7 @@ object Betweenness {
        |$bwd,
        |deltas AS ($deltaUnion)
        |SELECT vv.source, vv.v, CAST(vv.dist AS BIGINT) AS dist, vv.sigma,
-       |  coalesce(d.delta, CAST(0 AS DOUBLE)) AS delta
+       |  round(coalesce(d.delta, CAST(0 AS DOUBLE)), 9) AS delta
        |FROM vis$levels vv
        |LEFT JOIN deltas d ON d.source = vv.source AND d.v = vv.v""".stripMargin
   }

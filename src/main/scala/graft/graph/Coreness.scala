@@ -66,9 +66,16 @@ object Coreness {
       prevSum = s
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      // drop the loop's blocks before failing — the error path must not
+      // leave persisted frames behind in a long-lived session
+      if (prevCk != null)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(prevCk)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(curCk)
+      und.unpersist(false)
       throw new IllegalStateException(
         s"coreness did not converge within $maxIter H-index rounds")
+    }
     und.unpersist(false)
     // the result reads only curCk's blocks; the penultimate round's
     // checkpoint is no longer referenced and can release now

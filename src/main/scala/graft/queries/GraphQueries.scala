@@ -142,10 +142,12 @@ object GraphQueries {
     // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
     "g_coreness" -> ((s, dir) => Coreness.run(s, Tables.edges(s, dir))),
 
-    // Unnormalized 3-iteration HITS: every score an exact BIGINT (the
-    // L2 normalization is the only float part of HITS and rankings
-    // don't need it), so the oracle is the identical integer recurrence.
-    "g_hits" -> ((s, dir) => Hits.run(s, Tables.edges(s, dir), iterations = 3)),
+    // Integer HITS with deterministic power-of-two rescaling: every
+    // score an exact BIGINT (the L2 normalization is the only float part
+    // of HITS and rankings don't need it), so the oracle is the
+    // identical rescaled integer recurrence. 6 iterations exercises the
+    // rescale path that lifted r4's 3-iteration overflow cap.
+    "g_hits" -> ((s, dir) => Hits.run(s, Tables.edges(s, dir), iterations = 6)),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -162,9 +164,12 @@ object GraphQueries {
 
     // Seeded-source Brandes betweenness dependencies: integer path
     // counts plus the backward dependency sweep, every float sum a
-    // sorted left fold — bit-exact against the unrolled oracle.
+    // sorted left fold. delta is rounded to 9 decimals like every other
+    // float-emitting gate query (g_pagerank/g_sssp_w above) so the
+    // driver's value hash never rides the last ulps of a DOUBLE.
     "g_betweenness" -> ((s, dir) =>
-      Betweenness.run(s, Tables.edges(s, dir), srcsOf(s, dir))),
+      Betweenness.run(s, Tables.edges(s, dir), srcsOf(s, dir))
+        .withColumn("delta", round(col("delta"), 9))),
 
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
@@ -388,7 +393,7 @@ object GraphQueries {
 
     "g_walks" -> RandomWalks.oracleSql(E, seed = 9L, length = 5),
 
-    "g_hits" -> Hits.oracleSql(E, iterations = 3),
+    "g_hits" -> Hits.oracleSql(E, iterations = 6),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
