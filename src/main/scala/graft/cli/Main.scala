@@ -33,10 +33,10 @@ object Main {
     System.err.println(
       s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
          |commands: ${commands.mkString(" ")}
-         |options: --source N | --nsources N --seed N (sssp, betweenness)
-         |         --seed N (luby_find, rmat) --levels N --edges N (rmat)
+         |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
+         |         --seed N (luby_find, rmat, walks) --levels N --edges N (rmat)
          |         --k N (kcore) --rounds N (lpa) --iters N (hits)
-         |         --seed N --length N (walks)
+         |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
   }

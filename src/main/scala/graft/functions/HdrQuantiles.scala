@@ -52,6 +52,14 @@ case class HdrQuantiles(
         }))
       TypeCheckResult.TypeCheckFailure(
         "hdrq expects a foldable numeric array of quantiles")
+    else if (try {
+        // the type check is the last gate before qs reads the ArrayData
+        // positionally — a NULL element there would silently read as 0.0
+        val arr = quantiles.eval(null).asInstanceOf[ArrayData]
+        arr == null || (0 until arr.numElements()).exists(arr.isNullAt)
+      } catch { case _: Exception => true })
+      TypeCheckResult.TypeCheckFailure(
+        "hdrq quantiles must be a non-null array without null elements")
     else if (try qs.exists(q => q < 0.0 || q > 1.0) catch { case _: Exception => true })
       TypeCheckResult.TypeCheckFailure(
         "hdrq quantiles must all lie in [0, 1]")

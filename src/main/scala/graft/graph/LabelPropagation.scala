@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape: one equi-join (neighbor label fetch, keyed on the
   * neighbor endpoint) and two hash aggregations per round — count per
-  * (v, label), then an argmax via `max(struct(cnt, -label))`, so the
+  * (v, label), then an argmax via `min(struct(-cnt, label))`, so the
   * tie-break rides the struct ordering instead of a window sort. Both
   * aggregations carry map-side partials; a hot vertex's label votes
   * pre-combine before the shuffle, so degree skew bounds at #labels per
@@ -52,12 +52,13 @@ object LabelPropagation {
         .join(lab.withColumnRenamed("v", "lv"), col("vj") === col("lv"))
         .select(col("vi").as("v"), col("label"))
       val votes = msgs.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
-      // argmax (cnt desc, label asc): labels are ≥ 0 so -label inverts
-      // their order inside the struct max
+      // argmin (-cnt asc, label asc) == argmax (cnt desc, label asc):
+      // negating the COUNT (always ≥ 1, never overflows) instead of the
+      // label keeps the tie-break correct for negative vertex ids too
       lab = votes
         .groupBy("v")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v"), (-col("m.nl")).as("label"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
     }
     // materialize the final labels so the cached edge frame can release
     // before returning (the checkpoint also truncates the nested

@@ -89,4 +89,17 @@ class HdrQuantilesSpec extends SparkSpec {
       .head().getLong(0)
     assert(r == lowerOf(binOf(50L)), s"got $r")
   }
+
+  test("hdrq rejects null quantile elements at analysis time") {
+    GraftFunctions.register(spark)
+    (1L to 10L).toDF("v").createOrReplaceTempView("hdrq_null_probe")
+    // a NULL slot would otherwise read positionally as 0.0 and silently
+    // compute the wrong quantile
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT hdrq(v, array(0.5, CAST(NULL AS DOUBLE))) FROM hdrq_null_probe")
+        .collect()
+    }
+    assert(err.getMessage.contains("null"), s"got ${err.getMessage}")
+  }
 }

@@ -65,6 +65,32 @@ class CorenessLpaSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("lpa tie-break holds for negative vertex ids") {
+    // the old argmax negated the LABEL inside the struct — a negative id
+    // inverted the documented (cnt desc, label asc) order; this replays
+    // the synchronous rounds by hand on a signed-id graph
+    val rnd = new scala.util.Random(53)
+    val raw = Seq.fill(150)((rnd.nextInt(41) - 20L, rnd.nextInt(41) - 20L))
+    val rounds = 3
+    val got = LabelPropagation.run(spark, raw.toDF("src", "dst"), rounds)
+      .as[(Long, Long)].collect().toMap
+    val simple = raw.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = simple.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (v, ns) =>
+        val votes = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got == lab)
+    // the graph really has negative labels in play
+    assert(got.values.exists(_ < 0))
+  }
+
   test("lpa is invariant to input partitioning and row order") {
     val rnd = new scala.util.Random(41)
     val raw = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
