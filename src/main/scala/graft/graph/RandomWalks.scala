@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -14,14 +13,24 @@ import graft.functions.Hashing
   * reproducible under any partitioning, across retries, and in a SQL
   * replica.
   *
-  * Shape: the ranked adjacency (per-source neighbor index + out-degree,
-  * one window pass) is computed once and cached; each step is ONE
-  * equi-join of the O(#walks) state frame against it — the next-hop
-  * "choice" is part of the join key (`rn = hash % deg`), so no
-  * per-vertex sampling logic exists anywhere, and a 100 TB edge table
-  * costs one cached partitioning plus `length` state-sized joins.
-  * Walks stop early at sinks (the join drops them), exactly like the
-  * sequential algorithm.
+  * Shape: the ranked adjacency (per-source neighbor index + out-degree)
+  * is computed once and cached; each step is ONE equi-join of the
+  * O(#walks) state frame against it — the next-hop "choice" is part of
+  * the join key (`rn = hash % deg`), so no per-vertex sampling logic
+  * exists anywhere, and a 100 TB edge table costs one cached
+  * partitioning plus `length` state-sized joins. Walks stop early at
+  * sinks (the join drops them), exactly like the sequential algorithm.
+  *
+  * Hub-safe rank: the per-source neighbor index is NOT a
+  * `row_number().over(partitionBy(src))` — that funnels every out-edge
+  * of one vertex through a single task, and a web-scale hub (10⁸
+  * out-edges) would sort its whole edge list in one thread. Instead the
+  * edge list is range-partitioned and sorted on (src, dst), given a
+  * global index (one count pass + per-partition offsets — the standard
+  * distributed rank), and the per-source rank is `gidx − min(gidx over
+  * src)`: identical semantics, but a hub's edges spread across ALL
+  * partitions and the only per-src reduction is a map-side-combined
+  * min/count.
   */
 object RandomWalks {
 
@@ -35,12 +44,7 @@ object RandomWalks {
   def run(spark: SparkSession, edges: DataFrame, seed: Long,
       length: Int): DataFrame = {
     require(length >= 1, s"length must be >= 1, got $length")
-    val adj = edges.where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .persist()
+    val adj = rankedAdjacency(spark, edges) // persisted + materialized
     // one row per source: lets the state compute its pick BEFORE the
     // adjacency join, so that join is a true equi-join on (src, rn) —
     // one matched row per walk — instead of an src-only join that
@@ -67,6 +71,47 @@ object RandomWalks {
     out.count()
     adj.unpersist(false)
     out
+  }
+
+  /** (src, dst, rn, deg) with rn = 0-based rank of dst among src's
+    * out-edges (parallel edges each hold a slot) and deg = out-degree —
+    * the `row_number over (partition by src order by dst)` semantics,
+    * computed hub-safely: range-sort on (src, dst), global index via
+    * per-partition offsets, then rank = gidx − min(gidx) per src. */
+  private[graph] def rankedAdjacency(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val idx = indexedEdges(spark, edges)
+    val srcAgg = idx.groupBy("src")
+      .agg(min("gidx").as("g0"), count(lit(1)).as("deg"))
+    val adj = idx.join(srcAgg, "src")
+      .select(col("src"), col("dst"), (col("gidx") - col("g0")).as("rn"),
+        col("deg"))
+      .persist()
+    // materialize before releasing the index cache it reads twice
+    adj.count()
+    idx.unpersist(false)
+    adj
+  }
+
+  /** Range-sorted (src, dst, gidx) with gidx a global sort index —
+    * zipWithIndex's count pass + per-partition offsets; the returned
+    * frame is persisted (both rankedAdjacency consumers read it) and
+    * released by rankedAdjacency once joined. */
+  private[graph] def indexedEdges(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = edges.where(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = e.repartitionByRange(parts, col("src"), col("dst"))
+      .sortWithinPartitions("src", "dst")
+    // zipWithIndex = one count job for partition sizes, then a lazy map
+    // adding offset + position — no per-src task ever sees more than a
+    // partition's worth of one hub's edges
+    sorted.rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+      .toDF("src", "dst", "gidx")
+      .persist()
   }
 
   /** Unrolled DuckDB oracle: identical ranked adjacency, identical
