@@ -1,0 +1,199 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Strongly connected components of a DIRECTED graph — the directed
+  * cousin of the reference's undirected `cc_find` zones
+  * (`/root/reference/oink/cc_find.cpp:38-109`), which a crawl-graph user
+  * asks for next: pages that mutually link form one SCC; the condensation
+  * is the link DAG.
+  *
+  * Algorithm: the coloring method (Orzan 2004; Slota, Rajamanickam,
+  * Madduri, "BFS and coloring-based parallel algorithms for strongly
+  * connected components", IPDPS 2014), the published bulk-synchronous
+  * SCC shape — Tarjan's is inherently sequential (one DFS stack) and
+  * cannot shard. Per outer round over the unassigned subgraph:
+  *
+  *   1. TRIM: a vertex with no in-edges or no out-edges is a singleton
+  *      SCC — assign and drop (clears DAG periphery in parallel).
+  *   2. COLOR: propagate c(v) = min{u : u ⇝ v} forward to fixpoint
+  *      (one join + min-aggregation per level; labels only decrease, so
+  *      an exact integer sum is a complete convergence witness, the
+  *      [[Coreness]] discipline).
+  *   3. ASSIGN: roots are vertices with c(r) = r. SCC(r) = backward BFS
+  *      from r along edges whose BOTH endpoints share color r. Root
+  *      SCCs are assigned whole: if any w < r reached a member v, then
+  *      w ⇝ v ⇝ r would contradict c(r) = r — so every member of a
+  *      root's SCC holds color exactly r, and r = min(SCC). Classes are
+  *      disjoint, so ALL roots sweep in ONE joint BFS.
+  *   4. Remove assigned vertices; repeat.
+  *
+  * Every round assigns at least the minimum remaining vertex's SCC, and
+  * real (power-law) graphs drain in a handful of rounds: the giant SCC
+  * goes in round one and trimming eats the DAG tails. The adversarial
+  * worst case (a long path = |V| singleton SCCs trimmed two per round)
+  * is inherent to SCC peeling, bounded by `maxOuter` with a loud
+  * failure instead of silent partial output.
+  *
+  * Scale shape: all joins are keyed on vertex id (AQE-splittable); the
+  * only per-round actions are one-row aggregates; checkpoints truncate
+  * every iterative plan and release as soon as their successor is
+  * materialized.
+  */
+object StronglyConnectedComponents {
+
+  /** @param edges raw directed edge list (src, dst); self-loops and
+    *              parallel edges are irrelevant to SCC membership
+    * @return (v BIGINT, scc BIGINT) for every vertex of `edges`, with
+    *         scc = the minimum vertex id of v's strongly connected
+    *         component. */
+  def run(spark: SparkSession, edges: DataFrame, maxOuter: Int = 100,
+      maxInner: Int = 200): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist()
+    val verts = GraphOps.vertexExtract(edges)
+
+    // per-round assigned frames stay checkpointed until the final union
+    val assignedParts = scala.collection.mutable.Buffer.empty[DataFrame]
+    var remaining = verts.localCheckpoint(false)
+    var nRemaining = remaining.count()
+    var outer = 0
+    while (nRemaining > 0 && outer < maxOuter) {
+      outer += 1
+      // subgraph induced by the unassigned vertices
+      val eR = e0
+        .join(remaining.select(col("v").as("rs")), col("src") === col("rs"), "left_semi")
+        .join(remaining.select(col("v").as("rd")), col("dst") === col("rd"), "left_semi")
+        .localCheckpoint(false)
+
+      // 1. trim (one pass): no out-edge or no in-edge → singleton SCC
+      val nonSingleton = remaining
+        .join(eR.select(col("src").as("os")), col("v") === col("os"), "left_semi")
+        .join(eR.select(col("dst").as("is")), col("v") === col("is"), "left_semi")
+        .localCheckpoint(false)
+      val trimmed = remaining.join(nonSingleton.select(col("v").as("nv")),
+          col("v") === col("nv"), "left_anti")
+        .select(col("v"), col("v").as("scc"))
+        .localCheckpoint(false)
+      val nTrimmed = trimmed.count() // materializes eR, nonSingleton, trimmed
+      if (nTrimmed > 0) assignedParts += trimmed else Bridge.releaseCheckpoint(trimmed)
+
+      // 2. color the non-singleton subgraph to the forward-min fixpoint
+      val eT = eR
+        .join(nonSingleton.select(col("v").as("ts")), col("src") === col("ts"), "left_semi")
+        .join(nonSingleton.select(col("v").as("td")), col("dst") === col("td"), "left_semi")
+        .localCheckpoint(false)
+      var color = nonSingleton.select(col("v"), col("v").as("c"))
+        .localCheckpoint(false)
+      // exact decimal sum: labels only decrease, so equal sums == fixpoint
+      def colorSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("c").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var prevSum = colorSum(color) // materializes eT and color
+      var inner = 0
+      var colorConverged = false
+      while (!colorConverged && inner < maxInner) {
+        inner += 1
+        val msgs = eT.join(color, col("src") === col("v"))
+          .select(col("dst").as("v"), col("c"))
+        val next = color.union(msgs).groupBy("v").agg(min("c").as("c"))
+          .localCheckpoint(false)
+        val s = colorSum(next) // materializes next
+        Bridge.releaseCheckpoint(color)
+        color = next
+        colorConverged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
+      if (!colorConverged) {
+        (assignedParts.toSeq ++ Seq(remaining, eR, nonSingleton, eT, color))
+          .foreach(Bridge.releaseCheckpoint)
+        e0.unpersist(false)
+        throw new IllegalStateException(
+          s"SCC coloring did not converge within $maxInner levels")
+      }
+
+      // 3. joint backward BFS from all roots within their color classes
+      val eBack = eT
+        .join(color.select(col("v").as("cs"), col("c").as("c1")), col("src") === col("cs"))
+        .join(color.select(col("v").as("cd"), col("c").as("c2")), col("dst") === col("cd"))
+        .where(col("c1") === col("c2"))
+        .select(col("dst").as("from"), col("src").as("to"))
+        .localCheckpoint(false)
+      var visited = color.where(col("v") === col("c")).select(col("v"))
+        .localCheckpoint(false)
+      var frontier = visited
+      var grownN = visited.count() // materializes the root set
+      inner = 0
+      while (grownN > 0 && inner < maxInner) {
+        inner += 1
+        val grown = eBack.join(frontier, col("from") === frontier("v"))
+          .select(col("to").as("v")).distinct()
+          .join(visited.select(col("v").as("xv")), col("v") === col("xv"), "left_anti")
+          .localCheckpoint(false)
+        grownN = grown.count()
+        if (grownN > 0) {
+          val oldVisited = visited
+          val oldFrontier = frontier
+          visited = visited.union(grown).localCheckpoint(false)
+          visited.count()
+          if (oldFrontier ne oldVisited) Bridge.releaseCheckpoint(oldFrontier)
+          Bridge.releaseCheckpoint(oldVisited)
+          frontier = grown
+        } else {
+          Bridge.releaseCheckpoint(grown)
+        }
+      }
+      if (frontier ne visited) Bridge.releaseCheckpoint(frontier)
+
+      val assigned = visited
+        .join(color.withColumnRenamed("v", "cv"), col("v") === col("cv"))
+        .select(col("v"), col("c").as("scc"))
+        .localCheckpoint(false)
+      val newRemaining = nonSingleton
+        .join(assigned.select(col("v").as("av")), col("v") === col("av"), "left_anti")
+        .select(col("v"))
+        .localCheckpoint(false)
+      nRemaining = newRemaining.count() // materializes assigned + newRemaining
+      assignedParts += assigned
+      Seq(remaining, eR, nonSingleton, eT, color, eBack, visited)
+        .foreach(Bridge.releaseCheckpoint)
+      remaining = newRemaining
+    }
+    if (nRemaining > 0) {
+      (assignedParts.toSeq :+ remaining).foreach(Bridge.releaseCheckpoint)
+      e0.unpersist(false)
+      throw new IllegalStateException(
+        s"SCC did not drain in $maxOuter peel rounds")
+    }
+    Bridge.releaseCheckpoint(remaining)
+    if (assignedParts.isEmpty) { // edge list with no vertices at all
+      e0.unpersist(false)
+      return verts.select(col("v"), col("v").as("scc"))
+    }
+    val out = assignedParts.reduce(_ union _).localCheckpoint(false)
+    out.count()
+    assignedParts.foreach(Bridge.releaseCheckpoint)
+    e0.unpersist(false)
+    out
+  }
+
+  /** DuckDB oracle: full reachability closure (fine at gate scale), then
+    * scc(v) = min over the mutually-reachable set. The recursive CTE's
+    * UNION dedups, so `reach` is exactly the pair set. */
+  def oracleSql(edgesCte: String): String =
+    s"""WITH RECURSIVE edges AS ($edgesCte),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+       |reach(a, b) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+       |SELECT r1.a AS v, min(r1.b) AS scc
+       |FROM reach r1
+       |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+       |GROUP BY r1.a""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -92,6 +92,12 @@ object GraphQueries {
     "g_cc" -> ((s, dir) => ccOf(s, dir)),
 
     "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
+
+    // Directed SCC via the coloring peel (trim → forward-min color →
+    // backward sweep from roots); scc = min vertex id of the component,
+    // which the oracle recomputes from the full reachability closure.
+    "g_scc" -> ((s, dir) =>
+      StronglyConnectedComponents.run(s, Tables.edges(s, dir))),
 
     "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
 
@@ -303,6 +309,8 @@ object GraphQueries {
          |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
          |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
          |ORDER BY size DESC""".stripMargin,
+
+    "g_scc" -> StronglyConnectedComponents.oracleSql(E),
 
     "g_sssp_multi" ->
       s"""$multiWalkCtes
