@@ -38,10 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  /** Scores below 2^31 never shift; above, shift to 31 bits. */
-  private val MaxBits = 31
+  /** Scores below 2^31 never shift; above, shift to 31 bits. Shared
+    * with [[EigenvectorCentrality]] (same rescale discipline). */
+  private[graph] val MaxBits = 31
 
-  private def shiftOf(mx: Long): Int =
+  private[graph] def shiftOf(mx: Long): Int =
     math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(mx)) - MaxBits)
 
   /** @return (v BIGINT, authority BIGINT, hub BIGINT) over all vertices;

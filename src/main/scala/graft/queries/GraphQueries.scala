@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -154,6 +154,12 @@ object GraphQueries {
     // identical rescaled integer recurrence. 6 iterations exercises the
     // rescale path that lifted r4's 3-iteration overflow cap.
     "g_hits" -> ((s, dir) => Hits.run(s, Tables.edges(s, dir), iterations = 6)),
+
+    // Eigenvector centrality: 8 rescaled integer power iterations (the
+    // HITS discipline on the single in-edge recurrence); the oracle is
+    // the identical unrolled recurrence.
+    "g_eigen" -> ((s, dir) =>
+      EigenvectorCentrality.run(s, Tables.edges(s, dir), iterations = 8)),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -402,6 +408,8 @@ object GraphQueries {
     "g_walks" -> RandomWalks.oracleSql(E, seed = 9L, length = 5),
 
     "g_hits" -> Hits.oracleSql(E, iterations = 6),
+
+    "g_eigen" -> EigenvectorCentrality.oracleSql(E, iterations = 8),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
