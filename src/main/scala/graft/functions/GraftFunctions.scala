@@ -13,6 +13,17 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "hash60", hash60Builder)
     Bridge.registerFunction(spark, "hll60", hll60Builder)
     Bridge.registerFunction(spark, "hdrq", hdrqBuilder)
+    Bridge.registerFunction(spark, "lgq", lgqBuilder)
+  }
+
+  /** SQL surface for the sparse log-bin quantile sketch:
+    * `lgq(v, array(0.5, 0.99))` → ARRAY<BIGINT>. */
+  private[graft] def lgqBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      "lgq expects (BIGINT value, ARRAY<DOUBLE> quantiles)")
+    LogQuantiles(exprs.head, exprs(1)).toAggregateExpression()
   }
 
   /** SQL surface for the HDR-bin quantile sketch:

@@ -126,6 +126,19 @@ object RelationalQueries {
         element_at(col("qq"), 2).as("p95_cents"),
         element_at(col("qq"), 3).as("p99_cents"))),
 
+    // Variable-resolution counterpart of q20: the sparse log-bin sketch
+    // (graft.functions.LogQuantiles) at 2^-12 relative error — the
+    // heavy-tail/t-digest niche with deterministic bin-wise merge.
+    "q21_logq_sketch" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.LogQuantiles.logQuantiles(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        Seq(0.5, 0.95, 0.99)).as("qq"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p50_cents"),
+        element_at(col("qq"), 2).as("p95_cents"),
+        element_at(col("qq"), 3).as("p99_cents"))),
+
     // Hierarchical aggregation (engine extension; absent in reference).
     "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
       .rollup("o_orderpriority", "o_orderstatus")
@@ -247,6 +260,11 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q20_quantile_sketch" -> graft.functions.HdrQuantiles.oracleSql(
+      "lineitem", "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)",
+      "l_returnflag",
+      Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99)),
+
+    "q21_logq_sketch" -> graft.functions.LogQuantiles.oracleSql(
       "lineitem", "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)",
       "l_returnflag",
       Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99)),
