@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 import graft.graph._
+import graft.pipeline.{Dedup, Similarity}
 import graft.text.TextAnalysis
 
 /** Interpreter for the reference's OINK script language
@@ -27,7 +28,13 @@ import graft.text.TextAnalysis
   *  - `print "text with $var"`
   *
   * Commands run the same Spark implementations as [[Main]]; results are
-  * named DataFrames in a registry instead of spilled KV files. MR-MPI
+  * named DataFrames in a registry instead of spilled KV files. Beyond
+  * the reference's command set, the engine's training-data pipeline is
+  * scriptable too: `read_parquet` binds a table as an object, and
+  * `dedup_exact / minhash_sig / minhash_pairs / minhash_dedup /
+  * dedup_clusters / simhash / simhash_pairs / langid / quality /
+  * tokens / fingerprint` operate on (doc_id, text) objects,
+  * `ann_lsh / quantize` on (vec_id, embedding) objects. MR-MPI
   * tuning parameters with no Spark meaning (cc_find's big-zone
   * `nthresh` — skew handled by AQE; rmat's extra-shuffle `fraction`)
   * are accepted and ignored, documented here rather than silently
@@ -335,6 +342,53 @@ object OinkScript {
             case "histo" =>
               val df = GraphOps.degreeStats(in0)
               if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
+            case "scc" =>
+              sinkAndBind(StronglyConnectedComponents.run(spark, in0), outs, line)
+            case "eigen" =>
+              val iters = pos.headOption.map(_.toInt).getOrElse(8)
+              sinkAndBind(EigenvectorCentrality.run(spark, in0, iters), outs, line)
+            // ---- training-data pipeline verbs over the registry
+            // conventions (doc_id, text) / (vec_id, embedding) ----
+            case "read_parquet" =>
+              // source verb: binds a parquet table (e.g. documents,
+              // embeddings) as a named object; -i paths, -o FILE OBJ
+              if (ins.isEmpty) throw ScriptError(line, "read_parquet requires -i paths")
+              sinkAndBind(spark.read.option("recursiveFileLookup", "true")
+                .parquet(ins.map(resolve): _*), outs, line)
+            case "dedup_exact" =>
+              sinkAndBind(Dedup.exact(in0, col("doc_id"), col("text")), outs, line)
+            case "minhash_sig" =>
+              sinkAndBind(Dedup.minHashSignatures(in0, col("doc_id"), col("text")), outs, line)
+            case "minhash_pairs" =>
+              sinkAndBind(Dedup.minHashCandidates(in0, col("doc_id"), col("text")), outs, line)
+            case "minhash_dedup" =>
+              // minhash_dedup [est_threshold] — the full LSH → estimate →
+              // exact-verify chain
+              val thr = pos.headOption.map(_.toDouble).getOrElse(0.7)
+              sinkAndBind(Dedup.dedupPipeline(in0, col("doc_id"), col("text"), thr), outs, line)
+            case "dedup_clusters" =>
+              sinkAndBind(Dedup.dedupClusters(spark, in0, col("doc_id"), col("text")), outs, line)
+            case "simhash" =>
+              sinkAndBind(Dedup.simHash(in0, col("doc_id"), col("text")), outs, line)
+            case "simhash_pairs" =>
+              val maxDist = pos.headOption.map(_.toInt).getOrElse(2)
+              sinkAndBind(Dedup.simHashNearPairs(in0, col("doc_id"), col("text"), maxDist), outs, line)
+            case "langid" =>
+              sinkAndBind(TextAnalysis.langId(in0, col("doc_id"), col("text")), outs, line)
+            case "quality" =>
+              sinkAndBind(TextAnalysis.quality(in0, col("doc_id"), col("text")), outs, line)
+            case "tokens" =>
+              sinkAndBind(TextAnalysis.tokenCounts(in0, col("doc_id"), col("text")), outs, line)
+            case "fingerprint" =>
+              sinkAndBind(TextAnalysis.fingerprint(in0, col("doc_id"), col("text")), outs, line)
+            case "ann_lsh" =>
+              // ann_lsh [k] [dim] — dim probed from the data if absent
+              val k = pos.lift(0).map(_.toInt).getOrElse(10)
+              val dim = pos.lift(1).map(_.toInt).getOrElse(
+                in0.select(size(col("embedding"))).head().getInt(0))
+              sinkAndBind(Similarity.lshTopK(in0, dim, k), outs, line)
+            case "quantize" =>
+              sinkAndBind(Similarity.quantizeInt8(in0, col("vec_id"), col("embedding")), outs, line)
             case _ => throw ScriptError(line, s"unknown command '$cmd'")
           }
       }

@@ -117,6 +117,52 @@ class OinkScriptSpec extends SparkSpec {
       && reg("mrb").count() > 0)
   }
 
+  test("pipeline verbs: read_parquet -> minhash dedup chain end to end") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(docs).exists())
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $docs -o NULL docs",
+      "dedup_exact -i docs -o NULL kept",
+      "minhash_pairs -i docs -o NULL pairs",
+      "minhash_dedup 0.5 -i docs -o NULL neardups",
+      "dedup_clusters -i docs -o NULL clusters",
+      "langid -i docs -o NULL langs"))
+    // script results equal the direct API calls
+    val direct = graft.pipeline.Dedup.dedupPipeline(
+      reg("docs"), col("doc_id"), col("text"), 0.5)
+    assert(reg("neardups").collect().toSet == direct.collect().toSet)
+    assert(reg("neardups").columns.toSeq ==
+      Seq("a", "b", "est_jaccard", "jaccard"))
+    assert(reg("kept").count() > 0 && reg("kept").count() <= reg("docs").count())
+    assert(reg("pairs").count() == graft.pipeline.Dedup.minHashCandidates(
+      reg("docs"), col("doc_id"), col("text")).count())
+    assert(reg("clusters").columns.toSeq == Seq("doc_id", "keeper_id"))
+    assert(reg("langs").count() == reg("docs").count())
+  }
+
+  test("pipeline verbs: ann_lsh and quantize over embeddings") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assume(new java.io.File(emb).exists())
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $emb -o NULL emb",
+      "ann_lsh 5 -i emb -o NULL nn",
+      "quantize -i emb -o NULL q8"))
+    assert(reg("nn").columns.toSeq == Seq("qid", "vec_id", "sim", "rank"))
+    val perQuery = reg("nn").groupBy("qid").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perQuery <= 5 && reg("nn").count() > 0)
+    assert(reg("q8").count() == reg("emb").count())
+  }
+
+  test("scc and eigen run from scripts") {
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 6 4 0.25 0.25 0.25 0.25 0.0 7 -o NULL mre",
+      "scc -i mre -o NULL mrs",
+      "eigen 6 -i mre -o NULL mrx"))
+    assert(reg("mrs").columns.toSeq == Seq("v", "scc") && reg("mrs").count() > 0)
+    assert(reg("mrx").columns.toSeq == Seq("v", "score") && reg("mrx").count() > 0)
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
