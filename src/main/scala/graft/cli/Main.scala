@@ -27,7 +27,8 @@ object Main {
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
-    "kcore", "coreness", "lpa", "betweenness", "hits", "walks", "rmat")
+    "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen",
+    "walks", "rmat")
 
   def usage(): Nothing = {
     System.err.println(
@@ -35,7 +36,7 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat, walks) --levels N --edges N (rmat)
-         |         --k N (kcore) --rounds N (lpa) --iters N (hits)
+         |         --k N (kcore) --rounds N (lpa) --iters N (hits, eigen)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
@@ -119,6 +120,10 @@ object Main {
             o.getOrElse("nsources", "3").toInt)).orderBy("source", "v")
         case "hits"           => graft.graph.Hits.run(spark, edges(),
           o.getOrElse("iters", "3").toInt).orderBy("v")
+        case "scc"            =>
+          graft.graph.StronglyConnectedComponents.run(spark, edges()).orderBy("v")
+        case "eigen"          => graft.graph.EigenvectorCentrality.run(spark,
+          edges(), o.getOrElse("iters", "8").toInt).orderBy("v")
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")
