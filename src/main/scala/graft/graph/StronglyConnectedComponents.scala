@@ -181,19 +181,63 @@ object StronglyConnectedComponents {
     out
   }
 
-  /** DuckDB oracle: full reachability closure (fine at gate scale), then
-    * scc(v) = min over the mutually-reachable set. The recursive CTE's
-    * UNION dedups, so `reach` is exactly the pair set. */
-  def oracleSql(edgesCte: String): String =
+  /** Condensation DAG: one edge (from_scc, to_scc) per distinct pair of
+    * components joined by at least one original edge — the link DAG of
+    * the crawl graph ([[ConnectedComponents.stats]]' directed analog,
+    * one level up). Pure composition: two vertex-keyed joins against
+    * the O(|V|) label frame + a distinct; acyclic by construction. */
+  def condense(edges: DataFrame, scc: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .join(scc.select(col("v").as("sv"), col("scc").as("from_scc")),
+        col("src") === col("sv"))
+      .join(scc.select(col("v").as("dv"), col("scc").as("to_scc")),
+        col("dst") === col("dv"))
+      .where(col("from_scc") =!= col("to_scc"))
+      .select(col("from_scc"), col("to_scc"))
+      .distinct()
+
+  /** Component-size histogram — `cc_stats` (`oink/cc_stats.cpp:37-62`)
+    * over the directed components. */
+  def stats(scc: DataFrame): DataFrame =
+    scc.groupBy("scc").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("ncomp"))
+      .orderBy(col("size").desc)
+
+  /** Shared oracle CTE body: reachability closure + the `scc` labels. */
+  private def oracleCtes(edgesCte: String): String =
     s"""WITH RECURSIVE edges AS ($edgesCte),
        |verts AS (SELECT DISTINCT v FROM
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
        |reach(a, b) AS (
        |  SELECT v, v FROM verts
        |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-       |SELECT r1.a AS v, min(r1.b) AS scc
-       |FROM reach r1
-       |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
-       |GROUP BY r1.a""".stripMargin
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |scc AS (
+       |  SELECT r1.a AS v, min(r1.b) AS scc
+       |  FROM reach r1
+       |  WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+       |  GROUP BY r1.a)""".stripMargin
+
+  /** DuckDB oracle: full reachability closure (fine at gate scale), then
+    * scc(v) = min over the mutually-reachable set. The recursive CTE's
+    * UNION dedups, so `reach` is exactly the pair set. */
+  def oracleSql(edgesCte: String): String =
+    s"""${oracleCtes(edgesCte)}
+       |SELECT v, scc FROM scc""".stripMargin
+
+  /** Oracle for [[condense]]. */
+  def condenseOracleSql(edgesCte: String): String =
+    s"""${oracleCtes(edgesCte)}
+       |SELECT DISTINCT sa.scc AS from_scc, sb.scc AS to_scc
+       |FROM edges e
+       |JOIN scc sa ON sa.v = e.src
+       |JOIN scc sb ON sb.v = e.dst
+       |WHERE sa.scc <> sb.scc""".stripMargin
+
+  /** Oracle for [[stats]]. */
+  def statsOracleSql(edgesCte: String): String =
+    s"""${oracleCtes(edgesCte)}
+       |SELECT size, count(*) AS ncomp FROM (
+       |  SELECT scc, count(*) AS size FROM scc GROUP BY scc)
+       |GROUP BY size ORDER BY size DESC""".stripMargin
 }

@@ -93,6 +93,49 @@ object Similarity {
   def planeWeight(p: Int, j: Int): Double =
     Hashing.rand01Local(PlaneSeed, s"$p,$j") - 0.5
 
+  // ---- deterministic random projection (dimensionality reduction) ----
+
+  val ProjSeed = 181L
+
+  /** Deterministic ±1 weight for (output dim k, input dim j) — the
+    * Achlioptas sign matrix ("Database-friendly random projections",
+    * PODS 2001; the J-L transform without Gaussians), drawn from the
+    * same driver-side hash family as the LSH planes so the oracle can
+    * embed the identical literals. */
+  def projWeight(k: Int, j: Int): Double =
+    if (Hashing.rand01Local(ProjSeed, s"$k,$j") < 0.5) -1.0 else 1.0
+
+  /** (vec_id, k, v): dim-`dim` embeddings projected to `outDim`
+    * components, scaled 1/√outDim so inner products are preserved in
+    * expectation (Johnson-Lindenstrauss) — the cheap front-end that
+    * makes brute-force rescoring 4× narrower before exact verification.
+    * One codegen'd projection per vector: the matrix is inlined as
+    * literals, nothing shuffles, and each component is a fixed-order
+    * fold — bit-reproducible and exactly replayable in SQL. Output is
+    * flattened to one row per component for the gate's row compare. */
+  def randomProject(embeddings: DataFrame, dim: Int, outDim: Int): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    embeddings.select(col("vec_id"),
+        posexplode(array((0 until outDim).map { kk =>
+          val w = array((0 until dim).map(j => lit(projWeight(kk, j))): _*)
+          round(dot(emb, w) * lit(scale), 6)
+        }: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("k"), col("col").as("v"))
+  }
+
+  /** Oracle for [[randomProject]]: one SELECT per component with the
+    * identical literal sign row and scale. */
+  def randomProjectOracleSql(dim: Int, outDim: Int): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    (0 until outDim).map { kk =>
+      val w = (0 until dim).map(j => projWeight(kk, j)).mkString("[", ", ", "]")
+      s"""SELECT vec_id, CAST($kk AS BIGINT) AS k,
+         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), $w) * $scale, 6) AS v
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** Signature of one table: bit (p − offset) of the bucket is the sign
     * of the projection onto plane p, p ∈ [offset, offset + planes). */
   private def bucketExpr(dim: Int, planes: Int, offset: Int): Column = {

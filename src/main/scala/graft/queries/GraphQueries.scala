@@ -55,6 +55,14 @@ object GraphQueries {
       if (memoize(s)) df.persist() else df
     })
 
+  // g_scc / g_scc_stats / g_scc_condense share the SCC labels.
+  private val sccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sccOf(s: SparkSession, dir: String): DataFrame =
+    sccCache.getOrElseUpdate((s, dir), {
+      val df = StronglyConnectedComponents.run(s, Tables.edges(s, dir))
+      if (memoize(s)) df.persist() else df
+    })
+
   /** Release the memoized cc/tri/sssp frames — call after a sweep
     * (Verify, Bench) so persisted blocks don't outlive their usefulness
     * in a long-lived session. */
@@ -65,6 +73,8 @@ object GraphQueries {
     triCache.clear()
     ssspCache.values.foreach(_.unpersist(false))
     ssspCache.clear()
+    sccCache.values.foreach(_.unpersist(false))
+    sccCache.clear()
     srcsCache.clear()
   }
 
@@ -96,8 +106,14 @@ object GraphQueries {
     // Directed SCC via the coloring peel (trim → forward-min color →
     // backward sweep from roots); scc = min vertex id of the component,
     // which the oracle recomputes from the full reachability closure.
-    "g_scc" -> ((s, dir) =>
-      StronglyConnectedComponents.run(s, Tables.edges(s, dir))),
+    "g_scc" -> ((s, dir) => sccOf(s, dir)),
+
+    "g_scc_stats" -> ((s, dir) =>
+      StronglyConnectedComponents.stats(sccOf(s, dir))),
+
+    // Condensation DAG — the link DAG over the components.
+    "g_scc_condense" -> ((s, dir) => StronglyConnectedComponents
+      .condense(Tables.edges(s, dir), sccOf(s, dir))),
 
     "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
 
@@ -317,6 +333,10 @@ object GraphQueries {
          |ORDER BY size DESC""".stripMargin,
 
     "g_scc" -> StronglyConnectedComponents.oracleSql(E),
+
+    "g_scc_stats" -> StronglyConnectedComponents.statsOracleSql(E),
+
+    "g_scc_condense" -> StronglyConnectedComponents.condenseOracleSql(E),
 
     "g_sssp_multi" ->
       s"""$multiWalkCtes

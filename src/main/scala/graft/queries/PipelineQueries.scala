@@ -90,6 +90,11 @@ object PipelineQueries {
 
     "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
 
+    // Johnson-Lindenstrauss sign-matrix projection 64 -> 16 dims: the
+    // deterministic dimensionality-reduction front-end; scale 1/√16 is
+    // exactly representable, so the oracle literal is exact too.
+    "s_rproj" -> ((s, dir) => Similarity.randomProject(emb(s, dir), Dim, 16)),
+
     // Symmetric per-vector int8 quantization (4x ANN bandwidth lever);
     // the oracle pins every code through exact integer code-statistics.
     "s_quantize" -> ((s, dir) =>
@@ -532,6 +537,8 @@ object PipelineQueries {
         | CAST(list_min(qv) AS BIGINT) AS q_min,
         | CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q""".stripMargin,
+
+    "s_rproj" -> Similarity.randomProjectOracleSql(Dim, 16),
 
     "s_ann_lsh" -> {
       // hyperplane weights re-derived in SQL from the same hash formula

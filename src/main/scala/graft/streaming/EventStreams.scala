@@ -81,6 +81,26 @@ object EventStreams {
         element_at(col("qq"), 2).as("p95_cents"),
         element_at(col("qq"), 3).as("p99_cents"))
 
+  /** [[quantileStream]]'s heavy-tail twin on the sparse log-bin sketch
+    * ([[graft.functions.LogQuantiles]]): same bounded-state story, but
+    * 2^-12 relative error with state tracking only the occupied
+    * octaves — bin counts add, so the stream is bit-equal to the batch
+    * sketch under any trigger cadence. */
+  def logQuantileStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.LogQuantiles.logQuantiles(
+        floor(col("value") * 100 + 0.5).cast("long"),
+        Seq(0.5, 0.95, 0.99)).as("qq"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"),
+        element_at(col("qq"), 1).as("p50_cents"),
+        element_at(col("qq"), 2).as("p95_cents"),
+        element_at(col("qq"), 3).as("p99_cents"))
+
   final case class Event(user_id: Long, event_id: Long, ts_us: Long,
       tts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

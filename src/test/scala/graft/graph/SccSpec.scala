@@ -71,6 +71,24 @@ class SccSpec extends SparkSpec {
     assert(want.groupBy(_._2).values.map(_.size).max > 1, "no multi-vertex SCC")
   }
 
+  test("condensation DAG and size stats compose over the labels") {
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), // SCC {0,1,2}
+      (2L, 3L), (1L, 3L),           // two original edges, ONE condensed
+      (3L, 4L), (4L, 3L),           // SCC {3,4}
+      (4L, 5L))                     // singleton 5
+    val scc = StronglyConnectedComponents.run(spark, edges.toDF("src", "dst"))
+    val cond = StronglyConnectedComponents
+      .condense(edges.toDF("src", "dst"), scc)
+      .as[(Long, Long)].collect().toSet
+    assert(cond == Set((0L, 3L), (3L, 5L)))
+    val stats = StronglyConnectedComponents.stats(scc)
+      .as[(Long, Long)].collect().toSet
+    assert(stats == Set((3L, 1L), (2L, 1L), (1L, 1L)))
+    // the condensation is acyclic: no mutual pairs
+    cond.foreach { case (a, b) => assert(!cond.contains((b, a))) }
+  }
+
   test("negative vertex ids work (labels are plain minima)") {
     val edges = Seq((-5L, -1L), (-1L, -5L), (-1L, 2L), (2L, 3L), (3L, 2L))
     assert(got(edges) == Map(-5L -> -5L, -1L -> -5L, 2L -> 2L, 3L -> 2L))

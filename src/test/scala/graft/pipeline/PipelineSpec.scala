@@ -161,6 +161,37 @@ class PipelineSpec extends SparkSpec {
     assert(q(2L) == ((0.0, 2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("random projection: exact driver replica, partition invariance, geometry") {
+    val rnd = new scala.util.Random(59)
+    val dim = 24
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val outDim = 16
+    val got = Similarity.randomProject(df, dim, outDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact driver-side replica of the fold (same order, same literals)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    for ((id, emb) <- vecs; k <- 0 until outDim) {
+      var acc = 0.0
+      for (j <- 0 until dim) acc += emb(j).toDouble * Similarity.projWeight(k, j)
+      val want = math.rint(acc * scale * 1e6) / 1e6
+      assert(got((id, k.toLong)) == want, s"($id,$k): ${got((id, k.toLong))} vs $want")
+    }
+    // partitioning must not change a single bit
+    val b = Similarity.randomProject(df.repartition(7), dim, outDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == b)
+    // J-L geometry: squared norms are preserved on average (loose bound)
+    val ratios = vecs.map { case (id, emb) =>
+      val orig = emb.map(x => x.toDouble * x).sum
+      val proj = (0 until outDim).map(k => got((id, k.toLong))).map(v => v * v).sum
+      proj / orig
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"norm ratio mean $mean off")
+  }
+
   test("brute-force ANN finds the nearest vector and honors k + ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -77,6 +77,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed log-bin quantiles equal the batch lgq sketch exactly") {
+    import graft.functions.LogQuantiles
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.logQuantileStream(stream), "lgq_out", OutputMode.Append)
+    try {
+      val s = spark.table("lgq_out")
+      val b = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("win_start_us",
+          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+        .groupBy("win_start_us", "event_type")
+        .agg(LogQuantiles.logQuantiles(
+          floor(col("value") * 100 + 0.5).cast("long"),
+          Seq(0.5, 0.95, 0.99)).as("qq"))
+        .select(col("win_start_us"), col("event_type"),
+          element_at(col("qq"), 1).as("p50_cents"),
+          element_at(col("qq"), 2).as("p95_cents"),
+          element_at(col("qq"), 3).as("p99_cents"))
+      assert(s.count() > 0, "stream emitted nothing")
+      assert(s.except(b).isEmpty, "streamed lgq disagrees with batch")
+    } finally q.stop()
+  }
+
   test("stream-stream range join equals the batch e_range_join result") {
     val stream = EventStreams.readEvents(spark, dir)
     val q = EventStreams.runToMemory(
