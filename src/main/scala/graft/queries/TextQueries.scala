@@ -24,6 +24,23 @@ object TextQueries {
     "t_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Per-language top-5 terms: the langid stage feeding the custom
+    // TopKPerKey physical operator (capped map-side heaps — only ≤ k
+    // rows per (language, partition) cross the exchange). Exercises the
+    // graph between text analysis and the engine's own operator.
+    "t_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val langs = TextAnalysis.langId(d, col("doc_id"), col("text"))
+        .select(col("doc_id").as("ld"), col("lang_pred"))
+      val counts = d
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .join(langs, col("doc_id") === col("ld"))
+        .groupBy("lang_pred", "w").agg(count(lit(1)).as("cnt"))
+      graft.plans.TopKPerKey.topKPerKey(counts, Seq(col("lang_pred")),
+        Seq(col("cnt").desc, col("w")), k = 5)
+        .select("lang_pred", "w", "cnt")
+    }),
+
     "t_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -121,6 +138,30 @@ object TextQueries {
          |mx AS (SELECT *, $m AS m FROM sc)
          |SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $pick END AS lang_pred
          |FROM mx""".stripMargin
+    },
+
+    "t_top_terms" -> {
+      val scoreCols = markers.map { case (lang, ws) =>
+        s"sum(CASE WHEN w IN (${inList(ws)}) THEN 1 ELSE 0 END) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val m = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scoreCols
+         |  FROM toks WHERE w <> '' GROUP BY doc_id),
+         |lid AS (SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $pick END AS lang_pred
+         |  FROM (SELECT *, $m AS m FROM sc)),
+         |cnts AS (
+         |  SELECT l.lang_pred, t.w, count(*) AS cnt
+         |  FROM toks t JOIN lid l ON l.doc_id = t.doc_id
+         |  WHERE t.w <> '' GROUP BY 1, 2)
+         |SELECT lang_pred, w, cnt FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang_pred
+         |    ORDER BY cnt DESC, w ASC) AS rn FROM cnts)
+         |WHERE rn <= 5""".stripMargin
     },
 
     "t_corpus_stats" -> {
