@@ -204,4 +204,60 @@ object PageRank {
     }
     state.select(col("id"), col("pr").as("rank"))
   }
+
+  /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
+    * search", WWW 2003): the [[runFixed]] recurrence with the restart
+    * mass directed at a seed set instead of spread uniformly —
+    * pr[i] = α·Σ_{j→i} old_pr[j]/outdeg(j) + (α·dangling + (1−α))·p(i),
+    * p = 1/|S| on the seeds, 0 elsewhere, init pr = p. The similarity
+    * ranking "near these pages" that powers related-page and
+    * seed-expansion queries. Same single-job-per-iteration shape and
+    * pre-normalization discipline as [[runFixed]], so the unrolled SQL
+    * oracle is bit-identical. */
+  def runPersonalized(
+      spark: SparkSession,
+      edges: DataFrame,
+      websize: Long,
+      seeds: Seq[Long],
+      iterations: Int,
+      alpha: Double = DefaultAlpha): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = websize
+    // IEEE division, replayed identically in the oracle
+    val pSeed = 1.0 / seeds.size
+    val restart = when(col("id").isin(seeds: _*), pSeed).otherwise(0.0)
+
+    var state = verts.withColumn("pr", restart)
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      val stats = state.agg(
+        sum("pr").as("sum_pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
+      val withStats = state.crossJoin(broadcast(stats))
+      val normalized =
+        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
+      val contrib = e
+        .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
+          e("src") === col("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum("c").as("h"))
+      val next = normalized.select("id", "outdeg", "dangling_pr")
+        .join(contrib, Seq("id"), "left")
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
+          (lit(alpha) * col("dangling_pr") + lit(1.0 - alpha)) * restart)
+        .select("id", "outdeg", "pr")
+        .localCheckpoint(true)
+      state.unpersist(false)
+      state = next
+      iter += 1
+    }
+    verts.unpersist(false)
+    state.select(col("id"), col("pr").as("rank"))
+  }
 }

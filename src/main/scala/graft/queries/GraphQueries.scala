@@ -99,6 +99,13 @@ object GraphQueries {
       PageRank.runFixed(s, Tables.edges(s, dir), N, iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
 
+    // Personalized PageRank: restart mass on the shared seeded sources
+    // (Jeh-Widom); identical unrolled recurrence in the oracle.
+    "g_ppr" -> ((s, dir) =>
+      PageRank.runPersonalized(s, Tables.edges(s, dir), N, srcsOf(s, dir),
+          iterations = 3)
+        .select(col("id"), round(col("rank"), 9).as("rank"))),
+
     "g_cc" -> ((s, dir) => ccOf(s, dir)),
 
     "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
@@ -300,6 +307,8 @@ object GraphQueries {
          |FROM edges GROUP BY src""".stripMargin,
 
     "g_pagerank" -> pagerankSql(3),
+
+    "g_ppr" -> pprSql(3),
 
     // Reachability-closure min-label — same fixpoint the iterative
     // propagation converges to.
@@ -540,6 +549,41 @@ object GraphQueries {
        |SELECT r.v FROM rk r
        |JOIN (SELECT mis FROM g ORDER BY i DESC LIMIT 1) m
        |  ON list_contains(m.mis, r.rk)""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank oracle mirroring
+    * PageRank.runPersonalized: the pagerankSql recurrence with the
+    * restart mass on the seeded sources. Float discipline: the restart
+    * fraction is the same IEEE division (1.0/|S|) and the (1−α) term is
+    * computed as `1.0 - 0.85` in BOTH engines (the subtraction and the
+    * literal 0.15 are different doubles). */
+  def pprSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS ($E),\n")
+    sb.append(s"$seededSrcsCtes,\n")
+    sb.append(s"outdeg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(s"vertsu AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("pv AS (SELECT v.id, CASE WHEN EXISTS (SELECT 1 FROM srcs s WHERE s.source = v.id)\n")
+    sb.append("  THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM srcs)\n")
+    sb.append("  ELSE CAST(0.0 AS DOUBLE) END AS p FROM vertsu v),\n")
+    sb.append("r0 AS (SELECT v.id, o.outdeg, pv.p, pv.p AS pr\n")
+    sb.append("       FROM vertsu v LEFT JOIN outdeg o ON v.id = o.id JOIN pv ON pv.id = v.id),\n")
+    for (i <- 0 until iters) {
+      val norm =
+        if (i == 0) "pr AS old_pr"
+        else s"pr / (SELECT s FROM s$i) AS old_pr"
+      sb.append(s"s$i AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS (SELECT id, outdeg, p, $norm FROM r$i),\n")
+      sb.append(s"c$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"        FROM edges e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"r${i + 1} AS (SELECT n.id, n.outdeg, n.p,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE))\n")
+      sb.append(s"          + (0.85 * (SELECT d FROM s$i) + (CAST(1.0 AS DOUBLE) - 0.85)) * n.p AS pr\n")
+      sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id)")
+      sb.append(if (i == iters - 1) "\n" else ",\n")
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM r$iters")
+    sb.toString
   }
 
   /** Unrolled n-iteration PageRank oracle mirroring PageRank.runFixed:

@@ -34,6 +34,38 @@ class PageRankSpec extends SparkSpec {
     assert((2L to 6L).forall(m(_) > 0.0), "dangling pages still receive teleport mass")
   }
 
+  test("personalized PageRank matches the hand recurrence") {
+    // cycle 0→1→2→0 plus 1→3 with 3 dangling; restart on {0, 3}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L, 3L)
+    val iters = 3
+    val got = PageRank.runPersonalized(spark, edges, 4L, seeds, iters)
+      .as[(Long, Double)].collect().toMap
+    // replica of the exact update (normalize → contribute → restart)
+    val n = 4
+    val alpha = 0.85
+    val outdeg = Map(0L -> 1.0, 1L -> 2.0, 2L -> 1.0)
+    val p = Array(0.5, 0.0, 0.0, 0.5)
+    var pr = p.clone()
+    for (k <- 0 until iters) {
+      val sum = pr.sum
+      val dangling = pr(3)
+      val old = if (k == 0) pr.clone() else pr.map(_ / sum)
+      val h = Array.fill(4)(0.0)
+      for ((s, d) <- Seq((0, 1), (1, 2), (2, 0), (1, 3)))
+        h(d) += old(s) / outdeg(s.toLong)
+      pr = Array.tabulate(4)(i =>
+        h(i) * alpha + (alpha * dangling + (1.0 - alpha)) * p(i))
+    }
+    for (i <- 0 until 4)
+      assert(math.abs(got(i.toLong) - pr(i)) < 1e-12,
+        s"id $i: ${got(i.toLong)} vs ${pr(i)}")
+    // restart keeps mass near the seeds: both seeds outrank the
+    // never-restarted vertex furthest from them only via structure —
+    // just sanity-check mass conservation here
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("star with dangling sink: ranks sum to ~1 and sink dominates") {
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
     val m = PageRank.run(spark, edges)
