@@ -28,7 +28,7 @@ object Main {
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen",
-    "walks", "rmat")
+    "matching", "walks", "rmat")
 
   def usage(): Nothing = {
     System.err.println(
@@ -122,6 +122,8 @@ object Main {
           o.getOrElse("iters", "3").toInt).orderBy("v")
         case "scc"            =>
           graft.graph.StronglyConnectedComponents.run(spark, edges()).orderBy("v")
+        case "matching"       => graft.graph.MaximalMatching.run(spark, edges(),
+          o.getOrElse("seed", "1").toLong).orderBy("vi", "vj")
         case "eigen"          => graft.graph.EigenvectorCentrality.run(spark,
           edges(), o.getOrElse("iters", "8").toInt).orderBy("v")
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),

@@ -347,6 +347,9 @@ object OinkScript {
             case "eigen" =>
               val iters = pos.headOption.map(_.toInt).getOrElse(8)
               sinkAndBind(EigenvectorCentrality.run(spark, in0, iters), outs, line)
+            case "matching" =>
+              val seed = pos.headOption.map(_.toLong).getOrElse(1L)
+              sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)
             // ---- training-data pipeline verbs over the registry
             // conventions (doc_id, text) / (vec_id, embedding) ----
             case "read_parquet" =>

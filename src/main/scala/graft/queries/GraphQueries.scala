@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -154,6 +154,13 @@ object GraphQueries {
     // converge to the greedy MIS of the (priority, id) order, which the
     // oracle computes sequentially via a recursive CTE.
     "g_luby" -> ((s, dir) => LubyMIS.run(s, Tables.edges(s, dir), seed = 11L)),
+
+    // Maximal matching (Israeli-Itai rounds, hash priorities): the
+    // fixpoint is the greedy matching of the priority order; the oracle
+    // unrolls the identical mutually-minimal rounds (measured ≤4 rounds
+    // at sf0.01/0.1; 12 gives 3× headroom, extra rounds are no-ops).
+    "g_matching" -> ((s, dir) =>
+      MaximalMatching.run(s, Tables.edges(s, dir), seed = 13L)),
 
     "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L)),
 
@@ -427,6 +434,8 @@ object GraphQueries {
     "g_sssp_w" -> ssspWeightedSql(rounds = 40),
 
     "g_luby" -> lubySql(seed = 11L),
+
+    "g_matching" -> MaximalMatching.oracleSql(E, seed = 13L, rounds = 12),
 
     "g_kcore" -> kcoreSql(k = 56, rounds = 8),
 

@@ -154,13 +154,15 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("q8").count() == reg("emb").count())
   }
 
-  test("scc and eigen run from scripts") {
+  test("scc, eigen, and matching run from scripts") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 4 0.25 0.25 0.25 0.25 0.0 7 -o NULL mre",
       "scc -i mre -o NULL mrs",
-      "eigen 6 -i mre -o NULL mrx"))
+      "eigen 6 -i mre -o NULL mrx",
+      "matching 13 -i mre -o NULL mrm"))
     assert(reg("mrs").columns.toSeq == Seq("v", "scc") && reg("mrs").count() > 0)
     assert(reg("mrx").columns.toSeq == Seq("v", "score") && reg("mrx").count() > 0)
+    assert(reg("mrm").columns.toSeq == Seq("vi", "vj") && reg("mrm").count() > 0)
   }
 
   test("in.cc shape: cc_find result feeds cc_stats by name") {
