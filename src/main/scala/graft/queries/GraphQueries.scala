@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -109,6 +109,12 @@ object GraphQueries {
     "g_cc" -> ((s, dir) => ccOf(s, dir)),
 
     "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
+
+    // Per-component bipartiteness: BFS-layer parity from each CC root
+    // (deterministic — dist is the unique shortest distance), odd-parity
+    // edges witness odd cycles. Reuses the memoized CC labels.
+    "g_bipartite" -> ((s, dir) =>
+      Bipartite.run(s, Tables.edges(s, dir), ccOf(s, dir))),
 
     // Directed SCC via the coloring peel (trim → forward-min color →
     // backward sweep from roots); scc = min vertex id of the component,
@@ -347,6 +353,8 @@ object GraphQueries {
          |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
          |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
          |ORDER BY size DESC""".stripMargin,
+
+    "g_bipartite" -> Bipartite.oracleSql(E),
 
     "g_scc" -> StronglyConnectedComponents.oracleSql(E),
 
