@@ -35,7 +35,7 @@ object Main {
       s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
-         |         --seed N (luby_find, rmat, walks) --levels N --edges N (rmat)
+         |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
          |         --k N (kcore) --rounds N (lpa) --iters N (hits, eigen)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)

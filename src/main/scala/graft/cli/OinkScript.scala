@@ -388,7 +388,9 @@ object OinkScript {
               // ann_lsh [k] [dim] — dim probed from the data if absent
               val k = pos.lift(0).map(_.toInt).getOrElse(10)
               val dim = pos.lift(1).map(_.toInt).getOrElse(
-                in0.select(size(col("embedding"))).head().getInt(0))
+                in0.select(size(col("embedding"))).limit(1).collect().headOption
+                  .map(_.getInt(0)).getOrElse(throw ScriptError(line,
+                    "ann_lsh cannot probe dim of an empty object")))
               sinkAndBind(Similarity.lshTopK(in0, dim, k), outs, line)
             case "quantize" =>
               sinkAndBind(Similarity.quantizeInt8(in0, col("vec_id"), col("embedding")), outs, line)

@@ -202,6 +202,8 @@ object PageRank {
       state = next
       iter += 1
     }
+    // the eager checkpoints above no longer read the cached vertex frame
+    verts.unpersist(false)
     state.select(col("id"), col("pr").as("rank"))
   }
 
@@ -226,7 +228,6 @@ object PageRank {
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = websize
     // IEEE division, replayed identically in the oracle
     val pSeed = 1.0 / seeds.size
     val restart = when(col("id").isin(seeds: _*), pSeed).otherwise(0.0)

@@ -147,6 +147,17 @@ object StronglyConnectedComponents {
           Bridge.releaseCheckpoint(grown)
         }
       }
+      if (grownN > 0) {
+        // the sweep truncated: assigning the partial `visited` set would
+        // silently mislabel the unreached members of the root SCCs in a
+        // later round — fail loudly like every other BFS in the engine
+        (assignedParts.toSeq ++ Seq(remaining, eR, nonSingleton, eT, color,
+          eBack, visited)).foreach(Bridge.releaseCheckpoint)
+        if (frontier ne visited) Bridge.releaseCheckpoint(frontier)
+        e0.unpersist(false)
+        throw new IllegalStateException(
+          s"SCC backward sweep did not drain in $maxInner levels")
+      }
       if (frontier ne visited) Bridge.releaseCheckpoint(frontier)
 
       val assigned = visited
