@@ -1,0 +1,189 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{Hashing, HllSketch60, HllUnion}
+
+/** Approximate per-vertex neighborhood function — ANF (Palmer, Gibbons,
+  * Faloutsos, "ANF: a fast and scalable tool for data mining in massive
+  * graphs", KDD 2002) in its HyperANF form (Boldi, Rosa, Vigna,
+  * WWW 2011): N(v, r) ≈ |{u : v ⇝ u within ≤ r hops}| estimated by a
+  * per-vertex HLL sketch that each round absorbs the out-neighbors'
+  * sketches. This is the ONLY distance census that exists at 100 TB —
+  * exact reach sets are Θ(|V|²) — and it yields the effective-diameter
+  * and hop-plot statistics a crawl/link corpus is profiled with.
+  *
+  * Round r: sketch_r(v) = sketch_{r-1}(v) ∪ ⋃_{v→u} sketch_{r-1}(u) —
+  * one edge join + one group-merge aggregation; the shuffle carries one
+  * 256-byte blob per (vertex, partition) thanks to partial aggregation
+  * ([[graft.functions.HllUnion]]), never vertex sets. Registers merge
+  * by max and the estimate is exact-power arithmetic
+  * ([[graft.functions.HllSketch60]]'s discipline), so every estimate is
+  * bit-reproducible under any partitioning and a DuckDB replica over
+  * (v, bucket, rho) rows verifies each round exactly.
+  */
+object NeighborhoodFunction {
+
+  /** Seed for the vertex-id hash feeding the sketches. */
+  val Seed = 211L
+
+  /** @param edges raw directed edge list (src, dst)
+    * @param rounds hop radii to report (1..rounds)
+    * @return (v BIGINT, r BIGINT, n_est DOUBLE): estimated count of
+    *         vertices within ≤ r hops of v (v itself included). */
+  def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist()
+    val verts = GraphOps.vertexExtract(e)
+    var sk = verts.groupBy("v")
+      .agg(HllUnion.hll60Regs(Hashing.hash60(Seed, col("v"))).as("sk"))
+      .localCheckpoint(false)
+    var skCk = sk
+    val estParts = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val msgs = e.join(sk.withColumnRenamed("v", "sv"), col("dst") === col("sv"))
+        .select(col("src").as("v"), col("sk"))
+      val merged = sk.union(msgs).groupBy("v")
+        .agg(HllUnion.hllUnion(col("sk")).as("sk"),
+          HllUnion.hllUnionEst(col("sk")).as("n_est"))
+        .localCheckpoint(false)
+      // the per-round report is tiny (16 B/vertex) and outlives the
+      // sketch frame, so it gets its own checkpoint — only TWO
+      // sketch-sized frames are ever alive, not one per round
+      val est = merged.select(col("v"), lit(r.toLong).as("r"), col("n_est"))
+        .localCheckpoint(false)
+      est.count() // materializes merged + est
+      estParts += est
+      Bridge.releaseCheckpoint(skCk)
+      skCk = merged
+      sk = merged.select("v", "sk")
+    }
+    val out = estParts.reduce(_ union _).localCheckpoint(false)
+    out.count()
+    estParts.foreach(Bridge.releaseCheckpoint)
+    Bridge.releaseCheckpoint(skCk)
+    e.unpersist(false)
+    out
+  }
+
+  /** Hop plot over the [[run]] output (Palmer et al. §3: total pairs
+    * within ≤ r hops, the curve whose knee is the effective diameter).
+    * The 4-decimal estimates are scaled to exact BIGINTs before the
+    * cross-vertex sum — summing raw DOUBLEs would make the total depend
+    * on partitioning — and the reach ratio is then ONE IEEE division of
+    * exact integers, identical in both engines.
+    *
+    * @return (r BIGINT, pairs_x1e4 BIGINT, reach_ratio DOUBLE):
+    *         Σ_v N(v,r) scaled by 10⁴, and its ratio to the last round
+    *         (the cumulative-reach fraction the 90%-effective-diameter
+    *         rule reads off). */
+  def hopPlot(anf: DataFrame): DataFrame = {
+    val scaled = anf.select(col("r"),
+      round(col("n_est") * 10000).cast("long").as("s"))
+    val byRound = scaled.groupBy("r").agg(sum("s").as("pairs_x1e4"))
+    val last = byRound.agg(max(struct(col("r"), col("pairs_x1e4"))).as("m"))
+      .select(col("m.pairs_x1e4").as("final_pairs"))
+    byRound.crossJoin(broadcast(last))
+      .select(col("r"), col("pairs_x1e4"),
+        (col("pairs_x1e4").cast("double") / col("final_pairs")).as("reach_ratio"))
+  }
+
+  /** HyperBall outward harmonic centrality (Boldi & Vigna, "In-core
+    * computation of geometric centralities with HyperBall", ICDMW 2013)
+    * for EVERY vertex — the scale path next to the exact seeded
+    * [[graft.queries.GraphQueries]] `g_harmonic` (3 sources):
+    * H(v) ≈ Σ_r (N(v,r) − N(v,r−1)) / r with N(v,0) = 1, each ball
+    * difference an exact scaled BIGINT and the per-hop division/sum a
+    * FIXED expression tree, so both engines produce the identical
+    * double. Counts vertices v reaches (out-direction); pass reversed
+    * edges to [[run]] for the classical in-harmonic. */
+  def hyperballHarmonic(anf: DataFrame, rounds: Int): DataFrame = {
+    val scaled = anf.groupBy("v").pivot("r", (1 to rounds).map(_.toLong))
+      .agg(first(round(col("n_est") * 10000).cast("long")))
+    val harmonic = (1 to rounds).map { r =>
+      val prev = if (r == 1) lit(10000L) else col(s"${r - 1}")
+      (col(s"$r") - prev).cast("double") / lit(10000.0 * r)
+    }.reduce(_ + _)
+    scaled.select(col("v"), round(harmonic, 9).as("harmonic_est"))
+  }
+
+  /** DuckDB twin of [[hopPlot]]. */
+  def hopPlotOracleSql(edgesCte: String, rounds: Int): String =
+    s"""${oracleCtes(edgesCte, rounds)},
+       |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
+       |hp AS (SELECT r, sum(s) AS pairs_x1e4 FROM sc GROUP BY r)
+       |SELECT r, pairs_x1e4,
+       |  CAST(pairs_x1e4 AS DOUBLE)
+       |    / (SELECT pairs_x1e4 FROM hp ORDER BY r DESC LIMIT 1) AS reach_ratio
+       |FROM hp""".stripMargin
+
+  /** DuckDB twin of [[hyperballHarmonic]] — the identical fixed
+    * expression tree over the identical scaled integers. */
+  def hyperballOracleSql(edgesCte: String, rounds: Int): String = {
+    val cols = (1 to rounds).map { r =>
+      s"max(CASE WHEN r = $r THEN s END) AS s$r"
+    }.mkString(", ")
+    val terms = (1 to rounds).map { r =>
+      val prev = if (r == 1) "10000" else s"s${r - 1}"
+      s"CAST(s$r - $prev AS DOUBLE) / ${10000.0 * r}"
+    }.mkString(" + ")
+    s"""${oracleCtes(edgesCte, rounds)},
+       |sc AS (SELECT v, r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
+       |pv AS (SELECT v, $cols FROM sc GROUP BY v)
+       |SELECT v, round($terms, 9) AS harmonic_est FROM pv""".stripMargin
+  }
+
+  /** DuckDB replica: per-vertex (bucket, rho) register rows, one
+    * group-max round per hop, then [[HllSketch60]]'s exact estimator
+    * per (v, r). */
+  def oracleSql(edgesCte: String, rounds: Int): String =
+    s"""${oracleCtes(edgesCte, rounds)}
+       |SELECT v, r, n_est FROM anf""".stripMargin
+
+  /** The replica as a composable CTE prefix ending in
+    * `anf(v, r, n_est)` — shared by the g_anf oracle and the derived
+    * hop-plot / HyperBall oracles. */
+  def oracleCtes(edgesCte: String, rounds: Int): String = {
+    import HllSketch60.{M, RhoCap, W}
+    val two52 = 1L << W
+    val h = Hashing.hash60Sql(Seed, "v")
+    val steps = (1 to rounds).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT v, bucket, max(rho) AS rho FROM (
+         |    SELECT v, bucket, rho FROM r${r - 1}
+         |    UNION ALL
+         |    SELECT e.src AS v, x.bucket, x.rho FROM e0 e
+         |    JOIN r${r - 1} x ON x.v = e.dst
+         |  ) GROUP BY v, bucket)""".stripMargin
+    }.mkString(",\n")
+    def estOf(r: Int) =
+      s"""SELECT v, CAST($r AS BIGINT) AS r,
+         |  floor((CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
+         |    THEN $M * ln($M * 1.0e0 / zeros) ELSE raw END) * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS n_est
+         |FROM (
+         |  SELECT v, ($M - count(*)) AS zeros,
+         |    (0.7213e0 / (1.0e0 + 1.079e0 / $M)) * $M * $M
+         |      / (($M - count(*)) * 1.0e0 + SUM(power(2.0e0, -rho))) AS raw
+         |  FROM r$r GROUP BY v)""".stripMargin
+    s"""WITH edges AS ($edgesCte),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+       |hh AS (SELECT v, $h AS h FROM verts),
+       |r0 AS MATERIALIZED (
+       |  SELECT v, CAST(h // $two52 AS INTEGER) AS bucket,
+       |    LEAST(CASE WHEN h % $two52 = 0 THEN ${W + 1}
+       |          ELSE ${W + 1} - length(bin(h % $two52)) END, $RhoCap) AS rho
+       |  FROM hh),
+       |$steps,
+       |anf AS MATERIALIZED (
+       |${(1 to rounds).map(estOf).mkString("\nUNION ALL\n")})""".stripMargin
+  }
+}

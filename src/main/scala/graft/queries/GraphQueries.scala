@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -219,6 +219,12 @@ object GraphQueries {
       Betweenness.run(s, Tables.edges(s, dir), srcsOf(s, dir))
         .withColumn("delta", round(col("delta"), 9))),
 
+    // HyperANF neighborhood function: per-vertex HLL sketches absorb
+    // out-neighbor sketches per hop — the 100 TB distance census; the
+    // oracle replays the register rows and the exact-power estimator.
+    "g_anf" -> ((s, dir) =>
+      NeighborhoodFunction.run(s, Tables.edges(s, dir), rounds = 3)),
+
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
     "g_eccentricity" -> ((s, dir) =>
@@ -353,6 +359,8 @@ object GraphQueries {
          |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
          |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
          |ORDER BY size DESC""".stripMargin,
+
+    "g_anf" -> NeighborhoodFunction.oracleSql(E, rounds = 3),
 
     "g_bipartite" -> Bipartite.oracleSql(E),
 

@@ -1,0 +1,76 @@
+package graft.graph
+
+import graft.testkit.SparkSpec
+import graft.functions.{Hashing, HllSketch60}
+
+/** HyperANF sketches vs a driver replica: exact reach sets pushed
+  * through the identical register math must reproduce every estimate
+  * bit-for-bit. */
+class NeighborhoodFunctionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Exact ≤r-hop reach set per vertex (v included). */
+  private def reach(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[(Long, Int), Set[Long]] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = Map.newBuilder[(Long, Int), Set[Long]]
+    for (v <- verts) {
+      var s = Set(v)
+      for (r <- 1 to rounds) {
+        s = s ++ s.flatMap(u => adj.getOrElse(u, Set.empty))
+        out += (v, r) -> s
+      }
+    }
+    out.result()
+  }
+
+  /** The sketch estimate of an exact vertex set, via the same register
+    * math the engine runs (hash60 → bucket/rho → estimate). */
+  private def sketchOf(vs: Set[Long]): Double = {
+    import HllSketch60.{M, RhoCap, W, WMask}
+    val regs = new Array[Byte](M)
+    for (u <- vs) {
+      val h = Hashing.hash60Local(s"${NeighborhoodFunction.Seed}|$u")
+      val bucket = (h >>> W).toInt & (M - 1)
+      val w = h & WMask
+      val rho = math.min(if (w == 0L) W + 1
+        else java.lang.Long.numberOfLeadingZeros(w) - (64 - W) + 1, RhoCap)
+      if (rho > regs(bucket)) regs(bucket) = rho.toByte
+    }
+    HllSketch60.estimate(regs)
+  }
+
+  test("estimates equal the register math over exact reach sets, bit for bit") {
+    val rnd = new scala.util.Random(83)
+    val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val rounds = 3
+    val got = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), rounds)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2.toInt) -> t._3).toMap
+    val want = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} vs ${(want.toSet diff got.toSet).take(5)}")
+    // and the estimates are genuinely close to the exact counts (p=8
+    // HLL: ~6.5% standard error; allow 4 sigma on small sets)
+    val exact = reach(edges, rounds)
+    got.foreach { case (k, est) =>
+      val n = exact(k).size
+      assert(math.abs(est - n) <= math.max(4.0, 0.26 * n),
+        s"$k: est $est vs exact $n")
+    }
+  }
+
+  test("result is independent of partitioning") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val a = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), 2)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val b = NeighborhoodFunction.run(spark,
+        scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(7), 2)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
