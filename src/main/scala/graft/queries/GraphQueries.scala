@@ -55,6 +55,15 @@ object GraphQueries {
       if (memoize(s)) df.persist() else df
     })
 
+  // g_anf / g_hopplot / g_hyperball share the HyperANF sketch rounds.
+  private val AnfRounds = 3
+  private val anfCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def anfOf(s: SparkSession, dir: String): DataFrame =
+    anfCache.getOrElseUpdate((s, dir), {
+      val df = NeighborhoodFunction.run(s, Tables.edges(s, dir), AnfRounds)
+      if (memoize(s)) df.persist() else df
+    })
+
   // g_scc / g_scc_stats / g_scc_condense share the SCC labels.
   private val sccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sccOf(s: SparkSession, dir: String): DataFrame =
@@ -73,6 +82,8 @@ object GraphQueries {
     triCache.clear()
     ssspCache.values.foreach(_.unpersist(false))
     ssspCache.clear()
+    anfCache.values.foreach(_.unpersist(false))
+    anfCache.clear()
     sccCache.values.foreach(_.unpersist(false))
     sccCache.clear()
     srcsCache.clear()
@@ -222,8 +233,18 @@ object GraphQueries {
     // HyperANF neighborhood function: per-vertex HLL sketches absorb
     // out-neighbor sketches per hop — the 100 TB distance census; the
     // oracle replays the register rows and the exact-power estimator.
-    "g_anf" -> ((s, dir) =>
-      NeighborhoodFunction.run(s, Tables.edges(s, dir), rounds = 3)),
+    "g_anf" -> ((s, dir) => anfOf(s, dir)),
+
+    // Hop plot: total pairs within ≤ r hops — the curve whose knee is
+    // the effective diameter; exact BIGINT sums of the scaled sketch
+    // estimates, so the cross-vertex total is partitioning-independent.
+    "g_hopplot" -> ((s, dir) =>
+      NeighborhoodFunction.hopPlot(anfOf(s, dir))),
+
+    // HyperBall outward harmonic centrality for EVERY vertex — the
+    // 100 TB companion to the exact 3-source g_harmonic below.
+    "g_hyperball" -> ((s, dir) =>
+      NeighborhoodFunction.hyperballHarmonic(anfOf(s, dir), AnfRounds)),
 
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
@@ -360,7 +381,11 @@ object GraphQueries {
          |SELECT size, count(*) AS ncomp FROM sizes GROUP BY size
          |ORDER BY size DESC""".stripMargin,
 
-    "g_anf" -> NeighborhoodFunction.oracleSql(E, rounds = 3),
+    "g_anf" -> NeighborhoodFunction.oracleSql(E, rounds = AnfRounds),
+
+    "g_hopplot" -> NeighborhoodFunction.hopPlotOracleSql(E, rounds = AnfRounds),
+
+    "g_hyperball" -> NeighborhoodFunction.hyperballOracleSql(E, rounds = AnfRounds),
 
     "g_bipartite" -> Bipartite.oracleSql(E),
 

@@ -63,6 +63,42 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     }
   }
 
+  test("hop plot and HyperBall harmonic match the driver replica") {
+    val rnd = new scala.util.Random(131)
+    val edges = Seq.fill(180)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val rounds = 3
+    val anf = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), rounds)
+    val est = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
+
+    // hop plot: exact BIGINT sums of the 1e4-scaled estimates
+    val scaledByRound = (1 to rounds).map { r =>
+      r.toLong -> est.collect { case ((_, rr), e) if rr == r =>
+        math.round(e * 10000) }.sum
+    }.toMap
+    val finalPairs = scaledByRound(rounds.toLong)
+    val gotHp = NeighborhoodFunction.hopPlot(anf)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(gotHp == scaledByRound.map { case (r, s) =>
+      r -> ((s, s.toDouble / finalPairs)) })
+
+    // HyperBall harmonic: fixed expression tree over the scaled balls
+    val gotHb = NeighborhoodFunction.hyperballHarmonic(anf, rounds)
+      .as[(Long, Double)].collect().toMap
+    val wantHb = est.keys.map(_._1).toSeq.distinct.map { v =>
+      val s = (1 to rounds).map(r => math.round(est((v, r)) * 10000))
+      val h = (1 to rounds).map { r =>
+        (s(r - 1) - (if (r == 1) 10000L else s(r - 2))).toDouble / (10000.0 * r)
+      }.reduce(_ + _)
+      v -> BigDecimal(h).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble                            // Spark round(…, 9) semantics
+    }.toMap
+    assert(gotHb == wantHb,
+      s"diff: ${(gotHb.toSet diff wantHb.toSet).take(5)}")
+    // sanity: single-vertex balls never shrink, so harmonic >= 0 …
+    // except for the documented HLL branch-switch wobble; bound it
+    gotHb.values.foreach(h => assert(h > -1.0))
+  }
+
   test("result is independent of partitioning") {
     val rnd = new scala.util.Random(19)
     val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
