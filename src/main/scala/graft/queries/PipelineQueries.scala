@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity}
+import graft.pipeline.{Dedup, KMeansInt, Multimodal, Sampling, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -115,6 +115,11 @@ object PipelineQueries {
     // codebooks (8 subspaces × 16 codewords), byte codes per vector,
     // asymmetric-distance top-3 from broadcast lookup tables.
     "s_ann_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir), Dim, k = 3)),
+
+    // Integer-exact Lloyd k-means on the int8 code grid — the gated
+    // clustering (float k-means can't be: partial-sum order moves the
+    // means). 8 clusters, 3 rounds, every cost an exact BIGINT.
+    "s_kmeans" -> ((s, dir) => KMeansInt.run(emb(s, dir), k = 8, iters = 3)),
 
     // Embedding-cosine near-dup pairs, LSH-bucket-restricted (the scale
     // path: same-bucket candidates only, never all-pairs).
@@ -539,6 +544,8 @@ object PipelineQueries {
         |FROM q""".stripMargin,
 
     "s_rproj" -> Similarity.randomProjectOracleSql(Dim, 16),
+
+    "s_kmeans" -> KMeansInt.oracleSql(k = 8, iters = 3),
 
     "s_ann_lsh" -> {
       // hyperplane weights re-derived in SQL from the same hash formula
