@@ -62,34 +62,50 @@ object KMeansInt {
 
   /** Final (vec_id, cid, cost) assignment after `iters` Lloyd rounds
     * from the k hash-seeded corpus rows (the [[Similarity.ivfCentroids]]
-    * init discipline, on the code grid). */
+    * init discipline, on the code grid).
+    *
+    * The centroid table — k·dim fixed-point longs, the same payload the
+    * assign pass broadcasts — rides the driver between rounds: each
+    * round is then ONE distributed job (assign + partial-agg'd (cid, j)
+    * sums, collected), instead of a chain of joins whose lineage needs
+    * per-round checkpoints. That is the classic Lloyd shape (driver
+    * centroids, broadcast out, aggregate back); data-sized frames never
+    * reach the driver. */
   def run(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val q = codes(embeddings, col("vec_id"), col("embedding"))
-    var cents = q
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = codes(embeddings, col("vec_id"), col("embedding")).persist()
+    var cents: Seq[(Long, Seq[Long])] = q
       .withColumn("h", Hashing.hash60(Seed, col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"),
         transform(col("qv"), _ * Scale).as("m"))
-    def assign(c: DataFrame): DataFrame = q.crossJoin(broadcast(c))
+      .as[(Long, Seq[Long])].collect().toSeq
+    def assign: DataFrame = q.crossJoin(broadcast(cents.toDF("cid", "m")))
       .groupBy("vec_id")
-      .agg(min(struct(cost(col("qv"), col("m")).as("cost"), col("cid"))).as("a"))
-      .select(col("vec_id"), col("a.cid").as("cid"), col("a.cost").as("cost"))
+      .agg(min(struct(cost(col("qv"), col("m")).as("cost"), col("cid"))).as("a"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("a.cost").as("cost"),
+        col("qv"))
     for (_ <- 0 until iters) {
-      val sums = assign(cents).join(q, "vec_id")
+      val upd = assign
         .select(col("cid"), posexplode(col("qv")).as(Seq("j", "x")))
         .groupBy("cid", "j").agg(sum("x").as("sx"), count(lit(1)).as("c"))
         // round-half-up fixed-point mean; positive ints, so Spark's
         // truncating div == DuckDB's floor //
-        .withColumn("mj", expr(s"(sx * ${2 * Scale} + c) div (c * 2)"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("j"), col("mj")))).as("jm"))
-        .select(col("cid"), transform(col("jm"), _.getField("mj")).as("m2"))
+        .select(col("cid"), col("j"),
+          expr(s"(sx * ${2 * Scale} + c) div (c * 2)").as("mj"))
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (cid, rs) =>
+          cid -> rs.sortBy(_._2).map(_._3).toSeq
+        }
       // a cluster that drained keeps its centroid — same rule as the oracle
-      cents = cents.join(sums, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("m2"), col("m")).as("m"))
-        .localCheckpoint(true) // k·dim longs; keeps the next round's plan shallow
+      cents = cents.map { case (cid, m) => cid -> upd.getOrElse(cid, m) }
     }
-    assign(cents)
+    val out = assign.select("vec_id", "cid", "cost").localCheckpoint(false)
+    out.count()
+    q.unpersist(false)
+    out
   }
 
   /** DuckDB twin: identical codes, seeds, unrolled rounds, and
