@@ -28,7 +28,7 @@ object Main {
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen",
-    "matching", "walks", "rmat")
+    "matching", "walks", "rmat", "anf", "hopplot", "hyperball")
 
   def usage(): Nothing = {
     System.err.println(
@@ -36,7 +36,8 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
-         |         --k N (kcore) --rounds N (lpa) --iters N (hits, eigen)
+         |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball)
+         |         --iters N (hits, eigen)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
@@ -129,6 +130,16 @@ object Main {
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")
+        case "anf"            => graft.graph.NeighborhoodFunction.run(spark,
+          edges(), o.getOrElse("rounds", "3").toInt).orderBy("v", "r")
+        case "hopplot"        => graft.graph.NeighborhoodFunction.hopPlot(
+          graft.graph.NeighborhoodFunction.run(spark, edges(),
+            o.getOrElse("rounds", "3").toInt)).orderBy("r")
+        case "hyperball"      =>
+          val r = o.getOrElse("rounds", "3").toInt
+          graft.graph.NeighborhoodFunction.hyperballHarmonic(
+            graft.graph.NeighborhoodFunction.run(spark, edges(), r), r)
+            .orderBy("v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 import graft.graph._
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, KMeansInt, Similarity}
 import graft.text.TextAnalysis
 
 /** Interpreter for the reference's OINK script language
@@ -350,6 +350,17 @@ object OinkScript {
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)
+            case "anf" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(NeighborhoodFunction.run(spark, in0, rounds), outs, line)
+            case "hopplot" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(NeighborhoodFunction.hopPlot(
+                NeighborhoodFunction.run(spark, in0, rounds)), outs, line)
+            case "hyperball" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(NeighborhoodFunction.hyperballHarmonic(
+                NeighborhoodFunction.run(spark, in0, rounds), rounds), outs, line)
             // ---- training-data pipeline verbs over the registry
             // conventions (doc_id, text) / (vec_id, embedding) ----
             case "read_parquet" =>
@@ -394,6 +405,11 @@ object OinkScript {
               sinkAndBind(Similarity.lshTopK(in0, dim, k), outs, line)
             case "quantize" =>
               sinkAndBind(Similarity.quantizeInt8(in0, col("vec_id"), col("embedding")), outs, line)
+            case "kmeans" =>
+              // kmeans [k] [iters] — integer-exact Lloyd on the code grid
+              val k = pos.lift(0).map(_.toInt).getOrElse(8)
+              val iters = pos.lift(1).map(_.toInt).getOrElse(3)
+              sinkAndBind(KMeansInt.run(in0, k, iters), outs, line)
             case _ => throw ScriptError(line, s"unknown command '$cmd'")
           }
       }

@@ -165,6 +165,25 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("mrm").columns.toSeq == Seq("vi", "vj") && reg("mrm").count() > 0)
   }
 
+  test("anf suite and kmeans run from scripts") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assume(new java.io.File(emb).exists())
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 6 4 0.25 0.25 0.25 0.25 0.0 7 -o NULL mre",
+      "anf 2 -i mre -o NULL mra",
+      "hopplot 2 -i mre -o NULL mrp",
+      "hyperball 2 -i mre -o NULL mrhb",
+      s"read_parquet -i $emb -o NULL emb",
+      "kmeans 4 2 -i emb -o NULL km"))
+    assert(reg("mra").columns.toSeq == Seq("v", "r", "n_est") && reg("mra").count() > 0)
+    assert(reg("mrp").columns.toSeq == Seq("r", "pairs_x1e4", "reach_ratio")
+      && reg("mrp").count() == 2)
+    assert(reg("mrhb").columns.toSeq == Seq("v", "harmonic_est") && reg("mrhb").count() > 0)
+    assert(reg("km").columns.toSeq == Seq("vec_id", "cid", "cost")
+      && reg("km").count() == reg("emb").count()
+      && reg("km").select("cid").distinct().count() <= 4)
+  }
+
   test("in.cc shape: cc_find result feeds cc_stats by name") {
     val reg = OinkScript.run(spark, Seq(
       "rmat 6 2 0.25 0.25 0.25 0.25 0.0 12345 -o NULL mre",
