@@ -112,6 +112,60 @@ object NeighborhoodFunction {
     scaled.select(col("v"), round(harmonic, 9).as("harmonic_est"))
   }
 
+  /** Interpolated 90%-effective diameter (Palmer et al.; Leskovec et
+    * al., "Graphs over time", KDD 2005): the hop count at which the
+    * cumulative pair curve crosses 90% of its final value, linearly
+    * interpolated inside the crossing hop. The crossing test is pure
+    * integer arithmetic (10·P_r ≥ 9·P_R on the scaled BIGINTs) and the
+    * interpolation is ONE double division of exact integers, so both
+    * engines agree bit-for-bit. The window/lag runs over ≤ rounds+1
+    * rows — a hop plot is diameter-sized, never data-sized.
+    *
+    * @return one row (eff_diameter DOUBLE, r_cross BIGINT,
+    *         final_pairs_x1e4 BIGINT). */
+  def effectiveDiameter(anf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRound = anf
+      .select(col("r"), round(col("n_est") * 10000).cast("long").as("s"))
+      .groupBy("r").agg(sum("s").as("p"))
+      // r = 0: every vertex reaches exactly itself
+      .union(anf.agg((countDistinct(col("v")) * 10000).as("p"))
+        .select(lit(0L).as("r"), col("p")))
+    val last = byRound.agg(max(struct(col("r"), col("p"))).as("m"))
+      .select(col("m.p").as("pr"))
+    val w = Window.orderBy("r")
+    byRound.withColumn("prev", lag("p", 1).over(w))
+      .crossJoin(broadcast(last))
+      .where(col("p") * 10 >= col("pr") * 9 &&
+        (col("prev").isNull || col("prev") * 10 < col("pr") * 9))
+      .select(
+        round(when(col("r") === 0, lit(0.0)).otherwise(
+          (col("r") - 1).cast("double") +
+            (col("pr") * 9 - col("prev") * 10).cast("double") /
+              ((col("p") - col("prev")) * 10).cast("double")), 9)
+          .as("eff_diameter"),
+        col("r").as("r_cross"),
+        col("pr").as("final_pairs_x1e4"))
+  }
+
+  /** DuckDB twin of [[effectiveDiameter]]. */
+  def effectiveDiameterOracleSql(edgesCte: String, rounds: Int): String =
+    s"""${oracleCtes(edgesCte, rounds)},
+       |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
+       |hp AS (SELECT r, sum(s) AS p FROM sc GROUP BY r
+       |  UNION ALL SELECT 0, count(*) * 10000 FROM verts),
+       |fin AS (SELECT p AS pr FROM hp ORDER BY r DESC LIMIT 1),
+       |lg AS (SELECT r, p, lag(p) OVER (ORDER BY r) AS prev, pr
+       |  FROM hp, fin)
+       |SELECT
+       |  round(CASE WHEN r = 0 THEN 0.0
+       |    ELSE CAST(r - 1 AS DOUBLE) +
+       |      CAST(pr * 9 - prev * 10 AS DOUBLE)
+       |        / CAST((p - prev) * 10 AS DOUBLE) END, 9) AS eff_diameter,
+       |  r AS r_cross, pr AS final_pairs_x1e4
+       |FROM lg
+       |WHERE p * 10 >= pr * 9 AND (prev IS NULL OR prev * 10 < pr * 9)""".stripMargin
+
   /** DuckDB twin of [[hopPlot]]. */
   def hopPlotOracleSql(edgesCte: String, rounds: Int): String =
     s"""${oracleCtes(edgesCte, rounds)},

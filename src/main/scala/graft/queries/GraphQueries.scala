@@ -246,6 +246,11 @@ object GraphQueries {
     "g_hyperball" -> ((s, dir) =>
       NeighborhoodFunction.hyperballHarmonic(anfOf(s, dir), AnfRounds)),
 
+    // Interpolated 90%-effective diameter off the hop plot — integer
+    // crossing test, one exact-integer division for the interpolation.
+    "g_effdiam" -> ((s, dir) =>
+      NeighborhoodFunction.effectiveDiameter(anfOf(s, dir))),
+
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
     "g_eccentricity" -> ((s, dir) =>
@@ -386,6 +391,8 @@ object GraphQueries {
     "g_hopplot" -> NeighborhoodFunction.hopPlotOracleSql(E, rounds = AnfRounds),
 
     "g_hyperball" -> NeighborhoodFunction.hyperballOracleSql(E, rounds = AnfRounds),
+
+    "g_effdiam" -> NeighborhoodFunction.effectiveDiameterOracleSql(E, rounds = AnfRounds),
 
     "g_bipartite" -> Bipartite.oracleSql(E),
 

@@ -99,6 +99,27 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     gotHb.values.foreach(h => assert(h > -1.0))
   }
 
+  test("effective diameter interpolates the replica hop plot") {
+    val rnd = new scala.util.Random(59)
+    val edges = Seq.fill(160)((rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
+    val rounds = 3
+    val anf = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), rounds)
+    val est = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
+    val nverts = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val p = (0 to rounds).map { r =>
+      if (r == 0) nverts * 10000L
+      else est.collect { case ((_, rr), e) if rr == r => math.round(e * 10000) }.sum
+    }
+    val pr = p(rounds)
+    val rc = (0 to rounds).find(r => p(r) * 10 >= pr * 9).get
+    val wantEff = if (rc == 0) 0.0 else BigDecimal((rc - 1).toDouble +
+        (pr * 9 - p(rc - 1) * 10).toDouble / ((p(rc) - p(rc - 1)) * 10).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = NeighborhoodFunction.effectiveDiameter(anf)
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(got == Seq((wantEff, rc.toLong, pr)))
+  }
+
   test("result is independent of partitioning") {
     val rnd = new scala.util.Random(19)
     val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
