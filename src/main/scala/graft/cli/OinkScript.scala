@@ -361,6 +361,10 @@ object OinkScript {
               val rounds = pos.headOption.map(_.toInt).getOrElse(3)
               sinkAndBind(NeighborhoodFunction.hyperballHarmonic(
                 NeighborhoodFunction.run(spark, in0, rounds), rounds), outs, line)
+            case "effdiam" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(NeighborhoodFunction.effectiveDiameter(
+                NeighborhoodFunction.run(spark, in0, rounds)), outs, line)
             // ---- training-data pipeline verbs over the registry
             // conventions (doc_id, text) / (vec_id, embedding) ----
             case "read_parquet" =>

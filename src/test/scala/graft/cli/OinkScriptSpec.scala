@@ -173,12 +173,15 @@ class OinkScriptSpec extends SparkSpec {
       "anf 2 -i mre -o NULL mra",
       "hopplot 2 -i mre -o NULL mrp",
       "hyperball 2 -i mre -o NULL mrhb",
+      "effdiam 2 -i mre -o NULL mred",
       s"read_parquet -i $emb -o NULL emb",
       "kmeans 4 2 -i emb -o NULL km"))
     assert(reg("mra").columns.toSeq == Seq("v", "r", "n_est") && reg("mra").count() > 0)
     assert(reg("mrp").columns.toSeq == Seq("r", "pairs_x1e4", "reach_ratio")
       && reg("mrp").count() == 2)
     assert(reg("mrhb").columns.toSeq == Seq("v", "harmonic_est") && reg("mrhb").count() > 0)
+    assert(reg("mred").columns.toSeq ==
+      Seq("eff_diameter", "r_cross", "final_pairs_x1e4") && reg("mred").count() == 1)
     assert(reg("km").columns.toSeq == Seq("vec_id", "cid", "cost")
       && reg("km").count() == reg("emb").count()
       && reg("km").select("cid").distinct().count() <= 4)
