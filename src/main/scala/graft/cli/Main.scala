@@ -28,7 +28,8 @@ object Main {
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen",
-    "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam")
+    "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
+    "hb_closeness")
 
   def usage(): Nothing = {
     System.err.println(
@@ -36,7 +37,8 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
-         |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball, effdiam)
+         |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball,
+         |                                   effdiam, hb_closeness)
          |         --iters N (hits, eigen)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
@@ -143,6 +145,11 @@ object Main {
         case "effdiam"        => graft.graph.NeighborhoodFunction.effectiveDiameter(
           graft.graph.NeighborhoodFunction.run(spark, edges(),
             o.getOrElse("rounds", "3").toInt))
+        case "hb_closeness"   =>
+          val r = o.getOrElse("rounds", "3").toInt
+          graft.graph.NeighborhoodFunction.hyperballCloseness(
+            graft.graph.NeighborhoodFunction.run(spark, edges(), r), r)
+            .orderBy("v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)

@@ -365,6 +365,10 @@ object OinkScript {
               val rounds = pos.headOption.map(_.toInt).getOrElse(3)
               sinkAndBind(NeighborhoodFunction.effectiveDiameter(
                 NeighborhoodFunction.run(spark, in0, rounds)), outs, line)
+            case "hb_closeness" =>
+              val rounds = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(NeighborhoodFunction.hyperballCloseness(
+                NeighborhoodFunction.run(spark, in0, rounds), rounds), outs, line)
             // ---- training-data pipeline verbs over the registry
             // conventions (doc_id, text) / (vec_id, embedding) ----
             case "read_parquet" =>

@@ -30,9 +30,14 @@ object NeighborhoodFunction {
   val Seed = 211L
 
   /** @param edges raw directed edge list (src, dst)
-    * @param rounds hop radii to report (1..rounds)
-    * @return (v BIGINT, r BIGINT, n_est DOUBLE): estimated count of
-    *         vertices within ≤ r hops of v (v itself included). */
+    * @param rounds hop radii to report
+    * @return (v BIGINT, r BIGINT, n_est DOUBLE) for r in 0..rounds:
+    *         estimated count of vertices within ≤ r hops of v (v
+    *         itself included). r = 0 is the SKETCH's estimate of the
+    *         singleton ball, not the exact 1.0 — HyperBall's
+    *         convention, so a counter that never grows telescopes to
+    *         exactly zero in the derived ball differences (a sink's
+    *         closeness is 0, not an estimate-vs-exact wobble). */
   def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -40,11 +45,17 @@ object NeighborhoodFunction {
       .where(col("src") =!= col("dst")).distinct()
       .persist()
     val verts = GraphOps.vertexExtract(e)
-    var sk = verts.groupBy("v")
-      .agg(HllUnion.hll60Regs(Hashing.hash60(Seed, col("v"))).as("sk"))
+    val init = verts.groupBy("v")
+      .agg(HllUnion.hll60Regs(Hashing.hash60(Seed, col("v"))).as("sk"),
+        HllSketch60.hll60(Hashing.hash60(Seed, col("v"))).as("n_est"))
       .localCheckpoint(false)
-    var skCk = sk
+    var sk = init.select("v", "sk")
+    var skCk = init
     val estParts = scala.collection.mutable.Buffer.empty[DataFrame]
+    val est0 = init.select(col("v"), lit(0L).as("r"), col("n_est"))
+      .localCheckpoint(false)
+    est0.count()
+    estParts += est0
     for (r <- 1 to rounds) {
       val msgs = e.join(sk.withColumnRenamed("v", "sv"), col("dst") === col("sv"))
         .select(col("src").as("v"), col("sk"))
@@ -103,13 +114,56 @@ object NeighborhoodFunction {
     * double. Counts vertices v reaches (out-direction); pass reversed
     * edges to [[run]] for the classical in-harmonic. */
   def hyperballHarmonic(anf: DataFrame, rounds: Int): DataFrame = {
-    val scaled = anf.groupBy("v").pivot("r", (1 to rounds).map(_.toLong))
+    val scaled = anf.groupBy("v").pivot("r", (0 to rounds).map(_.toLong))
       .agg(first(round(col("n_est") * 10000).cast("long")))
     val harmonic = (1 to rounds).map { r =>
-      val prev = if (r == 1) lit(10000L) else col(s"${r - 1}")
-      (col(s"$r") - prev).cast("double") / lit(10000.0 * r)
+      (col(s"$r") - col(s"${r - 1}")).cast("double") / lit(10000.0 * r)
     }.reduce(_ + _)
     scaled.select(col("v"), round(harmonic, 9).as("harmonic_est"))
+  }
+
+  /** HyperBall closeness (Boldi & Vigna ICDMW 2013 §3): the
+    * sum-of-distances companion to [[hyperballHarmonic]] —
+    * Σd(v,·) ≈ Σ_r r·(N(v,r) − N(v,r−1)) within the computed radius,
+    * closeness = (reached − 1)/Σd. Both the distance total and the
+    * reach count are exact scaled BIGINTs (fixed expression tree over
+    * the pivoted balls), so the single closing division is the only
+    * float op and both engines agree bit-for-bit. Out-direction like
+    * the rest of the suite; pass reversed edges for in-closeness.
+    *
+    * @return (v, reached_x1e4 BIGINT, sumdist_x1e4 BIGINT,
+    *         closeness_est DOUBLE) */
+  def hyperballCloseness(anf: DataFrame, rounds: Int): DataFrame = {
+    val scaled = anf.groupBy("v").pivot("r", (0 to rounds).map(_.toLong))
+      .agg(first(round(col("n_est") * 10000).cast("long")))
+    val sumdist = (1 to rounds).map { r =>
+      (col(s"$r") - col(s"${r - 1}")) * r
+    }.reduce(_ + _)
+    scaled.select(col("v"),
+      col(s"$rounds").as("reached_x1e4"),
+      sumdist.as("sumdist_x1e4"),
+      round(when(sumdist > 0,
+          (col(s"$rounds") - col("0")).cast("double") / sumdist.cast("double"))
+        .otherwise(lit(0.0)), 9).as("closeness_est"))
+  }
+
+  /** DuckDB twin of [[hyperballCloseness]]. */
+  def hyperballClosenessOracleSql(edgesCte: String, rounds: Int): String = {
+    val cols = (0 to rounds).map { r =>
+      s"max(CASE WHEN r = $r THEN s END) AS s$r"
+    }.mkString(", ")
+    val sumdist = (1 to rounds).map { r =>
+      s"(s$r - s${r - 1}) * $r"
+    }.mkString(" + ")
+    s"""${oracleCtes(edgesCte, rounds)},
+       |sc AS (SELECT v, r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
+       |pv AS (SELECT v, $cols FROM sc GROUP BY v),
+       |sd AS (SELECT v, s0, s$rounds AS reached_x1e4, $sumdist AS sumdist_x1e4 FROM pv)
+       |SELECT v, reached_x1e4, sumdist_x1e4,
+       |  round(CASE WHEN sumdist_x1e4 > 0
+       |    THEN CAST(reached_x1e4 - s0 AS DOUBLE) / CAST(sumdist_x1e4 AS DOUBLE)
+       |    ELSE 0.0 END, 9) AS closeness_est
+       |FROM sd""".stripMargin
   }
 
   /** Interpolated 90%-effective diameter (Palmer et al.; Leskovec et
@@ -128,9 +182,6 @@ object NeighborhoodFunction {
     val byRound = anf
       .select(col("r"), round(col("n_est") * 10000).cast("long").as("s"))
       .groupBy("r").agg(sum("s").as("p"))
-      // r = 0: every vertex reaches exactly itself
-      .union(anf.agg((countDistinct(col("v")) * 10000).as("p"))
-        .select(lit(0L).as("r"), col("p")))
     val last = byRound.agg(max(struct(col("r"), col("p"))).as("m"))
       .select(col("m.p").as("pr"))
     val w = Window.orderBy("r")
@@ -152,8 +203,7 @@ object NeighborhoodFunction {
   def effectiveDiameterOracleSql(edgesCte: String, rounds: Int): String =
     s"""${oracleCtes(edgesCte, rounds)},
        |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
-       |hp AS (SELECT r, sum(s) AS p FROM sc GROUP BY r
-       |  UNION ALL SELECT 0, count(*) * 10000 FROM verts),
+       |hp AS (SELECT r, sum(s) AS p FROM sc GROUP BY r),
        |fin AS (SELECT p AS pr FROM hp ORDER BY r DESC LIMIT 1),
        |lg AS (SELECT r, p, lag(p) OVER (ORDER BY r) AS prev, pr
        |  FROM hp, fin)
@@ -179,12 +229,11 @@ object NeighborhoodFunction {
   /** DuckDB twin of [[hyperballHarmonic]] — the identical fixed
     * expression tree over the identical scaled integers. */
   def hyperballOracleSql(edgesCte: String, rounds: Int): String = {
-    val cols = (1 to rounds).map { r =>
+    val cols = (0 to rounds).map { r =>
       s"max(CASE WHEN r = $r THEN s END) AS s$r"
     }.mkString(", ")
     val terms = (1 to rounds).map { r =>
-      val prev = if (r == 1) "10000" else s"s${r - 1}"
-      s"CAST(s$r - $prev AS DOUBLE) / ${10000.0 * r}"
+      s"CAST(s$r - s${r - 1} AS DOUBLE) / ${10000.0 * r}"
     }.mkString(" + ")
     s"""${oracleCtes(edgesCte, rounds)},
        |sc AS (SELECT v, r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
@@ -238,6 +287,6 @@ object NeighborhoodFunction {
        |  FROM hh),
        |$steps,
        |anf AS MATERIALIZED (
-       |${(1 to rounds).map(estOf).mkString("\nUNION ALL\n")})""".stripMargin
+       |${(0 to rounds).map(estOf).mkString("\nUNION ALL\n")})""".stripMargin
   }
 }

@@ -251,6 +251,11 @@ object GraphQueries {
     "g_effdiam" -> ((s, dir) =>
       NeighborhoodFunction.effectiveDiameter(anfOf(s, dir))),
 
+    // HyperBall closeness: approximate sum-of-distances per vertex in
+    // exact scaled integers, one closing division.
+    "g_hb_closeness" -> ((s, dir) =>
+      NeighborhoodFunction.hyperballCloseness(anfOf(s, dir), AnfRounds)),
+
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
     "g_eccentricity" -> ((s, dir) =>
@@ -393,6 +398,8 @@ object GraphQueries {
     "g_hyperball" -> NeighborhoodFunction.hyperballOracleSql(E, rounds = AnfRounds),
 
     "g_effdiam" -> NeighborhoodFunction.effectiveDiameterOracleSql(E, rounds = AnfRounds),
+
+    "g_hb_closeness" -> NeighborhoodFunction.hyperballClosenessOracleSql(E, rounds = AnfRounds),
 
     "g_bipartite" -> Bipartite.oracleSql(E),
 

@@ -174,14 +174,18 @@ class OinkScriptSpec extends SparkSpec {
       "hopplot 2 -i mre -o NULL mrp",
       "hyperball 2 -i mre -o NULL mrhb",
       "effdiam 2 -i mre -o NULL mred",
+      "hb_closeness 2 -i mre -o NULL mrhc",
       s"read_parquet -i $emb -o NULL emb",
       "kmeans 4 2 -i emb -o NULL km"))
     assert(reg("mra").columns.toSeq == Seq("v", "r", "n_est") && reg("mra").count() > 0)
     assert(reg("mrp").columns.toSeq == Seq("r", "pairs_x1e4", "reach_ratio")
-      && reg("mrp").count() == 2)
+      && reg("mrp").count() == 3) // r = 0, 1, 2
     assert(reg("mrhb").columns.toSeq == Seq("v", "harmonic_est") && reg("mrhb").count() > 0)
     assert(reg("mred").columns.toSeq ==
       Seq("eff_diameter", "r_cross", "final_pairs_x1e4") && reg("mred").count() == 1)
+    assert(reg("mrhc").columns.toSeq ==
+      Seq("v", "reached_x1e4", "sumdist_x1e4", "closeness_est")
+      && reg("mrhc").count() > 0)
     assert(reg("km").columns.toSeq == Seq("vec_id", "cid", "cost")
       && reg("km").count() == reg("emb").count()
       && reg("km").select("cid").distinct().count() <= 4)

@@ -10,7 +10,8 @@ class NeighborhoodFunctionSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Exact ≤r-hop reach set per vertex (v included). */
+  /** Exact ≤r-hop reach set per vertex (v included; r = 0 is the
+    * singleton, mirroring the engine's sketch-consistent r = 0 row). */
   private def reach(edges: Seq[(Long, Long)], rounds: Int)
       : Map[(Long, Int), Set[Long]] = {
     val adj = edges.filter(e => e._1 != e._2).distinct
@@ -19,6 +20,7 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     val out = Map.newBuilder[(Long, Int), Set[Long]]
     for (v <- verts) {
       var s = Set(v)
+      out += (v, 0) -> s
       for (r <- 1 to rounds) {
         s = s ++ s.flatMap(u => adj.getOrElse(u, Set.empty))
         out += (v, r) -> s
@@ -71,7 +73,7 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     val est = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
 
     // hop plot: exact BIGINT sums of the 1e4-scaled estimates
-    val scaledByRound = (1 to rounds).map { r =>
+    val scaledByRound = (0 to rounds).map { r =>
       r.toLong -> est.collect { case ((_, rr), e) if rr == r =>
         math.round(e * 10000) }.sum
     }.toMap
@@ -85,18 +87,42 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     val gotHb = NeighborhoodFunction.hyperballHarmonic(anf, rounds)
       .as[(Long, Double)].collect().toMap
     val wantHb = est.keys.map(_._1).toSeq.distinct.map { v =>
-      val s = (1 to rounds).map(r => math.round(est((v, r)) * 10000))
+      val s = (0 to rounds).map(r => math.round(est((v, r)) * 10000))
       val h = (1 to rounds).map { r =>
-        (s(r - 1) - (if (r == 1) 10000L else s(r - 2))).toDouble / (10000.0 * r)
+        (s(r) - s(r - 1)).toDouble / (10000.0 * r)
       }.reduce(_ + _)
       v -> BigDecimal(h).setScale(9, BigDecimal.RoundingMode.HALF_UP)
         .toDouble                            // Spark round(…, 9) semantics
     }.toMap
     assert(gotHb == wantHb,
       s"diff: ${(gotHb.toSet diff wantHb.toSet).take(5)}")
-    // sanity: single-vertex balls never shrink, so harmonic >= 0 …
-    // except for the documented HLL branch-switch wobble; bound it
-    gotHb.values.foreach(h => assert(h > -1.0))
+    // balls grow from the sketch-consistent r = 0 baseline; within the
+    // linear-counting regime these graphs live in, the estimate is
+    // monotone, so the telescoped harmonic is non-negative (a stagnant
+    // counter gives exactly 0)
+    gotHb.values.foreach(h => assert(h >= 0.0))
+  }
+
+  test("HyperBall closeness matches the scaled-ball replica") {
+    val rnd = new scala.util.Random(101)
+    val edges = Seq.fill(170)((rnd.nextInt(48).toLong, rnd.nextInt(48).toLong))
+    val rounds = 3
+    val anf = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), rounds)
+    val est = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
+    val got = NeighborhoodFunction.hyperballCloseness(anf, rounds)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val want = est.keys.map(_._1).toSeq.distinct.map { v =>
+      val s = (0 to rounds).map(r => math.round(est((v, r)) * 10000))
+      val sumdist = (1 to rounds).map(r => (s(r) - s(r - 1)) * r).sum
+      val clo = if (sumdist > 0)
+        BigDecimal((s(rounds) - s(0)).toDouble / sumdist.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      v -> ((s(rounds), sumdist, clo))
+    }.toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)}")
   }
 
   test("effective diameter interpolates the replica hop plot") {
@@ -105,10 +131,8 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     val rounds = 3
     val anf = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), rounds)
     val est = reach(edges, rounds).map { case (k, vs) => k -> sketchOf(vs) }
-    val nverts = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
     val p = (0 to rounds).map { r =>
-      if (r == 0) nverts * 10000L
-      else est.collect { case ((_, rr), e) if rr == r => math.round(e * 10000) }.sum
+      est.collect { case ((_, rr), e) if rr == r => math.round(e * 10000) }.sum
     }
     val pr = p(rounds)
     val rc = (0 to rounds).find(r => p(r) * 10 >= pr * 9).get
