@@ -37,5 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hdrq"),
       new ExpressionInfo(classOf[graft.functions.HdrQuantiles].getName, "hdrq"),
       graft.functions.GraftFunctions.hdrqBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("lgq"),
+      new ExpressionInfo(classOf[graft.functions.LogQuantiles].getName, "lgq"),
+      graft.functions.GraftFunctions.lgqBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("hll60_regs"),
+      new ExpressionInfo(classOf[graft.functions.Hll60Regs].getName, "hll60_regs"),
+      graft.functions.GraftFunctions.hll60RegsBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[graft.functions.HllUnion].getName, "hll_union"),
+      graft.functions.GraftFunctions.hllUnionBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union_est"),
+      new ExpressionInfo(classOf[graft.functions.HllUnionEst].getName, "hll_union_est"),
+      graft.functions.GraftFunctions.hllUnionEstBuilder _))
   }
 }

@@ -17,18 +17,30 @@ object GraftFunctions {
     // register-level HLL surface (the HyperANF building blocks):
     // hll60_regs(hash60(x)) → blob, hll_union(blob) → blob,
     // hll_union_est(blob) → estimate
-    Bridge.registerFunction(spark, "hll60_regs", { exprs =>
-      require(exprs.length == 1, "hll60_regs expects one hash60 argument")
-      Hll60Regs(exprs.head).toAggregateExpression()
-    })
-    Bridge.registerFunction(spark, "hll_union", { exprs =>
-      require(exprs.length == 1, "hll_union expects one register blob")
-      HllUnion(exprs.head).toAggregateExpression()
-    })
-    Bridge.registerFunction(spark, "hll_union_est", { exprs =>
-      require(exprs.length == 1, "hll_union_est expects one register blob")
-      HllUnionEst(exprs.head).toAggregateExpression()
-    })
+    Bridge.registerFunction(spark, "hll60_regs", hll60RegsBuilder)
+    Bridge.registerFunction(spark, "hll_union", hllUnionBuilder)
+    Bridge.registerFunction(spark, "hll_union_est", hllUnionEstBuilder)
+  }
+
+  private[graft] def hll60RegsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, "hll60_regs expects one hash60 argument")
+    Hll60Regs(exprs.head).toAggregateExpression()
+  }
+
+  private[graft] def hllUnionBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, "hll_union expects one register blob")
+    HllUnion(exprs.head).toAggregateExpression()
+  }
+
+  private[graft] def hllUnionEstBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, "hll_union_est expects one register blob")
+    HllUnionEst(exprs.head).toAggregateExpression()
   }
 
   /** SQL surface for the sparse log-bin quantile sketch:

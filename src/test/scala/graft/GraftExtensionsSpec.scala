@@ -42,8 +42,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(hn.getLong(1) == graft.functions.Hashing.hash60Local("42"))
       // the sketch aggregates are injected too
       val sk = spark.sql(
-        "SELECT hll60(hash60('x')) AS d, element_at(hdrq(CAST(7 AS BIGINT), array(0.5)), 1) AS q").head()
-      assert(sk.getDouble(0) > 0.0 && sk.getLong(1) == 7L)
+        "SELECT hll60(hash60('x')) AS d, element_at(hdrq(CAST(7 AS BIGINT), array(0.5)), 1) AS q, " +
+          "element_at(lgq(CAST(7 AS BIGINT), array(0.5)), 1) AS lq").head()
+      assert(sk.getDouble(0) > 0.0 && sk.getLong(1) == 7L && sk.getLong(2) == 7L)
+      // ... and the register-surface HLL chain: regs → union → estimate
+      // must equal the one-shot sketch over the same input
+      val hu = spark.sql(
+        """SELECT hll_union_est(sk) AS est, hll60(h) AS direct FROM (
+          |  SELECT hash60(x) AS h, hll60_regs(hash60(x)) AS sk
+          |  FROM VALUES ('a'), ('b'), ('c') t(x) GROUP BY x)""".stripMargin).head()
+      assert(hu.getDouble(0) == hu.getDouble(1) && hu.getDouble(0) > 0.0)
       // strategy injection: present in the session's planner without any
       // Bridge.addStrategy call on this session
       assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
