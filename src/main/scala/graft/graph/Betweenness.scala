@@ -181,4 +181,42 @@ object Betweenness {
        |FROM vis$levels vv
        |LEFT JOIN deltas d ON d.source = vv.source AND d.v = vv.v""".stripMargin
   }
+
+  /** ln(1/δ) for δ = 0.1, inlined as the SAME literal in both engines —
+    * computing ln(10.0) at runtime would ride each libm's last ulp. */
+  val LnInvDelta = 2.302585092994046
+
+  /** Riondato-Kornaropoulos sampling guarantee for source-sampled
+    * betweenness ("Fast approximation of betweenness centrality through
+    * sampling", WSDM 2014): with k sampled sources, the normalized
+    * estimate is within ε of truth for EVERY vertex w.p. ≥ 1−δ when
+    * k ≥ (c/ε²)(⌊log₂(VD−2)⌋+1+ln(1/δ)) — inverted here for the ε the
+    * configured k buys at δ = 0.1, c = 1/2. VD (the vertex diameter)
+    * comes from the ANF effective diameter, so this is the sketch-
+    * estimated diagnostic that sizes a sample on a graph too large to
+    * measure exactly — every input to the formula is an exact integer
+    * (⌊log₂⌋ via bit length, never float log), the transcendental
+    * constant is a shared literal, and the closing sqrt/division is a
+    * fixed IEEE expression tree.
+    *
+    * @param effdiam [[NeighborhoodFunction.effectiveDiameter]] output
+    * @param k       number of sampled sources actually run
+    * @return one row (k BIGINT, vd_est BIGINT, epsilon_est DOUBLE) */
+  def sampleEpsilon(effdiam: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // hop diameter d → vertex diameter d+1; the RK log term needs ≥ 1
+    val vd = col("r_cross") + 1
+    val fl = length(bin(greatest(lit(1L), vd - 2))) - 1
+    effdiam.select(lit(k.toLong).as("k"), vd.as("vd_est"),
+      round(sqrt((fl.cast("double") + 1.0 + LnInvDelta) / (2.0 * k)), 9)
+        .as("epsilon_est"))
+  }
+
+  /** DuckDB twin of [[sampleEpsilon]] over the same ANF replica. */
+  def sampleEpsilonOracleSql(edgesCte: String, rounds: Int, k: Int): String =
+    s"""${NeighborhoodFunction.effDiamCtes(edgesCte, rounds)}
+       |SELECT CAST($k AS BIGINT) AS k, r_cross + 1 AS vd_est,
+       |  round(sqrt((CAST(length(bin(greatest(1, r_cross + 1 - 2))) - 1 AS DOUBLE)
+       |    + 1.0 + $LnInvDelta) / ${2.0 * k}), 9) AS epsilon_est
+       |FROM ed""".stripMargin
 }

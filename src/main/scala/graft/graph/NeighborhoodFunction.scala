@@ -201,20 +201,26 @@ object NeighborhoodFunction {
 
   /** DuckDB twin of [[effectiveDiameter]]. */
   def effectiveDiameterOracleSql(edgesCte: String, rounds: Int): String =
+    s"""${effDiamCtes(edgesCte, rounds)}
+       |SELECT eff_diameter, r_cross, final_pairs_x1e4 FROM ed""".stripMargin
+
+  /** The effective-diameter replica as a composable CTE prefix ending
+    * in `ed(eff_diameter, r_cross, final_pairs_x1e4)`. */
+  def effDiamCtes(edgesCte: String, rounds: Int): String =
     s"""${oracleCtes(edgesCte, rounds)},
        |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
        |hp AS (SELECT r, sum(s) AS p FROM sc GROUP BY r),
        |fin AS (SELECT p AS pr FROM hp ORDER BY r DESC LIMIT 1),
        |lg AS (SELECT r, p, lag(p) OVER (ORDER BY r) AS prev, pr
-       |  FROM hp, fin)
-       |SELECT
+       |  FROM hp, fin),
+       |ed AS (SELECT
        |  round(CASE WHEN r = 0 THEN 0.0
        |    ELSE CAST(r - 1 AS DOUBLE) +
        |      CAST(pr * 9 - prev * 10 AS DOUBLE)
        |        / CAST((p - prev) * 10 AS DOUBLE) END, 9) AS eff_diameter,
        |  r AS r_cross, pr AS final_pairs_x1e4
        |FROM lg
-       |WHERE p * 10 >= pr * 9 AND (prev IS NULL OR prev * 10 < pr * 9)""".stripMargin
+       |WHERE p * 10 >= pr * 9 AND (prev IS NULL OR prev * 10 < pr * 9))""".stripMargin
 
   /** DuckDB twin of [[hopPlot]]. */
   def hopPlotOracleSql(edgesCte: String, rounds: Int): String =

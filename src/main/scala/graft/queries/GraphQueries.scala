@@ -256,6 +256,13 @@ object GraphQueries {
     "g_hb_closeness" -> ((s, dir) =>
       NeighborhoodFunction.hyperballCloseness(anfOf(s, dir), AnfRounds)),
 
+    // Riondato-Kornaropoulos ε the seeded betweenness sample buys at
+    // δ=0.1, with the vertex diameter taken from the ANF effective
+    // diameter — the diagnostic that sizes a sample at 100 TB.
+    "g_bc_eps" -> ((s, dir) =>
+      Betweenness.sampleEpsilon(
+        NeighborhoodFunction.effectiveDiameter(anfOf(s, dir)), SsspCount)),
+
     // Per-source eccentricity (max BFS depth) — the diagnostic that
     // sizes every unrolled-oracle depth bound; integer-exact.
     "g_eccentricity" -> ((s, dir) =>
@@ -400,6 +407,8 @@ object GraphQueries {
     "g_effdiam" -> NeighborhoodFunction.effectiveDiameterOracleSql(E, rounds = AnfRounds),
 
     "g_hb_closeness" -> NeighborhoodFunction.hyperballClosenessOracleSql(E, rounds = AnfRounds),
+
+    "g_bc_eps" -> Betweenness.sampleEpsilonOracleSql(E, rounds = AnfRounds, k = SsspCount),
 
     "g_bipartite" -> Bipartite.oracleSql(E),
 

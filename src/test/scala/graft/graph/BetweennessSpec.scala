@@ -77,6 +77,26 @@ class BetweennessSpec extends SparkSpec {
       s"at $k: got ${got(k)}, expected ${expected(k)}")
   }
 
+  test("RK sample epsilon matches the closed form on the effdiam row") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(220)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val ed = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), 3)
+    val effdiam = NeighborhoodFunction.effectiveDiameter(ed)
+    val rc = effdiam.select("r_cross").as[Long].head()
+    val k = 3
+    val got = Betweenness.sampleEpsilon(effdiam, k)
+      .as[(Long, Long, Double)].collect().toSeq
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, rc + 1 - 2))
+    val eps = BigDecimal(math.sqrt(
+        (fl + 1.0 + Betweenness.LnInvDelta) / (2.0 * k)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((k.toLong, rc + 1, eps)))
+    // more samples buy a tighter ε
+    val eps10 = Betweenness.sampleEpsilon(effdiam, 10)
+      .select("epsilon_est").as[Double].head()
+    assert(eps10 < eps)
+  }
+
   test("floats are partitioning-invariant (sorted fold)") {
     val rnd = new scala.util.Random(71)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
