@@ -111,7 +111,14 @@ object KMeansInt {
   /** DuckDB twin: identical codes, seeds, unrolled rounds, and
     * fixed-point means — dims as (id, j, x) rows, zipped out of the
     * lists by parallel unnest. */
-  def oracleSql(k: Int, iters: Int): String = {
+  def oracleSql(k: Int, iters: Int): String =
+    s"""${oracleCtes(k, iters)}
+       |SELECT vec_id, cid, cost FROM asg""".stripMargin
+
+  /** The replica as a composable CTE prefix ending in
+    * `asg(vec_id, cid, cost)` — shared by the s_kmeans oracle and the
+    * k-means-blocked SemDeDup oracle. */
+  def oracleCtes(k: Int, iters: Int): String = {
     val h = Hashing.hash60Sql(Seed, "vec_id")
     val rounds = (1 to iters).map { i =>
       s"""a$i AS MATERIALIZED (
@@ -151,7 +158,7 @@ object KMeansInt {
        |    row_number() OVER (PARTITION BY d.vec_id
        |      ORDER BY sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)), c.cid) AS rn
        |  FROM dims d JOIN c$iters c ON c.j = d.j
-       |  GROUP BY d.vec_id, c.cid)
-       |SELECT vec_id, cid, cost FROM fin WHERE rn = 1""".stripMargin
+       |  GROUP BY d.vec_id, c.cid),
+       |asg AS (SELECT vec_id, cid, cost FROM fin WHERE rn = 1)""".stripMargin
   }
 }

@@ -244,9 +244,16 @@ object Similarity {
     * @return one row per pruned vector: (cid, vec_id, n_similar,
     *         max_sim) — max_sim is the strongest lower-id match. */
   def semDedupPrune(embeddings: DataFrame, nlist: Int = DefaultNList,
-      tau: Double = 0.2): DataFrame = {
-    val asg = ivfAssign(embeddings, ivfCentroids(embeddings, nlist))
-    val withC = embeddings.join(asg, "vec_id")
+      tau: Double = 0.2): DataFrame =
+    semDedupPruneBy(embeddings,
+      ivfAssign(embeddings, ivfCentroids(embeddings, nlist)), tau)
+
+  /** [[semDedupPrune]] with the cluster blocking supplied by the
+    * caller — any (vec_id, cid) assignment works; [[KMeansInt.run]]
+    * labels give the gated, determinism-proved variant. */
+  def semDedupPruneBy(embeddings: DataFrame, asg: DataFrame,
+      tau: Double): DataFrame = {
+    val withC = embeddings.join(asg.select("vec_id", "cid"), "vec_id")
     val l = withC.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = withC.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
     l.join(r, "cid")

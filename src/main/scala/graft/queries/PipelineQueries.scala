@@ -209,7 +209,16 @@ object PipelineQueries {
     // clustering doubles as candidate blocking, so pairwise cosine never
     // crosses cluster boundaries.
     "d_semdedup" -> ((s, dir) =>
-      Similarity.semDedupPrune(emb(s, dir), tau = 0.2))
+      Similarity.semDedupPrune(emb(s, dir), tau = 0.2)),
+
+    // SemDeDup blocked by the gated integer k-means clusters instead of
+    // the seeded IVF quantizer — the trained-quantizer variant whose
+    // blocking is itself determinism-proved.
+    "d_semdedup_km" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semDedupPruneBy(e, KMeansInt.run(e, k = 8, iters = 3),
+        tau = 0.2)
+    })
   )
 
   private def H(e: String) = Hashing.hash60Sql(e)
@@ -673,6 +682,16 @@ object PipelineQueries {
          |SELECT cid, b AS vec_id, count(*) AS n_similar, max(sim) AS max_sim
          |FROM pr WHERE sim >= 0.2e0 GROUP BY 1, 2""".stripMargin
     },
+
+    "d_semdedup_km" ->
+      s"""${KMeansInt.oracleCtes(k = 8, iters = 3)},
+         |pr AS (
+         | SELECT l.cid, r.vec_id AS b, ${cosSql("le.embedding", "re.embedding")} AS sim
+         | FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+         | JOIN embeddings le ON le.vec_id = l.vec_id
+         | JOIN embeddings re ON re.vec_id = r.vec_id)
+         |SELECT cid, b AS vec_id, count(*) AS n_similar, max(sim) AS max_sim
+         |FROM pr WHERE sim >= 0.2e0 GROUP BY 1, 2""".stripMargin,
 
     "s_ann_pq" -> {
       val m = Similarity.DefaultSubspaces

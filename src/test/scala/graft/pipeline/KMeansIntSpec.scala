@@ -59,6 +59,27 @@ class KMeansIntSpec extends SparkSpec {
       s"diff: ${(got.toSet diff want.toSet).take(5)} vs ${(want.toSet diff got.toSet).take(5)}")
   }
 
+  test("k-means-blocked SemDeDup prunes only same-cluster lower-id matches") {
+    val rnd = new scala.util.Random(17)
+    val centers = Seq(Array.fill(8)(0.9f), Array.fill(8)(-0.9f),
+      Array.tabulate(8)(j => if (j % 2 == 0) 0.9f else -0.9f))
+    val vecs = (0L until 60L).map { id =>
+      val c = centers((id % 3).toInt)
+      id -> c.map(x => x + rnd.nextFloat() * 0.05f - 0.025f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val asg = KMeansInt.run(df, k = 3, iters = 3)
+    val cl = asg.as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    val pruned = Similarity.semDedupPruneBy(df, asg, tau = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    // tight blobs: every vector except each cluster's lowest id prunes
+    assert(pruned.length == 60 - cl.values.toSet.size)
+    pruned.foreach { case (cid, vid, n, maxSim) =>
+      assert(cl(vid) == cid && maxSim >= 0.9 && n >= 1)
+      assert(cl.exists { case (v2, c2) => c2 == cid && v2 < vid })
+    }
+  }
+
   test("separable blobs cluster together and the result survives repartitioning") {
     val rnd = new scala.util.Random(7)
     // 3 well-separated blobs in 8 dims
