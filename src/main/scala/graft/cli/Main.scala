@@ -27,7 +27,7 @@ object Main {
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
-    "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen",
+    "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
     "hb_closeness")
 
@@ -39,7 +39,7 @@ object Main {
          |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
          |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
-         |         --iters N (hits, eigen)
+         |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
@@ -129,6 +129,9 @@ object Main {
           o.getOrElse("seed", "1").toLong).orderBy("vi", "vj")
         case "eigen"          => graft.graph.EigenvectorCentrality.run(spark,
           edges(), o.getOrElse("iters", "8").toInt).orderBy("v")
+        case "katz"           => graft.graph.Katz.run(spark, edges(),
+          o.getOrElse("iters", "6").toInt,
+          o.getOrElse("alpha-shift", "3").toInt).orderBy("v")
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")

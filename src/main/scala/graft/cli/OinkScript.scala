@@ -347,6 +347,11 @@ object OinkScript {
             case "eigen" =>
               val iters = pos.headOption.map(_.toInt).getOrElse(8)
               sinkAndBind(EigenvectorCentrality.run(spark, in0, iters), outs, line)
+            case "katz" =>
+              // katz [iters] [alphaShift]
+              val iters = pos.lift(0).map(_.toInt).getOrElse(6)
+              val aShift = pos.lift(1).map(_.toInt).getOrElse(3)
+              sinkAndBind(Katz.run(spark, in0, iters, aShift), outs, line)
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, KCore, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -207,6 +207,12 @@ object GraphQueries {
     // the identical unrolled recurrence.
     "g_eigen" -> ((s, dir) =>
       EigenvectorCentrality.run(s, Tables.edges(s, dir), iterations = 8)),
+
+    // Katz centrality: attenuated walk counts (α = 1/8, depth 6) via the
+    // rescaled integer recurrence p←Aᵀp, y←2³y+p; the oracle unrolls the
+    // identical rounds.
+    "g_katz" -> ((s, dir) =>
+      Katz.run(s, Tables.edges(s, dir), iterations = 6, alphaShift = 3)),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -512,6 +518,8 @@ object GraphQueries {
     "g_hits" -> Hits.oracleSql(E, iterations = 6),
 
     "g_eigen" -> EigenvectorCentrality.oracleSql(E, iterations = 8),
+
+    "g_katz" -> Katz.oracleSql(E, iterations = 6, alphaShift = 3),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
