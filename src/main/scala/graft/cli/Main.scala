@@ -29,7 +29,7 @@ object Main {
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
-    "hb_closeness")
+    "hb_closeness", "linkpred")
 
   def usage(): Nothing = {
     System.err.println(
@@ -40,6 +40,7 @@ object Main {
          |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
          |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
+         |         --max-center-degree N (linkpred)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
@@ -132,6 +133,8 @@ object Main {
         case "katz"           => graft.graph.Katz.run(spark, edges(),
           o.getOrElse("iters", "6").toInt,
           o.getOrElse("alpha-shift", "3").toInt).orderBy("v")
+        case "linkpred"       => graft.graph.LinkPrediction.run(spark, edges(),
+          o.get("max-center-degree").map(_.toLong)).orderBy("u", "w")
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")

@@ -352,6 +352,10 @@ object OinkScript {
               val iters = pos.lift(0).map(_.toInt).getOrElse(6)
               val aShift = pos.lift(1).map(_.toInt).getOrElse(3)
               sinkAndBind(Katz.run(spark, in0, iters, aShift), outs, line)
+            case "linkpred" =>
+              // linkpred [maxCenterDegree]
+              val cap = pos.headOption.map(_.toLong)
+              sinkAndBind(LinkPrediction.run(spark, in0, cap), outs, line)
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)

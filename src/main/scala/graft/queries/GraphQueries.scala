@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -213,6 +213,13 @@ object GraphQueries {
     // identical rounds.
     "g_katz" -> ((s, dir) =>
       Katz.run(s, Tables.edges(s, dir), iterations = 6, alphaShift = 3)),
+
+    // Link prediction (common-neighbors / Jaccard / Adamic-Adar) over
+    // wedge-witnessed non-adjacent pairs; Adamic-Adar folds in
+    // ascending-center order (the g_harmonic discipline), Jaccard is one
+    // exact-integer division.
+    "g_linkpred" -> ((s, dir) =>
+      LinkPrediction.run(s, Tables.edges(s, dir))),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -520,6 +527,8 @@ object GraphQueries {
     "g_eigen" -> EigenvectorCentrality.oracleSql(E, iterations = 8),
 
     "g_katz" -> Katz.oracleSql(E, iterations = 6, alphaShift = 3),
+
+    "g_linkpred" -> LinkPrediction.oracleSql(E),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
