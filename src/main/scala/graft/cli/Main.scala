@@ -29,7 +29,7 @@ object Main {
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
-    "hb_closeness", "linkpred")
+    "hb_closeness", "linkpred", "truss")
 
   def usage(): Nothing = {
     System.err.println(
@@ -37,7 +37,7 @@ object Main {
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
          |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
-         |         --k N (kcore) --rounds N (lpa, anf, hopplot, hyperball,
+         |         --k N (kcore, truss) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
          |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
          |         --max-center-degree N (linkpred)
@@ -135,6 +135,8 @@ object Main {
           o.getOrElse("alpha-shift", "3").toInt).orderBy("v")
         case "linkpred"       => graft.graph.LinkPrediction.run(spark, edges(),
           o.get("max-center-degree").map(_.toLong)).orderBy("u", "w")
+        case "truss"          => graft.graph.Truss.run(spark, edges(),
+          o.getOrElse("k", "4").toInt).orderBy("vi", "vj")
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")

@@ -356,6 +356,10 @@ object OinkScript {
               // linkpred [maxCenterDegree]
               val cap = pos.headOption.map(_.toLong)
               sinkAndBind(LinkPrediction.run(spark, in0, cap), outs, line)
+            case "truss" =>
+              // truss [k]
+              val k = pos.headOption.map(_.toInt).getOrElse(4)
+              sinkAndBind(Truss.run(spark, in0, k), outs, line)
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles}
+import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -220,6 +220,11 @@ object GraphQueries {
     // exact-integer division.
     "g_linkpred" -> ((s, dir) =>
       LinkPrediction.run(s, Tables.edges(s, dir))),
+
+    // 8-truss extraction (support peel; 12 rounds to fixpoint at
+    // sf0.01) — the oracle unrolls 16 rounds, past the fixpoint, where
+    // extra rounds are no-ops.
+    "g_truss" -> ((s, dir) => Truss.run(s, Tables.edges(s, dir), k = 8)),
 
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
@@ -529,6 +534,8 @@ object GraphQueries {
     "g_katz" -> Katz.oracleSql(E, iterations = 6, alphaShift = 3),
 
     "g_linkpred" -> LinkPrediction.oracleSql(E),
+
+    "g_truss" -> Truss.oracleSql(E, k = 8, rounds = 16),
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are
