@@ -40,7 +40,7 @@ object Main {
          |         --k N (kcore, truss) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
          |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
-         |         --max-center-degree N (linkpred)
+         |         --max-center-degree N (linkpred) --dir in|out (hyperball, hb_closeness)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
     sys.exit(2)
@@ -67,6 +67,13 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     def edges() = EdgeListIO.readValidated(spark, input)
+    // --dir in reverses the edge set (hyperball / hb_closeness twins)
+    def dirEdges(o: Map[String, String]) = o.get("dir") match {
+      case Some("in") => edges().select(
+        org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst"))
+      case _ => edges()
+    }
 
     try {
       val t0 = System.nanoTime()
@@ -148,7 +155,7 @@ object Main {
         case "hyperball"      =>
           val r = o.getOrElse("rounds", "3").toInt
           graft.graph.NeighborhoodFunction.hyperballHarmonic(
-            graft.graph.NeighborhoodFunction.run(spark, edges(), r), r)
+            graft.graph.NeighborhoodFunction.run(spark, dirEdges(o), r), r)
             .orderBy("v")
         case "effdiam"        => graft.graph.NeighborhoodFunction.effectiveDiameter(
           graft.graph.NeighborhoodFunction.run(spark, edges(),
@@ -156,7 +163,7 @@ object Main {
         case "hb_closeness"   =>
           val r = o.getOrElse("rounds", "3").toInt
           graft.graph.NeighborhoodFunction.hyperballCloseness(
-            graft.graph.NeighborhoodFunction.run(spark, edges(), r), r)
+            graft.graph.NeighborhoodFunction.run(spark, dirEdges(o), r), r)
             .orderBy("v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,

@@ -64,6 +64,18 @@ object GraphQueries {
       if (memoize(s)) df.persist() else df
     })
 
+  // In-direction ANF twin (edges reversed): g_hyperball_in /
+  // g_hb_closeness_in — in-harmonic ranks receivers, in-closeness the
+  // classic closeness on incoming paths.
+  private val anfInCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def anfInOf(s: SparkSession, dir: String): DataFrame =
+    anfInCache.getOrElseUpdate((s, dir), {
+      val rev = Tables.edges(s, dir)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val df = NeighborhoodFunction.run(s, rev, AnfRounds)
+      if (memoize(s)) df.persist() else df
+    })
+
   // g_scc / g_scc_stats / g_scc_condense share the SCC labels.
   private val sccCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sccOf(s: SparkSession, dir: String): DataFrame =
@@ -84,6 +96,8 @@ object GraphQueries {
     ssspCache.clear()
     anfCache.values.foreach(_.unpersist(false))
     anfCache.clear()
+    anfInCache.values.foreach(_.unpersist(false))
+    anfInCache.clear()
     sccCache.values.foreach(_.unpersist(false))
     sccCache.clear()
     srcsCache.clear()
@@ -274,6 +288,17 @@ object GraphQueries {
     "g_hb_closeness" -> ((s, dir) =>
       NeighborhoodFunction.hyperballCloseness(anfOf(s, dir), AnfRounds)),
 
+    // In-direction twins: the same HyperBall centralities over the
+    // REVERSED edge set — in-harmonic ranks how reachable a vertex is
+    // FROM the graph (the web-centrality convention), in-closeness the
+    // incoming-path closeness. One extra sketch family, memoized like
+    // the outward one.
+    "g_hyperball_in" -> ((s, dir) =>
+      NeighborhoodFunction.hyperballHarmonic(anfInOf(s, dir), AnfRounds)),
+
+    "g_hb_closeness_in" -> ((s, dir) =>
+      NeighborhoodFunction.hyperballCloseness(anfInOf(s, dir), AnfRounds)),
+
     // Riondato-Kornaropoulos ε the seeded betweenness sample buys at
     // δ=0.1, with the vertex diameter taken from the ANF effective
     // diameter — the diagnostic that sizes a sample at 100 TB.
@@ -425,6 +450,12 @@ object GraphQueries {
     "g_effdiam" -> NeighborhoodFunction.effectiveDiameterOracleSql(E, rounds = AnfRounds),
 
     "g_hb_closeness" -> NeighborhoodFunction.hyperballClosenessOracleSql(E, rounds = AnfRounds),
+
+    "g_hyperball_in" -> NeighborhoodFunction.hyperballOracleSql(
+      s"SELECT dst AS src, src AS dst FROM ($E) revt", rounds = AnfRounds),
+
+    "g_hb_closeness_in" -> NeighborhoodFunction.hyperballClosenessOracleSql(
+      s"SELECT dst AS src, src AS dst FROM ($E) revt", rounds = AnfRounds),
 
     "g_bc_eps" -> Betweenness.sampleEpsilonOracleSql(E, rounds = AnfRounds, k = SsspCount),
 

@@ -154,4 +154,21 @@ class NeighborhoodFunctionSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("in-direction twin equals the out-direction run on reversed edges") {
+    // directed path 0→1→2: out-harmonic peaks at the source, the
+    // reversed (in) twin at the sink — and the twin is EXACTLY the out
+    // computation on the flipped edge frame.
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val rev = edges.select(edges("dst").as("src"), edges("src").as("dst"))
+    val out = NeighborhoodFunction.hyperballHarmonic(
+      NeighborhoodFunction.run(spark, edges, 2), 2)
+      .as[(Long, Double)].collect().toMap
+    val in = NeighborhoodFunction.hyperballHarmonic(
+      NeighborhoodFunction.run(spark, rev, 2), 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out(2L) == 0.0 && in(0L) == 0.0)
+    assert(in(2L) == out(0L) && in(1L) == out(1L)) // path symmetry
+    assert(in(2L) > in(1L) && in(1L) > 0.0)
+  }
 }
