@@ -33,7 +33,8 @@ import graft.text.TextAnalysis
   * scriptable too: `read_parquet` binds a table as an object, and
   * `dedup_exact / minhash_sig / minhash_pairs / minhash_dedup /
   * dedup_clusters / simhash / simhash_pairs / langid / quality /
-  * tokens / fingerprint` operate on (doc_id, text) objects,
+  * tokens / fingerprint` operate on (doc_id, text) objects
+  * (`overlap` on (source, text)),
   * `ann_lsh / quantize` on (vec_id, embedding) objects. MR-MPI
   * tuning parameters with no Spark meaning (cc_find's big-zone
   * `nthresh` — skew handled by AQE; rmat's extra-shuffle `fraction`)
@@ -408,6 +409,10 @@ object OinkScript {
             case "simhash_pairs" =>
               val maxDist = pos.headOption.map(_.toInt).getOrElse(2)
               sinkAndBind(Dedup.simHashNearPairs(in0, col("doc_id"), col("text"), maxDist), outs, line)
+            case "overlap" =>
+              // overlap [n] — cross-source n-gram overlap matrix
+              val n = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(Dedup.sourceOverlap(in0, col("source"), col("text"), n), outs, line)
             case "langid" =>
               sinkAndBind(TextAnalysis.langId(in0, col("doc_id"), col("text")), outs, line)
             case "quality" =>

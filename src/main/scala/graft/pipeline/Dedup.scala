@@ -321,6 +321,44 @@ object Dedup {
       .groupBy("doc_id").agg(countDistinct(col("g")).as("n_overlap"))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-composition
+    * diagnostic run before mixing data sources: for every source pair,
+    * the distinct-shingle intersection, Jaccard, and containment
+    * (overlap coefficient). High containment of a small source in a big
+    * one means the small source is redundant; high pairwise Jaccard
+    * means double-counted crawl slices.
+    *
+    * Scale shape: text collapses to distinct (source, 60-bit gram
+    * fingerprint) pairs FIRST — the only thing that ever shuffles is a
+    * 16-byte row, never text ([[decontaminate]]'s discipline). The
+    * pair join is keyed on the gram and fans out |sources ∋ gram|² per
+    * gram, bounded by the source-universe size squared — source counts
+    * are catalog-sized (10²–10⁴), not data-sized, at any corpus scale.
+    * Counts are exact integers; the two ratios are single IEEE
+    * divisions of exact integers, bit-identical in any engine.
+    *
+    * @return (s1, s2, n_s1, n_s2, n_common, jaccard, containment) per
+    *         unordered source pair with at least one shared gram. */
+  def sourceOverlap(docs: DataFrame, source: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    val sg = TextAnalysis.explodedShingles(docs, source, text, n)
+      .select(col("doc_id").as("s"), Hashing.hash60(col("sh")).as("g"))
+      .distinct()
+    val counts = sg.groupBy("s").agg(count(lit(1)).as("ng"))
+    val pairs = sg.select(col("s").as("s1"), col("g"))
+      .join(sg.select(col("s").as("s2"), col("g")), "g")
+      .where(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.select(col("s").as("s1"), col("ng").as("n_s1")), "s1")
+      .join(counts.select(col("s").as("s2"), col("ng").as("n_s2")), "s2")
+      .select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_s1") + col("n_s2") - col("n_common"))).as("jaccard"),
+        (col("n_common").cast("double") /
+          least(col("n_s1"), col("n_s2"))).as("containment"))
+  }
+
   /** Substring-span duplication statistics — the ExactSubstr shape of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (arXiv:2107.06499): a token span duplicated ANYWHERE else

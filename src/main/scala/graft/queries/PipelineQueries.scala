@@ -155,6 +155,11 @@ object PipelineQueries {
         col("doc_id"), col("text"), n = 8)
     }),
 
+    // Cross-source trigram overlap matrix: distinct-shingle Jaccard and
+    // containment per source pair — the corpus-composition diagnostic.
+    "d_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), col("source"), col("text"), n = 3)),
+
     // Substring-span dedup report (ExactSubstr shape): per-doc count of
     // width-8 token windows whose fingerprint occurs more than once
     // corpus-wide (cross-doc or repeated within one doc), plus the
@@ -331,6 +336,27 @@ object PipelineQueries {
          |tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE source <> 'src0')
          |SELECT doc_id, count(*) AS n_overlap
          |FROM tr JOIN b USING (g) GROUP BY doc_id""".stripMargin
+    },
+
+    "d_overlap" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(k => s"toks[i+$k]").mkString(", ") + ")"
+      s"""WITH t AS (SELECT source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT source, ${H(gram3)} AS g
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |sg AS (SELECT DISTINCT source AS s, g FROM sh),
+         |counts AS (SELECT s, count(*) AS ng FROM sg GROUP BY 1),
+         |pairs AS (SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+         |  FROM sg a JOIN sg b ON a.g = b.g AND a.s < b.s GROUP BY 1, 2)
+         |SELECT s1, s2, ca.ng AS n_s1, cb.ng AS n_s2, n_common,
+         |  CAST(n_common AS DOUBLE) / (ca.ng + cb.ng - n_common) AS jaccard,
+         |  CAST(n_common AS DOUBLE) / least(ca.ng, cb.ng) AS containment
+         |FROM pairs
+         |JOIN counts ca ON ca.s = s1
+         |JOIN counts cb ON cb.s = s2""".stripMargin
     },
 
     "d_mix" ->

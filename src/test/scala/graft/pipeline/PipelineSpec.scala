@@ -517,4 +517,21 @@ class PipelineSpec extends SparkSpec {
     assert(t.getAs[Long]("ws_tokens") == 1)
     assert(t.getAs[Long]("bpe_est") == 1) // ceil(4/4)
   }
+
+  test("source overlap matrix matches hand-computed shingle sets") {
+    // a: doc1 (7 trigrams, all distinct); b: doc2 = near-dup of doc1
+    // (6 shared trigrams of 7); c: unrelated (no shared trigrams)
+    val sdocs = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy cat"),
+      ("c", "completely different words entirely unrelated content here now"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(sdocs, col("source"), col("text"), n = 3)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("a", "b"))) // c shares nothing -> absent
+    val (_, _, nA, nB, common, jac, cont) = got(("a", "b"))
+    assert(nA == 7 && nB == 7 && common == 6)
+    assert(jac == 6.0 / 8.0 && cont == 6.0 / 7.0)
+  }
 }
