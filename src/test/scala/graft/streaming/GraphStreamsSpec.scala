@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.testkit.SparkSpec
+import graft.graph.NeighborhoodFunction
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streaming radius-1 ANF ball must equal the batch HyperANF r=1
+  * rows bit-for-bit once the stream drains (registers merge by max —
+  * order and batching cannot matter). */
+class GraphStreamsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed radius-1 ball equals the batch ANF r=1 rows exactly") {
+    val q = EventStreams.runToMemory(
+      GraphStreams.neighborhoodSketchStream(GraphStreams.readEdges(spark, dir)),
+      "ball_out", OutputMode.Update)
+    try {
+      val s = spark.table("ball_out").select("v", "n_est")
+      val b = NeighborhoodFunction.run(spark, Tables.edges(spark, dir), 1)
+        .where(col("r") === 1).select("v", "n_est")
+      assert(s.count() == b.count(), "vertex universe mismatch")
+      assert(s.except(b).isEmpty && b.except(s).isEmpty,
+        "streamed ball estimate disagrees with the batch r=1 ANF")
+    } finally q.stop()
+  }
+
+  test("arrival batching does not change the sketch (CRDT merge)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
+    // batch twin computed over the full set at once
+    val whole = NeighborhoodFunction.run(spark, edges.toDF("src", "dst"), 1)
+      .where(col("r") === 1).select("v", "n_est")
+    // stream the same edges one file (= one micro-batch) at a time
+    val tmp = java.nio.file.Files.createTempDirectory("edge-stream").toString
+    val schema = edges.toDF("src", "dst").schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    // a continuous-trigger query (runToMemory's AvailableNow would stop
+    // after the first — empty — drain and never see the later files)
+    val q = GraphStreams.neighborhoodSketchStream(stream).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName("ball_inc")
+      .start()
+    try {
+      edges.zipWithIndex.foreach { case (e, i) =>
+        Seq(e).toDF("src", "dst").coalesce(1)
+          .write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+        assert(i < 3 || spark.table("ball_inc").count() > 0)
+      }
+      // update mode re-emits a key per micro-batch: keep the LAST emit
+      val last = spark.table("ball_inc")
+        .withColumn("seq", monotonically_increasing_id())
+        .groupBy("v").agg(max(struct(col("seq"), col("n_est"))).as("m"))
+        .select(col("v"), col("m.n_est").as("n_est"))
+      assert(last.except(whole).isEmpty && whole.except(last).isEmpty,
+        "incremental arrival diverged from the all-at-once sketch")
+    } finally q.stop()
+  }
+}
