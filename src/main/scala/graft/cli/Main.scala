@@ -29,7 +29,8 @@ object Main {
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
-    "hb_closeness", "linkpred", "truss")
+    "hb_closeness", "linkpred", "truss", "transitivity", "reciprocity",
+    "assortativity")
 
   def usage(): Nothing = {
     System.err.println(
@@ -144,6 +145,11 @@ object Main {
           o.get("max-center-degree").map(_.toLong)).orderBy("u", "w")
         case "truss"          => graft.graph.Truss.run(spark, edges(),
           o.getOrElse("k", "4").toInt).orderBy("vi", "vj")
+        case "transitivity"   =>
+          val e = edges()
+          graft.graph.GraphOps.transitivity(e, graft.graph.Triangles.run(e))
+        case "reciprocity"    => graft.graph.GraphOps.reciprocity(edges())
+        case "assortativity"  => graft.graph.GraphOps.assortativity(edges())
         case "walks"          => graft.graph.RandomWalks.run(spark, edges(),
           o.getOrElse("seed", "1").toLong, o.getOrElse("length", "5").toInt)
           .orderBy("start", "step")

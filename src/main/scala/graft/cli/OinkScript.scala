@@ -361,6 +361,12 @@ object OinkScript {
               // truss [k]
               val k = pos.headOption.map(_.toInt).getOrElse(4)
               sinkAndBind(Truss.run(spark, in0, k), outs, line)
+            case "transitivity" =>
+              sinkAndBind(GraphOps.transitivity(in0, Triangles.run(in0)), outs, line)
+            case "reciprocity" =>
+              sinkAndBind(GraphOps.reciprocity(in0), outs, line)
+            case "assortativity" =>
+              sinkAndBind(GraphOps.assortativity(in0), outs, line)
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)

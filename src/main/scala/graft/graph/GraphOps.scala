@@ -82,6 +82,79 @@ object GraphOps {
     nbrRows.unionByName(triRows)
   }
 
+  /** Global clustering coefficient (transitivity): 3·|triangles| /
+    * |wedges| on the simple undirected graph, the one-number cohesion
+    * summary next to the per-vertex [[localClustering]]. Takes the
+    * (possibly memoized) triangle enumeration; the wedge total is
+    * Σ_v deg(v)·(deg(v)−1)/2 from the degree frame — no wedge is ever
+    * materialized. Counts are exact integers, the coefficient one IEEE
+    * division of exact integers.
+    *
+    * @return one row (n_tri, n_wedges, transitivity). */
+  def transitivity(edges: DataFrame, triangles: DataFrame): DataFrame = {
+    val deg = undirected(edges).groupBy(col("vi").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("w2"))
+      .select((col("w2") / 2).cast("long").as("n_wedges"))
+    val tri = triangles.agg(count(lit(1)).as("n_tri"))
+    tri.crossJoin(wedges) // two one-row frames
+      .select(col("n_tri"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          (col("n_tri") * 3).cast("double") / col("n_wedges"))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
+  /** Directed reciprocity: the fraction of simple directed edges whose
+    * reverse edge also exists (Garlaschelli & Loffredo, PRL 2004's
+    * classic r). A left-semi self-join on the swapped key — only edge
+    * keys shuffle. Exact counts, one closing division.
+    *
+    * @return one row (n_edges, n_recip, reciprocity). */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        when(col("n_edges") > 0,
+          col("n_recip").cast("double") / col("n_edges"))
+          .otherwise(lit(0.0)).as("reciprocity"))
+  }
+
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002) on the simple undirected graph: the Pearson correlation
+    * of endpoint degrees over the symmetric edge list, in the
+    * integer-exact form r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — every
+    * sum an exact BIGINT (the symmetric list makes Σj = Σk), so the
+    * only float is ONE division of exact integers. Overflow bound:
+    * M·Σj² < 2^63 needs Σ_v deg³ · M < 2^63 — holds through
+    * billion-edge graphs with max degree < ~10⁶; the DuckDB oracle
+    * sums into HUGEINT and a wrap turns the gate red, not silent.
+    *
+    * @return one row (m, s_jk, s_j, s_j2, assortativity); degenerate
+    *         (regular) graphs report 0. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = undirected(edges)
+    val deg = sym.groupBy(col("vi").as("v")).agg(count(lit(1)).as("deg"))
+    val withDegs = sym
+      .join(deg.select(col("v").as("ui"), col("deg").as("j")), col("vi") === col("ui"))
+      .join(deg.select(col("v").as("uj"), col("deg").as("k")), col("vj") === col("uj"))
+    withDegs.agg(
+        count(lit(1)).as("m"),
+        sum(col("j") * col("k")).as("s_jk"),
+        sum(col("j")).as("s_j"),
+        sum(col("j") * col("j")).as("s_j2"))
+      .select(col("m"), col("s_jk"), col("s_j"), col("s_j2"),
+        when(col("m") * col("s_j2") - col("s_j") * col("s_j") =!= 0,
+          (col("m") * col("s_jk") - col("s_j") * col("s_j")).cast("double") /
+            (col("m") * col("s_j2") - col("s_j") * col("s_j")))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
+
   /** Local clustering coefficient on the simple undirected graph:
     * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 where deg < 2. Takes the
     * (possibly memoized) triangle enumeration so the expensive stage is

@@ -240,6 +240,22 @@ object GraphQueries {
     // extra rounds are no-ops.
     "g_truss" -> ((s, dir) => Truss.run(s, Tables.edges(s, dir), k = 8)),
 
+    // Global clustering coefficient: 3·tri/wedges from the memoized
+    // triangle frame + the degree moments — exact integers, one closing
+    // division.
+    "g_transitivity" -> ((s, dir) =>
+      GraphOps.transitivity(Tables.edges(s, dir), triOf(s, dir))),
+
+    // Directed reciprocity: fraction of simple edges with a reverse
+    // edge; semi-join on the swapped key.
+    "g_reciprocity" -> ((s, dir) =>
+      GraphOps.reciprocity(Tables.edges(s, dir))),
+
+    // Degree assortativity in the integer-exact Pearson form — one
+    // division of exact BIGINT moments.
+    "g_assortativity" -> ((s, dir) =>
+      GraphOps.assortativity(Tables.edges(s, dir))),
+
     // Deterministic random-walk corpus (DeepWalk/node2vec input): every
     // next-hop choice is hash(seed, walk, step, position) % degree, so
     // walks reproduce under any partitioning and in the SQL replica.
@@ -567,6 +583,54 @@ object GraphQueries {
     "g_linkpred" -> LinkPrediction.oracleSql(E),
 
     "g_truss" -> Truss.oracleSql(E, k = 8, rounds = 16),
+
+    "g_transitivity" ->
+      s"""WITH edges AS ($E),
+         |up AS (SELECT DISTINCT least(src, dst) AS vi, greatest(src, dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |sym AS (SELECT vi, vj FROM up UNION ALL SELECT vj, vi FROM up),
+         |deg AS (SELECT vi AS v, count(*) AS deg FROM sym GROUP BY 1),
+         |w AS (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges FROM deg),
+         |t AS (SELECT count(*) AS n_tri FROM up e1
+         |      JOIN up e2 ON e2.vi = e1.vj
+         |      JOIN up e3 ON e3.vi = e1.vi AND e3.vj = e2.vj)
+         |SELECT t.n_tri, w.n_wedges,
+         |  CASE WHEN w.n_wedges > 0
+         |       THEN CAST(t.n_tri * 3 AS DOUBLE) / w.n_wedges
+         |       ELSE CAST(0 AS DOUBLE) END AS transitivity
+         |FROM t, w""".stripMargin,
+
+    "g_reciprocity" ->
+      s"""WITH edges AS ($E),
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |r AS (SELECT count(*) AS n_recip FROM e
+         |      WHERE EXISTS (SELECT 1 FROM e x
+         |                    WHERE x.src = e.dst AND x.dst = e.src)),
+         |n AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT n.n_edges, r.n_recip,
+         |  CASE WHEN n.n_edges > 0
+         |       THEN CAST(r.n_recip AS DOUBLE) / n.n_edges
+         |       ELSE CAST(0 AS DOUBLE) END AS reciprocity
+         |FROM n, r""".stripMargin,
+
+    "g_assortativity" ->
+      s"""WITH edges AS ($E),
+         |up AS (SELECT DISTINCT least(src, dst) AS vi, greatest(src, dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |sym AS (SELECT vi, vj FROM up UNION ALL SELECT vj, vi FROM up),
+         |deg AS (SELECT vi AS v, count(*) AS deg FROM sym GROUP BY 1),
+         |wd AS (SELECT dj.deg AS j, dk.deg AS k
+         |       FROM sym JOIN deg dj ON dj.v = sym.vi
+         |       JOIN deg dk ON dk.v = sym.vj),
+         |s AS (SELECT count(*) AS m, CAST(sum(j * k) AS BIGINT) AS s_jk,
+         |      CAST(sum(j) AS BIGINT) AS s_j,
+         |      CAST(sum(j * j) AS BIGINT) AS s_j2 FROM wd)
+         |SELECT m, s_jk, s_j, s_j2,
+         |  CASE WHEN m * s_j2 - s_j * s_j <> 0
+         |       THEN CAST(m * s_jk - s_j * s_j AS DOUBLE)
+         |            / (m * s_j2 - s_j * s_j)
+         |       ELSE CAST(0 AS DOUBLE) END AS assortativity
+         |FROM s""".stripMargin,
 
     // measured seeded-BFS depth: 0 (sf0.001, sink sources), 3 (sf0.01),
     // 2 (sf0.1); 12 unrolled levels give 4× headroom — empty levels are

@@ -131,4 +131,41 @@ class GraphAlgoSpec extends SparkSpec {
     val c = RMat.generate(spark, 6, 300, seed = 6).as[(Long, Long)].collect().toSet
     assert(a != c, "different seed should give a different graph")
   }
+
+  test("transitivity: 1 on a clique, 0 on a star, hand value on the kite") {
+    def t(edges: Seq[(Long, Long)]): (Long, Long, Double) = {
+      val df = edges.toDF("src", "dst")
+      GraphOps.transitivity(df, Triangles.run(df))
+        .as[(Long, Long, Double)].head()
+    }
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(t(k4) == ((4L, 12L, 1.0)))          // 4 triangles, 12 wedges
+    val star = (1L to 4L).map(v => (0L, v))
+    assert(t(star) == ((0L, 6L, 0.0)))
+    // triangle plus a pendant edge: 1 triangle, 5 wedges
+    val kite = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    assert(t(kite) == ((1L, 5L, 3.0 / 5.0)))
+  }
+
+  test("reciprocity counts mutual simple-edge pairs") {
+    // 0→1 and 1→0 mutual; 1→2 one-way; dup and self-loop ignored
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (1L, 2L), (2L, 2L))
+      .toDF("src", "dst")
+    val (n, r, f) = GraphOps.reciprocity(e).as[(Long, Long, Double)].head()
+    assert((n, r, f) == ((3L, 2L, 2.0 / 3.0)))
+  }
+
+  test("assortativity: -1 on a star, +1 on disjoint uniform cliques") {
+    val star = (1L to 5L).map(v => (0L, v)).toDF("src", "dst")
+    val s = GraphOps.assortativity(star)
+      .select("assortativity").as[Double].head()
+    assert(s == -1.0)
+    // two disjoint triangles: every endpoint degree 2 -> degenerate
+    // (zero variance) reports 0 by convention
+    val tris = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val u = GraphOps.assortativity(tris)
+      .select("assortativity").as[Double].head()
+    assert(u == 0.0)
+  }
 }
