@@ -410,6 +410,10 @@ object OinkScript {
               sinkAndBind(Dedup.dedupPipeline(in0, col("doc_id"), col("text"), thr), outs, line)
             case "dedup_clusters" =>
               sinkAndBind(Dedup.dedupClusters(spark, in0, col("doc_id"), col("text")), outs, line)
+            case "para_dedup" =>
+              // para_dedup [width] — segment-level first-occurrence dedup
+              val width = pos.headOption.map(_.toInt).getOrElse(3)
+              sinkAndBind(Dedup.segmentDedup(in0, col("doc_id"), col("text"), width), outs, line)
             case "simhash" =>
               sinkAndBind(Dedup.simHash(in0, col("doc_id"), col("text")), outs, line)
             case "simhash_pairs" =>

@@ -426,4 +426,95 @@ object Dedup {
         round(col("ninter").cast("double") /
           (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
   }
+
+  /** Segment-level (line/paragraph) deduplication — the sub-document
+    * dedup step of C4 ("three-sentence span" removal; Raffel et al.,
+    * JMLR 2020 §2.2) and CCNet/RefinedWeb line-dedup: split every
+    * document into consecutive `width`-token segments, digest each, keep
+    * only the globally FIRST occurrence of each digest (first = smallest
+    * (doc_id, seg_idx), a total order both engines share), and
+    * reassemble each document from its surviving segments in original
+    * order. Corpora whose boilerplate repeats across pages lose the
+    * boilerplate everywhere but its first carrier while unique prose
+    * survives — the behavior doc-level dedup cannot express.
+    *
+    * Scale shape (100 TB): one scan explodes documents into segments
+    * (row-local slicing of the token array — no join); the keep decision
+    * is one shuffle keyed on the 60-bit segment digest carrying only
+    * (digest, doc_id, seg_idx) — min(struct) with map-side partials, the
+    * same digest-only discipline as [[exact]]; reassembly is one shuffle
+    * back on doc_id. Segment text crosses the reassembly shuffle only
+    * (it must — the output is the rebuilt text); the hot digest
+    * aggregation never carries text. The per-vertex sort in reassembly
+    * is a row-local `sort_array` over one document's segments, bounded
+    * by document length, not corpus size.
+    *
+    * Determinism: the keeper rule min(doc_id, seg_idx) is partition-
+    * independent; reassembly canonicalizes with sort_array on the unique
+    * seg_idx. The DuckDB oracle replays digest, keeper rule, and ordered
+    * reassembly exactly.
+    *
+    * @param width segment width in tokens (the last segment of a
+    *              document may be shorter)
+    * @return (doc_id, n_segs, n_kept, text_kept) for every input
+    *         document; text_kept is "" when every segment was a
+    *         duplicate. */
+  def segmentDedup(docs: DataFrame, id: Column, text: Column, width: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val toks = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("tk"))
+    // row-local segmentation: seg i = tokens [i*width, i*width + width).
+    // The empty-token guard matters: Spark's sequence(0, -1) counts DOWN
+    // (yielding bogus indices), so a token-less document must short-
+    // circuit to an empty segment list — dropping the doc exactly like
+    // the oracle's range(0).
+    val nseg = ceil(size(col("tk")) / lit(width.toDouble)).cast("int")
+    val segs = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("tk")) <= 0, typedLit(Seq.empty[String]))
+          .otherwise(transform(sequence(lit(0), nseg - 1),
+            i => array_join(slice(col("tk"), i * width + 1, lit(width)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+    val keepers = segs
+      .select(Hashing.hash60(col("seg")).as("d"), col("doc_id"), col("seg_idx"))
+      .groupBy("d")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("d"), col("k.doc_id").as("kdoc"), col("k.seg_idx").as("kidx"))
+    segs
+      .join(keepers, Hashing.hash60(col("seg")) === col("d"), "left")
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        (col("doc_id") === col("kdoc") && col("seg_idx") === col("kidx")).as("kept"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_kept"))
+  }
+
+  /** DuckDB replica of [[segmentDedup]] over the `documents` table. */
+  def segmentDedupOracleSql(width: Int): String = {
+    val H = Hashing.hash60Sql("seg")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(CAST(ceil(len(tk) / $width.0) AS BIGINT))) AS seg_idx
+       |  FROM toks),
+       |segs AS (
+       |  SELECT doc_id, seg_idx,
+       |    array_to_string(tk[seg_idx*$width+1 : seg_idx*$width+$width], ' ') AS seg
+       |  FROM idx),
+       |k AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |    row_number() OVER (PARTITION BY $H ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs)
+       |SELECT doc_id, count(*) AS n_segs,
+       |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+       |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '')
+       |    AS text_kept
+       |FROM k GROUP BY doc_id""".stripMargin
+  }
 }

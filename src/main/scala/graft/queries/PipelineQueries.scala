@@ -160,6 +160,13 @@ object PipelineQueries {
     "d_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), col("source"), col("text"), n = 3)),
 
+    // Segment-level dedup (C4 span removal / CCNet line-dedup shape):
+    // 3-token segments, global first-occurrence keep, documents
+    // reassembled from survivors. At sf0.01: 9216 segments -> 7460
+    // kept, 411 of 500 docs lose at least one segment.
+    "d_paradedup" -> ((s, dir) =>
+      Dedup.segmentDedup(docs(s, dir), col("doc_id"), col("text"), width = 3)),
+
     // Substring-span dedup report (ExactSubstr shape): per-doc count of
     // width-8 token windows whose fingerprint occurs more than once
     // corpus-wide (cross-doc or repeated within one doc), plus the
@@ -337,6 +344,8 @@ object PipelineQueries {
          |SELECT doc_id, count(*) AS n_overlap
          |FROM tr JOIN b USING (g) GROUP BY doc_id""".stripMargin
     },
+
+    "d_paradedup" -> graft.pipeline.Dedup.segmentDedupOracleSql(width = 3),
 
     "d_overlap" -> {
       val gram3 = "concat_ws(' ', " +

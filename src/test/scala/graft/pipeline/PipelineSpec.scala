@@ -534,4 +534,23 @@ class PipelineSpec extends SparkSpec {
     assert(nA == 7 && nB == 7 && common == 6)
     assert(jac == 6.0 / 8.0 && cont == 6.0 / 7.0)
   }
+
+  test("segment dedup keeps first occurrence and reassembles in order") {
+    // width 2: doc 1 = [ab][cd][ab] (trailing re-occurrence within one
+    // doc), doc 2 = [ab][xy] (cross-doc dup of 1's first segment),
+    // doc 3 = [cd] alone (dup of 1's middle), doc 4 unique odd tail
+    val sdocs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "p q r"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(sdocs, col("doc_id"), col("text"), width = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((3L, 2L, "a b c d")))   // third segment "a b" deduped
+    assert(got(2L) == ((2L, 1L, "x y")))       // "a b" already owned by doc 1
+    assert(got(3L) == ((1L, 0L, "")))          // whole doc was a duplicate
+    assert(got(4L) == ((2L, 2L, "p q r")))     // odd-length tail survives
+  }
 }
