@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Dedup, KMeansInt, Multimodal, Sampling, Similarity}
+import graft.pipeline.{Bloom, Dedup, KMeansInt, Multimodal, Sampling, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -143,6 +143,31 @@ object PipelineQueries {
       Dedup.exactIncremental(
         d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
         col("doc_id"), col("text"))
+    }),
+
+    // Bloom-filter probe of the incoming batch against the accumulated
+    // corpus digests: 1024-bit packed filter (sized to exercise false
+    // positives at gate scale), k=3. maybe_seen=false is definitive.
+    "d_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newH = d.where(col("source") =!= "src0")
+        .select(col("doc_id"), Hashing.hash60(col("text")).as("content_hash"))
+      val oldH = d.where(col("source") === "src0")
+        .select(Hashing.hash60(col("text")).as("content_hash")).distinct()
+      val filt = Bloom.build(oldH, col("content_hash"), mBits = 1024, k = 3, seed = 19L)
+      Bloom.mayContain(filt, newH, col("doc_id"), col("content_hash"),
+          mBits = 1024, k = 3, seed = 19L)
+        .withColumnRenamed("cand_id", "doc_id")
+    }),
+
+    // Incremental exact dedup THROUGH the Bloom prefilter — must be
+    // row-for-row identical to d_exact_inc (no false negatives; the
+    // anti-join removes the false positives), so it shares that oracle.
+    "d_exact_inc_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bloom.exactIncrementalBloom(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        col("doc_id"), col("text"), mBits = 1024, k = 3, seed = 19L)
     }),
 
     // Benchmark decontamination: docs from source src0 act as the held-
@@ -329,6 +354,44 @@ object PipelineQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM oldh
          |  WHERE oldh.content_hash = newh.content_hash)
          |GROUP BY content_hash""".stripMargin,
+
+    // Bloom-prefiltered incremental dedup is exactly incremental dedup
+    // (no false negatives; anti-join removes false positives) — same
+    // oracle by construction.
+    "d_exact_inc_bloom" ->
+      s"""WITH oldh AS (SELECT DISTINCT ${H("text")} AS content_hash
+         |  FROM documents WHERE source = 'src0'),
+         |newh AS (SELECT doc_id, ${H("text")} AS content_hash
+         |  FROM documents WHERE source <> 'src0')
+         |SELECT min(doc_id) AS doc_id, content_hash FROM newh
+         |WHERE NOT EXISTS (SELECT 1 FROM oldh
+         |  WHERE oldh.content_hash = newh.content_hash)
+         |GROUP BY content_hash""".stripMargin,
+
+    "d_bloom" -> {
+      val m = 1024; val k = 3; val seed = 19L
+      val posUnion = (0 until k)
+        .map(j => s"SELECT ${Hashing.hash60Sql(seed + j, "hv")} % $m AS pos FROM oldh")
+        .mkString("\n  UNION ALL ")
+      val probeUnion = (0 until k)
+        .map(j => s"SELECT doc_id, ${Hashing.hash60Sql(seed + j, "hv")} % $m AS pos FROM newh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH oldh AS (SELECT DISTINCT ${H("text")} AS hv
+         |  FROM documents WHERE source = 'src0'),
+         |allpos AS ($posUnion),
+         |words AS (SELECT pos // 32 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM allpos GROUP BY 1),
+         |newh AS (SELECT doc_id, ${H("text")} AS hv
+         |  FROM documents WHERE source <> 'src0'),
+         |probe AS ($probeUnion)
+         |SELECT p.doc_id,
+         |  bool_and(w.bits IS NOT NULL AND
+         |    (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0)
+         |    AS maybe_seen
+         |FROM probe p LEFT JOIN words w ON p.pos // 32 = w.w
+         |GROUP BY p.doc_id""".stripMargin
+    },
 
     "d_decontaminate" -> {
       val gram8 = "concat_ws(' ', " +
