@@ -26,7 +26,7 @@ object Main {
 
   private val commands = Seq("pagerank", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
-    "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find",
+    "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find", "coloring",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
     "hb_closeness", "linkpred", "truss", "transitivity", "reciprocity",
@@ -37,7 +37,7 @@ object Main {
       s"""usage: graft.cli.Main <command> <input> -o <output> [--key value ...]
          |commands: ${commands.mkString(" ")}
          |options: --source N (sssp) | --nsources N --seed N (sssp, betweenness)
-         |         --seed N (luby_find, rmat, walks, matching) --levels N --edges N (rmat)
+         |         --seed N (luby_find, coloring, rmat, walks, matching) --levels N --edges N (rmat)
          |         --k N (kcore, truss) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
          |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
@@ -119,6 +119,8 @@ object Main {
           val e = edges()
           GraphOps.neighTri(e, Triangles.run(e)).orderBy("v", "ea", "eb")
         case "luby_find"      => LubyMIS.run(spark, edges(),
+          o.getOrElse("seed", "1").toLong).orderBy("v")
+        case "coloring"       => graft.graph.Coloring.run(spark, edges(),
           o.getOrElse("seed", "1").toLong).orderBy("v")
         case "kcore"          => KCore.run(spark, edges(),
           o.getOrElse("k", "2").toInt).orderBy("v")

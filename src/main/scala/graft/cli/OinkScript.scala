@@ -293,6 +293,9 @@ object OinkScript {
             case "luby_find" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(LubyMIS.run(spark, in0, seed), outs, line)
+            case "coloring" =>
+              val seed = pos.headOption.map(_.toLong).getOrElse(1L)
+              sinkAndBind(Coloring.run(spark, in0, seed), outs, line)
             case "sssp" =>
               // sssp ncnt seed (sssp.cpp:395-401)
               val Seq(ncnt, seed) = pos.take(2): @unchecked

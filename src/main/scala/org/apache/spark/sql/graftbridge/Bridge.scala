@@ -39,6 +39,46 @@ object Bridge {
       case _ => ()
     }
 
+  /** Lazy local checkpoint with runaway plan statistics capped.
+    *
+    * Spark 4's `Dataset.checkpoint` carries the origin plan's estimated
+    * `Statistics` onto the truncating [[org.apache.spark.sql.execution.LogicalRDD]]
+    * (`originStats`) so that small checkpointed frames stay
+    * broadcast-eligible. For iterative algorithms whose per-round plan
+    * joins the checkpointed state frame with itself more than once, that
+    * carry turns `sizeInBytes` into a PRODUCT recurrence: the estimate
+    * multiplies every round, the BigInt doubles in bit length per extra
+    * self-reference, and after a few dozen rounds
+    * `JoinSelection.canBroadcastBySize` spends minutes per round in
+    * `BigInteger.multiply` on numbers with millions of bits (observed:
+    * Jones-Plassmann coloring at 23 rounds froze the driver). Capping at
+    * `Long.MaxValue` is lossless for planning — every code path compares
+    * against thresholds far below it, and an absent `originStats` would
+    * default to the same `spark.sql.defaultSizeInBytes` ceiling — while
+    * keeping genuinely small frames broadcastable. */
+  def lazyCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ck = df.localCheckpoint(eager = false)
+    ck.queryExecution.logical match {
+      case l: LogicalRDD =>
+        val cap = BigInt(Long.MaxValue)
+        val s = l.computeStats()
+        if (s.sizeInBytes <= cap && s.rowCount.forall(_ <= cap)) ck
+        else {
+          val capped = Statistics(
+            sizeInBytes = s.sizeInBytes.min(cap),
+            rowCount = s.rowCount.map(_.min(cap)))
+          ofRows(df.sparkSession, new LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            Some(capped), None))
+        }
+      case _ => ck
+    }
+  }
+
   /** Install an extra planner strategy on a live session (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
