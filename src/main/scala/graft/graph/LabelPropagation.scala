@@ -69,10 +69,11 @@ object LabelPropagation {
     out
   }
 
-  /** Unrolled DuckDB oracle replaying the identical synchronous rounds;
-    * the row_number tie-break (cnt DESC, label ASC) is the same total
-    * order as the struct-max. `edgesCte` is the shared edge-list SQL. */
-  def oracleSql(edgesCte: String, rounds: Int): String = {
+  /** The WITH-clause body replaying the identical synchronous rounds —
+    * defines `edges`, `e0` (simple upper edges), `und` (doubled), and
+    * `l0..l<rounds>` label tables. Shared with [[CommunityMetrics]]'
+    * oracles, which score the final `l<rounds>` labels. */
+  def labelCtes(edgesCte: String, rounds: Int): String = {
     val steps = (0 until rounds).map { i =>
       s"""m$i AS MATERIALIZED (
          |  SELECT u.vi AS v, l.label FROM und u JOIN l$i l ON l.v = u.vj),
@@ -83,14 +84,20 @@ object LabelPropagation {
          |      PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM c$i)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS ($edgesCte),
+    s"""edges AS ($edgesCte),
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS vi, greatest(src, dst) AS vj
        |  FROM edges WHERE least(src, dst) <> greatest(src, dst)),
        |und AS MATERIALIZED (
        |  SELECT vi, vj FROM e0 UNION ALL SELECT vj AS vi, vi AS vj FROM e0),
        |l0 AS MATERIALIZED (SELECT DISTINCT vi AS v, vi AS label FROM und),
-       |$steps
-       |SELECT v, label FROM l$rounds""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** Unrolled DuckDB oracle replaying the identical synchronous rounds;
+    * the row_number tie-break (cnt DESC, label ASC) is the same total
+    * order as the struct-max. `edgesCte` is the shared edge-list SQL. */
+  def oracleSql(edgesCte: String, rounds: Int): String =
+    s"""WITH ${labelCtes(edgesCte, rounds)}
+       |SELECT v, label FROM l$rounds""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
+import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -84,6 +84,14 @@ object GraphQueries {
       if (memoize(s)) df.persist() else df
     })
 
+  // g_lpa / g_community / g_modularity share the 4-round LPA labels.
+  private val lpaCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lpaOf(s: SparkSession, dir: String): DataFrame =
+    lpaCache.getOrElseUpdate((s, dir), {
+      val df = LabelPropagation.run(s, Tables.edges(s, dir), rounds = 4)
+      if (memoize(s)) df.persist() else df
+    })
+
   /** Release the memoized cc/tri/sssp frames — call after a sweep
     * (Verify, Bench) so persisted blocks don't outlive their usefulness
     * in a long-lived session. */
@@ -100,6 +108,8 @@ object GraphQueries {
     anfInCache.clear()
     sccCache.values.foreach(_.unpersist(false))
     sccCache.clear()
+    lpaCache.values.foreach(_.unpersist(false))
+    lpaCache.clear()
     srcsCache.clear()
   }
 
@@ -186,6 +196,11 @@ object GraphQueries {
     // oracle computes sequentially via a recursive CTE.
     "g_luby" -> ((s, dir) => LubyMIS.run(s, Tables.edges(s, dir), seed = 11L)),
 
+    // Greedy coloring via Jones-Plassmann rounds — with fixed hash
+    // priorities the fixpoint is the sequential greedy coloring of the
+    // (priority, id) order, replayed by the recursive-CTE oracle.
+    "g_coloring" -> ((s, dir) => Coloring.run(s, Tables.edges(s, dir), seed = 13L)),
+
     // Maximal matching (Israeli-Itai rounds, hash priorities): the
     // fixpoint is the greedy matching of the priority order; the oracle
     // unrolls the identical mutually-minimal rounds (measured ≤4 rounds
@@ -202,8 +217,17 @@ object GraphQueries {
 
     // Synchronous 4-round label propagation — deterministic (smallest-
     // label tie-break), so the oracle replays the identical rounds.
-    "g_lpa" -> ((s, dir) =>
-      LabelPropagation.run(s, Tables.edges(s, dir), rounds = 4)),
+    "g_lpa" -> ((s, dir) => lpaOf(s, dir)),
+
+    // Community-quality layer over the LPA labels: per-community exact
+    // integer structure + one closing conductance division per row, and
+    // the one-row Newman-Girvan modularity as an exact rational with one
+    // closing division. Oracles replay the LPA rounds then score.
+    "g_community" -> ((s, dir) =>
+      CommunityMetrics.communityStats(Tables.edges(s, dir), lpaOf(s, dir))),
+
+    "g_modularity" -> ((s, dir) =>
+      CommunityMetrics.modularity(Tables.edges(s, dir), lpaOf(s, dir))),
 
     // Full core-number decomposition via the H-index fixpoint; the
     // oracle unrolls 10 rounds, past the measured ≤8-round fixpoint.
@@ -564,11 +588,17 @@ object GraphQueries {
 
     "g_luby" -> lubySql(seed = 11L),
 
+    "g_coloring" -> Coloring.oracleSql(E, seed = 13L),
+
     "g_matching" -> MaximalMatching.oracleSql(E, seed = 13L, rounds = 12),
 
     "g_kcore" -> kcoreSql(k = 56, rounds = 8),
 
     "g_lpa" -> LabelPropagation.oracleSql(E, rounds = 4),
+
+    "g_community" -> CommunityMetrics.statsOracleSql(E, rounds = 4),
+
+    "g_modularity" -> CommunityMetrics.modularityOracleSql(E, rounds = 4),
 
     "g_coreness" -> Coreness.oracleSql(E, rounds = 10),
 
