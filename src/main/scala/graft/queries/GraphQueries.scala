@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
+import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, DensestSubgraph, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -263,6 +263,12 @@ object GraphQueries {
     // sf0.01) — the oracle unrolls 16 rounds, past the fixpoint, where
     // extra rounds are no-ops.
     "g_truss" -> ((s, dir) => Truss.run(s, Tables.edges(s, dir), k = 8)),
+
+    // Densest subgraph (Bahmani-Kumar-Vassilvitskii parallel greedy
+    // peel, ε = 1/4): exact integer removal threshold, exact rational
+    // best-prefix choice — no float compares anywhere in the loop.
+    "g_densest" -> ((s, dir) =>
+      DensestSubgraph.run(s, Tables.edges(s, dir))),
 
     // Global clustering coefficient: 3·tri/wedges from the memoized
     // triangle frame + the degree moments — exact integers, one closing
@@ -613,6 +619,8 @@ object GraphQueries {
     "g_linkpred" -> LinkPrediction.oracleSql(E),
 
     "g_truss" -> Truss.oracleSql(E, k = 8, rounds = 16),
+
+    "g_densest" -> DensestSubgraph.oracleSql(E, rounds = 28),
 
     "g_transitivity" ->
       s"""WITH edges AS ($E),
