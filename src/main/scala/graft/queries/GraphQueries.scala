@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, DensestSubgraph, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
+import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, DensestSubgraph, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, MinimumSpanningForest, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -34,6 +34,14 @@ object GraphQueries {
       val df = ConnectedComponents.run(s, Tables.edges(s, dir))
       if (memoize(s)) df.persist() else df
     })
+  // g_msf / g_msf_stats share the Borůvka forest.
+  private val msfCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def msfOf(s: SparkSession, dir: String): DataFrame =
+    msfCache.getOrElseUpdate((s, dir), {
+      val df = MinimumSpanningForest.run(s, Tables.edges(s, dir))
+      if (memoize(s)) df.persist() else df
+    })
+
   private val triCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def triOf(s: SparkSession, dir: String): DataFrame =
     triCache.getOrElseUpdate((s, dir), {
@@ -98,6 +106,8 @@ object GraphQueries {
   def clearCaches(): Unit = {
     ccCache.values.foreach(_.unpersist(false))
     ccCache.clear()
+    msfCache.values.foreach(_.unpersist(false))
+    msfCache.clear()
     triCache.values.foreach(_.unpersist(false))
     triCache.clear()
     ssspCache.values.foreach(_.unpersist(false))
@@ -269,6 +279,14 @@ object GraphQueries {
     // best-prefix choice — no float compares anywhere in the loop.
     "g_densest" -> ((s, dir) =>
       DensestSubgraph.run(s, Tables.edges(s, dir))),
+
+    // Minimum spanning forest (parallel Borůvka): deterministic hash60
+    // edge weights, strict (w, vi, vj) total order — the forest is
+    // unique, so both engines' replay is row-identical.
+    "g_msf" -> ((s, dir) => msfOf(s, dir)),
+
+    "g_msf_stats" -> ((s, dir) =>
+      MinimumSpanningForest.summarize(msfOf(s, dir))),
 
     // Global clustering coefficient: 3·tri/wedges from the memoized
     // triangle frame + the degree moments — exact integers, one closing
@@ -621,6 +639,13 @@ object GraphQueries {
     "g_truss" -> Truss.oracleSql(E, k = 8, rounds = 16),
 
     "g_densest" -> DensestSubgraph.oracleSql(E, rounds = 28),
+
+    "g_msf" -> MinimumSpanningForest.oracleSql(E, rounds = 10),
+
+    "g_msf_stats" ->
+      s"""WITH msf AS (${MinimumSpanningForest.oracleSql(E, rounds = 10)})
+         |SELECT count(*) AS n_edges,
+         |  coalesce(bit_xor(w), 0) AS xor_w FROM msf""".stripMargin,
 
     "g_transitivity" ->
       s"""WITH edges AS ($E),
