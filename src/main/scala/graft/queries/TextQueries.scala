@@ -44,6 +44,11 @@ object TextQueries {
     "t_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), col("doc_id"), col("text"))),
 
+    // PMI collocations: top adjacent-pair associations — identical
+    // double tree in both engines, rounded before the top-N cut.
+    "t_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), col("text"))),
+
     "t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -188,6 +193,27 @@ object TextQueries {
          | CAST(sum(bpe_est) AS BIGINT) AS total_bpe
          |FROM lang JOIN tok USING (doc_id) GROUP BY lang_pred""".stripMargin
     },
+
+    "t_pmi" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |big AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS c12
+        |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+        |  WHERE i <= len(toks) - 2 GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS ntd FROM uni),
+        |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nbd FROM big)
+        |SELECT w1, w2, c12, pmi FROM (
+        |  SELECT b.w1, b.w2, b.c12,
+        |    round(ln(((CAST(b.c12 AS DOUBLE) * nt.ntd) * nt.ntd) /
+        |      ((nb.nbd * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 9) AS pmi
+        |  FROM big b
+        |  JOIN uni u1 ON u1.w = b.w1
+        |  JOIN uni u2 ON u2.w = b.w2, nt, nb
+        |  WHERE b.c12 >= 5)
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
 
     "t_repetition" ->
       """WITH t AS (SELECT doc_id,

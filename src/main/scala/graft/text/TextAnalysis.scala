@@ -291,6 +291,54 @@ object TextAnalysis {
         round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
   }
 
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token pairs (Church & Hanks, "Word association norms, mutual
+    * information, and lexicography", CL 1990):
+    * pmi = ln(p(w1,w2) / (p(w1)·p(w2))) with bigram probabilities over
+    * the bigram total and unigram probabilities over the token total.
+    * The corpus-scale workhorse behind multi-word-expression vocab
+    * entries and tokenizer merge candidates.
+    *
+    * Determinism: both engines evaluate the identically-associated
+    * double expression ln(((c12·N)·N) / ((B·c1)·c2)) — IEEE ops on the
+    * same tree are bit-equal — and the top-N cut orders by the ROUNDED
+    * pmi with a (w1, w2) tie-break, so the selection cannot ride a
+    * last-ulp difference.
+    *
+    * Scale shape: one scan to bigrams (an O(len) `transform` per doc,
+    * no self-join), word-keyed count aggregations with map-side
+    * partials, the two one-row totals broadcast, and a TakeOrdered
+    * top-N — the unigram join is word-keyed (vocabulary-sized, NOT
+    * broadcast). minCount prunes the hapax tail before the joins.
+    *
+    * @return (w1, w2, c12 BIGINT, pmi DOUBLE): top `topN` pairs with
+    *         c12 ≥ minCount by (pmi desc, w1, w2). */
+  def pmiCollocations(docs: DataFrame, text: Column, minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    val toksDf = docs.select(tokens(text).as("ts"))
+    val uni = toksDf.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = toksDf.where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> " +
+          "struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nTok = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tok"))
+    val nBig = big.agg(coalesce(sum(col("c12")), lit(0L)).as("n_big"))
+    val nt = col("n_tok").cast("double")
+    val pmi = log(((col("c12").cast("double") * nt) * nt) /
+      ((col("n_big").cast("double") * col("c1").cast("double")) *
+        col("c2").cast("double")))
+    big.where(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c12"), round(pmi, 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
     * Callers must bind `toks` to an attribute (e.g. via a prior select),
     * not pass `tokens(text)` inline — the expression references the

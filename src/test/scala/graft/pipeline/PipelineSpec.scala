@@ -15,6 +15,21 @@ class PipelineSpec extends SparkSpec {
     (5L, "shrt")) // too short for 3-gram shingles
     .toDF("doc_id", "text")
 
+  test("PMI collocations: adjacent pairs only, exact formula, minCount cut") {
+    val corpus = Seq("new york new york", "new york", "of new", "of new",
+      "of of").toDF("text")
+    val got = TextAnalysis.pmiCollocations(corpus, col("text"),
+      minCount = 2, topN = 3).as[(String, String, Long, Double)].collect()
+    // bigrams: (new,york)=3 (york,new)=1 (of,new)=2 (of,of)=1 → B=7
+    // unigrams: new=5 york=3 of=4 → N=12; minCount=2 keeps two pairs
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("new", "york", 3L), ("of", "new", 2L)))
+    val pNy = math.log(((3.0 * 12) * 12) / ((7.0 * 5) * 3))
+    val pOn = math.log(((2.0 * 12) * 12) / ((7.0 * 4) * 5))
+    assert(math.abs(got(0)._4 - pNy) < 1e-9)
+    assert(math.abs(got(1)._4 - pOn) < 1e-9)
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exact(docs, col("doc_id"), col("text"))
     val dup = g.where(col("cnt") === 2).collect()
