@@ -30,7 +30,7 @@ object Main {
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
     "hb_closeness", "linkpred", "truss", "transitivity", "reciprocity",
-    "assortativity")
+    "assortativity", "msf", "msf_stats", "densest")
 
   def usage(): Nothing = {
     System.err.println(
@@ -173,6 +173,12 @@ object Main {
           graft.graph.NeighborhoodFunction.hyperballCloseness(
             graft.graph.NeighborhoodFunction.run(spark, dirEdges(o), r), r)
             .orderBy("v")
+        case "msf"            => graft.graph.MinimumSpanningForest
+          .run(spark, edges()).orderBy("vi", "vj")
+        case "msf_stats"      => graft.graph.MinimumSpanningForest
+          .summarize(graft.graph.MinimumSpanningForest.run(spark, edges()))
+        case "densest"        => graft.graph.DensestSubgraph
+          .run(spark, edges()).orderBy("v")
         case "rmat"           => RMat.generate(spark,
           o.getOrElse("levels", "10").toInt, o.getOrElse("edges", "1024").toLong,
           o.getOrElse("seed", "1").toLong)

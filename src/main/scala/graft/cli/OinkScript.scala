@@ -373,6 +373,10 @@ object OinkScript {
             case "matching" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(MaximalMatching.run(spark, in0, seed), outs, line)
+            case "msf" =>
+              sinkAndBind(MinimumSpanningForest.run(spark, in0), outs, line)
+            case "densest" =>
+              sinkAndBind(DensestSubgraph.run(spark, in0), outs, line)
             case "anf" =>
               val rounds = pos.headOption.map(_.toInt).getOrElse(3)
               sinkAndBind(NeighborhoodFunction.run(spark, in0, rounds), outs, line)
@@ -428,6 +432,11 @@ object OinkScript {
               sinkAndBind(Dedup.sourceOverlap(in0, col("source"), col("text"), n), outs, line)
             case "langid" =>
               sinkAndBind(TextAnalysis.langId(in0, col("doc_id"), col("text")), outs, line)
+            case "pmi" =>
+              // pmi [minCount] [topN] — collocation mining
+              val minC = pos.lift(0).map(_.toLong).getOrElse(5L)
+              val topN = pos.lift(1).map(_.toInt).getOrElse(100)
+              sinkAndBind(TextAnalysis.pmiCollocations(in0, col("text"), minC, topN), outs, line)
             case "quality" =>
               sinkAndBind(TextAnalysis.quality(in0, col("doc_id"), col("text")), outs, line)
             case "tokens" =>

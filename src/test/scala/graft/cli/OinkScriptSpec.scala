@@ -165,6 +165,22 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("mrm").columns.toSeq == Seq("vi", "vj") && reg("mrm").count() > 0)
   }
 
+  test("msf, densest, and pmi run from scripts") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(docs).exists())
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 6 4 0.25 0.25 0.25 0.25 0.0 7 -o NULL mre",
+      "msf -i mre -o NULL mrf",
+      "densest -i mre -o NULL mrd",
+      s"read_parquet -i $docs -o NULL d",
+      "pmi 2 10 -i d -o NULL mrp"))
+    assert(reg("mrf").columns.toSeq == Seq("vi", "vj", "w") && reg("mrf").count() > 0)
+    assert(reg("mrd").columns.toSeq == Seq("v", "nv", "ne", "density")
+      && reg("mrd").count() > 0)
+    assert(reg("mrp").columns.toSeq == Seq("w1", "w2", "c12", "pmi")
+      && reg("mrp").count() <= 10)
+  }
+
   test("anf suite and kmeans run from scripts") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     assume(new java.io.File(emb).exists())
