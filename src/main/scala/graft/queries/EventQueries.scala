@@ -93,6 +93,43 @@ object EventQueries {
         rates = Map("view" -> 0.1, "click" -> 0.5), default = 0.9,
         seed = 41L)),
 
+    // Ordered funnel (view → click → purchase): per user, the earliest
+    // time reaching each stage STRICTLY AFTER the previous stage's
+    // time — one conditional-min aggregation per stage, each keyed on
+    // user_id (tiny per-user state; no per-user event lists collect).
+    "e_funnel" -> ((s, dir) => {
+      val e = eventsUs(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+      val t1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = e.where(col("event_type") === "click")
+        .join(t1, Seq("user_id")).where(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val t3 = e.where(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).where(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      t1.agg(lit(0L).as("stage_idx"), lit("view").as("stage"),
+          count(lit(1)).as("n_users"))
+        .unionAll(t2.agg(lit(1L).as("stage_idx"), lit("click").as("stage"),
+          count(lit(1)).as("n_users")))
+        .unionAll(t3.agg(lit(2L).as("stage_idx"), lit("purchase").as("stage"),
+          count(lit(1)).as("n_users")))
+    }),
+
+    // Cohort retention: users bucketed by first-seen day, counted per
+    // (cohort_day, day offset) — exact integer day arithmetic on
+    // epoch-microseconds, so both engines bucket identically.
+    "e_retention" -> ((s, dir) => {
+      val day = 86400L * 1000000L
+      val e = eventsUs(s, dir)
+        .select(col("user_id"), (col("ts_us") - (col("ts_us") % day)).as("d"))
+        .distinct()
+      val first = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+      e.join(first, Seq("user_id"))
+        .groupBy((col("cohort_d") / day).cast("long").as("cohort_day"),
+          ((col("d") - col("cohort_d")) / day).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Approximate distinct users per event type via the custom HLL
     // aggregate (graft.functions.HllSketch60) next to the exact count —
     // at corpus scale the sketch shuffles 256 bytes per group instead of
@@ -163,6 +200,33 @@ object EventQueries {
          |  CASE WHEN event_type = 'view' THEN 0.1
          |       WHEN event_type = 'click' THEN 0.5
          |       ELSE 0.9 END""".stripMargin,
+
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+        |       JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+        |       JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       count(*) AS n_users FROM t1
+        |UNION ALL SELECT 1, 'click', count(*) FROM t2
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM t3""".stripMargin,
+
+    "e_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |  (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000)
+        |     % CAST(86400000000 AS BIGINT)) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+        |SELECT cohort_d // CAST(86400000000 AS BIGINT) AS cohort_day,
+        |  (d - cohort_d) // CAST(86400000000 AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "e_approx_distinct" ->
       s"""WITH sk AS (${graft.functions.HllSketch60.oracleSql("events",
