@@ -49,6 +49,10 @@ object TextQueries {
     "t_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(docs(s, dir), col("text"))),
 
+    // Corpus-trained add-k bigram LM scoring each doc's fluency.
+    "t_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogLoss(docs(s, dir), col("doc_id"), col("text"))),
+
     "t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -214,6 +218,31 @@ object TextQueries {
         |  JOIN uni u2 ON u2.w = b.w2, nt, nb
         |  WHERE b.c12 >= 5)
         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "t_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+        |  WHERE i <= len(toks) - 2),
+        |pair AS (SELECT doc_id, w1, w2, count(*) AS kc FROM bi GROUP BY 1, 2, 3),
+        |model AS (SELECT w1, w2, CAST(sum(kc) AS BIGINT) AS c12
+        |  FROM pair GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT unnest(toks) AS w FROM t)),
+        |sc AS (SELECT p.doc_id, CAST(sum(p.kc) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(p.kc AS DOUBLE) *
+        |      -ln((CAST(m.c12 AS DOUBLE) + 0.5) /
+        |          (CAST(l.c1 AS DOUBLE) + 0.5 * CAST(vocab.v AS DOUBLE)))) /
+        |    CAST(sum(p.kc) AS DOUBLE), 6) AS avg_nll
+        |  FROM pair p
+        |  JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+        |  JOIN lft l ON l.w1 = p.w1, vocab
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
+        |FROM sc""".stripMargin,
 
     "t_repetition" ->
       """WITH t AS (SELECT doc_id,

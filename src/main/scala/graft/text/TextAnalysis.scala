@@ -291,6 +291,49 @@ object TextAnalysis {
         round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
   }
 
+  /** Corpus-trained bigram language model with add-k smoothing, scoring
+    * every document by its average bigram negative log-likelihood:
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), the conditioning
+    * count c(w1,·) summed over bigram LEFT occurrences and V the
+    * unigram vocabulary size. The bigram upgrade of
+    * [[unigramLogLoss]] — fluency-sensitive where the unigram score
+    * only sees token frequency; shuffled word salad scores high here
+    * even when its unigram distribution is natural.
+    *
+    * Scale shape: bigram occurrences collapse to per-doc
+    * (doc_id, w1, w2, k) counts in one map-side-combined shuffle; the
+    * corpus model aggregates those same rows (shared exchange); the
+    * probability join is pair-keyed. The two one-row totals broadcast;
+    * the bigram model table does NOT (it is vocabulary², joined by
+    * key).
+    *
+    * @return (doc_id, n_bigrams BIGINT, avg_nll DOUBLE, ppl DOUBLE)
+    *         for documents with at least one bigram. */
+  def bigramLogLoss(docs: DataFrame, id: Column, text: Column,
+      k: Double = 0.5): DataFrame = {
+    val base = docs.select(id.as("doc_id"), tokens(text).as("ts"))
+    val pair = base.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> " +
+          "struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("kc"))
+    val model = pair.groupBy("w1", "w2").agg(sum("kc").as("c12"))
+    val left = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = base.select(explode(col("ts")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    val nll = sum(col("kc").cast("double") *
+        -log((col("c12").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v").cast("double")))) /
+      sum("kc").cast("double")
+    pair.join(model, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("kc").as("n_bigrams"), round(nll, 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
+  }
+
   /** Collocation mining by pointwise mutual information over adjacent
     * token pairs (Church & Hanks, "Word association norms, mutual
     * information, and lexicography", CL 1990):

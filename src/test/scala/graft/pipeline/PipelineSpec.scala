@@ -30,6 +30,22 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got(1)._4 - pOn) < 1e-9)
   }
 
+  test("bigram LM: add-k smoothed NLL matches hand computation") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogLoss(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) → model c(a,b)=3 c(b,a)=1
+    // left: c(a,·)=3 c(b,·)=1; vocab V=3 (a, b, x); k=0.5
+    val pAb = (3.0 + 0.5) / (3.0 + 0.5 * 3)
+    val pBa = (1.0 + 0.5) / (1.0 + 0.5 * 3)
+    val d1 = (2 * -math.log(pAb) + -math.log(pBa)) / 3.0
+    val d2 = -math.log(pAb)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 has no bigram
+    assert(got(0)._2 === 3L && math.abs(got(0)._3 - d1) < 1e-6)
+    assert(got(1)._2 === 1L && math.abs(got(1)._3 - d2) < 1e-6)
+    assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-5)
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exact(docs, col("doc_id"), col("text"))
     val dup = g.where(col("cnt") === 2).collect()
