@@ -67,29 +67,6 @@ object ConnectedComponents {
     * the O(log n) bound is asserted in GraphAlgoSpec on a long chain.
     */
   def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val (comp, iter, _) = runImpl(spark, edges, maxIter)
-    (comp, iter)
-  }
-
-  /** Like [[run]], but the returned frame owns exactly one resource: its
-    * own (already materialized) lazy checkpoint. The internal star-forest
-    * checkpoint is released before returning, so iterative callers — e.g.
-    * [[MinimumSpanningForest]], which contracts merged components every
-    * Borůvka round — can `Bridge.releaseCheckpoint` the result and leave
-    * no blocks behind. [[run]] instead leaves the star forest alive
-    * backing its lazily-evaluated result, which is right for the
-    * session-cached single-shot callers (the Verify memoizers persist the
-    * frame for reuse). */
-  def runOwned(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    val (comp, _, last) = runImpl(spark, edges, maxIter)
-    val out = Bridge.lazyCheckpoint(comp)
-    out.count()
-    Bridge.releaseCheckpoint(last)
-    out
-  }
-
-  private def runImpl(spark: SparkSession, edges: DataFrame, maxIter: Int): (DataFrame, Int, DataFrame) = {
     val verts = GraphOps.vertexExtract(edges)
 
     // Canonical undirected edge set; the star steps rewrite it in place.
@@ -137,7 +114,7 @@ object ConnectedComponents {
     // isolated vertices map to themselves.
     val comp = verts.join(e, verts("v") === e("vi"), "left")
       .select(col("v"), coalesce(col("vj"), col("v")).as("comp"))
-    (comp, iter, e)
+    (comp, iter)
   }
 
   /** `cc_stats` (`oink/cc_stats.cpp:37-62`): component-size histogram. */

