@@ -274,6 +274,59 @@ object EventStreams {
       .toDF()
   }
 
+  final case class FEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+  final case class StageHit(user_id: Long, stage_idx: Long, stage: String,
+      ts_us: Long)
+
+  /** Stateful ordered-funnel tracker — the unbounded twin of the batch
+    * `e_funnel` gate query: per user a three-slot stage-time state; an
+    * event advances the funnel when the previous stage's time is set
+    * and STRICTLY earlier, and each advance emits one row (Append).
+    * Within a micro-batch rows process in event-time order, so a
+    * bounded single-batch run reproduces the batch conditional-min
+    * semantics exactly (EventStreamsSpec); across batches a late
+    * out-of-order event cannot retroactively lower an already-taken
+    * stage time — the standard monotone approximation every streaming
+    * funnel makes. State is three longs per user with no timeout (a
+    * funnel is a lifetime property, the same key cardinality as any
+    * per-user aggregation). */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    require(stages.length == 3, "funnelStream tracks exactly 3 stages")
+    val typed = events
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .as[FEvent]
+
+    def update(userId: Long, rows: Iterator[FEvent],
+        state: GroupState[FunnelState]): Iterator[StageHit] = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      val out = Seq.newBuilder[StageHit]
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        if (e.event_type == stages(0) && s.t1 < 0) {
+          s = s.copy(t1 = e.ts_us)
+          out += StageHit(userId, 0L, stages(0), e.ts_us)
+        } else if (e.event_type == stages(1) && s.t1 >= 0 && s.t2 < 0 &&
+            e.ts_us > s.t1) {
+          s = s.copy(t2 = e.ts_us)
+          out += StageHit(userId, 1L, stages(1), e.ts_us)
+        } else if (e.event_type == stages(2) && s.t2 >= 0 && s.t3 < 0 &&
+            e.ts_us > s.t2) {
+          s = s.copy(t3 = e.ts_us)
+          out += StageHit(userId, 2L, stages(2), e.ts_us)
+        }
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Drive a streaming frame into an in-memory table and block until the
     * source drains — the local smoke harness. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {

@@ -186,6 +186,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch conditional-min stage times") {
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.funnelStream(spark, stream), "funnel_out", OutputMode.Append)
+    try {
+      val s = spark.table("funnel_out")
+      val e = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val t1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = e.where(col("event_type") === "click")
+        .join(t1, Seq("user_id")).where(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val t3 = e.where(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).where(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val b = t1.select(col("user_id"), lit(0L).as("stage_idx"),
+          lit("view").as("stage"), col("t1").as("ts_us"))
+        .unionAll(t2.select(col("user_id"), lit(1L).as("stage_idx"),
+          lit("click").as("stage"), col("t2").as("ts_us")))
+        .unionAll(t3.select(col("user_id"), lit(2L).as("stage_idx"),
+          lit("purchase").as("stage"), col("t3").as("ts_us")))
+      assert(s.count() > 0 && s.count() === b.count())
+      assert(s.except(b).isEmpty && b.except(s).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session
