@@ -91,6 +91,21 @@ object MaximalMatching {
     * the Spark side fails loudly past maxIter, so a silent undercount
     * needs the implausible pairing of a deep graph with a small unroll;
     * [[runCounted]]'s round count sizes it). */
+  /** 2-approximate minimum vertex cover — the endpoints of a maximal
+    * matching (the classic Gavril/Yannakakis bound: every edge has a
+    * matched endpoint, and no cover can take fewer than one vertex per
+    * matched edge). Rides the matching's determinism. */
+  def vertexCover(spark: SparkSession, edges: DataFrame, seed: Long): DataFrame =
+    run(spark, edges, seed)
+      .select(explode(array(col("vi"), col("vj"))).as("v"))
+      .distinct()
+
+  /** Oracle twin of [[vertexCover]] over the matching oracle. */
+  def vertexCoverOracleSql(edgesCte: String, seed: Long, rounds: Int): String =
+    s"""WITH m AS (${oracleSql(edgesCte, seed, rounds)})
+       |SELECT DISTINCT v FROM (
+       |  SELECT vi AS v FROM m UNION ALL SELECT vj AS v FROM m)""".stripMargin
+
   def oracleSql(edgesCte: String, seed: Long, rounds: Int): String = {
     val h = Hashing.hash60Sql(s"concat_ws('|', '$seed', vi, vj)")
     val steps = (0 until rounds).map { i =>

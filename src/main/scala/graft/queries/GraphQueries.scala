@@ -218,6 +218,10 @@ object GraphQueries {
     "g_matching" -> ((s, dir) =>
       MaximalMatching.run(s, Tables.edges(s, dir), seed = 13L)),
 
+    // 2-approximate vertex cover: endpoints of the maximal matching.
+    "g_vcover" -> ((s, dir) =>
+      MaximalMatching.vertexCover(s, Tables.edges(s, dir), seed = 13L)),
+
     "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L)),
 
     // k-core extraction (k=56 peels 3 rounds at sf0.01); the oracle
@@ -615,6 +619,8 @@ object GraphQueries {
     "g_coloring" -> Coloring.oracleSql(E, seed = 13L),
 
     "g_matching" -> MaximalMatching.oracleSql(E, seed = 13L, rounds = 12),
+
+    "g_vcover" -> MaximalMatching.vertexCoverOracleSql(E, seed = 13L, rounds = 12),
 
     "g_kcore" -> kcoreSql(k = 56, rounds = 8),
 

@@ -53,6 +53,27 @@ object TextQueries {
     "t_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogLoss(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Per-doc top-3 TF-IDF terms through the custom TopKPerKey physical
+    // operator (capped map-side heaps; only ≤ k rows per (doc,
+    // partition) cross the exchange). Scores round to 9 before the cut
+    // so the selection never rides a last-ulp difference.
+    "t_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"), col("tf"),
+          round(col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double")), 9)
+            .as("tfidf"))
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq(col("doc_id")),
+        Seq(col("tfidf").desc, col("w")), k = 3)
+        .select("doc_id", "w", "tf", "tfidf")
+    }),
+
     "t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -197,6 +218,22 @@ object TextQueries {
          | CAST(sum(bpe_est) AS BIGINT) AS total_bpe
          |FROM lang JOIN tok USING (doc_id) GROUP BY lang_pred""".stripMargin
     },
+
+    "t_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk WHERE w <> ''
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.w, t.tf,
+        |    round(CAST(t.tf AS DOUBLE) *
+        |      ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 9) AS tfidf
+        |  FROM tf t JOIN dfreq d ON d.w = t.w, n)
+        |SELECT doc_id, w, tf, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, w ASC) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin,
 
     "t_pmi" ->
       """WITH t AS (SELECT doc_id,
