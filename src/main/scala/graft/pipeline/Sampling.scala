@@ -105,6 +105,21 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Per-stratum Efraimidis-Spirakis sample: the top `k` hash
+    * priorities WITHIN each stratum, taken through the engine's
+    * TopKPerKey physical operator — bounded map-side heaps per
+    * (stratum, partition), ≤ k rows per stratum crossing the exchange,
+    * never a per-stratum sort. The per-domain quota cousin of
+    * [[weightedSample]] (same priority, same determinism contract). */
+  def weightedSamplePerKey(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, k: Int, seed: Long): DataFrame = {
+    val pri = log(Hashing.rand01(seed, key)) / weight.cast("double")
+    graft.plans.TopKPerKey.topKPerKey(
+        df.where(weight > 0).withColumn("__pri", pri),
+        Seq(stratum), Seq(col("__pri").desc, key.asc), k)
+      .drop("__pri")
+  }
+
   /** Token-budget mixture sampling — the data-mixing step of a training
     * run: given target shares per domain (e.g. web 60% / code 30% /
     * books 10%) and a total token budget, derive each domain's keep rate

@@ -93,6 +93,19 @@ object EventQueries {
         rates = Map("view" -> 0.1, "click" -> 0.5), default = 0.9,
         seed = 41L)),
 
+    // Per-user rolling mean over the last 3 events (ROWS frame) — the
+    // window-frame shape tumbling aggregation can't express; total
+    // (ts_us, event_id) ordering makes the frame contents exact.
+    "e_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-2, 0)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("mov_avg", round(avg("value").over(w), 6))
+        .drop("value")
+    }),
+
     // Ordered funnel (view → click → purchase): per user, the earliest
     // time reaching each stage STRICTLY AFTER the previous stage's
     // time — one conditional-min aggregation per stage, each keyed on
@@ -200,6 +213,15 @@ object EventQueries {
          |  CASE WHEN event_type = 'view' THEN 0.1
          |       WHEN event_type = 'click' THEN 0.5
          |       ELSE 0.9 END""".stripMargin,
+
+    "e_moving_avg" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM e""".stripMargin,
 
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

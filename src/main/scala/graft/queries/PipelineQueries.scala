@@ -218,6 +218,15 @@ object PipelineQueries {
         docs(s, dir).select("doc_id", "n_chars"),
         key = col("doc_id"), weight = col("n_chars"), k = 50, seed = 11L)),
 
+    // Per-source weighted sampling quota: top-10 E-S priorities within
+    // each source through the TopKPerKey operator.
+    "d_weighted_sample_key" -> ((s, dir) =>
+      Sampling.weightedSamplePerKey(
+        docs(s, dir).select("doc_id", "source", "n_chars"),
+        stratum = col("source"), key = col("doc_id"),
+        weight = col("n_chars"), k = 10, seed = 11L)
+        .select("doc_id", "source", "n_chars")),
+
     // DSIR importance weights: score every doc by hashed-bigram log
     // likelihood ratio toward the English subset (the "target"
     // distribution) vs the whole corpus.
@@ -744,6 +753,15 @@ object PipelineQueries {
          |ORDER BY ln(${Hashing.rand01Sql(11L, "doc_id")})
          |  / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
          |LIMIT 50""".stripMargin,
+
+    "d_weighted_sample_key" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ln(${Hashing.rand01Sql(11L, "doc_id")})
+         |      / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 10""".stripMargin,
 
     "d_dsir" ->
       s"""WITH $DsirCtes
