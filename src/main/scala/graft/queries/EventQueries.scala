@@ -93,6 +93,20 @@ object EventQueries {
         rates = Map("view" -> 0.1, "click" -> 0.5), default = 0.9,
         seed = 41L)),
 
+    // Z-score anomaly flags: events more than 3 sample standard
+    // deviations from their type's mean — per-type stats broadcast back
+    // onto the scan; the filter and output share the ROUNDED z so the
+    // cut cannot ride a last-ulp difference between engines.
+    "e_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val st = e.groupBy("event_type")
+        .agg(avg("value").as("m"), stddev("value").as("sd"))
+      e.join(broadcast(st), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
+        .where(abs(col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    }),
+
     // Per-user rolling mean over the last 3 events (ROWS frame) — the
     // window-frame shape tumbling aggregation can't express; total
     // (ts_us, event_id) ordering makes the frame contents exact.
@@ -213,6 +227,14 @@ object EventQueries {
          |  CASE WHEN event_type = 'view' THEN 0.1
          |       WHEN event_type = 'click' THEN 0.5
          |       ELSE 0.9 END""".stripMargin,
+
+    "e_anomaly" ->
+      """WITH st AS (SELECT event_type, avg(value) AS m,
+        |  stddev(value) AS sd FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - st.m) / st.sd, 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(round((e.value - st.m) / st.sd, 6)) > 3""".stripMargin,
 
     "e_moving_avg" ->
       """WITH e AS (SELECT user_id, event_id, value,
