@@ -74,6 +74,17 @@ object Bench {
     }
     System.gc() // settle the heap before the ms-scale reference metric
 
+    // Failure isolation: one broken query family must never zero the
+    // whole bench (round-5 postmortem — a streaming AnalysisException
+    // outside any try/catch killed the entire JSON line). Each section
+    // runs fenced; a failed section contributes no keys and the line
+    // still prints with whatever succeeded.
+    def section(name: String)(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] section $name failed: ${e.getMessage}")
+        Nil
+      }
+
     // Reference-metric section: inverse-adjacency build, timed like the
     // reference's MapReduce phase (parse excluded). Two shapes:
     //  - local: single-partition hash grouping — comparable to the cpp
@@ -82,7 +93,7 @@ object Bench {
     //    the MPI variants (communication included), and the shape that
     //    scales out.
     import spark.implicits._
-    val mrPhase = Seq("barabasi-100000", "erdos-100000").flatMap { name =>
+    val mrPhase = Seq("barabasi-100000", "erdos-100000").flatMap { name => section(s"mr_phase:$name") {
       val path = s"/root/reference/test/$name.txt"
       if (!new java.io.File(path).exists()) Nil
       else {
@@ -116,7 +127,7 @@ object Bench {
         edges.unpersist(false); e1.unpersist(false)
         Seq(s"$name-local" -> local, s"$name-shuffle" -> shuffle)
       }
-    }
+    } }
 
     // Extras: custom-operator-vs-builtin and streaming throughput.
     //  - topk: TopKPerKey (bounded map-side heaps, ≤k rows/key/partition
@@ -124,33 +135,36 @@ object Bench {
     //    partition sort, whole input shuffles) on lineitem.
     //  - streaming: micro-batch rows/sec through the windowed-agg
     //    pipeline (watermark + stateful agg), AvailableNow drain.
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val topkArgs = (Seq(col("l_suppkey")),
-      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
-    materialize(graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)) // warm
-    val topkCustom = timeIt(materialize(
-      graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    def windowed = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
-    materialize(windowed) // warm
-    val topkWindow = timeIt(materialize(windowed))
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val streamSec = timeIt {
-      val q = graft.streaming.EventStreams.runToMemory(
-        graft.streaming.EventStreams.windowedAgg(
-          graft.streaming.EventStreams.readEvents(spark, sfDir)),
-        "bench_stream", org.apache.spark.sql.streaming.OutputMode.Append)
-      q.stop()
+    val topk = section("topk") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val topkArgs = (Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+      materialize(graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)) // warm
+      val topkCustom = timeIt(materialize(
+        graft.plans.TopKPerKey.topKPerKey(li, topkArgs._1, topkArgs._2, 10)))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      def windowed = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
+      materialize(windowed) // warm
+      Seq("topk_custom_sec" -> topkCustom,
+        "topk_window_sec" -> timeIt(materialize(windowed)))
     }
-    val extras = Seq(
-      "topk_custom_sec" -> topkCustom,
-      "topk_window_sec" -> topkWindow,
-      "stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0))
+    val streaming = section("streaming") {
+      val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+      val streamSec = timeIt {
+        val q = graft.streaming.EventStreams.runToMemory(
+          graft.streaming.EventStreams.windowedAgg(
+            graft.streaming.EventStreams.readEvents(spark, sfDir)),
+          "bench_stream", org.apache.spark.sql.streaming.OutputMode.Append)
+        q.stop()
+      }
+      Seq("stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0))
+    }
+    val extras = topk ++ streaming
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

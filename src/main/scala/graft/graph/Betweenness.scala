@@ -134,7 +134,7 @@ object Betweenness {
   def oracleSql(edgesCte: String, srcsCte: String, levels: Int): String = {
     val fwd = (0 until levels).map { d =>
       s"""f${d + 1} AS MATERIALIZED (
-         |  SELECT w.source, e.dst AS v, ${d + 1} AS dist, sum(w.sigma) AS sigma
+         |  SELECT w.source, e.dst AS v, ${d + 1} AS dist, CAST(sum(w.sigma) AS BIGINT) AS sigma
          |  FROM f$d w JOIN edges e ON e.src = w.v
          |  WHERE NOT EXISTS (SELECT 1 FROM vis$d x
          |                    WHERE x.source = w.source AND x.v = e.dst)

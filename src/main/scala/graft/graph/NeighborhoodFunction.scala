@@ -209,7 +209,7 @@ object NeighborhoodFunction {
   def effDiamCtes(edgesCte: String, rounds: Int): String =
     s"""${oracleCtes(edgesCte, rounds)},
        |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
-       |hp AS (SELECT r, sum(s) AS p FROM sc GROUP BY r),
+       |hp AS (SELECT r, CAST(sum(s) AS BIGINT) AS p FROM sc GROUP BY r),
        |fin AS (SELECT p AS pr FROM hp ORDER BY r DESC LIMIT 1),
        |lg AS (SELECT r, p, lag(p) OVER (ORDER BY r) AS prev, pr
        |  FROM hp, fin),
@@ -226,7 +226,7 @@ object NeighborhoodFunction {
   def hopPlotOracleSql(edgesCte: String, rounds: Int): String =
     s"""${oracleCtes(edgesCte, rounds)},
        |sc AS (SELECT r, CAST(round(n_est * 10000) AS BIGINT) AS s FROM anf),
-       |hp AS (SELECT r, sum(s) AS pairs_x1e4 FROM sc GROUP BY r)
+       |hp AS (SELECT r, CAST(sum(s) AS BIGINT) AS pairs_x1e4 FROM sc GROUP BY r)
        |SELECT r, pairs_x1e4,
        |  CAST(pairs_x1e4 AS DOUBLE)
        |    / (SELECT pairs_x1e4 FROM hp ORDER BY r DESC LIMIT 1) AS reach_ratio

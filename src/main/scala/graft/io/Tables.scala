@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
@@ -31,6 +31,38 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Event-time column of `events.ts` as TimestampType, schema-adaptively.
+    *
+    * The driver has regenerated `/root/testdata` with different parquet
+    * physical types for `ts` across rounds: TIMESTAMP(NANOS) (arrives as
+    * BIGINT nanoseconds under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * timestamp[us] (arrives as TIMESTAMP_NTZ under Spark's NTZ inference,
+    * or TIMESTAMP). All engine time math is exact integer microseconds;
+    * this pair of helpers is the ONLY place the physical arrival type is
+    * consulted. Sessions run with `spark.sql.session.timeZone=UTC`
+    * (Verify/Bench/SparkSpec), so the NTZ→TIMESTAMP cast preserves the
+    * underlying microsecond value — matching DuckDB, which treats naive
+    * timestamps as UTC in `epoch_ns`/`epoch_us`. */
+  def eventTime(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$tsCol div 1000")) // BIGINT nanos → micros
+      case org.apache.spark.sql.types.TimestampType => col(tsCol)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType)
+      case other => throw new IllegalArgumentException(
+        s"unsupported $tsCol type for event time: $other")
+    }
+
+  /** `events.ts` as BIGINT epoch-microseconds, schema-adaptively —
+    * see [[eventTime]]. The integer-microsecond domain is what every
+    * event query and its DuckDB oracle (`epoch_ns(ts) // 1000`) share. */
+  def eventMicros(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
+      case _ => unix_micros(eventTime(df, tsCol))
+    }
 
   /** Every testdata table name, in TESTDATA.md order. */
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -124,7 +124,7 @@ object KMeansInt {
       s"""a$i AS MATERIALIZED (
          |  SELECT vec_id, cid, cost FROM (
          |    SELECT d.vec_id, c.cid,
-         |      sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)) AS cost,
+         |      CAST(sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)) AS BIGINT) AS cost,
          |      row_number() OVER (PARTITION BY d.vec_id
          |        ORDER BY sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)), c.cid) AS rn
          |    FROM dims d JOIN c${i - 1} c ON c.j = d.j
@@ -154,7 +154,7 @@ object KMeansInt {
        |$rounds,
        |fin AS (
        |  SELECT d.vec_id, c.cid,
-       |    sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)) AS cost,
+       |    CAST(sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)) AS BIGINT) AS cost,
        |    row_number() OVER (PARTITION BY d.vec_id
        |      ORDER BY sum((d.x * $Scale - c.mj) * (d.x * $Scale - c.mj)), c.cid) AS rn
        |  FROM dims d JOIN c$iters c ON c.j = d.j

@@ -6,10 +6,11 @@ import graft.functions.Hashing
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata alongside. The Spark-side shape —
-  * schema, batch iteration, partition sizing — is real and tested; the
-  * actual media decode is STUBBED (no image/audio libraries in this
-  * environment) behind [[StubDecoder]], a deterministic fake whose
-  * replacement is the only integration point a real codec needs.
+  * schema, batch iteration, partition sizing — is real and tested. Image
+  * decode is REAL behind `spark.graft.media.decoder=imageio` (JDK
+  * `javax.imageio`: PNG/JPEG/GIF/BMP); the default [[StubDecoder]] is a
+  * deterministic fake (oracle-checkable, and the fallback for formats the
+  * JDK can't read — video/audio codecs don't exist in this environment).
   *
   * Scale notes: payloads are processed with `mapPartitions` over an
   * Iterator (streaming, batch-shaped like `mapInPandas` batches — no
@@ -30,7 +31,7 @@ object Multimodal {
       feature_hash: Long)
 
   /** Deterministic fake decode: dimensions derived from the payload hash.
-    * ??? -> replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
+    * ??? -> replace with a real codec (e.g. ffmpeg JNI for video/audio)
     * — signature stays `Array[Byte] => (width, height, channels)`. */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
@@ -38,6 +39,33 @@ object Multimodal {
       (((h % 1024) + 1).toInt, (((h >> 10) % 1024) + 1).toInt, 3)
     }
   }
+
+  /** Real image decode on the JDK's built-in codecs (PNG/JPEG/GIF/BMP via
+    * `javax.imageio` — zero extra dependencies). Non-image payloads (and
+    * the synthetic UTF-8 testdata payloads) fall back to [[StubDecoder]],
+    * so a mixed corpus decodes what it can and stays total. ImageIO
+    * readers are NOT thread-safe to share, but each call creates its own
+    * stream/reader, so concurrent tasks are fine. */
+  object ImageIODecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) StubDecoder.decode(payload) // unrecognized format
+        else (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      } catch { case _: Exception => StubDecoder.decode(payload) }
+  }
+
+  /** Decoder selection — `spark.graft.media.decoder` = `stub` (default;
+    * deterministic, oracle-checkable) or `imageio` (real JDK codecs with
+    * stub fallback for undecodable bytes). The conf is read ON THE DRIVER
+    * at plan time and the chosen function closure ships with the task —
+    * executors never consult the conf. */
+  def decoderFor(spark: SparkSession): Array[Byte] => (Int, Int, Int) =
+    spark.conf.getOption("spark.graft.media.decoder").getOrElse("stub") match {
+      case "imageio" => ImageIODecoder.decode
+      case _ => StubDecoder.decode
+    }
 
   /** Attach a synthetic binary payload column to a text table — the
     * testdata stand-in for real media bytes. */
@@ -48,11 +76,12 @@ object Multimodal {
     * streams the partition iterator, emits typed features. */
   def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val decode = decoderFor(spark)
     withPayload(docs).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val (w, h, c) = StubDecoder.decode(payload)
+          val (w, h, c) = decode(payload)
           MediaFeatures(id, payload.length.toLong, w, h, c,
             Hashing.hash60Local(new String(payload, "ISO-8859-1")))
         }

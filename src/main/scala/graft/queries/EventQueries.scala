@@ -9,20 +9,23 @@ import graft.io.Tables
   * [[graft.streaming.EventStreams]]), gap-based sessionization, and JSON
   * property extraction.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); sessions read it as BIGINT
-  * nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`) and all time
-  * math happens in exact integer MICROSECONDS (`ts div 1000`) — never
-  * floating seconds, so the DuckDB oracle (epoch_ns // 1000) matches
-  * bit-for-bit. Window starts are `us - us % 3600e6`, identical to
-  * `date_trunc('hour')` for post-1970 data.
+  * All time math happens in exact integer MICROSECONDS — never floating
+  * seconds, so the DuckDB oracle (epoch_ns // 1000) matches bit-for-bit.
+  * The physical arrival type of `events.ts` (BIGINT nanos vs TIMESTAMP
+  * vs TIMESTAMP_NTZ — the driver has shipped all three) is normalized in
+  * exactly one place, [[graft.io.Tables.eventMicros]]. Window starts are
+  * `us - us % 3600e6`, identical to `date_trunc('hour')` for post-1970
+  * data.
   */
 object EventQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
   /** events with ts_us BIGINT epoch-microseconds. */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.withColumn("ts_us", Tables.eventMicros(e))
+  }
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour window per event_type. Same plan a streaming

@@ -29,11 +29,11 @@ object EventStreams {
     * watermark: late data beyond the watermark is dropped, state is
     * bounded — the 100 TB/day streaming shape.
     *
-    * `ts` arrives as BIGINT nanos (nanosAsLong sessions) — converted to
-    * a microsecond TimestampType for the event-time machinery. */
+    * `ts` is normalized schema-adaptively to a microsecond TimestampType
+    * for the event-time machinery ([[graft.io.Tables.eventTime]]). */
   def windowedAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", "2 hours")
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
@@ -50,7 +50,7 @@ object EventStreams {
     * serializes into the state row like any built-in sketch. */
   def approxDistinctStream(events: DataFrame): DataFrame =
     events
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", "2 hours")
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
       .agg(graft.functions.HllSketch60.hll60(
@@ -68,7 +68,7 @@ object EventStreams {
     * sketch is bit-reproducible against its batch twin. */
   def quantileStream(events: DataFrame): DataFrame =
     events
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", "2 hours")
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
       .agg(graft.functions.HdrQuantiles.hdrQuantiles(
@@ -88,7 +88,7 @@ object EventStreams {
     * sketch under any trigger cadence. */
   def logQuantileStream(events: DataFrame): DataFrame =
     events
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", "2 hours")
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
       .agg(graft.functions.LogQuantiles.logQuantiles(
@@ -116,8 +116,9 @@ object EventStreams {
   def sessionize(spark: SparkSession, events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
-        timestamp_micros(expr("ts div 1000")).as("tts"))
+      .select(col("user_id"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        graft.io.Tables.eventTime(events).as("tts"))
       .as[Event]
       .withWatermark("tts", "30 minutes")
 
@@ -170,7 +171,7 @@ object EventStreams {
   def dedupStream(events: DataFrame, keys: Seq[String],
       horizon: String = "2 hours"): DataFrame =
     events
-      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", horizon)
       .dropDuplicatesWithinWatermark(keys)
       .drop("tts")
@@ -185,10 +186,10 @@ object EventStreams {
     * unconstrained join would buffer each side forever). */
   def rangeJoinStream(events: DataFrame,
       windowUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
-    val withTts = events.withColumn("tts", timestamp_micros(expr("ts div 1000")))
+    val withTts = events.withColumn("tts", graft.io.Tables.eventTime(events))
     val points = withTts
       .select(col("user_id"), col("event_id"), col("tts"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("tts")).as("ts_us"))
       .withWatermark("tts", horizon)
     val purchases = withTts
       .where(col("event_type") === "purchase")
@@ -297,7 +298,8 @@ object EventStreams {
     require(stages.length == 3, "funnelStream tracks exactly 3 stages")
     val typed = events
       .where(col("event_type").isin(stages: _*))
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_type"),
+        graft.io.Tables.eventMicros(events).as("ts_us"))
       .as[FEvent]
 
     def update(userId: Long, rows: Iterator[FEvent],

@@ -345,6 +345,31 @@ class PipelineSpec extends SparkSpec {
     assert(typed.except(sql).isEmpty && sql.except(typed).isEmpty)
   }
 
+  test("multimodal: imageio decoder reads real PNG dims, stub-falls-back otherwise") {
+    // a real 7x5 RGB PNG encoded by the same JDK codec the decoder uses
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    assert(Multimodal.ImageIODecoder.decode(png) == ((7, 5, 3)))
+    // undecodable bytes: identical to the deterministic stub
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.ImageIODecoder.decode(junk) ==
+      Multimodal.StubDecoder.decode(junk))
+    // the conf flag routes the whole typed pass through imageio; on the
+    // synthetic UTF-8 payloads every row falls back to stub values, so
+    // the two passes must be identical frame-wide
+    spark.conf.set("spark.graft.media.decoder", "imageio")
+    try {
+      val viaFlag = Multimodal.extractFeatures(spark, docs)
+      spark.conf.set("spark.graft.media.decoder", "stub")
+      val viaStub = Multimodal.extractFeatures(spark, docs)
+      assert(viaFlag.except(viaStub).isEmpty && viaStub.except(viaFlag).isEmpty)
+    } finally spark.conf.unset("spark.graft.media.decoder")
+  }
+
   test("langid picks the marker-dominant language") {
     val d = Seq(
       (1L, "the cat and the dog is a friend of mine"),

@@ -22,8 +22,8 @@ class EventStreamsSpec extends SparkSpec {
       val s = spark.table("win_out").select("win_start_us", "event_type", "cnt")
       val b = EventQueries.queries("e_window_agg")(spark, dir)
         .select("win_start_us", "event_type", "cnt")
-      val maxUs = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val maxUs = ev.agg(max(graft.io.Tables.eventMicros(ev))).head().getLong(0)
       val closed = b.where(col("win_start_us") + (3600L * 1000000L) <
         maxUs - (2L * 3600L * 1000000L))
       assert(s.count() > 0, "stream emitted nothing")
@@ -41,9 +41,10 @@ class EventStreamsSpec extends SparkSpec {
       val s = spark.table("hll_out")
       // batch twin: same windowing, same sketch — estimates must agree
       // EXACTLY (registers merge by max; order cannot matter)
-      val b = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("win_start_us",
-          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val b = ev
+        .withColumn("win_start_us", usC - usC % (3600L * 1000000L))
         .groupBy("win_start_us", "event_type")
         .agg(HllSketch60.hll60(Hashing.hash60(col("user_id").cast("string")))
           .as("approx_users"))
@@ -61,9 +62,10 @@ class EventStreamsSpec extends SparkSpec {
       val s = spark.table("hdrq_out")
       // batch twin: bin counts add, so any merge order yields the same
       // cumulative ranks — estimates must agree EXACTLY
-      val b = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("win_start_us",
-          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val b = ev
+        .withColumn("win_start_us", usC - usC % (3600L * 1000000L))
         .groupBy("win_start_us", "event_type")
         .agg(HdrQuantiles.hdrQuantiles(
           floor(col("value") * 100 + 0.5).cast("long"),
@@ -84,9 +86,10 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.logQuantileStream(stream), "lgq_out", OutputMode.Append)
     try {
       val s = spark.table("lgq_out")
-      val b = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("win_start_us",
-          expr("ts div 1000") - expr("ts div 1000") % (3600L * 1000000L))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val b = ev
+        .withColumn("win_start_us", usC - usC % (3600L * 1000000L))
         .groupBy("win_start_us", "event_type")
         .agg(LogQuantiles.logQuantiles(
           floor(col("value") * 100 + 0.5).cast("long"),
@@ -192,8 +195,10 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.funnelStream(spark, stream), "funnel_out", OutputMode.Append)
     try {
       val s = spark.table("funnel_out")
-      val e = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val e = ev
+        .select(col("user_id"), col("event_type"),
+          graft.io.Tables.eventMicros(ev).as("ts_us"))
       val t1 = e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t1"))
       val t2 = e.where(col("event_type") === "click")
@@ -210,6 +215,34 @@ class EventStreamsSpec extends SparkSpec {
           lit("purchase").as("stage"), col("t3").as("ts_us")))
       assert(s.count() > 0 && s.count() === b.count())
       assert(s.except(b).isEmpty && b.except(s).isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming funnel is monotone across batches: late events cannot lower a taken stage") {
+    // The documented divergence from batch e_funnel (EventStreams.funnelStream
+    // scaladoc): within a batch rows process in event-time order, but a
+    // late cross-batch arrival must NOT retroactively lower an
+    // already-taken stage time — the standard streaming-funnel
+    // approximation, asserted here explicitly.
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().select(col("_1").as("user_id"),
+      col("_2").as("event_type"), (col("_3") * 1000).as("ts")) // nanos ts
+    val q = EventStreams.funnelStream(spark, events).writeStream
+      .outputMode("append").format("memory").queryName("funnel_mono").start()
+    try {
+      ms.addData((1L, "view", 100L * us), (1L, "click", 200L * us))
+      q.processAllAvailable()
+      ms.addData((1L, "click", 150L * us)) // late: batch semantics would take 150
+      q.processAllAvailable()
+      ms.addData((1L, "purchase", 250L * us))
+      q.processAllAvailable()
+      val byStage = spark.table("funnel_mono")
+        .select("stage_idx", "ts_us").as[(Long, Long)].collect().toMap
+      assert(byStage == Map(0L -> 100L * us, 1L -> 200L * us, 2L -> 250L * us),
+        s"late click must not lower stage 1 from 200s: $byStage")
     } finally q.stop()
   }
 

@@ -32,6 +32,15 @@ def compare(name, spark_df, duck_df):
     issues = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver hashes str(value): an int column on one side and a
+        # float on the other (DuckDB sum(BIGINT) -> HUGEINT -> float64)
+        # hashes 123 vs 123.0 as a MISMATCH even when values are equal —
+        # surface that here instead of silently coercing (round-5 lesson)
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            issues.append(
+                f"col {c}: DTYPE split spark={av.dtype} duck={bv.dtype} "
+                "(driver hash WILL mismatch; CAST the oracle column)")
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             import numpy as np
             av = pd.to_numeric(av, errors="coerce"); bv = pd.to_numeric(bv, errors="coerce")
