@@ -101,6 +101,7 @@ object Bench {
         edges.count() // parse+cache untimed (reference excludes parsing)
         val e1 = edges.coalesce(1).cache(); e1.count()
         def median(f: => Unit): Double = {
+          f // untimed warm rep: JIT-compile this path before timing
           val ts = (1 to 5).map { _ =>
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
           }
@@ -122,7 +123,16 @@ object Bench {
         // the reference's aggregate()+convert() pair (and measured ~2×
         // faster than groupBy+collect_list, whose array building is not
         // part of the reference's phase); wall time here is the exchange
-        // itself, Spark's fixed scale-out cost on a 1 MB graph
+        // itself, Spark's fixed scale-out cost on a 1 MB graph.
+        // Round-6 tuning note: a raw-RDD HashPartitioner shuffle of boxed
+        // (Long, Long) tuples beats this Exchange 43 ms vs 70 ms in a
+        // clean JVM (MrPhaseBench sweep) but LOSES here (~100 ms vs
+        // ~82 ms) — after the headline reps fill the old gen, the boxed
+        // path's per-rep allocations pay full GC freight while the
+        // UnsafeRow Exchange stays allocation-light. Exactly the property
+        // that matters on loaded executors, so the Exchange shape stays.
+        // Partition count 2..32 moves the Exchange < 15% (same sweep);
+        // the session default (cpus) is kept.
         val shuffle = median(grouped(edges.repartition(cpus.toInt, col("dst"))))
         edges.unpersist(false); e1.unpersist(false)
         Seq(s"$name-local" -> local, s"$name-shuffle" -> shuffle)

@@ -12,6 +12,13 @@ object MrPhaseBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // MRPHASE_NOCOMPRESS=1: skip LZ4 on the ~1 MB shuffle (pure
+      // overhead at this size; compression wins only when blocks are
+      // network- or disk-bound)
+      .config("spark.shuffle.compress",
+        if (sys.env.contains("MRPHASE_NOCOMPRESS")) "false" else "true")
+      .config("spark.shuffle.spill.compress",
+        if (sys.env.contains("MRPHASE_NOCOMPRESS")) "false" else "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -79,6 +86,45 @@ object MrPhaseBench {
         m.groupSizes
       }
       rdd.foreach(_ => ())
+    }
+    for (p <- Seq(2, 4, 8, 16, 32)) time(s"shuffle_internalrow_p$p") {
+      val rdd = edges.repartition(p, col("dst")).queryExecution.toRdd.mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { r => m.add(r.getLong(1), r.getLong(0)) }
+        m.groupSizes
+      }
+      rdd.foreach(_ => ())
+    }
+    // raw-RDD shuffle: HashPartitioner on (dst, src) pairs — no Exchange
+    // planning, no UnsafeRow serialization (plain Long pairs through the
+    // Kryo/Java serializer), the closest Spark analogue to MPI alltoall
+    locally {
+      val pairRdd = edges.as[(Long, Long)].rdd.map(e => (e._2, e._1)).cache()
+      pairRdd.count()
+      for (p <- Seq(4, 8, 16, 32)) time(s"rdd_partitionBy_p$p") {
+        pairRdd.partitionBy(new org.apache.spark.HashPartitioner(p))
+          .mapPartitions { it =>
+            val m = new graft.core.LongAdjacencyMap()
+            it.foreach { case (d, s) => m.add(d, s) }
+            m.groupSizes
+          }.foreach(_ => ())
+      }
+      // fewer map tasks: m mappers × p reducers = m·p shuffle blocks;
+      // at 1 MB the block count (scheduling + fetch bookkeeping), not
+      // bytes, is the cost
+      for (m <- Seq(2, 4, 8)) {
+        val pm = pairRdd.coalesce(m).cache(); pm.count()
+        for (p <- Seq(4, 8)) time(s"rdd_m${m}_p$p") {
+          pm.partitionBy(new org.apache.spark.HashPartitioner(p))
+            .mapPartitions { it =>
+              val mm = new graft.core.LongAdjacencyMap()
+              it.foreach { case (d, s) => mm.add(d, s) }
+              mm.groupSizes
+            }.foreach(_ => ())
+        }
+        pm.unpersist(false)
+      }
+      pairRdd.unpersist(false)
     }
     time("shuffle_boxed_map") {
       edges.as[(Long, Long)]
