@@ -24,9 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
-      TextQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries
+      TextQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++
+      StreamingGateQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++
-      TextQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles
+      TextQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles ++
+      StreamingGateQueries.oracles
 }

@@ -208,37 +208,51 @@ object LogQuantiles {
     * must be BIGINT; yields one row per `$groupCol` with a column per
     * (alias, q) pair. */
   def oracleSql(table: String, valueExpr: String, groupCol: String,
-      qs: Seq[(String, Double)]): String = {
+      qs: Seq[(String, Double)]): String =
+    oracleSqlGrouped(table, valueExpr, Seq(groupCol -> groupCol), qs)
+
+  /** [[oracleSql]] generalized to a composite group key: each
+    * `(expr, alias)` pair in `groupCols` is evaluated against `table`
+    * and emitted under `alias` in the final projection. */
+  def oracleSqlGrouped(table: String, valueExpr: String,
+      groupCols: Seq[(String, String)], qs: Seq[(String, Double)]): String = {
     val w = 1 << M
+    val gs = groupCols.indices.map(i => s"g$i")
+    val gsel = groupCols.zip(gs).map { case ((e, _), g) => s"$e AS $g" }.mkString(", ")
+    val glist = gs.mkString(", ")
+    val gout = groupCols.zip(gs).map { case ((_, a), g) => s"$g AS $a" }.mkString(",\n  ")
+    val gjoin = gs.map(g => s"c.$g = r.$g").mkString(" AND ")
     val qvalues = qs.map { case (_, q) => s"($q)" }.mkString(", ")
     val qcols = qs.map { case (alias, q) =>
       s"max(CASE WHEN q = $q THEN lo END) AS $alias" }.mkString(",\n  ")
-    s"""WITH vals AS (SELECT $groupCol AS g, $valueExpr AS v FROM $table
+    s"""WITH vals AS (SELECT $gsel, $valueExpr AS v FROM $table
        |  WHERE ($valueExpr) IS NOT NULL),
        |bins AS (
-       |  SELECT g,
+       |  SELECT $glist,
        |    CASE WHEN v <= 0 THEN 0 ELSE
        |      1 + $w*(length(bin(v))-1)
        |        + ((v >> greatest(length(bin(v))-1-$M, 0))
        |           - (1 << least(length(bin(v))-1, $M)))
        |    END AS idx, count(*) AS cnt
-       |  FROM vals GROUP BY 1, 2),
-       |tot AS (SELECT g, sum(cnt) AS n FROM bins GROUP BY 1),
-       |cum AS (SELECT g, idx,
-       |  sum(cnt) OVER (PARTITION BY g ORDER BY idx) AS cum FROM bins),
-       |ranks AS (SELECT g, q, CAST(greatest(ceil(q*n), 1) AS BIGINT) AS r
+       |  FROM vals GROUP BY $glist, idx),
+       |tot AS (SELECT $glist, sum(cnt) AS n FROM bins GROUP BY $glist),
+       |cum AS (SELECT $glist, idx,
+       |  sum(cnt) OVER (PARTITION BY $glist ORDER BY idx) AS cum FROM bins),
+       |ranks AS (SELECT $glist, q, CAST(greatest(ceil(q*n), 1) AS BIGINT) AS r
        |  FROM tot, (VALUES $qvalues) t(q)),
-       |pick AS (SELECT r.g, r.q, min(c.idx) AS idx FROM ranks r JOIN cum c
-       |  ON c.g = r.g AND c.cum >= r.r GROUP BY 1, 2),
-       |rep AS (SELECT g, q,
+       |pick AS (SELECT ${gs.map(g => s"r.$g").mkString(", ")}, r.q,
+       |  min(c.idx) AS idx FROM ranks r JOIN cum c
+       |  ON $gjoin AND c.cum >= r.r
+       |  GROUP BY ${gs.map(g => s"r.$g").mkString(", ")}, r.q),
+       |rep AS (SELECT $glist, q,
        |  CASE WHEN idx = 0 THEN CAST(0 AS BIGINT)
        |       WHEN (idx-1)//$w <= $M
        |         THEN (CAST(1 AS BIGINT) << ((idx-1)//$w)) + (idx-1)%$w
        |       ELSE ((CAST(1 AS BIGINT) << $M) + (idx-1)%$w) << ((idx-1)//$w - $M)
        |  END AS lo
        |  FROM pick)
-       |SELECT g AS $groupCol,
+       |SELECT $gout,
        |  $qcols
-       |FROM rep GROUP BY 1""".stripMargin
+       |FROM rep GROUP BY $glist""".stripMargin
   }
 }
