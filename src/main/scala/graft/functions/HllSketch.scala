@@ -126,21 +126,32 @@ object HllSketch60 {
     * same capped ranks, same exact-power sum, same correction branch.
     * `hashExpr` must be the hash60Sql of the same input. Yields
     * ($groupCol, approx_distinct) rows. */
-  def oracleSql(table: String, hashExpr: String, groupCol: String): String = {
+  def oracleSql(table: String, hashExpr: String, groupCol: String): String =
+    oracleSqlGrouped(table, hashExpr, Seq(groupCol -> groupCol))
+
+  /** [[oracleSql]] generalized to a composite group key: each
+    * `(expr, alias)` pair is evaluated against `table` and emitted under
+    * `alias` in the final projection. */
+  def oracleSqlGrouped(table: String, hashExpr: String,
+      groupCols: Seq[(String, String)]): String = {
     val two52 = 1L << W
-    s"""WITH hh AS (SELECT $groupCol AS g, $hashExpr AS h FROM $table),
-       |rr AS (SELECT g, CAST(h // $two52 AS INTEGER) AS bucket,
+    val gs = groupCols.indices.map(i => s"g$i")
+    val gsel = groupCols.zip(gs).map { case ((e, _), g) => s"$e AS $g" }.mkString(", ")
+    val glist = gs.mkString(", ")
+    val gout = groupCols.zip(gs).map { case ((_, a), g) => s"$g AS $a" }.mkString(", ")
+    s"""WITH hh AS (SELECT $gsel, $hashExpr AS h FROM $table),
+       |rr AS (SELECT $glist, CAST(h // $two52 AS INTEGER) AS bucket,
        |  LEAST(CASE WHEN h % $two52 = 0 THEN ${W + 1}
        |        ELSE ${W + 1} - length(bin(h % $two52)) END, $RhoCap) AS rho
        |  FROM hh),
-       |mx AS (SELECT g, bucket, MAX(rho) AS mr FROM rr GROUP BY 1, 2),
-       |st AS (SELECT g, COUNT(*) AS nb, SUM(power(2.0e0, -mr)) AS sp
-       |  FROM mx GROUP BY 1),
-       |ee AS (SELECT g, ($M - nb) AS zeros,
+       |mx AS (SELECT $glist, bucket, MAX(rho) AS mr FROM rr GROUP BY $glist, bucket),
+       |st AS (SELECT $glist, COUNT(*) AS nb, SUM(power(2.0e0, -mr)) AS sp
+       |  FROM mx GROUP BY $glist),
+       |ee AS (SELECT $glist, ($M - nb) AS zeros,
        |  (0.7213e0 / (1.0e0 + 1.079e0 / $M)) * $M * $M
        |    / (($M - nb) * 1.0e0 + sp) AS raw
        |  FROM st)
-       |SELECT g AS $groupCol, floor((CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
+       |SELECT $gout, floor((CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
        |  THEN $M * ln($M * 1.0e0 / zeros) ELSE raw END) * 10000.0e0 + 0.5e0)
        |  / 10000.0e0 AS approx_distinct
        |FROM ee""".stripMargin

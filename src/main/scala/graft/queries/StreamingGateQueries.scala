@@ -53,7 +53,37 @@ object StreamingGateQueries {
     // windows closed by the final watermark (max event time - 2 h) emit.
     "st_window_lgq" -> ((s, dir) =>
       drain(s, EventStreams.logQuantileStream(EventStreams.readEvents(s, dir)),
-        "st_lgq_gate"))
+        "st_lgq_gate")),
+
+    // Watermarked tumbling-window aggregation — the closed-window subset
+    // of batch e_window_agg. total_value rounds post-drain: the stream
+    // sums doubles in state-merge order, the oracle in scan order.
+    "st_window_agg" -> ((s, dir) =>
+      drain(s, EventStreams.windowedAgg(EventStreams.readEvents(s, dir)),
+        "st_winagg_gate")
+        .select(col("win_start_us"), col("event_type"), col("cnt"),
+          round(col("total_value"), 4).as("total_value"))),
+
+    // Windowed HLL approx-distinct under the same eviction.
+    "st_approx_distinct" -> ((s, dir) =>
+      drain(s, EventStreams.approxDistinctStream(EventStreams.readEvents(s, dir)),
+        "st_hll_gate")),
+
+    // Stateful gap-sessionization: a single-batch drain emits
+    // successor-closed sessions, then the no-data batch fires event-time
+    // timeouts for trailing sessions the final watermark has passed
+    // (watermark and timeout compare at MILLISECOND granularity — the
+    // oracle replays the ms-floor arithmetic exactly).
+    "st_sessionize" -> ((s, dir) =>
+      drain(s, EventStreams.sessionize(s, EventStreams.readEvents(s, dir)),
+        "st_sess_gate")),
+
+    // Stream-stream range join: both sides watermarked, single-batch
+    // drain holds both sides in full, so the inner join equals the batch
+    // e_range_join result exactly (EventStreamsSpec proves it).
+    "st_range_join" -> ((s, dir) =>
+      drain(s, EventStreams.rangeJoinStream(EventStreams.readEvents(s, dir)),
+        "st_rj_gate"))
   )
 
   private val HourUs = 3600L * 1000000L
@@ -76,6 +106,62 @@ object StreamingGateQueries {
 
     "st_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "st_window_agg" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, value
+         |  FROM events),
+         |c AS (SELECT ts_us - ts_us % $HourUs AS win_start_us, event_type, value
+         |  FROM e
+         |  WHERE ts_us - ts_us % $HourUs + $HourUs
+         |    <= (SELECT max(ts_us) FROM e) - ${2 * HourUs})
+         |SELECT win_start_us, event_type, count(*) AS cnt,
+         |  round(sum(value), 4) AS total_value
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "st_approx_distinct" ->
+      s"""WITH sk AS (${graft.functions.HllSketch60.oracleSqlGrouped(
+             table = s"""(SELECT (epoch_ns(ts) // 1000)
+                        |     - (epoch_ns(ts) // 1000) % $HourUs AS ws,
+                        |     event_type, user_id
+                        |   FROM events
+                        |   WHERE (epoch_ns(ts) // 1000)
+                        |       - (epoch_ns(ts) // 1000) % $HourUs + $HourUs
+                        |     <= (SELECT max(epoch_ns(ts) // 1000) FROM events)
+                        |       - ${2 * HourUs}) ev""".stripMargin,
+             hashExpr = graft.functions.Hashing.hash60Sql("CAST(user_id AS VARCHAR)"),
+             groupCols = Seq("ws" -> "win_start_us", "event_type" -> "event_type"))})
+         |SELECT win_start_us, event_type, approx_distinct AS approx_users
+         |FROM sk""".stripMargin,
+
+    "st_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |flags AS (SELECT user_id, event_id, ts_us,
+         |  CASE WHEN lag(ts_us) OVER w IS NULL
+         |       OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (SELECT user_id, ts_us,
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flags),
+         |agg AS (SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us
+         |  FROM sess GROUP BY user_id, session_idx),
+         |wm AS (SELECT (SELECT max(ts_us) FROM e) // 1000 - 1800000 AS w)
+         |SELECT user_id, start_us, end_us, n_events FROM agg, wm
+         |WHERE session_idx < (SELECT max(session_idx) FROM agg a2
+         |                     WHERE a2.user_id = agg.user_id)
+         |   OR end_us // 1000 + 1800000 < w""".stripMargin,
+
+    "st_range_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |iv AS (SELECT user_id, event_id AS interval_id, ts_us AS win_s,
+        |         ts_us + CAST(1800000000 AS BIGINT) AS win_e
+        |       FROM e WHERE event_type = 'purchase')
+        |SELECT iv.interval_id, p.event_id, p.ts_us
+        |FROM iv JOIN e p ON p.user_id = iv.user_id
+        | AND p.ts_us >= iv.win_s AND p.ts_us <= iv.win_e""".stripMargin,
 
     "st_window_lgq" -> graft.functions.LogQuantiles.oracleSqlGrouped(
       table = s"""(SELECT (epoch_ns(ts) // 1000)
