@@ -44,6 +44,11 @@ object TextQueries {
     "t_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Gopher rule-based curation filter (Rae et al. 2021 A1.1): one
+    // boolean per rule + conjunctive keep, single scan-side projection.
+    "t_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), col("doc_id"), col("text"))),
+
     // PMI collocations: top adjacent-pair associations — identical
     // double tree in both engines, rounded before the top-N cut.
     "t_pmi" -> ((s, dir) =>
@@ -339,6 +344,46 @@ object TextQueries {
          | round(least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
          |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
          |FROM t""".stripMargin
+    },
+
+    "t_gopher" -> {
+      val stopSum = TextAnalysis.GopherStopWords
+        .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS nw,
+         |  CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |    / len(toks) AS mean_len,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS DOUBLE) / len(toks) AS alpha_ratio,
+         |  (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         |   + CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |     AS DOUBLE)) / len(toks) AS sym_ratio,
+         |  CAST(len(lns) AS BIGINT) AS nl,
+         |  CAST(len(list_filter(lns, l -> ltrim(l) LIKE '-%'
+         |    OR ltrim(l) LIKE '*%')) AS DOUBLE) AS bullets,
+         |  CAST(len(list_filter(lns, l -> rtrim(l) LIKE '%...'))
+         |    AS DOUBLE) AS ellipses,
+         |  ($stopSum) AS n_stop
+         |  FROM t),
+         |r AS (SELECT doc_id, nw,
+         |  (nw >= 50 AND nw <= 100000) AS r_wordcount,
+         |  (nw > 0 AND mean_len >= 3.0 AND mean_len <= 10.0) AS r_meanlen,
+         |  (nw > 0 AND alpha_ratio >= 0.8) AS r_alpha,
+         |  (nw > 0 AND sym_ratio < 0.1) AS r_symbol,
+         |  (nl > 0 AND bullets / nl < 0.9) AS r_bullet,
+         |  (nl > 0 AND ellipses / nl < 0.3) AS r_ellipsis,
+         |  (n_stop >= 2) AS r_stopwords
+         |  FROM m)
+         |SELECT doc_id, nw AS n_words, r_wordcount, r_meanlen, r_alpha,
+         |  r_symbol, r_bullet, r_ellipsis, r_stopwords,
+         |  (r_wordcount AND r_meanlen AND r_alpha AND r_symbol
+         |   AND r_bullet AND r_ellipsis AND r_stopwords) AS keep
+         |FROM r""".stripMargin
     },
 
     "t_perplexity" ->

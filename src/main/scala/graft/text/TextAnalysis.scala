@@ -401,4 +401,52 @@ object TextAnalysis {
 
   /** Word n-gram shingles of `text` (empty array when too short). */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** The eight Gopher "required stop words" (Rae et al. 2021, A1.1). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rules (Rae et al. 2021, Appendix
+    * A1.1), one boolean column per rule plus the conjunctive `keep` —
+    * emitted per document rather than pre-filtered so downstream mixing
+    * can weight by rule, the shape a curation pipeline wants. All
+    * deterministic column arithmetic (no UDFs, one projection — no
+    * shuffle at any scale):
+    *  - `r_wordcount`: 50 <= words <= 100000
+    *  - `r_meanlen`:   mean token length in [3, 10]
+    *  - `r_alpha`:     >= 80% of words contain an alphabetic character
+    *  - `r_symbol`:    (# + "...") occurrences / words < 0.1
+    *  - `r_bullet`:    < 90% of lines start with a bullet
+    *  - `r_ellipsis`:  < 30% of lines end with an ellipsis
+    *  - `r_stopwords`: contains >= 2 distinct Gopher stop words */
+  def gopherRules(docs: DataFrame, id: Column, text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val toks = tokens(text)
+    val nw = size(toks).cast("long")
+    val nwD = nw.cast("double")
+    val meanLen = length(concat_ws("", toks)).cast("double") / nwD
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+    val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast("double")
+    val dots = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3).cast("double")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("..."))).cast("double")
+    val nStop = GopherStopWords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val rules = Seq(
+      "r_wordcount" -> (nw >= minWords && nw <= maxWords),
+      "r_meanlen" -> (nw > 0 && meanLen >= 3.0 && meanLen <= 10.0),
+      "r_alpha" -> (nw > 0 && alphaWords / nwD >= 0.8),
+      "r_symbol" -> (nw > 0 && (hashes + dots) / nwD < 0.1),
+      "r_bullet" -> (nl > 0 && bulletLines / nl < 0.9),
+      "r_ellipsis" -> (nl > 0 && ellipsisLines / nl < 0.3),
+      "r_stopwords" -> (nStop >= 2))
+    docs.select(
+      Seq(id.as("doc_id"), nw.as("n_words")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
 }

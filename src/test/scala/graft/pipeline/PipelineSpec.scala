@@ -370,6 +370,28 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.media.decoder")
   }
 
+  test("gopher rules fire on the right documents") {
+    val good = (("the quick brown fox jumps right over a lazy dog and " +
+      "that hound will have gone to sleep with all of them around ") * 3).trim
+    val d = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "short text only"),                        // fails r_wordcount/r_stopwords
+      (3L, ("#tag " * 60).trim),                      // hash spam: fails r_symbol
+      (4L, (1 to 60).map(i => s"- bullet $i line").mkString("\n")), // fails r_bullet
+      (5L, ("supercalifragilisticexpialidocious " * 60).trim), // fails r_meanlen
+      (6L, (1 to 60).map(_.toString).mkString(" ")))  // digits only: fails r_alpha
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_wordcount") && !r(2L).getAs[Boolean]("r_stopwords"))
+    assert(!r(3L).getAs[Boolean]("r_symbol") && r(3L).getAs[Boolean]("r_alpha"))
+    assert(!r(4L).getAs[Boolean]("r_bullet") && !r(4L).getAs[Boolean]("keep"))
+    assert(!r(5L).getAs[Boolean]("r_meanlen"))
+    assert(r(5L).getAs[Boolean]("r_wordcount")) // 60 words is in range
+    assert(!r(6L).getAs[Boolean]("r_alpha"))
+  }
+
   test("langid picks the marker-dominant language") {
     val d = Seq(
       (1L, "the cat and the dog is a friend of mine"),
