@@ -309,7 +309,7 @@ object PipelineQueries {
   /** Shared CTE: word-3-gram shingle base hashes (mod p) per doc. The
     * shingle-index range is derived from the longest document, so no
     * document ever silently loses shingles. */
-  private val ShinglesCte =
+  private[queries] val ShinglesCte =
     s"""t AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),
@@ -318,13 +318,13 @@ object PipelineQueries {
       |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
       |  WHERE i <= len(toks) - 3)""".stripMargin
 
-  private val SigSelect = (0 until Dedup.NumHashes)
+  private[queries] val SigSelect = (0 until Dedup.NumHashes)
     .map { h =>
       val (a, b) = Dedup.minHashCoeffs(h)
       s"min(($a * x + $b) % ${Dedup.MinHashP}) AS mh$h"
     }.mkString(",\n  ")
 
-  private val BandsCte = {
+  private[queries] val BandsCte = {
     val bands = (0 until Dedup.numBands).map { b =>
       val cols = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
         .map(h => s"mh$h").mkString(", ")

@@ -83,7 +83,22 @@ object StreamingGateQueries {
     // e_range_join result exactly (EventStreamsSpec proves it).
     "st_range_join" -> ((s, dir) =>
       drain(s, EventStreams.rangeJoinStream(EventStreams.readEvents(s, dir)),
-        "st_rj_gate"))
+        "st_rj_gate")),
+
+    // Streaming MinHash-LSH near-dup candidates over the documents table
+    // with synthetic event time tts = (doc_id + 1) seconds: per (band,
+    // bucket) the first-arriving doc (min doc_id here) becomes the
+    // representative, every later arrival emits one candidate row. The
+    // +1 keeps doc 0 off epoch 0 — a row AT the initial watermark is
+    // filtered as late by the stateful operator and would silently
+    // vanish from its bucket.
+    "st_neardup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("tts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      drain(s, EventStreams.nearDupStream(s, docsStream), "st_neardup_gate")
+    })
   )
 
   private val HourUs = 3600L * 1000000L
@@ -153,6 +168,16 @@ object StreamingGateQueries {
          |WHERE session_idx < (SELECT max(session_idx) FROM agg a2
          |                     WHERE a2.user_id = agg.user_id)
          |   OR end_us // 1000 + 1800000 < w""".stripMargin,
+
+    "st_neardup" ->
+      s"""WITH ${PipelineQueries.ShinglesCte},
+         |sigs AS (SELECT doc_id, ${PipelineQueries.SigSelect} FROM sh GROUP BY doc_id),
+         |${PipelineQueries.BandsCte},
+         |reps AS (SELECT band, band_hash, min(doc_id) AS rep
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT r.rep AS a, b.doc_id AS b, CAST(r.band AS INTEGER) AS band
+         |FROM reps r JOIN bands b USING (band, band_hash)
+         |WHERE b.doc_id <> r.rep""".stripMargin,
 
     "st_range_join" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
