@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Bloom, Dedup, KMeansInt, Multimodal, Sampling, Similarity}
+import graft.pipeline.{Bloom, Dedup, KMeansInt, Multimodal, Sampling, Scd2, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -22,6 +22,24 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "d_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
+
+    // SCD2 incremental merge (re-crawl refresh): docs with id % 7 == 0
+    // arrive re-crawled with changed text, ids % 13 == 0 arrive as brand
+    // new documents (offset key space); one full-outer join against the
+    // open slice closes changed versions at ts=100 and appends the new
+    // ones. Output is compact (content hash, validity) for the gate.
+    "d_scd2" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val changedUpd = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      val newUpd = docs(s, dir).where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Scd2.merge(d, changedUpd.unionAll(newUpd), "doc_id", Seq("text"), ts = 100L)
+        .select(col("doc_id"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"),
+          col("valid_from"), col("valid_to"))
+    }),
 
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"))),
@@ -338,6 +356,28 @@ object PipelineQueries {
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_scd2" ->
+      s"""WITH changed AS (SELECT doc_id, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |brandnew AS (SELECT doc_id + 10000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |upd AS (SELECT * FROM changed UNION ALL SELECT * FROM brandnew),
+         |untouched AS (SELECT d.doc_id, d.text,
+         |    CAST(0 AS BIGINT) AS valid_from,
+         |    CAST(${Scd2.OpenTs} AS BIGINT) AS valid_to
+         |  FROM documents d LEFT JOIN upd u USING (doc_id)
+         |  WHERE u.doc_id IS NULL),
+         |nowclosed AS (SELECT d.doc_id, d.text,
+         |    CAST(0 AS BIGINT) AS valid_from, CAST(100 AS BIGINT) AS valid_to
+         |  FROM documents d JOIN upd u USING (doc_id)),
+         |newver AS (SELECT u.doc_id, u.text,
+         |    CAST(100 AS BIGINT) AS valid_from,
+         |    CAST(${Scd2.OpenTs} AS BIGINT) AS valid_to
+         |  FROM upd u)
+         |SELECT doc_id, ${H("text")} AS content_hash, valid_from, valid_to
+         |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM nowclosed
+         |      UNION ALL SELECT * FROM newver)""".stripMargin,
 
     // Composition of the t_langid / t_quality / t_repetition / d_exact
     // oracles (each a verified replica of its stage) under the same

@@ -49,6 +49,10 @@ object TextQueries {
     "t_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), col("doc_id"), col("text"))),
 
+    // C4 line-level cleaning + page filter (Raffel et al. 2020 §2.2).
+    "t_c4" -> ((s, dir) =>
+      TextAnalysis.c4Rules(docs(s, dir), col("doc_id"), col("text"))),
+
     // PMI collocations: top adjacent-pair associations — identical
     // double tree in both engines, rounded before the top-N cut.
     "t_pmi" -> ((s, dir) =>
@@ -345,6 +349,26 @@ object TextQueries {
          |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
          |FROM t""".stripMargin
     },
+
+    "t_c4" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, lns,
+        |  list_filter(lns, l ->
+        |    len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |    AND (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+        |         OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(lower(text), '{') AS has_brace,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(lower(text), '{')) AS keep,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k""".stripMargin,
 
     "t_gopher" -> {
       val stopSum = TextAnalysis.GopherStopWords

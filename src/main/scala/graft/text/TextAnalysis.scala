@@ -406,6 +406,33 @@ object TextAnalysis {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** C4-style line-level cleaning + page filter (Raffel et al. 2020,
+    * §2.2): keep lines with >= `minLineWords` words ending in terminal
+    * punctuation; keep the page iff >= `minKeptLines` such lines survive
+    * and the text has no code-brace and no "lorem ipsum". Emits the
+    * cleaned text (kept lines re-joined) plus the decision columns —
+    * scan-side projection only, no shuffle at any scale. */
+  def c4Rules(docs: DataFrame, id: Column, text: Column,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    def words(l: Column) = size(filter(split(l, " "), t => t =!= lit("")))
+    def terminal(l: Column) = {
+      val r = rtrim(l)
+      r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")
+    }
+    val kept = filter(lines, l => words(l) >= minLineWords && terminal(l))
+    val lowered = lower(text)
+    docs.select(
+      id.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      lowered.contains("lorem ipsum").as("has_lorem"),
+      lowered.contains("{").as("has_brace"),
+      (size(kept) >= minKeptLines &&
+        !lowered.contains("lorem ipsum") && !lowered.contains("{")).as("keep"),
+      concat_ws("\n", kept).as("clean_text"))
+  }
+
   /** Gopher-style document-quality rules (Rae et al. 2021, Appendix
     * A1.1), one boolean column per rule plus the conjunctive `keep` —
     * emitted per document rather than pre-filtered so downstream mixing

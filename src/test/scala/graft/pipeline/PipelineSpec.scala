@@ -392,6 +392,61 @@ class PipelineSpec extends SparkSpec {
     assert(!r(6L).getAs[Boolean]("r_alpha"))
   }
 
+  test("scd2 merge closes changed versions, appends new, ignores idempotent") {
+    val dim = Seq(
+      (1L, "alpha", 0L, Scd2.OpenTs),
+      (2L, "beta", 0L, Scd2.OpenTs),
+      (3L, "gamma-old", 0L, 50L),       // closed history row
+      (3L, "gamma", 50L, Scd2.OpenTs))
+      .toDF("doc_id", "text", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "alpha-v2"), // changed -> close + append
+      (2L, "beta"),     // identical -> idempotent no-op
+      (9L, "new-doc"))  // brand new key
+      .toDF("doc_id", "text")
+    val out = Scd2.merge(dim, updates, "doc_id", Seq("text"), ts = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "alpha", 0L, 100L),
+      (1L, "alpha-v2", 100L, Scd2.OpenTs),
+      (2L, "beta", 0L, Scd2.OpenTs),
+      (3L, "gamma-old", 0L, 50L),
+      (3L, "gamma", 50L, Scd2.OpenTs),
+      (9L, "new-doc", 100L, Scd2.OpenTs)))
+    // point-in-time views
+    val merged = Scd2.merge(dim, updates, "doc_id", Seq("text"), ts = 100L)
+    val at75 = Scd2.snapshot(merged, 75L)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at75 == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    val at100 = Scd2.snapshot(merged, 100L)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at100 == Set((1L, "alpha-v2"), (2L, "beta"), (3L, "gamma"), (9L, "new-doc")))
+  }
+
+  test("c4 rules keep punctuated prose lines and flag code/lorem pages") {
+    val prose = "The quick brown fox jumps over the lazy sleeping dog."
+    val d = Seq(
+      (1L, Seq(prose, prose, prose, "- nav", "short one.").mkString("\n")),
+      (2L, Seq(prose, prose, prose, "function f() { return 1; }").mkString("\n")),
+      (3L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n" +
+        prose + "\n" + prose + "\n" + prose),
+      (4L, Seq(prose, "no punctuation here at all").mkString("\n")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Rules(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: 3 prose lines survive ("- nav" too few words; "short one."
+    // only 2 words), page kept
+    assert(r(1L).getAs[Long]("n_kept_lines") == 3L && r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[String]("clean_text") == Seq(prose, prose, prose).mkString("\n"))
+    // doc 2: brace page dropped despite 3 good lines
+    assert(r(2L).getAs[Boolean]("has_brace") && !r(2L).getAs[Boolean]("keep"))
+    // doc 3: lorem page dropped
+    assert(r(3L).getAs[Boolean]("has_lorem") && !r(3L).getAs[Boolean]("keep"))
+    // doc 4: only 1 kept line -> below the 3-line page minimum
+    assert(r(4L).getAs[Long]("n_kept_lines") == 1L && !r(4L).getAs[Boolean]("keep"))
+  }
+
   test("langid picks the marker-dominant language") {
     val d = Seq(
       (1L, "the cat and the dog is a friend of mine"),
