@@ -139,6 +139,14 @@ object RelationalQueries {
         element_at(col("qq"), 2).as("p95_cents"),
         element_at(col("qq"), 3).as("p99_cents"))),
 
+    // Z-order (Morton) layout key (engine extension): the multi-dim
+    // file-skipping sort key — bit-interleave of (o_custkey, o_orderkey)
+    // clamped to 10 bits each; pure integer expression, codegen'd.
+    "q22_zorder" -> ((s, dir) => Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        graft.io.ZOrder.zValueClamped(
+          Seq(col("o_custkey"), col("o_orderkey")), 10).as("zval"))),
+
     // Hierarchical aggregation (engine extension; absent in reference).
     "q15_rollup" -> ((s, dir) => Tables.orders(s, dir)
       .rollup("o_orderpriority", "o_orderstatus")
@@ -268,6 +276,14 @@ object RelationalQueries {
       "lineitem", "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)",
       "l_returnflag",
       Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99)),
+
+    "q22_zorder" -> {
+      def clamp(c: String) = s"least(greatest(CAST($c AS BIGINT), 0), 1023)"
+      s"""SELECT o_orderkey,
+         |  CAST(${graft.io.ZOrder.zValueSql(
+               Seq(clamp("o_custkey"), clamp("o_orderkey")), 10)} AS BIGINT) AS zval
+         |FROM orders""".stripMargin
+    },
 
     "q15_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
