@@ -53,6 +53,18 @@ object TextQueries {
     "t_c4" -> ((s, dir) =>
       TextAnalysis.c4Rules(docs(s, dir), col("doc_id"), col("text"))),
 
+    // BPE tokenizer training + application (Sennrich 2016): 10 merges
+    // learned corpus-wide (one pair-count aggregation per merge over
+    // DISTINCT words), then broadcast-applied. Iterative training is not
+    // SQL-expressible -> rows-only driver check; BpeSpec pins the merge
+    // semantics against hand-computed tables.
+    "t_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(s, d, col("text"), nMerges = 10)
+      graft.text.Bpe.tokenize(s, d, col("doc_id"), col("text"), merges)
+        .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+    }),
+
     // PMI collocations: top adjacent-pair associations — identical
     // double tree in both engines, rounded before the top-N cut.
     "t_pmi" -> ((s, dir) =>
