@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Engine-wide physical-plan invariants over the declarative gate
+  * queries: no plan may contain an unbounded cartesian product (a
+  * broadcast nested-loop against a 1-row/centroid frame is the allowed
+  * crossJoin shape — it appears as BroadcastNestedLoopJoin, never
+  * CartesianProductExec). Guards against a future edit silently losing
+  * an equi-join condition — the classic 100 TB plan regression that
+  * small-SF row-equality gates cannot catch. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Declarative queries only: their builders return a lazy plan. Iterative
+  // operators (g_pagerank, CC, k-means, BPE, st_* drains...) execute jobs
+  // during construction and audit their own plan shapes in their specs.
+  private val Audited = Seq(
+    "q1_agg", "q2_filter_project", "q3_join_agg", "q4_topk", "q5_union",
+    "q6_distinct", "q7_invert", "q8_collapse", "q9_histogram", "q10_window",
+    "q11_stats", "q13_salted_agg", "q15_rollup", "q16_pivot", "q20_quantile_sketch",
+    "q21_logq_sketch", "q22_zorder",
+    "t_wordfreq", "t_langid", "t_quality", "t_gopher", "t_c4", "t_tokens",
+    "t_tfidf", "t_bm25", "t_fingerprint", "t_redact", "t_repetition",
+    "e_window_agg", "e_sessionize", "e_json", "e_asof", "e_range_join",
+    "e_moving_avg", "e_funnel", "e_retention", "e_anomaly", "e_approx_distinct",
+    "d_exact", "d_scd2", "d_minhash_sig", "d_minhash_pairs", "d_simhash",
+    "s_ann_brute", "s_quantize", "s_rproj")
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec => q +: nodes(q.plan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+
+  test("no audited gate query plans a cartesian product") {
+    val offenders = Audited.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      if (nodes(plan).exists(_.isInstanceOf[CartesianProductExec]))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("single-table scan queries read a pruned schema, not every column") {
+    // representative narrow projections: the scan must not drag the full
+    // table row (lineitem has 16 columns, documents 3+)
+    val cases = Seq(
+      "q1_agg" -> 6, "q2_filter_project" -> 6, "t_tokens" -> 2,
+      "e_window_agg" -> 4)
+    val fat = cases.flatMap { case (name, maxCols) =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val widths = nodes(plan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.size
+      }
+      if (widths.nonEmpty && widths.max > maxCols)
+        Some(s"$name reads ${widths.max} cols (cap $maxCols)")
+      else None
+    }
+    assert(fat.isEmpty, fat.mkString("; "))
+  }
+}
