@@ -28,6 +28,16 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the second columnar format Spark ships natively; same
+    * predicate-pushdown/column-pruning story as parquet. */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def readCsv(spark: SparkSession, path: String, schema: String, sep: String = " "): DataFrame =
     spark.read.option("sep", sep).schema(schema).csv(path)
 

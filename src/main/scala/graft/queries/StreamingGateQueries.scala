@@ -85,6 +85,25 @@ object StreamingGateQueries {
       drain(s, EventStreams.rangeJoinStream(EventStreams.readEvents(s, dir)),
         "st_rj_gate")),
 
+    // Stream-static enrichment join: stateless, so every event emits —
+    // the third join regime next to stream-stream and batch-batch.
+    "st_enrich" -> ((s, dir) => {
+      val typeStats = graft.io.Tables.events(s, dir)
+        .groupBy("event_type").agg(round(avg("value"), 6).as("type_avg"))
+      drain(s, EventStreams.enrichStream(
+        EventStreams.readEvents(s, dir), typeStats), "st_enrich_gate")
+    }),
+
+    // Native session_window aggregation (the Catalyst-built-in twin of
+    // the flatMapGroupsWithState sessionizer): append emits sessions the
+    // final watermark closed. NOTE Spark's boundary convention differs
+    // from the custom path: an event exactly gap after its predecessor
+    // starts a NEW session here (merge iff strictly inside [t, t+gap)) —
+    // the oracle replays >= where e_sessionize uses >.
+    "st_session_native" -> ((s, dir) =>
+      drain(s, EventStreams.sessionWindowStream(EventStreams.readEvents(s, dir)),
+        "st_sessw_gate")),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -168,6 +187,33 @@ object StreamingGateQueries {
          |WHERE session_idx < (SELECT max(session_idx) FROM agg a2
          |                     WHERE a2.user_id = agg.user_id)
          |   OR end_us // 1000 + 1800000 < w""".stripMargin,
+
+    "st_enrich" ->
+      """WITH st AS (SELECT event_type, round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, st.type_avg,
+        |  round(e.value - st.type_avg, 6) AS delta_from_avg
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
+
+    "st_session_native" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |flags AS (SELECT user_id, ts_us,
+         |  CASE WHEN lag(ts_us) OVER w IS NULL
+         |       OR ts_us - lag(ts_us) OVER w >= 1800 * 1000000
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (SELECT user_id, ts_us,
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flags),
+         |agg AS (SELECT user_id, sid, count(*) AS n_events,
+         |  min(ts_us) AS start_us,
+         |  max(ts_us) + ${1800L * 1000000L} AS end_us
+         |  FROM sess GROUP BY user_id, sid),
+         |wm AS (SELECT (SELECT max(ts_us) FROM e) // 1000 - 1800000 AS w)
+         |SELECT user_id, start_us, end_us, n_events FROM agg, wm
+         |WHERE end_us // 1000 <= w""".stripMargin,
 
     "st_neardup" ->
       s"""WITH ${PipelineQueries.ShinglesCte},

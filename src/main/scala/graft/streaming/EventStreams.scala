@@ -329,6 +329,40 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-static enrichment join: every streaming event picks up its
+    * type's corpus-level statistics from a STATIC dimension frame. The
+    * static side is planned per micro-batch like any batch relation —
+    * broadcast here (it is k rows), so the stream never shuffles; this
+    * is the third join regime next to stream-stream ([[rangeJoinStream]])
+    * and batch-batch, and the standard shape for dimension lookups at
+    * 100 TB/day (the dim refreshes between batches without restarting
+    * the query). */
+  def enrichStream(events: DataFrame, typeStats: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(typeStats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("type_avg"),
+        round(col("value") - col("type_avg"), 6).as("delta_from_avg"))
+
+  /** Gap sessionization on the NATIVE `session_window` aggregate — the
+    * Catalyst-built-in twin of the hand-rolled
+    * [[sessionize]] flatMapGroupsWithState path. State merges session
+    * windows per key; append mode emits a session once the watermark
+    * passes its end (last event + gap). Emits (user_id, start_us,
+    * end_us, n_events) with end_us = last event + gap, Spark's native
+    * session-end convention. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("tts", graft.io.Tables.eventTime(events))
+      .withWatermark("tts", gap)
+      .groupBy(session_window(col("tts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   /** Drive a streaming frame into an in-memory table and block until the
     * source drains — the local smoke harness. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {

@@ -36,4 +36,17 @@ class SinksSpec extends SparkSpec {
     Sinks.writeJson(df, dir)
     assert(Sinks.readJson(spark, dir).count() == 3)
   }
+
+  test("orc round-trip with partition pruning and filter pushdown") {
+    val dir = Files.createTempDirectory("sinks-orc").toString
+    Sinks.writeOrc(df, dir, partitionBy = Seq("tag"))
+    assert(new java.io.File(s"$dir/tag=a").exists())
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.count() == 3)
+    val filtered = back.where(col("tag") === "a" && col("id") > 1)
+    assert(filtered.count() == 1) // only (3, a, 3.5)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(tag"), scan)
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id"), scan)
+  }
 }
