@@ -80,14 +80,12 @@ object GraftFunctions {
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
-    // Route every input through StringType before the binary cast: a
-    // direct integral->binary cast yields big-endian bytes, which would
-    // diverge from the documented DuckDB parity (md5 of the decimal
-    // string) and from the seeded 2-arg form.
-    def h(e: Expression): Expression =
-      Cast(Conv(Substring(Md5(Cast(Cast(e, StringType), BinaryType)),
-        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    import org.apache.spark.sql.types.StringType
+    // Route every input through StringType: an integral input hashes its
+    // DECIMAL STRING, matching the documented DuckDB parity (md5 of the
+    // varchar) and the seeded 2-arg form. The native Hash60 expression
+    // is bit-equal to the old composed conv/substring/md5 chain.
+    def h(e: Expression): Expression = graft.functions.Hash60(Cast(e, StringType))
     exprs match {
       case Seq(x) => h(x)
       case Seq(seed, x) => h(ConcatWs(Seq(Literal("|"),

@@ -21,9 +21,16 @@ import org.apache.spark.sql.types.LongType
   */
 object Hashing {
 
-  /** 60-bit non-negative hash of a string column (15 hex digits of md5). */
+  /** 60-bit non-negative hash of a string column (15 hex digits of md5).
+    * Computed by the native codegen'd [[Hash60]] expression — bit-equal
+    * to the composed `conv(substring(md5(x),1,15),16,10)` documented
+    * above (the DuckDB oracle keeps using that SQL), minus the two hex
+    * string round-trips per row. Non-string inputs hash their decimal
+    * STRING rendering, matching the SQL builder and the oracle's
+    * varchar md5. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Hash60(org.apache.spark.sql.graftbridge.Bridge.expression(c.cast("string"))))
 
   /** Seeded variant: hash60 of "seed|x". Deterministic per (seed, value),
     * independent of partitioning — the Spark analogue of the reference's
