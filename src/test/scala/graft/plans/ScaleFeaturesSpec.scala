@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The two runtime re-plan features a 100 TB deployment leans on,
+  * demonstrated live so a conf regression can't silently disable them:
+  * AQE skew-join splitting (a hot key no longer serializes one reducer)
+  * and runtime bloom-filter pruning (a selective dim filter reaches the
+  * fact scan as a semi-join reduction). Both assert on the POST-EXECUTION
+  * adaptive plan — the whole point is what AQE decided at runtime. */
+class ScaleFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2") {
+      // 200k rows, half on key 0, ~100-byte payload -> one reducer gets
+      // ~5 MB while the median partition is tiny
+      val skewed = spark.range(200000L)
+        .select(when(col("id") < 100000L, 0L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("pay"))
+      val dim = spark.range(2000L).select(col("id").as("k2"))
+      val joined = skewed.join(dim, col("k") === col("k2"))
+      // collect() drives THIS QueryExecution — count() would spawn a
+      // separate one and leave the inspected plan unexecuted (AQE's
+      // final plan only exists after its own execution ran).
+      // k=0 (100k rows) matches dim key 0; keys >= 100000 match nothing.
+      assert(joined.collect().length == 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1") {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val ord = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderkey")
+      joined.collect() // drive this QueryExecution (see above)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter in plan:\n$plan")
+    }
+  }
+}
