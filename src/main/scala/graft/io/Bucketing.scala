@@ -41,21 +41,10 @@ object Bucketing {
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** True iff the physical plan contains no shuffle exchange — the
-    * property a co-located bucketed join/aggregation must have. Under
-    * AQE the plan tree hides inside `AdaptiveSparkPlanExec` (whose
-    * `children` is empty — a naive `plan.exists` is vacuously false),
-    * so the walk descends through the adaptive wrapper and any
-    * materialized query stages explicitly. */
-  def shuffleFree(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def hasShuffle(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
-      case q: QueryStageExec => q.plan.isInstanceOf[ShuffleExchangeLike] || hasShuffle(q.plan)
-      case _: ShuffleExchangeLike => true
-      case other => other.children.exists(hasShuffle)
-    }
-    !hasShuffle(df.queryExecution.executedPlan)
-  }
+    * property a co-located bucketed join/aggregation must have. Goes
+    * through [[graft.plans.PlanWalk]], which sees through the AQE
+    * wrappers a naive `plan.exists` silently misses. */
+  def shuffleFree(df: DataFrame): Boolean =
+    !graft.plans.PlanWalk.exists(df.queryExecution.executedPlan)(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
 }

@@ -35,28 +35,41 @@ object Scd2 {
     *  - keys new to the dimension: appended open at `ts`. */
   def merge(dim: DataFrame, updates: DataFrame, key: String,
       payload: Seq[String], ts: Long): DataFrame = {
+    val outCols = Seq(key) ++ payload ++ Seq("valid_from", "valid_to")
+    // explicit projection on BOTH union branches: unionAll is positional,
+    // and the caller's dim may carry any column order
     val closed = dim.where(col("valid_to") =!= OpenTs)
+      .select(outCols.map(col): _*)
     val open = dim.where(col("valid_to") === OpenTs)
     val u = updates.select(
       (col(key).as(s"u_$key") +: payload.map(c => col(c).as(s"u_$c"))): _*)
-    val j = open.join(u, col(key) === col(s"u_$key"), "full_outer")
     val samePayload: Column = payload
       .map(c => col(c) <=> col(s"u_$c")).reduce(_ && _)
 
-    val dimCols = (Seq(key) ++ payload ++ Seq("valid_from", "valid_to")).map(col)
-    val untouched = j.where(col(s"u_$key").isNull ||
-        (col(key).isNotNull && samePayload))
-      .select(dimCols: _*)
-    val nowClosed = j.where(col(key).isNotNull && col(s"u_$key").isNotNull &&
-        !samePayload)
-      .select((Seq(col(key)) ++ payload.map(col) ++
-        Seq(col("valid_from"), lit(ts).as("valid_to"))): _*)
-    val newVersions = j.where(col(s"u_$key").isNotNull &&
-        (col(key).isNull || !samePayload))
-      .select((Seq(col(s"u_$key").as(key)) ++
-        payload.map(c => col(s"u_$c").as(c)) ++
-        Seq(lit(ts).as("valid_from"), lit(OpenTs).as("valid_to"))): _*)
-    closed.unionAll(untouched).unionAll(nowClosed).unionAll(newVersions)
+    // The full-outer join runs ONCE: each joined row classifies into its
+    // output kind(s) inside a single projection (an unchanged open row
+    // yields one struct, a changed one yields closed + new version), and
+    // explode flattens them — three .where() branches over the same join
+    // would execute the sort-merge three times.
+    def branch(cond: Column, keyC: Column, payloadC: Seq[Column],
+        vf: Column, vt: Column): Column =
+      when(cond, struct(
+        (Seq(keyC.as(key)) ++ payload.zip(payloadC).map { case (n, c) => c.as(n) } ++
+          Seq(vf.as("valid_from"), vt.as("valid_to"))): _*))
+    val untouched = branch(
+      col(s"u_$key").isNull || (col(key).isNotNull && samePayload),
+      col(key), payload.map(col), col("valid_from"), col("valid_to"))
+    val nowClosed = branch(
+      col(key).isNotNull && col(s"u_$key").isNotNull && !samePayload,
+      col(key), payload.map(col), col("valid_from"), lit(ts))
+    val newVersions = branch(
+      col(s"u_$key").isNotNull && (col(key).isNull || !samePayload),
+      col(s"u_$key"), payload.map(c => col(s"u_$c")), lit(ts), lit(OpenTs))
+    val merged = open.join(u, col(key) === col(s"u_$key"), "full_outer")
+      .select(explode(filter(array(untouched, nowClosed, newVersions),
+        _.isNotNull)).as("r"))
+      .select(outCols.map(c => col(s"r.$c")): _*)
+    closed.unionAll(merged)
   }
 
   /** Point-in-time view: the rows valid at `asOf`. */

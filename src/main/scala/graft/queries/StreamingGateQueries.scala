@@ -198,13 +198,13 @@ object StreamingGateQueries {
     "st_session_native" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |  epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |flags AS (SELECT user_id, ts_us,
+         |flags AS (SELECT user_id, event_id, ts_us,
          |  CASE WHEN lag(ts_us) OVER w IS NULL
          |       OR ts_us - lag(ts_us) OVER w >= 1800 * 1000000
          |    THEN 1 ELSE 0 END AS new_sess
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |sess AS (SELECT user_id, ts_us,
-         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |    ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM flags),
          |agg AS (SELECT user_id, sid, count(*) AS n_events,
@@ -213,7 +213,7 @@ object StreamingGateQueries {
          |  FROM sess GROUP BY user_id, sid),
          |wm AS (SELECT (SELECT max(ts_us) FROM e) // 1000 - 1800000 AS w)
          |SELECT user_id, start_us, end_us, n_events FROM agg, wm
-         |WHERE end_us // 1000 <= w""".stripMargin,
+         |WHERE end_us <= w * 1000""".stripMargin,
 
     "st_neardup" ->
       s"""WITH ${PipelineQueries.ShinglesCte},

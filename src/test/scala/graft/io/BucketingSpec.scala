@@ -19,11 +19,19 @@ class BucketingSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("bucketed-bucketed equi-join runs with zero shuffle") {
+  // idempotent per-test setup: every test writes the tables it reads, so
+  // the suite has no inter-test ordering dependency (runs filtered too)
+  private def writeJoinTables(): Unit = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
     Bucketing.writeBucketed(ord, "ord_b", "o_orderkey", 4)
+  }
+
+  test("bucketed-bucketed equi-join runs with zero shuffle") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    writeJoinTables()
     withSmj {
       val joined = Bucketing.table(spark, "li_b")
         .join(Bucketing.table(spark, "ord_b"),
@@ -49,6 +57,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("join keyed off the bucket column still shuffles (negative control)") {
+    writeJoinTables()
     withSmj {
       val joined = Bucketing.table(spark, "li_b")
         .join(Bucketing.table(spark, "ord_b"),

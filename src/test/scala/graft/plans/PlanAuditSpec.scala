@@ -1,8 +1,6 @@
 package graft.plans
 
 import graft.testkit.SparkSpec
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Engine-wide physical-plan invariants over the declarative gate
@@ -31,17 +29,11 @@ class PlanAuditSpec extends SparkSpec {
     "d_exact", "d_scd2", "d_minhash_sig", "d_minhash_pairs", "d_simhash",
     "s_ann_brute", "s_quantize", "s_rproj")
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
-    case q: QueryStageExec => q +: nodes(q.plan)
-    case other => other +: other.children.flatMap(nodes)
-  }
-
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
-      if (nodes(plan).exists(_.isInstanceOf[CartesianProductExec]))
+      if (PlanWalk.nodes(plan).exists(_.isInstanceOf[CartesianProductExec]))
         Some(name)
       else None
     }
@@ -58,7 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     val fat = cases.flatMap { case (name, maxCols) =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
-      val widths = nodes(plan).collect {
+      val widths = PlanWalk.nodes(plan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.requiredSchema.size
       }
