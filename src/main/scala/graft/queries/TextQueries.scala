@@ -53,6 +53,14 @@ object TextQueries {
     "t_c4" -> ((s, dir) =>
       TextAnalysis.c4Rules(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Unicode NFC normalization (native codegen expression; DuckDB
+    // nfc_normalize is the oracle twin). ASCII corpus -> identity, which
+    // the changed flag makes visible; NormalizeSpec covers real unicode.
+    "t_normalize" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalizeNfc(col("text")).as("norm_text"),
+      (TextAnalysis.normalizeNfc(col("text")) =!= col("text")).as("changed"))),
+
     // BPE tokenizer training + application (Sennrich 2016): 10 merges
     // learned corpus-wide (one pair-count aggregation per merge over
     // DISTINCT words), then broadcast-applied. Iterative training is not
@@ -361,6 +369,16 @@ object TextQueries {
          |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
          |FROM t""".stripMargin
     },
+
+    "t_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents""".stripMargin,
+
+    "t_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents""".stripMargin,
 
     "t_c4" ->
       """WITH t AS (SELECT doc_id, text,

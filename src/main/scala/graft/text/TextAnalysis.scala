@@ -402,6 +402,14 @@ object TextAnalysis {
   /** Word n-gram shingles of `text` (empty array when too short). */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
+  /** Unicode NFC normalization ([[graft.functions.NormalizeNfc]]) —
+    * run FIRST in any curation chain so hashes/shingles/dedup keys see
+    * one canonical form per glyph. */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NormalizeNfc(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** The eight Gopher "required stop words" (Rae et al. 2021, A1.1). */
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
