@@ -104,6 +104,12 @@ object StreamingGateQueries {
       drain(s, EventStreams.sessionWindowStream(EventStreams.readEvents(s, dir)),
         "st_sessw_gate")),
 
+    // Per-key running statistics (online anomaly-scoring feed): exact
+    // integer cents, so the gate needs no float rounding at all.
+    "st_running" -> ((s, dir) =>
+      drain(s, EventStreams.runningStatsStream(s, EventStreams.readEvents(s, dir)),
+        "st_running_gate")),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -214,6 +220,18 @@ object StreamingGateQueries {
          |wm AS (SELECT (SELECT max(ts_us) FROM e) // 1000 - 1800000 AS w)
          |SELECT user_id, start_us, end_us, n_events FROM agg, wm
          |WHERE end_us <= w * 1000""".stripMargin,
+
+    "st_running" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_prior,
+        |  CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS sum_prior_cents,
+        |  CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS sumsq_prior_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "st_neardup" ->
       s"""WITH ${PipelineQueries.ShinglesCte},

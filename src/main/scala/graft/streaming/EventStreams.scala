@@ -363,6 +363,47 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  final case class REvent(event_type: String, event_id: Long, ts_us: Long,
+      cents: Long)
+  final case class RunningState(n: Long, sum: Long, sumSq: Long)
+  final case class RunningRow(event_type: String, event_id: Long,
+      n_prior: Long, sum_prior_cents: Long, sumsq_prior_cents: Long)
+
+  /** Per-key running statistics (online mean/variance feed): every event
+    * emits the count, sum, and sum-of-squares of the events BEFORE it in
+    * event-time order — the anomaly-scoring state a streaming monitor
+    * keeps. All arithmetic is EXACT integer cents (the quantile-sketch
+    * convention), so the stream is bit-reproducible against a window-
+    * frame oracle with no floating-point summation-order caveats. State
+    * per key is three longs. Keyed here by event_type (gate-scale); a
+    * 100 TB deployment keys by (type, shard) and merges moments — sums
+    * and sum-of-squares add, which is why the state is kept in this form
+    * rather than as mean/variance. */
+  def runningStatsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[REvent]
+
+    def update(key: String, rows: Iterator[REvent],
+        state: GroupState[RunningState]): Iterator[RunningRow] = {
+      var s = state.getOption.getOrElse(RunningState(0L, 0L, 0L))
+      val out = Seq.newBuilder[RunningRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        out += RunningRow(key, e.event_id, s.n, s.sum, s.sumSq)
+        s = RunningState(s.n + 1, s.sum + e.cents, s.sumSq + e.cents * e.cents)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Drive a streaming frame into an in-memory table and block until the
     * source drains — the local smoke harness. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery = {

@@ -246,6 +246,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running stats carry exact state across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val us = 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, Double)]
+    val events = ms.toDF().select(col("_1").as("event_type"),
+      col("_2").as("event_id"), (col("_3") * 1000).as("ts"), col("_4").as("value"))
+    val q = EventStreams.runningStatsStream(spark, events).writeStream
+      .outputMode("append").format("memory").queryName("run_stream").start()
+    try {
+      ms.addData(("a", 1L, 100L * us, 2.0), ("a", 2L, 200L * us, 3.0))
+      q.processAllAvailable()
+      ms.addData(("a", 3L, 300L * us, 5.0)) // second batch: prior = batch-1 state
+      q.processAllAvailable()
+      val rows = spark.table("run_stream")
+        .select("event_id", "n_prior", "sum_prior_cents", "sumsq_prior_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, 0L, 0L, 0L),
+        (2L, 1L, 200L, 40000L),
+        (3L, 2L, 500L, 130000L))) // 200+300 cents; 200^2+300^2
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session
