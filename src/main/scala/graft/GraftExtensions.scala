@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.Hashing.getClass.getName, "hash60"),
       graft.functions.GraftFunctions.hash60Builder _))
     ext.injectFunction((
+      FunctionIdentifier("normalize_nfc"),
+      new ExpressionInfo(
+        classOf[graft.functions.NormalizeNfc].getName, "normalize_nfc"),
+      graft.functions.GraftFunctions.normalizeNfcBuilder _))
+    ext.injectFunction((
       FunctionIdentifier("hll60"),
       new ExpressionInfo(classOf[graft.functions.HllSketch60].getName, "hll60"),
       graft.functions.GraftFunctions.hll60Builder _))

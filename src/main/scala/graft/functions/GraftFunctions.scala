@@ -11,6 +11,7 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)))
     Bridge.registerFunction(spark, "hash60", hash60Builder)
+    Bridge.registerFunction(spark, "normalize_nfc", normalizeNfcBuilder)
     Bridge.registerFunction(spark, "hll60", hll60Builder)
     Bridge.registerFunction(spark, "hdrq", hdrqBuilder)
     Bridge.registerFunction(spark, "lgq", lgqBuilder)
@@ -20,6 +21,13 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "hll60_regs", hll60RegsBuilder)
     Bridge.registerFunction(spark, "hll_union", hllUnionBuilder)
     Bridge.registerFunction(spark, "hll_union_est", hllUnionEstBuilder)
+  }
+
+  private[graft] def normalizeNfcBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, "normalize_nfc expects one string argument")
+    NormalizeNfc(exprs.head)
   }
 
   private[graft] def hll60RegsBuilder(

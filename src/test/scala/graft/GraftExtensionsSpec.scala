@@ -34,6 +34,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h = spark.sql("SELECT hash60('abc') AS h, hash60(7, 'abc') AS hs").head()
       assert(h.getLong(0) == graft.functions.Hashing.hash60Local("abc"))
       assert(h.getLong(1) == graft.functions.Hashing.hash60Local("7|abc"))
+      // normalize_nfc injected: decomposed e + combining acute composes
+      val nf = spark.sql("SELECT normalize_nfc('e\u0301') AS n").head().getString(0)
+      assert(nf == "é")
       // non-string args hash their decimal-string rendering (DuckDB
       // parity), not their big-endian binary cast
       val hn = spark.sql(
