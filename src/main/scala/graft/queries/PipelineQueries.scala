@@ -41,6 +41,22 @@ object PipelineQueries {
           col("valid_from"), col("valid_to"))
     }),
 
+    // Point-in-time view over the merged SCD2 dimension: "the corpus as
+    // of t=100" (post-refresh) — the as-of read the history layout buys.
+    "d_scd2_asof" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val changedUpd = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      val newUpd = docs(s, dir).where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Scd2.snapshot(
+        Scd2.merge(d, changedUpd.unionAll(newUpd), "doc_id", Seq("text"), ts = 100L),
+        asOf = 100L)
+        .select(col("doc_id"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"))
+    }),
+
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -356,6 +372,19 @@ object PipelineQueries {
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_scd2_asof" ->
+      s"""WITH changed AS (SELECT doc_id, text || ' v2' AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |brandnew AS (SELECT doc_id + 10000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |upd AS (SELECT * FROM changed UNION ALL SELECT * FROM brandnew),
+         |cur AS (
+         |  SELECT d.doc_id, coalesce(u.text, d.text) AS text
+         |  FROM documents d LEFT JOIN upd u USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, text FROM brandnew)
+         |SELECT doc_id, ${H("text")} AS content_hash FROM cur""".stripMargin,
 
     "d_scd2" ->
       s"""WITH changed AS (SELECT doc_id, text || ' v2' AS text
