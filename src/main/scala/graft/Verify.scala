@@ -43,6 +43,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.GraphQueries.clearCaches()
+    graft.text.Bpe.clearCache()
     spark.stop()
   }
 }

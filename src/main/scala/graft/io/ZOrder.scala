@@ -55,10 +55,13 @@ object ZOrder {
     * the key space (one exchange — same cost as any global sort). */
   def layoutBy(df: DataFrame, cols: Seq[Column], bits: Int,
       numPartitions: Int): DataFrame = {
-    val z = zValueClamped(cols, bits).as("__z")
-    df.withColumn("__z", z)
-      .repartitionByRange(numPartitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    // collision-proof scratch name: a caller column literally named __z
+    // must survive the layout unchanged
+    val zc = Iterator.from(0).map(i => s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zValueClamped(cols, bits))
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }

@@ -56,13 +56,15 @@ object StreamingGateQueries {
         "st_lgq_gate")),
 
     // Watermarked tumbling-window aggregation — the closed-window subset
-    // of batch e_window_agg. total_value rounds post-drain: the stream
-    // sums doubles in state-merge order, the oracle in scan order.
+    // of batch e_window_agg. The gate hashes the exact integer-cents sum
+    // (order-independent); the double total_value stays on the operator
+    // surface but out of the hash (a boundary-landing value could flip
+    // the 4th decimal between state-merge and scan order — ADVICE r6).
     "st_window_agg" -> ((s, dir) =>
       drain(s, EventStreams.windowedAgg(EventStreams.readEvents(s, dir)),
         "st_winagg_gate")
         .select(col("win_start_us"), col("event_type"), col("cnt"),
-          round(col("total_value"), 4).as("total_value"))),
+          col("total_cents"))),
 
     // Windowed HLL approx-distinct under the same eviction.
     "st_approx_distinct" -> ((s, dir) =>
@@ -148,14 +150,15 @@ object StreamingGateQueries {
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "st_window_agg" ->
-      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, value
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
          |  FROM events),
-         |c AS (SELECT ts_us - ts_us % $HourUs AS win_start_us, event_type, value
+         |c AS (SELECT ts_us - ts_us % $HourUs AS win_start_us, event_type, cents
          |  FROM e
          |  WHERE ts_us - ts_us % $HourUs + $HourUs
          |    <= (SELECT max(ts_us) FROM e) - ${2 * HourUs})
          |SELECT win_start_us, event_type, count(*) AS cnt,
-         |  round(sum(value), 4) AS total_value
+         |  CAST(sum(cents) AS BIGINT) AS total_cents
          |FROM c GROUP BY 1, 2""".stripMargin,
 
     "st_approx_distinct" ->

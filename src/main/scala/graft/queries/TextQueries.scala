@@ -63,14 +63,21 @@ object TextQueries {
 
     // BPE tokenizer training + application (Sennrich 2016): 10 merges
     // learned corpus-wide (one pair-count aggregation per merge over
-    // DISTINCT words), then broadcast-applied. Iterative training is not
-    // SQL-expressible -> rows-only driver check; BpeSpec pins the merge
-    // semantics against hand-computed tables.
+    // DISTINCT words), then broadcast-applied. The oracle re-learns the
+    // SAME merge table in DuckDB (Bpe.oracleSql unrolls the rounds as
+    // materialized CTEs), so both the training argmax/tie-break and the
+    // greedy merge application are hash-gated; detok additionally proves
+    // the tokenization is lossless (concat tokens, `</w>` -> space,
+    // equals the whitespace-normalized word sequence rebuilt from text).
     "t_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(s, d, col("text"), nMerges = 10)
+      val merges = graft.text.Bpe.trainCached(s, dir, d, col("text"), nMerges = 10)
       graft.text.Bpe.tokenize(s, d, col("doc_id"), col("text"), merges)
-        .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
+            lit(java.util.regex.Pattern.quote(graft.text.Bpe.Eow)), lit(" ")))
+            .as("detok"))
     }),
 
     // PMI collocations: top adjacent-pair associations — identical
@@ -375,10 +382,7 @@ object TextQueries {
         |  nfc_normalize(text) <> text AS changed
         |FROM documents""".stripMargin,
 
-    "t_normalize" ->
-      """SELECT doc_id, nfc_normalize(text) AS norm_text,
-        |  nfc_normalize(text) <> text AS changed
-        |FROM documents""".stripMargin,
+    "t_bpe" -> graft.text.Bpe.oracleSql(nMerges = 10),
 
     "t_c4" ->
       """WITH t AS (SELECT doc_id, text,

@@ -36,10 +36,15 @@ object EventStreams {
       .withColumn("tts", graft.io.Tables.eventTime(events))
       .withWatermark("tts", "2 hours")
       .groupBy(window(col("tts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      // total_cents next to the double sum: the stream merges partial
+      // sums in state-arrival order, so the DOUBLE total is only
+      // reproducible to rounding — the integer-cents sum is exact in any
+      // order and is what the driver gate hashes (ADVICE r6).
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_cents"))
       .select(
         unix_micros(col("window.start")).as("win_start_us"),
-        col("event_type"), col("cnt"), col("total_value"))
+        col("event_type"), col("cnt"), col("total_value"), col("total_cents"))
 
   /** Windowed approximate distinct users per event type via the custom
     * HLL aggregate ([[graft.functions.HllSketch60]]). The state store
