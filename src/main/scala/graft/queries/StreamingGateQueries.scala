@@ -112,6 +112,40 @@ object StreamingGateQueries {
       drain(s, EventStreams.runningStatsStream(s, EventStreams.readEvents(s, dir)),
         "st_running_gate")),
 
+    // ---- Multi-batch twins (readEventsMultiBatch: 4 time-contiguous
+    // files, one micro-batch each) — same operators, same oracles, but
+    // the state paths now round-trip the state store BETWEEN batches:
+    // a funnel stage reached in batch 3 builds on stage times from
+    // batch 1; a batch-4 duplicate is dropped against batch-1 state;
+    // running stats accumulate across all four; windows evict
+    // mid-stream as the watermark advances batch by batch. The staging
+    // is time-sorted so no row is ever late and the final tables equal
+    // the single-batch drains.
+
+    "st_funnel_mb" -> ((s, dir) =>
+      drain(s, EventStreams.funnelStream(s,
+        EventStreams.readEventsMultiBatch(s, dir)), "st_funnel_mb_gate")),
+
+    // Corpus-covering horizon (31 days > the 30-day event span): per-key
+    // gaps run to 450+ hours, so the default 2 h horizon would evict
+    // state mid-stream and re-emit recurring keys with batch-boundary-
+    // dependent timing — the horizon-expiry path stays covered by the
+    // MemoryStream specs; THIS gate pins cross-batch state hits.
+    "st_dedup_mb" -> ((s, dir) =>
+      drain(s, EventStreams.dedupStream(
+          EventStreams.readEventsMultiBatch(s, dir),
+          Seq("user_id", "event_type"), horizon = "744 hours"),
+        "st_dedup_mb_gate")
+        .select("user_id", "event_type")),
+
+    "st_running_mb" -> ((s, dir) =>
+      drain(s, EventStreams.runningStatsStream(s,
+        EventStreams.readEventsMultiBatch(s, dir)), "st_running_mb_gate")),
+
+    "st_window_lgq_mb" -> ((s, dir) =>
+      drain(s, EventStreams.logQuantileStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_lgq_mb_gate")),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -130,7 +164,7 @@ object StreamingGateQueries {
 
   private val HourUs = 3600L * 1000000L
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "st_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
@@ -269,4 +303,13 @@ object StreamingGateQueries {
       groupCols = Seq("ws" -> "win_start_us", "event_type" -> "event_type"),
       qs = Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99))
   )
+
+  // The multi-batch drains end at the same final table as their
+  // single-batch twins (time-sorted staging: nothing is late, nothing
+  // re-emits), so they share oracles verbatim.
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "st_funnel_mb" -> baseOracles("st_funnel"),
+    "st_dedup_mb" -> baseOracles("st_dedup"),
+    "st_running_mb" -> baseOracles("st_running"),
+    "st_window_lgq_mb" -> baseOracles("st_window_lgq"))
 }

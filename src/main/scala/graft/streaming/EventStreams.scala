@@ -25,6 +25,63 @@ object EventStreams {
       .parquet(dir)
   }
 
+  // Staged multi-batch copies of the events table, one per (session,
+  // dir, nFiles): the single-file testdata parquet drains as ONE data
+  // micro-batch, which leaves every cross-batch state path (funnel
+  // carry, dedup state hits, running-stat accumulation, mid-stream
+  // watermark eviction) unexercised by the driver gate. Staging rewrites
+  // the table as nFiles TIME-CONTIGUOUS parquet files with strictly
+  // increasing modification times, so a maxFilesPerTrigger=1 AvailableNow
+  // drain runs one micro-batch per file in event-time order — the
+  // watermark only ever advances, no row is late, and the final result
+  // equals the single-batch drain (same oracles).
+  private val mbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+
+  private def stageSortedEventFiles(spark: SparkSession, dir: String,
+      nFiles: Int): String =
+    mbCache.getOrElseUpdate((spark, dir, nFiles), {
+      import org.apache.spark.sql.expressions.Window
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val n = ev.count()
+      val out = java.nio.file.Files.createTempDirectory("graft_mb_events_").toFile
+      out.deleteOnExit()
+      // Global sort through one partition: gate-staging only (sf<=0.1
+      // events) — a production stream's arrival order comes from the
+      // source, not from a driver-side re-sort.
+      val ranked = ev.withColumn("__rn",
+        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      (0 until nFiles).foreach { k =>
+        val lo = k * n / nFiles
+        val hi = (k + 1) * n / nFiles
+        val stage = new java.io.File(out, s"_stage$k")
+        ranked.where(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+          .coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(out, f"b$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource orders by modification time (oldest first);
+        // 60 s spacing keeps the order unambiguous on coarse filesystems,
+        // and the b00..bNN names break any residual tie the same way.
+        dst.setLastModified(t0 + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      out.getPath
+    })
+
+  /** Multi-batch twin of [[readEvents]]: the same rows, staged as
+    * `nFiles` time-sorted files read one per trigger, so a bounded drain
+    * exercises state carry ACROSS micro-batches instead of within one. */
+  def readEventsMultiBatch(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+  }
+
   /** 1-hour tumbling windowed counts/sums per event_type with a 2-hour
     * watermark: late data beyond the watermark is dropped, state is
     * bounded — the 100 TB/day streaming shape.
