@@ -57,6 +57,80 @@ object PipelineQueries {
           graft.functions.Hashing.hash60(col("text")).as("content_hash"))
     }),
 
+    // Two sequential refreshes (ts=100 then ts=200) over the same
+    // dimension: closed history from refresh 1 rides through refresh 2
+    // untouched (append-only), a doc changed in BOTH refreshes carries
+    // three versions, a key that ENTERED at 100 is closed at 200, and an
+    // idempotent re-delivery (%11 set, unchanged text) is a no-op.
+    "d_scd2_multi" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val upd1 = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+        .unionAll(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val upd2 = docs(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"))
+        .unionAll(docs(s, dir)
+          .where(col("doc_id") % 13 === 0 && col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" r2")).as("text")))
+        .unionAll(docs(s, dir).where(col("doc_id") % 11 === 0 &&
+            col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text")))
+      val m1 = Scd2.merge(d0, upd1, "doc_id", Seq("text"), ts = 100L)
+      Scd2.merge(m1, upd2, "doc_id", Seq("text"), ts = 200L)
+        .select(col("doc_id"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"),
+          col("valid_from"), col("valid_to"))
+    }),
+
+    // Late-arriving batch through the rewind path: a crawl EFFECTIVE at
+    // ts=50 lands after the ts=100 refresh is already merged.
+    // Scd2.mergeLate splits the version covering t=50 — for a %9∧%7 doc
+    // that is the CLOSED [0,100) version (history rewrite), for a
+    // %9∧¬%7 doc the open [0,∞) one — while the ts=100 versions stay
+    // untouched. The in-order merge() would refuse this batch outright
+    // (out-of-order guard; Scd2Spec pins the raise_error).
+    "d_scd2_late" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val upd1 = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+        .unionAll(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val late = docs(s, dir).where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v0")).as("text"))
+      val m1 = Scd2.merge(d0, upd1, "doc_id", Seq("text"), ts = 100L)
+      Scd2.mergeLate(m1, late, "doc_id", Seq("text"), ts = 50L)
+        .select(col("doc_id"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"),
+          col("valid_from"), col("valid_to"))
+    }),
+
+    // As-of JOIN (not the fixed-time snapshot): every fact row carries
+    // its OWN timestamp (probe_ts = doc_id % 250, spanning both refresh
+    // boundaries) and is enriched with the dimension version valid right
+    // then — per-row point-in-time lookup, the temporal-join shape
+    // feature-store reads use. Key-partitioned hash join; the interval
+    // predicate selects the one covering version per key.
+    "d_scd2_join" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val upd1 = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      val upd2 = docs(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"))
+      val dim = Scd2.merge(
+        Scd2.merge(d0, upd1, "doc_id", Seq("text"), ts = 100L),
+        upd2, "doc_id", Seq("text"), ts = 200L)
+      val facts = docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 250).as("probe_ts"))
+      Scd2.asOfJoin(facts, dim, "doc_id", "probe_ts")
+        .select(col("doc_id"), col("probe_ts"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"))
+    }),
+
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -407,6 +481,77 @@ object PipelineQueries {
          |SELECT doc_id, ${H("text")} AS content_hash, valid_from, valid_to
          |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM nowclosed
          |      UNION ALL SELECT * FROM newver)""".stripMargin,
+
+    // Direct enumeration of the version set after both refreshes — each
+    // UNION branch is one version class (original / v2 / v3 / entered-at-
+    // 100 / r2), with valid_to picked by which later refresh, if any,
+    // closes it. The %11 idempotent re-delivery contributes no branch:
+    // an unchanged payload is a no-op by construction.
+    "d_scd2_multi" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, text, CAST(0 AS BIGINT) AS vf,
+         |    CAST(CASE WHEN doc_id % 7 = 0 THEN 100
+         |              WHEN doc_id % 5 = 0 THEN 200
+         |              ELSE ${Scd2.OpenTs} END AS BIGINT) AS vt
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text || ' v2', CAST(100 AS BIGINT),
+         |    CAST(CASE WHEN doc_id % 5 = 0 THEN 200
+         |              ELSE ${Scd2.OpenTs} END AS BIGINT)
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' v3', CAST(200 AS BIGINT),
+         |    CAST(${Scd2.OpenTs} AS BIGINT)
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, CAST(100 AS BIGINT),
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN 200
+         |              ELSE ${Scd2.OpenTs} END AS BIGINT)
+         |  FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text || ' r2', CAST(200 AS BIGINT),
+         |    CAST(${Scd2.OpenTs} AS BIGINT)
+         |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 3 = 0)
+         |SELECT doc_id, ${H("text")} AS content_hash,
+         |  vf AS valid_from, vt AS valid_to FROM v""".stripMargin,
+
+    // The version valid at probe_ts, computed directly: v3 wins from 200
+    // for %5 docs, v2 from 100 for %7 docs, else the original text.
+    "d_scd2_join" ->
+      s"""SELECT doc_id, doc_id % 250 AS probe_ts,
+         |  ${H("""CASE WHEN doc_id % 5 = 0 AND doc_id % 250 >= 200
+                 |       THEN text || ' v3'
+                 |       WHEN doc_id % 7 = 0 AND doc_id % 250 >= 100
+                 |       THEN text || ' v2'
+                 |       ELSE text END""".stripMargin)} AS content_hash
+         |FROM documents""".stripMargin,
+
+    // Version classes after merge(ts=100) + mergeLate(ts=50): the late
+    // batch truncates the version covering t=50 (the original [0,·) one)
+    // at 50 and inserts the ' v0' backfill up to whatever already closed
+    // it; the ts=100 refresh versions are untouched.
+    "d_scd2_late" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, text, CAST(0 AS BIGINT) AS vf,
+         |    CAST(CASE WHEN doc_id % 9 = 0 THEN 50
+         |              WHEN doc_id % 7 = 0 THEN 100
+         |              ELSE ${Scd2.OpenTs} END AS BIGINT) AS vt
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text || ' v0', CAST(50 AS BIGINT),
+         |    CAST(CASE WHEN doc_id % 7 = 0 THEN 100
+         |              ELSE ${Scd2.OpenTs} END AS BIGINT)
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' v2', CAST(100 AS BIGINT),
+         |    CAST(${Scd2.OpenTs} AS BIGINT)
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text, CAST(100 AS BIGINT),
+         |    CAST(${Scd2.OpenTs} AS BIGINT)
+         |  FROM documents WHERE doc_id % 13 = 0)
+         |SELECT doc_id, ${H("text")} AS content_hash,
+         |  vf AS valid_from, vt AS valid_to FROM v""".stripMargin,
 
     // Composition of the t_langid / t_quality / t_repetition / d_exact
     // oracles (each a verified replica of its stage) under the same

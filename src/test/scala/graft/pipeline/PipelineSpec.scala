@@ -424,6 +424,69 @@ class PipelineSpec extends SparkSpec {
     assert(at100 == Set((1L, "alpha-v2"), (2L, "beta"), (3L, "gamma"), (9L, "new-doc")))
   }
 
+  test("scd2 merge refuses an out-of-order batch with the offending key") {
+    val dim = Seq(
+      (1L, "alpha", 0L, Scd2.OpenTs),
+      (3L, "gamma", 50L, Scd2.OpenTs))
+      .toDF("doc_id", "text", "valid_from", "valid_to")
+    // ts=50 is NOT after key 3's open valid_from=50 -> guard must fire
+    val bad = Scd2.merge(dim, Seq((3L, "gamma-v2")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), ts = 50L)
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("out-of-order") && m.contains("key 3")))
+    // ...but an unaffected in-order key on the same frame still merges
+    val ok = Scd2.merge(dim, Seq((1L, "alpha-v2")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), ts = 50L).collect()
+    assert(ok.length == 3)
+  }
+
+  test("scd2 asOfJoin picks each fact's own covering version") {
+    val dim = Seq(
+      (1L, "a1", 0L, 100L), (1L, "a2", 100L, Scd2.OpenTs),
+      (2L, "b1", 0L, Scd2.OpenTs),
+      (3L, "c1", 80L, Scd2.OpenTs))  // no version before 80
+      .toDF("doc_id", "text", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, 99L), (1L, 100L),   // straddle the version boundary
+      (2L, 0L),                // inclusive lower bound
+      (3L, 10L),               // before the key's first version -> no match
+      (9L, 50L))               // unknown key -> no match
+      .toDF("doc_id", "probe_ts")
+    val out = Scd2.asOfJoin(facts, dim, "doc_id", "probe_ts")
+      .select("doc_id", "probe_ts", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 99L, "a1"), (1L, 100L, "a2"), (2L, 0L, "b1")))
+  }
+
+  test("scd2 mergeLate splits the covering version, prepends, and is idempotent") {
+    val dim = Seq(
+      (1L, "a1", 0L, 100L),             // closed: will split around t=50
+      (1L, "a2", 100L, Scd2.OpenTs),
+      (2L, "b1", 0L, Scd2.OpenTs),      // open: will split around t=50
+      (3L, "c1", 80L, Scd2.OpenTs),     // first version AFTER ts -> prepend
+      (4L, "d1", 0L, Scd2.OpenTs))      // untouched (no update)
+      .toDF("doc_id", "text", "valid_from", "valid_to")
+    val late = Seq(
+      (1L, "a1-late"), (2L, "b1-late"), (3L, "c0"), (9L, "n0"))
+      .toDF("doc_id", "text")
+    val expected = Set(
+      (1L, "a1", 0L, 50L), (1L, "a1-late", 50L, 100L), (1L, "a2", 100L, Scd2.OpenTs),
+      (2L, "b1", 0L, 50L), (2L, "b1-late", 50L, Scd2.OpenTs),
+      (3L, "c0", 50L, 80L), (3L, "c1", 80L, Scd2.OpenTs),
+      (4L, "d1", 0L, Scd2.OpenTs),
+      (9L, "n0", 50L, Scd2.OpenTs))
+    val once = Scd2.mergeLate(dim, late, "doc_id", Seq("text"), ts = 50L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(once) == expected)
+    // re-delivering the same late batch is a no-op (covering versions now
+    // carry the late payload; the prepend window is closed)
+    assert(rows(Scd2.mergeLate(once, late, "doc_id", Seq("text"), ts = 50L))
+      == expected)
+  }
+
   test("c4 rules keep punctuated prose lines and flag code/lorem pages") {
     val prose = "The quick brown fox jumps over the lazy sleeping dog."
     val d = Seq(
