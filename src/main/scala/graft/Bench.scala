@@ -57,7 +57,7 @@ object Bench {
     // GC/JIT state and host noisy-neighbor jitter; the median is what a
     // steady-state cluster run sees. The cc/tri memo is cleared per rep
     // so every rep does real work.
-    val results = Headline.map { name =>
+    val timed = Headline.map { name =>
       val ts = (1 to 5).map { _ =>
         graft.queries.GraphQueries.clearCaches()
         val t0 = System.nanoTime()
@@ -70,8 +70,9 @@ object Bench {
       // drop dead localCheckpoint blocks: the ContextCleaner frees them
       // only after the driver GC collects the orphaned RDD references
       System.gc()
-      name -> ts.sorted.apply(2)
+      name -> ts.sorted
     }
+    val results = timed.map { case (name, ts) => name -> ts(2) }
     System.gc() // settle the heap before the ms-scale reference metric
 
     // Failure isolation: one broken query family must never zero the
@@ -182,9 +183,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] over the 5 reps — the reported median
+    // is only trustworthy next to its spread (round-6 postmortem: a
+    // +14-29% graph-trio drift was unexplainable without variance data)
+    val spread = timed.map { case (k, ts) =>
+      "\"" + k + f"""":[${ts.head}%.3f,${ts(2)}%.3f,${ts.last}%.3f]""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"mr_phase_ms":$mr,"extras":$ex,"sf":"$sfDir"}""")
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"mr_phase_ms":$mr,"extras":$ex,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,6 +115,8 @@ object OinkScript {
 
     def sinkAndBind(df: DataFrame, outs: Seq[String], line: String): Unit = {
       outs.headOption.filter(_ != "NULL").foreach { file =>
+        if (df.isStreaming) throw ScriptError(line,
+          "streaming object cannot sink to a file; stream_drain it first (bind with -o NULL OBJ)")
         df.coalesce(1).write.mode("overwrite").option("sep", " ").csv(resolve(file))
       }
       outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = df)
@@ -458,6 +460,33 @@ object OinkScript {
               val k = pos.lift(0).map(_.toInt).getOrElse(8)
               val iters = pos.lift(1).map(_.toInt).getOrElse(3)
               sinkAndBind(KMeansInt.run(in0, k, iters), outs, line)
+            // ---- streaming verbs: the Structured Streaming surface on
+            // the script layer, so the engine's two execution modes share
+            // one user surface (engine extension; the reference is
+            // batch-only). Streaming objects bind with `-o NULL OBJ`
+            // (file sinks refuse them); `stream_drain NAME` runs an
+            // AvailableNow drain into a memory sink and binds the result
+            // as an ordinary batch object.
+            case "read_events_stream" =>
+              if (ins.isEmpty) throw ScriptError(line, "read_events_stream requires -i dir")
+              sinkAndBind(graft.streaming.EventStreams.readEvents(
+                spark, resolve(ins.head)), outs, line)
+            case "stream_window_agg" =>
+              sinkAndBind(graft.streaming.EventStreams.windowedAgg(in0), outs, line)
+            case "stream_dedup" =>
+              // stream_dedup [key...] — watermarked exact dedup
+              val keys = if (pos.nonEmpty) pos else Seq("user_id", "event_type")
+              sinkAndBind(graft.streaming.EventStreams.dedupStream(in0, keys), outs, line)
+            case "stream_funnel" =>
+              sinkAndBind(graft.streaming.EventStreams.funnelStream(spark, in0), outs, line)
+            case "stream_running" =>
+              sinkAndBind(graft.streaming.EventStreams.runningStatsStream(spark, in0), outs, line)
+            case "stream_drain" =>
+              val name = pos.headOption.getOrElse(
+                throw ScriptError(line, "stream_drain requires a sink table name"))
+              graft.streaming.EventStreams.runToMemory(in0, name,
+                org.apache.spark.sql.streaming.OutputMode.Append).stop()
+              sinkAndBind(spark.table(name), outs, line)
             case _ => throw ScriptError(line, s"unknown command '$cmd'")
           }
       }

@@ -74,10 +74,16 @@ object Multimodal {
 
   /** Typed mapPartitions decode pass (the mapInPandas-batch analogue):
     * streams the partition iterator, emits typed features. */
-  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] =
+    extractFeaturesFromPayload(spark, withPayload(docs))
+
+  /** Decode pass over an existing `(doc_id, payload: binary)` frame —
+    * the entry point when the corpus already carries real media bytes
+    * (the docs path above synthesizes payloads from text). */
+  def extractFeaturesFromPayload(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     val decode = decoderFor(spark)
-    withPayload(docs).select(col("doc_id"), col("payload"))
+    media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>

@@ -126,6 +126,83 @@ object MrPhaseBench {
       }
       pairRdd.unpersist(false)
     }
+    // ---- round-7 sweep: the two levers the round-6 verdict left open ----
+
+    // Exchange floor: identical plan shape with a ~zero payload. Whatever
+    // this costs is stage scheduling + 32×32 block bookkeeping, not bytes
+    // — the irreducible latency any shuffle variant pays on this host.
+    time("exchange_floor_1krows") {
+      val rdd = spark.range(1000L).select(col("id").as("dst"), col("id").as("src"))
+        .repartition(32, col("dst")).queryExecution.toRdd.mapPartitions { it =>
+          var c = 0L; it.foreach(_ => c += 1); Iterator.single(c)
+        }
+      rdd.foreach(_ => ())
+    }
+
+    // Map-side combine before the exchange: pre-group each map partition
+    // into (dst, packed long[] srcs) so a dst with k in-edges in one
+    // partition ships one record instead of k. On a 100k-edge graph with
+    // 32 map partitions most dsts appear 0-1 times per partition, so the
+    // shrink is bounded by the local duplication factor (hubs only).
+    locally {
+      val pairRdd = edges.as[(Long, Long)].rdd.map(e => (e._2, e._1)).cache()
+      pairRdd.count()
+      for (p <- Seq(8, 32)) time(s"mapside_combine_rdd_p$p") {
+        pairRdd.mapPartitions { it =>
+          val m = new graft.core.LongAdjacencyMap()
+          it.foreach { case (d, s) => m.add(d, s) }
+          m.groups.map { case (k, a, l) => (k, java.util.Arrays.copyOf(a, l)) }
+        }.partitionBy(new org.apache.spark.HashPartitioner(p))
+          .mapPartitions { it =>
+            val m = new graft.core.LongAdjacencyMap()
+            it.foreach { case (d, arr) =>
+              var i = 0; while (i < arr.length) { m.add(d, arr(i)); i += 1 }
+            }
+            m.groupSizes
+          }.foreach(_ => ())
+      }
+      // fewer map partitions raise the local duplication factor (more
+      // edges per mapper -> more combining) at the cost of parallelism
+      for (mp <- Seq(4, 8)) {
+        val pm = pairRdd.coalesce(mp).cache(); pm.count()
+        time(s"mapside_combine_rdd_m${mp}_p8") {
+          pm.mapPartitions { it =>
+            val m = new graft.core.LongAdjacencyMap()
+            it.foreach { case (d, s) => m.add(d, s) }
+            m.groups.map { case (k, a, l) => (k, java.util.Arrays.copyOf(a, l)) }
+          }.partitionBy(new org.apache.spark.HashPartitioner(8))
+            .mapPartitions { it =>
+              val m = new graft.core.LongAdjacencyMap()
+              it.foreach { case (d, arr) =>
+                var i = 0; while (i < arr.length) { m.add(d, arr(i)); i += 1 }
+              }
+              m.groupSizes
+            }.foreach(_ => ())
+        }
+        pm.unpersist(false)
+      }
+      pairRdd.unpersist(false)
+    }
+
+    // same idea through the SQL Exchange (UnsafeRow with an array column)
+    time("mapside_combine_df") {
+      val pre = edges.as[(Long, Long)].mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { case (s, d) => m.add(d, s) }
+        m.groups.map { case (k, a, l) => (k, java.util.Arrays.copyOf(a, l)) }
+      }.toDF("dst", "srcs")
+      val rdd = pre.repartition(32, col("dst")).queryExecution.toRdd.mapPartitions { it =>
+        val m = new graft.core.LongAdjacencyMap()
+        it.foreach { r =>
+          val d = r.getLong(0); val arr = r.getArray(1)
+          var i = 0; val n = arr.numElements()
+          while (i < n) { m.add(d, arr.getLong(i)); i += 1 }
+        }
+        m.groupSizes
+      }
+      rdd.foreach(_ => ())
+    }
+
     time("shuffle_boxed_map") {
       edges.as[(Long, Long)]
         .repartition(32, col("dst"))

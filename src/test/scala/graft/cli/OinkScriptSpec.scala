@@ -219,4 +219,28 @@ class OinkScriptSpec extends SparkSpec {
       graft.graph.ConnectedComponents.run(spark, reg("mre"))).count()
     assert(stats.count() == direct)
   }
+
+  test("streaming verbs: read_events_stream -> stream_window_agg -> stream_drain") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_events_stream -i $dir -o NULL ev",
+      "stream_window_agg -i ev -o NULL w",
+      "stream_drain oink_winagg_sink -i w -o NULL res"))
+    assert(reg("ev").isStreaming && reg("w").isStreaming && !reg("res").isStreaming)
+    // same final table as the direct API drain of the same pipeline
+    val q = graft.streaming.EventStreams.runToMemory(
+      graft.streaming.EventStreams.windowedAgg(
+        graft.streaming.EventStreams.readEvents(spark, dir)),
+      "oink_winagg_direct", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    val direct = spark.table("oink_winagg_direct")
+    assert(reg("res").count() == direct.count() && direct.count() > 0)
+    assert(reg("res").exceptAll(direct).isEmpty)
+  }
+
+  test("streaming objects refuse file sinks with a clear error") {
+    val e = intercept[OinkScript.ScriptError](OinkScript.run(spark, Seq(
+      "read_events_stream -i /root/testdata/sf0.001 -o /tmp/oink-bad.csv ev")))
+    assert(e.getMessage.contains("stream_drain"))
+  }
 }

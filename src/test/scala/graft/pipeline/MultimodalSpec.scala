@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Both decoder paths, end to end through the distributed
+  * `mapPartitions` plumbing: the deterministic stub (the oracle-checkable
+  * default, equal to the declarative `featuresSql` twin) and the REAL
+  * JDK `javax.imageio` decoder on in-memory PNG/JPEG fixtures, with the
+  * stub fallback on undecodable bytes. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699)
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  private def withDecoder[T](name: String)(f: => T): T = {
+    spark.conf.set("spark.graft.media.decoder", name)
+    try f finally spark.conf.unset("spark.graft.media.decoder")
+  }
+
+  test("stub path equals the declarative featuresSql twin") {
+    // ASCII fixtures: the stub hashes the first 32 payload BYTES
+    // (ISO-8859-1 view) while featuresSql hashes the first 32 CHARS —
+    // identical only when byte==char, which the synthetic testdata
+    // guarantees and this equality twin therefore assumes
+    val docs = Seq((1L, "alpha doc text"), (2L, "a much longer beta document body"),
+      (3L, "third plain ascii text")).toDF("doc_id", "text")
+    val typed = Multimodal.extractFeatures(spark, docs).toDF()
+      .select("doc_id", "byte_len", "width", "height", "channels")
+      .collect().map(_.toSeq).toSet
+    val sql = Multimodal.featuresSql(docs)
+      .collect().map(_.toSeq).toSet
+    assert(typed == sql && typed.size == 3)
+  }
+
+  test("imageio decoder reads real PNG and JPEG dimensions") {
+    val media = Seq(
+      (1L, png(7, 5)),
+      (2L, jpeg(64, 48)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = withDecoder("imageio") {
+      Multimodal.extractFeaturesFromPayload(spark, media)
+        .collect().map(m => m.doc_id -> m).toMap
+    }
+    assert((r(1L).width, r(1L).height, r(1L).channels) == (7, 5, 3))
+    assert((r(2L).width, r(2L).height, r(2L).channels) == (64, 48, 3))
+    // undecodable bytes fall back to the deterministic stub, not a crash
+    val stub = Multimodal.StubDecoder.decode("not an image at all".getBytes("UTF-8"))
+    assert((r(3L).width, r(3L).height, r(3L).channels) == stub)
+    // byte_len is the real payload size either way
+    assert(r(1L).byte_len == png(7, 5).length.toLong)
+  }
+
+  test("default (no conf) stays on the stub decoder — mm_features gate shape") {
+    val docs = Seq((1L, "gate text")).toDF("doc_id", "text")
+    val viaDefault = Multimodal.extractFeatures(spark, docs).collect().head
+    val stub = Multimodal.StubDecoder.decode("gate text".getBytes("UTF-8"))
+    assert((viaDefault.width, viaDefault.height, viaDefault.channels) == stub)
+  }
+}

@@ -64,4 +64,27 @@ class ScaleFeaturesSpec extends SparkSpec {
         s"no runtime bloom filter in plan:\n$plan")
     }
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions") {
+    // a date-partitioned fact joined on its partition column: the dim
+    // filter (2 of 20 keys) must reach the fact SCAN as a
+    // DynamicPruningExpression — at 100 TB this is the difference between
+    // reading 2 partitions and reading all of them
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.range(100000L)
+      .select((col("id") % 20).as("pk"), col("id").as("v"))
+      .write.mode("overwrite").partitionBy("pk").parquet(dir)
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val fact = spark.read.parquet(dir)
+      val dim = spark.range(20L)
+        .select(col("id").as("dk"), concat(lit("g"), col("id") % 7).as("grp"))
+        .where(col("dk").isin(3L, 11L))
+      val joined = fact.join(dim, col("pk") === col("dk"))
+      assert(joined.collect().length == 10000)
+      val scan = joined.queryExecution.executedPlan.toString
+      assert(scan.toLowerCase.contains("dynamicpruning"),
+        s"no DynamicPruningExpression in the fact scan:\n$scan")
+    }
+  }
 }
