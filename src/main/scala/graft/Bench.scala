@@ -58,6 +58,17 @@ object Bench {
     // steady-state cluster run sees. The cc/tri memo is cleared per rep
     // so every rep does real work.
     val timed = Headline.map { name =>
+      // one untimed rep at the TARGET sf first: the global sf0.001 warm
+      // compiles different AQE plan shapes, and the iterative graph
+      // queries keep JIT-warming for several sf0.1 reps without this
+      // (round-7 probe: g_pagerank 2.38 -> 1.55 s over in-order reps) —
+      // the very drift round 6 couldn't explain
+      graft.queries.GraphQueries.clearCaches()
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+      // the warm rep's dead checkpoint blocks must not become a timed
+      // rep's stop-the-world pause (observed: g_sssp 14 s GC spike)
+      System.gc()
       val ts = (1 to 5).map { _ =>
         graft.queries.GraphQueries.clearCaches()
         val t0 = System.nanoTime()

@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100 TB corpus needs: streaming ingests, per-trigger micro-batch
+  * sinks, and fine-grained incremental refreshes all accrete files far
+  * below the scan-efficient size, and a 10k-file table pays file-listing
+  * latency, per-file open cost, and footer reads on every query.
+  *
+  * The rewrite is size-aware, not count-aware: the target file count is
+  * `ceil(on-disk bytes / targetFileBytes)`, so compaction is idempotent
+  * (a compacted table maps to the same count) and never builds
+  * memory-breaking giant partitions from a count-based `coalesce(1)`
+  * guess. `repartition` (round-robin exchange) rather than `coalesce` so
+  * skewed input files cannot produce skewed output files; for sorted /
+  * Z-ordered layouts use [[ZOrder.layoutBy]] directly — it already
+  * range-partitions to a file count.
+  *
+  * The rewrite goes through a sibling temp dir + atomic-ish swap, never
+  * read-overwrite-in-place on the same path (Spark would delete the
+  * input mid-scan under overwrite mode).
+  */
+object Compaction {
+
+  final case class Report(filesBefore: Int, filesAfter: Int,
+      bytes: Long, targetFileBytes: Long)
+
+  private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.Buffer[(String, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += ((f.getPath.toString, f.getLen))
+    }
+    out.toSeq
+  }
+
+  /** Compact the parquet table at `dir` toward `targetFileBytes` per
+    * file. Returns the before/after report. No-op (no rewrite at all)
+    * when the table already has the target count. */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Report = {
+    val files = dataFiles(spark, dir)
+    val bytes = files.map(_._2).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (files.length <= want)
+      return Report(files.length, files.length, bytes, targetFileBytes)
+
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
+    val bak = new Path(p.getParent, s".${p.getName}__compact_old")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    spark.read.parquet(dir).repartition(want)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: old table aside, tmp in place, old dropped — the window
+    // where `dir` is absent is two renames; a maintenance pass owns the
+    // table during compaction by contract (same as any table rewrite)
+    if (!fs.rename(p, bak)) sys.error(s"compaction: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // restore
+      sys.error(s"compaction: cannot move rewritten table into $p")
+    }
+    fs.delete(bak, true)
+    Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
+  }
+}

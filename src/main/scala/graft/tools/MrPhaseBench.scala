@@ -128,11 +128,14 @@ object MrPhaseBench {
     }
     // ---- round-7 sweep: the two levers the round-6 verdict left open ----
 
-    // Exchange floor: identical plan shape with a ~zero payload. Whatever
-    // this costs is stage scheduling + 32×32 block bookkeeping, not bytes
-    // — the irreducible latency any shuffle variant pays on this host.
-    time("exchange_floor_1krows") {
-      val rdd = spark.range(1000L).select(col("id").as("dst"), col("id").as("src"))
+    // Exchange floor: identical plan shape with a ~zero payload — the
+    // irreducible latency any shuffle variant pays on this host. Swept
+    // over map-task count because at 1 MB the m×p block bookkeeping, not
+    // bytes, is the cost (m=1 matches the cached single-partition edge
+    // list the real variants read; m=32 shows the block-count freight).
+    for (mp <- Seq(1, 4, 32)) time(s"exchange_floor_m$mp") {
+      val rdd = spark.range(0L, 1000L, 1L, mp)
+        .select(col("id").as("dst"), col("id").as("src"))
         .repartition(32, col("dst")).queryExecution.toRdd.mapPartitions { it =>
           var c = 0L; it.foreach(_ => c += 1); Iterator.single(c)
         }

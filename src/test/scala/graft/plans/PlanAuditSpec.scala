@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "t_tfidf", "t_bm25", "t_fingerprint", "t_redact", "t_repetition",
     "e_window_agg", "e_sessionize", "e_json", "e_asof", "e_range_join",
     "e_moving_avg", "e_funnel", "e_retention", "e_anomaly", "e_approx_distinct",
-    "d_exact", "d_scd2", "d_minhash_sig", "d_minhash_pairs", "d_simhash",
+    "d_exact", "d_scd2", "d_scd2_asof", "d_scd2_multi", "d_scd2_late",
+    "d_scd2_join", "d_minhash_sig", "d_minhash_pairs", "d_simhash",
     "s_ann_brute", "s_quantize", "s_rproj")
 
   test("no audited gate query plans a cartesian product") {

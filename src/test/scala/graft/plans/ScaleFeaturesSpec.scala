@@ -65,6 +65,42 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("CBO join reorder: statistics, not query text, pick the join order") {
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Seq("cbo_big", "cbo_mid", "cbo_small").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.range(200000L).selectExpr("id % 1000 AS k", "id AS pay")
+        .write.saveAsTable("cbo_big")
+      spark.range(2000L).selectExpr("id % 1000 AS k").write.saveAsTable("cbo_mid")
+      spark.range(10L).selectExpr("id AS k").write.saveAsTable("cbo_small")
+      Seq("cbo_big", "cbo_mid", "cbo_small").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      // written worst-first: ((big ⋈ mid) ⋈ small) would build the
+      // full big×mid result before the 10-row reduction applies
+      val q = spark.sql(
+        """SELECT count(*) FROM cbo_big b
+          |JOIN cbo_mid m ON b.k = m.k
+          |JOIN cbo_small s ON m.k = s.k""".stripMargin)
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+      def leaves(p: LogicalPlan): Seq[String] =
+        p.collectLeaves().map(_.toString)
+      val innermost = q.queryExecution.optimizedPlan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }
+      assert(innermost.nonEmpty)
+      // the stats-chosen first join must avoid the 200k-row table: it
+      // joins mid with small, leaving big for last
+      val innerLeaves = innermost.flatMap(leaves)
+      assert(!innerLeaves.exists(_.contains("cbo_big")),
+        s"CBO left cbo_big in the innermost join:\n${q.queryExecution.optimizedPlan}")
+      Seq("cbo_big", "cbo_mid", "cbo_small").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions") {
     // a date-partitioned fact joined on its partition column: the dim
     // filter (2 of 20 keys) must reach the fact SCAN as a
