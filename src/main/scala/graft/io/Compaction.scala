@@ -57,7 +57,12 @@ object Compaction {
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
     val bak = new Path(p.getParent, s".${p.getName}__compact_old")
     fs.delete(tmp, true); fs.delete(bak, true)
-    spark.read.parquet(dir).repartition(want)
+    // mergeSchema: a long-lived corpus EVOLVES (columns added over
+    // time); the default schema-from-first-file read would silently drop
+    // newer columns from the rewrite. A maintenance pass already reads
+    // every footer, so the merge costs nothing extra here — and the
+    // rewritten table is schema-uniform afterwards.
+    spark.read.option("mergeSchema", "true").parquet(dir).repartition(want)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap: old table aside, tmp in place, old dropped — the window
     // where `dir` is absent is two renames; a maintenance pass owns the

@@ -113,6 +113,12 @@ object TextQueries {
     "t_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Overlapping token-window chunking (64-token chunks every 48): the
+    // embedding/RAG prep pass; chunk text rides only as a hash.
+    "t_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), col("doc_id"), col("text"),
+        window = 64, stride = 48)),
+
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -521,6 +527,24 @@ object TextQueries {
         | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
         | CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_est
         |FROM documents""".stripMargin,
+
+    // range(0, n, 48) (exclusive stop) replays Spark's
+    // sequence(0, n-1, 48) (inclusive stop) start set exactly;
+    // list_slice clamps at the list end like Spark's slice.
+    "t_chunk" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |  unnest(range(0, len(toks), 48)) AS start
+         |  FROM d WHERE len(toks) > 0)
+         |SELECT doc_id,
+         |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least(64, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+         |  ${H("array_to_string(list_slice(toks, start + 1, start + 64), ' ')")}
+         |    AS chunk_hash
+         |FROM st""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -86,6 +86,30 @@ object TextAnalysis {
       size(tokens(text)).cast("long").as("ws_tokens"),
       ceil(length(text).cast("double") / 4.0).cast("long").as("bpe_est"))
 
+  /** Overlapping token-window chunking — the embedding/RAG prep pass: a
+    * doc becomes chunks of `window` tokens starting every `stride`
+    * tokens (overlap = window − stride), the final chunk short. Fully
+    * declarative (sequence + posexplode + slice stay inside whole-stage
+    * codegen); chunk identity is (doc_id, chunk_idx) plus the chunk-text
+    * hash so downstream dedup/embedding joins never carry the text. */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "chunk: need stride > 0 and window >= stride")
+    val toks = tokens(text)
+    docs.select(id.as("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        Hashing.hash60(array_join(col("c"), " ")).as("chunk_hash"))
+  }
+
   /** Document fingerprints: whole-text hash, 64-char-prefix hash, and a
     * min-shingle hash (min over word-3-gram shingle hashes — a k=1
     * MinHash, the rolling-fingerprint analogue). */
