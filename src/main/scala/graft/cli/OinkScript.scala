@@ -445,6 +445,19 @@ object OinkScript {
               sinkAndBind(TextAnalysis.tokenCounts(in0, col("doc_id"), col("text")), outs, line)
             case "fingerprint" =>
               sinkAndBind(TextAnalysis.fingerprint(in0, col("doc_id"), col("text")), outs, line)
+            case "chunk" =>
+              // chunk [window] [stride] — overlapping token windows
+              val w = pos.lift(0).map(_.toInt).getOrElse(64)
+              val st = pos.lift(1).map(_.toInt).getOrElse(48)
+              sinkAndBind(TextAnalysis.chunk(in0, col("doc_id"), col("text"), w, st), outs, line)
+            case "compact" =>
+              // compact targetMB -i dir — table maintenance, no object out
+              val mb = pos.headOption.map(_.toLong).getOrElse(128L)
+              if (ins.isEmpty) throw ScriptError(line, "compact requires -i dir")
+              val r = graft.io.Compaction.compactParquet(
+                spark, resolve(ins.head), mb << 20)
+              println(s"compact: ${r.filesBefore} -> ${r.filesAfter} files " +
+                s"(${r.bytes} bytes)") // scalastyle:ignore
             case "ann_lsh" =>
               // ann_lsh [k] [dim] — dim probed from the data if absent
               val k = pos.lift(0).map(_.toInt).getOrElse(10)

@@ -135,6 +135,25 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame =
     candidatesFromSignatures(minHashSignatures(docs, id, text))
 
+  /** Incremental near-dup — the nightly-crawl shape: candidates of a NEW
+    * batch against an EXISTING corpus, by bucket-joining the batch's LSH
+    * bands with the corpus' bands. Batch×batch and corpus×corpus pairs
+    * are never formed, so a day's crawl costs O(batch bands ⋈ matching
+    * buckets) no matter how large the corpus grows; the corpus side is a
+    * precomputed signature store ([[minHashSignatures]] persisted once,
+    * appended per refresh), never re-shingled. MinHash signatures are
+    * per-document, so batch and corpus sides can be computed
+    * independently and still share one band space. */
+  def minHashCandidatesIncremental(corpusSigs: DataFrame,
+      batchSigs: DataFrame): DataFrame = {
+    val cb = lshBands(corpusSigs)
+      .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val nb = lshBands(batchSigs)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    nb.join(cb, Seq("band", "band_hash"))
+      .select("new_id", "corpus_id").distinct()
+  }
+
   /** Candidates with the MinHash Jaccard estimate: the fraction of the
     * 16 signature components the pair agrees on. The estimate is free
     * (signatures already exist); exact verification (ngramJaccard) is

@@ -21,6 +21,23 @@ object Sampling {
   def uniform(df: DataFrame, key: Column, rate: Double, seed: Long): DataFrame =
     df.where(Hashing.rand01(seed, key) < rate)
 
+  /** Deterministic train/val/test assignment by key hash: stable across
+    * runs, machines, and corpus growth (a doc's split never changes when
+    * other docs arrive — the property random split lacks), leak-free by
+    * construction (one key → one split), and a pure projection: no
+    * shuffle, no RNG state. Percentages are integer buckets of the
+    * key-hash mod 100. */
+  def deterministicSplit(df: DataFrame, key: Column,
+      trainPct: Int = 98, valPct: Int = 1, seed: Long = 77L): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "deterministicSplit: need train > 0, val >= 0, train + val < 100")
+    df.withColumn("bucket", Hashing.hash60(seed, key.cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Per-stratum rates (e.g. downsample boilerplate languages, keep all
     * rare ones). `rates` maps stratum value → keep rate; `default`
     * applies to unlisted strata. The rate lookup folds into a CASE

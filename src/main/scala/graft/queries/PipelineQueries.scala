@@ -137,6 +137,25 @@ object PipelineQueries {
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashCandidates(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Incremental near-dup: docs %4==0 play the nightly batch against
+    // the rest as the standing corpus (signatures computed per side —
+    // MinHash is per-document, so the split commutes with signing).
+    "d_minhash_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minHashCandidatesIncremental(
+        Dedup.minHashSignatures(d.where(col("doc_id") % 4 =!= 0),
+          col("doc_id"), col("text")),
+        Dedup.minHashSignatures(d.where(col("doc_id") % 4 === 0),
+          col("doc_id"), col("text")))
+    }),
+
+    // Deterministic hash split: 98/1/1 train/val/test, stable under
+    // corpus growth, leak-free by construction.
+    "d_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(docs(s, dir).select("doc_id"),
+          col("doc_id"), trainPct = 98, valPct = 1, seed = 77L)
+        .select("doc_id", "bucket", "split")),
+
     "d_minhash_scored" -> ((s, dir) =>
       Dedup.minHashScored(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -709,6 +728,25 @@ object PipelineQueries {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.band_hash = y.band_hash
          |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    // same band space over all documents; the %4 membership test plays
+    // the batch/corpus split (signing commutes with the split)
+    "d_minhash_inc" ->
+      s"""WITH $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte
+         |SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |FROM bands n JOIN bands c
+         |  ON n.band = c.band AND n.band_hash = c.band_hash
+         |WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0""".stripMargin,
+
+    "d_split" ->
+      s"""SELECT doc_id,
+         |  ${Hs(77L, "CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${Hs(77L, "CAST(doc_id AS VARCHAR)")} % 100 < 98 THEN 'train'
+         |       WHEN ${Hs(77L, "CAST(doc_id AS VARCHAR)")} % 100 < 99 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "d_minhash_scored" -> {
       val agree = (0 until Dedup.NumHashes)

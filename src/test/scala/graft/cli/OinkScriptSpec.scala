@@ -238,6 +238,25 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("res").exceptAll(direct).isEmpty)
   }
 
+  test("chunk and compact verbs: pipeline prep + table maintenance from a script") {
+    val dir = Files.createTempDirectory("oinkchunk")
+    val tbl = dir.resolve("docs").toString
+    spark.range(0L, 40L).selectExpr("id AS doc_id",
+        "concat('tok', id, ' tok tok tok tok tok tok tok tok tok') AS text")
+      .repartition(8).write.parquet(tbl)
+    val reg = OinkScript.run(spark, Seq(
+      s"compact 128 -i $tbl",
+      s"read_parquet -i $tbl -o NULL docs",
+      "chunk 4 3 -i docs -o NULL ch"))
+    assert(reg("ch").columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_hash"))
+    // 10 tokens, window 4 stride 3 -> starts 0,3,6,9 = 4 chunks per doc
+    assert(reg("ch").count() == 40L * 4)
+    val files = new java.io.File(tbl).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files == 1) // compacted
+  }
+
   test("streaming objects refuse file sinks with a clear error") {
     val e = intercept[OinkScript.ScriptError](OinkScript.run(spark, Seq(
       "read_events_stream -i /root/testdata/sf0.001 -o /tmp/oink-bad.csv ev")))

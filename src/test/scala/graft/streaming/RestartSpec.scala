@@ -43,11 +43,12 @@ class RestartSpec extends SparkSpec {
     }
   }
 
-  private def drainToParquet(srcDir: String, sinkDir: String, ckptDir: String): Unit = {
+  private def drainToParquet(srcDir: String, sinkDir: String, ckptDir: String,
+      op: DataFrame => DataFrame = EventStreams.windowedAgg): Unit = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = EventStreams.windowedAgg(in)
+    val q = op(in)
       .writeStream.format("parquet")
       .option("checkpointLocation", ckptDir)
       .option("path", sinkDir)
@@ -102,5 +103,38 @@ class RestartSpec extends SparkSpec {
     // had open or unseen), and phase-1 output was not re-emitted
     assert(afterPhase1.size < restarted.size)
     assert(ms(afterPhase1).forall { case (r, c) => ms(restarted).getOrElse(r, 0) >= c })
+  }
+
+  test("custom flatMapGroupsWithState state (running stats) survives restart") {
+    // the encoder-serialized custom state path, not the built-in window
+    // store: phase-2 rows must carry n_prior counts that CONTINUE from
+    // phase-1 state rehydrated out of the checkpoint
+    val root = Files.createTempDirectory("graft-restart-fgws").toFile
+    val staged = stageSlices(root)
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    def place(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      val d = new java.io.File(src, f.getName)
+      Files.copy(f.toPath, d.toPath); d.setLastModified(f.lastModified())
+    }
+    val op = (df: DataFrame) => EventStreams.runningStatsStream(spark, df)
+    val (sink, ckpt) = (new java.io.File(root, "sink"), new java.io.File(root, "ckpt"))
+    place(staged.take(2))
+    drainToParquet(src.getPath, sink.getPath, ckpt.getPath, op)
+    place(staged.drop(2))
+    drainToParquet(src.getPath, sink.getPath, ckpt.getPath, op)
+
+    val srcRef = new java.io.File(root, "srcRef"); srcRef.mkdirs()
+    staged.foreach { f =>
+      val d = new java.io.File(srcRef, f.getName)
+      Files.copy(f.toPath, d.toPath); d.setLastModified(f.lastModified())
+    }
+    val (sinkRef, ckptRef) = (new java.io.File(root, "sinkRef"), new java.io.File(root, "ckptRef"))
+    drainToParquet(srcRef.getPath, sinkRef.getPath, ckptRef.getPath, op)
+
+    def all(dir: String) = spark.read.parquet(dir).collect()
+      .map(_.toSeq.toIndexedSeq).toSeq
+    def ms(s: Seq[Seq[Any]]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val (a, b) = (all(sink.getPath), all(sinkRef.getPath))
+    assert(a.nonEmpty && ms(a) == ms(b))
   }
 }
