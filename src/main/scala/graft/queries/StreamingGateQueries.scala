@@ -153,6 +153,18 @@ object StreamingGateQueries {
     // +1 keeps doc 0 off epoch 0 — a row AT the initial watermark is
     // filtered as late by the stateful operator and would silently
     // vanish from its bucket.
+    // Stateless chunking on the documents stream: the embedding-prep
+    // pass as a stream transform (every row emits immediately — no
+    // state, no watermark), sharing t_chunk's oracle verbatim.
+    "st_chunk" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      drain(s, graft.text.TextAnalysis.chunk(
+        docsStream, col("doc_id"), col("text"), window = 64, stride = 48),
+        "st_chunk_gate")
+    }),
+
     "st_neardup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val docsStream = s.readStream.schema(schema)
@@ -308,6 +320,7 @@ object StreamingGateQueries {
   // single-batch twins (time-sorted staging: nothing is late, nothing
   // re-emits), so they share oracles verbatim.
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "st_chunk" -> TextQueries.oracles("t_chunk"),
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
