@@ -96,6 +96,26 @@ object StreamingGateQueries {
         EventStreams.readEvents(s, dir), typeStats), "st_enrich_gate")
     }),
 
+    // Stream-static AS-OF enrichment: the signup value valid AT each
+    // event's own time (signup intervals built statically per user via
+    // lead(); duplicate same-ts signups collapse to max(value), matching
+    // e_asof's window order). Inner: only events a version covers emit.
+    "st_asof_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.io.Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(graft.io.Tables.eventTime(
+          graft.io.Tables.events(s, dir))))
+      val dim = ev.where(col("event_type") === "signup")
+        .groupBy("user_id", "ts_us").agg(max("value").as("asof_value"))
+        .select(col("user_id"), col("ts_us").as("valid_from_us"),
+          coalesce(lead(col("ts_us"), 1).over(
+              Window.partitionBy("user_id").orderBy("ts_us")),
+            lit(Long.MaxValue)).as("valid_to_us"),
+          col("asof_value"))
+      drain(s, EventStreams.asOfEnrichStream(
+        EventStreams.readEvents(s, dir), dim), "st_asof_gate")
+    }),
+
     // Native session_window aggregation (the Catalyst-built-in twin of
     // the flatMapGroupsWithState sessionizer): append emits sessions the
     // final watermark closed. NOTE Spark's boundary convention differs
@@ -194,6 +214,18 @@ object StreamingGateQueries {
 
     "st_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "st_asof_enrich" ->
+      s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us, max(value) AS v FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1, 2),
+         |iv AS (SELECT user_id, ts_us AS vf,
+         |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us),
+         |    ${Long.MaxValue}) AS vt, v
+         |  FROM s)
+         |SELECT e.user_id, e.event_id, e.ts_us, iv.v AS asof_value
+         |FROM e JOIN iv ON e.user_id = iv.user_id
+         | AND e.ts_us >= iv.vf AND e.ts_us < iv.vt""".stripMargin,
 
     "st_window_agg" ->
       s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,

@@ -407,6 +407,25 @@ object EventStreams {
         col("type_avg"),
         round(col("value") - col("type_avg"), 6).as("delta_from_avg"))
 
+  /** Stream-static AS-OF enrichment — the feature-store read on the
+    * streaming path: each event joins the dimension VERSION valid at its
+    * own event time (`ts_us ∈ [valid_from_us, valid_to_us)`), not the
+    * latest one. Stateless like [[enrichStream]] (static side broadcast
+    * per micro-batch; versioned dims are key-cardinality-sized), so a
+    * dimension refresh between micro-batches is picked up without
+    * restarting the query — the streaming twin of [[graft.pipeline.Scd2
+    * .asOfJoin]]. `dim` carries (user_id, valid_from_us, valid_to_us,
+    * asof_value). */
+  def asOfEnrichStream(events: DataFrame, dim: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("ts_us", unix_micros(graft.io.Tables.eventTime(events)))
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    ev.join(broadcast(dim),
+        ev("user_id") === dim("user_id") &&
+          ev("ts_us") >= dim("valid_from_us") && ev("ts_us") < dim("valid_to_us"))
+      .select(ev("user_id"), col("event_id"), col("ts_us"), col("asof_value"))
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session
