@@ -156,6 +156,21 @@ object PipelineQueries {
           col("doc_id"), trainPct = 98, valPct = 1, seed = 77L)
         .select("doc_id", "bucket", "split")),
 
+    // Per-source quota: cap every source at 50 docs with a deterministic
+    // hash-ordered sample (uniform within source, stable across runs) —
+    // the anti-domination pass of corpus mixing, on the custom
+    // TopKPerKey physical operator: bounded per-partition heaps mean
+    // ≤50 rows per (source, partition) cross the exchange, never a full
+    // per-source sort — the property that matters when one crawl source
+    // is 80% of 100 TB.
+    "d_source_quota" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        graft.functions.Hashing.hash60(99L, col("doc_id").cast("string")).as("pri"))
+      graft.plans.TopKPerKey.topKPerKey(d, Seq(col("source")),
+          Seq(col("pri"), col("doc_id")), k = 50)
+        .select("source", "doc_id")
+    }),
+
     "d_minhash_scored" -> ((s, dir) =>
       Dedup.minHashScored(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -747,6 +762,14 @@ object PipelineQueries {
          |       WHEN ${Hs(77L, "CAST(doc_id AS VARCHAR)")} % 100 < 99 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "d_source_quota" ->
+      s"""WITH p AS (SELECT source, doc_id,
+         |  ${Hs(99L, "CAST(doc_id AS VARCHAR)")} AS pri FROM documents),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+         |  FROM p)
+         |SELECT source, doc_id FROM r WHERE rn <= 50""".stripMargin,
 
     "d_minhash_scored" -> {
       val agree = (0 until Dedup.NumHashes)

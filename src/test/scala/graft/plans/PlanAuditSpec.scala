@@ -23,11 +23,12 @@ class PlanAuditSpec extends SparkSpec {
     "q11_stats", "q13_salted_agg", "q15_rollup", "q16_pivot", "q20_quantile_sketch",
     "q21_logq_sketch", "q22_zorder",
     "t_wordfreq", "t_langid", "t_quality", "t_gopher", "t_c4", "t_tokens",
-    "t_tfidf", "t_bm25", "t_fingerprint", "t_redact", "t_repetition",
+    "t_chunk", "t_tfidf", "t_bm25", "t_fingerprint", "t_redact", "t_repetition",
     "e_window_agg", "e_sessionize", "e_json", "e_asof", "e_range_join",
     "e_moving_avg", "e_funnel", "e_retention", "e_anomaly", "e_approx_distinct",
     "d_exact", "d_scd2", "d_scd2_asof", "d_scd2_multi", "d_scd2_late",
-    "d_scd2_join", "d_minhash_sig", "d_minhash_pairs", "d_simhash",
+    "d_scd2_join", "d_minhash_sig", "d_minhash_pairs", "d_minhash_inc",
+    "d_split", "d_source_quota", "d_simhash",
     "s_ann_brute", "s_quantize", "s_rproj")
 
   test("no audited gate query plans a cartesian product") {
