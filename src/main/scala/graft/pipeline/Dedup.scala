@@ -536,4 +536,98 @@ object Dedup {
        |    AS text_kept
        |FROM k GROUP BY doc_id""".stripMargin
   }
+
+  /** Content-defined chunking (CDC) dedup stats: chunk boundaries fall
+    * AFTER token i whenever the portable hash of the trailing `w`-gram
+    * ≡ 0 (mod `div`) — so, unlike [[segmentDedup]]'s fixed grid, an
+    * insertion near the head of a document shifts only the chunk it
+    * lands in; every boundary downstream re-synchronizes on the same
+    * gram content (the Rabin/Gear-chunking property that makes
+    * delta-level dedup of near-identical long documents work). Expected
+    * chunk length ≈ `div` tokens.
+    *
+    * Plan shape: boundary flags are computed IN ARRAY LAND (one
+    * `transform` over the token array — no per-position copy of the
+    * array is ever exploded), then one posexplode carries only
+    * (doc_id, pos, tok, flag) rows; the running boundary count that
+    * numbers chunks is a per-document window cumsum (partitioned by
+    * doc_id — linear, no cross-doc traffic), and chunk texts reassemble
+    * in one groupBy. The cross-doc duplicate check joins 60-bit chunk
+    * hashes only. Returns per doc: n_chunks, n_cdc_tokens,
+    * n_dup_chunks (chunks whose hash occurs in >1 document), dup_ratio.
+    */
+  def cdcChunkStats(docs: DataFrame, id: Column, text: Column,
+      w: Int = 4, div: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && div >= 1, s"bad CDC params w=$w div=$div")
+    val toks = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("tk"))
+    // boundary[i] = i ≥ w-1 && hash60(tokens[i-w+1..i]) % div == 0.
+    // The i ≥ w-1 guard must be a `when` (not &&): slice() errors on a
+    // non-positive start, and Column && does not short-circuit.
+    val flagged = toks.select(col("doc_id"),
+      transform(col("tk"), (t, i) => struct(
+        t.as("tok"),
+        when(i >= w - 1,
+          when(Hashing.hash60(array_join(
+            slice(col("tk"), i - (w - 2), lit(w)), " ")) % div === 0, 1L)
+            .otherwise(0L))
+          .otherwise(0L).as("b"))).as("zipped"))
+    val rows = flagged
+      .select(col("doc_id"), posexplode(col("zipped")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.tok").as("tok"), col("col.b").as("b"))
+    val cum = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = rows
+      .withColumn("cidx", coalesce(sum(col("b")).over(cum), lit(0L)))
+      .groupBy("doc_id", "cidx")
+      .agg(count(lit(1)).as("ntk"),
+        Hashing.hash60(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_hash"))
+    val spread = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("nd"))
+    chunks.join(spread, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("ntk").as("n_cdc_tokens"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_cdc_tokens"),
+        col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6).as("dup_ratio"))
+  }
+
+  /** DuckDB replica of [[cdcChunkStats]] over the `documents` table. */
+  def cdcOracleSql(w: Int, div: Int): String = {
+    // 1-based inclusive slice of the trailing w-gram ending at 0-based pos
+    val gram = s"array_to_string(tk[pos - ${w - 2} : pos + 1], ' ')"
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, tk, i AS pos, tk[i+1] AS tok
+       |  FROM t, (SELECT unnest(range((SELECT max(len(tk)) FROM t))) AS i) r
+       |  WHERE i <= len(tk) - 1),
+       |bnd AS (SELECT doc_id, pos, tok,
+       |  CASE WHEN pos >= ${w - 1}
+       |    AND ${Hashing.hash60Sql(gram)} % $div = 0
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |ch AS (SELECT doc_id, pos, tok,
+       |  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+       |  FROM bnd),
+       |chunks AS (SELECT doc_id, cidx, count(*) AS ntk,
+       |  ${Hashing.hash60Sql("string_agg(tok, ' ' ORDER BY pos)")} AS h
+       |  FROM ch GROUP BY 1, 2),
+       |spread AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+       |SELECT c.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(c.ntk) AS BIGINT) AS n_cdc_tokens,
+       |  CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  round(CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS dup_ratio
+       |FROM chunks c JOIN spread s ON s.h = c.h
+       |GROUP BY 1""".stripMargin
+  }
 }

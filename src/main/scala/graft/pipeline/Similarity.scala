@@ -415,4 +415,52 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Global top-`n` of `df` by (`score` desc, `id` asc), re-emitted as a
+    * dense 1..n rank list (doc_id, rank) — the retrieval-list shape
+    * [[rrfFuse]] consumes. The cut is orderBy+limit, which Catalyst
+    * plans as TakeOrderedAndProject (per-partition heaps, no global
+    * sort); only the ≤ n surviving rows pass through the single-
+    * partition ranking window. */
+  def topRanked(df: DataFrame, score: Column, id: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(id.as("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked retrieval lists — the standard hybrid-retrieval combiner
+    * (a BM25 keyword list + an embedding-ANN list in a RAG stack).
+    * Each input is (doc_id, rank) with rank 1..nᵢ; the fused score is
+    * Σᵢ 1/(k + rankᵢ), a document absent from a list contributing 0.
+    *
+    * Determinism: the lists join pairwise full-outer on doc_id in the
+    * given order and the score sums its terms in that same fixed
+    * expression order, so no float result ever depends on aggregation
+    * order; the final cut rounds to 9 dp BEFORE ordering, with doc_id
+    * as tie-break. Scale: inputs are expected pre-cut to their own
+    * top-n ([[topRanked]] / TakeOrderedAndProject upstream), so the
+    * fusion joins bounded frames regardless of corpus size. Returns
+    * (doc_id, rank_0.., rrf) with absent ranks as 0. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 60, topN: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val named = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("doc_id"), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val contrib = lists.indices.map { i =>
+      when(col(s"rank_$i").isNotNull,
+        lit(1.0) / (lit(k.toDouble) + col(s"rank_$i").cast("double")))
+        .otherwise(lit(0.0))
+    }
+    val rankCols = lists.indices.map(i =>
+      coalesce(col(s"rank_$i"), lit(0L)).as(s"rank_$i"))
+    joined
+      .select(col("doc_id") +: rankCols :+
+        round(contrib.reduce(_ + _), 9).as("rrf"): _*)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(topN)
+  }
 }

@@ -406,8 +406,42 @@ object PipelineQueries {
       val e = emb(s, dir)
       Similarity.semDedupPruneBy(e, KMeansInt.run(e, k = 8, iters = 3),
         tau = 0.2)
+    }),
+
+    // Content-defined chunking dedup: hash-boundary chunks (trailing
+    // 4-gram hash ≡ 0 mod 16 → ~16-token chunks) whose boundaries
+    // re-synchronize after an insertion — the substring-level near-dup
+    // detector fixed-grid segmentDedup can't be (d_substr's grid shifts
+    // wholesale after one inserted token; CDC chunks realign).
+    "d_cdc" -> ((s, dir) =>
+      Dedup.cdcChunkStats(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Hybrid retrieval: BM25 keyword list + embedding-cosine ANN list
+    // (query = vector 0) fused by reciprocal-rank fusion — the standard
+    // RAG retrieval combiner. Both lists pre-cut to top-50 via
+    // TakeOrderedAndProject; fusion joins two ≤50-row frames.
+    "s_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val bm = Similarity.topRanked(
+        graft.text.TextAnalysis.bm25(d, col("doc_id"), col("text"), HybridTerms),
+        col("bm25"), col("doc_id"), n = 50)
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val sims = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("qvec"), col("embedding")), 6).as("sim"))
+      val ann = Similarity.topRanked(sims, col("sim"), col("doc_id"), n = 50)
+      Similarity.rrfFuse(Seq(bm, ann), k = 60, topN = 20)
+        .withColumnRenamed("rank_0", "rank_bm25")
+        .withColumnRenamed("rank_1", "rank_ann")
     })
   )
+
+  /** Fixed keyword query for the hybrid-retrieval gate (the BM25 side
+    * reuses t_bm25's corpus statistics shape with these terms). */
+  private val HybridTerms = Seq("hash", "join", "spark")
 
   private def H(e: String) = Hashing.hash60Sql(e)
   private def Hs(seed: Long, e: String) = Hashing.hash60Sql(seed, e)
@@ -1150,6 +1184,41 @@ object PipelineQueries {
          | CAST((${H("substr(text, 1, 32)")} % 1024) + 1 AS INTEGER) AS width,
          | CAST(((${H("substr(text, 1, 32)")} >> 10) % 1024) + 1 AS INTEGER) AS height,
          | 3 AS channels
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "d_cdc" -> Dedup.cdcOracleSql(w = 4, div = 16),
+
+    // The BM25 side is t_bm25's query verbatim (same terms) wrapped as a
+    // subquery; 1.0e0 literals keep every division DOUBLE (not DECIMAL)
+    // so the reciprocal-rank terms are bit-identical to Spark's.
+    "s_hybrid_rrf" ->
+      s"""WITH bm AS (SELECT doc_id, bm25
+         |  FROM (${TextQueries.oracles("t_bm25")})),
+         |bmr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+         |  FROM bm QUALIFY r <= 50),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |ann AS (SELECT e.vec_id AS doc_id,
+         |  round(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+         |   (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) *
+         |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |annr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+         |  FROM ann QUALIFY r <= 50),
+         |fused AS (SELECT
+         |  coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |  coalesce(b.r, 0) AS rank_bm25,
+         |  coalesce(a.r, 0) AS rank_ann,
+         |  round(
+         |    (CASE WHEN b.r IS NOT NULL
+         |       THEN 1.0e0 / (60.0e0 + CAST(b.r AS DOUBLE)) ELSE 0.0e0 END) +
+         |    (CASE WHEN a.r IS NOT NULL
+         |       THEN 1.0e0 / (60.0e0 + CAST(a.r AS DOUBLE)) ELSE 0.0e0 END),
+         |    9) AS rrf
+         |  FROM bmr b FULL OUTER JOIN annr a ON a.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+         |  CAST(rank_ann AS BIGINT) AS rank_ann, rrf
+         |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
   )
 }

@@ -191,6 +191,57 @@ object StreamingGateQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .withColumn("tts", timestamp_micros((col("doc_id") + 1) * 1000000L))
       drain(s, EventStreams.nearDupStream(s, docsStream), "st_neardup_gate")
+    }),
+
+    // Stream-stream LEFT OUTER range join: matched purchase→click pairs
+    // emit inner-style; unmatched purchases null-emit only once the
+    // final watermark evicts their join window — the outer state-
+    // eviction path (purchases still inside the horizon at end-of-
+    // stream never emit, which the oracle replays).
+    "st_range_join_outer" -> ((s, dir) =>
+      drain(s, EventStreams.rangeJoinOuterStream(EventStreams.readEvents(s, dir)),
+        "st_rjo_gate")),
+
+    // Streaming 3-sigma anomaly flags on the running moments — exact
+    // integer comparison ((n·x−Σ)² vs 9·(n·Σx²−Σ²), BigInt vs HUGEINT),
+    // so the boolean never rides a float. Multi-batch drain: the prior-
+    // moments state crosses micro-batch boundaries.
+    "st_anomaly" -> ((s, dir) =>
+      drain(s, EventStreams.anomalyStream(s,
+        EventStreams.readEventsMultiBatch(s, dir)), "st_anomaly_gate")),
+
+    // Exactly-once file sink via idempotent batch-id foreachBatch: a
+    // 4-batch drain writes per-batch dirs, then the gate CRASHES the
+    // pipeline retroactively (deletes the final commit marker) and
+    // restarts — the replayed batch must overwrite, not duplicate. The
+    // read-back union equals the events table row-for-row, which is the
+    // whole exactly-once claim, hash-checked by DuckDB.
+    "st_exactly_once" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_eo_").toFile
+      root.deleteOnExit()
+      val out = new java.io.File(root, "out")
+      val ckpt = new java.io.File(root, "ckpt")
+      def run(): Unit = {
+        val ev = EventStreams.readEventsMultiBatch(s, dir)
+        val proj = ev.select(col("event_id"), col("user_id"), col("event_type"),
+          graft.io.Tables.eventMicros(ev).as("ts_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        EventStreams.exactlyOnceParquetSink(proj, out.getPath, ckpt.getPath)
+      }
+      run()
+      // crash simulation: offset log says the last batch ran, commit log
+      // says it didn't → restart re-executes it through foreachBatch.
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      assert(commits.length >= 2, s"expected a multi-batch drain, got ${commits.length}")
+      // the local ChecksumFs keeps a .N.crc sidecar next to each commit
+      // marker — drop both, or the replay's rename-into-place fails
+      val crc = new java.io.File(commits.last.getParentFile,
+        s".${commits.last.getName}.crc")
+      commits.last.delete()
+      if (crc.exists()) crc.delete()
+      run()
+      s.read.parquet(out.getPath).drop("batch_id")
     })
   )
 
@@ -332,6 +383,58 @@ object StreamingGateQueries {
         |SELECT iv.interval_id, p.event_id, p.ts_us
         |FROM iv JOIN e p ON p.user_id = iv.user_id
         | AND p.ts_us >= iv.win_s AND p.ts_us <= iv.win_e""".stripMargin,
+
+    "st_anomaly" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, event_id, cents,
+        |  count(*) OVER w AS n,
+        |  coalesce(sum(cents) OVER w, 0) AS s,
+        |  coalesce(sum(cents * cents) OVER w, 0) AS ss
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, CAST(cents AS BIGINT) AS cents,
+        |  CAST(n AS BIGINT) AS n_prior,
+        |  (n >= 2 AND
+        |   (CAST(n AS HUGEINT) * CAST(cents AS HUGEINT) - CAST(s AS HUGEINT))
+        |     * (CAST(n AS HUGEINT) * CAST(cents AS HUGEINT) - CAST(s AS HUGEINT))
+        |   > 9 * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+        |          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))) AS is_anomaly
+        |FROM m""".stripMargin,
+
+    "st_exactly_once" ->
+      """SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |FROM events""".stripMargin,
+
+    // Outer-join nulls replay Spark's exact eviction arithmetic, probed
+    // empirically (tools/OuterJoinProbe): the GLOBAL watermark is the
+    // MIN over the two filtered sides' (ms-floored max − 2 h), and an
+    // unmatched purchase null-emits iff p_ts < wm − window. Matched
+    // pairs all emit (single data batch: nothing is late).
+    "st_range_join_outer" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS interval_id, ts_us AS p_ts_us
+        |  FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(x.mc, y.mp) * 1000 - 7200000000 AS wm_us
+        |  FROM (SELECT max(ts_us) // 1000 AS mc FROM c) x,
+        |       (SELECT max(p_ts_us) // 1000 AS mp FROM p) y)
+        |SELECT p.interval_id, p.p_ts_us, c.event_id AS click_id,
+        |  c.ts_us AS click_ts_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000
+        |UNION ALL
+        |SELECT p.interval_id, p.p_ts_us,
+        |  CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_ts_us
+        |FROM p, wm
+        |WHERE p.p_ts_us < wm.wm_us - 1800000000
+        |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000)""".stripMargin,
 
     "st_window_lgq" -> graft.functions.LogQuantiles.oracleSqlGrouped(
       table = s"""(SELECT (epoch_ns(ts) // 1000)

@@ -265,6 +265,42 @@ object EventStreams {
       .select(col("interval_id"), col("event_id"), col("ts_us"))
   }
 
+  /** Stream-stream LEFT OUTER range join: each purchase left-joined to
+    * the clicks that land inside its `windowUs` follow-window. Matched
+    * pairs emit as they join (the [[rangeJoinStream]] path); an
+    * UNMATCHED purchase emits exactly once, with NULL click columns,
+    * when the watermark proves no future click can still land in its
+    * window — the outer-join state-eviction path the inner join never
+    * exercises. Both sides bound their state by the same horizon.
+    *
+    * Watermark subtlety (probed in tools/OuterJoinProbe, replayed by the
+    * gate oracle): the GLOBAL watermark is the MIN across the two
+    * filtered inputs' own delayed watermarks — the slower side (clicks
+    * here) gates eviction for both — and a left row null-emits iff
+    * p_ts < globalWm − window. */
+  def rangeJoinOuterStream(events: DataFrame,
+      windowUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
+    val withTts = events.withColumn("tts", graft.io.Tables.eventTime(events))
+    val clicks = withTts
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tts"),
+        unix_micros(col("tts")).as("ts_us"))
+      .withWatermark("tts", horizon)
+    val purchases = withTts
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("interval_id"), col("tts").as("p_tts"),
+        unix_micros(col("tts")).as("p_ts_us"))
+      .withWatermark("p_tts", horizon)
+    purchases.join(clicks,
+        col("user_id") === col("p_user") &&
+          col("tts") >= col("p_tts") &&
+          col("tts") <= col("p_tts") + expr(s"INTERVAL $windowUs MICROSECOND"),
+        "leftOuter")
+      .select(col("interval_id"), col("p_ts_us"),
+        col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+  }
+
   final case class BandHit(band: Int, band_hash: Long, doc_id: Long,
       ts_us: Long, tts: java.sql.Timestamp)
   final case class BucketState(rep: Long, lastUs: Long)
@@ -483,6 +519,67 @@ object EventStreams {
     typed.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
       .toDF()
+  }
+
+  final case class AnomRow(event_type: String, event_id: Long, cents: Long,
+      n_prior: Long, is_anomaly: Boolean)
+
+  /** Streaming 3-sigma anomaly flags on the [[runningStatsStream]]
+    * moments: an event is anomalous when (x − μ_prior)² > 9·σ²_prior
+    * over the ≥ 2 events before it (per event_type, event-time order).
+    * The comparison is EXACT — both sides multiplied by n² gives
+    * (n·x − Σ)² > 9·(n·Σx² − Σ²), evaluated in BigInt here and HUGEINT
+    * in the oracle, so no sqrt, no float, no summation-order caveat
+    * ever touches the flag. State per key is the same three longs. */
+  def anomalyStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[REvent]
+
+    def update(key: String, rows: Iterator[REvent],
+        state: GroupState[RunningState]): Iterator[AnomRow] = {
+      var s = state.getOption.getOrElse(RunningState(0L, 0L, 0L))
+      val out = Seq.newBuilder[AnomRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val flag = s.n >= 2 && {
+          val lhs = BigInt(s.n) * e.cents - s.sum
+          lhs * lhs > 9 * (BigInt(s.n) * s.sumSq - BigInt(s.sum) * s.sum)
+        }
+        out += AnomRow(key, e.event_id, e.cents, s.n, flag)
+        s = RunningState(s.n + 1, s.sum + e.cents, s.sumSq + e.cents * e.cents)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** Exactly-once parquet sink via the idempotent-batch-id foreachBatch
+    * pattern — the production recipe for sinks WITHOUT a transactional
+    * commit log (object stores, plain directories): each micro-batch
+    * overwrites its own `batch_id=<id>` subdirectory, so a batch
+    * REPLAYED after a crash between sink write and offset commit
+    * replaces its previous (possibly partial) output instead of
+    * appending duplicates. Readers take the union of batch dirs; the
+    * checkpoint guarantees batch ids are stable across restarts, which
+    * is the whole idempotence key. Blocks until drained. */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Drive a streaming frame into an in-memory table and block until the

@@ -117,6 +117,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer range join = inner matches + nulls for watermark-evicted unmatched") {
+    val q = EventStreams.runToMemory(
+      EventStreams.rangeJoinOuterStream(EventStreams.readEvents(spark, dir)),
+      "rjo_out", OutputMode.Append)
+    try {
+      val s = spark.table("rjo_out")
+      val matched = s.where(col("click_id").isNotNull)
+      val nulls = s.where(col("click_id").isNull)
+
+      // batch twin of the matched part
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val windowUs = 1800L * 1000000L
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          usC.as("click_ts_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("interval_id"),
+          usC.as("p_ts_us"))
+      val b = p.join(c, col("cu") === col("pu") &&
+          col("click_ts_us") >= col("p_ts_us") &&
+          col("click_ts_us") <= col("p_ts_us") + windowUs)
+        .select("interval_id", "p_ts_us", "click_id", "click_ts_us")
+      assert(matched.count() == b.count() && matched.except(b).isEmpty,
+        "outer join's matched part disagrees with batch inner join")
+
+      // every null row is genuinely unmatched, below the min-side
+      // watermark minus the window, and no purchase appears both ways
+      assert(nulls.count() > 0, "no eviction nulls emitted")
+      assert(nulls.join(b, "interval_id").isEmpty,
+        "a purchase emitted both a match and a null")
+      val wmUs = (math.min(
+        c.agg(max("click_ts_us")).head().getLong(0) / 1000,
+        p.agg(max("p_ts_us")).head().getLong(0) / 1000) - 7200000L) * 1000
+      val late = nulls.where(col("p_ts_us") >= wmUs - windowUs)
+      assert(late.isEmpty, "null emitted for a purchase still inside the horizon")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer flushes a trailing session via event-time timeout") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
