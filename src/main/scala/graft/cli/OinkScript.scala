@@ -494,6 +494,13 @@ object OinkScript {
               sinkAndBind(graft.streaming.EventStreams.funnelStream(spark, in0), outs, line)
             case "stream_running" =>
               sinkAndBind(graft.streaming.EventStreams.runningStatsStream(spark, in0), outs, line)
+            case "stream_anomaly" =>
+              sinkAndBind(graft.streaming.EventStreams.anomalyStream(spark, in0), outs, line)
+            case "cdc_dedup" =>
+              // cdc_dedup [w] [div] — content-defined chunking dup stats
+              val w = pos.lift(0).map(_.toInt).getOrElse(4)
+              val dv = pos.lift(1).map(_.toInt).getOrElse(16)
+              sinkAndBind(Dedup.cdcChunkStats(in0, col("doc_id"), col("text"), w, dv), outs, line)
             case "stream_drain" =>
               val name = pos.headOption.getOrElse(
                 throw ScriptError(line, "stream_drain requires a sink table name"))

@@ -238,6 +238,27 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("res").exceptAll(direct).isEmpty)
   }
 
+  test("stream_anomaly and cdc_dedup verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_events_stream -i $dir -o NULL ev",
+      "stream_anomaly -i ev -o NULL an",
+      "stream_drain oink_anom_sink -i an -o NULL res",
+      s"read_parquet -i $dir/documents.parquet -o NULL docs",
+      "cdc_dedup 4 16 -i docs -o NULL cdc"))
+    assert(reg("an").isStreaming && !reg("res").isStreaming)
+    assert(reg("res").count() > 0)
+    assert(reg("res").columns.contains("is_anomaly"))
+    val cdc = reg("cdc")
+    assert(cdc.count() > 0 && cdc.columns.contains("dup_ratio"))
+    // the script object equals the direct API call
+    val direct = graft.pipeline.Dedup.cdcChunkStats(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    assert(cdc.exceptAll(direct).isEmpty && direct.exceptAll(cdc).isEmpty)
+  }
+
   test("chunk and compact verbs: pipeline prep + table maintenance from a script") {
     val dir = Files.createTempDirectory("oinkchunk")
     val tbl = dir.resolve("docs").toString
