@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
+
+/** Backward as-of join as a first-class operator: for every left row,
+  * the single right row with the LARGEST right-time ≤ left-time among
+  * equal keys (LEFT OUTER: no candidate → right columns null; optional
+  * `toleranceUs` bounds the lookback). The point-in-time lookup shape —
+  * SCD2 fact enrichment, market-data alignment, sensor snapping.
+  *
+  * Why a custom operator: the composable formulations are either a
+  * range join + per-fact `row_number` window (the d_scd2_join shape:
+  * every fact×covering-version pair materializes BEFORE the top-1
+  * filter) or an interval self-join via `lead()` (one extra window over
+  * the whole dim per query). This node needs neither: both sides
+  * hash-partition on the key and sort by (key, time) — exactly the
+  * layout Exchange + SortExec already provide — and one streaming merge
+  * emits each left row against a single lagging candidate pointer.
+  * O(|L|+|R|) per partition, O(1) memory, no intermediate pair blow-up;
+  * at 100 TB nothing but the two key-hash exchanges moves.
+  *
+  * Reference lineage: generalizes the OINK-style time-keyed lookup the
+  * SCD2 suite (`pipeline/Scd2.scala`) composes by hand.
+  *
+  * Both time expressions must be BIGINT (e.g. `unix_micros`).
+  * Determinism requires unique (key, time) on the RIGHT (a versioned
+  * dimension satisfies this by construction); equal-time right rows
+  * otherwise tie arbitrarily. Null keys group like groupBy (null ==
+  * null), matching the SQL `ASOF JOIN ... USING` convention.
+  */
+case class AsOfJoin(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    s"as-of times must be BIGINT, got ${leftTime.dataType}/${rightTime.dataType}")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoin = copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val tol = toleranceUs
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      // both key projections emit the same row shape: natural ordering
+      // on the key data types compares across sides (nulls group first,
+      // so null keys match like groupBy)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      // lagging right cursor: `next*` is the first unconsumed right row,
+      // `cand*` the best (latest ≤ t) candidate of the CURRENT key group
+      var nextRow: InternalRow = null
+      var nextKey: InternalRow = null
+      var nextTime = 0L
+      def advanceRight(): Unit =
+        if (rIt.hasNext) {
+          nextRow = rIt.next().copy()
+          nextKey = rKeyProj(nextRow).copy()
+          nextTime = rTimeProj(nextRow).getLong(0)
+        } else { nextRow = null; nextKey = null }
+      advanceRight()
+
+      var candRow: InternalRow = null
+      var candTime = 0L
+      var candKey: InternalRow = null
+
+      lIt.map { lRow =>
+        val k = lKeyProj(lRow)
+        val t = lTimeProj(lRow).getLong(0)
+        // entering a new left key group: drop the stale candidate
+        if (candKey != null && keyOrd.compare(candKey, k) != 0) {
+          candRow = null; candKey = null
+        }
+        // skip right groups with smaller keys (no left rows want them)
+        while (nextRow != null && keyOrd.compare(nextKey, k) < 0) advanceRight()
+        // absorb right rows of THIS key up to the left time
+        while (nextRow != null && keyOrd.compare(nextKey, k) == 0 && nextTime <= t) {
+          candRow = nextRow; candTime = nextTime; candKey = nextKey
+          advanceRight()
+        }
+        val hit = candRow != null && tol.forall(d => t - candTime <= d)
+        resultProj(joined(lRow, if (hit) candRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(lk, rk, lt, rt, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+
+  /** Column API ([[TopKPerKey.topKPerKey]] conventions: analyzed
+    * expressions are harvested from throwaway plans; the strategy
+    * installs on first use). The right side is re-aliased through a
+    * fresh projection so self-joins (dim derived from the fact table)
+    * never share expression ids. Rename clashing columns beforehand —
+    * the output concatenates both sides' schemas as-is. */
+  def asOfJoin(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.col
+    val spark = leftDf.sparkSession
+    Bridge.addStrategy(spark, AsOfJoinStrategy)
+    // fresh expression ids on the right (self-join safety)
+    val rFresh = rightDf.select(rightDf.columns.map(c => col(c).as(c)).toSeq: _*)
+    def harvest(df: DataFrame, cols: Seq[Column]): (Seq[Expression], LogicalPlan) = {
+      val Project(projectList, child) =
+        df.select(cols: _*).queryExecution.analyzed: @unchecked
+      (projectList.map { case a: Alias => a.child; case e => e }, child)
+    }
+    val (lk :+ lt, lPlan) = harvest(leftDf, leftKeys :+ leftTime): @unchecked
+    val (rk :+ rt, rPlan) = harvest(rFresh, rightKeys :+ rightTime): @unchecked
+    Bridge.ofRows(spark, AsOfJoin(lk, rk, lt, rt, toleranceUs, lPlan, rPlan))
+  }
+}

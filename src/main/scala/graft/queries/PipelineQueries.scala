@@ -416,6 +416,25 @@ object PipelineQueries {
     "d_cdc" -> ((s, dir) =>
       Dedup.cdcChunkStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Native backward as-of join (the custom AsOfJoinExec operator):
+    // every event left-joined to the latest signup version at or before
+    // it. One streaming merge over key-sorted sides — no fact×version
+    // pair blow-up, unlike the composed d_scd2_join shape.
+    "d_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val usC = Tables.eventMicros(ev)
+      val facts = ev.select(col("user_id"), col("event_id"), usC.as("ts_us"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), usC.as("ts_us"), col("value"))
+        .groupBy("d_user", "ts_us").agg(max("value").as("asof_value"))
+        .select(col("d_user"), col("ts_us").as("valid_from_us"),
+          col("asof_value"))
+      graft.plans.AsOfJoin.asOfJoin(facts, dim,
+          Seq(col("user_id")), Seq(col("d_user")),
+          col("ts_us"), col("valid_from_us"))
+        .select("user_id", "event_id", "ts_us", "asof_value")
+    }),
+
     // Hybrid retrieval: BM25 keyword list + embedding-cosine ANN list
     // (query = vector 0) fused by reciprocal-rank fusion — the standard
     // RAG retrieval combiner. Both lists pre-cut to top-50 via
@@ -1187,6 +1206,18 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
 
     "d_cdc" -> Dedup.cdcOracleSql(w = 4, div = 16),
+
+    "d_asof_native" ->
+      s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us, max(value) AS asof_value FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1, 2),
+         |iv AS (SELECT user_id, ts_us AS vf,
+         |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us),
+         |    ${Long.MaxValue}) AS vt, asof_value
+         |  FROM s)
+         |SELECT e.user_id, e.event_id, e.ts_us, iv.asof_value
+         |FROM e LEFT JOIN iv ON e.user_id = iv.user_id
+         | AND e.ts_us >= iv.vf AND e.ts_us < iv.vt""".stripMargin,
 
     // The BM25 side is t_bm25's query verbatim (same terms) wrapped as a
     // subquery; 1.0e0 literals keep every division DOUBLE (not DECIMAL)
