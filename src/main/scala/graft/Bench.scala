@@ -186,13 +186,38 @@ object Bench {
       }
       Seq("stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0))
     }
-    val extras = topk ++ streaming
+    // asof: the native AsOfJoinExec streaming merge vs the composed
+    // lead()-interval left join (same result, AsOfJoinSpec) on the full
+    // events table enriched against its signup dimension.
+    val asof = section("asof") {
+      import org.apache.spark.sql.expressions.Window
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val facts = ev.select(col("user_id"), col("event_id"), usC.as("ts_us"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), usC.as("vf0"), col("value"))
+        .groupBy("d_user", "vf0").agg(max("value").as("asof_value"))
+        .select(col("d_user"), col("vf0").as("vf"), col("asof_value"))
+      def native = graft.plans.AsOfJoin.asOfJoin(facts, dim,
+        Seq(col("user_id")), Seq(col("d_user")), col("ts_us"), col("vf"))
+      def composed = facts.join(
+        dim.select(col("d_user"), col("vf"),
+          coalesce(lead(col("vf"), 1).over(
+              Window.partitionBy("d_user").orderBy("vf")),
+            lit(Long.MaxValue)).as("vt"), col("asof_value")),
+        col("user_id") === col("d_user") &&
+          col("ts_us") >= col("vf") && col("ts_us") < col("vt"), "left")
+      materialize(native); materialize(composed) // warm
+      Seq("asof_native_sec" -> timeIt(materialize(native)),
+        "asof_composed_sec" -> timeIt(materialize(composed)))
+    }
+    val extras = topk ++ streaming ++ asof
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val mr = mrPhase.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
       .mkString("{", ",", "}")
-    val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
+    val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     // per-query [min, median, max] over the 5 reps — the reported median
     // is only trustworthy next to its spread (round-6 postmortem: a

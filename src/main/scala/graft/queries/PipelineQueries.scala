@@ -416,6 +416,29 @@ object PipelineQueries {
     "d_cdc" -> ((s, dir) =>
       Dedup.cdcChunkStats(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Data-quality expectations (Deequ/dbt-test shape): per-column
+    // profile in ONE scan of lineitem (count/nulls/exact-distinct/
+    // min/max per column as conditional aggregates of the same pass).
+    "dq_profile" -> ((s, dir) =>
+      graft.pipeline.DataQuality.profile(
+        Tables.lineitem(s, dir), Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+
+    // Referential integrity lineitem.l_orderkey -> orders.o_orderkey:
+    // one left-anti join; verdict row is hash-gated (n_orphans = 0 on
+    // the clean testdata, and the check would catch it if not).
+    "dq_refint" -> ((s, dir) =>
+      graft.pipeline.DataQuality.refIntegrity(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"))),
+
+    // Accepted-values domain check on event_type: the 'error' type is
+    // deliberately outside the allowed set, so the report exercises the
+    // enum-drift path (in_domain = false) on real data.
+    "dq_domain" -> ((s, dir) =>
+      graft.pipeline.DataQuality.acceptedValues(
+        Tables.events(s, dir), col("event_type"),
+        Seq("view", "click", "purchase", "signup"))),
+
     // Native backward as-of join (the custom AsOfJoinExec operator):
     // every event left-joined to the latest signup version at or before
     // it. One streaming merge over key-sorted sides — no fact×version
@@ -1206,6 +1229,36 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
 
     "d_cdc" -> Dedup.cdcOracleSql(w = 4, div = 16),
+
+    "dq_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_returnflag").map(one)
+        .mkString("\nUNION ALL\n")
+    },
+
+    "dq_refint" ->
+      """WITH o AS (SELECT DISTINCT o_orderkey FROM orders),
+        |orph AS (SELECT count(*) AS n FROM lineitem l LEFT JOIN o
+        |  ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_fk,
+        |  CAST((SELECT n FROM orph) AS BIGINT) AS n_orphans,
+        |  (SELECT n FROM orph) = 0 AS fk_ok
+        |FROM lineitem""".stripMargin,
+
+    "dq_domain" ->
+      """SELECT event_type AS value, count(*) AS n_rows,
+        |  coalesce(event_type IN ('view', 'click', 'purchase', 'signup'),
+        |    false) AS in_domain
+        |FROM events GROUP BY 1""".stripMargin,
 
     "d_asof_native" ->
       s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),

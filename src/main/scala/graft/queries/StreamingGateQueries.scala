@@ -166,6 +166,16 @@ object StreamingGateQueries {
       drain(s, EventStreams.logQuantileStream(
         EventStreams.readEventsMultiBatch(s, dir)), "st_lgq_mb_gate")),
 
+    // Outer-join twin across 4 micro-batches: join state (both sides)
+    // round-trips the state store, the watermark ratchets per batch, and
+    // unmatched purchases null-emit progressively as eviction passes
+    // them. Time-sorted staging keeps every match intact (a click in a
+    // purchase's window always arrives while wm < p_ts + window - 2h +
+    // click lag), so the final table equals the single-batch drain.
+    "st_range_join_outer_mb" -> ((s, dir) =>
+      drain(s, EventStreams.rangeJoinOuterStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_rjo_mb_gate")),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -459,5 +469,6 @@ object StreamingGateQueries {
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
-    "st_window_lgq_mb" -> baseOracles("st_window_lgq"))
+    "st_window_lgq_mb" -> baseOracles("st_window_lgq"),
+    "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"))
 }
