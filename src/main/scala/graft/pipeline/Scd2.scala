@@ -182,4 +182,21 @@ object Scd2 {
         facts(tsCol) >= d("valid_from") && facts(tsCol) < d("valid_to"))
       .drop(dk)
   }
+
+  /** [[asOfJoin]] on the native [[graft.plans.AsOfJoin]] operator: the
+    * backward merge picks the latest version with valid_from ≤ ts in
+    * one O(|facts|+|dim|) pass (no fact×version comparisons at all),
+    * and the valid_to post-filter restores inner semantics — for an
+    * SCD2 dim whose intervals abut it only drops facts with no version
+    * at their key. Same output as [[asOfJoin]] (d_scd2_join's oracle
+    * gates both). */
+  def asOfJoinNative(facts: DataFrame, dim: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    val dk = s"__dim_$key"
+    val d = dim.withColumnRenamed(key, dk)
+    graft.plans.AsOfJoin.asOfJoin(facts, d,
+        Seq(col(key)), Seq(col(dk)), col(tsCol), col("valid_from"))
+      .where(col("valid_to") > col(tsCol))
+      .drop(dk)
+  }
 }

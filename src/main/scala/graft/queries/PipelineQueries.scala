@@ -131,6 +131,26 @@ object PipelineQueries {
           graft.functions.Hashing.hash60(col("text")).as("content_hash"))
     }),
 
+    // Same SCD2 enrichment through the NATIVE AsOfJoinExec operator
+    // (backward merge + valid_to inner filter) — shares d_scd2_join's
+    // oracle, so both formulations are hash-pinned to the same answer.
+    "d_scd2_join_native" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+        lit(0L).as("valid_from"), lit(Scd2.OpenTs).as("valid_to"))
+      val upd1 = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      val upd2 = docs(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"))
+      val dim = Scd2.merge(
+        Scd2.merge(d0, upd1, "doc_id", Seq("text"), ts = 100L),
+        upd2, "doc_id", Seq("text"), ts = 200L)
+      val facts = docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 250).as("probe_ts"))
+      Scd2.asOfJoinNative(facts, dim, "doc_id", "probe_ts")
+        .select(col("doc_id"), col("probe_ts"),
+          graft.functions.Hashing.hash60(col("text")).as("content_hash"))
+    }),
+
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -551,7 +571,7 @@ object PipelineQueries {
     s"bands AS ($bands)"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "d_exact" ->
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
@@ -1305,4 +1325,8 @@ object PipelineQueries {
          |  CAST(rank_ann AS BIGINT) AS rank_ann, rrf
          |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
   )
+
+  // the native as-of formulation answers to the composed one's oracle
+  val oracles: Map[String, String] = oraclesBase +
+    ("d_scd2_join_native" -> oraclesBase("d_scd2_join"))
 }

@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized adversarial rounds for the as-of merge: many keys, heavy
+  * time collisions between fact and version times, keys present on only
+  * one side, and hostile input partitioning — each round checked
+  * against a plain-Scala reference computation. */
+class AsOfJoinRandomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(facts: Seq[(Long, Long)], dim: Seq[(Long, Long, Long)],
+      tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+    val byKey = dim.groupBy(_._1)
+    facts.map { case (k, t) =>
+      val cand = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        .sortBy(_._2).lastOption
+        .filter(c => tol.forall(d => t - c._2 <= d))
+      (k, t, cand.map(_._3))
+    }.toSet
+  }
+
+  test("10 seeded random rounds match the reference, any partitioning") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(20)
+      // coarse time grid -> many exact fact/version time collisions
+      val facts = Seq.fill(300)((rnd.nextInt(nKeys).toLong,
+        rnd.nextInt(40).toLong))
+      // unique (key, time) on the right, as the operator contract requires
+      val dim = rnd.shuffle(
+        (for (k <- 0L until nKeys.toLong; t <- 0L until 40L) yield (k, t))
+          .toSeq).take(80)
+        .map { case (k, t) => (k, t, k * 1000 + t) } // payload derivable
+      val tol = if (seed % 3 == 0) Some(rnd.nextInt(10).toLong + 1) else None
+
+      val fDf = facts.toDF("k", "t").repartition(1 + rnd.nextInt(7))
+      val dDf = dim.toDF("dk", "vt", "payload").repartition(1 + rnd.nextInt(7))
+      val got = AsOfJoin.asOfJoin(fDf, dDf,
+          Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol)
+        .select("k", "t", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+
+      // row multiplicity: every left row emits exactly once
+      assert(got.length == facts.length, s"seed $seed: left rows not preserved")
+      val gotCounts = got.groupBy(identity).view.mapValues(_.length).toMap
+      val expCounts = facts.map { case (k, t) =>
+        val e = reference(facts, dim, tol)
+          .find(r => r._1 == k && r._2 == t).get
+        e
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(gotCounts == expCounts, s"seed $seed: as-of picks diverge")
+    }
+  }
+}
