@@ -290,6 +290,29 @@ object Dedup {
       .select(col("v").as("doc_id"), col("comp").as("keeper_id"))
   }
 
+  /** Quality-priority near-dup resolution: within each LSH-derived
+    * near-dup cluster ([[dedupClusters]]), KEEP the member with the
+    * highest quality score (ties → smallest doc_id) instead of the
+    * conventional min-id representative — the curation policy that
+    * retains the cleanest copy of a boilerplate family rather than an
+    * arbitrary one. Cluster argmax is one struct-max aggregate
+    * (map-side combinable); quality scores compare on their 6-dp
+    * rounded values, so the pick is engine-portable. Emits only docs
+    * that are IN a cluster, like dedupClusters. */
+  def dedupKeepBest(spark: SparkSession, docs: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val clusters = dedupClusters(spark, docs, id, text)
+    val q = TextAnalysis.quality(docs, id, text)
+      .select(col("doc_id"), col("quality_score"))
+    val j = clusters.join(q, "doc_id")
+    val best = j.groupBy("keeper_id")
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("keeper_id"), col("b.negid").as("negbest"))
+    j.join(best, "keeper_id")
+      .select(col("doc_id"), col("keeper_id").as("cluster"),
+        col("quality_score"), (col("doc_id") === -col("negbest")).as("kept"))
+  }
+
   /** Incremental exact dedup — the daily-ingest shape: drop new
     * documents whose content digest already exists in the accumulated
     * corpus, then keep one representative (min doc_id) per digest within

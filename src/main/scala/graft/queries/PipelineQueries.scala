@@ -226,6 +226,11 @@ object PipelineQueries {
     "d_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(s, docs(s, dir), col("doc_id"), col("text"))),
 
+    // Keep-BEST-quality member per near-dup cluster (not min-id): the
+    // curation policy that keeps the cleanest copy of each family.
+    "d_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupKeepBest(s, docs(s, dir), col("doc_id"), col("text"))),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -903,6 +908,32 @@ object PipelineQueries {
          |  UNION
          |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v)
          |SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v""".stripMargin,
+
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte,
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         | WHERE x.doc_id < y.doc_id),
+         |und AS (SELECT a AS vi, b AS vj FROM pairs
+         |        UNION ALL SELECT b AS vi, a AS vj FROM pairs),
+         |verts AS (SELECT DISTINCT vi AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v),
+         |q AS (SELECT doc_id, quality_score
+         |  FROM (${TextQueries.oracles("t_quality")})),
+         |j AS (SELECT cl.doc_id, cl.cluster, q.quality_score
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT doc_id, cluster, quality_score,
+         |  (row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality_score DESC, doc_id ASC) = 1) AS kept
+         |FROM j""".stripMargin,
 
     "d_dedup_pipeline" -> {
       val agree = (0 until Dedup.NumHashes)

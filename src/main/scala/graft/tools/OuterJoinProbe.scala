@@ -28,8 +28,18 @@ object OuterJoinProbe {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val usC = graft.io.Tables.eventMicros(ev)
     val maxUs = ev.agg(max(usC)).head().getLong(0)
+    // NOTE the naive wm (max over ALL events - 2h) is deliberately kept
+    // here: this probe's output is what REVEALED it to be wrong — the
+    // true global watermark is the MIN over the two filtered sides'
+    // ms-floored delayed watermarks (see the gate oracle), which this
+    // probe prints below for comparison.
     val wmMs = maxUs / 1000 - 2L * 3600L * 1000L
     val windowUs = 1800L * 1000000L
+    val sideWmMs = Seq("click", "purchase").map { t =>
+      ev.where(col("event_type") === t).agg(max(usC)).head().getLong(0) / 1000 -
+        2L * 3600L * 1000L
+    }.min
+    println(s"PROBE min_side_wm_ms=$sideWmMs eviction_p_ts_below=${sideWmMs * 1000 - windowUs}")
 
     println(s"PROBE maxUs=$maxUs wmMs=$wmMs nullRows=${nulls.count()}")
     val stats = nulls.agg(
