@@ -171,4 +171,33 @@ object Sampling {
       .select(col("doc_id"), col("domain"), col("n_tokens"),
         round(col("keep_rate"), 6).as("keep_rate"))
   }
+
+  /** Deterministic epoch shuffle + round-robin sharding — the
+    * training-run data-order pass: a seeded hash permutation gives
+    * every epoch a different but REPRODUCIBLE global order (seed =
+    * epoch number), and `shard = pos % n` balances shards to ±1 row by
+    * construction, with `pos_in_shard` the within-shard read order.
+    *
+    * The global position is a range-sort on (hash, id) + zipWithIndex
+    * (one count job for partition offsets, then a lazy local index) —
+    * the hub-safe distributed-rank shape of
+    * [[graft.graph.RandomWalks]]'s adjacency, never a single-partition
+    * window. Re-runs, retries, and cluster-size changes all reproduce
+    * the same (pos, shard) for every row. */
+  def epochShuffle(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      id: Column, seed: Long, nShards: Int): DataFrame = {
+    import spark.implicits._
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val hashed = docs.select(id.cast("long").as("doc_id"),
+      Hashing.hash60(seed, id.cast("string")).as("h"))
+    hashed.repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+      .toDF("doc_id", "shuffle_hash", "pos")
+      .select(col("doc_id"), col("shuffle_hash"), col("pos"),
+        (col("pos") % nShards).as("shard"),
+        expr(s"pos DIV $nShards").as("pos_in_shard"))
+  }
 }

@@ -231,6 +231,13 @@ object PipelineQueries {
     "d_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupKeepBest(s, docs(s, dir), col("doc_id"), col("text"))),
 
+    // Seeded epoch shuffle + round-robin sharding: reproducible training
+    // data order per epoch, ±1-balanced shards, distributed rank (no
+    // single-partition window).
+    "d_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(s, docs(s, dir), col("doc_id"),
+        seed = 7L, nShards = 8)),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -1280,6 +1287,17 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
 
     "d_cdc" -> Dedup.cdcOracleSql(w = 4, div = 16),
+
+    "d_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${Hashing.hash60Sql(7L, "CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, h AS shuffle_hash,
+         |  row_number() OVER (ORDER BY h, doc_id) - 1 AS pos FROM h)
+         |SELECT doc_id, shuffle_hash, CAST(pos AS BIGINT) AS pos,
+         |  CAST(pos % 8 AS BIGINT) AS shard,
+         |  CAST(pos // 8 AS BIGINT) AS pos_in_shard
+         |FROM r""".stripMargin,
 
     "dq_profile" -> {
       def one(c: String) =

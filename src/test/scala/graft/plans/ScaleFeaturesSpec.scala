@@ -123,4 +123,45 @@ class ScaleFeaturesSpec extends SparkSpec {
         s"no DynamicPruningExpression in the fact scan:\n$scan")
     }
   }
+
+  test("exchange reuse: a self-joined aggregate shuffles once, not twice") {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val agg = spark.range(100000L)
+        .select((col("id") % 1000L).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum("v").as("s"))
+      // two consumers of the SAME aggregate subtree: Spark must plan one
+      // Exchange and a ReusedExchange/stage for the second branch — at
+      // corpus scale this halves the shuffle for every diamond plan
+      val joined = agg.join(agg.withColumnRenamed("s", "s2")
+        .withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      assert(joined.collect().length == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"no exchange reuse in the diamond plan:\n$plan")
+    }
+  }
+
+  test("spill threshold: the window buffer spills without changing results") {
+    // The window partition buffer (ExternalAppendOnlyUnsafeRowArray) is
+    // the spill path a memory-pressured executor actually takes; its
+    // thresholds are DYNAMIC SQLConfs, so the external-sorter route can
+    // be forced live. (The SMJ buffer's force-spill is NOT testable this
+    // way: the probe side re-opens the spilled group per left row, and
+    // each re-open allocates fresh ~MB read-ahead buffers that live to
+    // task end — forcing it OOMs any JVM. Window iterates its spilled
+    // buffer once, so one forced spill per group is cheap.)
+    val df = spark.range(20000L)
+      .select((col("id") % 7L).as("k"), col("id").as("v"))
+    import org.apache.spark.sql.expressions.Window
+    def windowed = df.select(col("k"), col("v"),
+      sum("v").over(Window.partitionBy("k").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+    val expectW = windowed.collect().toSet
+    withConfs(
+      "spark.sql.windowExec.buffer.spill.threshold" -> "2048",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "1024") {
+      assert(windowed.collect().toSet == expectW,
+        "window results changed under forced spill")
+    }
+  }
 }
