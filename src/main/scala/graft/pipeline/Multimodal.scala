@@ -94,6 +94,87 @@ object Multimodal {
       }
   }
 
+  /** A decoded audio record. `peak_amp` is the max |sample| over the
+    * PCM stream — the loudness stat a filtering pipeline thresholds on. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Long,
+      peak_amp: Int)
+
+  /** Deterministic 16-bit mono PCM WAV synthesized per doc — a REAL
+    * RIFF/WAVE container written by `javax.sound.sampled`, so the decode
+    * below exercises genuine container parsing. Square wave: n =
+    * 64 + id%192 samples at 8 kHz, amplitude 1000 + id%9000 — every
+    * decoded stat is a closed-form function of doc_id, which is what
+    * lets DuckDB oracle-check a binary round-trip it cannot parse. */
+  def synthWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (64 + docId % 192).toInt
+    val amp = (1000 + docId % 9000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Attach a synthetic WAV payload column (the audio twin of
+    * [[withPayload]]). Payload synthesis is a typed map — imperative
+    * byte assembly has no columnar form. */
+  def withWavPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — zero extra dependencies): parses the container header for
+    * format metadata, then streams the PCM frames for sample count and
+    * peak amplitude. Same mapPartitions batch shape as the image path. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val bytesPerFrame = fmt.getFrameSize
+          val buf = new Array[Byte](4096)
+          var nSamples = 0L
+          var peak = 0
+          var read = ais.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + 1 < read) {
+              val s = ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort.toInt
+              if (math.abs(s) > peak) peak = math.abs(s)
+              off += bytesPerFrame
+              nSamples += 1
+            }
+            read = ais.read(buf)
+          }
+          ais.close()
+          AudioFeatures(id, payload.length.toLong,
+            fmt.getSampleRate.toInt, fmt.getChannels, nSamples, peak)
+        }
+      }
+  }
+
   /** Declarative metadata-only variant (columnar, codegen'd, oracle-
     * checkable): identical feature math expressed as column functions —
     * the path a metadata query takes without ever decoding payloads. */

@@ -231,6 +231,15 @@ object PipelineQueries {
     "d_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupKeepBest(s, docs(s, dir), col("doc_id"), col("text"))),
 
+    // REAL audio decode: deterministic 16-bit PCM WAVs are synthesized
+    // per doc (genuine RIFF containers via javax.sound), then parsed
+    // back by AudioSystem on the distributed mapPartitions path; every
+    // decoded stat is a closed-form function of doc_id, so DuckDB
+    // verifies a binary round-trip it cannot itself parse.
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(s,
+        Multimodal.withWavPayload(s, docs(s, dir))).toDF()),
+
     // Seeded epoch shuffle + round-robin sharding: reproducible training
     // data order per epoch, ±1-balanced shards, distributed rank (no
     // single-partition window).
@@ -1287,6 +1296,15 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
 
     "d_cdc" -> Dedup.cdcOracleSql(w = 4, div = 16),
+
+    "mm_audio" ->
+      """SELECT doc_id,
+        |  CAST(44 + 2 * (64 + doc_id % 192) AS BIGINT) AS byte_len,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(64 + doc_id % 192 AS BIGINT) AS n_samples,
+        |  CAST(1000 + doc_id % 9000 AS INTEGER) AS peak_amp
+        |FROM documents""".stripMargin,
 
     "d_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,

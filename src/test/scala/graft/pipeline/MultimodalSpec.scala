@@ -74,4 +74,25 @@ class MultimodalSpec extends SparkSpec {
     val stub = Multimodal.StubDecoder.decode("gate text".getBytes("UTF-8"))
     assert((viaDefault.width, viaDefault.height, viaDefault.channels) == stub)
   }
+
+  test("WAV round-trip: synthesized RIFF containers decode to closed forms") {
+    // the container header javax.sound writes for PCM is the canonical
+    // 44 bytes — the mm_audio oracle's byte_len formula depends on it
+    val w0 = Multimodal.synthWav(0L)
+    assert(w0.length == 44 + 2 * 64, s"unexpected WAV size ${w0.length}")
+    assert(new String(w0.take(4), "US-ASCII") == "RIFF")
+    assert(new String(w0.slice(8, 12), "US-ASCII") == "WAVE")
+
+    val docs = Seq(0L, 5L, 191L, 192L, 9191L).toDF("doc_id")
+    val out = Multimodal.audioFeatures(spark,
+        Multimodal.withWavPayload(spark, docs))
+      .collect().map(a => a.doc_id -> a).toMap
+    for (id <- Seq(0L, 5L, 191L, 192L, 9191L)) {
+      val a = out(id)
+      assert(a.sample_rate == 8000 && a.n_channels == 1)
+      assert(a.n_samples == 64 + id % 192, s"doc $id samples ${a.n_samples}")
+      assert(a.peak_amp == 1000 + id % 9000, s"doc $id peak ${a.peak_amp}")
+      assert(a.byte_len == 44 + 2 * (64 + id % 192))
+    }
+  }
 }
