@@ -496,6 +496,28 @@ object OinkScript {
               sinkAndBind(graft.streaming.EventStreams.runningStatsStream(spark, in0), outs, line)
             case "stream_anomaly" =>
               sinkAndBind(graft.streaming.EventStreams.anomalyStream(spark, in0), outs, line)
+            case "dq_profile" =>
+              // dq_profile col [col...] — one-scan expectations profile
+              if (pos.isEmpty) throw ScriptError(line, "dq_profile requires column names")
+              sinkAndBind(graft.pipeline.DataQuality.profile(in0, pos), outs, line)
+            case "dq_refint" =>
+              // dq_refint childKey parentKey -i child parent
+              if (pos.size < 2 || ins.size < 2)
+                throw ScriptError(line, "dq_refint childKey parentKey -i child parent")
+              sinkAndBind(graft.pipeline.DataQuality.refIntegrity(
+                in0, col(pos(0)), obj(ins(1), line), col(pos(1))), outs, line)
+            case "asof" =>
+              // asof key dimKey ts vts [tolUs] -i facts dim — native operator
+              if (pos.size < 4 || ins.size < 2)
+                throw ScriptError(line, "asof key dimKey ts vts [tolUs] -i facts dim")
+              sinkAndBind(graft.plans.AsOfJoin.asOfJoin(in0, obj(ins(1), line),
+                Seq(col(pos(0))), Seq(col(pos(1))), col(pos(2)), col(pos(3)),
+                pos.lift(4).map(_.toLong)), outs, line)
+            case "epoch_shuffle" =>
+              // epoch_shuffle [seed] [nShards] — seeded training order
+              sinkAndBind(graft.pipeline.Sampling.epochShuffle(spark, in0,
+                col("doc_id"), pos.lift(0).map(_.toLong).getOrElse(0L),
+                pos.lift(1).map(_.toInt).getOrElse(8)), outs, line)
             case "cdc_dedup" =>
               // cdc_dedup [w] [div] — content-defined chunking dup stats
               val w = pos.lift(0).map(_.toInt).getOrElse(4)

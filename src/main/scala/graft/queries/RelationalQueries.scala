@@ -173,6 +173,47 @@ object RelationalQueries {
     // registered temp views, exercising the engine's injected SQL
     // function (hash60) — the path a SQL-first user of the extension
     // drives. All-exact aggregates so the oracle pins every value.
+    // Full analytic-window surface in one gate: offset functions
+    // (lag/lead), distribution functions (ntile/percent_rank), and a
+    // running frame min — all over one total order, one window per
+    // partition key (scale: per-suppkey partitions, no global sort).
+    "q23_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("l_orderkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).as("tile"),
+          round(percent_rank().over(w), 9).as("prank"),
+          min(col("l_orderkey"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_min"))
+    }),
+
+    // CUBE grouping sets (rollup's 2^n sibling): every subtotal
+    // combination in one pass, exact integer cents.
+    "q24_cube" -> ((s, dir) => Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("total_cents"))),
+
+    // Null-safe equality join (<=>): NULL keys MATCH each other — the
+    // semantics dimension-bridge joins need when "unknown" is a real
+    // category; an ordinary equi-join silently drops those rows.
+    "q25_nullsafe" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        when(col("o_custkey") % 11 === 0, lit(null))
+          .otherwise(col("o_custkey") % 7).as("k"),
+        col("o_orderkey"))
+      val counts = base.groupBy("k").agg(count(lit(1)).as("n"))
+      counts.as("a").join(counts.as("b"),
+          col("a.k") <=> col("b.k"))
+        .select(col("a.k").as("k"), col("a.n").as("n_left"),
+          col("b.n").as("n_right"))
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -259,6 +300,32 @@ object RelationalQueries {
          | min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key
          |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q23_window_suite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_orderkey, 1) OVER w AS prev_key,
+        |  lead(l_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS tile,
+        |  round(percent_rank() OVER w, 9) AS prank,
+        |  min(l_orderkey) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q25_nullsafe" ->
+      """WITH base AS (SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL
+        |    ELSE o_custkey % 7 END AS k, o_orderkey FROM orders),
+        |counts AS (SELECT k, count(*) AS n FROM base GROUP BY k)
+        |SELECT a.k AS k, a.n AS n_left, b.n AS n_right
+        |FROM counts a JOIN counts b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
 
     "q18_percentiles" ->
       """SELECT l_returnflag,

@@ -259,6 +259,39 @@ class OinkScriptSpec extends SparkSpec {
     assert(cdc.exceptAll(direct).isEmpty && direct.exceptAll(cdc).isEmpty)
   }
 
+  test("dq, asof, and epoch_shuffle verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/lineitem.parquet -o NULL li",
+      s"read_parquet -i $dir/orders.parquet -o NULL ord",
+      "dq_profile l_orderkey l_returnflag -i li -o NULL prof",
+      "dq_refint l_orderkey o_orderkey -i li ord -o NULL ri",
+      s"read_parquet -i $dir/documents.parquet -o NULL docs",
+      "epoch_shuffle 3 4 -i docs -o NULL sh"))
+    assert(reg("prof").count() == 2)
+    val ri = reg("ri").head()
+    assert(ri.getAs[Long]("n_orphans") == 0L && ri.getAs[Boolean]("fk_ok"))
+    assert(reg("sh").groupBy("shard").count().count() == 4)
+
+    // asof verb: tiny facts/dim parquet round-tripped through the script
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("oinkasof")
+    Seq((0L, 50L, 1L), (0L, 150L, 2L), (1L, 10L, 3L))
+      .toDF("k", "t", "fid")
+      .write.parquet(tmp.resolve("facts").toString)
+    Seq((0L, 0L, "era0"), (0L, 100L, "era1"))
+      .toDF("dk", "vt", "era")
+      .write.parquet(tmp.resolve("dim").toString)
+    val reg2 = OinkScript.run(spark, Seq(
+      s"read_parquet -i ${tmp.resolve("facts")} -o NULL f",
+      s"read_parquet -i ${tmp.resolve("dim")} -o NULL d",
+      "asof k dk t vt -i f d -o NULL aj"))
+    val aj = reg2("aj").collect()
+      .map(r => r.getAs[Long]("fid") ->
+        Option(r.getAs[String]("era")).getOrElse("none")).toMap
+    assert(aj == Map(1L -> "era0", 2L -> "era1", 3L -> "none"))
+  }
+
   test("chunk and compact verbs: pipeline prep + table maintenance from a script") {
     val dir = Files.createTempDirectory("oinkchunk")
     val tbl = dir.resolve("docs").toString
