@@ -60,6 +60,24 @@ object EventQueries {
         round(avg(get_json_object(col("props"), "$.k").cast("int")), 6).as("avg_k"),
         count(lit(1)).as("cnt"))),
 
+    // JSON robustness: ~1/13 of payloads deterministically truncated
+    // (unclosed brace) — the malformed-upstream-producer case. from_json
+    // must null them (never fail the job), and the per-type corrupt
+    // census + exact sum over the SURVIVING rows is what's gated.
+    "e_json_robust" -> ((s, dir) => {
+      val p2 = when(col("event_id") % 13 === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      val k = from_json(p2, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(col("k").cast("long")).as("sum_k"))
+    }),
+
     // As-of join: each event annotated with the user's most recent
     // signup value at-or-before the event time (graft.core.Ops.asofJoin —
     // one shuffle on the key, one sort; no per-row lookups).
@@ -200,6 +218,19 @@ object EventQueries {
         | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
         | count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "e_json_robust" ->
+      """WITH p AS (SELECT event_type, event_id,
+        |  CASE WHEN event_id % 13 = 0
+        |    THEN substr(props, 1, length(props) - 1) ELSE props END AS p2
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT json_valid(p2) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN json_valid(p2)
+        |    THEN CAST(json_extract_string(p2, '$.k') AS INTEGER) END) AS BIGINT)
+        |    AS sum_k
+        |FROM p GROUP BY 1""".stripMargin,
 
     "e_asof" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),

@@ -141,6 +141,23 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces the over-partitioned shuffle of a small aggregate") {
+    withConfs(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB") {
+      // 64 shuffle partitions for a few KB of aggregate state: AQE must
+      // fold them into a handful at runtime — at cluster scale this is
+      // what keeps small stages from paying 1000-task overhead
+      val agg = spark.range(10000L)
+        .select((col("id") % 100L).as("k")).groupBy("k").count()
+      assert(agg.collect().length == 100)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("coalesced") || plan.contains("AQEShuffleRead"),
+        s"no AQE shuffle-read coalescing:\n$plan")
+    }
+  }
+
   test("spill threshold: the window buffer spills without changing results") {
     // The window partition buffer (ExternalAppendOnlyUnsafeRowArray) is
     // the spill path a memory-pressured executor actually takes; its
