@@ -82,6 +82,11 @@ object EventStreams {
       .parquet(staged)
   }
 
+  /** Directory holding the time-sorted staged slices (test/restart
+    * harnesses copy individual slices from here to simulate arrival). */
+  private[graft] def stagedEventsDir(spark: SparkSession, dir: String,
+      nFiles: Int = 4): String = stageSortedEventFiles(spark, dir, nFiles)
+
   /** 1-hour tumbling windowed counts/sums per event_type with a 2-hour
     * watermark: late data beyond the watermark is dropped, state is
     * bounded — the 100 TB/day streaming shape.
