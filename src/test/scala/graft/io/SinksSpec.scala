@@ -49,4 +49,29 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(tag"), scan)
     assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id"), scan)
   }
+
+  test("dynamic partition overwrite replaces ONE partition, leaves the rest") {
+    // the incremental corpus-refresh write mode: re-emitting one day's
+    // partition must not clobber the other days (static overwrite wipes
+    // the whole table root — the classic data-loss footgun)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3"))
+        .toDF("id", "day").write.partitionBy("day").parquet(dir)
+      // refresh day d2 only — mode overwrite + dynamic = surgical
+      Seq((30L, "d2"), (31L, "d2")).toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val back = spark.read.parquet(dir)
+        .select("id", "day").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2"),
+        (4L, "d3")), s"dynamic overwrite corrupted siblings: $back")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }
