@@ -31,6 +31,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -171,9 +172,16 @@ object Bench {
       val w = Window.partitionBy("l_suppkey")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       def windowed = li.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
-      materialize(windowed) // warm
+      // the TopKRewrite optimizer rule would silently turn THIS side
+      // into the custom operator too — hold it off so the comparison
+      // stays custom-vs-builtin
+      spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      val windowSec = try {
+        materialize(windowed) // warm
+        timeIt(materialize(windowed))
+      } finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
       Seq("topk_custom_sec" -> topkCustom,
-        "topk_window_sec" -> timeIt(materialize(windowed)))
+        "topk_window_sec" -> windowSec)
     }
     val streaming = section("streaming") {
       val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()

@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // window-top-k idiom -> TopKPerKey (bounded map-side heaps);
+    // the strategy above plans the node the rule introduces
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
