@@ -10,11 +10,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
 
-/** Backward as-of join as a first-class operator: for every left row,
-  * the single right row with the LARGEST right-time ≤ left-time among
-  * equal keys (LEFT OUTER: no candidate → right columns null; optional
-  * `toleranceUs` bounds the lookback). The point-in-time lookup shape —
-  * SCD2 fact enrichment, market-data alignment, sensor snapping.
+/** As-of join as a first-class operator — pandas `merge_asof` parity:
+  * for every left row, the single right row among equal keys that is
+  * `backward` (largest right-time ≤ t — the default point-in-time
+  * lookup), `forward` (smallest right-time ≥ t), or `nearest` (closer
+  * of the two, ties backward). LEFT OUTER: no candidate → right columns
+  * null; optional `toleranceUs` bounds the time distance. The lookup
+  * shape of SCD2 fact enrichment, market-data alignment, and sensor
+  * snapping.
   *
   * Why a custom operator: the composable formulations are either a
   * range join + per-fact `row_number` window (the d_scd2_join shape:
@@ -39,10 +42,12 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    toleranceUs: Option[Long],
+    toleranceUs: Option[Long], direction: String,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     s"as-of times must be BIGINT, got ${leftTime.dataType}/${rightTime.dataType}")
+  require(AsOfJoin.Directions(direction),
+    s"direction must be one of ${AsOfJoin.Directions.mkString("/")}, got $direction")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,7 +57,7 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    toleranceUs: Option[Long],
+    toleranceUs: Option[Long], direction: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -76,6 +81,7 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val tol = toleranceUs
+    val dir = direction
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -122,8 +128,26 @@ case class AsOfJoinExec(
           candRow = nextRow; candTime = nextTime; candKey = nextKey
           advanceRight()
         }
-        val hit = candRow != null && tol.forall(d => t - candTime <= d)
-        resultProj(joined(lRow, if (hit) candRow else nullRight))
+        // backward candidate: latest right time <= t (absorbed above);
+        // forward candidate: the == t row if one was absorbed (unique
+        // (key, time) on the right), else the unconsumed peek of this key
+        val backOk = candRow != null && tol.forall(d => t - candTime <= d)
+        val fwdRow =
+          if (candRow != null && candTime == t) candRow
+          else if (nextRow != null && keyOrd.compare(nextKey, k) == 0) nextRow
+          else null
+        val fwdDist =
+          if (fwdRow == null) Long.MaxValue
+          else if (fwdRow eq candRow) 0L else nextTime - t
+        val fwdOk = fwdRow != null && tol.forall(fwdDist <= _)
+        val pick = dir match {
+          case "backward" => if (backOk) candRow else null
+          case "forward" => if (fwdOk) fwdRow else null
+          case _ => // nearest: closer side wins, tie -> backward
+            if (backOk && (!fwdOk || t - candTime <= fwdDist)) candRow
+            else if (fwdOk) fwdRow else null
+        }
+        resultProj(joined(lRow, if (pick != null) pick else nullRight))
       }
     }
   }
@@ -134,8 +158,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, tol, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, tol, d, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, d, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -148,10 +172,16 @@ object AsOfJoin {
     * fresh projection so self-joins (dim derived from the fact table)
     * never share expression ids. Rename clashing columns beforehand —
     * the output concatenates both sides' schemas as-is. */
+  /** Valid `direction` values — pandas merge_asof parity: `backward`
+    * (latest right time <= t), `forward` (earliest right time >= t),
+    * `nearest` (closer of the two, tie -> backward). */
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
   def asOfJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.functions.col
@@ -166,6 +196,7 @@ object AsOfJoin {
     }
     val (lk :+ lt, lPlan) = harvest(leftDf, leftKeys :+ leftTime): @unchecked
     val (rk :+ rt, rPlan) = harvest(rFresh, rightKeys :+ rightTime): @unchecked
-    Bridge.ofRows(spark, AsOfJoin(lk, rk, lt, rt, toleranceUs, lPlan, rPlan))
+    Bridge.ofRows(spark,
+      AsOfJoin(lk, rk, lt, rt, toleranceUs, direction, lPlan, rPlan))
   }
 }

@@ -499,6 +499,24 @@ object PipelineQueries {
         .select("user_id", "event_id", "ts_us", "asof_value")
     }),
 
+    // FORWARD as-of (merge_asof direction parity): each event joined to
+    // the EARLIEST signup version at-or-after it — the "next scheduled
+    // change" lookup; same operator, opposite candidate pointer.
+    "d_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val usC = Tables.eventMicros(ev)
+      val facts = ev.select(col("user_id"), col("event_id"), usC.as("ts_us"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), usC.as("ts_us"), col("value"))
+        .groupBy("d_user", "ts_us").agg(max("value").as("asof_value"))
+        .select(col("d_user"), col("ts_us").as("valid_from_us"),
+          col("asof_value"))
+      graft.plans.AsOfJoin.asOfJoin(facts, dim,
+          Seq(col("user_id")), Seq(col("d_user")),
+          col("ts_us"), col("valid_from_us"), direction = "forward")
+        .select("user_id", "event_id", "ts_us", "asof_value")
+    }),
+
     // Hybrid retrieval: BM25 keyword list + embedding-cosine ANN list
     // (query = vector 0) fused by reciprocal-rank fusion — the standard
     // RAG retrieval combiner. Both lists pre-cut to top-50 via
@@ -1316,6 +1334,19 @@ object PipelineQueries {
          |  CAST(pos % 8 AS BIGINT) AS shard,
          |  CAST(pos // 8 AS BIGINT) AS pos_in_shard
          |FROM r""".stripMargin,
+
+    // forward pick = min vt >= t  <=>  t ∈ (lag(vt), vt]
+    "d_asof_fwd" ->
+      s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us, max(value) AS asof_value FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1, 2),
+         |iv AS (SELECT user_id, ts_us AS vt, asof_value,
+         |  coalesce(lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us),
+         |    ${Long.MinValue}) AS prev_vt
+         |  FROM s)
+         |SELECT e.user_id, e.event_id, e.ts_us, iv.asof_value
+         |FROM e LEFT JOIN iv ON e.user_id = iv.user_id
+         | AND e.ts_us <= iv.vt AND e.ts_us > iv.prev_vt""".stripMargin,
 
     "dq_profile" -> {
       def one(c: String) =

@@ -11,17 +11,28 @@ class AsOfJoinRandomSpec extends SparkSpec {
   import spark.implicits._
 
   private def reference(facts: Seq[(Long, Long)], dim: Seq[(Long, Long, Long)],
-      tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+      tol: Option[Long], dir: String = "backward"): Set[(Long, Long, Option[Long])] = {
     val byKey = dim.groupBy(_._1)
     facts.map { case (k, t) =>
-      val cand = byKey.getOrElse(k, Nil).filter(_._2 <= t)
-        .sortBy(_._2).lastOption
+      val vs = byKey.getOrElse(k, Nil)
+      val back = vs.filter(_._2 <= t).sortBy(_._2).lastOption
         .filter(c => tol.forall(d => t - c._2 <= d))
+      val fwd = vs.filter(_._2 >= t).sortBy(_._2).headOption
+        .filter(c => tol.forall(d => c._2 - t <= d))
+      val cand = dir match {
+        case "backward" => back
+        case "forward" => fwd
+        case _ => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (f._2 - t < t - b._2) Some(f) else Some(b)
+          case (b, f) => b.orElse(f)
+        }
+      }
       (k, t, cand.map(_._3))
     }.toSet
   }
 
-  test("10 seeded random rounds match the reference, any partitioning") {
+  test("10 seeded random rounds match the reference, any partitioning, all directions") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(seed)
       val nKeys = 1 + rnd.nextInt(20)
@@ -37,8 +48,9 @@ class AsOfJoinRandomSpec extends SparkSpec {
 
       val fDf = facts.toDF("k", "t").repartition(1 + rnd.nextInt(7))
       val dDf = dim.toDF("dk", "vt", "payload").repartition(1 + rnd.nextInt(7))
+      val dir = Seq("backward", "forward", "nearest")(seed % 3)
       val got = AsOfJoin.asOfJoin(fDf, dDf,
-          Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol)
+          Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol, dir)
         .select("k", "t", "payload")
         .collect().map(r => (r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
@@ -46,12 +58,11 @@ class AsOfJoinRandomSpec extends SparkSpec {
       // row multiplicity: every left row emits exactly once
       assert(got.length == facts.length, s"seed $seed: left rows not preserved")
       val gotCounts = got.groupBy(identity).view.mapValues(_.length).toMap
+      val ref = reference(facts, dim, tol, dir)
       val expCounts = facts.map { case (k, t) =>
-        val e = reference(facts, dim, tol)
-          .find(r => r._1 == k && r._2 == t).get
-        e
+        ref.find(r => r._1 == k && r._2 == t).get
       }.groupBy(identity).view.mapValues(_.length).toMap
-      assert(gotCounts == expCounts, s"seed $seed: as-of picks diverge")
+      assert(gotCounts == expCounts, s"seed $seed ($dir): as-of picks diverge")
     }
   }
 }

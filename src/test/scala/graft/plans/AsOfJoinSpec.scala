@@ -47,6 +47,38 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 50L, null), (3L, 10L, null)))
   }
 
+  test("forward and nearest directions: hand cases") {
+    val facts = Seq((1L, 100L), (1L, 205L), (1L, 300L), (1L, 40L))
+      .toDF("k", "t")
+    val dim = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 250L, "c"))
+      .toDF("dk", "vt", "v")
+    def run(dir: String, tol: Option[Long] = None) =
+      AsOfJoin.asOfJoin(facts, dim, Seq(col("k")), Seq(col("dk")),
+          col("t"), col("vt"), tol, dir)
+        .select("t", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+
+    assert(run("forward") == Map(
+      40L -> "a",   // earliest vt >= 40
+      100L -> "a",  // exact hit counts for forward too
+      205L -> "c",  // next version ahead
+      300L -> null))// nothing ahead
+    assert(run("nearest") == Map(
+      40L -> "a",   // only forward exists
+      100L -> "a",  // dist 0
+      205L -> "b",  // back dist 5 < fwd dist 45
+      300L -> "c")) // only backward exists
+    // nearest tie -> backward: t=225 is 25 from both b(200) and c(250)
+    val tie = AsOfJoin.asOfJoin(Seq((1L, 225L)).toDF("k", "t"), dim,
+        Seq(col("k")), Seq(col("dk")), col("t"), col("vt"),
+        direction = "nearest")
+      .select("v").head().getString(0)
+    assert(tie == "b")
+    // forward tolerance
+    assert(run("forward", tol = Some(10L)) ==
+      Map(40L -> null, 100L -> "a", 205L -> null, 300L -> null))
+  }
+
   test("equals the lead()-interval formulation on the events table") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
