@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-top-k idiom -> TopKPerKey (bounded map-side heaps);
     // the strategy above plans the node the rule introduces
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // count(DISTINCT x) -> hll60 sketch, OPT-IN (off by default)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(
