@@ -507,12 +507,16 @@ object OinkScript {
               sinkAndBind(graft.pipeline.DataQuality.refIntegrity(
                 in0, col(pos(0)), obj(ins(1), line), col(pos(1))), outs, line)
             case "asof" =>
-              // asof key dimKey ts vts [tolUs] -i facts dim — native operator
+              // asof key dimKey ts vts [tolUs] [direction] -i facts dim
               if (pos.size < 4 || ins.size < 2)
-                throw ScriptError(line, "asof key dimKey ts vts [tolUs] -i facts dim")
+                throw ScriptError(line,
+                  "asof key dimKey ts vts [tolUs] [backward|forward|nearest] -i facts dim")
+              val extra = pos.drop(4)
               sinkAndBind(graft.plans.AsOfJoin.asOfJoin(in0, obj(ins(1), line),
                 Seq(col(pos(0))), Seq(col(pos(1))), col(pos(2)), col(pos(3)),
-                pos.lift(4).map(_.toLong)), outs, line)
+                extra.find(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong),
+                extra.find(graft.plans.AsOfJoin.Directions)
+                  .getOrElse("backward")), outs, line)
             case "epoch_shuffle" =>
               // epoch_shuffle [seed] [nShards] — seeded training order
               sinkAndBind(graft.pipeline.Sampling.epochShuffle(spark, in0,

@@ -285,11 +285,17 @@ class OinkScriptSpec extends SparkSpec {
     val reg2 = OinkScript.run(spark, Seq(
       s"read_parquet -i ${tmp.resolve("facts")} -o NULL f",
       s"read_parquet -i ${tmp.resolve("dim")} -o NULL d",
-      "asof k dk t vt -i f d -o NULL aj"))
+      "asof k dk t vt -i f d -o NULL aj",
+      "asof k dk t vt forward -i f d -o NULL ajf"))
     val aj = reg2("aj").collect()
       .map(r => r.getAs[Long]("fid") ->
         Option(r.getAs[String]("era")).getOrElse("none")).toMap
     assert(aj == Map(1L -> "era0", 2L -> "era1", 3L -> "none"))
+    val ajf = reg2("ajf").collect()
+      .map(r => r.getAs[Long]("fid") ->
+        Option(r.getAs[String]("era")).getOrElse("none")).toMap
+    // forward: t=50 -> era1 (vt=100 ahead); t=150 -> none; t=10 -> none (key 1)
+    assert(ajf == Map(1L -> "era1", 2L -> "none", 3L -> "none"))
   }
 
   test("chunk and compact verbs: pipeline prep + table maintenance from a script") {

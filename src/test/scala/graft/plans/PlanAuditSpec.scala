@@ -62,4 +62,28 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(fat.isEmpty, fat.mkString("; "))
   }
+
+  test("no audited gate query evaluates a ScalaUDF") {
+    // "functions, not UDFs": every scalar computation in the declarative
+    // surface must be codegen'd builtins or the engine's native
+    // expressions — a UDF would break whole-stage codegen and predicate
+    // pushdown silently
+    val offenders = Audited.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val hasUdf = PlanWalk.nodes(plan).exists(p =>
+        p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+      if (hasUdf) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"ScalaUDF in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimension joins broadcast; the q3 plan never shuffles the nation side") {
+    val plan = graft.SparkEntry.queries("q3_join_agg")(spark, dir)
+      .queryExecution.executedPlan
+    assert(PlanWalk.nodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"q3 lost its broadcast join:\n$plan")
+  }
 }
