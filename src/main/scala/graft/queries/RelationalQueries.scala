@@ -214,6 +214,19 @@ object RelationalQueries {
           col("b.n").as("n_right"))
     }),
 
+    // Correlated NOT EXISTS through the SQL surface: Catalyst rewrites
+    // the subquery to a left-anti join (RewritePredicateSubquery) —
+    // customers with no orders above the priority-1 median price.
+    "q26_exists" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT c_custkey, c_nationkey
+              |FROM customer c
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM orders o
+              |  WHERE o.o_custkey = c.c_custkey
+              |    AND o.o_totalprice > 100000.0)""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -300,6 +313,14 @@ object RelationalQueries {
          | min(o_orderkey) AS min_key,
          | max(o_orderkey) AS max_key
          |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q26_exists" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 100000.0)""".stripMargin,
 
     "q23_window_suite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
