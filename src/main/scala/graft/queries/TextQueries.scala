@@ -122,6 +122,12 @@ object TextQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Winnowing fingerprint selection (MOSS): rightmost-min of each
+    // 4-window over the 3-gram hash stream; any shared substring of
+    // ≥ 6 tokens is guaranteed to share a fingerprint.
+    "t_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir), col("doc_id"), col("text"))),
+
     // Within-doc duplicate-3-gram fraction (Gopher/C4-style repetition
     // quality filter).
     "t_repetition" -> ((s, dir) =>
@@ -545,6 +551,33 @@ object TextQueries {
          |  ${H("array_to_string(list_slice(toks, start + 1, start + 64), ' ')")}
          |    AS chunk_hash
          |FROM st""".stripMargin,
+
+    "t_winnow" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, i AS p,
+         |  ${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |st AS (SELECT doc_id, p AS j, min(h) OVER win AS m,
+         |  count(*) OVER win AS span
+         |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         |stv AS (SELECT doc_id, j, m FROM st WHERE span = 4),
+         |picks AS (SELECT s.doc_id, s.j, max(g.p) AS pick
+         |  FROM stv s JOIN g ON g.doc_id = s.doc_id
+         |    AND g.p >= s.j AND g.p < s.j + 4 AND g.h = s.m
+         |  GROUP BY 1, 2),
+         |fps AS (SELECT DISTINCT k.doc_id, k.pick, g.h
+         |  FROM picks k JOIN g ON g.doc_id = k.doc_id AND g.p = k.pick),
+         |np AS (SELECT doc_id, count(*) AS n_positions FROM g GROUP BY 1)
+         |SELECT f.doc_id, np.n_positions, count(*) AS n_fps,
+         |  CAST(floor(count(*) * 1000000 / np.n_positions) AS BIGINT)
+         |    AS density_x1e6,
+         |  CAST(sum(f.h % 2147483647) AS BIGINT) AS fp_checksum
+         |FROM fps f JOIN np USING (doc_id)
+         |GROUP BY f.doc_id, np.n_positions""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -122,6 +122,60 @@ object TextAnalysis {
         array_min(transform(shinglesFromTokens(col("toks"), 3),
           s => Hashing.hash60(s))).as("min_shingle_fp"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): over the per-position k-gram
+    * hash stream, each window of `w` consecutive hashes contributes its
+    * RIGHTMOST minimum, and the distinct selected positions are the
+    * document's fingerprints. Guarantees every match of length ≥ w+k−1
+    * shares a fingerprint (the detection property [[fingerprint]]'s
+    * single min-shingle lacks) while selecting only ~1/w of positions
+    * (density 2/(w+1) in expectation).
+    *
+    * Plan shape: one window pass per doc for the per-start minima
+    * (frame ROWS CURRENT..w−1 FOLLOWING — partitioned by doc, linear),
+    * then a doc-keyed self-join (p ∈ [j, j+w−1] ∧ h = windowMin) whose
+    * fan-out is ≤ w per start; argmax-position per window is one
+    * struct-max. Emits per doc: n_positions (hash stream length),
+    * n_fps, density ×1e6, and an order-independent exact checksum
+    * (sum of fingerprint hashes mod 2^31−1). Docs with < k tokens emit
+    * nothing (no grams — same in the oracle). */
+  def winnow(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        Hashing.hash60(col("col")).as("h"))
+    val fwd = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val nw = Window.partitionBy("doc_id")
+    // per start j: the window min and the count of positions ahead (the
+    // frame must be FULL — the last w-1 starts have no complete window)
+    val starts = grams
+      .select(col("doc_id"), col("p").as("j"),
+        min("h").over(fwd).as("m"),
+        count(lit(1)).over(fwd).as("span"))
+      .where(col("span") === w)
+      .drop("span")
+    val picks = starts.join(grams, Seq("doc_id"))
+      .where(col("p") >= col("j") && col("p") < col("j") + w &&
+        col("h") === col("m"))
+      .groupBy("doc_id", "j").agg(max("p").as("pick"))
+    val fps = picks.join(grams.withColumnRenamed("p", "pick"),
+        Seq("doc_id", "pick"))
+      .select(col("doc_id"), col("pick"), col("h")).distinct()
+    val nPos = grams.groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
+    fps.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("h") % ((1L << 31) - 1)).as("fp_checksum"))
+      .join(nPos, "doc_id")
+      .select(col("doc_id"), col("n_positions"), col("n_fps"),
+        floor(col("n_fps") * lit(1000000L) / col("n_positions"))
+          .as("density_x1e6"),
+        col("fp_checksum"))
+  }
+
   /** Within-document repetition signals — the classic quality filter
     * (Gopher/C4-style): the fraction of word-3-gram occurrences that are
     * repeats of an earlier 3-gram in the same document, plus the highest
