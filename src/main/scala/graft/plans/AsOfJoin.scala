@@ -102,11 +102,22 @@ case class AsOfJoinExec(
       var nextRow: InternalRow = null
       var nextKey: InternalRow = null
       var nextTime = 0L
+      // NULL times would read as 0L through getLong and silently break
+      // the merge's monotonicity (nulls sort FIRST under the required
+      // ascending order but compare as 0 — wrong with negative times):
+      // fail fast with a clear error instead.
+      def timeOf(proj: UnsafeProjection, row: InternalRow, side: String): Long = {
+        val t = proj(row)
+        if (t.isNullAt(0)) throw new IllegalArgumentException(
+          s"as-of join: NULL $side-side time value; filter nulls out or " +
+          "use a non-nullable time expression (e.g. coalesce to a sentinel)")
+        t.getLong(0)
+      }
       def advanceRight(): Unit =
         if (rIt.hasNext) {
           nextRow = rIt.next().copy()
           nextKey = rKeyProj(nextRow).copy()
-          nextTime = rTimeProj(nextRow).getLong(0)
+          nextTime = timeOf(rTimeProj, nextRow, "right")
         } else { nextRow = null; nextKey = null }
       advanceRight()
 
@@ -116,7 +127,7 @@ case class AsOfJoinExec(
 
       lIt.map { lRow =>
         val k = lKeyProj(lRow)
-        val t = lTimeProj(lRow).getLong(0)
+        val t = timeOf(lTimeProj, lRow, "left")
         // entering a new left key group: drop the stale candidate
         if (candKey != null && keyOrd.compare(candKey, k) != 0) {
           candRow = null; candKey = null

@@ -131,50 +131,60 @@ object TextAnalysis {
     * single min-shingle lacks) while selecting only ~1/w of positions
     * (density 2/(w+1) in expectation).
     *
-    * Plan shape: one window pass per doc for the per-start minima
-    * (frame ROWS CURRENT..w−1 FOLLOWING — partitioned by doc, linear),
-    * then a doc-keyed self-join (p ∈ [j, j+w−1] ∧ h = windowMin) whose
-    * fan-out is ≤ w per start; argmax-position per window is one
-    * struct-max. Emits per doc: n_positions (hash stream length),
-    * n_fps, density ×1e6, and an order-independent exact checksum
-    * (sum of fingerprint hashes mod 2^31−1). Docs with < k tokens emit
-    * nothing (no grams — same in the oracle). */
+    * Plan shape: pure array expressions, one row per document end to
+    * end — per-position hashes via `transform`, the rightmost window
+    * minimum of each length-w window via a bounded `aggregate` fold
+    * (`<=` makes the RIGHTMOST minimum win), `array_distinct` for the
+    * selected set. O(n·w) work with w a small constant, no per-gram
+    * explode, no doc-keyed self-join (the previous formulation joined
+    * starts×grams on doc_id alone — O(n²) per long document), nothing
+    * but the source scan shuffles, and the whole pipeline stays inside
+    * WholeStageCodegen. Emits per doc: n_positions (hash stream
+    * length), n_fps, density ×1e6, and an order-independent exact
+    * checksum (sum of fingerprint hashes mod 2^31−1). Docs with < w+k−1
+    * tokens emit nothing (no full window — same in the oracle). */
   def winnow(docs: DataFrame, id: Column, text: Column,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-      .select(col("doc_id"),
-        posexplode(shinglesFromTokens(col("toks"), k)))
-      .select(col("doc_id"), col("pos").cast("long").as("p"),
-        Hashing.hash60(col("col")).as("h"))
-    val fwd = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    val nw = Window.partitionBy("doc_id")
-    // per start j: the window min and the count of positions ahead (the
-    // frame must be FULL — the last w-1 starts have no complete window)
-    val starts = grams
-      .select(col("doc_id"), col("p").as("j"),
-        min("h").over(fwd).as("m"),
-        count(lit(1)).over(fwd).as("span"))
-      .where(col("span") === w)
-      .drop("span")
-    val picks = starts.join(grams, Seq("doc_id"))
-      .where(col("p") >= col("j") && col("p") < col("j") + w &&
-        col("h") === col("m"))
-      .groupBy("doc_id", "j").agg(max("p").as("pick"))
-    val fps = picks.join(grams.withColumnRenamed("p", "pick"),
-        Seq("doc_id", "pick"))
-      .select(col("doc_id"), col("pick"), col("h")).distinct()
-    val nPos = grams.groupBy("doc_id").agg(count(lit(1)).as("n_positions"))
-    fps.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fps"),
-        sum(col("h") % ((1L << 31) - 1)).as("fp_checksum"))
-      .join(nPos, "doc_id")
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(docs, id, text, k, w)
+      .select(col("doc_id"), col("n_positions"),
+        size(col("fps")).cast("long").as("n_fps"), col("fps"))
       .select(col("doc_id"), col("n_positions"), col("n_fps"),
         floor(col("n_fps") * lit(1000000L) / col("n_positions"))
           .as("density_x1e6"),
-        col("fp_checksum"))
-  }
+        aggregate(col("fps"), lit(0L),
+          (acc, x) => acc + x("h") % ((1L << 31) - 1)).as("fp_checksum"))
+
+  /** Winnowing fingerprints, exploded: (doc_id, pick, h) — the distinct
+    * selected positions and their k-gram hashes. The candidate-pair
+    * generator [[graft.pipeline.Dedup]] consumes this (the MOSS
+    * use-case: docs sharing fingerprints are near-dup candidates). */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(docs, id, text, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), col("fp.pick").as("pick"), col("fp.h").as("h"))
+
+  /** Shared core: per doc, `n_positions` and the distinct selected
+    * (pick-position, hash) structs. `hs[i]` 1-based in element_at;
+    * window starts j ∈ [0, n−w]; the fold over i ∈ [j, j+w−1] keeps the
+    * rightmost minimum (`<=`). Distinct-by-struct equals distinct-by-
+    * position: a position's hash is a function of the position. */
+  private def winnowed(docs: DataFrame, id: Column, text: Column,
+      k: Int, w: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+        transform(shinglesFromTokens(tokens(text), k),
+          s => Hashing.hash60(s)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      .where(col("n") >= w)
+      .select(col("doc_id"), col("n").as("n_positions"),
+        array_distinct(transform(sequence(lit(0L), col("n") - w), j =>
+          aggregate(sequence(j, j + w - 1),
+            struct(lit(Long.MaxValue).as("h"), lit(-1L).as("pick")),
+            (acc, i) => {
+              val hi = element_at(col("hs"), (i + 1).cast("int"))
+              when(hi <= acc("h"), struct(hi.as("h"), i.as("pick")))
+                .otherwise(acc)
+            }))).as("fps"))
 
   /** Within-document repetition signals — the classic quality filter
     * (Gopher/C4-style): the fraction of word-3-gram occurrences that are

@@ -32,8 +32,8 @@ class AsOfJoinRandomSpec extends SparkSpec {
     }.toSet
   }
 
-  test("10 seeded random rounds match the reference, any partitioning, all directions") {
-    for (seed <- 1 to 10) {
+  test("16 seeded random rounds match the reference, any partitioning, all directions") {
+    for (seed <- 1 to 16) {
       val rnd = new scala.util.Random(seed)
       val nKeys = 1 + rnd.nextInt(20)
       // coarse time grid -> many exact fact/version time collisions
@@ -44,11 +44,16 @@ class AsOfJoinRandomSpec extends SparkSpec {
         (for (k <- 0L until nKeys.toLong; t <- 0L until 40L) yield (k, t))
           .toSeq).take(80)
         .map { case (k, t) => (k, t, k * 1000 + t) } // payload derivable
-      val tol = if (seed % 3 == 0) Some(rnd.nextInt(10).toLong + 1) else None
+      // tolerance and direction drawn INDEPENDENTLY so every
+      // direction×tolerance combination gets randomized coverage
+      // (seed-derived draws previously aliased: tolerance appeared only
+      // with direction=backward, leaving fwdDist/fwdOk tolerance paths
+      // to a single hand-written case)
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong + 1) else None
 
       val fDf = facts.toDF("k", "t").repartition(1 + rnd.nextInt(7))
       val dDf = dim.toDF("dk", "vt", "payload").repartition(1 + rnd.nextInt(7))
-      val dir = Seq("backward", "forward", "nearest")(seed % 3)
+      val dir = Seq("backward", "forward", "nearest")(rnd.nextInt(3))
       val got = AsOfJoin.asOfJoin(fDf, dDf,
           Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol, dir)
         .select("k", "t", "payload")
