@@ -135,6 +135,31 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame =
     candidatesFromSignatures(minHashSignatures(docs, id, text))
 
+  /** Winnowing near-dup candidates — the MOSS use-case, closing the loop
+    * on [[TextAnalysis.winnowFingerprints]]: documents sharing ≥
+    * `minShared` distinct fingerprint hashes are candidate near-dups,
+    * with the detection guarantee that any shared token run of length ≥
+    * w+k−1 produces a shared fingerprint (so true near-dups can't hide).
+    * Scale shape mirrors the LSH path: the fingerprint hash is the band
+    * space, pairs form only inside per-fingerprint buckets, and buckets
+    * larger than `maxBucket` docs are dropped (boilerplate grams that
+    * would quadratically blow up — same policy as
+    * [[candidatesFromSignatures]]'s cap; never all-pairs). */
+  def winnowCandidates(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 64): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(docs, id, text, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val small = fps.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") <= maxBucket).select("h")
+    val banded = fps.join(small, Seq("h"))
+    banded.select(col("h"), col("doc_id").as("a"))
+      .join(banded.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Incremental near-dup — the nightly-crawl shape: candidates of a NEW
     * batch against an EXISTING corpus, by bucket-joining the batch's LSH
     * bands with the corpus' bands. Batch×batch and corpus×corpus pairs

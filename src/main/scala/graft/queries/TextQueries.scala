@@ -128,6 +128,13 @@ object TextQueries {
     "t_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir), col("doc_id"), col("text"))),
 
+    // MOSS candidate generation: winnowing fingerprints as the band
+    // space — the consumer of t_winnow's fingerprint selection (pairs
+    // sharing >= 2 fingerprint hashes, buckets capped at 64 docs).
+    "d_winnow" -> ((s, dir) =>
+      graft.pipeline.Dedup.winnowCandidates(
+        docs(s, dir), col("doc_id"), col("text"))),
+
     // Within-doc duplicate-3-gram fraction (Gopher/C4-style repetition
     // quality filter).
     "t_repetition" -> ((s, dir) =>
@@ -188,6 +195,31 @@ object TextQueries {
   )
 
   private val H = (e: String) => Hashing.hash60Sql(e)
+
+  /** Shared winnowing CTE chain (k=3, w=4): per-position gram hashes →
+    * per-start full-window minima → rightmost-argmin picks → distinct
+    * (doc_id, pick, h) fingerprints. The quadratic starts×grams join is
+    * fine at oracle scale; the engine path is the array-land linear
+    * formulation in [[TextAnalysis.winnow]]. */
+  private lazy val WinnowCtes =
+    s"""t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, i AS p,
+       |  ${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS h
+       |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+       |  WHERE i <= len(toks) - 3),
+       |st AS (SELECT doc_id, p AS j, min(h) OVER win AS m,
+       |  count(*) OVER win AS span
+       |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+       |stv AS (SELECT doc_id, j, m FROM st WHERE span = 4),
+       |picks AS (SELECT s.doc_id, s.j, max(g.p) AS pick
+       |  FROM stv s JOIN g ON g.doc_id = s.doc_id
+       |    AND g.p >= s.j AND g.p < s.j + 4 AND g.h = s.m
+       |  GROUP BY 1, 2),
+       |fps AS (SELECT DISTINCT k.doc_id, k.pick, g.h
+       |  FROM picks k JOIN g ON g.doc_id = k.doc_id AND g.p = k.pick)""".stripMargin
   private val markers = TextAnalysis.LangMarkers
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
@@ -553,24 +585,7 @@ object TextQueries {
          |FROM st""".stripMargin,
 
     "t_winnow" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |g AS (SELECT doc_id, i AS p,
-         |  ${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS h
-         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
-         |  WHERE i <= len(toks) - 3),
-         |st AS (SELECT doc_id, p AS j, min(h) OVER win AS m,
-         |  count(*) OVER win AS span
-         |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY p
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
-         |stv AS (SELECT doc_id, j, m FROM st WHERE span = 4),
-         |picks AS (SELECT s.doc_id, s.j, max(g.p) AS pick
-         |  FROM stv s JOIN g ON g.doc_id = s.doc_id
-         |    AND g.p >= s.j AND g.p < s.j + 4 AND g.h = s.m
-         |  GROUP BY 1, 2),
-         |fps AS (SELECT DISTINCT k.doc_id, k.pick, g.h
-         |  FROM picks k JOIN g ON g.doc_id = k.doc_id AND g.p = k.pick),
+      s"""WITH $WinnowCtes,
          |np AS (SELECT doc_id, count(*) AS n_positions FROM g GROUP BY 1)
          |SELECT f.doc_id, np.n_positions, count(*) AS n_fps,
          |  CAST(floor(count(*) * 1000000 / np.n_positions) AS BIGINT)
@@ -578,6 +593,17 @@ object TextQueries {
          |  CAST(sum(f.h % 2147483647) AS BIGINT) AS fp_checksum
          |FROM fps f JOIN np USING (doc_id)
          |GROUP BY f.doc_id, np.n_positions""".stripMargin,
+
+    // engine path is the banded per-fingerprint join; the oracle is the
+    // same selection expressed as the straightforward self-join
+    "d_winnow" ->
+      s"""WITH $WinnowCtes,
+         |fp2 AS (SELECT DISTINCT doc_id, h FROM fps),
+         |ok AS (SELECT h FROM fp2 GROUP BY h HAVING count(*) <= 64),
+         |fpo AS (SELECT f.doc_id, f.h FROM fp2 f JOIN ok USING (h))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
+         |FROM fpo x JOIN fpo y ON x.h = y.h AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -49,6 +49,21 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnowCandidates pairs docs sharing a long run; disjoint docs never pair") {
+    val shared = soup(42, 30)
+    val docs = Seq(
+      1L -> (soup(1, 40) ++ shared ++ soup(2, 40)),   // contains the run
+      2L -> (soup(3, 25) ++ shared ++ soup(4, 55)),   // contains the run
+      3L -> soup(5, 120))                              // disjoint soup
+      .map { case (i, tk) => (i, tk.mkString(" ")) }
+    val pairs = graft.pipeline.Dedup.winnowCandidates(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "docs sharing a 30-token run must be candidates")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the disjoint doc must not pair with anything")
+  }
+
   test("density approaches the 2/(w+1) expectation") {
     val out = TextAnalysis.winnow(
         Seq((1L, soup(7, 2000).mkString(" "))).toDF("doc_id", "text"),
