@@ -33,6 +33,21 @@ object StreamingGateQueries {
     spark.table(name)
   }
 
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with the given state-store provider class set on the
+    * session (picked up at query start), restoring the previous value. */
+  private def withStateProvider[T](s: SparkSession, provider: String)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, provider)
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Stateful streaming funnel (flatMapGroupsWithState, NoTimeout): in a
     // single-batch drain it reproduces the batch conditional-min stage
@@ -175,6 +190,52 @@ object StreamingGateQueries {
     "st_range_join_outer_mb" -> ((s, dir) =>
       drain(s, EventStreams.rangeJoinOuterStream(
         EventStreams.readEventsMultiBatch(s, dir)), "st_rjo_mb_gate")),
+
+    // Multi-batch twins for the two sessionizers: session state opened
+    // in batch b closes via a successor OR an event-time timeout (custom
+    // path) / watermark eviction (native path) in a LATER batch. Final
+    // tables equal the single-batch drains because staging is
+    // time-contiguous — a timeout can only fire for a session whose gap
+    // genuinely elapsed (wm_b > last+gap implies the next same-user
+    // event, if within gap, already arrived in a batch <= b) — so the
+    // oracles are shared verbatim.
+    "st_sessionize_mb" -> ((s, dir) =>
+      drain(s, EventStreams.sessionize(s,
+        EventStreams.readEventsMultiBatch(s, dir)), "st_sess_mb_gate")),
+
+    "st_session_native_mb" -> ((s, dir) =>
+      drain(s, EventStreams.sessionWindowStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_sessw_mb_gate")),
+
+    // RocksDB-backed drains through the DuckDB gate — the provider every
+    // large deployment runs, previously proven only spec-side
+    // (RocksDbStateSpec equality + changelog restart). Same operators,
+    // multi-batch staging (state round-trips RocksDB BETWEEN batches),
+    // same oracles: flatMapGroupsWithState custom state for running
+    // moments, and the dropDuplicates key store for dedup.
+    "st_running_rocks" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, EventStreams.runningStatsStream(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_running_rocks_gate")
+      }),
+
+    "st_dedup_rocks" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, EventStreams.dedupStream(
+            EventStreams.readEventsMultiBatch(s, dir),
+            Seq("user_id", "event_type"), horizon = "744 hours"),
+          "st_dedup_rocks_gate")
+          .select("user_id", "event_type")
+      }),
+
+    // Streaming as-of against a CHANGING dimension: foreachBatch rebuilds
+    // the signup-version dim at each batch's event-time high-water mark
+    // (a version flip per batch — 4 flips per drain), native as-of
+    // operator per batch, idempotent per-batch-id parquet. n_vers_known
+    // pins the flip: a full-dim (static) or frozen-batch-0 dim both
+    // hash-mismatch the oracle's per-slice version counts.
+    "st_asof_dyn" -> ((s, dir) =>
+      EventStreams.asOfEnrichDynamicDrain(s, dir)),
 
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
@@ -461,14 +522,58 @@ object StreamingGateQueries {
       qs = Seq("p50_cents" -> 0.5, "p95_cents" -> 0.95, "p99_cents" -> 0.99))
   )
 
+  /** st_asof_dyn: the per-slice high-water marks replay the staging
+    * arithmetic exactly — rows ranked by (ts, event_id), slice k holds
+    * rn ∈ (k·n/4, (k+1)·n/4] (integer division, as in
+    * stageSortedEventFiles) — and n_vers_known counts distinct signup
+    * versions with vfrom ≤ the event's slice high-water mark (pure
+    * event-time cutoff, matching the engine's `ts_us <= hi` dim build).
+    * asof_value comes from the FULL dim interval join, which equals the
+    * growing-dim lookup because backward as-of only needs versions with
+    * vfrom ≤ ts_e ≤ hi. */
+  private val asOfDynOracle =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |    epoch_ns(ts) // 1000 AS ts_us,
+       |    row_number() OVER (ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+       |  FROM events),
+       |nn AS (SELECT count(*) AS n FROM events),
+       |b AS (SELECT e.*, CASE WHEN rn <= (1 * nn.n) // 4 THEN 0
+       |                       WHEN rn <= (2 * nn.n) // 4 THEN 1
+       |                       WHEN rn <= (3 * nn.n) // 4 THEN 2
+       |                       ELSE 3 END AS slice
+       |  FROM e, nn),
+       |hi AS (SELECT slice, max(ts_us) AS hi_us FROM b GROUP BY 1),
+       |s AS (SELECT user_id, ts_us AS vf, max(value) AS v FROM e
+       |  WHERE event_type = 'signup' GROUP BY 1, 2),
+       |iv AS (SELECT user_id, vf,
+       |    coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+       |      ${Long.MaxValue}) AS vt, v
+       |  FROM s),
+       |sel AS (SELECT b.user_id, b.event_id, b.ts_us, hi.hi_us,
+       |    iv.v AS asof_value
+       |  FROM b JOIN hi USING (slice)
+       |  JOIN iv ON b.user_id = iv.user_id
+       |    AND b.ts_us >= iv.vf AND b.ts_us < iv.vt)
+       |SELECT sel.user_id, sel.event_id, sel.ts_us, sel.asof_value,
+       |  count(*) AS n_vers_known
+       |FROM sel JOIN s ON s.user_id = sel.user_id AND s.vf <= sel.hi_us
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // The multi-batch drains end at the same final table as their
   // single-batch twins (time-sorted staging: nothing is late, nothing
-  // re-emits), so they share oracles verbatim.
+  // re-emits), so they share oracles verbatim — as do the RocksDB-backed
+  // drains (the provider must not change results, only where state
+  // lives).
   val oracles: Map[String, String] = baseOracles ++ Map(
     "st_chunk" -> TextQueries.oracles("t_chunk"),
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
     "st_window_lgq_mb" -> baseOracles("st_window_lgq"),
-    "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"))
+    "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"),
+    "st_sessionize_mb" -> baseOracles("st_sessionize"),
+    "st_session_native_mb" -> baseOracles("st_session_native"),
+    "st_running_rocks" -> baseOracles("st_running"),
+    "st_dedup_rocks" -> baseOracles("st_dedup"),
+    "st_asof_dyn" -> asOfDynOracle)
 }

@@ -467,6 +467,81 @@ object EventStreams {
       .select(ev("user_id"), col("event_id"), col("ts_us"), col("asof_value"))
   }
 
+  /** Streaming as-of enrichment against a CHANGING dimension — the shape
+    * a real pipeline hits daily where [[asOfEnrichStream]]'s dim is
+    * frozen per drain: the dimension (signup versions) grows WITH the
+    * stream, and each micro-batch joins against the versions ingested so
+    * far. Implemented as foreachBatch: per batch, rebuild the dim from
+    * the staged source at the batch's own event-time high-water mark
+    * (`ts_us <= max(batch.ts_us)` — a mid-drain version flip every
+    * batch), run the NATIVE as-of operator ([[graft.plans.AsOfJoin]],
+    * backward) against it, and write idempotently per batch id (the
+    * [[exactlyOnceParquetSink]] recipe, so a replayed batch overwrites).
+    *
+    * Output carries `n_vers_known` — how many versions of the user's dim
+    * existed AT PROCESSING TIME — which is what makes the gate sensitive
+    * to the flip: enriching every batch against the full final dim (no
+    * dynamics) yields version counts that are too high for early
+    * batches and hash-mismatches the oracle, as does freezing the
+    * batch-0 dim (counts too low, stale as-of values late). Correctness
+    * of `asof_value` itself is flip-invariant BECAUSE staging is
+    * time-contiguous: a backward as-of lookup at ts_e only needs
+    * versions with vfrom ≤ ts_e ≤ hi_batch, all already ingested — the
+    * reason a growing dim and the full-corpus oracle agree.
+    *
+    * At 100 TB this is the standard feature-store pattern: the per-batch
+    * dim rebuild is a broadcast-sized versioned key list refreshed
+    * between micro-batches without restarting the query; the as-of
+    * operator keys-hash-partitions only the batch. */
+  def asOfEnrichDynamicDrain(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageSortedEventFiles(spark, dir, 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_asof_dyn_").toFile
+    root.deleteOnExit()
+    val out = new java.io.File(root, "out").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    val events = readEventsMultiBatch(spark, dir)
+    val stream = events.select(col("user_id"), col("event_id"),
+      graft.io.Tables.eventMicros(events).as("ts_us"))
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        val hiRow = batch.agg(max("ts_us")).first()
+        if (!hiRow.isNullAt(0)) {
+          val hi = hiRow.getLong(0)
+          // the dimension as ingested so far: pure event-time cutoff at
+          // this batch's high-water mark (NOT slice membership — equal
+          // timestamps straddling a file boundary count as arrived)
+          val src = spark.read.parquet(staged)
+          val ingested = src.where(graft.io.Tables.eventMicros(src) <= hi)
+          val dim = ingested.where(col("event_type") === "signup")
+            .select(col("user_id").as("d_user"),
+              graft.io.Tables.eventMicros(ingested).as("vfrom_us"),
+              col("value"))
+            .groupBy("d_user", "vfrom_us")
+            .agg(max("value").as("asof_value"))
+          val nVers = dim.groupBy(col("d_user").as("nv_user"))
+            .agg(count(lit(1)).as("n_vers_known"))
+          graft.plans.AsOfJoin.asOfJoin(batch, dim,
+              Seq(col("user_id")), Seq(col("d_user")),
+              col("ts_us"), col("vfrom_us"))
+            .where(col("asof_value").isNotNull) // inner as-of semantics
+            .join(broadcast(nVers), col("user_id") === col("nv_user"))
+            .select("user_id", "event_id", "ts_us", "asof_value",
+              "n_vers_known")
+            .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).drop("batch_id")
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session
