@@ -494,6 +494,13 @@ object OinkScript {
               sinkAndBind(graft.streaming.EventStreams.funnelStream(spark, in0), outs, line)
             case "stream_running" =>
               sinkAndBind(graft.streaming.EventStreams.runningStatsStream(spark, in0), outs, line)
+            case "stream_scd2" =>
+              // stream_scd2 -i dir — multi-batch drain folding each
+              // micro-batch's signup updates into an SCD2 dimension
+              // (the streaming corpus-refresh sink)
+              if (ins.isEmpty) throw ScriptError(line, "stream_scd2 requires -i dir")
+              sinkAndBind(graft.streaming.EventStreams.scd2StreamingSink(
+                spark, resolve(ins.head)), outs, line)
             case "stream_anomaly" =>
               sinkAndBind(graft.streaming.EventStreams.anomalyStream(spark, in0), outs, line)
             case "dq_profile" =>
@@ -516,7 +523,8 @@ object OinkScript {
                 Seq(col(pos(0))), Seq(col(pos(1))), col(pos(2)), col(pos(3)),
                 extra.find(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong),
                 extra.find(graft.plans.AsOfJoin.Directions)
-                  .getOrElse("backward")), outs, line)
+                  .getOrElse("backward"),
+                broadcast = extra.contains("broadcast")), outs, line)
             case "epoch_shuffle" =>
               // epoch_shuffle [seed] [nShards] — seeded training order
               sinkAndBind(graft.pipeline.Sampling.epochShuffle(spark, in0,

@@ -43,7 +43,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     toleranceUs: Option[Long], direction: String,
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    broadcast: Boolean = false) extends BinaryNode {
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     s"as-of times must be BIGINT, got ${leftTime.dataType}/${rightTime.dataType}")
   require(AsOfJoin.Directions(direction),
@@ -167,10 +168,133 @@ case class AsOfJoinExec(
       l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
 }
 
+/** Broadcast variant — the feature-store shape at scale: the versioned
+  * dimension is usually key-cardinality-sized (fits a broadcast) while
+  * the fact side is the 100 TB table. [[AsOfJoinExec]] pays two key-hash
+  * exchanges plus two sorts to set up its streaming merge; this exec
+  * broadcasts the dimension instead, builds a per-key time-sorted index
+  * once per task, and answers each fact row with one hash lookup + one
+  * binary search — the fact side keeps its partitioning AND ordering
+  * (both reported through `outputPartitioning`/`outputOrdering`, so a
+  * downstream groupBy on a pre-hashed fact column still skips its
+  * exchange). Nothing about the 100 TB side moves.
+  *
+  * Index cost is O(|dim| log |dim|) per task — same regime as
+  * BroadcastHashJoin's per-task HashedRelation deserialization and
+  * irrelevant when the dim fits a broadcast by assumption. Same
+  * semantics as the merge exec: backward/forward/nearest, tolerance,
+  * LEFT OUTER, unique (key, time) expected on the right.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long], direction: String,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  // the whole point: the fact side's layout survives the operator
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val tol = toleranceUs
+    val dir = direction
+    val outAttrs = output
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIt =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      // key -> time-ascending (times, rows); UnsafeRow keys from both
+      // sides share the key schema, so binary equality = value equality
+      // (null keys match like groupBy, as in the merge exec)
+      val index = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]()
+      locally {
+        val groups = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        bc.value.foreach { row0 =>
+          val row = row0.copy()
+          val t = rTimeProj(row)
+          if (t.isNullAt(0)) throw new IllegalArgumentException(
+            "as-of join: NULL right-side time value; filter nulls out or " +
+            "use a non-nullable time expression (e.g. coalesce to a sentinel)")
+          val k = rKeyProj(row).copy()
+          var buf = groups.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty
+            groups.put(k, buf)
+          }
+          buf += ((t.getLong(0), row))
+        }
+        groups.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1)
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      lIt.map { lRow =>
+        val tRow = lTimeProj(lRow)
+        if (tRow.isNullAt(0)) throw new IllegalArgumentException(
+          "as-of join: NULL left-side time value; filter nulls out or " +
+          "use a non-nullable time expression (e.g. coalesce to a sentinel)")
+        val t = tRow.getLong(0)
+        val entry = index.get(lKeyProj(lRow))
+        var pick: InternalRow = null
+        if (entry != null) {
+          val (times, rows) = entry
+          // bi = rightmost index with times(bi) <= t (backward candidate)
+          var lo = 0; var hi = times.length - 1; var bi = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= t) { bi = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          val fi = bi + 1 // earliest index with times(fi) >= t, unless bi hit t exactly
+          val backOk = bi >= 0 && tol.forall(d => t - times(bi) <= d)
+          val fwdIdx = if (bi >= 0 && times(bi) == t) bi
+                       else if (fi < times.length) fi else -1
+          val fwdDist = if (fwdIdx < 0) Long.MaxValue else times(fwdIdx) - t
+          val fwdOk = fwdIdx >= 0 && tol.forall(fwdDist <= _)
+          pick = dir match {
+            case "backward" => if (backOk) rows(bi) else null
+            case "forward" => if (fwdOk) rows(fwdIdx) else null
+            case _ => // nearest: closer side wins, tie -> backward
+              if (backOk && (!fwdOk || t - times(bi) <= fwdDist)) rows(bi)
+              else if (fwdOk) rows(fwdIdx) else null
+          }
+        }
+        resultProj(joined(lRow, if (pick != null) pick else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): BroadcastAsOfJoinExec = copy(left = l, right = r)
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, tol, d, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, d, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, tol, d, l, r, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, d, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tol, d, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -188,11 +312,17 @@ object AsOfJoin {
     * `nearest` (closer of the two, tie -> backward). */
   val Directions: Set[String] = Set("backward", "forward", "nearest")
 
+  /** `broadcast = true` plans [[BroadcastAsOfJoinExec]]: the dimension
+    * broadcasts and the fact side keeps its partitioning and ordering —
+    * zero exchanges, zero sorts on the big side. Use when the dim fits
+    * the broadcast budget (the usual feature-store case); the default
+    * merge exec handles dim sides too big to broadcast. */
   def asOfJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
       toleranceUs: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      broadcast: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.functions.col
@@ -208,6 +338,6 @@ object AsOfJoin {
     val (lk :+ lt, lPlan) = harvest(leftDf, leftKeys :+ leftTime): @unchecked
     val (rk :+ rt, rPlan) = harvest(rFresh, rightKeys :+ rightTime): @unchecked
     Bridge.ofRows(spark,
-      AsOfJoin(lk, rk, lt, rt, toleranceUs, direction, lPlan, rPlan))
+      AsOfJoin(lk, rk, lt, rt, toleranceUs, direction, lPlan, rPlan, broadcast))
   }
 }

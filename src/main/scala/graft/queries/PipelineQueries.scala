@@ -499,6 +499,26 @@ object PipelineQueries {
         .select("user_id", "event_id", "ts_us", "asof_value")
     }),
 
+    // Broadcast as-of (BroadcastAsOfJoinExec): identical semantics to
+    // d_asof_native but the dim broadcasts and the fact side keeps its
+    // partitioning — zero exchanges, zero sorts on the big side. Shares
+    // d_asof_native's oracle: the physical strategy must not change one
+    // row.
+    "d_asof_bcast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val usC = Tables.eventMicros(ev)
+      val facts = ev.select(col("user_id"), col("event_id"), usC.as("ts_us"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), usC.as("ts_us"), col("value"))
+        .groupBy("d_user", "ts_us").agg(max("value").as("asof_value"))
+        .select(col("d_user"), col("ts_us").as("valid_from_us"),
+          col("asof_value"))
+      graft.plans.AsOfJoin.asOfJoin(facts, dim,
+          Seq(col("user_id")), Seq(col("d_user")),
+          col("ts_us"), col("valid_from_us"), broadcast = true)
+        .select("user_id", "event_id", "ts_us", "asof_value")
+    }),
+
     // FORWARD as-of (merge_asof direction parity): each event joined to
     // the EARLIEST signup version at-or-after it — the "next scheduled
     // change" lookup; same operator, opposite candidate pointer.
@@ -1424,7 +1444,9 @@ object PipelineQueries {
          |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
   )
 
-  // the native as-of formulation answers to the composed one's oracle
+  // the native as-of formulation answers to the composed one's oracle,
+  // and the broadcast physical strategy answers to the merge exec's
   val oracles: Map[String, String] = oraclesBase +
-    ("d_scd2_join_native" -> oraclesBase("d_scd2_join"))
+    ("d_scd2_join_native" -> oraclesBase("d_scd2_join")) +
+    ("d_asof_bcast" -> oraclesBase("d_asof_native"))
 }

@@ -237,6 +237,86 @@ object StreamingGateQueries {
     "st_asof_dyn" -> ((s, dir) =>
       EventStreams.asOfEnrichDynamicDrain(s, dir)),
 
+    // transformWithState twins — Spark 4's new-generation arbitrary-
+    // state API (typed state variables, first-class event-time timers,
+    // per-state TTL; REQUIRES RocksDB). Each is a semantics-exact twin
+    // of a flatMapGroupsWithState operator above and shares its oracle
+    // verbatim: the API generation must not change one row. All drain
+    // multi-batch, so the typed state and the timers round-trip RocksDB
+    // BETWEEN batches.
+    "st_running_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.runningStatsStreamTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_running_tws_gate")
+      }),
+
+    "st_dedup_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.dedupStreamTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_dedup_tws_gate")
+      }),
+
+    // ListState through the gate: sliding last-5 feature window — every
+    // event emits count + exact-cents sum over its key's PRIOR <=5
+    // events; the bounded buffer round-trips RocksDB as individual list
+    // rows between batches.
+    "st_lastn_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.lastNStreamTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_lastn_tws_gate")
+      }),
+
+    // Event-time TIMERS through the gate: sessions close via successor
+    // events or via registerTimer/handleExpiredTimer as the watermark
+    // ratchets across the 4 micro-batches.
+    "st_sessionize_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.sessionizeTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_sess_tws_gate")
+      }),
+
+    // State data source reader through the gate: after a checkpointed
+    // TWS drain, the PERSISTED state itself (RocksDB files under the
+    // checkpoint) is queried with `spark.read.format("statestore")` and
+    // hash-compared — operational observability (state inspection,
+    // debugging, backfills) proven against the same DuckDB oracle
+    // discipline as query output. The running-moments state after a
+    // full drain must equal the whole corpus's exact integer moments.
+    "st_state_reader" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sreader_").toFile
+      root.deleteOnExit()
+      val ckpt = new java.io.File(root, "ckpt").getPath
+      val out = new java.io.File(root, "out").getPath
+      withStateProvider(s, RocksDbProvider) {
+        val q = graft.streaming.TwsOperators.runningStatsStreamTws(s,
+            EventStreams.readEventsMultiBatch(s, dir))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "moments")
+        .load()
+        .select(col("key.value").as("event_type"),
+          col("value.n").as("n_events"),
+          col("value.sum").as("sum_cents"),
+          col("value.sumSq").as("sumsq_cents"))
+    }),
+
+    // Streaming SCD2 corpus-refresh sink: foreachBatch folds each
+    // micro-batch's latest-signup-per-user updates into an accumulating
+    // SCD2 dimension (Scd2.merge, effective at the batch high-water
+    // mark). The final version history pins the batch cadence: merging
+    // everything as ONE batch yields one version per user (no closes)
+    // and hash-mismatches; per-batch merging must also no-op unchanged
+    // payloads or extra versions appear.
+    "st_scd2_sink" -> ((s, dir) =>
+      graft.streaming.EventStreams.scd2StreamingSink(s, dir)),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -559,6 +639,40 @@ object StreamingGateQueries {
        |FROM sel JOIN s ON s.user_id = sel.user_id AND s.vf <= sel.hi_us
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** st_scd2_sink: replay the slice arithmetic (same CTE chain as
+    * [[asOfDynOracle]]), then the SCD2 fold in SQL — per slice each
+    * user's LATEST signup (by ts_us, event_id) is the update; a version
+    * opens at the slice's all-events high-water mark iff the value
+    * differs from the user's previous slice-update (IS DISTINCT FROM —
+    * Scd2.merge's no-op-on-equal branch); it closes when the next
+    * version opens, else stays open at Long.MaxValue. */
+  private val scd2SinkOracle =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |    epoch_ns(ts) // 1000 AS ts_us,
+       |    row_number() OVER (ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+       |  FROM events),
+       |nn AS (SELECT count(*) AS n FROM events),
+       |b AS (SELECT e.*, CASE WHEN rn <= (1 * nn.n) // 4 THEN 0
+       |                       WHEN rn <= (2 * nn.n) // 4 THEN 1
+       |                       WHEN rn <= (3 * nn.n) // 4 THEN 2
+       |                       ELSE 3 END AS slice
+       |  FROM e, nn),
+       |hi AS (SELECT slice, max(ts_us) AS hi_us FROM b GROUP BY 1),
+       |su AS (SELECT slice, user_id, value,
+       |    row_number() OVER (PARTITION BY slice, user_id
+       |      ORDER BY ts_us DESC, event_id DESC) AS rk
+       |  FROM b WHERE event_type = 'signup'),
+       |upd AS (SELECT slice, user_id, value FROM su WHERE rk = 1),
+       |chain AS (SELECT u.user_id, u.value, hi.hi_us,
+       |    lag(u.value) OVER (PARTITION BY u.user_id ORDER BY u.slice) AS prev
+       |  FROM upd u JOIN hi USING (slice)),
+       |vers AS (SELECT user_id, value, hi_us AS valid_from FROM chain
+       |  WHERE prev IS NULL OR value IS DISTINCT FROM prev)
+       |SELECT user_id, value, valid_from,
+       |  coalesce(lead(valid_from) OVER (PARTITION BY user_id
+       |    ORDER BY valid_from), ${Long.MaxValue}) AS valid_to
+       |FROM vers""".stripMargin
+
   // The multi-batch drains end at the same final table as their
   // single-batch twins (time-sorted staging: nothing is late, nothing
   // re-emits), so they share oracles verbatim — as do the RocksDB-backed
@@ -575,5 +689,26 @@ object StreamingGateQueries {
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_dedup_rocks" -> baseOracles("st_dedup"),
-    "st_asof_dyn" -> asOfDynOracle)
+    "st_running_tws" -> baseOracles("st_running"),
+    "st_state_reader" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+        |FROM e GROUP BY 1""".stripMargin,
+    "st_lastn_tws" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+        |  CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS sum_window_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "st_dedup_tws" -> baseOracles("st_dedup"),
+    "st_sessionize_tws" -> baseOracles("st_sessionize"),
+    "st_asof_dyn" -> asOfDynOracle,
+    "st_scd2_sink" -> scd2SinkOracle)
 }

@@ -542,6 +542,73 @@ object EventStreams {
     spark.read.parquet(out).drop("batch_id")
   }
 
+  /** Streaming SCD2 dimension sink — the end-to-end "streaming corpus
+    * refresh" composition of [[asOfEnrichDynamicDrain]]'s batch cadence
+    * with [[graft.pipeline.Scd2.merge]]: each micro-batch's signup
+    * events become an SCD2 update batch (latest value per user within
+    * the batch, deterministically by (ts_us, event_id)), merged into the
+    * accumulated dimension effective at the batch's event-time
+    * high-water mark. A user whose value is unchanged since their open
+    * version is a no-op (idempotent re-delivery); a changed value closes
+    * the open version at the batch mark and appends the new one — so the
+    * final table is the full version history with `[valid_from,
+    * valid_to)` validity, built incrementally across the drain exactly
+    * as a production corpus-refresh sink would build it.
+    *
+    * Scale shape: per batch ONE full-outer shuffle join between the
+    * OPEN slice and the update batch (closed history is append-only,
+    * never re-joined — [[graft.pipeline.Scd2]]'s O(open + batch)
+    * contract); `localCheckpoint` truncates the per-batch lineage so the
+    * plan does not grow with batch count — the streaming-side equivalent
+    * of the checkpoint a long-lived merge loop needs on any engine. */
+  def scd2StreamingSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt_").toFile
+    ckpt.deleteOnExit()
+
+    val dimSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("valid_from", LongType), StructField("valid_to", LongType)))
+    // accumulated dimension, checkpointed per batch (driver-held handle;
+    // the data itself lives in executor block storage)
+    var dim = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dimSchema)
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val stream = events.select(col("user_id"), col("event_type"), col("value"),
+      graft.io.Tables.eventMicros(events).as("ts_us"), col("event_id"))
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        val hiRow = batch.agg(max("ts_us")).first()
+        if (!hiRow.isNullAt(0)) {
+          val hi = hiRow.getLong(0)
+          // one update row per user: the batch's latest signup value,
+          // latest by (ts_us, event_id) — deterministic under ties
+          val updates = batch.where(col("event_type") === "signup")
+            .groupBy("user_id")
+            .agg(max_by(col("value"),
+              struct(col("ts_us"), col("event_id"))).as("value"))
+          if (!updates.isEmpty) {
+            dim = graft.pipeline.Scd2.merge(dim, updates, "user_id",
+              Seq("value"), hi).localCheckpoint()
+          }
+        }
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dim
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session

@@ -1,0 +1,222 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Stateful operators on Spark 4's `transformWithState` — the
+  * new-generation arbitrary-state API that replaces
+  * `flatMapGroupsWithState` for production pipelines: typed state
+  * variables (`ValueState`/`ListState`/`MapState`) instead of a single
+  * state object, first-class event-time timers (register/delete many per
+  * key), per-state TTL, and a state layout that supports schema
+  * evolution and the state data source reader. It REQUIRES the RocksDB
+  * state store provider — the provider every large deployment runs — so
+  * these twins are also the engine's deepest RocksDB exercise.
+  *
+  * Each operator here is a semantics-exact twin of an existing
+  * `flatMapGroupsWithState` operator in [[EventStreams]] and shares its
+  * DuckDB gate oracle verbatim: the API generation must not change one
+  * row.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.10); this module
+  * is engine extension surface alongside [[EventStreams]].
+  */
+object TwsOperators {
+
+  import EventStreams.{REvent, RunningState, RunningRow, Event, SessionState, Session}
+
+  /** [[EventStreams.runningStatsStream]] on `transformWithState`: one
+    * `ValueState[RunningState]` (three longs) per event_type holds the
+    * exact integer-cents moments; every event emits the prior moments.
+    * TimeMode.None — the state is a lifetime property, no timers. */
+  private class RunningStatsProcessor
+      extends StatefulProcessor[String, REvent, RunningRow] {
+    @transient private var moments: ValueState[RunningState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      moments = getHandle.getValueState[RunningState]("moments",
+        Encoders.product[RunningState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[REvent],
+        timers: TimerValues): Iterator[RunningRow] = {
+      var s = if (moments.exists()) moments.get() else RunningState(0L, 0L, 0L)
+      val out = Seq.newBuilder[RunningRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        out += RunningRow(key, e.event_id, s.n, s.sum, s.sumSq)
+        s = RunningState(s.n + 1, s.sum + e.cents, s.sumSq + e.cents * e.cents)
+      }
+      moments.update(s)
+      out.result().iterator
+    }
+  }
+
+  def runningStatsStreamTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[REvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  final case class KeyHit(user_id: Long, event_type: String)
+
+  /** First-occurrence-wins exact dedup as a `transformWithState`
+    * processor: one `ValueState[Boolean]` per key — the arbitrary-state
+    * formulation of `dropDuplicates`, here with NO horizon (lifetime
+    * key memory, the semantics the corpus-covering `st_dedup_mb` gate
+    * pins). A TTL-bounded variant is one `TTLConfig(duration)` away —
+    * the API expresses the watermark-horizon trade-off as state
+    * configuration rather than query shape. */
+  private class DedupProcessor
+      extends StatefulProcessor[KeyHit, KeyHit, KeyHit] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: KeyHit, rows: Iterator[KeyHit],
+        timers: TimerValues): Iterator[KeyHit] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); Iterator.single(key) }
+  }
+
+  def dedupStreamTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[KeyHit]
+      .groupByKey(identity)
+      .transformWithState(new DedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  final case class WinEvent(ts_us: Long, event_id: Long, cents: Long)
+  final case class LastNRow(event_type: String, event_id: Long,
+      n_in_window: Long, sum_window_cents: Long)
+
+  /** Sliding last-N feature window on `ListState` — the online
+    * feature-extraction shape (a model server reads "sum/count of the
+    * key's previous N events") that `flatMapGroupsWithState` could only
+    * express by round-tripping the whole buffer through one opaque
+    * state object. `ListState` stores the buffer as individual state
+    * ROWS: RocksDB appends one entry per event (`appendValue` — no
+    * read-modify-write of a growing blob) and the trim rewrites only
+    * when the window slides. Every event emits the count and
+    * exact-integer-cents sum over the key's PRIOR ≤N events, then
+    * enters the buffer. State per key is bounded: ≤N (ts, id, cents)
+    * triples regardless of stream length. */
+  private class LastNProcessor(n: Int)
+      extends StatefulProcessor[String, REvent, LastNRow] {
+    @transient private var buf: ListState[WinEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[WinEvent]("lastn",
+        Encoders.product[WinEvent], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[REvent],
+        timers: TimerValues): Iterator[LastNRow] = {
+      // state rows are append-ordered = event-time order (each batch's
+      // rows are folded in sorted order, staging is time-contiguous)
+      var window = buf.get().toVector
+      val out = Seq.newBuilder[LastNRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        out += LastNRow(key, e.event_id, window.size.toLong,
+          window.iterator.map(_.cents).sum)
+        window = (window :+ WinEvent(e.ts_us, e.event_id, e.cents))
+          .takeRight(n)
+      }
+      buf.put(window.toArray)
+      out.result().iterator
+    }
+  }
+
+  def lastNStreamTws(spark: SparkSession, events: DataFrame,
+      n: Int = 5): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[REvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new LastNProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** [[EventStreams.sessionize]] on `transformWithState` with EVENT-TIME
+    * TIMERS: per-user 30-minute-gap sessions; a session closes via a
+    * later-than-gap successor event, or via a registered event-time
+    * timer once the watermark passes lastEvent+gap — `registerTimer` /
+    * `handleExpiredTimer`, the first-class replacement for
+    * `GroupStateTimeout.EventTimeTimeout`. On every state update the
+    * processor deletes the key's stale timers and registers the new
+    * close time (many timers per key are allowed; exactly one is live
+    * here by construction). State: one `ValueState[SessionState]`. */
+  private class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.lastUs, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live timer per key: drop stale close times, arm the new one
+        // (a timer already in the watermark's past fires on this batch's
+        // timer sweep — the clamping the old API needed is built in)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastUs / 1000 + gapUs / 1000)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Session] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        graft.io.Tables.eventTime(events).as("tts"))
+      .as[Event]
+      .withWatermark("tts", "30 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+}

@@ -238,6 +238,26 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("res").exceptAll(direct).isEmpty)
   }
 
+  test("stream_scd2 verb: streaming SCD2 corpus-refresh sink from a script") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"stream_scd2 -i $dir -o NULL dim"))
+    val dim = reg("dim")
+    assert(dim.columns.toSeq ==
+      Seq("user_id", "value", "valid_from", "valid_to"))
+    assert(dim.count() > 0)
+    // exactly one OPEN version per user, intervals are well-formed, and
+    // consecutive versions abut (valid_to of one = valid_from of next)
+    val open = dim.where(col("valid_to") === Long.MaxValue)
+      .groupBy("user_id").count().where(col("count") =!= 1)
+    assert(open.isEmpty)
+    assert(dim.where(col("valid_from") >= col("valid_to")).isEmpty)
+    val gaps = dim.where(col("valid_to") =!= Long.MaxValue).as("a")
+      .join(dim.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.valid_to") === col("b.valid_from"), "left_anti")
+    assert(gaps.isEmpty)
+  }
+
   test("stream_anomaly and cdc_dedup verbs run from scripts") {
     val dir = "/root/testdata/sf0.001"
     val reg = OinkScript.run(spark, Seq(

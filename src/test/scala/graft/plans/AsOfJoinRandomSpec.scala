@@ -54,20 +54,66 @@ class AsOfJoinRandomSpec extends SparkSpec {
       val fDf = facts.toDF("k", "t").repartition(1 + rnd.nextInt(7))
       val dDf = dim.toDF("dk", "vt", "payload").repartition(1 + rnd.nextInt(7))
       val dir = Seq("backward", "forward", "nearest")(rnd.nextInt(3))
-      val got = AsOfJoin.asOfJoin(fDf, dDf,
-          Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol, dir)
-        .select("k", "t", "payload")
-        .collect().map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      // both physical strategies against the same reference: the
+      // streaming merge (shuffle+sort) and the broadcast index variant
+      // must pick identical rows under every direction×tolerance combo
+      for (bcast <- Seq(false, true)) {
+        val got = AsOfJoin.asOfJoin(fDf, dDf,
+            Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), tol, dir,
+            broadcast = bcast)
+          .select("k", "t", "payload")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
 
-      // row multiplicity: every left row emits exactly once
-      assert(got.length == facts.length, s"seed $seed: left rows not preserved")
-      val gotCounts = got.groupBy(identity).view.mapValues(_.length).toMap
-      val ref = reference(facts, dim, tol, dir)
-      val expCounts = facts.map { case (k, t) =>
-        ref.find(r => r._1 == k && r._2 == t).get
-      }.groupBy(identity).view.mapValues(_.length).toMap
-      assert(gotCounts == expCounts, s"seed $seed ($dir): as-of picks diverge")
+        // row multiplicity: every left row emits exactly once
+        assert(got.length == facts.length,
+          s"seed $seed bcast=$bcast: left rows not preserved")
+        val gotCounts = got.groupBy(identity).view.mapValues(_.length).toMap
+        val ref = reference(facts, dim, tol, dir)
+        val expCounts = facts.map { case (k, t) =>
+          ref.find(r => r._1 == k && r._2 == t).get
+        }.groupBy(identity).view.mapValues(_.length).toMap
+        assert(gotCounts == expCounts,
+          s"seed $seed ($dir, bcast=$bcast): as-of picks diverge")
+      }
     }
+  }
+
+  test("broadcast exec preserves the fact side's partitioning and plans no exchange") {
+    val facts = (0L until 200L).map(i => (i % 7, i)).toDF("k", "t")
+      .repartition(5, col("k"))
+    val dim = (0L until 7L).flatMap(k => Seq((k, 10L, k * 10), (k, 100L, k * 100)))
+      .toDF("dk", "vt", "payload")
+    val joined = AsOfJoin.asOfJoin(facts, dim,
+      Seq(col("k")), Seq(col("dk")), col("t"), col("vt"), broadcast = true)
+    joined.collect() // finalize any adaptive planning before reading the plan
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastAsOfJoin"), planStr)
+    // exactly ONE shuffle anywhere: the test's own repartition(5, k).
+    // The operator itself must add none (the dim side rides a
+    // BroadcastExchange, which is not a shuffle).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ => 0
+        }
+        self + nested + p.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    assert(countShuffles(joined) == 1,
+      s"fact side must not re-shuffle:\n$planStr")
+    // a groupBy on the pre-hashed fact key must reuse the partitioning:
+    // the aggregate plans with no exchange beyond the setup repartition
+    val agg = joined.groupBy("k").count()
+    assert(agg.collect().map(_.getLong(1)).sum == 200L)
+    assert(countShuffles(agg) == 1,
+      s"downstream groupBy must reuse fact partitioning:\n${agg.queryExecution.executedPlan}")
   }
 }

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "d_exact", "d_scd2", "d_scd2_asof", "d_scd2_multi", "d_scd2_late",
     "d_scd2_join", "d_minhash_sig", "d_minhash_pairs", "d_minhash_inc",
     "d_split", "d_source_quota", "d_simhash", "d_cdc", "d_asof_native",
+    "d_asof_bcast",
     "s_ann_brute", "s_quantize", "s_rproj", "s_hybrid_rrf", "d_winnow")
 
   test("no audited gate query plans a cartesian product") {

@@ -309,6 +309,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 sink equals a batch slice-by-slice Scd2.merge fold") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.scd2StreamingSink(spark, dir)
+
+    // batch replay: the same 4 time-contiguous slices the stager cuts,
+    // folded through Scd2.merge at each slice's all-events high-water
+    // mark — the streaming drain must reproduce this exactly
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val base = ev.select(col("user_id"), col("event_type"), col("value"),
+        graft.io.Tables.eventMicros(ev).as("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(Window.orderBy("ts_us", "event_id")))
+    val n = base.count()
+    var dim = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("valid_from", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to", org.apache.spark.sql.types.LongType))))
+    (0 until 4).foreach { k =>
+      val slice = base.where(col("rn") > k * n / 4 && col("rn") <= (k + 1) * n / 4)
+      val hi = slice.agg(max("ts_us")).first().getLong(0)
+      val updates = slice.where(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("value"))
+      if (!updates.isEmpty)
+        dim = graft.pipeline.Scd2.merge(dim, updates, "user_id", Seq("value"), hi)
+          .localCheckpoint()
+    }
+    assert(streamed.count() == dim.count() && dim.count() > 0)
+    assert(streamed.exceptAll(dim).isEmpty && dim.exceptAll(streamed).isEmpty)
+    // and the cadence is visible: at least one user has > 1 version
+    assert(streamed.groupBy("user_id").count().where(col("count") > 1).count() > 0)
+  }
+
   test("stateful sessionizer emits closed sessions; final state holds the rest") {
     import spark.implicits._
     // user 1: two sessions (gap > 30 min); user 2: one session

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The `transformWithState` twins must equal their
+  * `flatMapGroupsWithState` originals row-for-row: the API generation
+  * (typed state variables, first-class timers) must not change results.
+  * TWS requires RocksDB, so every drain here also round-trips the typed
+  * state and the timer registry through the RocksDB provider — across
+  * micro-batches via the staged multi-batch source.
+  */
+class TwsOperatorsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ConfKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def drainRocks(df: => DataFrame, name: String): DataFrame = {
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, RocksProvider)
+    try {
+      val q = EventStreams.runToMemory(df, name, OutputMode.Append)
+      q.stop()
+      spark.table(name).cache()
+    } finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
+
+  private def drainDefault(df: => DataFrame, name: String): DataFrame = {
+    val q = EventStreams.runToMemory(df, name, OutputMode.Append)
+    q.stop()
+    spark.table(name).cache()
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, tag: String): Unit = {
+    assert(a.count() > 0, s"$tag: empty result")
+    assert(a.count() == b.count() &&
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$tag: transformWithState result differs from flatMapGroupsWithState")
+    a.unpersist(); b.unpersist()
+  }
+
+  test("TWS running stats equal the fMGWS twin across RocksDB micro-batches") {
+    val tws = drainRocks(TwsOperators.runningStatsStreamTws(spark,
+      EventStreams.readEventsMultiBatch(spark, dir)), "tws_run")
+    val old = drainDefault(EventStreams.runningStatsStream(spark,
+      EventStreams.readEvents(spark, dir)), "tws_run_ref")
+    assertSame(tws, old, "running")
+  }
+
+  test("TWS dedup equals the distinct key set across RocksDB micro-batches") {
+    val tws = drainRocks(TwsOperators.dedupStreamTws(spark,
+      EventStreams.readEventsMultiBatch(spark, dir)), "tws_dedup")
+    val expect = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct().cache()
+    assertSame(tws, expect, "dedup")
+  }
+
+  test("TWS sessionizer with event-time timers equals the fMGWS twin") {
+    val tws = drainRocks(TwsOperators.sessionizeTws(spark,
+      EventStreams.readEventsMultiBatch(spark, dir)), "tws_sess")
+    val old = drainDefault(EventStreams.sessionize(spark,
+      EventStreams.readEvents(spark, dir)), "tws_sess_ref")
+    assertSame(tws, old, "sessionize")
+  }
+
+  test("TWS timers fire mid-stream: a session closed by timeout in an early batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, RocksProvider)
+    try {
+      val us = 1000000L
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val events = ms.toDF().select(col("_1").as("user_id"),
+        col("_2").as("event_id"), (col("_3") * 1000).as("ts"))
+      val q = TwsOperators.sessionizeTws(spark, events).writeStream
+        .outputMode("append").format("memory").queryName("tws_timer").start()
+      try {
+        // batch 1: user 1 session at t=1000s..1060s
+        ms.addData((1L, 1L, 1000L * us), (1L, 2L, 1060L * us))
+        q.processAllAvailable()
+        // batch 2: user 2 far in the future -> watermark jumps past
+        // user 1's close time; the TIMER (not a successor) must emit it
+        ms.addData((2L, 3L, 100000L * us))
+        q.processAllAvailable()
+        val afterTimer = spark.table("tws_timer")
+          .select("user_id", "start_us", "end_us", "n_events")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(afterTimer == Set((1L, 1000L * us, 1060L * us, 2L)),
+          s"expected user 1's session closed by timer, got $afterTimer")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
+}
