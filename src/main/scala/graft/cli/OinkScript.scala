@@ -229,6 +229,10 @@ object OinkScript {
             else (branches.take(elseIdx), branches.drop(elseIdx + 1))
           (if (evalBool(cond, line)) thenCmds else elseCmds).foreach(exec)
         case Seq("set", _*) => () // advisory knobs (scratch/verbosity/timer)
+        case Seq("conf", key, value) =>
+          // session conf (e.g. `conf spark.sql.streaming.stateStore.providerClass
+          // org.apache...RocksDBStateStoreProvider` before a TWS stream verb)
+          spark.conf.set(key, value)
         // `shell cmd args` (input.cpp:394-401 passes to the host shell) —
         // the safe filesystem subset, interpreted: cd scopes relative
         // sink/source paths; mkdir/rm manage scratch dirs. Anything else
@@ -501,6 +505,18 @@ object OinkScript {
               if (ins.isEmpty) throw ScriptError(line, "stream_scd2 requires -i dir")
               sinkAndBind(graft.streaming.EventStreams.scd2StreamingSink(
                 spark, resolve(ins.head)), outs, line)
+            case "stream_running_tws" =>
+              // transformWithState generation of stream_running
+              sinkAndBind(graft.streaming.TwsOperators.runningStatsStreamTws(
+                spark, in0), outs, line)
+            case "stream_profile" =>
+              // per-user event_type -> lifetime-count profile (MapState)
+              sinkAndBind(graft.streaming.TwsOperators.profileStreamTws(
+                spark, in0), outs, line)
+            case "stream_lastn" =>
+              // stream_lastn [n] — sliding last-n feature window (ListState)
+              sinkAndBind(graft.streaming.TwsOperators.lastNStreamTws(
+                spark, in0, pos.headOption.map(_.toInt).getOrElse(5)), outs, line)
             case "stream_anomaly" =>
               sinkAndBind(graft.streaming.EventStreams.anomalyStream(spark, in0), outs, line)
             case "dq_profile" =>

@@ -256,6 +256,28 @@ object StreamingGateQueries {
           EventStreams.readEventsMultiBatch(s, dir)), "st_dedup_tws_gate")
       }),
 
+    // Batch-backfill → streaming handoff (StatefulProcessorWithInitial-
+    // State): the first two staged slices aggregate batch-side into
+    // per-key moments seeded via handleInitialState; the last two
+    // stream through the warm-started processor. The oracle computes
+    // priors over the FULL corpus but returns only the streamed half's
+    // rows — a cold start (missing archive in the priors) or a replayed
+    // archive (double-counted priors) both hash-mismatch.
+    "st_running_warm" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.runningStatsWarmStart(s, dir),
+          "st_running_warm_gate")
+      }),
+
+    // MapState through the gate: per-user event_type → lifetime-count
+    // profile; every event emits its occurrence number within
+    // (user, type). Each map entry is its own state-store row.
+    "st_profile_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.profileStreamTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_profile_tws_gate")
+      }),
+
     // ListState through the gate: sliding last-5 feature window — every
     // event emits count + exact-cents sum over its key's PRIOR <=5
     // events; the bounded buffer round-trips RocksDB as individual list
@@ -690,6 +712,30 @@ object StreamingGateQueries {
     "st_running_rocks" -> baseOracles("st_running"),
     "st_dedup_rocks" -> baseOracles("st_dedup"),
     "st_running_tws" -> baseOracles("st_running"),
+    "st_running_warm" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |  row_number() OVER (ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events),
+        |nn AS (SELECT count(*) AS n FROM events),
+        |w AS (SELECT event_type, event_id, rn,
+        |  CAST(count(*) OVER fr AS BIGINT) AS n_prior,
+        |  CAST(coalesce(sum(cents) OVER fr, 0) AS BIGINT) AS sum_prior_cents,
+        |  CAST(coalesce(sum(cents * cents) OVER fr, 0) AS BIGINT) AS sumsq_prior_cents
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, n_prior, sum_prior_cents,
+        |  sumsq_prior_cents
+        |FROM w, nn WHERE rn > (2 * nn.n) // 4""".stripMargin,
+    "st_profile_tws" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id) AS BIGINT) AS seen_count
+        |FROM e""".stripMargin,
     "st_state_reader" ->
       """WITH e AS (SELECT event_type,
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)

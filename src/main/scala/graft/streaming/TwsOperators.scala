@@ -152,6 +152,126 @@ object TwsOperators {
       .toDF()
   }
 
+  final case class InitMoments(event_type: String, n: Long, sum: Long,
+      sumSq: Long)
+
+  /** [[RunningStatsProcessor]] with WARM-STARTED state
+    * (`StatefulProcessorWithInitialState`): the batch-backfill →
+    * streaming handoff every production pipeline makes — historical
+    * moments are computed ONCE as a batch aggregate and seeded into the
+    * state store via `handleInitialState` before the first micro-batch;
+    * the stream then continues the count from where the backfill
+    * stopped, without re-reading history. At 100 TB that difference is
+    * the whole feature: the backfill is one shuffle aggregate over the
+    * archive, not a replay of the archive through the stream. */
+  private class WarmStartRunningProcessor
+      extends StatefulProcessorWithInitialState[String, REvent, RunningRow,
+        RunningState] {
+    @transient private var moments: ValueState[RunningState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      moments = getHandle.getValueState[RunningState]("moments",
+        Encoders.product[RunningState], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: RunningState,
+        timers: TimerValues): Unit =
+      moments.update(initial)
+
+    override def handleInputRows(key: String, rows: Iterator[REvent],
+        timers: TimerValues): Iterator[RunningRow] = {
+      var s = if (moments.exists()) moments.get() else RunningState(0L, 0L, 0L)
+      val out = Seq.newBuilder[RunningRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        out += RunningRow(key, e.event_id, s.n, s.sum, s.sumSq)
+        s = RunningState(s.n + 1, s.sum + e.cents, s.sumSq + e.cents * e.cents)
+      }
+      moments.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Batch-backfill handoff drain: the first two staged slices are the
+    * "archive" — aggregated batch-side into per-key moments and seeded
+    * as initial state — and the last two stream through the warm-started
+    * processor one micro-batch each. Output rows carry priors that
+    * include the archive, exactly as if the whole corpus had streamed. */
+  def runningStatsWarmStart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = EventStreams.stagedEventsDir(spark, dir, 4)
+
+    val archive = spark.read.parquet(s"$staged/b00.parquet", s"$staged/b01.parquet")
+    val initial = archive
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum"),
+        sum(col("cents") * col("cents")).as("sumSq"))
+      .as[InitMoments]
+      .groupByKey(_.event_type)
+      .mapValues(m => RunningState(m.n, m.sum, m.sumSq))
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tail = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "b0[23].parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    tail
+      .select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(tail).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[REvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new WarmStartRunningProcessor,
+        TimeMode.None(), OutputMode.Append(), initial)
+      .toDF()
+  }
+
+  final case class PEvent(user_id: Long, event_type: String, event_id: Long,
+      ts_us: Long)
+  final case class ProfileRow(user_id: Long, event_id: Long,
+      event_type: String, seen_count: Long)
+
+  /** Per-user activity profile on `MapState` — the online user-profile
+    * shape (a per-key MAP of event_type → lifetime count): each event
+    * emits its running occurrence number within (user, type). MapState
+    * stores each map entry as its OWN state-store row, so touching one
+    * event_type reads/writes one entry — not a whole serialized map per
+    * user, which is what a ValueState[Map] (or old-API state object)
+    * would pay on every event. State per user is bounded by the
+    * event-type domain. */
+  private class ProfileProcessor
+      extends StatefulProcessor[Long, PEvent, ProfileRow] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[PEvent],
+        timers: TimerValues): Iterator[ProfileRow] = {
+      val out = Seq.newBuilder[ProfileRow]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val c = (if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, c)
+        out += ProfileRow(userId, e.event_id, e.event_type, c)
+      }
+      out.result().iterator
+    }
+  }
+
+  def profileStreamTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"))
+      .as[PEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** [[EventStreams.sessionize]] on `transformWithState` with EVENT-TIME
     * TIMERS: per-user 30-minute-gap sessions; a session closes via a
     * later-than-gap successor event, or via a registered event-time

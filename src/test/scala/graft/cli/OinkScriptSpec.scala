@@ -258,6 +258,32 @@ class OinkScriptSpec extends SparkSpec {
     assert(gaps.isEmpty)
   }
 
+  test("conf verb + TWS stream verbs: MapState profile from a script") {
+    val dir = "/root/testdata/sf0.001"
+    val ConfKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ConfKey)
+    try {
+      val reg = OinkScript.run(spark, Seq(
+        s"conf $ConfKey org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        s"read_events_stream -i $dir -o NULL ev",
+        "stream_profile -i ev -o NULL pr",
+        "stream_drain oink_prof_sink -i pr -o NULL res"))
+      val res = reg("res")
+      assert(res.columns.toSeq ==
+        Seq("user_id", "event_id", "event_type", "seen_count"))
+      // one output row per event; per-(user,type) counts are 1..k
+      val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+      assert(res.count() == nEvents)
+      val maxSeen = res.groupBy("user_id", "event_type")
+        .agg(max("seen_count").as("mx"), count(lit(1)).as("c"))
+        .where(col("mx") =!= col("c"))
+      assert(maxSeen.isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
+
   test("stream_anomaly and cdc_dedup verbs run from scripts") {
     val dir = "/root/testdata/sf0.001"
     val reg = OinkScript.run(spark, Seq(

@@ -70,6 +70,47 @@ class TwsOperatorsSpec extends SparkSpec {
     assertSame(tws, old, "sessionize")
   }
 
+  test("warm-started running stats: archive moments seed the stream's priors") {
+    import org.apache.spark.sql.expressions.Window
+    val warm = drainRocks(TwsOperators.runningStatsWarmStart(spark, dir),
+      "tws_warm")
+    // reference: full-corpus priors, restricted to the streamed half
+    // (rn > 2n/4 under the stager's (ts, event_id) ranking)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val base = ev.select(col("event_type"), col("event_id"),
+        graft.io.Tables.eventMicros(ev).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(Window.orderBy("ts_us", "event_id")))
+    val n = base.count()
+    val fr = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = base
+      .withColumn("n_prior", count(lit(1)).over(fr))
+      .withColumn("sum_prior_cents", coalesce(sum("cents").over(fr), lit(0L)))
+      .withColumn("sumsq_prior_cents",
+        coalesce(sum(col("cents") * col("cents")).over(fr), lit(0L)))
+      .where(col("rn") > lit(2) * n / 4)
+      .select("event_type", "event_id", "n_prior", "sum_prior_cents",
+        "sumsq_prior_cents")
+      .cache()
+    assertSame(warm, expect, "warm-start")
+  }
+
+  test("MapState profile counts equal the per-(user,type) running occurrence number") {
+    import org.apache.spark.sql.expressions.Window
+    val tws = drainRocks(TwsOperators.profileStreamTws(spark,
+      EventStreams.readEventsMultiBatch(spark, dir)), "tws_profile")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val expect = ev.select(col("user_id"), col("event_id"), col("event_type"),
+        graft.io.Tables.eventMicros(ev).as("ts_us"))
+      .withColumn("seen_count", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_us", "event_id")).cast("long"))
+      .select("user_id", "event_id", "event_type", "seen_count")
+      .cache()
+    assertSame(tws, expect, "profile")
+  }
+
   test("TWS timers fire mid-stream: a session closed by timeout in an early batch") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
