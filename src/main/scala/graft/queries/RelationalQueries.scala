@@ -227,6 +227,38 @@ object RelationalQueries {
               |    AND o.o_totalprice > 100000.0)""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL + hop bound —
+    // UNION-distinct recursion is not yet in Spark, probed): 2-hop BFS
+    // reachability from vertex 0 over the derived edge graph, min hops
+    // per reached vertex. The iterative-fixpoint SQL surface the
+    // reference's script layer could never express.
+    "q27_recursive_sql" -> ((s, dir) => {
+      Tables.edges(s, dir).createOrReplaceTempView("graft_rec_edges")
+      s.sql("""WITH RECURSIVE reach(v, hops) AS (
+              |  SELECT CAST(0 AS BIGINT) AS v, 0 AS hops
+              |  UNION ALL
+              |  SELECT e.dst, r.hops + 1
+              |  FROM reach r JOIN graft_rec_edges e ON e.src = r.v
+              |  WHERE r.hops < 2)
+              |SELECT v, CAST(min(hops) AS BIGINT) AS hops
+              |FROM reach GROUP BY v""".stripMargin)
+    }),
+
+    // Correlated LATERAL derived table with ORDER BY/LIMIT — per nation
+    // the 3 priciest orders of its customers (exact integer cents).
+    // Catalyst decorrelates to a join + per-key limit; the same "top-k
+    // per outer row" shape TopKPerKey serves on the DataFrame side.
+    "q28_lateral" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT n.n_nationkey, t.o_orderkey, t.price_cents
+              |FROM nation n,
+              |LATERAL (SELECT o.o_orderkey,
+              |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |  WHERE c.c_nationkey = n.n_nationkey
+              |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3) t""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -321,6 +353,27 @@ object RelationalQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_totalprice > 100000.0)""".stripMargin,
+
+    // identical recursion in DuckDB (UNION ALL + hop bound on both
+    // sides keeps the enumerated path multisets equal by construction)
+    "q27_recursive_sql" ->
+      s"""WITH RECURSIVE e AS (${graft.io.Tables.EdgesSql}),
+         |reach(v, hops) AS (
+         |  SELECT CAST(0 AS BIGINT) AS v, 0 AS hops
+         |  UNION ALL
+         |  SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.v
+         |  WHERE r.hops < 2)
+         |SELECT v, CAST(min(hops) AS BIGINT) AS hops
+         |FROM reach GROUP BY v""".stripMargin,
+
+    "q28_lateral" ->
+      """SELECT n.n_nationkey, t.o_orderkey, t.price_cents
+        |FROM nation n,
+        |LATERAL (SELECT o.o_orderkey,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3) t""".stripMargin,
 
     "q23_window_suite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

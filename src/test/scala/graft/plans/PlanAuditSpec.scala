@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "q1_agg", "q2_filter_project", "q3_join_agg", "q4_topk", "q5_union",
     "q6_distinct", "q7_invert", "q8_collapse", "q9_histogram", "q10_window",
     "q11_stats", "q13_salted_agg", "q15_rollup", "q16_pivot", "q20_quantile_sketch",
-    "q21_logq_sketch", "q22_zorder",
+    "q21_logq_sketch", "q22_zorder", "q27_recursive_sql", "q28_lateral",
     "t_wordfreq", "t_langid", "t_quality", "t_gopher", "t_c4", "t_tokens",
     "t_chunk", "t_tfidf", "t_bm25", "t_fingerprint", "t_redact", "t_repetition",
     "e_window_agg", "e_sessionize", "e_json", "e_asof", "e_range_join",
