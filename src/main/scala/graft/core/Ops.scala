@@ -111,6 +111,36 @@ object Ops {
       .drop("__bin")
   }
 
+  /** KEYLESS interval-overlap join — two interval sets joined on
+    * `[lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅` with no equi-key at all: the
+    * shape Spark itself can only plan as a BroadcastNestedLoop/cartesian
+    * (O(|L|·|R|) comparisons). Each interval replicates to the
+    * fixed-width time bins it touches and the join runs as an ordinary
+    * hash equi-join ON THE BIN; a pair overlapping several shared bins
+    * is kept only in the LATER of the two start bins (`greatest` of the
+    * start bins — the first bin both intervals occupy), so no distinct
+    * pass is needed. Work is O(|L|+|R|+|pairs|) with replication factor
+    * `len/binWidth + 1` per interval — size `binWidth` near the typical
+    * interval length. Time-uniform bins hash-spread evenly; a heavily
+    * overlapped hot window is inherent output skew (that bin's pairs),
+    * which AQE skew-split handles at the exchange.
+    *
+    * Column names must be disjoint across sides (rename before calling);
+    * bounds are inclusive BIGINTs (e.g. micros). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bin",
+      explode(sequence(expr(s"$lStart div $binWidth"), expr(s"$lEnd div $binWidth"))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(expr(s"$rStart div $binWidth"), expr(s"$rEnd div $binWidth"))))
+    lb.join(rb, Seq("__bin"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(
+          expr(s"$lStart div $binWidth"), expr(s"$rStart div $binWidth")))
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, the most recent right value at or
     * before its timestamp, per key. Composed from window functions (the
     * Spark-first preference ladder: built-ins before custom plans) —

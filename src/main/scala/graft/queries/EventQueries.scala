@@ -104,6 +104,24 @@ object EventQueries {
         .select("interval_id", "event_id", "ts_us")
     }),
 
+    // KEYLESS interval-overlap join: purchase attention windows (30 min)
+    // × click dwell windows (10 min) with NO equi-key — the shape Spark
+    // alone can only plan as a nested-loop/cartesian. Bin-replicated
+    // equi-join on the time bin + overlap residual + first-shared-bin
+    // dedup (Ops.intervalOverlapJoin); PlanAudit proves no cartesian.
+    "e_interval_join" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("ts_us").as("ps"),
+          (col("ts_us") + 1800L * 1000000L).as("pe"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("cs"),
+          (col("ts_us") + 600L * 1000000L).as("ce"))
+      graft.core.Ops.intervalOverlapJoin(p, c, "ps", "pe", "cs", "ce",
+          binWidth = 1800L * 1000000L)
+        .select("interval_id", "click_id")
+    }),
+
     // Deterministic stratified sampling: hash-keyed keep decisions are
     // reproducible across retries/repartitions and join-stable; the
     // rate CASE folds into the scan filter (no shuffle, no UDF).
@@ -254,6 +272,17 @@ object EventQueries {
         |SELECT iv.interval_id, p.event_id, p.ts_us
         |FROM iv JOIN e p ON p.user_id = iv.user_id
         | AND p.ts_us >= iv.win_s AND p.ts_us <= iv.win_e""".stripMargin,
+
+    "e_interval_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT event_id AS interval_id, ts_us AS ps,
+        |    ts_us + CAST(1800000000 AS BIGINT) AS pe
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, ts_us AS cs,
+        |    ts_us + CAST(600000000 AS BIGINT) AS ce
+        |  FROM e WHERE event_type = 'click')
+        |SELECT p.interval_id, c.click_id
+        |FROM p JOIN c ON p.ps <= c.ce AND c.cs <= p.pe""".stripMargin,
 
     "e_sample_stratified" ->
       s"""SELECT event_id, event_type, user_id FROM events

@@ -48,6 +48,24 @@ class OpsSpec extends SparkSpec {
     assert(!ranged.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
 
+  test("intervalOverlapJoin: keyless overlap equals naive, no dup pairs, no nested loop") {
+    // intervals spanning MANY shared bins (len >> binWidth) — the
+    // first-shared-bin dedup must keep each overlapping pair exactly once
+    val a = Seq((1L, 0L, 500L), (2L, 90L, 110L), (3L, 600L, 700L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 100L, 450L), (11L, 480L, 520L), (12L, 900L, 950L))
+      .toDF("bid", "bs", "be")
+    val joined = Ops.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", binWidth = 50L)
+    val got = joined.select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    val naive = a.crossJoin(b)
+      .where(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    // exact multiset equality: every overlap once, none twice
+    assert(got == naive && got == List((1L, 10L), (1L, 11L), (2L, 10L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
