@@ -594,45 +594,56 @@ object Dedup {
     * delta-level dedup of near-identical long documents work). Expected
     * chunk length ≈ `div` tokens.
     *
-    * Plan shape: boundary flags are computed IN ARRAY LAND (one
-    * `transform` over the token array — no per-position copy of the
-    * array is ever exploded), then one posexplode carries only
-    * (doc_id, pos, tok, flag) rows; the running boundary count that
-    * numbers chunks is a per-document window cumsum (partitioned by
-    * doc_id — linear, no cross-doc traffic), and chunk texts reassemble
-    * in one groupBy. The cross-doc duplicate check joins 60-bit chunk
-    * hashes only. Returns per doc: n_chunks, n_cdc_tokens,
-    * n_dup_chunks (chunks whose hash occurs in >1 document), dup_ratio.
+    * Plan shape: ENTIRELY in array land up to chunk granularity —
+    * boundary flags are one `transform` over the token array, the
+    * flagged positions become per-document chunk-end lists
+    * (`filter` over positions), and each chunk's hash + length come
+    * from a second `transform` slicing the token array between
+    * consecutive ends. Only CHUNK-level rows (≈ tokens/div, 10-50×
+    * fewer) ever explode; no per-token rows, no window cumsum, no
+    * token-level groupBy (the previous token-explode + window shape
+    * measured 2.1 s of d_cdc's 3.2 s at sf0.1 — tools/CdcProbe). The
+    * cross-doc duplicate check joins 60-bit chunk hashes only. Returns
+    * per doc: n_chunks, n_cdc_tokens, n_dup_chunks (chunks whose hash
+    * occurs in >1 document), dup_ratio.
     */
   def cdcChunkStats(docs: DataFrame, id: Column, text: Column,
       w: Int = 4, div: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(w >= 1 && div >= 1, s"bad CDC params w=$w div=$div")
     val toks = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("tk"))
+      .where(size(col("tk")) > 0) // empty docs emit no chunk rows (as before)
     // boundary[i] = i ≥ w-1 && hash60(tokens[i-w+1..i]) % div == 0.
     // The i ≥ w-1 guard must be a `when` (not &&): slice() errors on a
     // non-positive start, and Column && does not short-circuit.
-    val flagged = toks.select(col("doc_id"),
-      transform(col("tk"), (t, i) => struct(
-        t.as("tok"),
-        when(i >= w - 1,
-          when(Hashing.hash60(array_join(
-            slice(col("tk"), i - (w - 2), lit(w)), " ")) % div === 0, 1L)
-            .otherwise(0L))
-          .otherwise(0L).as("b"))).as("zipped"))
-    val rows = flagged
-      .select(col("doc_id"), posexplode(col("zipped")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col.tok").as("tok"), col("col.b").as("b"))
-    val cum = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = rows
-      .withColumn("cidx", coalesce(sum(col("b")).over(cum), lit(0L)))
-      .groupBy("doc_id", "cidx")
-      .agg(count(lit(1)).as("ntk"),
-        Hashing.hash60(array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ")).as("chunk_hash"))
+    val flagged = toks.select(col("doc_id"), col("tk"),
+      filter(
+        transform(col("tk"), (_, i) =>
+          when(i >= w - 1,
+            when(Hashing.hash60(array_join(
+              slice(col("tk"), i - (w - 2), lit(w)), " ")) % div === 0, i)
+              .otherwise(lit(-1)))
+            .otherwise(lit(-1))),
+        p => p >= 0).as("flag_pos"))
+    // chunk ENDS (inclusive, 0-based): every flagged position, plus the
+    // final position when the last token is not itself a boundary
+    val n = size(col("tk"))
+    val withEnds = flagged.select(col("doc_id"), col("tk"),
+      when(coalesce(try_element_at(col("flag_pos"), lit(-1)), lit(-1)) === n - 1,
+        col("flag_pos"))
+        .otherwise(concat(col("flag_pos"), array(n - 1))).as("ends"))
+    // chunk j spans (ends[j-1]+1 .. ends[j]); hash its tokens joined as
+    // the token-level path did (identical strings, identical hashes)
+    val chunks = withEnds.select(col("doc_id"),
+        explode(transform(col("ends"), (e, j) => {
+          val start = when(j === 0, lit(0))
+            .otherwise(element_at(col("ends"), j) + 1)
+          struct(
+            (e - start + 1).cast("long").as("ntk"),
+            Hashing.hash60(array_join(
+              slice(col("tk"), start + 1, e - start + 1), " ")).as("chunk_hash"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.ntk").as("ntk"),
+        col("c.chunk_hash").as("chunk_hash"))
     val spread = chunks.groupBy("chunk_hash")
       .agg(countDistinct("doc_id").as("nd"))
     chunks.join(spread, "chunk_hash")
