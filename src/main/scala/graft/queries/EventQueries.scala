@@ -122,6 +122,26 @@ object EventQueries {
         .select("interval_id", "click_id")
     }),
 
+    // Parquet schema evolution (mergeSchema): a corpus grows a column
+    // mid-life — the early batch writes (event_id, user_id), the later
+    // batch adds cents; reading both with mergeSchema unions the
+    // schemas and nulls the missing column for old files. The storage
+    // contract every long-lived 100 TB dataset depends on, gate-proven
+    // through an actual two-schema write + merged read-back.
+    "e_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_schevo_").toFile
+      root.deleteOnExit()
+      val e = Tables.events(s, dir)
+      val early = e.where(col("event_type").isin("view", "click"))
+        .select("event_id", "user_id")
+      val later = e.where(!col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      early.write.mode("overwrite").parquet(s"$root/b0")
+      later.write.mode("overwrite").parquet(s"$root/b1")
+      s.read.option("mergeSchema", "true").parquet(s"$root/b0", s"$root/b1")
+    }),
+
     // Deterministic stratified sampling: hash-keyed keep decisions are
     // reproducible across retries/repartitions and join-stable; the
     // rate CASE folds into the scan filter (no shuffle, no UDF).
@@ -272,6 +292,15 @@ object EventQueries {
         |SELECT iv.interval_id, p.event_id, p.ts_us
         |FROM iv JOIN e p ON p.user_id = iv.user_id
         | AND p.ts_us >= iv.win_s AND p.ts_us <= iv.win_e""".stripMargin,
+
+    "e_schema_evolution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, CAST(NULL AS BIGINT) AS cents FROM e
+        |WHERE event_type IN ('view', 'click')
+        |UNION ALL
+        |SELECT event_id, user_id, cents FROM e
+        |WHERE event_type NOT IN ('view', 'click')""".stripMargin,
 
     "e_interval_join" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),

@@ -259,6 +259,20 @@ object RelationalQueries {
               |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3) t""".stripMargin)
     }),
 
+    // Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    // a hand-picked lattice — (status, priority), (status), () — with
+    // exact integer cents. Catalyst expands to one Expand + one
+    // aggregate, a single pass over orders.
+    "q29_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              |    AS BIGINT) AS total_cents
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |  (o_orderstatus), ())""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -365,6 +379,14 @@ object RelationalQueries {
          |  WHERE r.hops < 2)
          |SELECT v, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY v""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
 
     "q28_lateral" ->
       """SELECT n.n_nationkey, t.o_orderkey, t.price_cents

@@ -524,9 +524,12 @@ object EventStreams {
             .agg(max("value").as("asof_value"))
           val nVers = dim.groupBy(col("d_user").as("nv_user"))
             .agg(count(lit(1)).as("n_vers_known"))
+          // broadcast exec: the versioned dim is key-cardinality-sized,
+          // so the batch side keeps its partitioning — per micro-batch
+          // the as-of costs one broadcast, zero exchanges, zero sorts
           graft.plans.AsOfJoin.asOfJoin(batch, dim,
               Seq(col("user_id")), Seq(col("d_user")),
-              col("ts_us"), col("vfrom_us"))
+              col("ts_us"), col("vfrom_us"), broadcast = true)
             .where(col("asof_value").isNotNull) // inner as-of semantics
             .join(broadcast(nVers), col("user_id") === col("nv_user"))
             .select("user_id", "event_id", "ts_us", "asof_value",
