@@ -366,6 +366,14 @@ object StreamingGateQueries {
       drain(s, EventStreams.nearDupStream(s, docsStream), "st_neardup_gate")
     }),
 
+    // KEYLESS stream-stream interval-overlap join: no equi-key exists in
+    // the data, so the bin column manufactured by a stateless explode
+    // becomes the symmetric hash join's key; shares the batch
+    // e_interval_join oracle (single-batch drain holds both sides).
+    "st_interval_join" -> ((s, dir) =>
+      drain(s, EventStreams.intervalJoinStream(EventStreams.readEvents(s, dir)),
+        "st_ij_gate")),
+
     // Stream-stream LEFT OUTER range join: matched purchase→click pairs
     // emit inner-style; unmatched purchases null-emit only once the
     // final watermark evicts their join window — the outer state-
@@ -710,6 +718,7 @@ object StreamingGateQueries {
     "st_sessionize_mb" -> baseOracles("st_sessionize"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
+    "st_interval_join" -> EventQueries.oracles("e_interval_join"),
     "st_dedup_rocks" -> baseOracles("st_dedup"),
     "st_running_tws" -> baseOracles("st_running"),
     "st_running_warm" ->

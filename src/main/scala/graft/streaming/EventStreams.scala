@@ -306,6 +306,47 @@ object EventStreams {
         col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
   }
 
+  /** KEYLESS stream-stream interval-overlap join — the unbounded twin
+    * of [[graft.core.Ops.intervalOverlapJoin]]: purchase attention
+    * windows `[t, t+lWin]` × click dwell windows `[t, t+rWin]` joined on
+    * pure time overlap with NO shared key. Spark's stream-stream join
+    * REQUIRES an equality (the symmetric hash join keys its two state
+    * stores on it), so a keyless overlap is inexpressible directly; the
+    * bin trick MANUFACTURES the key: each side explodes (stateless,
+    * pre-join) to the fixed-width time bins its window touches, the
+    * join keys on bin equality, and the overlap + first-shared-bin
+    * dedup ride as residual predicates. The overlap condition is
+    * written on the two WATERMARKED tts columns, so Spark derives
+    * eviction bounds for both state stores exactly as in
+    * [[rangeJoinStream]] — state stays horizon-bounded, and the bin
+    * key hash-spreads it across partitions. */
+  def intervalJoinStream(events: DataFrame,
+      lWinUs: Long = 1800L * 1000000L, rWinUs: Long = 600L * 1000000L,
+      binUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
+    val withTts = events.withColumn("tts", graft.io.Tables.eventTime(events))
+    val purchases = withTts
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"), col("tts").as("p_tts"),
+        unix_micros(col("tts")).as("p_ts"))
+      .withWatermark("p_tts", horizon)
+      .withColumn("pbin", explode(sequence(
+        expr(s"p_ts div $binUs"), expr(s"(p_ts + $lWinUs) div $binUs"))))
+    val clicks = withTts
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("tts").as("c_tts"),
+        unix_micros(col("tts")).as("c_ts"))
+      .withWatermark("c_tts", horizon)
+      .withColumn("cbin", explode(sequence(
+        expr(s"c_ts div $binUs"), expr(s"(c_ts + $rWinUs) div $binUs"))))
+    purchases.join(clicks,
+        col("pbin") === col("cbin") &&
+          col("p_tts") <= col("c_tts") + expr(s"INTERVAL $rWinUs MICROSECOND") &&
+          col("c_tts") <= col("p_tts") + expr(s"INTERVAL $lWinUs MICROSECOND") &&
+          col("pbin") === greatest(
+            expr(s"p_ts div $binUs"), expr(s"c_ts div $binUs")))
+      .select(col("interval_id"), col("click_id"))
+  }
+
   final case class BandHit(band: Int, band_hash: Long, doc_id: Long,
       ts_us: Long, tts: java.sql.Timestamp)
   final case class BucketState(rep: Long, lastUs: Long)

@@ -117,6 +117,18 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyless stream-stream interval join equals the batch overlap join") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.runToMemory(
+      EventStreams.intervalJoinStream(EventStreams.readEvents(spark, dir)),
+      "ij_stream", org.apache.spark.sql.streaming.OutputMode.Append)
+    q.stop()
+    val got = spark.table("ij_stream")
+    val batch = graft.SparkEntry.queries("e_interval_join")(spark, dir)
+    assert(got.count() > 0 && got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("outer range join = inner matches + nulls for watermark-evicted unmatched") {
     val q = EventStreams.runToMemory(
       EventStreams.rangeJoinOuterStream(EventStreams.readEvents(spark, dir)),
