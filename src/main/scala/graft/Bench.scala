@@ -192,7 +192,31 @@ object Bench {
           "bench_stream", org.apache.spark.sql.streaming.OutputMode.Append)
         q.stop()
       }
-      Seq("stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0))
+      // API-generation overhead head-to-head: the same running-stats
+      // operator on flatMapGroupsWithState (default provider) vs
+      // transformWithState (RocksDB, typed ValueState) — what a
+      // migration to the new state API costs/saves at this scale.
+      def drainSec(df: => org.apache.spark.sql.DataFrame, name: String): Double =
+        timeIt {
+          val q = graft.streaming.EventStreams.runToMemory(df, name,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          q.stop()
+        }
+      val fmgws = drainSec(graft.streaming.EventStreams.runningStatsStream(
+        spark, graft.streaming.EventStreams.readEvents(spark, sfDir)),
+        "bench_run_fmgws")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val tws = try drainSec(graft.streaming.TwsOperators.runningStatsStreamTws(
+        spark, graft.streaming.EventStreams.readEvents(spark, sfDir)),
+        "bench_run_tws")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+      }
+      Seq("stream_rows_per_sec" -> (if (streamSec > 0) nEvents / streamSec else 0.0),
+        "running_fmgws_sec" -> fmgws, "running_tws_rocksdb_sec" -> tws)
     }
     // asof: the native AsOfJoinExec streaming merge vs the composed
     // lead()-interval left join (same result, AsOfJoinSpec) on the full
