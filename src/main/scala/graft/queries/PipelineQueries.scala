@@ -537,6 +537,27 @@ object PipelineQueries {
         .select("user_id", "event_id", "ts_us", "asof_value")
     }),
 
+    // NEAREST as-of with a tolerance bound — the remaining direction ×
+    // tolerance combination the d_asof family leaves to spec-only
+    // randomized coverage: each event joins the signup version closest
+    // in time within ±1 hour (tie → backward), NULL when none
+    // qualifies. Runs on the broadcast exec (dim is user-sized).
+    "d_asof_near" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val usC = Tables.eventMicros(ev)
+      val facts = ev.select(col("user_id"), col("event_id"), usC.as("ts_us"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), usC.as("ts_us"), col("value"))
+        .groupBy("d_user", "ts_us").agg(max("value").as("asof_value"))
+        .select(col("d_user"), col("ts_us").as("vt_us"), col("asof_value"))
+      graft.plans.AsOfJoin.asOfJoin(facts, dim,
+          Seq(col("user_id")), Seq(col("d_user")),
+          col("ts_us"), col("vt_us"),
+          toleranceUs = Some(3600L * 1000000L), direction = "nearest",
+          broadcast = true)
+        .select("user_id", "event_id", "ts_us", "asof_value")
+    }),
+
     // Hybrid retrieval: BM25 keyword list + embedding-cosine ANN list
     // (query = vector 0) fused by reciprocal-rank fusion — the standard
     // RAG retrieval combiner. Both lists pre-cut to top-50 via
@@ -1354,6 +1375,24 @@ object PipelineQueries {
          |  CAST(pos % 8 AS BIGINT) AS shard,
          |  CAST(pos // 8 AS BIGINT) AS pos_in_shard
          |FROM r""".stripMargin,
+
+    // nearest-within-tolerance: among versions with |vt − t| ≤ tol the
+    // minimal distance wins; ORDER BY (dist, vt) breaks a backward/
+    // forward distance tie toward the smaller vt = the backward pick
+    "d_asof_near" ->
+      s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |s AS (SELECT user_id, ts_us AS vt, max(value) AS asof_value FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1, 2),
+         |cand AS (SELECT e.user_id, e.event_id, e.ts_us, s.asof_value,
+         |    abs(e.ts_us - s.vt) AS dist, s.vt,
+         |    row_number() OVER (PARTITION BY e.user_id, e.event_id, e.ts_us
+         |      ORDER BY abs(e.ts_us - s.vt), s.vt) AS rk
+         |  FROM e JOIN s ON e.user_id = s.user_id
+         |    AND abs(e.ts_us - s.vt) <= ${3600L * 1000000L})
+         |SELECT e.user_id, e.event_id, e.ts_us, c.asof_value
+         |FROM e LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+         |  ON e.user_id = c.user_id AND e.event_id = c.event_id
+         |    AND e.ts_us = c.ts_us""".stripMargin,
 
     // forward pick = min vt >= t  <=>  t ∈ (lag(vt), vt]
     "d_asof_fwd" ->

@@ -173,7 +173,14 @@ object TextAnalysis {
       k: Int, w: Int): DataFrame =
     docs.select(id.as("doc_id"),
         transform(shinglesFromTokens(tokens(text), k),
-          s => Hashing.hash60(s)).as("hs"))
+          s => Hashing.hash60(s)).as("hs0"))
+      // Materialize the hash array through a Generate: CollapseProject
+      // would otherwise inline `hs0` into every element_at of the fold
+      // below, re-evaluating the whole split→shingle→hash chain once
+      // per fold step — O(n²·w) per document (observed hanging the
+      // sf0.1 sweep). A Generate is a projection barrier; exploding a
+      // one-element array keeps exactly one row per document.
+      .select(col("doc_id"), explode(array(col("hs0"))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
       .where(col("n") >= w)
       .select(col("doc_id"), col("n").as("n_positions"),
