@@ -416,6 +416,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-PQ ANN top-k — the two compression levers composed the way a
+    * production index (FAISS `IVFx,PQy`) composes them: the IVF coarse
+    * quantizer prunes the SEARCH (only `nprobe` of `nlist` lists are
+    * scanned per query), and PQ compresses the STORAGE (each vector's
+    * RESIDUAL against its list centroid is coded as `subspaces` bytes).
+    * Coding residuals instead of raw vectors is the part that matters:
+    * residuals of one list live in a ball around the origin, so one
+    * shared codebook quantizes them far more finely than it could the
+    * spread-out raw corpus.
+    *
+    * Determinism contract (what lets DuckDB replay this exactly): both
+    * quantizers are the seeded hash60 samples ([[ivfCentroids]] /
+    * [[pqCodebook]]'s seed rows), all distances are the dot-product
+    * identity [[sqDist]] (same left-fold the oracle's
+    * list_dot_product computes), ties break to the smaller code /
+    * cid / vec_id everywhere.
+    *
+    * Scale shape: centroids and the residual codebook broadcast (both
+    * tiny by construction); encode is a min(struct) partial aggregate —
+    * one row per (vector, subspace) reaches the exchange; the ADC join
+    * is keyed on (cid, subsp, code) against a query-side distance table
+    * of |Q|·nprobe·subspaces·codewords rows, which is broadcastable
+    * precisely because the query frame is bounded (self-search here is
+    * gate-scale only, same caveat as [[pqTopK]]). The coded corpus —
+    * the 100 TB side — is touched once, never re-read per query. */
+  def ivfPqTopK(embeddings: DataFrame, dim: Int, k: Int,
+      nlist: Int = DefaultNList, nprobe: Int = DefaultNProbe,
+      subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(embeddings, nlist)
+    val lists = ivfAssign(embeddings, cents)
+    // residual frame: (vec_id, cid, embedding := v − c_cid), double-typed
+    val resid = embeddings.join(lists, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(asDouble(col("embedding")), asDouble(col("cvec")),
+          _ - _).as("embedding"))
+    // shared residual codebook: seed rows' residuals, sliced per subspace
+    val cb = pqCodebook(resid, dim, subspaces, codewords)
+    val codes = pqEncode(resid, cb, dim, subspaces)
+    // probe selection: nprobe best centroids per query (bounded heaps)
+    val qScored = embeddings
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("csim"))
+    val probes = graft.plans.TopKPerKey.topKPerKey(qScored,
+        Seq(col("qid")), Seq(col("csim").desc, col("cid").asc), nprobe)
+      .select(col("qid"), col("cid"),
+        zip_with(asDouble(col("qvec")), asDouble(col("cvec")),
+          _ - _).as("qres"))
+    // per-(query, probed list) ADC table: distance of the query RESIDUAL
+    // in that list to every codeword of every subspace
+    val ds = dim / subspaces
+    val dtab = probes
+      .select(col("qid"), col("cid"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col("qres"), s * ds + 1, ds)): _*)).as(Seq("subsp", "qsub")))
+      .join(broadcast(cb), "subsp")
+      .select(col("qid"), col("cid"), col("subsp"), col("code"),
+        sqDist(col("qsub"), col("cw")).as("qd2"))
+    val scored = probes.select("qid", "cid")
+      .join(lists, "cid")
+      .where(col("qid") =!= col("vec_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("qid", "cid", "subsp", "code"))
+      .groupBy("qid", "vec_id").agg(round(sum("qd2"), 6).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Global top-`n` of `df` by (`score` desc, `id` asc), re-emitted as a
     * dense 1..n rank list (doc_id, rank) — the retrieval-list shape
     * [[rrfFuse]] consumes. The cut is orderBy+limit, which Catalyst

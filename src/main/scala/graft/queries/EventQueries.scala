@@ -142,6 +142,65 @@ object EventQueries {
       s.read.option("mergeSchema", "true").parquet(s"$root/b0", s"$root/b1")
     }),
 
+    // Semi-structured VARIANT path (Spark 4): each event carries a
+    // nested JSON payload (object/array/null/mixed-type field) parsed
+    // once into a VARIANT, then consumed via typed-path extraction.
+    // The mixed-type field `maybe` (number on even event_ids, string
+    // on odd) is what VARIANT exists for — a fixed from_json schema
+    // would force one type and corrupt the other half. The oracle
+    // recomputes every aggregate from the RAW columns, so the whole
+    // construct→parse→extract chain must be value-exact to gate.
+    "e_variant" -> ((s, dir) => Tables.events(s, dir)
+      .withColumn("v", expr(
+        """parse_json(concat(
+          |  '{"p":', props,
+          |  ',"u":{"id":', user_id, ',"t":"', event_type, '"}',
+          |  ',"xs":[', event_id % 5, ',', event_id % 7, ']',
+          |  ',"maybe":', CASE WHEN event_id % 2 = 0
+          |                    THEN CAST(event_id % 100 AS STRING)
+          |                    ELSE concat('"s', event_id % 3, '"') END,
+          |  ',"nul":null}'))""".stripMargin))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(expr("variant_get(v, '$.p.k', 'bigint')")).as("sum_k"),
+        sum(expr("variant_get(v, '$.u.id', 'bigint')")).as("sum_uid"),
+        sum(expr("variant_get(v, '$.xs[1]', 'bigint')")).as("sum_xs1"),
+        sum(when(expr("try_variant_get(v, '$.maybe', 'bigint')").isNotNull,
+          1L).otherwise(0L)).as("n_maybe_int"),
+        sum(when(expr("variant_get(v, '$.zz', 'bigint')").isNull, 1L)
+          .otherwise(0L)).as("n_missing_null"),
+        sum(when(expr("is_variant_null(variant_get(v, '$.nul'))"), 1L)
+          .otherwise(0L)).as("n_vnull"))),
+
+    // VARIANT through parquet: the binary-encoded column is persisted
+    // and read back (the lakehouse storage path, not just an in-plan
+    // value), then re-extracted; schema_of_variant over the read-back
+    // rows proves the mixed `maybe` types survived the round-trip as
+    // two distinct runtime shapes rather than being widened away.
+    "e_variant_pq" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_variant_").toFile
+      root.deleteOnExit()
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), expr(
+          """parse_json(concat(
+            |  '{"p":', props,
+            |  ',"u":{"id":', user_id, ',"t":"', event_type, '"}',
+            |  ',"maybe":', CASE WHEN event_id % 2 = 0
+            |                    THEN CAST(event_id % 100 AS STRING)
+            |                    ELSE concat('"s', event_id % 3, '"') END,
+            |  '}'))""".stripMargin).as("v"))
+        .write.mode("overwrite").parquet(s"$root/v")
+      s.read.parquet(s"$root/v")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(expr("variant_get(v, '$.u.id', 'bigint')")).as("sum_uid"),
+          sum(expr("variant_get(v, '$.p.k', 'bigint')")).as("sum_k"),
+          countDistinct(expr("schema_of_variant(v)")).as("n_schemas"),
+          min(expr("schema_of_variant(v)")).as("schema_min"))
+    }),
+
     // Deterministic stratified sampling: hash-keyed keep decisions are
     // reproducible across retries/repartitions and join-stable; the
     // rate CASE folds into the scan filter (no shuffle, no UDF).
@@ -301,6 +360,34 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, user_id, cents FROM e
         |WHERE event_type NOT IN ('view', 'click')""".stripMargin,
+
+    // every aggregate re-derived from the raw columns: k from the
+    // props JSON, uid/xs1 from arithmetic, maybe-int from the parity
+    // that chose the number branch, missing/null censuses = count(*)
+    "e_variant" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(event_id % 7) AS BIGINT) AS sum_xs1,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_maybe_int,
+        |  count(*) AS n_missing_null,
+        |  count(*) AS n_vnull
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // two runtime shapes per type (maybe: BIGINT on evens, STRING on
+    // odds — both parities occur in every type at gate scale); the
+    // lexicographic min is the BIGINT shape ('B' < 'S')
+    "e_variant_pq" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(2 AS BIGINT) AS n_schemas,
+        |  'OBJECT<maybe: BIGINT, p: OBJECT<k: BIGINT>, u: OBJECT<id: BIGINT, t: STRING>>'
+        |    AS schema_min
+        |FROM events GROUP BY 1""".stripMargin,
 
     "e_interval_join" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),

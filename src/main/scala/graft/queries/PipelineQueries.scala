@@ -299,6 +299,12 @@ object PipelineQueries {
     // asymmetric-distance top-3 from broadcast lookup tables.
     "s_ann_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir), Dim, k = 3)),
 
+    // IVF-PQ composed (the FAISS "IVFx,PQy" production shape): IVF
+    // prunes the search to nprobe lists, PQ codes each vector's
+    // RESIDUAL against its list centroid — the residual coding is what
+    // makes one shared 16-codeword book usable across all lists.
+    "s_ann_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir), Dim, k = 3)),
+
     // Integer-exact Lloyd k-means on the int8 code grid — the gated
     // clustering (float k-means can't be: partial-sum order moves the
     // means). 8 clusters, 3 rounds, every cost an exact BIGINT.
@@ -1313,6 +1319,68 @@ object PipelineQueries {
          |sc AS (SELECT qid, vec_id, round(sum(qd2), 6) AS ad2
          |  FROM codes JOIN dtab USING (subsp, code)
          |  WHERE qid <> vec_id GROUP BY qid, vec_id),
+         |ranked AS (SELECT qid, vec_id, ad2, row_number() OVER
+         |  (PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM sc)
+         |SELECT qid, vec_id, ad2, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "s_ann_ivfpq" -> {
+      val nlist = Similarity.DefaultNList
+      val nprobe = Similarity.DefaultNProbe
+      val m = Similarity.DefaultSubspaces
+      val kw = Similarity.DefaultCodewords
+      val ds = Dim / m
+      val d2 = (a: String, b: String) =>
+        s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      // residual = v − centroid of the assigned/probed list, elementwise
+      val res = (v: String, c: String) =>
+        s"list_transform(range($Dim), i -> $v[CAST(i AS INTEGER) + 1] - $c[CAST(i AS INTEGER) + 1])"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings ORDER BY ${Hs(Similarity.IvfSeed, "vec_id")}, vec_id LIMIT $nlist),
+         |csc AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cvec")} AS csim FROM e, cents c),
+         |assigned AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         |  WHERE rn = 1),
+         |resid AS MATERIALIZED (
+         |  SELECT e.vec_id, a.cid, ${res("e.v", "c.cvec")} AS rv
+         |  FROM e JOIN assigned a ON a.vec_id = e.vec_id JOIN cents c ON c.cid = a.cid),
+         |seeds AS (SELECT vec_id, rv, ${Hs(Similarity.PqSeed, "vec_id")} AS h
+         |  FROM resid ORDER BY h, vec_id LIMIT $kw),
+         |sidx AS (SELECT rv, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM seeds),
+         |ss AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS subsp),
+         |cb AS MATERIALIZED (SELECT code, subsp,
+         |  rv[subsp * $ds + 1 : subsp * $ds + $ds] AS cw FROM sidx, ss),
+         |subs AS MATERIALIZED (SELECT vec_id, subsp,
+         |  rv[subsp * $ds + 1 : subsp * $ds + $ds] AS sub FROM resid, ss),
+         |enc AS (SELECT vec_id, subsp, code, ${d2("sub", "cw")} AS d2
+         |  FROM subs JOIN cb USING (subsp)),
+         |codes AS (SELECT vec_id, subsp, code FROM (
+         |  SELECT vec_id, subsp, code, row_number() OVER
+         |    (PARTITION BY vec_id, subsp ORDER BY d2, code) AS rn FROM enc)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         |  WHERE rn <= $nprobe),
+         |qres AS MATERIALIZED (
+         |  SELECT p.qid, p.cid, ${res("e.v", "c.cvec")} AS rv
+         |  FROM probes p JOIN e ON e.vec_id = p.qid JOIN cents c ON c.cid = p.cid),
+         |qsubs AS MATERIALIZED (SELECT qid, cid, subsp,
+         |  rv[subsp * $ds + 1 : subsp * $ds + $ds] AS qsub FROM qres, ss),
+         |dtab AS MATERIALIZED (SELECT qid, cid, subsp, code, ${d2("qsub", "cw")} AS qd2
+         |  FROM qsubs JOIN cb USING (subsp)),
+         |cand AS (SELECT p.qid, a.vec_id, p.cid
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |sc AS (SELECT c.qid, c.vec_id, round(sum(d.qd2), 6) AS ad2
+         |  FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+         |  JOIN dtab d ON d.qid = c.qid AND d.cid = c.cid
+         |    AND d.subsp = k.subsp AND d.code = k.code
+         |  GROUP BY 1, 2),
          |ranked AS (SELECT qid, vec_id, ad2, row_number() OVER
          |  (PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM sc)
          |SELECT qid, vec_id, ad2, CAST(rank AS INTEGER) AS rank

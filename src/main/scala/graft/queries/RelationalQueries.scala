@@ -273,6 +273,40 @@ object RelationalQueries {
               |  (o_orderstatus), ())""".stripMargin)
     }),
 
+    // UNPIVOT (wide → long melt, the inverse of q15's pivot): per
+    // linestatus return-flag counts melted to (linestatus, flag, val)
+    // rows via the typed Dataset.unpivot API. Plans as a single Expand
+    // over the aggregate — one pass, no join against a metric table.
+    "q30_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a_cnt"),
+          sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_cnt"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_cnt"))
+      wide.unpivot(Array(col("l_linestatus")),
+        Array(col("a_cnt"), col("n_cnt"), col("r_cnt")), "flag", "val")
+    }),
+
+    // SQL-defined scalar functions (Spark 4 CREATE FUNCTION … RETURN
+    // expr) — the user-extension path that, unlike a Scala/Python UDF,
+    // the analyzer INLINES into the plan: the aggregate below runs as
+    // plain codegen'd arithmetic (SqlUdfSpec proves no UDF node
+    // survives). One function nests the other, exercising recursive
+    // inlining; exact integer cents keep the gate hashable.
+    "q31_sql_udf" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(p DOUBLE)
+              |RETURNS BIGINT RETURN CAST(floor(p * 100 + 0.5) AS BIGINT)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(
+              |  p DOUBLE, d DOUBLE) RETURNS BIGINT
+              |RETURN graft_cents(p) - graft_cents(p * d)""".stripMargin)
+      s.sql("""SELECT l_returnflag, count(*) AS cnt,
+              |  sum(graft_cents(l_extendedprice)) AS gross_cents,
+              |  sum(graft_disc_cents(l_extendedprice, l_discount)) AS net_cents
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -396,6 +430,27 @@ object RelationalQueries {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3) t""".stripMargin,
+
+    // melt replayed as UNION ALL (column-order-free, engine-neutral)
+    "q30_unpivot" ->
+      """WITH w AS (SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_cnt,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, 'a_cnt' AS flag, a_cnt AS val FROM w
+        |UNION ALL SELECT l_linestatus, 'n_cnt', n_cnt FROM w
+        |UNION ALL SELECT l_linestatus, 'r_cnt', r_cnt FROM w""".stripMargin,
+
+    // the SQL-UDF bodies inlined by hand
+    "q31_sql_udf" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS gross_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS net_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q23_window_suite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

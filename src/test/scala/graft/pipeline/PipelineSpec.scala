@@ -569,6 +569,37 @@ class PipelineSpec extends SparkSpec {
     assert(r.getInt(0) >= 0 && r.getInt(1) < 8)
   }
 
+  test("IVF-PQ: duplicate vectors find each other; recall tracks brute force") {
+    val rnd = new scala.util.Random(41)
+    // 4 well-separated clusters of 10; vec 40 duplicates vec 0, so they
+    // share a list, share residual codes, and must be each other's top-1
+    // (ADC distance to an identical code vector is the per-subspace
+    // minimum by the encode argmin).
+    val base = (0 until 40).map { i =>
+      val center = Array.tabulate(16)(j => if (j == i % 4) 3.0f else 0.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = (base :+ ((40L, base.head._2))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(vecs, dim = 16, k = 3,
+      nlist = 8, nprobe = 4, subspaces = 4, codewords = 16)
+    val top1 = out.where(col("rank") === 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 40L && top1(40L) == 0L)
+    // recall@3 vs exact cosine: clusters are far apart, so probing 4 of
+    // 8 lists with residual-coded distances must stay mostly faithful
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = pairSet(Similarity.bruteForceTopK(q, vecs, 3))
+    val ivfpq = pairSet(out)
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF-PQ recall@3 $recall too low")
+    // determinism: a re-run (different partitioning) is identical
+    val again = pairSet(Similarity.ivfPqTopK(vecs.repartition(7), dim = 16,
+      k = 3, nlist = 8, nprobe = 4, subspaces = 4, codewords = 16))
+    assert(again == ivfpq)
+  }
+
   test("token-budget mixture keeps listed domains at mass-derived rates") {
     val d = (1L to 4L).map(i =>
       (i, if (i <= 2) "a" else "b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
