@@ -27,6 +27,20 @@ object EventQueries {
     e.withColumn("ts_us", Tables.eventMicros(e))
   }
 
+  /** Nested-JSON payload per event (object / array / explicit null /
+    * mixed-type field: number on even event_ids, string on odd),
+    * parsed to a VARIANT — shared by the batch (e_variant,
+    * e_variant_pq) and streaming (st_variant) gates. */
+  private[queries] val VariantPayloadSql: String =
+    """parse_json(concat(
+      |  '{"p":', props,
+      |  ',"u":{"id":', user_id, ',"t":"', event_type, '"}',
+      |  ',"xs":[', event_id % 5, ',', event_id % 7, ']',
+      |  ',"maybe":', CASE WHEN event_id % 2 = 0
+      |                    THEN CAST(event_id % 100 AS STRING)
+      |                    ELSE concat('"s', event_id % 3, '"') END,
+      |  ',"nul":null}'))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour window per event_type. Same plan a streaming
     // aggregation compiles to, minus the state store.
@@ -151,15 +165,7 @@ object EventQueries {
     // recomputes every aggregate from the RAW columns, so the whole
     // construct→parse→extract chain must be value-exact to gate.
     "e_variant" -> ((s, dir) => Tables.events(s, dir)
-      .withColumn("v", expr(
-        """parse_json(concat(
-          |  '{"p":', props,
-          |  ',"u":{"id":', user_id, ',"t":"', event_type, '"}',
-          |  ',"xs":[', event_id % 5, ',', event_id % 7, ']',
-          |  ',"maybe":', CASE WHEN event_id % 2 = 0
-          |                    THEN CAST(event_id % 100 AS STRING)
-          |                    ELSE concat('"s', event_id % 3, '"') END,
-          |  ',"nul":null}'))""".stripMargin))
+      .withColumn("v", expr(EventQueries.VariantPayloadSql))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),

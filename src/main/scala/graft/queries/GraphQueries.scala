@@ -126,6 +126,27 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "g_degree" -> ((s, dir) => GraphOps.outDegree(Tables.edges(s, dir))),
 
+    // The DataSourceV2 edge-list connector end-to-end: the edge table
+    // round-trips through the reference's ON-DISK text format (multi-
+    // file dir, 4 KiB byte-range chunks — dozens of mid-line
+    // boundaries), is re-read via format("graft.sources.EdgeListSource")
+    // with the dst-filter PUSHED INTO the chunk readers, and aggregated.
+    // The oracle never sees the text detour, so any parse / boundary /
+    // pushdown defect breaks the hash.
+    "g_dsv2_edges" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2_").toFile
+      root.deleteOnExit()
+      Tables.edges(s, dir)
+        .select(concat_ws(" ", col("src"), col("dst")))
+        .repartition(3).write.mode("overwrite").text(s"$root/edges")
+      s.read.format("graft.sources.EdgeListSource")
+        .option("chunkBytes", "4096")
+        .load(s"$root/edges")
+        .where(col("dst") >= 10)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+    }),
+
     "g_degree_both" -> ((s, dir) => GraphOps.degreeBoth(Tables.edges(s, dir))),
 
     "g_degree_stats" -> ((s, dir) => GraphOps.degreeStats(Tables.edges(s, dir))),
@@ -438,6 +459,11 @@ object GraphQueries {
     "g_degree" ->
       s"""WITH edges AS ($E)
          |SELECT src AS v, count(*) AS deg FROM edges GROUP BY src""".stripMargin,
+
+    "g_dsv2_edges" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
 
     "g_degree_both" ->
       s"""WITH edges AS ($E)

@@ -307,6 +307,27 @@ object RelationalQueries {
               |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // Table-valued SQL UDF in a correlated LATERAL: each order fans
+    // out into n = orderkey%3+1 installment rows, the order's exact
+    // cents split with the remainder spread over the first cents%n
+    // parts (Σ part_cents = cents by construction). The TVF body is
+    // plain SQL, so the fan-out plans as an inlined explode — no
+    // opaque generator function.
+    "q32_sql_tvf" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_splits(n INT)
+              |RETURNS TABLE(part INT)
+              |RETURN SELECT explode(sequence(0, n - 1)) AS part""".stripMargin)
+      s.sql("""WITH o AS (SELECT o_orderkey,
+              |    CAST(o_orderkey % 3 + 1 AS INT) AS n,
+              |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM orders)
+              |SELECT o.o_orderkey, t.part,
+              |  o.cents div o.n + CASE WHEN t.part < o.cents % o.n
+              |    THEN 1 ELSE 0 END AS part_cents
+              |FROM o, LATERAL graft_splits(o.n) t""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -441,6 +462,17 @@ object RelationalQueries {
         |SELECT l_linestatus, 'a_cnt' AS flag, a_cnt AS val FROM w
         |UNION ALL SELECT l_linestatus, 'n_cnt', n_cnt FROM w
         |UNION ALL SELECT l_linestatus, 'r_cnt', r_cnt FROM w""".stripMargin,
+
+    // correlated fan-out replayed as LATERAL unnest(range(n))
+    "q32_sql_tvf" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 3 + 1 AS INTEGER) AS n,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o.o_orderkey, CAST(t.part AS INTEGER) AS part,
+        |  CAST(o.cents // o.n + CASE WHEN t.part < o.cents % o.n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS part_cents
+        |FROM o, LATERAL (SELECT unnest(range(o.n)) AS part) t""".stripMargin,
 
     // the SQL-UDF bodies inlined by hand
     "q31_sql_udf" ->

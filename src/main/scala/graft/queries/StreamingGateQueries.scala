@@ -358,6 +358,22 @@ object StreamingGateQueries {
         "st_chunk_gate")
     }),
 
+    // VARIANT inside a streaming micro-batch: semi-structured payloads
+    // are the normal shape of a production event stream, and a fixed
+    // from_json schema can't hold the mixed-type `maybe` field. The
+    // parse + typed-path extraction is stateless, so every row emits
+    // immediately; the oracle re-derives each value from raw columns.
+    "st_variant" -> ((s, dir) =>
+      drain(s, EventStreams.readEvents(s, dir)
+        .withColumn("v", expr(EventQueries.VariantPayloadSql))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.u.id', 'bigint')").as("uid"),
+          expr("variant_get(v, '$.xs[1]', 'bigint')").as("xs1"),
+          expr("try_variant_get(v, '$.maybe', 'bigint')").as("maybe_int"),
+          expr("is_variant_null(variant_get(v, '$.nul'))").as("vnull")),
+        "st_variant_gate")),
+
     "st_neardup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val docsStream = s.readStream.schema(schema)
@@ -382,6 +398,21 @@ object StreamingGateQueries {
     "st_range_join_outer" -> ((s, dir) =>
       drain(s, EventStreams.rangeJoinOuterStream(EventStreams.readEvents(s, dir)),
         "st_rjo_gate")),
+
+    // FULL OUTER stream-stream range join: unmatched rows from BOTH
+    // sides null-emit on eviction (purchases below wm−window, clicks
+    // below wm — each exactly once). The audit-join shape: every input
+    // row is accounted for in the output. Single-batch and staged
+    // multi-batch drains share the oracle (eviction emits at most once
+    // per state row, so mid-drain watermark advances change WHEN null
+    // rows appear, never the final multiset).
+    "st_range_join_full" -> ((s, dir) =>
+      drain(s, EventStreams.rangeJoinFullStream(EventStreams.readEvents(s, dir)),
+        "st_rjf_gate")),
+
+    "st_range_join_full_mb" -> ((s, dir) =>
+      drain(s, EventStreams.rangeJoinFullStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_rjf_mb_gate")),
 
     // Streaming 3-sigma anomaly flags on the running moments — exact
     // integer comparison ((n·x−Σ)² vs 9·(n·Σx²−Σ²), BigInt vs HUGEINT),
@@ -617,6 +648,38 @@ object StreamingGateQueries {
         |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
         |    AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000)""".stripMargin,
 
+    // inner pairs + one null row per unmatched-and-evicted row of EACH
+    // side (purchase horizon wm−window, click horizon wm; strict <,
+    // same ms-rounded min-of-maxes watermark as st_range_join_outer)
+    "st_range_join_full" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS interval_id, ts_us AS p_ts_us
+        |  FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(x.mc, y.mp) * 1000 - 7200000000 AS wm_us
+        |  FROM (SELECT max(ts_us) // 1000 AS mc FROM c) x,
+        |       (SELECT max(p_ts_us) // 1000 AS mp FROM p) y)
+        |SELECT p.interval_id, p.p_ts_us, c.event_id AS click_id,
+        |  c.ts_us AS click_ts_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000
+        |UNION ALL
+        |SELECT p.interval_id, p.p_ts_us,
+        |  CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_ts_us
+        |FROM p, wm
+        |WHERE p.p_ts_us < wm.wm_us - 1800000000
+        |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000)
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS interval_id,
+        |  CAST(NULL AS BIGINT) AS p_ts_us,
+        |  c.event_id AS click_id, c.ts_us AS click_ts_us
+        |FROM c, wm
+        |WHERE c.ts_us < wm.wm_us
+        |  AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND c.ts_us >= p.p_ts_us AND c.ts_us <= p.p_ts_us + 1800000000)""".stripMargin,
+
     "st_window_lgq" -> graft.functions.LogQuantiles.oracleSqlGrouped(
       table = s"""(SELECT (epoch_ns(ts) // 1000)
                  |    - (epoch_ns(ts) // 1000) % $HourUs AS ws,
@@ -710,11 +773,23 @@ object StreamingGateQueries {
   // lives).
   val oracles: Map[String, String] = baseOracles ++ Map(
     "st_chunk" -> TextQueries.oracles("t_chunk"),
+    // stateless per-row extraction: every value a closed form of the
+    // raw columns (k from the props JSON; maybe_int only on the even
+    // parity that wrote a number; '$.nul' is an explicit JSON null)
+    "st_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  user_id AS uid,
+        |  event_id % 7 AS xs1,
+        |  CASE WHEN event_id % 2 = 0 THEN event_id % 100 END AS maybe_int,
+        |  true AS vnull
+        |FROM events""".stripMargin,
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
     "st_window_lgq_mb" -> baseOracles("st_window_lgq"),
     "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"),
+    "st_range_join_full_mb" -> baseOracles("st_range_join_full"),
     "st_sessionize_mb" -> baseOracles("st_sessionize"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),

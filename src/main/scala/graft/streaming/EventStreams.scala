@@ -306,6 +306,41 @@ object EventStreams {
         col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
   }
 
+  /** FULL OUTER stream-stream range join — both sides null-emit on
+    * eviction. Same key/range shape as [[rangeJoinOuterStream]]
+    * (clicks within the 30-min window opened by a same-user purchase),
+    * but unmatched CLICKS surface too — the audit shape that proves no
+    * input row silently vanished from either stream.
+    *
+    * Eviction arithmetic (the gate oracle replays it exactly, same
+    * ms-rounded global-min watermark as the left-outer case): from
+    * c.tts ∈ [p.tts, p.tts+W], a purchase can still match future rows
+    * (all ≥ wm) until p.tts + W < wm, a click until c.tts < wm — so
+    * null rows appear for purchases below wm−W and clicks below wm,
+    * each at most once (Spark tracks matched-ness per state row). */
+  def rangeJoinFullStream(events: DataFrame,
+      windowUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
+    val withTts = events.withColumn("tts", graft.io.Tables.eventTime(events))
+    val clicks = withTts
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tts"),
+        unix_micros(col("tts")).as("ts_us"))
+      .withWatermark("tts", horizon)
+    val purchases = withTts
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("interval_id"), col("tts").as("p_tts"),
+        unix_micros(col("tts")).as("p_ts_us"))
+      .withWatermark("p_tts", horizon)
+    purchases.join(clicks,
+        col("user_id") === col("p_user") &&
+          col("tts") >= col("p_tts") &&
+          col("tts") <= col("p_tts") + expr(s"INTERVAL $windowUs MICROSECOND"),
+        "fullOuter")
+      .select(col("interval_id"), col("p_ts_us"),
+        col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+  }
+
   /** KEYLESS stream-stream interval-overlap join — the unbounded twin
     * of [[graft.core.Ops.intervalOverlapJoin]]: purchase attention
     * windows `[t, t+lWin]` × click dwell windows `[t, t+rWin]` joined on

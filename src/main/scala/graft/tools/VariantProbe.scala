@@ -56,9 +56,12 @@ object VariantProbe {
       tryQ("sql udf", "SELECT sq(7)")
       spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION gm(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN sqrt(x*y)")
       tryQ("sql udf 2-arg", "SELECT gm(4.0, 9.0)")
-      // table-valued SQL UDF
-      spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION tf(n INT) RETURNS TABLE(x INT) RETURN SELECT id::int FROM range(n)")
+      // table-valued SQL UDF (sequence+explode: foldability-free body)
+      spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION tf(n INT) RETURNS TABLE(x INT) RETURN SELECT explode(sequence(0, n - 1)) AS x")
       tryQ("sql table udf", "SELECT sum(x) FROM tf(5)")
+      tryQ("sql table udf lateral correlated",
+        """SELECT t.id, u.x FROM (SELECT id FROM range(1, 4)) t,
+          |LATERAL tf(CAST(t.id AS INT)) u ORDER BY 1, 2""".stripMargin)
     } catch { case e: Throwable => println(s"FAIL sql udf -> ${e.getMessage.take(300)}") }
 
     spark.stop()

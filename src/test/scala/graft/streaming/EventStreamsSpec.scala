@@ -168,6 +168,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full outer range join accounts for evicted rows of BOTH sides") {
+    val q = EventStreams.runToMemory(
+      EventStreams.rangeJoinFullStream(EventStreams.readEvents(spark, dir)),
+      "rjf_out", OutputMode.Append)
+    try {
+      val s = spark.table("rjf_out")
+      val matched = s.where(col("click_id").isNotNull && col("interval_id").isNotNull)
+      val pNulls = s.where(col("click_id").isNull)
+      val cNulls = s.where(col("interval_id").isNull)
+
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val usC = graft.io.Tables.eventMicros(ev)
+      val windowUs = 1800L * 1000000L
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          usC.as("click_ts_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("interval_id"),
+          usC.as("p_ts_us"))
+      val b = p.join(c, col("cu") === col("pu") &&
+          col("click_ts_us") >= col("p_ts_us") &&
+          col("click_ts_us") <= col("p_ts_us") + windowUs)
+        .select("interval_id", "p_ts_us", "click_id", "click_ts_us")
+      assert(matched.count() == b.count() && matched.except(b).isEmpty,
+        "full outer's matched part disagrees with batch inner join")
+
+      // both sides must null-emit (this fixture has unmatched rows on
+      // each), never a row that also matched, never inside its horizon
+      assert(pNulls.count() > 0 && cNulls.count() > 0,
+        "expected eviction nulls from both sides")
+      assert(pNulls.join(b, "interval_id").isEmpty,
+        "a purchase emitted both a match and a null")
+      assert(cNulls.join(b, "click_id").isEmpty,
+        "a click emitted both a match and a null")
+      val wmUs = (math.min(
+        c.agg(max("click_ts_us")).head().getLong(0) / 1000,
+        p.agg(max("p_ts_us")).head().getLong(0) / 1000) - 7200000L) * 1000
+      assert(pNulls.where(col("p_ts_us") >= wmUs - windowUs).isEmpty,
+        "null for a purchase still inside its horizon (wm - window)")
+      assert(cNulls.where(col("click_ts_us") >= wmUs).isEmpty,
+        "null for a click still inside its horizon (wm)")
+      // accounting: every click either matched or null-emitted-once,
+      // and clicks below wm are covered exactly once
+      val cCovered = matched.select("click_id")
+        .union(cNulls.select("click_id"))
+      assert(cCovered.groupBy("click_id").count()
+        .where(col("count") > 1).join(b.groupBy("click_id").count()
+          .where(col("count") > 1), "click_id", "left_anti").isEmpty,
+        "a click appears more times than its match count")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer flushes a trailing session via event-time timeout") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
