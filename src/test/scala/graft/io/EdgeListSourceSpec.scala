@@ -1,0 +1,110 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.testkit.SparkSpec
+
+/** The DataSourceV2 edge-list connector must read the reference format
+  * byte-identically to the spark.read.text + parse path, at EVERY
+  * chunking — including chunk sizes smaller than one line, where a
+  * reader's range starts and ends mid-line — and its pruning/pushdown
+  * must actually reach the scan node. */
+class EdgeListSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.EdgeListSource"
+
+  private def writeEdges(name: String, text: String): String = {
+    val dir = Files.createTempDirectory(s"graft_els_$name")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("part-0.txt"), text.getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("src", "dst").as[(Long, Long)].collect().toSeq.sorted
+
+  test("chunked reads equal the unchunked read for every boundary placement") {
+    val lines = (0 until 200).map(i => s"${i % 17} ${(i * 7) % 23}")
+    val dir = writeEdges("chunks", lines.mkString("\n") + "\n")
+    val whole = edgeSet(spark.read.format(Fmt).load(dir))
+    assert(whole.size == 200)
+    // chunk sizes below one line, around one line, prime, large: every
+    // byte offset serves as a boundary for some size
+    for (cb <- Seq(1, 2, 3, 5, 7, 11, 64, 1000, 1 << 20)) {
+      val chunked = edgeSet(
+        spark.read.format(Fmt).option("chunkBytes", cb.toString).load(dir))
+      assert(chunked == whole, s"chunkBytes=$cb diverged")
+    }
+  }
+
+  test("reads the reference's own test graph identically to EdgeListIO") {
+    val ref = "/root/reference/test/bull.txt"
+    if (new java.io.File(ref).exists()) {
+      val viaText = edgeSet(EdgeListIO.read(spark, ref))
+      val viaDsv2 = edgeSet(spark.read.format(Fmt)
+        .option("chunkBytes", "16").load(ref))
+      assert(viaDsv2 == viaText)
+    }
+  }
+
+  test("no trailing newline, CRLF, and empty files all read correctly") {
+    val d1 = writeEdges("notrail", "1 2\n3 4") // last line unterminated
+    assert(edgeSet(spark.read.format(Fmt).option("chunkBytes", "3").load(d1))
+      == Seq((1L, 2L), (3L, 4L)))
+    val d2 = writeEdges("crlf", "1 2\r\n3 4\r\n")
+    assert(edgeSet(spark.read.format(Fmt).load(d2)) == Seq((1L, 2L), (3L, 4L)))
+    val d3 = writeEdges("empty", "")
+    assert(spark.read.format(Fmt).load(d3).count() == 0)
+  }
+
+  test("column pruning reaches the scan: dst-only query never parses src column") {
+    val dir = writeEdges("prune", "1 2\n3 4\n")
+    val df = spark.read.format(Fmt).load(dir).select("dst")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    assert(scans.head.output.map(_.name) == Seq("dst"),
+      s"scan output not pruned: ${scans.head.output}")
+    assert(df.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // count(*) prunes everything
+    assert(spark.read.format(Fmt).load(dir).count() == 2)
+  }
+
+  test("comparison filters push into the scan with no residual Filter node") {
+    val lines = (0 until 100).map(i => s"$i ${i * 2}")
+    val dir = writeEdges("push", lines.mkString("\n") + "\n")
+    val df = spark.read.format(Fmt).load(dir)
+      .where(col("src") >= 10 && col("src") < 20 && col("dst") =!= 24)
+    val plan = df.queryExecution.executedPlan
+    val scanDesc = plan.collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(scanDesc.contains("GreaterThanOrEqual(src,10)")
+      && scanDesc.contains("LessThan(src,20)"),
+      s"comparisons not pushed: $scanDesc")
+    // the inequality (Not(EqualTo)) is NOT supported -> must remain as
+    // a residual Catalyst filter; the pushed ones must not
+    val residual = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }.mkString(";")
+    assert(residual.contains("24"), "unsupported filter lost from the plan")
+    assert(!residual.contains("10") && !residual.contains("20"),
+      s"pushed filters still re-checked post-scan: $residual")
+    assert(df.count() == 9) // src 10..19 minus src=12 (dst=24)
+  }
+
+  test("malformed lines: fail-fast by default with location, skip on request") {
+    val dir = writeEdges("bad", "1 2\n01 3\nx y\n4 5\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(Fmt).load(dir).count()
+    }
+    assert(e.getMessage.contains("malformed edge line")
+      || Option(e.getCause).exists(_.getMessage.contains("malformed edge line")))
+    val kept = edgeSet(spark.read.format(Fmt)
+      .option("malformed", "skip").load(dir))
+    assert(kept == Seq((1L, 2L), (4L, 5L))) // leading zero + non-digit dropped
+  }
+}
