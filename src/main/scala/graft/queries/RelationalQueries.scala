@@ -328,6 +328,27 @@ object RelationalQueries {
               |FROM o, LATERAL graft_splits(o.n) t""".stripMargin)
     }),
 
+    // EXCEPT ALL / INTERSECT ALL — the MULTISET set operations (plain
+    // EXCEPT/INTERSECT dedup; ALL preserves multiplicities: intersect
+    // = min(m_a, m_b) copies, except = m_a − m_b). The per-key counts
+    // in the output are exactly those multiplicity formulas, which a
+    // set-semantics engine would collapse to 1 — so the gate proves
+    // ALL semantics, not just membership. One Expand-free plan each.
+    "q33_setops" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""WITH a AS (SELECT l_orderkey AS x FROM lineitem
+              |    WHERE l_returnflag = 'A'),
+              |  r AS (SELECT l_orderkey AS x FROM lineitem
+              |    WHERE l_returnflag = 'R')
+              |SELECT 'intersect_all' AS op, x, count(*) AS cnt
+              |FROM (SELECT x FROM a INTERSECT ALL SELECT x FROM r)
+              |GROUP BY x
+              |UNION ALL
+              |SELECT 'except_all' AS op, x, count(*) AS cnt
+              |FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM r)
+              |GROUP BY x""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -473,6 +494,20 @@ object RelationalQueries {
         |  CAST(o.cents // o.n + CASE WHEN t.part < o.cents % o.n
         |    THEN 1 ELSE 0 END AS BIGINT) AS part_cents
         |FROM o, LATERAL (SELECT unnest(range(o.n)) AS part) t""".stripMargin,
+
+    // identical multiset algebra in DuckDB
+    "q33_setops" ->
+      """WITH a AS (SELECT l_orderkey AS x FROM lineitem
+        |    WHERE l_returnflag = 'A'),
+        |  r AS (SELECT l_orderkey AS x FROM lineitem
+        |    WHERE l_returnflag = 'R')
+        |SELECT 'intersect_all' AS op, x, count(*) AS cnt
+        |FROM (SELECT x FROM a INTERSECT ALL SELECT x FROM r)
+        |GROUP BY x
+        |UNION ALL
+        |SELECT 'except_all' AS op, x, count(*) AS cnt
+        |FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM r)
+        |GROUP BY x""".stripMargin,
 
     // the SQL-UDF bodies inlined by hand
     "q31_sql_udf" ->

@@ -96,13 +96,16 @@ private[sources] class EdgeListTable(path: String)
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = EdgeListSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Seq[AggOp] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after an aggregation push the required schema IS the agg schema —
+    // keep the raw columns; the reader computes the partials itself
+    if (aggs.isEmpty) required = requiredSchema
 
   /** Accept per-column comparisons against Long-convertible literals;
     * everything else stays with Catalyst. Accepted filters return an
@@ -114,8 +117,60 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** PARTIAL aggregate pushdown (ungrouped COUNT(*)/COUNT(col)/MIN/MAX
+    * only): each chunk reader folds its range into ONE row of partial
+    * values during the parse — nothing row-shaped ever leaves the scan
+    * — and Spark's final aggregate merges them (sum of counts, min of
+    * mins). Spark only attempts this once every filter was pushed, so
+    * the partials are always post-filter. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val translated = aggregation.aggregateExpressions().toSeq.map(AggOp.translate)
+    if (translated.exists(_.isEmpty)) return false
+    aggs = translated.flatten
+    true
+  }
+
   override def build(): Scan =
-    new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed)
+    new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs)
+}
+
+/** One pushed ungrouped aggregate, reader-side. */
+private[sources] sealed trait AggOp { def name: String }
+private[sources] case object CountStarOp extends AggOp { val name = "count(*)" }
+private[sources] case class CountColOp(col: String) extends AggOp {
+  def name = s"count($col)" // non-nullable column: same as count(*)
+}
+private[sources] case class MinOp(col: String) extends AggOp {
+  def name = s"min($col)"
+}
+private[sources] case class MaxOp(col: String) extends AggOp {
+  def name = s"max($col)"
+}
+
+private[sources] object AggOp {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+
+  private def colOf(e: VExpr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 &&
+      (nr.fieldNames()(0) == "src" || nr.fieldNames()(0) == "dst") =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  def translate(f: AggregateFunc): Option[AggOp] = f match {
+    case _: CountStar => Some(CountStarOp)
+    case c: Count if !c.isDistinct => colOf(c.column).map(CountColOp)
+    case m: Min => colOf(m.column).map(MinOp)
+    case m: Max => colOf(m.column).map(MaxOp)
+    case _ => None
+  }
 }
 
 private[sources] object EdgeListFilters {
@@ -172,14 +227,22 @@ private[sources] object EdgeListFilters {
 }
 
 private[sources] class EdgeListScan(path: String, chunkBytes: Long,
-    skipMalformed: Boolean, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    skipMalformed: Boolean, required: StructType, pushed: Array[Filter],
+    aggs: Seq[AggOp]) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) required
+    else StructType(aggs.map {
+      case a @ (CountStarOp | CountColOp(_)) =>
+        StructField(a.name, LongType, nullable = false)
+      case a => StructField(a.name, LongType, nullable = true) // empty chunk
+    })
+
   override def toBatch: Batch = this
   override def description(): String =
-    s"EdgeListScan path=$path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+    s"EdgeListScan path=$path, ReadSchema: ${readSchema().simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] =
     EdgeListSource.listFiles(path).flatMap { f =>
@@ -190,17 +253,59 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed)
+    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed, aggs)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
     extends InputPartition
 
 private[sources] class EdgeListReaderFactory(columns: Array[String],
-    pushed: Array[Filter], skipMalformed: Boolean)
+    pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed, skipMalformed)
+    if (aggs.isEmpty)
+      new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed, skipMalformed)
+    else
+      new EdgeChunkAggReader(p.asInstanceOf[EdgeChunk], pushed, skipMalformed, aggs)
+}
+
+/** Aggregate-pushdown reader: folds its whole byte range into ONE row
+  * of partial values — no per-edge InternalRow is ever allocated. */
+private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
+    pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp])
+    extends PartitionReader[InternalRow] {
+
+  private val inner = new EdgeChunkReader(chunk,
+    Array("src", "dst"), pushed, skipMalformed)
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0L
+    var minSrc = Long.MaxValue; var maxSrc = Long.MinValue
+    var minDst = Long.MaxValue; var maxDst = Long.MinValue
+    while (inner.next()) {
+      val r = inner.get()
+      val s = r.getLong(0); val d = r.getLong(1)
+      n += 1
+      if (s < minSrc) minSrc = s; if (s > maxSrc) maxSrc = s
+      if (d < minDst) minDst = d; if (d > maxDst) maxDst = d
+    }
+    val vals: Array[Any] = aggs.map {
+      case CountStarOp | CountColOp(_) => n
+      case MinOp(c) =>
+        if (n == 0) null else if (c == "src") minSrc else minDst
+      case MaxOp(c) =>
+        if (n == 0) null else if (c == "src") maxSrc else maxDst
+    }.toArray
+    row = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Streams one byte-range of one file. Boundary contract: a line

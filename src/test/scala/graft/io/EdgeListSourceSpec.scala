@@ -96,6 +96,38 @@ class EdgeListSourceSpec extends SparkSpec {
     assert(df.count() == 9) // src 10..19 minus src=12 (dst=24)
   }
 
+  test("ungrouped count/min/max push into the scan as per-chunk partials") {
+    val lines = (0 until 100).map(i => s"${(i * 13) % 97} ${(i * 29) % 89}")
+    val dir = writeEdges("agg", lines.mkString("\n") + "\n")
+    val base = spark.read.format(Fmt).option("chunkBytes", "64").load(dir)
+    val df = base.agg(
+      count(lit(1)).as("n"), min("src").as("mns"), max("src").as("mxs"),
+      min("dst").as("mnd"), max("dst").as("mxd"))
+    val desc = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(desc.contains("PushedAggregates"), s"aggregates not pushed: $desc")
+    assert(desc.contains("min(src)") && desc.contains("max(dst)"), desc)
+    val r = df.head()
+    val exp = lines.map { l => val Array(a, b) = l.split(" "); (a.toLong, b.toLong) }
+    assert(r.getLong(0) == 100L && r.getLong(1) == exp.map(_._1).min
+      && r.getLong(2) == exp.map(_._1).max && r.getLong(3) == exp.map(_._2).min
+      && r.getLong(4) == exp.map(_._2).max)
+    // composes with pushed filters: partials are post-filter
+    val f = base.where(col("src") >= 50).agg(count(lit(1)), max("dst"))
+    val fdesc = graft.plans.PlanWalk.nodes(f.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(fdesc.contains("PushedAggregates") && fdesc.contains("GreaterThanOrEqual(src,50)"), fdesc)
+    val expF = exp.filter(_._1 >= 50)
+    assert(f.head().getLong(0) == expF.size.toLong
+      && f.head().getLong(1) == expF.map(_._2).max)
+    // grouped aggregation must NOT push (stays row-level and correct)
+    val g = base.groupBy("src").count()
+    val gdesc = graft.plans.PlanWalk.nodes(g.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(!gdesc.contains("PushedAggregates"), gdesc)
+    assert(g.count() == exp.map(_._1).distinct.size.toLong)
+  }
+
   test("malformed lines: fail-fast by default with location, skip on request") {
     val dir = writeEdges("bad", "1 2\n01 3\nx y\n4 5\n")
     val e = intercept[org.apache.spark.SparkException] {
