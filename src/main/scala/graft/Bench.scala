@@ -252,7 +252,8 @@ object Bench {
     // sf — kept out of the headline so its composition stays comparable
     // across rounds, but baselined here with min/median/max like the
     // headline spread.
-    val trend = Seq("d_cdc", "s_hybrid_rrf").flatMap { name => section(name) {
+    val trend = Seq("d_cdc", "s_hybrid_rrf", "s_ann_ivfpq",
+        "g_dsv2_edges").flatMap { name => section(name) {
       val q = SparkEntry.queries(name)
       materialize(q(spark, sfDir)) // warm
       val ts = (1 to 3).map(_ => timeIt(materialize(q(spark, sfDir)))).sorted

@@ -445,16 +445,27 @@ object Similarity {
       nlist: Int = DefaultNList, nprobe: Int = DefaultNProbe,
       subspaces: Int = DefaultSubspaces, codewords: Int = DefaultCodewords): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = ivfCentroids(embeddings, nlist)
-    val lists = ivfAssign(embeddings, cents)
+    // Each intermediate feeds 2–4 downstream branches; without the
+    // eager localCheckpoint Catalyst RE-DERIVES the whole seeded-
+    // quantizer subtree per branch — measured 4× the end-to-end time
+    // at bench scale (tools/IvfPqProbe: stage sum ≈ 2 s, uncheckpointed
+    // query 8 s). cents/cb/probes are tiny by construction; lists and
+    // resid are corpus-row-count (narrow / dim-wide) — localCheckpoint
+    // stores MEMORY_AND_DISK, so at corpus scale they spill rather
+    // than OOM, and computing each exactly once is precisely what a
+    // production index build wants.
+    val cents = ivfCentroids(embeddings, nlist).coalesce(1).localCheckpoint(true)
+    val lists = ivfAssign(embeddings, cents).localCheckpoint(true)
     // residual frame: (vec_id, cid, embedding := v − c_cid), double-typed
     val resid = embeddings.join(lists, "vec_id")
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"),
         zip_with(asDouble(col("embedding")), asDouble(col("cvec")),
           _ - _).as("embedding"))
+      .localCheckpoint(true)
     // shared residual codebook: seed rows' residuals, sliced per subspace
     val cb = pqCodebook(resid, dim, subspaces, codewords)
+      .coalesce(1).localCheckpoint(true)
     val codes = pqEncode(resid, cb, dim, subspaces)
     // probe selection: nprobe best centroids per query (bounded heaps)
     val qScored = embeddings
@@ -467,24 +478,45 @@ object Similarity {
       .select(col("qid"), col("cid"),
         zip_with(asDouble(col("qvec")), asDouble(col("cvec")),
           _ - _).as("qres"))
-    // per-(query, probed list) ADC table: distance of the query RESIDUAL
-    // in that list to every codeword of every subspace
+      .localCheckpoint(true)
+    // ADC via lookup-table ARRAYS (the FAISS per-query LUT shape): one
+    // length-m code array per corpus vector, one length-m·kw distance
+    // array per (query, probed list) — the scoring join then touches
+    // ONE row per candidate (not one per candidate×subspace; the
+    // rows-per-subspace shape ran 4× slower at bench scale) and the
+    // ad2 sum is a fixed-order m-step fold of array lookups.
     val ds = dim / subspaces
+    val codesArr = codes
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subsp"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e.getField("code")).as("codes"))
     val dtab = probes
       .select(col("qid"), col("cid"),
         posexplode(array((0 until subspaces).map(s =>
           slice(col("qres"), s * ds + 1, ds)): _*)).as(Seq("subsp", "qsub")))
       .join(broadcast(cb), "subsp")
-      .select(col("qid"), col("cid"), col("subsp"), col("code"),
+      .select(col("qid"), col("cid"),
+        (col("subsp") * codewords + col("code")).as("idx"),
         sqDist(col("qsub"), col("cw")).as("qd2"))
+      .groupBy("qid", "cid")
+      .agg(array_sort(collect_list(struct(col("idx"), col("qd2")))).as("iq"))
+      .select(col("qid"), col("cid"),
+        transform(col("iq"), e => e.getField("qd2")).as("lut"))
     val scored = probes.select("qid", "cid")
       .join(lists, "cid")
       .where(col("qid") =!= col("vec_id"))
-      .join(codes, "vec_id")
-      .join(broadcast(dtab), Seq("qid", "cid", "subsp", "code"))
-      .groupBy("qid", "vec_id").agg(round(sum("qd2"), 6).as("ad2"))
-    val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .join(codesArr, "vec_id")
+      .join(broadcast(dtab), Seq("qid", "cid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0d),
+          (acc, s) => acc + element_at(col("lut"),
+            (s * codewords + element_at(col("codes"), s + 1) + 1)
+              .cast("int"))), 6).as("ad2"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq(col("qid")), Seq(col("ad2").asc, col("vec_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)))
   }
 
   /** Global top-`n` of `df` by (`score` desc, `id` asc), re-emitted as a
