@@ -126,19 +126,19 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "g_degree" -> ((s, dir) => GraphOps.outDegree(Tables.edges(s, dir))),
 
-    // The DataSourceV2 edge-list connector end-to-end: the edge table
-    // round-trips through the reference's ON-DISK text format (multi-
-    // file dir, 4 KiB byte-range chunks — dozens of mid-line
-    // boundaries), is re-read via format("graft.sources.EdgeListSource")
-    // with the dst-filter PUSHED INTO the chunk readers, and aggregated.
-    // The oracle never sees the text detour, so any parse / boundary /
+    // The DataSourceV2 edge-list connector end-to-end, BOTH directions:
+    // the edge table is written through the connector's BatchWrite
+    // (task temp files + rename commit), re-read at 4 KiB byte-range
+    // chunks — dozens of mid-line boundaries — with the dst-filter
+    // PUSHED INTO the chunk readers, and aggregated. The oracle never
+    // sees the on-disk detour, so any emit / parse / boundary /
     // pushdown defect breaks the hash.
     "g_dsv2_edges" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_dsv2_").toFile
       root.deleteOnExit()
       Tables.edges(s, dir)
-        .select(concat_ws(" ", col("src"), col("dst")))
-        .repartition(3).write.mode("overwrite").text(s"$root/edges")
+        .repartition(3).write.format("graft.sources.EdgeListSource")
+        .mode("overwrite").save(s"$root/edges")
       s.read.format("graft.sources.EdgeListSource")
         .option("chunkBytes", "4096")
         .load(s"$root/edges")

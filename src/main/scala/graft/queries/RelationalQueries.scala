@@ -349,6 +349,26 @@ object RelationalQueries {
               |GROUP BY x""".stripMargin)
     }),
 
+    // Collated comparison semantics (Spark 4 COLLATE): a deterministic
+    // mixed-case mangling of o_orderpriority (upper on even keys,
+    // lower on odd) must regroup under UTF8_LCASE as if never mangled,
+    // and the collated filter matches 'F' against lowercase 'f'. The
+    // output lowercases the group key, so no representative-choice
+    // nondeterminism reaches the hash; the oracle models the collation
+    // with plain lower() (equivalent for ASCII).
+    "q34_collation" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""WITH m AS (SELECT o_orderkey, o_orderstatus,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              |         ELSE lower(o_orderpriority) END AS pri
+              |  FROM orders)
+              |SELECT CAST(lower(collate(pri, 'UTF8_LCASE')) AS STRING) AS pri,
+              |  count(*) AS cnt, min(o_orderkey) AS min_key
+              |FROM m
+              |WHERE collate(o_orderstatus, 'UTF8_LCASE') = 'f'
+              |GROUP BY collate(pri, 'UTF8_LCASE')""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -508,6 +528,16 @@ object RelationalQueries {
         |SELECT 'except_all' AS op, x, count(*) AS cnt
         |FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM r)
         |GROUP BY x""".stripMargin,
+
+    // lower() models the lcase collation exactly on this ASCII data
+    "q34_collation" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+        |         ELSE lower(o_orderpriority) END AS pri
+        |  FROM orders)
+        |SELECT lower(pri) AS pri, count(*) AS cnt, min(o_orderkey) AS min_key
+        |FROM m WHERE lower(o_orderstatus) = 'f'
+        |GROUP BY lower(pri)""".stripMargin,
 
     // the SQL-UDF bodies inlined by hand
     "q31_sql_udf" ->

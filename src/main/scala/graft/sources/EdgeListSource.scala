@@ -8,9 +8,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,19 +79,23 @@ object EdgeListSource {
 }
 
 private[sources] class EdgeListTable(path: String)
-    extends Table with SupportsRead {
-  require(path != null, "EdgeListSource requires a single load(path)")
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "EdgeListSource requires a single load(path)/save(path)")
 
   override def name(): String = s"edgelist($path)"
   override def schema(): StructType = EdgeListSource.Schema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeListScanBuilder(path,
       Option(options.get("chunkBytes")).map(_.toLong)
         .getOrElse(EdgeListSource.DefaultChunkBytes),
       Option(options.get("malformed")).getOrElse("fail") == "skip")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new EdgeListWriteBuilder(path, info)
 }
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
@@ -409,4 +414,91 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Write side of the connector (the reference's `print`/golden-file
+  * emitters as a Spark sink): each task streams its partition to a
+  * hidden temp file; the driver-side commit atomically renames every
+  * task file into place — and, under TRUNCATE (mode("overwrite")),
+  * removes the previous generation first. A failed/speculative task's
+  * file is deleted by abort and never becomes visible, so the commit
+  * is all-or-nothing at file granularity (the same recipe as
+  * exactlyOnceParquetSink). */
+private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val in = info.schema()
+    require(in.length == 2 &&
+        in.fields.forall(f => f.dataType == LongType) &&
+        in.fieldNames.toSeq == Seq("src", "dst"),
+      s"edge-list writes need (src BIGINT, dst BIGINT); got ${in.simpleString}")
+    new Write {
+      override def toBatch: BatchWrite = new EdgeListBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+private[sources] case class EdgeFileCommit(tempPath: String) extends WriterCommitMessage
+
+private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): DataWriterFactory =
+    new EdgeListWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach(_.delete())
+    messages.foreach { case EdgeFileCommit(tmp) =>
+      val f = new java.io.File(tmp)
+      if (f.length() == 0) f.delete() // empty partition: no file
+      else {
+        val target = new java.io.File(dir, f.getName.stripPrefix("."))
+        if (!f.renameTo(target))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case EdgeFileCommit(tmp) => new java.io.File(tmp).delete() }
+}
+
+private[sources] class EdgeListWriterFactory(path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new EdgeFileWriter(path, partitionId, taskId)
+}
+
+private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  // dot-prefixed → invisible to listFiles until commit renames it
+  private val tmp = {
+    val dir = new java.io.File(path); dir.mkdirs()
+    new java.io.File(dir, f".part-$partitionId%05d-$taskId.txt")
+  }
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(tmp), 1 << 16)
+
+  override def write(r: InternalRow): Unit = {
+    out.write(java.lang.Long.toString(r.getLong(0)).getBytes(StandardCharsets.US_ASCII))
+    out.write(' ')
+    out.write(java.lang.Long.toString(r.getLong(1)).getBytes(StandardCharsets.US_ASCII))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close(); EdgeFileCommit(tmp.getAbsolutePath)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = out.close()
 }

@@ -37,6 +37,14 @@ object VariantProbe {
     tryQ("variant array explode",
       """SELECT v::int FROM (SELECT explode(cast(variant_get(parse_json('{"xs":[3,1,2]}'), '$.xs') AS ARRAY<VARIANT>)) v)""")
 
+    // collations (Spark 4)
+    tryQ("collate eq", "SELECT 'Abc' COLLATE UTF8_LCASE = 'aBC'")
+    tryQ("collate groupby",
+      """SELECT collate(c, 'UTF8_LCASE') AS k, count(*) AS n
+        |FROM VALUES ('Ab'), ('aB'), ('cd') t(c) GROUP BY k ORDER BY n""".stripMargin)
+    tryQ("collate min", "SELECT min(collate(c, 'UTF8_LCASE')) FROM VALUES ('b'), ('A') t(c)")
+    tryQ("collate trim", "SELECT 'a ' COLLATE UTF8_LCASE_RTRIM = 'A'")
+
     // parquet round-trip
     try {
       val dir = "/tmp/variant_probe_pq"

@@ -128,6 +128,44 @@ class EdgeListSourceSpec extends SparkSpec {
     assert(g.count() == exp.map(_._1).distinct.size.toLong)
   }
 
+  test("write path: round trip, overwrite truncation, append, schema check") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = Files.createTempDirectory("graft_els_write")
+    dir.toFile.deleteOnExit()
+    val p = dir.toString + "/out"
+    val edges = (0 until 50).map(i => (i.toLong, (i * 3 % 31).toLong))
+    edges.toDF("src", "dst").repartition(4)
+      .write.format(Fmt).mode("overwrite").save(p)
+    // multiple part files, reference line format on disk
+    val files = new java.io.File(p).listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith("."))
+    assert(files.length > 1, "expected multiple part files")
+    val raw = files.flatMap(f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty))
+    assert(raw.forall(_.matches("(0|[1-9][0-9]*) (0|[1-9][0-9]*)")),
+      s"bad line format: ${raw.take(3).mkString(";")}")
+    assert(edgeSet(spark.read.format(Fmt).load(p)) == edges.sorted)
+    // overwrite truncates the previous generation
+    val gen2 = Seq((100L, 200L), (300L, 400L))
+    gen2.toDF("src", "dst").write.format(Fmt).mode("overwrite").save(p)
+    assert(edgeSet(spark.read.format(Fmt).load(p)) == gen2.sorted)
+    // append keeps it
+    Seq((500L, 600L)).toDF("src", "dst")
+      .write.format(Fmt).mode("append").save(p)
+    assert(edgeSet(spark.read.format(Fmt).load(p)) == (gen2 :+ ((500L, 600L))).sorted)
+    // wrong schema refused — Spark's write-side analysis rejects the
+    // unsafe cast against the table schema before our builder even runs
+    val e = intercept[Exception] {
+      Seq(("x", 1L)).toDF("src", "dst").write.format(Fmt).mode("append").save(p)
+    }
+    assert(e.getMessage.contains("CANNOT_SAFELY_CAST")
+      || e.getMessage.contains("src BIGINT"))
+    // written output survives a chunked re-read (write ⊣ read adjunction)
+    assert(edgeSet(spark.read.format(Fmt).option("chunkBytes", "5").load(p))
+      == (gen2 :+ ((500L, 600L))).sorted)
+  }
+
   test("malformed lines: fail-fast by default with location, skip on request") {
     val dir = writeEdges("bad", "1 2\n01 3\nx y\n4 5\n")
     val e = intercept[org.apache.spark.SparkException] {
