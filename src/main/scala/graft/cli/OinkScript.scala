@@ -410,6 +410,20 @@ object OinkScript {
               if (ins.isEmpty) throw ScriptError(line, "read_parquet requires -i paths")
               sinkAndBind(spark.read.option("recursiveFileLookup", "true")
                 .parquet(ins.map(resolve): _*), outs, line)
+            case "read_edge_dsv2" =>
+              // edge list through the V2 connector (byte-range chunked
+              // scan with pruning/pushdown) instead of the text reader
+              if (ins.size != 1) throw ScriptError(line, "read_edge_dsv2 requires -i path")
+              sinkAndBind(spark.read.format("graft.sources.EdgeListSource")
+                .load(resolve(ins.head)), outs, line)
+            case "write_edge_dsv2" =>
+              // sink verb: emit (src, dst) through the connector's
+              // temp-file + rename commit; -o DIR [OBJ]
+              if (outs.isEmpty) throw ScriptError(line, "write_edge_dsv2 requires -o dir [OBJ]")
+              in0.select("src", "dst")
+                .write.format("graft.sources.EdgeListSource")
+                .mode("overwrite").save(resolve(outs.head))
+              outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
             case "dedup_exact" =>
               sinkAndBind(Dedup.exact(in0, col("doc_id"), col("text")), outs, line)
             case "minhash_sig" =>

@@ -117,6 +117,19 @@ class OinkScriptSpec extends SparkSpec {
       && reg("mrb").count() > 0)
   }
 
+  test("dsv2 verbs: rmat -> write_edge_dsv2 -> read_edge_dsv2 round trip") {
+    val dir = Files.createTempDirectory("oinkdsv2").toString
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 4 3 0.25 0.25 0.25 0.25 0.0 777 -o NULL mre",
+      s"write_edge_dsv2 -i mre -o $dir/edges mre2",
+      s"read_edge_dsv2 -i $dir/edges -o NULL back"))
+    val orig = reg("mre").select("src", "dst").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val back = reg("back").select("src", "dst").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(back == orig && back.nonEmpty)
+  }
+
   test("pipeline verbs: read_parquet -> minhash dedup chain end to end") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     assume(new java.io.File(docs).exists())
