@@ -86,6 +86,7 @@ private[sources] class EdgeListTable(path: String)
   override def schema(): StructType = EdgeListSource.Schema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -244,6 +245,10 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     })
 
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EdgeListMicroBatchStream(path, chunkBytes, skipMalformed,
+      required, pushed)
   override def description(): String =
     s"EdgeListScan path=$path, ReadSchema: ${readSchema().simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
@@ -501,4 +506,57 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Lo
   }
   override def abort(): Unit = { out.close(); tmp.delete() }
   override def close(): Unit = out.close()
+}
+
+/** Streaming read of an append-only edge-list directory — the third
+  * face of the connector (batch read / batch write / micro-batch
+  * stream), with the SAME pruning and filter pushdown active inside
+  * each micro-batch's chunk readers.
+  *
+  * Offset model: the count of files in lexicographic order. Contract
+  * (the FileStreamSource discipline, simplified): files are immutable
+  * once visible and new files sort AFTER processed ones — the
+  * connector's own writer satisfies both (part-<id> naming, rename
+  * commit). Each micro-batch plans the byte-range chunks of files
+  * [start, end) only, so a batch's work is bounded by new data, never
+  * a re-scan of the directory. */
+private[sources] class EdgeListMicroBatchStream(path: String,
+    chunkBytes: Long, skipMalformed: Boolean, required: StructType,
+    pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"files":$n}"""
+  }
+
+  private def files(): Seq[java.io.File] =
+    if (new java.io.File(path).exists()) EdgeListSource.listFiles(path)
+    else Seq.empty
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset = FileCountOffset(files().size)
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"files":(\d+)\}""".r
+    json match {
+      case m(n) => FileCountOffset(n.toInt)
+      case _ => throw new IllegalArgumentException(s"bad edge-list offset: $json")
+    }
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    files().slice(s, e).flatMap { f =>
+      val len = f.length()
+      if (len == 0) Seq.empty
+      else (0L until len by chunkBytes).map(off =>
+        EdgeChunk(f.getAbsolutePath, off, math.min(off + chunkBytes, len)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed, Nil)
 }

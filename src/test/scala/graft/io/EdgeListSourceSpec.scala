@@ -166,6 +166,32 @@ class EdgeListSourceSpec extends SparkSpec {
       == (gen2 :+ ((500L, 600L))).sorted)
   }
 
+  test("micro-batch stream: new files arrive as new batches, exactly once") {
+    val dir = Files.createTempDirectory("graft_els_stream")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("part-00000.txt"),
+      "1 2\n3 4\n".getBytes(StandardCharsets.UTF_8))
+    val q = spark.readStream.format(Fmt)
+      .option("chunkBytes", "4") // mid-line boundaries inside a stream too
+      .load(dir.toString)
+      .where(col("src") >= 0) // pushed into the streaming chunk readers
+      .writeStream.format("memory").queryName("els_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("els_stream").select("src", "dst")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(first == Seq((1L, 2L), (3L, 4L)))
+      // a second file = a later offset = exactly one more batch of rows
+      Files.write(dir.resolve("part-00001.txt"),
+        "5 6\n".getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val both = spark.table("els_stream").select("src", "dst")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(both == Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    } finally q.stop()
+  }
+
   test("malformed lines: fail-fast by default with location, skip on request") {
     val dir = writeEdges("bad", "1 2\n01 3\nx y\n4 5\n")
     val e = intercept[org.apache.spark.SparkException] {
