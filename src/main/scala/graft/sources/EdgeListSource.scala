@@ -191,6 +191,7 @@ private[sources] object EdgeListFilters {
     case GreaterThanOrEqual(a, v) => isCol(a) && isLong(v)
     case LessThan(a, v) => isCol(a) && isLong(v)
     case LessThanOrEqual(a, v) => isCol(a) && isLong(v)
+    case In(a, vs) => isCol(a) && vs.nonEmpty && vs.forall(isLong)
     case IsNotNull(a) => isCol(a) // non-nullable: always true
     case _ => false
   }
@@ -220,6 +221,10 @@ private[sources] object EdgeListFilters {
       case LessThanOrEqual(a, v) =>
         val c = toL(v); if (a == "src") (s: Long, _: Long) => s <= c
                         else (_: Long, d: Long) => d <= c
+      case In(a, vs) =>
+        val set = vs.map(toL).toSet
+        if (a == "src") (s: Long, _: Long) => set.contains(s)
+        else (_: Long, d: Long) => set.contains(d)
       case IsNotNull(_) => (_: Long, _: Long) => true
       case f => throw new IllegalStateException(s"unsupported pushed filter $f")
     }
@@ -234,7 +239,34 @@ private[sources] object EdgeListFilters {
 
 private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     skipMalformed: Boolean, required: StructType, pushed: Array[Filter],
-    aggs: Seq[AggOp]) extends Scan with Batch {
+    aggs: Seq[AggOp]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
+    * no decode amplification worth modeling), rows ≈ bytes / the
+    * 8-byte "1 2\n"-scale lower bound is too coarse to claim; sizing
+    * alone already drives broadcast-side selection. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = EdgeListSource.listFiles(path).map(_.length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  /** Runtime (DPP-style) filtering: a broadcast join key set arrives
+    * after planning as In(src/dst, …) and the chunk readers drop
+    * non-matching rows during the parse — rows for keys the join can
+    * never match are never materialized. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("src"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("dst"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(EdgeListFilters.supported)
 
   override def readSchema(): StructType =
     if (aggs.isEmpty) required
@@ -263,7 +295,8 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed, aggs)
+    new EdgeListReaderFactory(required.fieldNames,
+      pushed ++ runtimeFilters, skipMalformed, aggs)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)

@@ -192,6 +192,44 @@ class EdgeListSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("In pushdown, size statistics, and runtime filter application") {
+    val lines = (0 until 60).map(i => s"$i ${i * 2}")
+    val text = lines.mkString("\n") + "\n"
+    val dir = writeEdges("inpush", text)
+    // In via isin: pushed, no residual, correct values
+    val df = spark.read.format(Fmt).load(dir).where(col("src").isin(3, 7, 11))
+    val scanExec = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scanExec.scan.description().contains("In(src"),
+      s"In not pushed: ${scanExec.scan.description()}")
+    assert(df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, "In filter re-checked post-scan")
+    assert(edgeSet(df) == Seq((3L, 6L), (7L, 14L), (11L, 22L)))
+    // statistics: sizeInBytes = raw bytes on disk (drives broadcast picks)
+    val stats = scanExec.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong == text.getBytes("UTF-8").length.toLong)
+    // runtime filtering: a post-planning In (the DPP shape) reaches the
+    // chunk readers — rows for other keys are never materialized
+    val rf = scanExec.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("src", "dst"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("dst", Array(6L, 14L))))
+    val batch = scanExec.scan.toBatch
+    val parts = batch.planInputPartitions()
+    val factory = batch.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (r.next()) { val row = r.get(); buf += ((row.getLong(0), row.getLong(1))) }
+      r.close(); buf
+    }.toSeq.sorted
+    assert(rows == Seq((3L, 6L), (7L, 14L))) // static In ∧ runtime In
+  }
+
   test("malformed lines: fail-fast by default with location, skip on request") {
     val dir = writeEdges("bad", "1 2\n01 3\nx y\n4 5\n")
     val e = intercept[org.apache.spark.SparkException] {
