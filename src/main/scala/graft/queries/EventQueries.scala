@@ -244,6 +244,23 @@ object EventQueries {
         .drop("value")
     }),
 
+    // RANGE-frame window (the VALUE-range frame semantics the ROWS
+    // frames above can't express): per user, exact cents flowing in
+    // the 30 minutes ENDING at each event. Unlike a ROWS frame, ties
+    // in the order column are included wholly on both sides — the
+    // result is deterministic without an id tie-break in the ORDER BY.
+    "e_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-1800L * 1000000L, 0L)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("win_cents", sum("cents").over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .drop("cents")
+    }),
+
     // Ordered funnel (view → click → purchase): per user, the earliest
     // time reaching each stage STRICTLY AFTER the previous stage's
     // time — one conditional-min aggregation per stage, each keyed on
@@ -420,6 +437,16 @@ object EventQueries {
         |  round((e.value - st.m) / st.sd, 6) AS z
         |FROM events e JOIN st USING (event_type)
         |WHERE abs(round((e.value - st.m) / st.sd, 6)) > 3""".stripMargin,
+
+    "e_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+        |  count(*) OVER w AS win_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "e_moving_avg" ->
       """WITH e AS (SELECT user_id, event_id, value,

@@ -256,6 +256,15 @@ object StreamingGateQueries {
           EventStreams.readEventsMultiBatch(s, dir)), "st_dedup_tws_gate")
       }),
 
+    // the ordered-funnel state machine on the TWS API — the 3-slot
+    // per-user state crosses micro-batches on RocksDB; completes the
+    // fMGWS ↔ TWS twin matrix (running, dedup, sessionize, funnel)
+    "st_funnel_tws" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.funnelStreamTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_funnel_tws_gate")
+      }),
+
     // Batch-backfill → streaming handoff (StatefulProcessorWithInitial-
     // State): the first two staged slices aggregate batch-side into
     // per-key moments seeded via handleInitialState; the last two
@@ -838,6 +847,7 @@ object StreamingGateQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
         |  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
     "st_dedup_tws" -> baseOracles("st_dedup"),
+    "st_funnel_tws" -> baseOracles("st_funnel"),
     "st_sessionize_tws" -> baseOracles("st_sessionize"),
     "st_asof_dyn" -> asOfDynOracle,
     "st_scd2_sink" -> scd2SinkOracle)

@@ -98,6 +98,60 @@ object TwsOperators {
       .toDF()
   }
 
+  /** [[EventStreams.funnelStream]] on `transformWithState`: the 3-slot
+    * ordered-funnel state machine (view → click → purchase, each stage
+    * STRICTLY after the previous) as one `ValueState[FunnelState]` per
+    * user — completing the fMGWS ↔ TWS twin matrix for every stateful
+    * gate shape. Same in-batch event-time sort, same emissions, so it
+    * shares st_funnel's oracle verbatim. */
+  private class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, EventStreams.FEvent, EventStreams.StageHit] {
+    @transient private var slots: ValueState[EventStreams.FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      slots = getHandle.getValueState[EventStreams.FunnelState]("slots",
+        Encoders.product[EventStreams.FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long,
+        rows: Iterator[EventStreams.FEvent],
+        timers: TimerValues): Iterator[EventStreams.StageHit] = {
+      var s = if (slots.exists()) slots.get()
+              else EventStreams.FunnelState(-1L, -1L, -1L)
+      val out = Seq.newBuilder[EventStreams.StageHit]
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        if (e.event_type == stages(0) && s.t1 < 0) {
+          s = s.copy(t1 = e.ts_us)
+          out += EventStreams.StageHit(userId, 0L, stages(0), e.ts_us)
+        } else if (e.event_type == stages(1) && s.t1 >= 0 && s.t2 < 0 &&
+            e.ts_us > s.t1) {
+          s = s.copy(t2 = e.ts_us)
+          out += EventStreams.StageHit(userId, 1L, stages(1), e.ts_us)
+        } else if (e.event_type == stages(2) && s.t2 >= 0 && s.t3 < 0 &&
+            e.ts_us > s.t2) {
+          s = s.copy(t3 = e.ts_us)
+          out += EventStreams.StageHit(userId, 2L, stages(2), e.ts_us)
+        }
+      }
+      slots.update(s)
+      out.result().iterator
+    }
+  }
+
+  def funnelStreamTws(spark: SparkSession, events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    require(stages.length == 3, "funnelStreamTws tracks exactly 3 stages")
+    events
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        graft.io.Tables.eventMicros(events).as("ts_us"))
+      .as[EventStreams.FEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class WinEvent(ts_us: Long, event_id: Long, cents: Long)
   final case class LastNRow(event_type: String, event_id: Long,
       n_in_window: Long, sum_window_cents: Long)
