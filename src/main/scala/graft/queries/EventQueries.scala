@@ -244,6 +244,28 @@ object EventQueries {
         .drop("value")
     }),
 
+    // Gap fill: LOCF forward fill (last observation carried forward)
+    // and NOCB backward fill in ONE per-key window pass each — the
+    // sparse-time-series repair primitive (sensor feeds, sparse feature
+    // columns). Holes are synthesized deterministically (value observed
+    // only when event_id % 3 == 0) so both engines see identical gaps;
+    // the fills are pure value CARRIES (no arithmetic), so the gated
+    // doubles are bit-identical to the parquet source. Leading rows
+    // before the first observation stay NULL under ffill (and trailing
+    // ones under bfill) — the honest semantics, not an invented zero.
+    "e_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val fwd = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val bwd = ord.rowsBetween(0, Window.unboundedFollowing)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          when(col("event_id") % 3 === 0, col("value")).as("v"))
+        .withColumn("ffill", last("v", ignoreNulls = true).over(fwd))
+        .withColumn("bfill", first("v", ignoreNulls = true).over(bwd))
+        .drop("v")
+    }),
+
     // RANGE-frame window (the VALUE-range frame semantics the ROWS
     // frames above can't express): per user, exact cents flowing in
     // the 30 minutes ENDING at each event. Unlike a ROWS frame, ties
@@ -447,6 +469,17 @@ object EventQueries {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "e_gapfill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  CASE WHEN event_id % 3 = 0 THEN value END AS v FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS ffill,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+        |FROM e""".stripMargin,
 
     "e_moving_avg" ->
       """WITH e AS (SELECT user_id, event_id, value,

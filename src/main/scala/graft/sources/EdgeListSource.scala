@@ -39,6 +39,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    >=, IsNotNull on either column evaluate DURING the parse; pushed
   *    filters are fully consumed (no residual Filter node survives in
   *    the plan — EdgeListSourceSpec proves it).
+  *  - **Limit / top-N pushdown** ([[SupportsPushDownLimit]] /
+  *    [[SupportsPushDownTopN]], both PARTIAL): a pushed LIMIT stops
+  *    each chunk reader after its first n post-filter rows; a pushed
+  *    ORDER BY src/dst LIMIT n folds each chunk through one bounded
+  *    O(n) heap — either way the retained global Limit/TakeOrdered
+  *    merges ≤ n rows per chunk instead of the whole file.
   *
   * Options: `chunkBytes` (split size, default 64 MiB), `malformed`
   * (`fail` — default, abort with file+offset, the reference checker's
@@ -102,11 +108,14 @@ private[sources] class EdgeListTable(path: String)
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = EdgeListSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Seq[AggOp] = Nil
+  private var limit: Option[Int] = None
+  private var topN: Seq[(String, Boolean)] = Nil // (col, descending)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // after an aggregation push the required schema IS the agg schema —
@@ -142,8 +151,44 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     true
   }
 
+  /** PARTIAL limit pushdown: each chunk reader stops parsing after
+    * emitting `limit` post-filter rows (Spark keeps the global Limit
+    * that merges the per-chunk prefixes) — a `LIMIT 10` probe over a
+    * 100 TB edge file reads ~10 lines per chunk, not the file. */
+  override def pushLimit(l: Int): Boolean =
+    if (aggs.nonEmpty || l < 0) false
+    else { limit = Some(l); true }
+
+  /** PARTIAL top-N pushdown (ORDER BY src/dst ... LIMIT n): each chunk
+    * folds its whole range through one bounded O(n)-memory heap and
+    * emits only its n best rows; Spark's global TakeOrdered then picks
+    * the true top-N from ≤ n·chunks candidates instead of sorting every
+    * edge. Any tie-break the heap makes is a valid top-N (the global
+    * sort re-orders whatever survives). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (aggs.nonEmpty || l < 0 || orders.isEmpty) return false
+    val cols = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            (nr.fieldNames()(0) == "src" || nr.fieldNames()(0) == "dst") =>
+          Some((nr.fieldNames()(0), o.direction() == SortDirection.DESCENDING))
+        case _ => None
+      }
+    }
+    if (cols.exists(_.isEmpty)) return false // expression order: Catalyst keeps it
+    topN = cols.flatten
+    limit = Some(l)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs)
+    new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
+      limit, topN)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -239,7 +284,8 @@ private[sources] object EdgeListFilters {
 
 private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     skipMalformed: Boolean, required: StructType, pushed: Array[Filter],
-    aggs: Seq[AggOp]) extends Scan with Batch
+    aggs: Seq[AggOp], limit: Option[Int] = None,
+    topN: Seq[(String, Boolean)] = Nil) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
@@ -284,7 +330,10 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def description(): String =
     s"EdgeListScan path=$path, ReadSchema: ${readSchema().simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]")
+      (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]") +
+      (if (topN.nonEmpty)
+        s", PushedTopN: [${topN.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")} LIMIT ${limit.get}]"
+      else limit.fold("")(l => s", PushedLimit: $l"))
 
   override def planInputPartitions(): Array[InputPartition] =
     EdgeListSource.listFiles(path).flatMap { f =>
@@ -296,20 +345,87 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames,
-      pushed ++ runtimeFilters, skipMalformed, aggs)
+      pushed ++ runtimeFilters, skipMalformed, aggs, limit, topN)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
     extends InputPartition
 
 private[sources] class EdgeListReaderFactory(columns: Array[String],
-    pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp])
+    pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
+    limit: Option[Int] = None, topN: Seq[(String, Boolean)] = Nil)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (aggs.isEmpty)
-      new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed, skipMalformed)
-    else
+    if (aggs.nonEmpty)
       new EdgeChunkAggReader(p.asInstanceOf[EdgeChunk], pushed, skipMalformed, aggs)
+    else if (topN.nonEmpty)
+      new EdgeChunkTopNReader(p.asInstanceOf[EdgeChunk], columns, pushed,
+        skipMalformed, topN, limit.get)
+    else
+      new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed,
+        skipMalformed, limit)
+}
+
+/** Top-N-pushdown reader: folds the chunk's whole post-filter row set
+  * through ONE bounded heap (worst-on-top, capped at n) and then emits
+  * its ≤ n best rows — O(n) memory and no per-chunk sort of the full
+  * range. Spark's retained global TakeOrdered merges the per-chunk
+  * candidate sets. */
+private[sources] class EdgeChunkTopNReader(chunk: EdgeChunk,
+    columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
+    topN: Seq[(String, Boolean)], n: Int)
+    extends PartitionReader[InternalRow] {
+
+  // total order on (src, dst) per the pushed sort; heap keeps the worst
+  // surviving row on top so one compare decides admission
+  private val cmp: java.util.Comparator[(Long, Long)] = { (a, b) =>
+    var r = 0
+    val it = topN.iterator
+    while (r == 0 && it.hasNext) {
+      val (c, desc) = it.next()
+      val (x, y) = if (c == "src") (a._1, b._1) else (a._2, b._2)
+      r = java.lang.Long.compare(x, y)
+      if (desc) r = -r
+    }
+    r
+  }
+
+  private var it: Iterator[(Long, Long)] = _
+  private var row: InternalRow = _
+  private val srcIdx = columns.indexOf("src")
+  private val dstIdx = columns.indexOf("dst")
+
+  private def fill(): Unit = {
+    val inner = new EdgeChunkReader(chunk, Array("src", "dst"), pushed,
+      skipMalformed)
+    val heap = new java.util.PriorityQueue[(Long, Long)](
+      math.max(1, n), cmp.reversed())
+    try {
+      while (inner.next()) {
+        val r = inner.get()
+        val t = (r.getLong(0), r.getLong(1))
+        if (heap.size < n) heap.add(t)
+        else if (n > 0 && cmp.compare(t, heap.peek()) < 0) {
+          heap.poll(); heap.add(t)
+        }
+      }
+    } finally inner.close()
+    it = Iterator.fill(heap.size)(heap.poll())
+  }
+
+  override def next(): Boolean = {
+    if (it == null) fill()
+    if (!it.hasNext) return false
+    val (s, d) = it.next()
+    val vals = new Array[Any](columns.length)
+    if (srcIdx >= 0) vals(srcIdx) = s
+    if (dstIdx >= 0) vals(dstIdx) = d
+    row = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Aggregate-pushdown reader: folds its whole byte range into ONE row
@@ -357,12 +473,14 @@ private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
   * (they are the tail of the previous chunk's last line), and keeps
   * consuming PAST `end` to finish a line it started. */
 private[sources] class EdgeChunkReader(chunk: EdgeChunk,
-    columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean)
+    columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val in = new BufferedInputStream(
     new FileInputStream(chunk.file), 1 << 16)
   private var pos: Long = 0L
+  private var emitted: Int = 0
   private val keep = EdgeListFilters.compile(pushed)
   private val needSrc = columns.contains("src")
   private val needDst = columns.contains("dst")
@@ -430,6 +548,9 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
   }
 
   override def next(): Boolean = {
+    // pushed-limit early stop: this chunk's prefix satisfies the
+    // retained global Limit, so stop parsing the rest of the range
+    if (limit.exists(emitted >= _)) return false
     var line = nextLine()
     while (line != null) {
       if (parse(line)) {
@@ -438,6 +559,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
           if (needSrc) vals(srcIdx) = pSrc
           if (needDst) vals(dstIdx) = pDst
           row = new GenericInternalRow(vals)
+          emitted += 1
           return true
         }
       } else if (!skipMalformed) {

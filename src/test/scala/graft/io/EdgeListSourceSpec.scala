@@ -128,6 +128,43 @@ class EdgeListSourceSpec extends SparkSpec {
     assert(g.count() == exp.map(_._1).distinct.size.toLong)
   }
 
+  test("limit and top-N push into the scan (per-chunk prefix / bounded heap)") {
+    val lines = (0 until 200).map(i => s"${(i * 37) % 211} ${(i * 53) % 199}")
+    val dir = writeEdges("topn", lines.mkString("\n") + "\n")
+    val exp = lines.map { l => val Array(a, b) = l.split(" "); (a.toLong, b.toLong) }
+    val base = spark.read.format(Fmt).option("chunkBytes", "64").load(dir)
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+
+    // plain LIMIT: pushed (each chunk stops after its prefix), the
+    // retained global limit yields exactly n real rows
+    val lim = base.limit(7)
+    assert(scanDesc(lim).contains("PushedLimit: 7"), scanDesc(lim))
+    val got = lim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 7 && got.forall(exp.contains))
+
+    // top-N: pushed heap per chunk, global result equals the full sort
+    val topn = base.orderBy(col("dst").desc, col("src")).limit(5)
+    assert(scanDesc(topn).contains("PushedTopN: [dst DESC, src ASC LIMIT 5]"),
+      scanDesc(topn))
+    val expTop = exp.sortBy { case (s, d) => (-d, s) }.take(5)
+    assert(topn.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expTop)
+
+    // limit composes with a pushed filter: the prefix is post-filter
+    val lf = base.where(col("src") >= 100).limit(4)
+    val lfd = scanDesc(lf)
+    assert(lfd.contains("PushedLimit: 4")
+      && lfd.contains("GreaterThanOrEqual(src,100)"), lfd)
+    val gotF = lf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotF.size == 4 && gotF.forall { case (s, _) => s >= 100 })
+
+    // top-N under a projection that drops the sort column downstream
+    val proj = base.orderBy(col("dst"), col("src")).limit(3).select("src")
+    assert(proj.collect().map(_.getLong(0)).toSeq ==
+      exp.sortBy { case (s, d) => (d, s) }.take(3).map(_._1))
+  }
+
   test("write path: round trip, overwrite truncation, append, schema check") {
     import org.apache.spark.sql.functions.{col => c}
     val dir = Files.createTempDirectory("graft_els_write")
