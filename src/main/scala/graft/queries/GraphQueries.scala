@@ -147,6 +147,40 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // The connector's STREAMING face through the gate: edges arrive as
+    // two append generations through the connector's own BatchWrite,
+    // with a micro-batch drain between them — the file-count offset
+    // model must deliver every byte-range chunk of every file exactly
+    // once ACROSS the generations (the generation-stamped file naming
+    // is what makes the second append sort after the processed files;
+    // with partitionId-first names this gate double-counts one file
+    // and drops another). Same pushed dst-filter as g_dsv2_edges,
+    // active inside the streaming chunk readers; the complete-mode
+    // degree snapshot is gated against an oracle that never sees the
+    // stream.
+    "g_dsv2_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2st_").toFile
+      root.deleteOnExit()
+      val fmt = "graft.sources.EdgeListSource"
+      val p = s"$root/edges"
+      val edges = Tables.edges(s, dir)
+      edges.where(col("src") % 2 === 0).repartition(2)
+        .write.format(fmt).mode("append").save(p)
+      val agg = s.readStream.format(fmt).option("chunkBytes", "4096").load(p)
+        .where(col("dst") >= 10)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("g_dsv2_stream_gate").start()
+      try {
+        q.processAllAvailable()
+        edges.where(col("src") % 2 =!= 0).repartition(2)
+          .write.format(fmt).mode("append").save(p)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("g_dsv2_stream_gate")
+    }),
+
     "g_degree_both" -> ((s, dir) => GraphOps.degreeBoth(Tables.edges(s, dir))),
 
     "g_degree_stats" -> ((s, dir) => GraphOps.degreeStats(Tables.edges(s, dir))),
@@ -461,6 +495,11 @@ object GraphQueries {
          |SELECT src AS v, count(*) AS deg FROM edges GROUP BY src""".stripMargin,
 
     "g_dsv2_edges" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
+
+    "g_dsv2_stream" ->
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,

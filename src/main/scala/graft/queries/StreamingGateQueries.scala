@@ -81,6 +81,14 @@ object StreamingGateQueries {
         .select(col("win_start_us"), col("event_type"), col("cnt"),
           col("total_cents"))),
 
+    // HOPPING-window twin of st_window_agg: 1 h windows every 30 min,
+    // every event in exactly two windows; append-mode eviction on the
+    // window END as above. The oracle replicates each event into its
+    // two covering slide-aligned starts.
+    "st_sliding_window" -> ((s, dir) =>
+      drain(s, EventStreams.slidingWindowAgg(EventStreams.readEvents(s, dir)),
+        "st_slidewin_gate")),
+
     // Windowed HLL approx-distinct under the same eviction.
     "st_approx_distinct" -> ((s, dir) =>
       drain(s, EventStreams.approxDistinctStream(EventStreams.readEvents(s, dir)),
@@ -506,6 +514,20 @@ object StreamingGateQueries {
          |c AS (SELECT ts_us - ts_us % $HourUs AS win_start_us, event_type, cents
          |  FROM e
          |  WHERE ts_us - ts_us % $HourUs + $HourUs
+         |    <= (SELECT max(ts_us) FROM e) - ${2 * HourUs})
+         |SELECT win_start_us, event_type, count(*) AS cnt,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "st_sliding_window" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |x AS (SELECT ts_us - ts_us % ${HourUs / 2} - k.k * ${HourUs / 2}
+         |    AS win_start_us, event_type, cents
+         |  FROM e CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k),
+         |c AS (SELECT * FROM x
+         |  WHERE win_start_us + $HourUs
          |    <= (SELECT max(ts_us) FROM e) - ${2 * HourUs})
          |SELECT win_start_us, event_type, count(*) AS cnt,
          |  CAST(sum(cents) AS BIGINT) AS total_cents

@@ -641,10 +641,18 @@ private[sources] class EdgeListWriterFactory(path: String)
 private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  // dot-prefixed → invisible to listFiles until commit renames it
+  // dot-prefixed → invisible to listFiles until commit renames it.
+  // Name order IS the stream-offset contract: the micro-batch reader
+  // slices files in lexicographic order, so a later append job's files
+  // must sort AFTER every earlier job's. partitionId-first naming
+  // breaks that (job 2's part-00000-… sorts before job 1's
+  // part-00001-…) — so the name leads with a fixed-width wall-clock
+  // generation stamp; partitionId and taskId only break ties within
+  // the same millisecond.
   private val tmp = {
     val dir = new java.io.File(path); dir.mkdirs()
-    new java.io.File(dir, f".part-$partitionId%05d-$taskId.txt")
+    new java.io.File(dir,
+      f".part-${System.currentTimeMillis()}%013d-$partitionId%05d-$taskId.txt")
   }
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp), 1 << 16)

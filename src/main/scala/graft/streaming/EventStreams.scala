@@ -108,6 +108,26 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("cnt"), col("total_value"), col("total_cents"))
 
+  /** HOPPING (sliding) windowed aggregation — the third window shape
+    * next to tumbling ([[windowedAgg]]) and session
+    * ([[sessionWindowStream]]): 1-hour windows sliding every 30
+    * minutes, so every event lands in exactly TWO overlapping windows
+    * (starts aligned to the slide). State carries one open group per
+    * (window, type) — 2× the tumbling count, still bounded by the
+    * watermark horizon; append mode emits a window once the watermark
+    * passes its END. Same exact-integer-cents discipline as
+    * [[windowedAgg]]. */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", graft.io.Tables.eventTime(events))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_cents"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("total_cents"))
+
   /** Windowed approximate distinct users per event type via the custom
     * HLL aggregate ([[graft.functions.HllSketch60]]). The state store
     * holds one 256-byte register array per open (window, type) group —

@@ -229,6 +229,31 @@ class EdgeListSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appended connector writes sort after processed files (offset contract)") {
+    val dir = Files.createTempDirectory("graft_els_appendstream")
+    dir.toFile.deleteOnExit()
+    val p = dir.toString + "/edges"
+    // generation 1 through the connector's own writer, 2 task files
+    Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+      .repartition(2).write.format(Fmt).mode("append").save(p)
+    val q = spark.readStream.format(Fmt).option("chunkBytes", "4").load(p)
+      .writeStream.format("memory").queryName("els_append_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // generation 2, ALSO 2 task files: with partitionId-first naming
+      // its part-00000-… would sort BEFORE generation 1's part-00001-…,
+      // making the offset slice re-read one old file and drop one new
+      // one — the generation-stamped names must sort strictly after
+      Seq((9L, 10L), (11L, 12L)).toDF("src", "dst")
+        .repartition(2).write.format(Fmt).mode("append").save(p)
+      q.processAllAvailable()
+      val got = spark.table("els_append_stream").select("src", "dst")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L), (11L, 12L)))
+    } finally q.stop()
+  }
+
   test("In pushdown, size statistics, and runtime filter application") {
     val lines = (0 until 60).map(i => s"$i ${i * 2}")
     val text = lines.mkString("\n") + "\n"
