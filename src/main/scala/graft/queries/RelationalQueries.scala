@@ -369,6 +369,23 @@ object RelationalQueries {
               |GROUP BY collate(pri, 'UTF8_LCASE')""".stripMargin)
     }),
 
+    // Ordered-set aggregates (Spark 4 SQL surface): listagg WITHIN
+    // GROUP (ORDER BY …) — deterministic because the order is total
+    // and DISTINCT bounds the string; median + percentile_cont over
+    // exact integers (quarter fractions: every interpolation product
+    // is exact in binary, so the doubles match DuckDB bit-for-bit).
+    "q35_listagg" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT o_orderstatus,
+              |  listagg(DISTINCT o_orderpriority, '|')
+              |    WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
+              |  median(o_custkey) AS med_cust,
+              |  percentile_cont(0.25) WITHIN GROUP (ORDER BY o_custkey)
+              |    AS p25_cust,
+              |  count(*) AS cnt
+              |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -528,6 +545,18 @@ object RelationalQueries {
         |SELECT 'except_all' AS op, x, count(*) AS cnt
         |FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM r)
         |GROUP BY x""".stripMargin,
+
+    // string_agg is DuckDB's listagg; same WITHIN-GROUP order and
+    // DISTINCT; CASTs pin DOUBLE against DuckDB's decimal preference
+    "q35_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        |    AS pris,
+        |  CAST(median(o_custkey) AS DOUBLE) AS med_cust,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_custkey)
+        |    AS DOUBLE) AS p25_cust,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // lower() models the lcase collation exactly on this ASCII data
     "q34_collation" ->
