@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     // count(DISTINCT x) -> hll60 sketch, OPT-IN (off by default)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // keyless range join -> bin-replicated equi-join, OPT-IN (fires
+    // only when spark.graft.rangeJoin.binWidth is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -21,6 +21,10 @@ object EventQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One bin-width-conf child session per parent (e_interval_join_auto). */
+  private val binSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
   /** events with ts_us BIGINT epoch-microseconds. */
   private def eventsUs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -133,6 +137,35 @@ object EventQueries {
           (col("ts_us") + 600L * 1000000L).as("ce"))
       graft.core.Ops.intervalOverlapJoin(p, c, "ps", "pe", "cs", "ce",
           binWidth = 1800L * 1000000L)
+        .select("interval_id", "click_id")
+    }),
+
+    // The SAME interval join written NAIVELY (a keyless range predicate
+    // Spark alone can only nested-loop) with the RangeJoinRewrite rule
+    // opted in: the optimizer itself must produce the bin-replicated
+    // equi-join and the rows must hash-match e_interval_join's oracle.
+    // The conf is scoped by building on a child session (shared
+    // catalog/runtime, OWN conf) — every later action on this frame
+    // optimizes under the bin width, and the parent session never sees
+    // the key.
+    "e_interval_join_auto" -> ((s, dir) => {
+      // child-session build (analyzer + extensions) costs ~2 s — reuse
+      // one per parent session so repeated calls time the join, not
+      // SessionState construction
+      val s2 = binSessions.getOrElseUpdate(s, {
+        val n = s.newSession()
+        n.conf.set(graft.plans.RangeJoinRewrite.ConfKey,
+          (1800L * 1000000L).toString)
+        n
+      })
+      val e = eventsUs(s2, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("ts_us").as("ps"),
+          (col("ts_us") + 1800L * 1000000L).as("pe"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("cs"),
+          (col("ts_us") + 600L * 1000000L).as("ce"))
+      p.join(c, col("ps") <= col("ce") && col("cs") <= col("pe"))
         .select("interval_id", "click_id")
     }),
 
@@ -435,6 +468,18 @@ object EventQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "e_interval_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT event_id AS interval_id, ts_us AS ps,
+        |    ts_us + CAST(1800000000 AS BIGINT) AS pe
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, ts_us AS cs,
+        |    ts_us + CAST(600000000 AS BIGINT) AS ce
+        |  FROM e WHERE event_type = 'click')
+        |SELECT p.interval_id, c.click_id
+        |FROM p JOIN c ON p.ps <= c.ce AND c.cs <= p.pe""".stripMargin,
+
+    // the auto-rewritten naive join must match the same range-join oracle
+    "e_interval_join_auto" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
         |p AS (SELECT event_id AS interval_id, ts_us AS ps,
         |    ts_us + CAST(1800000000 AS BIGINT) AS pe
