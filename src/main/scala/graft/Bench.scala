@@ -253,7 +253,11 @@ object Bench {
     // across rounds, but baselined here with min/median/max like the
     // headline spread.
     val trend = Seq("d_cdc", "s_hybrid_rrf", "s_ann_ivfpq",
-        "g_dsv2_edges").flatMap { name => section(name) {
+        "g_dsv2_edges",
+        // the hand-binned interval join vs the RangeJoinRewrite-rule
+        // plan from the naive join text (the rule-less naive plan is a
+        // nested loop: 3.1 s at sf0.1, measured in COVERAGE)
+        "e_interval_join", "e_interval_join_auto").flatMap { name => section(name) {
       val q = SparkEntry.queries(name)
       materialize(q(spark, sfDir)) // warm
       val ts = (1 to 3).map(_ => timeIt(materialize(q(spark, sfDir)))).sorted

@@ -386,6 +386,22 @@ object RelationalQueries {
               |FROM orders GROUP BY o_orderstatus""".stripMargin)
     }),
 
+    // SQL PIVOT clause (the parser surface over q13's DataFrame pivot):
+    // two aggregates per pivot value, explicit value list with aliases.
+    // Cells whose (pri, status) group is EMPTY are NULL — even for
+    // count(*), because pivot aggregates the per-group value two-phase
+    // (the oracle replays that with max(CASE …) over a grouped CTE,
+    // NOT with filtered counts, which would yield 0).
+    "q36_pivot_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT * FROM (
+              |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+              |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM orders)
+              |PIVOT (count(*) AS cnt, sum(cents) AS cents
+              |  FOR st IN ('F' AS f, 'O' AS o, 'P' AS p))""".stripMargin)
+    }),
+
     "q19_sql" -> ((s, dir) => {
       Tables.registerViews(s, dir)
       graft.functions.GraftFunctions.register(s)
@@ -557,6 +573,23 @@ object RelationalQueries {
         |    AS DOUBLE) AS p25_cust,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // two-phase pivot replica: per-(pri, st) aggregates first, then
+    // max(CASE) picks each singleton cell — empty cells NULL like pivot
+    "q36_pivot_sql" ->
+      """WITH b AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pri,
+        |  max(CASE WHEN st = 'F' THEN cnt END) AS f_cnt,
+        |  max(CASE WHEN st = 'F' THEN cents END) AS f_cents,
+        |  max(CASE WHEN st = 'O' THEN cnt END) AS o_cnt,
+        |  max(CASE WHEN st = 'O' THEN cents END) AS o_cents,
+        |  max(CASE WHEN st = 'P' THEN cnt END) AS p_cnt,
+        |  max(CASE WHEN st = 'P' THEN cents END) AS p_cents
+        |FROM b GROUP BY pri""".stripMargin,
 
     // lower() models the lcase collation exactly on this ASCII data
     "q34_collation" ->
