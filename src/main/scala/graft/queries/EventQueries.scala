@@ -362,7 +362,44 @@ object EventQueries {
         .agg(graft.functions.HllSketch60.hll60(
             graft.functions.Hashing.hash60(col("user_id").cast("string")))
             .as("approx_users"),
-          countDistinct("user_id").as("exact_users")))
+          countDistinct("user_id").as("exact_users"))),
+
+    // Built-in Datasketches HLL (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate): the PRE-AGGREGATED SKETCH TABLE pattern — one
+    // binary sketch per (event_type, day) materialized once, and any
+    // later rollup UNIONS sketches instead of re-scanning raw events.
+    // At 100 TB this is the difference between a daily O(events) distinct
+    // recount and an O(days × 4 KB) register merge. The sketch estimate
+    // itself is not SQL-replicable in DuckDB, so the gate pins what IS
+    // deterministic about it: register max-merge is order-independent and
+    // associative, so the day→type rollup and the day→week→type rollup
+    // must estimate IDENTICALLY (assoc_ok), and the lgK=12 estimate must
+    // land inside a 5 % envelope of the exact count (err_ok; RSE at
+    // lgK=12 is 1.6 %, so 5 % is a 3σ bound evaluated once per fixed
+    // dataset — deterministic, not flaky). n_days and the exact count are
+    // fully oracle-checked.
+    "e_hll_sketch" -> ((s, dir) => {
+      val day = 86400000000L
+      val e = eventsUs(s, dir).select(col("event_type"), col("user_id"),
+        expr(s"ts_us div $day").as("day_idx"))
+      val daily = e.groupBy("event_type", "day_idx")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val direct = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("est_a"),
+          count(lit(1)).as("n_days"))
+      val viaWeek = daily
+        .groupBy(col("event_type"), expr("day_idx div 7").as("wk"))
+        .agg(hll_union_agg(col("sk"), false).as("skw"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("skw"), false)).as("est_b"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      direct.join(viaWeek, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (col("est_a") === col("est_b")).cast("int").as("assoc_ok"),
+          (abs(col("est_a") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).cast("int").as("err_ok"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +606,15 @@ object EventQueries {
          |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
          |  FROM events GROUP BY 1)
          |SELECT event_type, sk.approx_distinct AS approx_users, ex.exact_users
-         |FROM sk JOIN ex USING (event_type)""".stripMargin
+         |FROM sk JOIN ex USING (event_type)""".stripMargin,
+
+    "e_hll_sketch" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |  (epoch_ns(ts) // 1000) // 86400000000 AS day_idx FROM events)
+        |SELECT event_type,
+        |  count(DISTINCT day_idx) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  1 AS assoc_ok, 1 AS err_ok
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

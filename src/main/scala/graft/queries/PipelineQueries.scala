@@ -584,6 +584,29 @@ object PipelineQueries {
       Similarity.rrfFuse(Seq(bm, ann), k = 60, topN = 20)
         .withColumnRenamed("rank_0", "rank_bm25")
         .withColumnRenamed("rank_1", "rank_ann")
+    }),
+
+    // Small-file compaction end-to-end (graft.io.Compaction): the docs
+    // table is deliberately fragmented into 64 parquet files — the
+    // accretion shape every micro-batch sink produces — compacted toward
+    // a 1 GiB target (size math → exactly one file at every test SF),
+    // and the gate aggregate reads the COMPACTED layout back. The oracle
+    // never sees the on-disk detour, so a row lost or duplicated by the
+    // rewrite / temp-dir swap breaks the hash; files_after gates that
+    // the size-aware count was actually applied, and the xor fold (no
+    // overflow, order-free) pins content identity, not just counts.
+    "d_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_").toFile
+      root.deleteOnExit()
+      val p = s"$root/docs"
+      docs(s, dir).repartition(64).write.mode("overwrite").parquet(p)
+      val rep = graft.io.Compaction.compactParquet(s, p, targetFileBytes = 1L << 30)
+      s.read.parquet(p)
+        .select((col("doc_id") % 10).as("bucket"),
+          Hashing.hash60(col("text")).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xh"))
+        .withColumn("files_after", lit(rep.filesAfter))
     })
   )
 
@@ -1548,7 +1571,13 @@ object PipelineQueries {
          |  FROM bmr b FULL OUTER JOIN annr a ON a.doc_id = b.doc_id)
          |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
          |  CAST(rank_ann AS BIGINT) AS rank_ann, rrf
-         |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+         |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "d_compact" ->
+      s"""SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+         |  bit_xor(${Hashing.hash60Sql("text")}) AS xh,
+         |  1 AS files_after
+         |FROM documents GROUP BY 1""".stripMargin
   )
 
   // the native as-of formulation answers to the composed one's oracle,

@@ -89,6 +89,15 @@ object StreamingGateQueries {
       drain(s, EventStreams.slidingWindowAgg(EventStreams.readEvents(s, dir)),
         "st_slidewin_gate")),
 
+    // Multi-batch twin: hopping-window state (each event lives in TWO
+    // window panes) round-trips the state store across 4 time-contiguous
+    // micro-batches with the watermark ratcheting per batch; eviction
+    // order changes, the final evicted set cannot (same data, same final
+    // watermark) — so the single-batch oracle is unchanged.
+    "st_sliding_window_mb" -> ((s, dir) =>
+      drain(s, EventStreams.slidingWindowAgg(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_slidewin_mb_gate")),
+
     // Windowed HLL approx-distinct under the same eviction.
     "st_approx_distinct" -> ((s, dir) =>
       drain(s, EventStreams.approxDistinctStream(EventStreams.readEvents(s, dir)),
@@ -819,6 +828,7 @@ object StreamingGateQueries {
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
     "st_window_lgq_mb" -> baseOracles("st_window_lgq"),
+    "st_sliding_window_mb" -> baseOracles("st_sliding_window"),
     "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"),
     "st_range_join_full_mb" -> baseOracles("st_range_join_full"),
     "st_sessionize_mb" -> baseOracles("st_sessionize"),
