@@ -66,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll_union_est"),
       new ExpressionInfo(classOf[graft.functions.HllUnionEst].getName, "hll_union_est"),
       graft.functions.GraftFunctions.hllUnionEstBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("kmv"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv"),
+      graft.functions.GraftFunctions.kmvBuilder _))
   }
 }

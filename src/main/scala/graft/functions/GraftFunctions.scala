@@ -21,6 +21,15 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "hll60_regs", hll60RegsBuilder)
     Bridge.registerFunction(spark, "hll_union", hllUnionBuilder)
     Bridge.registerFunction(spark, "hll_union_est", hllUnionEstBuilder)
+    // KMV distinct-value synopsis: kmv(hash60(x), 256) → ARRAY<BIGINT>
+    Bridge.registerFunction(spark, "kmv", kmvBuilder)
+  }
+
+  private[graft] def kmvBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2, "kmv expects (BIGINT hash60 value, INT k)")
+    KmvSketch(exprs.head, exprs(1)).toAggregateExpression()
   }
 
   private[graft] def normalizeNfcBuilder(

@@ -607,6 +607,50 @@ object PipelineQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xh"))
         .withColumn("files_after", lit(rep.filesAfter))
+    }),
+
+    // KMV-synopsis corpus overlap (graft.functions.KmvSketch; Beyer et
+    // al., SIGMOD 2007): the SKETCHED twin of d_overlap's exact n-gram
+    // anti-join — two corpora (even/odd source index) reduce to one
+    // k=256-minimum-values synopsis each in a single aggregation pass,
+    // and union DV, Jaccard, and intersection size are then estimated
+    // from 2×2 KB of synopsis with plain codegen'd array functions. At
+    // 100 TB this answers "how contaminated is source X by eval set Y"
+    // from per-source synopses maintained incrementally, instead of
+    // re-shuffling every n-gram of both corpora the way the exact join
+    // must. The gate is EXACT, not an envelope: k smallest distinct
+    // hashes is a pure set function, so DuckDB replays the synopses and
+    // every estimate bit-for-bit; exact_* columns double-check the
+    // estimator against truth in the same row.
+    "d_overlap_sketch" -> ((s, dir) => {
+      val k = 256
+      import graft.functions.KmvSketch
+      val sh = graft.text.TextAnalysis.explodedShingles(
+          docs(s, dir), col("source"), col("text"), 3)
+        .select((substring(col("doc_id"), 4, 8).cast("int") % 2).as("corpus"),
+          Hashing.hash60(col("sh")).as("h"))
+      sh.agg(
+          KmvSketch.kmv(when(col("corpus") === 0, col("h")), k).as("sk_a"),
+          KmvSketch.kmv(when(col("corpus") === 1, col("h")), k).as("sk_b"),
+          countDistinct(when(col("corpus") === 0, col("h"))).as("exact_a"),
+          countDistinct(when(col("corpus") === 1, col("h"))).as("exact_b"),
+          countDistinct(col("h")).as("exact_union"))
+        .withColumn("uni", KmvSketch.unionOf(col("sk_a"), col("sk_b"), k))
+        .select(
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+          KmvSketch.estimate(col("sk_a"), k).as("est_a"),
+          KmvSketch.estimate(col("sk_b"), k).as("est_b"),
+          KmvSketch.estimate(col("uni"), k).as("est_union"),
+          size(col("uni")).cast("long").as("kk"),
+          size(array_intersect(array_intersect(col("uni"), col("sk_a")),
+            col("sk_b"))).cast("long").as("rho_num"))
+        .withColumn("jaccard_est",
+          floor(col("rho_num").cast("double") / col("kk") * lit(1e4) + lit(0.5))
+            / lit(1e4))
+        .withColumn("inter_est",
+          floor(col("rho_num").cast("double") / col("kk") * col("est_union")
+            * lit(1e4) + lit(0.5)) / lit(1e4))
     })
   )
 
@@ -1577,7 +1621,48 @@ object PipelineQueries {
       s"""SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
          |  bit_xor(${Hashing.hash60Sql("text")}) AS xh,
          |  1 AS files_after
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_overlap_sketch" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 256
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT CAST(source[4:] AS INT) % 2 AS corpus,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT corpus, ${H(gram3)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |d AS (SELECT DISTINCT corpus, h FROM sh),
+         |r2 AS (SELECT corpus, h,
+         |  row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT corpus, list(h ORDER BY h) AS sk FROM r2
+         |  WHERE rn <= $k GROUP BY corpus),
+         |ex AS (SELECT
+         |  count(DISTINCT CASE WHEN corpus = 0 THEN h END) AS exact_a,
+         |  count(DISTINCT CASE WHEN corpus = 1 THEN h END) AS exact_b,
+         |  count(DISTINCT h) AS exact_union FROM d),
+         |ab AS (SELECT (SELECT sk FROM sk WHERE corpus = 0) AS sk_a,
+         |  (SELECT sk FROM sk WHERE corpus = 1) AS sk_b),
+         |u AS (SELECT sk_a, sk_b,
+         |  list_sort(list_distinct(sk_a || sk_b))[1:$k] AS uni FROM ab),
+         |m AS (SELECT sk_a, sk_b, uni, len(uni) AS kk,
+         |  len(list_filter(uni, x -> list_contains(sk_a, x)
+         |    AND list_contains(sk_b, x))) AS rho_num FROM u),
+         |est AS (SELECT kk, rho_num,
+         |  ${KmvSketch.oracleEstimateSql("sk_a", k)} AS est_a,
+         |  ${KmvSketch.oracleEstimateSql("sk_b", k)} AS est_b,
+         |  ${KmvSketch.oracleEstimateSql("uni", k)} AS est_union FROM m)
+         |SELECT exact_a, exact_b, exact_union,
+         |  exact_a + exact_b - exact_union AS exact_inter,
+         |  est_a, est_b, est_union, kk, rho_num,
+         |  floor(CAST(rho_num AS DOUBLE) / kk * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS jaccard_est,
+         |  floor(CAST(rho_num AS DOUBLE) / kk * est_union * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS inter_est
+         |FROM est, ex""".stripMargin
+    }
   )
 
   // the native as-of formulation answers to the composed one's oracle,
