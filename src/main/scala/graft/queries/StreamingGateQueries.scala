@@ -323,6 +323,29 @@ object StreamingGateQueries {
           EventStreams.readEventsMultiBatch(s, dir)), "st_sess_tws_gate")
       }),
 
+    // Stream-stream AS-OF (temporal) join — the join Spark has no
+    // native streaming operator for: purchases (facts) enrich with the
+    // LATEST same-user click version at-or-before their timestamp,
+    // consumed from a dimension STREAM (union-tag + TWS version
+    // history), not a per-batch static re-read. A fact emits exactly
+    // once, when the watermark proves its dim history complete; the
+    // oracle is the batch as-of join below the final watermark (same
+    // ms-rounded min-of-maxes arithmetic as st_range_join_outer).
+    "st_ss_asof" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.streamAsOfJoinTws(s,
+          EventStreams.readEvents(s, dir)), "st_ss_asof_gate")
+      }),
+
+    // Multi-batch twin: dim versions accrete and facts flush per batch
+    // as the watermark ratchets; emission (fact_ts < wm) only tightens
+    // monotonically, so the final set — and the oracle — is unchanged.
+    "st_ss_asof_mb" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.streamAsOfJoinTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_ss_asof_mb_gate")
+      }),
+
     // State data source reader through the gate: after a checkpointed
     // TWS drain, the PERSISTED state itself (RocksDB files under the
     // checkpoint) is queried with `spark.read.format("statestore")` and
@@ -811,6 +834,32 @@ object StreamingGateQueries {
   // re-emits), so they share oracles verbatim — as do the RocksDB-backed
   // drains (the provider must not change results, only where state
   // lives).
+  /** st_ss_asof / st_ss_asof_mb: the batch as-of join below the final
+    * watermark — latest same-user click at-or-before each purchase
+    * (ties broken by event_id, the order the processor sorts its
+    * version history in), LEFT so a purchase with no version yet that
+    * early still emits with NULL dim columns. Same ms-rounded
+    * min-of-maxes watermark arithmetic as st_range_join_outer; strict
+    * `<` matches the processor's flush condition. */
+  private val ssAsOfOracle =
+    """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |c AS (SELECT user_id, event_id, ts_us,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM e
+      |  WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS fact_id, ts_us AS fact_ts_us
+      |  FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least(x.mc, y.mp) * 1000 - 7200000000 AS wm_us
+      |  FROM (SELECT max(ts_us) // 1000 AS mc FROM c) x,
+      |       (SELECT max(fact_ts_us) // 1000 AS mp FROM p) y),
+      |j AS (SELECT p.user_id, p.fact_id, p.fact_ts_us,
+      |  c.event_id AS dim_id, c.ts_us AS dim_ts_us, c.cents AS dim_cents,
+      |  row_number() OVER (PARTITION BY p.fact_id
+      |    ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND c.ts_us <= p.fact_ts_us)
+      |SELECT user_id, fact_id, fact_ts_us, dim_id, dim_ts_us, dim_cents
+      |FROM j, wm WHERE rn <= 1 AND fact_ts_us < wm_us""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "st_chunk" -> TextQueries.oracles("t_chunk"),
     // stateless per-row extraction: every value a closed form of the
@@ -824,6 +873,8 @@ object StreamingGateQueries {
         |  CASE WHEN event_id % 2 = 0 THEN event_id % 100 END AS maybe_int,
         |  true AS vnull
         |FROM events""".stripMargin,
+    "st_ss_asof" -> ssAsOfOracle,
+    "st_ss_asof_mb" -> ssAsOfOracle,
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),

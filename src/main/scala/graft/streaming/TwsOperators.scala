@@ -393,4 +393,119 @@ object TwsOperators {
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
+
+  // ---------------------------------------------------------------------
+  // Stream-stream AS-OF (temporal) join
+  // ---------------------------------------------------------------------
+
+  final case class SsAsOfRow(user_id: Long, side: Int, event_id: Long,
+      ts_us: Long, cents: Long, tts: java.sql.Timestamp)
+  final case class DimV(ts_us: Long, event_id: Long, cents: Long)
+  final case class FactV(ts_us: Long, event_id: Long)
+  final case class AsOfOut(user_id: Long, fact_id: Long, fact_ts_us: Long,
+      dim_id: Option[Long], dim_ts_us: Option[Long], dim_cents: Option[Long])
+
+  /** Stream-stream AS-OF join (a temporal join): each FACT row joins the
+    * latest DIMENSION version of its key with dim_ts ≤ fact_ts — the
+    * join Spark has no native streaming form of (stream-stream equality
+    * joins can't express "latest ≤", and the stream-static as-of of
+    * st_asof_enrich/st_asof_dyn re-reads a batch dim per micro-batch
+    * instead of consuming a dimension STREAM). Composed as union-tag →
+    * groupByKey(key) → `transformWithState`:
+    *
+    *   - dimension rows append to a per-key `ListState[DimV]` version
+    *     history;
+    *   - fact rows buffer in a `ListState[FactV]` until the WATERMARK
+    *     strictly passes their event time — only then is the dimension
+    *     history provably complete below the fact's timestamp (any
+    *     still-in-flight dim row has ts ≥ wm > fact_ts, too new to be
+    *     its as-of match) — and emit exactly once, matched to the
+    *     latest (ts_us, event_id) dim at-or-before their timestamp, or
+    *     with NULL dim columns when the key has no version yet that
+    *     early (the LEFT as-of);
+    *   - an event-time timer re-armed at the earliest buffered fact
+    *     guarantees emission even if the key never receives another row;
+    *   - dim eviction keeps versions ≥ wm plus the single latest below
+    *     wm (the as-of candidate for every future fact, which all carry
+    *     ts ≥ wm) — state per key is horizon-bounded on both lists.
+    *
+    * Emission (`fact_ts < wm`, with wm the ms-rounded min across the two
+    * union branches' delayed maxes) only tightens monotonically, so the
+    * single-batch and multi-batch drains produce the same final set and
+    * share one oracle — the batch as-of join below the final watermark.
+    */
+  private class StreamAsOfProcessor
+      extends StatefulProcessor[Long, SsAsOfRow, AsOfOut] {
+    @transient private var dims: ListState[DimV] = _
+    @transient private var facts: ListState[FactV] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      dims = getHandle.getListState[DimV]("dims",
+        Encoders.product[DimV], TTLConfig.NONE)
+      facts = getHandle.getListState[FactV]("facts",
+        Encoders.product[FactV], TTLConfig.NONE)
+    }
+
+    /** Emit buffered facts below the watermark against the dim history,
+      * evict dead dim versions, re-arm the timer for the rest.
+      * `expiredMs` is the just-fired timer when called from
+      * [[handleExpiredTimer]] — already consumed, so not deletable. */
+    private def flush(userId: Long, wmUs: Long,
+        expiredMs: Long = Long.MinValue): Iterator[AsOfOut] = {
+      val dv = dims.get().toVector.sortBy(d => (d.ts_us, d.event_id))
+      val fv = facts.get().toVector
+      val (ready, hold) = fv.partition(_.ts_us < wmUs)
+      val out = ready.sortBy(f => (f.ts_us, f.event_id)).map { f =>
+        val m = dv.reverseIterator.find(_.ts_us <= f.ts_us)
+        AsOfOut(userId, f.event_id, f.ts_us,
+          m.map(_.event_id), m.map(_.ts_us), m.map(_.cents))
+      }
+      if (hold.isEmpty) facts.clear() else facts.put(hold.toArray)
+      // keep dims ≥ wm plus the latest one below wm; everything older
+      // can never be the as-of match of a fact that is still to come
+      val keepFrom = dv.lastIndexWhere(_.ts_us < wmUs)
+      if (keepFrom > 0) dims.put(dv.drop(keepFrom).toArray)
+      getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
+      if (hold.nonEmpty)
+        getHandle.registerTimer(hold.map(_.ts_us).min / 1000 + 1)
+      out.iterator
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[SsAsOfRow],
+        timers: TimerValues): Iterator[AsOfOut] = {
+      rows.foreach { r =>
+        if (r.side == 0) dims.appendValue(DimV(r.ts_us, r.event_id, r.cents))
+        else facts.appendValue(FactV(r.ts_us, r.event_id))
+      }
+      flush(userId, timers.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[AsOfOut] =
+      flush(userId, timers.getCurrentWatermarkInMs() * 1000L,
+        expiredMs = expired.getExpiryTimeInMs())
+  }
+
+  /** [[StreamAsOfProcessor]] over the events table: purchases (facts)
+    * as-of-joined to the latest same-user click (dimension versions,
+    * integer-cents payload). Both branches watermark on the same
+    * `horizon`; the global watermark is the min across them. */
+  def streamAsOfJoinTws(spark: SparkSession, events: DataFrame,
+      horizon: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    def branch(df: DataFrame, typ: String, side: Int) = df
+      .where(col("event_type") === typ)
+      .select(col("user_id"), lit(side).as("side"), col("event_id"),
+        graft.io.Tables.eventMicros(df).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        graft.io.Tables.eventTime(df).as("tts"))
+      .withWatermark("tts", horizon)
+    branch(events, "click", 0)
+      .unionAll(branch(events, "purchase", 1))
+      .as[SsAsOfRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamAsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

@@ -142,4 +142,49 @@ class TwsOperatorsSpec extends SparkSpec {
       case None => spark.conf.unset(ConfKey)
     }
   }
+
+  test("stream-stream as-of: a dim version arriving in a LATER batch still wins") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, RocksProvider)
+    try {
+      val us = 1000000L
+      val ms = org.apache.spark.sql.execution.streaming
+        .runtime.MemoryStream[(Long, Long, Long, String, Double)]
+      val events = ms.toDF().select(col("_1").as("user_id"),
+        col("_2").as("event_id"), (col("_3") * 1000).as("ts"),
+        col("_4").as("event_type"), col("_5").as("value"))
+      val q = TwsOperators.streamAsOfJoinTws(spark, events).writeStream
+        .outputMode("append").format("memory").queryName("tws_ssasof").start()
+      try {
+        // batch 1: dim v1 at t=1000s, fact at t=2000s — the fact MUST
+        // NOT emit yet (watermark 0): a dim version timestamped between
+        // 1000s and 2000s may still arrive
+        ms.addData((1L, 10L, 1000L * us, "click", 1.0),
+          (1L, 20L, 2000L * us, "purchase", 0.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_ssasof").isEmpty,
+          "fact emitted before the watermark proved its dim history complete")
+        // batch 2: dim v2 at t=1500s (older than the buffered fact,
+        // newer than v1) + far-future rows on BOTH branches to push the
+        // min-of-maxes watermark past the fact
+        ms.addData((1L, 11L, 1500L * us, "click", 2.0),
+          (2L, 12L, 100000L * us, "click", 0.0),
+          (2L, 21L, 100000L * us, "purchase", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("tws_ssasof")
+          .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+          .collect().toSet
+        // fact 20 pairs with dim 11 (1500s, 200 cents), not dim 10;
+        // fact 21 (above the final watermark) is still held
+        assert(got == Set((1L, 20L, 2000L * us,
+          Some(11L), Some(1500L * us), Some(200L))),
+          s"as-of matched the wrong dim version: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
 }
