@@ -147,6 +147,29 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // GROUPED aggregate pushdown through the gate: count/min/max GROUP
+    // BY src fold inside the chunk readers (one partial row per group
+    // per chunk — a degree query over a 100 TB edge file ships group
+    // partials, not edges), composed with a pushed filter, under a
+    // 4 KiB chunk grid AND maxGroupsPerChunk=3, so the bounded-memory
+    // flush-and-refill path runs constantly and Spark's final aggregate
+    // provably merges duplicate partials of the same group. The oracle
+    // never sees the connector round-trip.
+    "g_dsv2_degree" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2d_").toFile
+      root.deleteOnExit()
+      Tables.edges(s, dir)
+        .repartition(3).write.format("graft.sources.EdgeListSource")
+        .mode("overwrite").save(s"$root/edges")
+      s.read.format("graft.sources.EdgeListSource")
+        .option("chunkBytes", "4096").option("maxGroupsPerChunk", "3")
+        .load(s"$root/edges")
+        .where(col("dst") >= 5)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), min("dst").as("min_dst"),
+          max("dst").as("max_dst"))
+    }),
+
     // The connector's STREAMING face through the gate: edges arrive as
     // two append generations through the connector's own BatchWrite,
     // with a micro-batch drain between them — the file-count offset
@@ -503,6 +526,12 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
+
+    "g_dsv2_degree" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
+         |  max(dst) AS max_dst
+         |FROM edges WHERE dst >= 5 GROUP BY src""".stripMargin,
 
     "g_degree_both" ->
       s"""WITH edges AS ($E)

@@ -48,7 +48,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options: `chunkBytes` (split size, default 64 MiB), `malformed`
   * (`fail` — default, abort with file+offset, the reference checker's
-  * posture — or `skip`).
+  * posture — or `skip`), `maxGroupsPerChunk` (grouped-pushdown partial
+  * map bound, default 2^20 — past it the reader flushes partials and
+  * refills, trading shuffle rows for O(bound) memory).
   *
   * Usage: `spark.read.format("graft.sources.EdgeListSource").load(dir)`.
   */
@@ -69,6 +71,10 @@ object EdgeListSource {
     StructField("dst", LongType, nullable = false)))
 
   val DefaultChunkBytes: Long = 64L * 1024 * 1024
+
+  /** Grouped-pushdown per-chunk partial-map bound (~80 MB of map at the
+    * 5-long state): past it the reader emits and refills. */
+  val DefaultMaxGroupsPerChunk: Int = 1 << 20
 
   /** All regular files under `path` (a file or a directory tree),
     * sorted for deterministic partition order. */
@@ -99,14 +105,16 @@ private[sources] class EdgeListTable(path: String)
     new EdgeListScanBuilder(path,
       Option(options.get("chunkBytes")).map(_.toLong)
         .getOrElse(EdgeListSource.DefaultChunkBytes),
-      Option(options.get("malformed")).getOrElse("fail") == "skip")
+      Option(options.get("malformed")).getOrElse("fail") == "skip",
+      Option(options.get("maxGroupsPerChunk")).map(_.toInt)
+        .getOrElse(EdgeListSource.DefaultMaxGroupsPerChunk))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EdgeListWriteBuilder(path, info)
 }
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
-    skipMalformed: Boolean)
+    skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -114,6 +122,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
   private var required: StructType = EdgeListSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Seq[AggOp] = Nil
+  private var groupBy: Seq[String] = Nil
   private var limit: Option[Int] = None
   private var topN: Seq[(String, Boolean)] = Nil // (col, descending)
 
@@ -142,11 +151,24 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     false
 
+  /** GROUPED partial pushdown (GROUP BY src / dst / both): each chunk
+    * folds its range into one partial row per group it sees — a degree
+    * count over a 100 TB edge file ships |groups-per-chunk| rows, not
+    * |edges|. Memory stays bounded on adversarial cardinality: the
+    * per-chunk group map FLUSHES as extra partial rows when it reaches
+    * `maxGroupsPerChunk` (Spark's retained final aggregate merges
+    * duplicate groups exactly as it merges the per-chunk ones). */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (aggregation.groupByExpressions().nonEmpty) return false
+    // an untranslatable agg function (e.g. AVG) reaches here as an
+    // EMPTY aggregate list with only the group columns — accepting it
+    // would promise Spark a scan it cannot finish the query from
+    if (aggregation.aggregateExpressions().isEmpty) return false
+    val gb = aggregation.groupByExpressions().toSeq.map(AggOp.colOf)
+    if (gb.exists(_.isEmpty) || gb.flatten.distinct.size != gb.size) return false
     val translated = aggregation.aggregateExpressions().toSeq.map(AggOp.translate)
     if (translated.exists(_.isEmpty)) return false
+    groupBy = gb.flatten
     aggs = translated.flatten
     true
   }
@@ -188,7 +210,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
 
   override def build(): Scan =
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
-      limit, topN)
+      limit, topN, groupBy, maxGroups)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -208,7 +230,7 @@ private[sources] object AggOp {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
 
-  private def colOf(e: VExpr): Option[String] = e match {
+  private[sources] def colOf(e: VExpr): Option[String] = e match {
     case nr: NamedReference if nr.fieldNames().length == 1 &&
       (nr.fieldNames()(0) == "src" || nr.fieldNames()(0) == "dst") =>
       Some(nr.fieldNames()(0))
@@ -285,7 +307,9 @@ private[sources] object EdgeListFilters {
 private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     skipMalformed: Boolean, required: StructType, pushed: Array[Filter],
     aggs: Seq[AggOp], limit: Option[Int] = None,
-    topN: Seq[(String, Boolean)] = Nil) extends Scan with Batch
+    topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
+    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
@@ -314,13 +338,16 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(EdgeListFilters.supported)
 
-  override def readSchema(): StructType =
+  override def readSchema(): StructType = {
     if (aggs.isEmpty) required
-    else StructType(aggs.map {
-      case a @ (CountStarOp | CountColOp(_)) =>
-        StructField(a.name, LongType, nullable = false)
-      case a => StructField(a.name, LongType, nullable = true) // empty chunk
-    })
+    else StructType(
+      groupBy.map(c => StructField(c, LongType, nullable = false)) ++
+      aggs.map {
+        case a @ (CountStarOp | CountColOp(_)) =>
+          StructField(a.name, LongType, nullable = false)
+        case a => StructField(a.name, LongType, nullable = true) // empty chunk
+      })
+  }
 
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -331,6 +358,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     s"EdgeListScan path=$path, ReadSchema: ${readSchema().simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]") +
+      (if (groupBy.isEmpty) "" else s", PushedGroupBy: [${groupBy.mkString(", ")}]") +
       (if (topN.nonEmpty)
         s", PushedTopN: [${topN.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")} LIMIT ${limit.get}]"
       else limit.fold("")(l => s", PushedLimit: $l"))
@@ -345,7 +373,8 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames,
-      pushed ++ runtimeFilters, skipMalformed, aggs, limit, topN)
+      pushed ++ runtimeFilters, skipMalformed, aggs, limit, topN, groupBy,
+      maxGroups)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
@@ -353,10 +382,15 @@ private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
 
 private[sources] class EdgeListReaderFactory(columns: Array[String],
     pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
-    limit: Option[Int] = None, topN: Seq[(String, Boolean)] = Nil)
+    limit: Option[Int] = None, topN: Seq[(String, Boolean)] = Nil,
+    groupBy: Seq[String] = Nil,
+    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (aggs.nonEmpty)
+    if (aggs.nonEmpty && groupBy.nonEmpty)
+      new EdgeChunkGroupAggReader(p.asInstanceOf[EdgeChunk], pushed,
+        skipMalformed, aggs, groupBy, maxGroups)
+    else if (aggs.nonEmpty)
       new EdgeChunkAggReader(p.asInstanceOf[EdgeChunk], pushed, skipMalformed, aggs)
     else if (topN.nonEmpty)
       new EdgeChunkTopNReader(p.asInstanceOf[EdgeChunk], columns, pushed,
@@ -364,6 +398,69 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
     else
       new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed,
         skipMalformed, limit)
+}
+
+/** Grouped-aggregate-pushdown reader: folds the chunk into one partial
+  * row per (group, count/min/max partials) via an open hash map keyed
+  * on the group columns. Memory is bounded regardless of the file's
+  * key cardinality: at `maxGroups` occupied slots the map is EMITTED
+  * as-is and refilled — duplicate group rows are exactly what Spark's
+  * retained final aggregate already merges across chunks, so a flush
+  * costs shuffle bytes, never correctness. */
+private[sources] class EdgeChunkGroupAggReader(chunk: EdgeChunk,
+    pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
+    groupBy: Seq[String], maxGroups: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val inner = new EdgeChunkReader(chunk,
+    Array("src", "dst"), pushed, skipMalformed)
+  // per-group state: [count, minSrc, maxSrc, minDst, maxDst]
+  private val state = new java.util.HashMap[(Long, Long), Array[Long]]()
+  private var exhausted = false
+  private var out: java.util.Iterator[java.util.Map.Entry[(Long, Long), Array[Long]]] = _
+  private var row: InternalRow = _
+  private val bySrc = groupBy.contains("src")
+  private val byDst = groupBy.contains("dst")
+
+  private def refill(): Unit = {
+    while (state.size < maxGroups && inner.next()) {
+      val r = inner.get()
+      val s = r.getLong(0); val d = r.getLong(1)
+      val key = (if (bySrc) s else 0L, if (byDst) d else 0L)
+      val st = state.get(key)
+      if (st == null)
+        state.put(key, Array(1L, s, s, d, d))
+      else {
+        st(0) += 1
+        if (s < st(1)) st(1) = s; if (s > st(2)) st(2) = s
+        if (d < st(3)) st(3) = d; if (d > st(4)) st(4) = d
+      }
+    }
+    if (state.size < maxGroups) exhausted = true
+    out = state.entrySet().iterator()
+  }
+
+  override def next(): Boolean = {
+    if (out == null) refill()
+    while (!out.hasNext && !exhausted) { state.clear(); refill() }
+    if (!out.hasNext) return false
+    val e = out.next()
+    val st = e.getValue
+    val gvals: Seq[Any] = groupBy.map {
+      case "src" => e.getKey._1
+      case _ => e.getKey._2
+    }
+    val avals: Seq[Any] = aggs.map {
+      case CountStarOp | CountColOp(_) => st(0)
+      case MinOp(c) => if (c == "src") st(1) else st(3)
+      case MaxOp(c) => if (c == "src") st(2) else st(4)
+    }
+    row = new GenericInternalRow((gvals ++ avals).toArray)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Top-N-pushdown reader: folds the chunk's whole post-filter row set

@@ -120,12 +120,50 @@ class EdgeListSourceSpec extends SparkSpec {
     val expF = exp.filter(_._1 >= 50)
     assert(f.head().getLong(0) == expF.size.toLong
       && f.head().getLong(1) == expF.map(_._2).max)
-    // grouped aggregation must NOT push (stays row-level and correct)
-    val g = base.groupBy("src").count()
+    // AVG is not translatable: the whole aggregation must stay row-level
+    val g = base.groupBy("src").agg(avg("dst"))
     val gdesc = graft.plans.PlanWalk.nodes(g.queryExecution.executedPlan)
       .collectFirst { case b: BatchScanExec => b }.get.scan.description()
     assert(!gdesc.contains("PushedAggregates"), gdesc)
     assert(g.count() == exp.map(_._1).distinct.size.toLong)
+  }
+
+  test("grouped count/min/max push as per-chunk per-group partials") {
+    val lines = (0 until 200).map(i => s"${i % 7} ${(i * 31) % 53}")
+    val exp = lines.map { l => val Array(a, b) = l.split(" "); (a.toLong, b.toLong) }
+    val dir = writeEdges("gagg", lines.mkString("\n") + "\n")
+    // chunkBytes=32 → many chunks, each seeing several groups;
+    // maxGroupsPerChunk=2 → the flush-and-refill path runs constantly
+    for (cap <- Seq("2", "1048576")) {
+      val base = spark.read.format(Fmt).option("chunkBytes", "32")
+        .option("maxGroupsPerChunk", cap).load(dir)
+      val df = base.groupBy("src").agg(count(lit(1)).as("deg"),
+        min("dst").as("mn"), max("dst").as("mx"))
+      val desc = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+      assert(desc.contains("PushedAggregates") &&
+        desc.contains("PushedGroupBy: [src]"), s"cap=$cap: $desc")
+      val got = df.as[(Long, Long, Long, Long)].collect().toSet
+      val want = exp.groupBy(_._1).map { case (s, es) =>
+        (s, es.size.toLong, es.map(_._2).min, es.map(_._2).max) }.toSet
+      assert(got == want, s"cap=$cap: $got")
+    }
+    // two group columns, and dst-only grouping
+    val base = spark.read.format(Fmt).option("chunkBytes", "32").load(dir)
+    val both = base.groupBy("src", "dst").count()
+    val bdesc = graft.plans.PlanWalk.nodes(both.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(bdesc.contains("PushedGroupBy: [src, dst]"), bdesc)
+    assert(both.as[(Long, Long, Long)].collect().toSet ==
+      exp.groupBy(identity).map { case ((s, d), es) => (s, d, es.size.toLong) }.toSet)
+    val byDst = base.where(col("src") >= 3).groupBy("dst").count()
+    val ddesc = graft.plans.PlanWalk.nodes(byDst.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get.scan.description()
+    assert(ddesc.contains("PushedGroupBy: [dst]") &&
+      ddesc.contains("GreaterThanOrEqual(src,3)"), ddesc)
+    assert(byDst.as[(Long, Long)].collect().toSet ==
+      exp.filter(_._1 >= 3).groupBy(_._2)
+        .map { case (d, es) => (d, es.size.toLong) }.toSet)
   }
 
   test("limit and top-N push into the scan (per-chunk prefix / bounded heap)") {
