@@ -378,6 +378,33 @@ object StreamingGateQueries {
           col("value.sumSq").as("sumsq_cents"))
     }),
 
+    // The connector's exactly-once STREAMING SINK through the gate:
+    // purchases stream out as edges across 4 micro-batches (4 epoch
+    // commits under _graft_commits), the sink directory is batch-read
+    // BACK through the connector with grouped pushdown active, and the
+    // aggregate answers to an oracle that never saw the round trip —
+    // a row duplicated by an epoch replay or dropped by the temp-file
+    // publish breaks the hash.
+    "st_dsv2_sink" -> ((s, dir) => {
+      val fmt = "graft.sources.EdgeListSource"
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2sink_").toFile
+      root.deleteOnExit()
+      val out = s"$root/edges"
+      val q = EventStreams.readEventsMultiBatch(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), col("event_id").as("dst"))
+        .writeStream.format(fmt)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable()
+      q.stop()
+      s.read.format(fmt).option("chunkBytes", "4096").load(out)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_purch"), min("dst").as("min_id"),
+          max("dst").as("max_id"))
+    }),
+
     // Streaming SCD2 corpus-refresh sink: foreachBatch folds each
     // micro-batch's latest-signup-per-user updates into an accumulating
     // SCD2 dimension (Scd2.merge, effective at the batch high-water
@@ -875,6 +902,11 @@ object StreamingGateQueries {
         |FROM events""".stripMargin,
     "st_ss_asof" -> ssAsOfOracle,
     "st_ss_asof_mb" -> ssAsOfOracle,
+    "st_dsv2_sink" ->
+      """SELECT user_id AS src, count(*) AS n_purch,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),

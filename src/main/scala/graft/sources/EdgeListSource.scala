@@ -99,7 +99,8 @@ private[sources] class EdgeListTable(path: String)
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdgeListScanBuilder(path,
@@ -695,6 +696,12 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
       s"edge-list writes need (src BIGINT, dst BIGINT); got ${in.simpleString}")
     new Write {
       override def toBatch: BatchWrite = new EdgeListBatchWrite(path, doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!doTruncate, "edge-list streaming sink supports Append " +
+          "output only (Complete would rewrite committed epochs)")
+        new EdgeListStreamingWrite(path)
+      }
     }
   }
 }
@@ -732,6 +739,73 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
 private[sources] class EdgeListWriterFactory(path: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new EdgeFileWriter(path, partitionId, taskId)
+}
+
+/** EXACTLY-ONCE streaming sink (Append mode): the connector's fourth
+  * face. Tasks write invisible dot-temp files; `commit(epochId, …)`
+  * publishes them as `part-<stamp>-e<epoch>-<i>.txt` and then drops a
+  * marker under `_graft_commits/`. Idempotence on Spark's epoch-replay
+  * contract (a failed micro-batch re-runs with the SAME epoch id):
+  *
+  *  - marker present → the epoch already committed fully; the replay's
+  *    temp files are discarded, nothing is duplicated;
+  *  - marker absent but epoch-tagged files present (a crash landed
+  *    between renames and the marker) → those partials are deleted
+  *    first, then the replay's complete set is published — the
+  *    epoch tag in the file name is what makes the half-committed
+  *    attempt identifiable and removable.
+  *
+  * Fresh wall-clock stamps keep the offset contract of
+  * [[EdgeListMicroBatchStream]] (new files sort after processed ones),
+  * so a sink directory can be re-consumed as a stream. */
+private[sources] class EdgeListStreamingWrite(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new EdgeListStreamingWriterFactory(path)
+
+  private def marker(epochId: Long) =
+    new java.io.File(new java.io.File(path, "_graft_commits"), s"_$epochId")
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val m = marker(epochId)
+    if (m.exists()) {
+      messages.foreach { case EdgeFileCommit(t) => new java.io.File(t).delete() }
+      return
+    }
+    // a half-committed earlier attempt of this epoch: unpublish it
+    dir.listFiles()
+      .filter(f => f.isFile && f.getName.matches(s"part-\\d+-e$epochId-\\d+\\.txt"))
+      .foreach(_.delete())
+    val stamp = f"${System.currentTimeMillis()}%013d"
+    messages.zipWithIndex.foreach { case (EdgeFileCommit(t), i) =>
+      val f = new java.io.File(t)
+      if (f.length() == 0) f.delete()
+      else {
+        val target = new java.io.File(dir, f"part-$stamp-e$epochId-$i%05d.txt")
+        if (!f.renameTo(target))
+          throw new java.io.IOException(s"epoch commit rename failed: $t -> $target")
+      }
+    }
+    m.getParentFile.mkdirs()
+    java.nio.file.Files.write(m.toPath, Array.emptyByteArray)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case EdgeFileCommit(t) => new java.io.File(t).delete() }
+}
+
+private[sources] class EdgeListStreamingWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
     new EdgeFileWriter(path, partitionId, taskId)
 }
 

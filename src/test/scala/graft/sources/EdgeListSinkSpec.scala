@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The connector's streaming sink must be exactly-once under Spark's
+  * epoch-replay contract: a failed micro-batch re-runs with the same
+  * epoch id, and neither the replay of a fully-committed epoch nor the
+  * recovery of a half-committed one may duplicate or lose a row. */
+class EdgeListSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.EdgeListSource"
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_sink_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def readBack(path: String): Set[(Long, Long)] =
+    spark.read.format(Fmt).load(path)
+      .as[(Long, Long)].collect().toSet
+
+  test("streaming sink end-to-end: three micro-batches, three epochs, no dup/loss") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val out = tmpDir("e2e")
+    val q = ms.toDF().select(col("_1").as("src"), col("_2").as("dst"))
+      .writeStream.format(Fmt)
+      .option("checkpointLocation", tmpDir("e2e_ckpt"))
+      .outputMode("append")
+      .start(out)
+    try {
+      ms.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+      ms.addData((5L, 6L)); q.processAllAvailable()
+      ms.addData((7L, 8L), (9L, 10L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack(out) == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L)))
+    val markers = new java.io.File(out, "_graft_commits").listFiles().map(_.getName).sorted
+    assert(markers.toSeq == Seq("_0", "_1", "_2"), markers.toSeq.toString)
+    // a sink directory re-consumes as a stream: offset contract held
+    val snap = graft.streaming.EventStreams.runToMemory(
+      spark.readStream.format(Fmt).load(out).groupBy("src").count(),
+      "sink_restream", org.apache.spark.sql.streaming.OutputMode.Complete)
+    snap.stop()
+    assert(spark.table("sink_restream").count() == 5)
+  }
+
+  private def tempEdgeFile(dir: String, rows: Seq[(Long, Long)]): String = {
+    val f = java.io.File.createTempFile(".sink", ".tmp", new java.io.File(dir))
+    val w = new java.io.PrintWriter(f)
+    rows.foreach { case (s, d) => w.println(s"$s $d") }
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("replay of a fully-committed epoch is a no-op (marker short-circuit)") {
+    val out = tmpDir("replay")
+    val w = new EdgeListStreamingWrite(out)
+    w.commit(7L, Array[WriterCommitMessage](
+      EdgeFileCommit(tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))))))
+    val after1 = readBack(out)
+    // the replay arrives with ITS OWN fresh temp files (same rows)
+    w.commit(7L, Array[WriterCommitMessage](
+      EdgeFileCommit(tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))))))
+    assert(readBack(out) == after1 && after1 == Set((1L, 2L), (3L, 4L)))
+    assert(new java.io.File(out).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".txt")) == 1)
+  }
+
+  test("half-committed epoch (files visible, no marker) is unpublished then replayed") {
+    val out = tmpDir("half")
+    val w = new EdgeListStreamingWrite(out)
+    // simulate a crash after one rename of epoch 3, before the marker:
+    // a stale partial with rows the replay will NOT produce
+    val stale = new java.io.File(out, "part-0000000000001-e3-00000.txt")
+    Files.write(stale.toPath, "99 99\n".getBytes)
+    w.commit(3L, Array[WriterCommitMessage](
+      EdgeFileCommit(tempEdgeFile(out, Seq((5L, 6L))))))
+    assert(readBack(out) == Set((5L, 6L)), "stale partial epoch survived replay")
+    assert(!stale.exists())
+  }
+
+  test("complete output mode is rejected loudly") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = ms.toDF().select(col("_1").as("src"), col("_2").as("dst"))
+      .groupBy("src").agg(max("dst").as("dst"))
+      .writeStream.format(Fmt)
+      .option("checkpointLocation", tmpDir("cm_ckpt"))
+      .outputMode("complete")
+    val e = intercept[Exception] {
+      val qq = q.start(tmpDir("cm"))
+      try { ms.addData((1L, 2L)); qq.processAllAvailable() } finally qq.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("Append output only")),
+      s"unexpected failure: $e")
+  }
+}
