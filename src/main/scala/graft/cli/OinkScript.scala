@@ -34,7 +34,7 @@ import graft.text.TextAnalysis
   * `dedup_exact / minhash_sig / minhash_pairs / minhash_dedup /
   * dedup_clusters / simhash / simhash_pairs / langid / quality /
   * tokens / fingerprint` operate on (doc_id, text) objects
-  * (`overlap` on (source, text)),
+  * (`overlap` / `overlap_sketch` on (source, text)),
   * `ann_lsh / quantize` on (vec_id, embedding) objects. MR-MPI
   * tuning parameters with no Spark meaning (cc_find's big-zone
   * `nthresh` — skew handled by AQE; rmat's extra-shuffle `fraction`)
@@ -571,6 +571,38 @@ object OinkScript {
               graft.streaming.EventStreams.runToMemory(in0, name,
                 org.apache.spark.sql.streaming.OutputMode.Append).stop()
               sinkAndBind(spark.table(name), outs, line)
+            case "select" =>
+              // select "expr AS name" ... — SQL projection on batch or
+              // streaming objects (quoted tokens keep their spaces)
+              if (pos.isEmpty)
+                throw ScriptError(line, "select requires at least one expression")
+              sinkAndBind(in0.selectExpr(pos.map(subst): _*), outs, line)
+            case "filter" =>
+              // filter "sql predicate"
+              val pred = pos.headOption.getOrElse(
+                throw ScriptError(line, "filter requires a predicate"))
+              sinkAndBind(in0.where(expr(subst(pred))), outs, line)
+            case "overlap_sketch" =>
+              // overlap_sketch [n] [k] — pairwise KMV-synopsis overlap
+              // matrix on (source, text): the sketched twin of `overlap`
+              val n = pos.lift(0).map(_.toInt).getOrElse(3)
+              val k = pos.lift(1).map(_.toInt).getOrElse(256)
+              sinkAndBind(Dedup.sourceOverlapSketch(in0, col("source"),
+                col("text"), n, k), outs, line)
+            case "stream_asof" =>
+              // stream-stream AS-OF (temporal) join: purchases enrich
+              // with the latest same-user click version (TWS)
+              sinkAndBind(graft.streaming.TwsOperators.streamAsOfJoinTws(
+                spark, in0), outs, line)
+            case "write_edge_stream" =>
+              // write_edge_stream path — drain a streaming (src, dst)
+              // object into the connector's exactly-once epoch sink
+              val target = pos.headOption.getOrElse(
+                throw ScriptError(line, "write_edge_stream requires a target path"))
+              val q = in0.writeStream.format("graft.sources.EdgeListSource")
+                .option("checkpointLocation", s"${target}_ckpt")
+                .outputMode("append").start(target)
+              q.processAllAvailable(); q.stop()
             case _ => throw ScriptError(line, s"unknown command '$cmd'")
           }
       }

@@ -426,6 +426,41 @@ object Dedup {
           least(col("n_s1"), col("n_s2"))).as("containment"))
   }
 
+  /** [[sourceOverlap]]'s SKETCHED twin: the full pairwise overlap matrix
+    * from one k-minimum-values synopsis per source
+    * ([[graft.functions.KmvSketch]], Beyer et al. SIGMOD 2007) instead
+    * of the exact n-gram self-join. One aggregation pass builds the
+    * synopses (≤ k longs per source through the shuffle); the pair
+    * matrix is then a broadcast join of |sources| tiny rows, and union
+    * DV / Jaccard / intersection estimates are plain array functions —
+    * at 100 TB the per-source synopses are maintained incrementally and
+    * the matrix costs nothing to recompute, where the exact join
+    * re-shuffles every n-gram. Estimates are floor-rounded to 4
+    * decimals; `n_s1`/`n_s2` carry the exact per-source counts. */
+  def sourceOverlapSketch(docs: DataFrame, source: Column, text: Column,
+      n: Int = 3, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    val sg = TextAnalysis.explodedShingles(docs, source, text, n)
+      .select(col("doc_id").as("s"), Hashing.hash60(col("sh")).as("h"))
+    val sk = sg.groupBy("s")
+      .agg(KmvSketch.kmv(col("h"), k).as("sk"), countDistinct("h").as("n"))
+    val pairs = sk.select(col("s").as("s1"), col("sk").as("sk1"),
+        col("n").as("n_s1"))
+      .join(broadcast(sk.select(col("s").as("s2"), col("sk").as("sk2"),
+        col("n").as("n_s2"))), col("s1") < col("s2"))
+    pairs
+      .withColumn("uni", KmvSketch.unionOf(col("sk1"), col("sk2"), k))
+      .withColumn("est_union", KmvSketch.estimate(col("uni"), k))
+      .withColumn("kk", size(col("uni")).cast("long"))
+      .withColumn("rho_num", size(array_intersect(
+        array_intersect(col("uni"), col("sk1")), col("sk2"))).cast("long"))
+      .select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("est_union"),
+        (floor(col("rho_num").cast("double") / col("kk") * lit(1e4) + lit(0.5))
+          / lit(1e4)).as("jaccard_est"),
+        (floor(col("rho_num").cast("double") / col("kk") * col("est_union")
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
+  }
+
   /** Substring-span duplication statistics — the ExactSubstr shape of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (arXiv:2107.06499): a token span duplicated ANYWHERE else

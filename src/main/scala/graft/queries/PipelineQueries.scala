@@ -651,7 +651,16 @@ object PipelineQueries {
         .withColumn("inter_est",
           floor(col("rho_num").cast("double") / col("kk") * col("est_union")
             * lit(1e4) + lit(0.5)) / lit(1e4))
-    })
+    }),
+
+    // The full PAIRWISE overlap matrix from one KMV synopsis per source
+    // (d_overlap's sketched twin): 20 sources → 190 pairs estimated
+    // from 20 synopses built in one aggregation pass; the exact join
+    // d_overlap runs re-shuffles every n-gram per refresh instead.
+    // Same exact-replica oracle discipline as d_overlap_sketch.
+    "d_overlap_matrix" -> ((s, dir) =>
+      Dedup.sourceOverlapSketch(docs(s, dir), col("source"), col("text"),
+        n = 3, k = 128))
   )
 
   /** Fixed keyword query for the hybrid-retrieval gate (the BM25 side
@@ -1662,6 +1671,42 @@ object PipelineQueries {
          |  floor(CAST(rho_num AS DOUBLE) / kk * est_union * 10000.0e0 + 0.5e0)
          |    / 10000.0e0 AS inter_est
          |FROM est, ex""".stripMargin
+    },
+
+    "d_overlap_matrix" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 128
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT source AS s,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT s, ${H(gram3)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |d AS (SELECT DISTINCT s, h FROM sh),
+         |r2 AS (SELECT s, h,
+         |  row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT s, list(h ORDER BY h) AS sk FROM r2
+         |  WHERE rn <= $k GROUP BY s),
+         |ex AS (SELECT s, count(*) AS n FROM d GROUP BY s),
+         |p AS (SELECT a.s AS s1, b.s AS s2, a.sk AS sk1, b.sk AS sk2
+         |  FROM sk a JOIN sk b ON a.s < b.s),
+         |u AS (SELECT s1, s2, sk1, sk2,
+         |  list_sort(list_distinct(sk1 || sk2))[1:$k] AS uni FROM p),
+         |m AS (SELECT s1, s2, sk1, sk2, uni, len(uni) AS kk,
+         |  len(list_filter(uni, x -> list_contains(sk1, x)
+         |    AND list_contains(sk2, x))) AS rho_num FROM u),
+         |est AS (SELECT s1, s2, kk, rho_num,
+         |  ${KmvSketch.oracleEstimateSql("uni", k)} AS est_union FROM m)
+         |SELECT s1, s2, ea.n AS n_s1, eb.n AS n_s2, est_union,
+         |  floor(CAST(rho_num AS DOUBLE) / kk * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS jaccard_est,
+         |  floor(CAST(rho_num AS DOUBLE) / kk * est_union * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS inter_est
+         |FROM est
+         |JOIN ex ea ON ea.s = est.s1
+         |JOIN ex eb ON eb.s = est.s2""".stripMargin
     }
   )
 

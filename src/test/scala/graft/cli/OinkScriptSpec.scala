@@ -381,4 +381,57 @@ class OinkScriptSpec extends SparkSpec {
       "read_events_stream -i /root/testdata/sf0.001 -o /tmp/oink-bad.csv ev")))
     assert(e.getMessage.contains("stream_drain"))
   }
+
+  test("overlap_sketch verb: pairwise KMV matrix agrees with the exact overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/documents.parquet -o NULL docs",
+      "overlap_sketch 3 256 -i docs -o NULL m",
+      "overlap 3 -i docs -o NULL x"))
+    val m = reg("m")
+    assert(m.columns.toSeq == Seq("s1", "s2", "n_s1", "n_s2", "est_union",
+      "jaccard_est", "inter_est"))
+    val exact = reg("x").select(col("s1"), col("s2"), col("jaccard"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = m.select(col("s1"), col("s2"), col("jaccard_est"))
+      .as[(String, String, Double)].collect()
+    assert(est.length == exact.size) // same 190 pairs
+    // k=256 over ~500-element sets: estimates track truth to coarse RSE
+    est.foreach { case (a, b, j) =>
+      assert(math.abs(j - exact((a, b))) < 0.15,
+        s"pair ($a,$b): sketch $j vs exact ${exact((a, b))}")
+    }
+  }
+
+  test("stream_asof + write_edge_stream verbs: temporal join and epoch sink") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("oinksink").resolve("edges").toString
+    val ConfKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ConfKey)
+    try {
+      val reg = OinkScript.run(spark, Seq(
+        s"conf $ConfKey org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        s"read_events_stream -i $dir -o NULL ev",
+        "stream_asof -i ev -o NULL aj",
+        "stream_drain oink_asof_sink -i aj -o NULL res",
+        s"read_events_stream -i $dir -o NULL ev2",
+        """filter "event_type = 'purchase'" -i ev2 -o NULL pur0""",
+        """select "user_id AS src" "event_id AS dst" -i pur0 -o NULL pur""",
+        s"write_edge_stream $out -i pur",
+        s"read_edge_dsv2 -i $out -o NULL back"))
+      assert(reg("res").columns.toSeq == Seq("user_id", "fact_id",
+        "fact_ts_us", "dim_id", "dim_ts_us", "dim_cents"))
+      assert(reg("res").count() > 0)
+      // the sink round-trips every purchase exactly once
+      val purchases = spark.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(reg("back").as[(Long, Long)].collect().toSet == purchases)
+    } finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
+    }
+  }
 }
