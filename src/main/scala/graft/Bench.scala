@@ -257,7 +257,10 @@ object Bench {
         // the hand-binned interval join vs the RangeJoinRewrite-rule
         // plan from the naive join text (the rule-less naive plan is a
         // nested loop: 3.1 s at sf0.1, measured in COVERAGE)
-        "e_interval_join", "e_interval_join_auto").flatMap { name => section(name) {
+        "e_interval_join", "e_interval_join_auto",
+        // round-8 session-3 baselines: the KMV pairwise matrix and the
+        // exact n-gram join it replaces at refresh time
+        "d_overlap_matrix", "d_overlap").flatMap { name => section(name) {
       val q = SparkEntry.queries(name)
       materialize(q(spark, sfDir)) // warm
       val ts = (1 to 3).map(_ => timeIt(materialize(q(spark, sfDir)))).sorted

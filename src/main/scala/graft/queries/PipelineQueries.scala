@@ -660,7 +660,36 @@ object PipelineQueries {
     // Same exact-replica oracle discipline as d_overlap_sketch.
     "d_overlap_matrix" -> ((s, dir) =>
       Dedup.sourceOverlapSketch(docs(s, dir), col("source"), col("text"),
-        n = 3, k = 128))
+        n = 3, k = 128)),
+
+    // INCREMENTAL synopsis maintenance — the property that makes KMV a
+    // standing corpus statistic at 100 TB: when a refresh batch arrives
+    // (doc_id % 10 == 0 here), only the BATCH is aggregated and the
+    // stored synopsis absorbs it with one O(k) array merge; the gate
+    // proves the maintained synopsis is the IDENTICAL ARRAY a full
+    // recompute over base+batch produces (same_synopsis — a pure
+    // set-function guarantee, not an approximation), so estimates
+    // never drift across refresh cadences. exact_n pins ground truth.
+    "d_kmv_inc" -> ((s, dir) => {
+      val k = 256
+      import graft.functions.KmvSketch
+      val all = graft.text.TextAnalysis.explodedShingles(
+          docs(s, dir), col("doc_id"), col("text"), 3)
+        .select(col("doc_id").as("id"), Hashing.hash60(col("sh")).as("h"))
+      val skBase = all.where(col("id") % 10 =!= 0)
+        .agg(KmvSketch.kmv(col("h"), k).as("sk_base"))
+      val skBatch = all.where(col("id") % 10 === 0)
+        .agg(KmvSketch.kmv(col("h"), k).as("sk_batch"))
+      val skFull = all.agg(KmvSketch.kmv(col("h"), k).as("sk_full"),
+        countDistinct("h").as("exact_n"))
+      skBase.crossJoin(broadcast(skBatch)).crossJoin(broadcast(skFull))
+        .withColumn("sk_inc",
+          KmvSketch.unionOf(col("sk_base"), col("sk_batch"), k))
+        .select(col("exact_n"),
+          KmvSketch.estimate(col("sk_inc"), k).as("est_inc"),
+          KmvSketch.estimate(col("sk_full"), k).as("est_full"),
+          (col("sk_inc") === col("sk_full")).cast("int").as("same_synopsis"))
+    })
   )
 
   /** Fixed keyword query for the hybrid-retrieval gate (the BM25 side
@@ -1707,6 +1736,28 @@ object PipelineQueries {
          |FROM est
          |JOIN ex ea ON ea.s = est.s1
          |JOIN ex eb ON eb.s = est.s2""".stripMargin
+    },
+
+    // the maintained synopsis provably equals the full recompute, so
+    // the oracle computes ONE synopsis and serves both estimates
+    "d_kmv_inc" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 256
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT ${H(gram3)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |d AS (SELECT DISTINCT h FROM sh),
+         |r2 AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT list(h ORDER BY h) AS sk FROM r2 WHERE rn <= $k),
+         |ex AS (SELECT count(*) AS exact_n FROM d),
+         |est AS (SELECT ${KmvSketch.oracleEstimateSql("sk", k)} AS e FROM sk)
+         |SELECT exact_n, e AS est_inc, e AS est_full, 1 AS same_synopsis
+         |FROM est, ex""".stripMargin
     }
   )
 

@@ -411,6 +411,25 @@ object RelationalQueries {
               |       min(o_orderkey) AS min_key,
               |       max(o_orderkey) AS max_key
               |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // SQL PIPE syntax (Spark 4's |> operator chain — SIGMOD'24 "SQL Has
+    // Problems. We Can Fix Them" shape): the same relational algebra as
+    // a classic query, but staged as FROM |> WHERE |> EXTEND |>
+    // AGGREGATE |> WHERE |> ORDER BY. Gated against the classic-SQL
+    // DuckDB equivalent — the surface syntax must not change one row.
+    "q37_pipe_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""FROM lineitem
+              ||> WHERE l_quantity >= 10
+              ||> EXTEND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              |     AS cents
+              ||> AGGREGATE count(*) AS cnt, sum(cents) AS sum_cents,
+              |     max(l_quantity) AS max_qty
+              |   GROUP BY l_returnflag, l_linestatus
+              ||> WHERE cnt > 5
+              ||> SELECT l_returnflag, l_linestatus, cnt, sum_cents, max_qty"""
+        .stripMargin)
     })
   )
 
@@ -590,6 +609,15 @@ object RelationalQueries {
         |  max(CASE WHEN st = 'P' THEN cnt END) AS p_cnt,
         |  max(CASE WHEN st = 'P' THEN cents END) AS p_cents
         |FROM b GROUP BY pri""".stripMargin,
+
+    // the pipe chain, re-expressed as classic SQL
+    "q37_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY 1, 2 HAVING count(*) > 5""".stripMargin,
 
     // lower() models the lcase collation exactly on this ASCII data
     "q34_collation" ->
