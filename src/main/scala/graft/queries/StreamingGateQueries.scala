@@ -158,6 +158,19 @@ object StreamingGateQueries {
       drain(s, EventStreams.sessionWindowStream(EventStreams.readEvents(s, dir)),
         "st_sessw_gate")),
 
+    // DYNAMIC per-row gap on the native session_window (purchases 60
+    // min, else 30): one high-value event stretches its session without
+    // widening every gap; merged-window semantics (overlap, strict) are
+    // replayed by a running-max-of-ends oracle, with the same µs-exact
+    // watermark eviction as the fixed-gap gate. Single- and multi-batch
+    // drains share it (emission only tightens monotonically).
+    "st_session_dyngap" -> ((s, dir) =>
+      drain(s, EventStreams.sessionWindowDynStream(EventStreams.readEvents(s, dir)),
+        "st_sessdyn_gate")),
+    "st_session_dyngap_mb" -> ((s, dir) =>
+      drain(s, EventStreams.sessionWindowDynStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_sessdyn_mb_gate")),
+
     // Per-key running statistics (online anomaly-scoring feed): exact
     // integer cents, so the gate needs no float rounding at all.
     "st_running" -> ((s, dir) =>
@@ -887,7 +900,35 @@ object StreamingGateQueries {
       |SELECT user_id, fact_id, fact_ts_us, dim_id, dim_ts_us, dim_cents
       |FROM j, wm WHERE rn <= 1 AND fact_ts_us < wm_us""".stripMargin
 
+  /** st_session_dyngap(/_mb): per-event window [ts, ts + gap(event)),
+    * merge on strict overlap with the RUNNING MAX of prior ends (a
+    * single long-gap event can bridge later short-gap ones — lag() of
+    * the previous end alone under-merges), evict at end ≤ the ms-floor
+    * watermark (delay = the 1 h max gap). */
+  private val sessionDynOracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+       |  epoch_ns(ts) // 1000 + CASE WHEN event_type = 'purchase'
+       |    THEN ${3600L * 1000000L} ELSE ${1800L * 1000000L} END AS w_end
+       |  FROM events),
+       |o AS (SELECT *, max(w_end) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM e),
+       |f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+       |    THEN 1 ELSE 0 END AS brk FROM o),
+       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM f),
+       |agg AS (SELECT user_id, sid, count(*) AS n_events,
+       |  min(ts_us) AS start_us, max(w_end) AS end_us
+       |  FROM s GROUP BY user_id, sid),
+       |wm AS (SELECT (SELECT max(ts_us) FROM e) // 1000 - 3600000 AS w)
+       |SELECT user_id, start_us, end_us, n_events FROM agg, wm
+       |WHERE end_us <= w * 1000""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "st_session_dyngap" -> sessionDynOracle,
+    "st_session_dyngap_mb" -> sessionDynOracle,
     "st_chunk" -> TextQueries.oracles("t_chunk"),
     // stateless per-row extraction: every value a closed form of the
     // raw columns (k from the props JSON; maybe_int only on the even

@@ -726,6 +726,28 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  /** DYNAMIC-gap session windows — the gap is a per-ROW expression
+    * (purchases hold the session open 60 minutes, everything else 30):
+    * each event opens [ts, ts+gap(event)) and overlapping windows per
+    * key merge, so one high-value event stretches the session without
+    * widening every gap. The watermark delay covers the LARGEST gap a
+    * row can contribute (a session can stay open that long past its
+    * last event). Completes the session matrix: fixed-gap fMGWS/TWS,
+    * native fixed-gap, native dynamic-gap. */
+  def sessionWindowDynStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("tts", graft.io.Tables.eventTime(events))
+      .withWatermark("tts", "1 hour")
+      .groupBy(session_window(col("tts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   final case class REvent(event_type: String, event_id: Long, ts_us: Long,
       cents: Long)
   final case class RunningState(n: Long, sum: Long, sumSq: Long)
