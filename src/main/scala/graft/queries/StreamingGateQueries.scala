@@ -103,6 +103,17 @@ object StreamingGateQueries {
       drain(s, EventStreams.approxDistinctStream(EventStreams.readEvents(s, dir)),
         "st_hll_gate")),
 
+    // Windowed approx-distinct on the KMV synopsis: the aggregate's
+    // serialize/merge path through the STREAMING state store, proven
+    // across 4 micro-batches in the _mb twin; same eviction arithmetic
+    // as st_approx_distinct, exact DuckDB replica of the synopsis.
+    "st_kmv_distinct" -> ((s, dir) =>
+      drain(s, EventStreams.kmvDistinctStream(EventStreams.readEvents(s, dir)),
+        "st_kmv_gate")),
+    "st_kmv_distinct_mb" -> ((s, dir) =>
+      drain(s, EventStreams.kmvDistinctStream(
+        EventStreams.readEventsMultiBatch(s, dir)), "st_kmv_mb_gate")),
+
     // Stateful gap-sessionization: a single-batch drain emits
     // successor-closed sessions, then the no-data batch fires event-time
     // timeouts for trailing sessions the final watermark has passed
@@ -926,9 +937,36 @@ object StreamingGateQueries {
        |SELECT user_id, start_us, end_us, n_events FROM agg, wm
        |WHERE end_us <= w * 1000""".stripMargin
 
+  /** st_kmv_distinct(/_mb): exact replica of the per-(window, type) KMV
+    * synopsis over closed windows (same eviction arithmetic as
+    * st_approx_distinct). */
+  private val kmvDistinctOracle = {
+    val k = 64
+    s"""WITH ev AS (SELECT (epoch_ns(ts) // 1000)
+       |    - (epoch_ns(ts) // 1000) % $HourUs AS ws,
+       |    event_type, user_id
+       |  FROM events
+       |  WHERE (epoch_ns(ts) // 1000)
+       |      - (epoch_ns(ts) // 1000) % $HourUs + $HourUs
+       |    <= (SELECT max(epoch_ns(ts) // 1000) FROM events)
+       |      - ${2 * HourUs}),
+       |d AS (SELECT DISTINCT ws, event_type,
+       |  ${graft.functions.Hashing.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM ev),
+       |r2 AS (SELECT ws, event_type, h, row_number() OVER (
+       |  PARTITION BY ws, event_type ORDER BY h) AS rn FROM d),
+       |sk AS (SELECT ws, event_type, list(h ORDER BY h) AS sk FROM r2
+       |  WHERE rn <= $k GROUP BY ws, event_type)
+       |SELECT ws AS win_start_us, event_type,
+       |  ${graft.functions.KmvSketch.oracleEstimateSql("sk", k)} AS approx_users
+       |FROM sk""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "st_session_dyngap" -> sessionDynOracle,
     "st_session_dyngap_mb" -> sessionDynOracle,
+    "st_kmv_distinct" -> kmvDistinctOracle,
+    "st_kmv_distinct_mb" -> kmvDistinctOracle,
     "st_chunk" -> TextQueries.oracles("t_chunk"),
     // stateless per-row extraction: every value a closed form of the
     // raw columns (k from the props JSON; maybe_int only on the even

@@ -147,6 +147,27 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("approx_users"))
 
+  /** [[approxDistinctStream]] on the KMV synopsis
+    * ([[graft.functions.KmvSketch]]) instead of HLL registers: state
+    * per open (window, type) group is the ≤ k·8-byte synopsis buffer,
+    * SERIALIZED through the state store between micro-batches and
+    * merged on arrival — the streaming proof of the aggregate's
+    * serialize/merge path. k smallest distinct is a pure set function,
+    * so the batch replica matches bit-for-bit whatever the batch
+    * cadence. */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .withColumn("tts", graft.io.Tables.eventTime(events))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.KmvSketch.kmv(
+        graft.functions.Hashing.hash60(col("user_id").cast("string")), k)
+        .as("sk"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"),
+        graft.functions.KmvSketch.estimate(col("sk"), k).as("approx_users"))
+
   /** Windowed value quantiles per event type via the HDR-bin sketch
     * ([[graft.functions.HdrQuantiles]]): state per open (window, type)
     * group is one sparse bin-count array (≤ 4033 slots, in practice a
