@@ -347,6 +347,29 @@ object StreamingGateQueries {
           EventStreams.readEventsMultiBatch(s, dir)), "st_sess_tws_gate")
       }),
 
+    // VARIANT-typed TWS state through the gate: each event emits its
+    // key's PREVIOUS semi-structured payload from a ValueState holding
+    // a real VariantVal (binary encoding in the state store, typed
+    // extraction downstream in the plan). The _mb twin proves the
+    // variant round-trips RocksDB BETWEEN micro-batches. Oracle is the
+    // per-user lag of the raw JSON column.
+    "st_variant_state" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.variantLagStream(s,
+            EventStreams.readEvents(s, dir))
+          .select(col("user_id"), col("event_id"),
+            expr("try_variant_get(prev, '$.k', 'long')").as("prev_k")),
+          "st_vstate_gate")
+      }),
+    "st_variant_state_mb" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.variantLagStream(s,
+            EventStreams.readEventsMultiBatch(s, dir))
+          .select(col("user_id"), col("event_id"),
+            expr("try_variant_get(prev, '$.k', 'long')").as("prev_k")),
+          "st_vstate_mb_gate")
+      }),
+
     // Stream-stream AS-OF (temporal) join — the join Spark has no
     // native streaming operator for: purchases (facts) enrich with the
     // LATEST same-user click version at-or-before their timestamp,
@@ -962,11 +985,23 @@ object StreamingGateQueries {
        |FROM sk""".stripMargin
   }
 
+  /** st_variant_state(/_mb): the per-user lag of the raw JSON column. */
+  private val variantStateOracle =
+    """WITH e AS (SELECT user_id, event_id,
+      |  epoch_ns(ts) // 1000 AS ts_us, props FROM events),
+      |l AS (SELECT user_id, event_id, lag(props) OVER (
+      |  PARTITION BY user_id ORDER BY ts_us, event_id) AS pp FROM e)
+      |SELECT user_id, event_id,
+      |  CAST(json_extract_string(pp, '$.k') AS BIGINT) AS prev_k
+      |FROM l""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "st_session_dyngap" -> sessionDynOracle,
     "st_session_dyngap_mb" -> sessionDynOracle,
     "st_kmv_distinct" -> kmvDistinctOracle,
     "st_kmv_distinct_mb" -> kmvDistinctOracle,
+    "st_variant_state" -> variantStateOracle,
+    "st_variant_state_mb" -> variantStateOracle,
     "st_chunk" -> TextQueries.oracles("t_chunk"),
     // stateless per-row extraction: every value a closed form of the
     // raw columns (k from the props JSON; maybe_int only on the even

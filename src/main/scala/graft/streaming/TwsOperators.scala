@@ -395,6 +395,64 @@ object TwsOperators {
   }
 
   // ---------------------------------------------------------------------
+  // VARIANT-typed state
+  // ---------------------------------------------------------------------
+
+  final case class VEvent(user_id: Long, event_id: Long, ts_us: Long,
+      v: org.apache.spark.unsafe.types.VariantVal)
+  final case class VPrev(user_id: Long, event_id: Long,
+      prev: org.apache.spark.unsafe.types.VariantVal)
+  /** Variant state row: the (value, metadata) binary pair — the state
+    * store's Avro encoder (Spark 4's TWS default) has no VariantType
+    * mapping, but the pair IS the variant's wire form, so nothing is
+    * re-parsed: the VariantVal is reassembled on emit for free. */
+  final case class VState(value: Array[Byte], metadata: Array[Byte])
+
+  /** VARIANT THROUGH STATE: the key's previous semi-structured payload
+    * rides a `ValueState` in the variant's compact binary encoding
+    * (never as a JSON string re-parsed per batch). Each event emits the
+    * PREVIOUS event's payload for its key as a real VariantVal column
+    * (VariantEncoder composes into product encoders — probed in
+    * tools/VariantStateProbe); typed extraction (`try_variant_get`)
+    * happens downstream in the plan, codegen'd. */
+  private class VariantLagProcessor
+      extends StatefulProcessor[Long, VEvent, VPrev] {
+    @transient private var last: ValueState[VState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[VState]("last",
+        Encoders.product[VState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[VEvent],
+        timers: TimerValues): Iterator[VPrev] = {
+      val out = Seq.newBuilder[VPrev]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        out += VPrev(userId, e.event_id,
+          if (last.exists()) {
+            val s = last.get()
+            new org.apache.spark.unsafe.types.VariantVal(s.value, s.metadata)
+          } else null)
+        last.update(VState(e.v.getValue, e.v.getMetadata))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-user previous-payload stream: (user_id, event_id, prev VARIANT). */
+  def variantLagStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        graft.io.Tables.eventMicros(events).as("ts_us"),
+        parse_json(col("props")).as("v"))
+      .as[VEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new VariantLagProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
   // Stream-stream AS-OF (temporal) join
   // ---------------------------------------------------------------------
 
