@@ -75,4 +75,39 @@ object Compaction {
     fs.delete(bak, true)
     Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
   }
+
+  /** [[compactParquet]] for an edge-list directory written by the
+    * connector's streaming sink — the natural companion op: every epoch
+    * commit lands ≥ 1 small file, and a long-lived sink accretes
+    * thousands. Same size-aware count, same temp-dir + swap (never
+    * read-overwrite-in-place). The `_graft_commits` epoch markers are
+    * DROPPED with the old files: they exist to dedupe epoch replays of
+    * a live query, and compaction is only legal on a CLOSED sink (no
+    * writer running — same ownership contract as any table rewrite);
+    * a reader consuming the dir as a stream must also restart from a
+    * fresh offset, since compaction rewrites the file list. */
+  def compactEdgeList(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Report = {
+    val fmt = "graft.sources.EdgeListSource"
+    val files = dataFiles(spark, dir)
+    val bytes = files.map(_._2).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (files.length <= want)
+      return Report(files.length, files.length, bytes, targetFileBytes)
+
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
+    val bak = new Path(p.getParent, s".${p.getName}__compact_old")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    spark.read.format(fmt).load(dir).repartition(want)
+      .write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
+    if (!fs.rename(p, bak)) sys.error(s"compaction: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // restore
+      sys.error(s"compaction: cannot move rewritten table into $p")
+    }
+    fs.delete(bak, true)
+    Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
+  }
 }

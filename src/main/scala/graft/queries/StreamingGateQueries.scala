@@ -452,6 +452,34 @@ object StreamingGateQueries {
           max("dst").as("max_id"))
     }),
 
+    // The sink's MAINTENANCE companion: a 4-epoch drain accretes small
+    // per-epoch files; compactEdgeList rewrites the closed sink toward
+    // the size target (temp-dir + swap, epoch markers dropped with the
+    // old files) and the gate aggregate reads the COMPACTED layout —
+    // a row lost or duplicated by the rewrite breaks the hash. Shares
+    // st_dsv2_sink's stream-blind oracle.
+    "st_dsv2_compact" -> ((s, dir) => {
+      val fmt = "graft.sources.EdgeListSource"
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2cmp_").toFile
+      root.deleteOnExit()
+      val out = s"$root/edges"
+      val q = EventStreams.readEventsMultiBatch(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), col("event_id").as("dst"))
+        .writeStream.format(fmt)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable()
+      q.stop()
+      val rep = graft.io.Compaction.compactEdgeList(s, out, 1L << 30)
+      s.read.format(fmt).option("chunkBytes", "4096").load(out)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_purch"), min("dst").as("min_id"),
+          max("dst").as("max_id"))
+        .withColumn("files_after", lit(rep.filesAfter))
+    }),
+
     // Streaming SCD2 corpus-refresh sink: foreachBatch folds each
     // micro-batch's latest-signup-per-user updates into an accumulating
     // SCD2 dimension (Scd2.merge, effective at the batch high-water
@@ -1019,6 +1047,12 @@ object StreamingGateQueries {
     "st_dsv2_sink" ->
       """SELECT user_id AS src, count(*) AS n_purch,
         |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "st_dsv2_compact" ->
+      """SELECT user_id AS src, count(*) AS n_purch,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  1 AS files_after
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
     "st_funnel_mb" -> baseOracles("st_funnel"),
