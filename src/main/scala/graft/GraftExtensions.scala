@@ -70,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv"),
       new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv"),
       graft.functions.GraftFunctions.kmvBuilder _))
+    // SQL TABLE function: SELECT * FROM graft_rmat(levels, n, seed)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_rmat"),
+      new ExpressionInfo(graft.graph.RMat.getClass.getName, "graft_rmat"),
+      graft.functions.GraftFunctions.rmatTvfBuilder _))
   }
 }

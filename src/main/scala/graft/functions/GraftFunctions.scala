@@ -25,6 +25,40 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "kmv", kmvBuilder)
   }
 
+  /** SQL TABLE function `graft_rmat(levels, n_edges, seed)` — the R-MAT
+    * generator as a relation: `SELECT * FROM graft_rmat(8, 2000, 7)`.
+    * Registered via `SparkSessionExtensions.injectTableFunction`; the
+    * returned plan is the same codegen'd projection over a Range that
+    * [[graft.graph.RMat.generate]] builds (the analyzer resolves the
+    * `id` references against the Range output). Arguments must fold. */
+  private[graft] def rmatTvfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    require(exprs.length == 3,
+      "graft_rmat expects (levels INT, n_edges BIGINT, seed BIGINT) literals")
+    def lng(e: Expression, what: String): Long = {
+      require(e.foldable, s"graft_rmat $what must be a literal")
+      e.eval(null) match {
+        case n: java.lang.Number => n.longValue()
+        case other =>
+          throw new IllegalArgumentException(s"graft_rmat $what: got $other")
+      }
+    }
+    val levels = lng(exprs(0), "levels").toInt
+    require(levels >= 1 && levels <= 62, "graft_rmat levels must be in [1, 62]")
+    val n = lng(exprs(1), "n_edges")
+    val seed = lng(exprs(2), "seed")
+    // Build through the Dataset API against the resolving session and
+    // hand the analyzer the resulting catalyst plan: a hand-assembled
+    // Project over Column-bridged expressions would smuggle lazy
+    // ColumnNode wrappers into the plan (the same trap hash60Builder
+    // documents), while the Dataset path converts everything eagerly.
+    graft.graph.RMat
+      .generate(org.apache.spark.sql.SparkSession.active, levels, n, seed)
+      .queryExecution.logical
+  }
+
   private[graft] def kmvBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {

@@ -28,12 +28,12 @@ object RMat {
     * @param a,b,c,d  quadrant probabilities, a+b+c+d = 1
     * @return distinct (src BIGINT, dst BIGINT)
     */
-  def generate(
-      spark: SparkSession,
-      levels: Int,
-      nEdges: Long,
-      seed: Long,
-      a: Double = 0.45, b: Double = 0.15, c: Double = 0.15, d: Double = 0.25): DataFrame = {
+  /** The (src, dst) projection columns over an `id` row index — the
+    * whole generator as two expressions, shared by [[generate]] and the
+    * `graft_rmat(levels, n, seed)` SQL table function. */
+  def srcDstCols(levels: Int, seed: Long,
+      a: Double = 0.45, b: Double = 0.15, c: Double = 0.15,
+      d: Double = 0.25): (Column, Column) = {
     require(a + b + c + d > 0.999 && a + b + c + d < 1.001, "quadrant probs must sum to 1")
     val i = col("id")
     // quadrant q(l): 0=(0,0) 1=(0,1) 2=(1,0) 3=(1,1); srcbit = q>=2, dstbit = q odd
@@ -43,11 +43,18 @@ object RMat {
       val dstBit = ((r >= lit(a) && r < lit(a + b)) || r >= lit(a + b + c)).cast("long")
       (srcBit * (1L << l), dstBit * (1L << l))
     }
-    spark.range(nEdges)
-      .select(
-        bits.map(_._1).reduce(_ + _).as("src"),
-        bits.map(_._2).reduce(_ + _).as("dst"))
-      .distinct()
+    (bits.map(_._1).reduce(_ + _).as("src"),
+      bits.map(_._2).reduce(_ + _).as("dst"))
+  }
+
+  def generate(
+      spark: SparkSession,
+      levels: Int,
+      nEdges: Long,
+      seed: Long,
+      a: Double = 0.45, b: Double = 0.15, c: Double = 0.15, d: Double = 0.25): DataFrame = {
+    val (src, dst) = srcDstCols(levels, seed, a, b, c, d)
+    spark.range(nEdges).select(src, dst).distinct()
   }
 
   /** DuckDB SQL computing the identical edge set (oracle). */

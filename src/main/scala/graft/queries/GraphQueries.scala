@@ -302,6 +302,14 @@ object GraphQueries {
 
     "g_rmat" -> ((s, _) => RMat.generate(s, levels = 8, nEdges = 2000L, seed = 7L)),
 
+    // The same generator as a SQL TABLE FUNCTION (injectTableFunction —
+    // the fourth extension-injection kind after planner strategy,
+    // optimizer rules, and scalar functions): a relation-producing
+    // `FROM graft_rmat(levels, n, seed)` usable anywhere a table is.
+    // Shares g_rmat's oracle — the surface must not change one edge.
+    "g_rmat_tvf" -> ((s, _) =>
+      s.sql("SELECT src, dst FROM graft_rmat(8, 2000, 7)")),
+
     // k-core extraction (k=56 peels 3 rounds at sf0.01); the oracle
     // unrolls 8 peel rounds — past the fixpoint, where extra rounds are
     // no-ops.
@@ -705,6 +713,7 @@ object GraphQueries {
          |UNION ALL SELECT c AS v, a AS ea, b AS eb FROM tri""".stripMargin,
 
     "g_rmat" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L),
+    "g_rmat_tvf" -> RMat.generateSql(levels = 8, nEdges = 2000L, seed = 7L),
 
     "g_sssp_w" -> ssspWeightedSql(rounds = 40),
 

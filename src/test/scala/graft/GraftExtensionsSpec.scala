@@ -58,6 +58,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // strategy injection: present in the session's planner without any
       // Bridge.addStrategy call on this session
       assert(spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
+      // TABLE function injection: the R-MAT generator as a relation —
+      // must equal the Column-API path edge for edge
+      val viaTvf = spark.sql("SELECT src, dst FROM graft_rmat(5, 100, 7)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaApi = graft.graph.RMat.generate(spark, 5, 100L, 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTvf == viaApi && viaTvf.nonEmpty)
+      // non-literal arguments fail loudly at analysis
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM range(3), LATERAL graft_rmat(5, id, 7)").collect()
+      }
+      assert(err.getMessage.contains("literal") ||
+        err.getMessage.toLowerCase.contains("resolve"), err.getMessage.take(200))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
