@@ -476,6 +476,15 @@ object OinkScript {
                 spark, resolve(ins.head), mb << 20)
               println(s"compact: ${r.filesBefore} -> ${r.filesAfter} files " +
                 s"(${r.bytes} bytes)") // scalastyle:ignore
+            case "compact_edges" =>
+              // compact_edges targetMB -i dir — merge a closed edge-list
+              // sink's small per-epoch files (connector read+write path)
+              val mb = pos.headOption.map(_.toLong).getOrElse(128L)
+              if (ins.isEmpty) throw ScriptError(line, "compact_edges requires -i dir")
+              val r = graft.io.Compaction.compactEdgeList(
+                spark, resolve(ins.head), mb << 20)
+              println(s"compact_edges: ${r.filesBefore} -> ${r.filesAfter} files " +
+                s"(${r.bytes} bytes)") // scalastyle:ignore
             case "ann_lsh" =>
               // ann_lsh [k] [dim] — dim probed from the data if absent
               val k = pos.lift(0).map(_.toInt).getOrElse(10)

@@ -419,6 +419,7 @@ class OinkScriptSpec extends SparkSpec {
         """filter "event_type = 'purchase'" -i ev2 -o NULL pur0""",
         """select "user_id AS src" "event_id AS dst" -i pur0 -o NULL pur""",
         s"write_edge_stream $out -i pur",
+        s"compact_edges 128 -i $out",
         s"read_edge_dsv2 -i $out -o NULL back"))
       assert(reg("res").columns.toSeq == Seq("user_id", "fact_id",
         "fact_ts_us", "dim_id", "dim_ts_us", "dim_cents"))
