@@ -70,10 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv"),
       new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv"),
       graft.functions.GraftFunctions.kmvBuilder _))
-    // SQL TABLE function: SELECT * FROM graft_rmat(levels, n, seed)
+    // SQL TABLE functions: SELECT * FROM graft_rmat(levels, n, seed) /
+    // graft_edges(path[, chunkBytes])
     ext.injectTableFunction((
       FunctionIdentifier("graft_rmat"),
       new ExpressionInfo(graft.graph.RMat.getClass.getName, "graft_rmat"),
       graft.functions.GraftFunctions.rmatTvfBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_edges"),
+      new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_edges"),
+      graft.functions.GraftFunctions.edgesTvfBuilder _))
   }
 }

@@ -59,6 +59,32 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** SQL TABLE function `graft_edges(path[, chunkBytes])` — the DSv2
+    * edge-list connector as a relation, so PURE-SQL clients (thrift
+    * server, `spark.sql` scripts) read the reference format with every
+    * pushdown intact: `SELECT src, count(*) FROM graft_edges('/data')
+    * GROUP BY src` plans the same grouped-pushdown scan the
+    * DataFrame path gets. */
+  private[graft] def edgesTvfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.nonEmpty && exprs.length <= 2,
+      "graft_edges expects (path STRING [, chunkBytes BIGINT]) literals")
+    require(exprs.forall(_.foldable), "graft_edges arguments must be literals")
+    val path = exprs.head.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"graft_edges path: got $other")
+    }
+    val reader = org.apache.spark.sql.SparkSession.active.read
+      .format("graft.sources.EdgeListSource")
+    val withChunk = exprs.lift(1).fold(reader) { e =>
+      reader.option("chunkBytes",
+        e.eval(null).asInstanceOf[java.lang.Number].longValue.toString)
+    }
+    withChunk.load(path).queryExecution.logical
+  }
+
   private[graft] def kmvBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {

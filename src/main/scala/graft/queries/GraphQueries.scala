@@ -147,6 +147,23 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // The connector as a PURE-SQL relation (graft_edges table function):
+    // the same grouped-pushdown degree query, written entirely in SQL —
+    // the thrift-server / SQL-script access path. Shares g_dsv2_degree's
+    // oracle shape.
+    "g_dsv2_tvf" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2tvf_").toFile
+      root.deleteOnExit()
+      Tables.edges(s, dir)
+        .repartition(3).write.format("graft.sources.EdgeListSource")
+        .mode("overwrite").save(s"$root/edges")
+      s.sql(
+        s"""SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
+           |  max(dst) AS max_dst
+           |FROM graft_edges('$root/edges', 4096)
+           |WHERE dst >= 5 GROUP BY src""".stripMargin)
+    }),
+
     // GROUPED aggregate pushdown through the gate: count/min/max GROUP
     // BY src fold inside the chunk readers (one partial row per group
     // per chunk — a degree query over a 100 TB edge file ships group
@@ -536,6 +553,12 @@ object GraphQueries {
          |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
 
     "g_dsv2_degree" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
+         |  max(dst) AS max_dst
+         |FROM edges WHERE dst >= 5 GROUP BY src""".stripMargin,
+
+    "g_dsv2_tvf" ->
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
          |  max(dst) AS max_dst

@@ -71,6 +71,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("literal") ||
         err.getMessage.toLowerCase.contains("resolve"), err.getMessage.take(200))
+      // graft_edges: the connector as a pure-SQL relation, with the
+      // grouped pushdown still reaching the scan through the TVF path
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvf_edges")
+      dir.toFile.deleteOnExit()
+      java.nio.file.Files.write(dir.resolve("e.txt"),
+        "1 2\n1 3\n2 3\n2 4\n".getBytes)
+      val q = spark.sql(
+        s"SELECT src, count(*) AS n FROM graft_edges('$dir', 64) GROUP BY src")
+      val desc = graft.plans.PlanWalk.nodes(q.queryExecution.executedPlan)
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.get.scan.description()
+      assert(desc.contains("PushedGroupBy: [src]"), desc)
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 2L)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
