@@ -430,6 +430,20 @@ object RelationalQueries {
               ||> WHERE cnt > 5
               ||> SELECT l_returnflag, l_linestatus, cnt, sum_cents, max_qty"""
         .stripMargin)
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand
+    // Spark 4 adopted: every non-aggregate output column groups) plus
+    // IDENTIFIER() table templating — the parameterized-SQL surface a
+    // query service builds statements with. DuckDB runs the identical
+    // shorthand, so the oracle is nearly the same text.
+    "q38_group_by_all" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+              |  min(o_orderkey) AS min_key
+              |FROM IDENTIFIER('orders')
+              |WHERE o_orderkey % 3 = 0
+              |GROUP BY ALL ORDER BY ALL""".stripMargin)
     })
   )
 
@@ -609,6 +623,12 @@ object RelationalQueries {
         |  max(CASE WHEN st = 'P' THEN cnt END) AS p_cnt,
         |  max(CASE WHEN st = 'P' THEN cents END) AS p_cents
         |FROM b GROUP BY pri""".stripMargin,
+
+    "q38_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     // the pipe chain, re-expressed as classic SQL
     "q37_pipe_sql" ->
