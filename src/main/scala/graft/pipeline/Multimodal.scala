@@ -175,6 +175,129 @@ object Multimodal {
       }
   }
 
+  final case class VideoFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      frames_seen: Long,
+      us_per_frame: Long)
+
+  /** Deterministic minimal-but-VALID AVI (RIFF) container per doc —
+    * RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf('vids'/BI
+    * header))) LIST('movi' n × '00db' frames)) with every u32
+    * little-endian per the public AVI/RIFF layout. Closed-form params:
+    * width = 16+id%64, height = 16+id%48, frames = 4+id%12 of 16 bytes
+    * each, 33333 µs/frame — so total bytes = 224 + 24·frames and every
+    * parsed field is a function of doc_id the DuckDB oracle states
+    * directly. Frame DECODE (codec) remains out of environment scope;
+    * the CONTAINER layer — what a 100 TB video corpus's metadata
+    * pipeline actually reads — is real on both sides. */
+  def synthAvi(docId: Long): Array[Byte] = {
+    val width = (16 + docId % 64).toInt
+    val height = (16 + docId % 48).toInt
+    val nFrames = (4 + docId % 12).toInt
+    val usPerFrame = 33333
+    val bb = java.nio.ByteBuffer.allocate(224 + 24 * nFrames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(216 + 24 * nFrames); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(192); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame)        // dwMicroSecPerFrame
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(nFrames)           // dwTotalFrames
+    bb.putInt(0)
+    bb.putInt(1)                 // dwStreams
+    bb.putInt(0)
+    bb.putInt(width); bb.putInt(height)
+    (0 until 4).foreach(_ => bb.putInt(0)) // dwReserved
+    fourcc("LIST"); bb.putInt(116); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(usPerFrame)        // dwScale
+    bb.putInt(1000000)           // dwRate (rate/scale = fps)
+    bb.putInt(0)                 // dwStart
+    bb.putInt(nFrames)           // dwLength
+    // dwSuggestedBufferSize, dwQuality, dwSampleSize, rcFrame (2 u32)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40)                // biSize
+    bb.putInt(width); bb.putInt(height)
+    bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0)                 // BI_RGB
+    bb.putInt(width * height * 3)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(4 + 24 * nFrames); fourcc("movi")
+    (0 until nFrames).foreach { f =>
+      fourcc("00db"); bb.putInt(16)
+      val h = Hashing.hash60Local(s"$docId|$f")
+      (0 until 2).foreach(k => bb.putLong(h + k))
+    }
+    bb.array()
+  }
+
+  /** Attach a synthetic AVI payload column (the video twin of
+    * [[withWavPayload]]). */
+  def withAviPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthAvi(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL RIFF/AVI container parsing, pure JVM: verifies the RIFF/'AVI '
+    * magic, walks the chunk tree to the 'avih' main header for
+    * width/height/frame-count/µs-per-frame, and independently counts
+    * the '00db' frame chunks inside 'movi' — `frames_seen` must equal
+    * the header's `n_frames` on a well-formed file, so the gate checks
+    * the two parsing paths against each other AND the oracle. */
+  def aviMetadata(payload: Array[Byte]): VideoFeatures = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt // riff size
+    require(fourcc() == "AVI ", "not an AVI file")
+    var width = 0; var height = 0; var nFrames = 0L; var usPerFrame = 0L
+    var framesSeen = 0L
+    def walk(end: Int): Unit =
+      while (bb.position() < end) {
+        val id = fourcc(); val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1) // chunks pad to even
+        id match {
+          case "LIST" => fourcc(); walk(next) // descend into list body
+          case "avih" =>
+            usPerFrame = bb.getInt.toLong
+            bb.getInt; bb.getInt; bb.getInt
+            nFrames = bb.getInt.toLong
+            bb.getInt; bb.getInt; bb.getInt
+            width = bb.getInt; height = bb.getInt
+          case "00db" | "00dc" => framesSeen += 1
+          case _ => // strh/strf/unknown: skip
+        }
+        bb.position(next)
+      }
+    walk(payload.length)
+    VideoFeatures(0L, payload.length.toLong, width, height, nFrames,
+      framesSeen, usPerFrame)
+  }
+
+  /** Video-container feature extraction — same mapPartitions batch shape
+    * as the image and audio paths. */
+  def videoFeatures(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        aviMetadata(payload).copy(doc_id = id)
+      })
+  }
+
   /** Declarative metadata-only variant (columnar, codegen'd, oracle-
     * checkable): identical feature math expressed as column functions —
     * the path a metadata query takes without ever decoding payloads. */

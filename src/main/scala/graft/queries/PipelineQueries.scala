@@ -240,6 +240,16 @@ object PipelineQueries {
       Multimodal.audioFeatures(s,
         Multimodal.withWavPayload(s, docs(s, dir))).toDF()),
 
+    // Video CONTAINER metadata, real on both sides: a valid AVI/RIFF
+    // file is synthesized per doc (closed-form params) and parsed back
+    // by walking the actual chunk tree — header fields AND an
+    // independent '00db' frame count that must agree. Frame DECODE
+    // (codec) remains the declared environment-forced stub boundary;
+    // the container layer is what a corpus metadata pipeline reads.
+    "mm_video" -> ((s, dir) =>
+      Multimodal.videoFeatures(s,
+        Multimodal.withAviPayload(s, docs(s, dir))).toDF()),
+
     // Seeded epoch shuffle + round-robin sharding: reproducible training
     // data order per epoch, ±1-balanced shards, distributed rank (no
     // single-partition window).
@@ -1536,6 +1546,16 @@ object PipelineQueries {
         |  CAST(1 AS INTEGER) AS n_channels,
         |  CAST(64 + doc_id % 192 AS BIGINT) AS n_samples,
         |  CAST(1000 + doc_id % 9000 AS INTEGER) AS peak_amp
+        |FROM documents""".stripMargin,
+
+    "mm_video" ->
+      """SELECT doc_id,
+        |  CAST(224 + 24 * (4 + doc_id % 12) AS BIGINT) AS byte_len,
+        |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
+        |  CAST(4 + doc_id % 12 AS BIGINT) AS n_frames,
+        |  CAST(4 + doc_id % 12 AS BIGINT) AS frames_seen,
+        |  CAST(33333 AS BIGINT) AS us_per_frame
         |FROM documents""".stripMargin,
 
     "d_epoch_shuffle" ->

@@ -95,4 +95,30 @@ class MultimodalSpec extends SparkSpec {
       assert(a.byte_len == 44 + 2 * (64 + id % 192))
     }
   }
+
+  test("AVI container: synthesized file parses back field-for-field; junk rejected") {
+    // the synthesized bytes are a structurally valid RIFF/AVI file
+    val a = Multimodal.synthAvi(7L)
+    assert(new String(a.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(a.slice(8, 12), "US-ASCII") == "AVI ")
+    // little-endian RIFF size = file length - 8
+    val riffSize = java.nio.ByteBuffer.wrap(a, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(riffSize == a.length - 8)
+
+    for (id <- Seq(0L, 3L, 11L, 12L, 63L, 9999L)) {
+      val m = Multimodal.aviMetadata(Multimodal.synthAvi(id))
+      assert(m.width == 16 + id % 64 && m.height == 16 + id % 48, s"doc $id")
+      assert(m.n_frames == 4 + id % 12 && m.frames_seen == m.n_frames, s"doc $id")
+      assert(m.us_per_frame == 33333L)
+      assert(m.byte_len == 224 + 24 * (4 + id % 12))
+    }
+    // non-RIFF and RIFF-but-not-AVI payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.aviMetadata("not a riff file at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.aviMetadata(Multimodal.synthWav(1L)) // RIFF/WAVE, not AVI
+    }
+  }
 }
