@@ -393,6 +393,22 @@ object StreamingGateQueries {
           EventStreams.readEventsMultiBatch(s, dir)), "st_ss_asof_mb_gate")
       }),
 
+    // FORWARD direction with a 30-min tolerance window: each purchase
+    // matches the EARLIEST same-user click in [ts, ts+30min]; a fact
+    // emits once the watermark passes the END of its window (forward
+    // as-of is only streamable because the tolerance bounds the wait).
+    // Completes the direction matrix the batch operator has.
+    "st_ss_asof_fwd" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.streamAsOfJoinFwdTws(s,
+          EventStreams.readEvents(s, dir)), "st_ss_asof_fwd_gate")
+      }),
+    "st_ss_asof_fwd_mb" -> ((s, dir) =>
+      withStateProvider(s, RocksDbProvider) {
+        drain(s, graft.streaming.TwsOperators.streamAsOfJoinFwdTws(s,
+          EventStreams.readEventsMultiBatch(s, dir)), "st_ss_asof_fwd_mb_gate")
+      }),
+
     // State data source reader through the gate: after a checkpointed
     // TWS drain, the PERSISTED state itself (RocksDB files under the
     // checkpoint) is queried with `spark.read.format("statestore")` and
@@ -1023,7 +1039,33 @@ object StreamingGateQueries {
       |  CAST(json_extract_string(pp, '$.k') AS BIGINT) AS prev_k
       |FROM l""".stripMargin
 
+  /** st_ss_asof_fwd(/_mb): earliest same-user click in [ts, ts+30min]
+    * per purchase (ties by event_id ascending — the processor's sort),
+    * LEFT; emission once the watermark passes the window END. */
+  private val ssAsOfFwdOracle =
+    s"""WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       |c AS (SELECT user_id, event_id, ts_us,
+       |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM e
+       |  WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS fact_id, ts_us AS fact_ts_us
+       |  FROM e WHERE event_type = 'purchase'),
+       |wm AS (SELECT least(x.mc, y.mp) * 1000 - 7200000000 AS wm_us
+       |  FROM (SELECT max(ts_us) // 1000 AS mc FROM c) x,
+       |       (SELECT max(fact_ts_us) // 1000 AS mp FROM p) y),
+       |j AS (SELECT p.user_id, p.fact_id, p.fact_ts_us,
+       |  c.event_id AS dim_id, c.ts_us AS dim_ts_us, c.cents AS dim_cents,
+       |  row_number() OVER (PARTITION BY p.fact_id
+       |    ORDER BY c.ts_us ASC, c.event_id ASC) AS rn
+       |  FROM p LEFT JOIN c
+       |    ON c.user_id = p.user_id AND c.ts_us >= p.fact_ts_us
+       |    AND c.ts_us <= p.fact_ts_us + ${1800L * 1000000L})
+       |SELECT user_id, fact_id, fact_ts_us, dim_id, dim_ts_us, dim_cents
+       |FROM j, wm
+       |WHERE rn <= 1 AND fact_ts_us + ${1800L * 1000000L} < wm_us""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "st_ss_asof_fwd" -> ssAsOfFwdOracle,
+    "st_ss_asof_fwd_mb" -> ssAsOfFwdOracle,
     "st_session_dyngap" -> sessionDynOracle,
     "st_session_dyngap_mb" -> sessionDynOracle,
     "st_kmv_distinct" -> kmvDistinctOracle,

@@ -492,7 +492,11 @@ object TwsOperators {
     * single-batch and multi-batch drains produce the same final set and
     * share one oracle — the batch as-of join below the final watermark.
     */
-  private class StreamAsOfProcessor
+  /** @param fwdTolUs backward as-of when None; forward as-of bounded to
+    *   `(fact_ts, fact_ts + tol]`-style windows when Some(tol) —
+    *   matching the batch operator's direction semantics
+    *   (earliest dim at-or-after the fact, vs latest at-or-before). */
+  private class StreamAsOfProcessor(fwdTolUs: Option[Long] = None)
       extends StatefulProcessor[Long, SsAsOfRow, AsOfOut] {
     @transient private var dims: ListState[DimV] = _
     @transient private var facts: ListState[FactV] = _
@@ -504,6 +508,14 @@ object TwsOperators {
         Encoders.product[FactV], TTLConfig.NONE)
     }
 
+    /** A fact is flushable once no still-in-flight dim row (all ≥ wm)
+      * can change its match: backward needs wm past the fact itself;
+      * forward needs wm past the end of its candidate window. */
+    private def flushable(ts: Long, wmUs: Long): Boolean = fwdTolUs match {
+      case None => ts < wmUs
+      case Some(tol) => ts + tol < wmUs
+    }
+
     /** Emit buffered facts below the watermark against the dim history,
       * evict dead dim versions, re-arm the timer for the rest.
       * `expiredMs` is the just-fired timer when called from
@@ -512,20 +524,36 @@ object TwsOperators {
         expiredMs: Long = Long.MinValue): Iterator[AsOfOut] = {
       val dv = dims.get().toVector.sortBy(d => (d.ts_us, d.event_id))
       val fv = facts.get().toVector
-      val (ready, hold) = fv.partition(_.ts_us < wmUs)
+      val (ready, hold) = fv.partition(f => flushable(f.ts_us, wmUs))
       val out = ready.sortBy(f => (f.ts_us, f.event_id)).map { f =>
-        val m = dv.reverseIterator.find(_.ts_us <= f.ts_us)
+        val m = fwdTolUs match {
+          case None => dv.reverseIterator.find(_.ts_us <= f.ts_us)
+          case Some(tol) =>
+            dv.find(d => d.ts_us >= f.ts_us && d.ts_us <= f.ts_us + tol)
+        }
         AsOfOut(userId, f.event_id, f.ts_us,
           m.map(_.event_id), m.map(_.ts_us), m.map(_.cents))
       }
       if (hold.isEmpty) facts.clear() else facts.put(hold.toArray)
-      // keep dims ≥ wm plus the latest one below wm; everything older
-      // can never be the as-of match of a fact that is still to come
-      val keepFrom = dv.lastIndexWhere(_.ts_us < wmUs)
-      if (keepFrom > 0) dims.put(dv.drop(keepFrom).toArray)
+      fwdTolUs match {
+        case None =>
+          // keep dims ≥ wm plus the latest one below wm; everything
+          // older can never match a fact that is still to come
+          val keepFrom = dv.lastIndexWhere(_.ts_us < wmUs)
+          if (keepFrom > 0) dims.put(dv.drop(keepFrom).toArray)
+        case Some(tol) =>
+          // held facts have ts ≥ wm − tol, so their windows start there;
+          // dims below wm − tol are dead for every current+future fact
+          val keep = dv.dropWhile(_.ts_us < wmUs - tol)
+          if (keep.size < dv.size) {
+            if (keep.isEmpty) dims.clear() else dims.put(keep.toArray)
+          }
+      }
       getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
-      if (hold.nonEmpty)
-        getHandle.registerTimer(hold.map(_.ts_us).min / 1000 + 1)
+      if (hold.nonEmpty) {
+        val base = hold.map(_.ts_us).min + fwdTolUs.getOrElse(0L)
+        getHandle.registerTimer(base / 1000 + 1)
+      }
       out.iterator
     }
 
@@ -563,6 +591,30 @@ object TwsOperators {
       .as[SsAsOfRow]
       .groupByKey(_.user_id)
       .transformWithState(new StreamAsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** FORWARD stream-stream as-of: each purchase matches the EARLIEST
+    * same-user click in `[fact_ts, fact_ts + tolUs]` ("the next version
+    * within the window" — the batch operator's forward direction, made
+    * streamable by the tolerance: a fact emits once the watermark
+    * passes the END of its candidate window). */
+  def streamAsOfJoinFwdTws(spark: SparkSession, events: DataFrame,
+      tolUs: Long = 1800L * 1000000L, horizon: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    def branch(df: DataFrame, typ: String, side: Int) = df
+      .where(col("event_type") === typ)
+      .select(col("user_id"), lit(side).as("side"), col("event_id"),
+        graft.io.Tables.eventMicros(df).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        graft.io.Tables.eventTime(df).as("tts"))
+      .withWatermark("tts", horizon)
+    branch(events, "click", 0)
+      .unionAll(branch(events, "purchase", 1))
+      .as[SsAsOfRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamAsOfProcessor(Some(tolUs)),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
