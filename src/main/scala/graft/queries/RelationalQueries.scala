@@ -444,6 +444,28 @@ object RelationalQueries {
               |FROM IDENTIFIER('orders')
               |WHERE o_orderkey % 3 = 0
               |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
+    // ANSI error-safe arithmetic (try_*): under ANSI mode every
+    // overflow / zero-divide / bad-index is a runtime ERROR, and the
+    // try_ family is the sanctioned per-row NULL escape — the semantics
+    // a 100 TB batch job needs to survive one poisoned row without
+    // losing the other billion. Each column exercises a different
+    // failure class (zero divisor, BIGINT overflow on add and on
+    // multiply, out-of-range array index); the oracle states the NULL
+    // pattern explicitly. (Probed: index 0 THROWS even under
+    // try_element_at — Spark treats it as a shall-never error class,
+    // not a data error — so the gate exercises out-of-range instead.)
+    "q39_try_arith" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT o_orderkey,
+              |  try_divide(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+              |    o_orderkey % 3) AS div_cents,
+              |  try_add(9223372036854775807, o_orderkey % 2) AS add_ovf,
+              |  try_multiply(o_orderkey, 4611686018427387904L) AS mul_ovf,
+              |  try_element_at(array('a', 'b'),
+              |    CAST(o_orderkey % 4 + 1 AS INT)) AS idx
+              |FROM orders""".stripMargin)
     })
   )
 
@@ -629,6 +651,20 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // the try_* NULL pattern stated explicitly
+    "q39_try_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    / CAST(NULLIF(o_orderkey % 3, 0) AS DOUBLE) AS div_cents,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |    THEN 9223372036854775807 END AS add_ovf,
+        |  CASE WHEN o_orderkey = 0 THEN 0
+        |       WHEN o_orderkey = 1 THEN 4611686018427387904
+        |  END AS mul_ovf,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'a'
+        |       WHEN o_orderkey % 4 = 1 THEN 'b' END AS idx
+        |FROM orders""".stripMargin,
 
     // the pipe chain, re-expressed as classic SQL
     "q37_pipe_sql" ->
