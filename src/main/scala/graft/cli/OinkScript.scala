@@ -603,6 +603,11 @@ object OinkScript {
               // with the latest same-user click version (TWS)
               sinkAndBind(graft.streaming.TwsOperators.streamAsOfJoinTws(
                 spark, in0), outs, line)
+            case "stream_asof_fwd" =>
+              // forward direction: earliest click in [ts, ts+tolMin]
+              val tolMin = pos.headOption.map(_.toLong).getOrElse(30L)
+              sinkAndBind(graft.streaming.TwsOperators.streamAsOfJoinFwdTws(
+                spark, in0, tolUs = tolMin * 60000000L), outs, line)
             case "write_edge_stream" =>
               // write_edge_stream path — drain a streaming (src, dst)
               // object into the connector's exactly-once epoch sink

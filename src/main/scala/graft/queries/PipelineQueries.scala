@@ -672,6 +672,38 @@ object PipelineQueries {
       Dedup.sourceOverlapSketch(docs(s, dir), col("source"), col("text"),
         n = 3, k = 128)),
 
+    // A-NOT-B (difference) estimation completes the KMV set algebra
+    // (union d_overlap_sketch, intersection/Jaccard ibid., incremental
+    // d_kmv_inc): |A \ B| ≈ (|K ∩ A \ B| / |K|) · DV(K) over the union
+    // synopsis K — the "how much of source A is NOT already in B"
+    // question a dedup-planning pass asks before paying for the exact
+    // anti-join. Exact truth columns ride in the same row; the whole
+    // estimator replays bit-for-bit in DuckDB.
+    "d_kmv_diff" -> ((s, dir) => {
+      val k = 256
+      import graft.functions.KmvSketch
+      val sh = graft.text.TextAnalysis.explodedShingles(
+          docs(s, dir), col("source"), col("text"), 3)
+        .select((substring(col("doc_id"), 4, 8).cast("int") % 2).as("corpus"),
+          Hashing.hash60(col("sh")).as("h"))
+      sh.agg(
+          KmvSketch.kmv(when(col("corpus") === 0, col("h")), k).as("sk_a"),
+          KmvSketch.kmv(when(col("corpus") === 1, col("h")), k).as("sk_b"),
+          countDistinct(when(col("corpus") === 0, col("h"))).as("exact_a"),
+          countDistinct(when(col("corpus") === 1, col("h"))).as("exact_b"),
+          countDistinct(col("h")).as("exact_union"))
+        .withColumn("uni", KmvSketch.unionOf(col("sk_a"), col("sk_b"), k))
+        .withColumn("est_union", KmvSketch.estimate(col("uni"), k))
+        .withColumn("kk", size(col("uni")).cast("long"))
+        .withColumn("rho_a_only", size(array_except(
+          array_intersect(col("uni"), col("sk_a")), col("sk_b"))).cast("long"))
+        .select(col("exact_a"),
+          (col("exact_union") - col("exact_b")).as("exact_diff"),
+          col("kk"), col("rho_a_only"),
+          (floor(col("rho_a_only").cast("double") / col("kk") * col("est_union")
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("diff_est"))
+    }),
+
     // INCREMENTAL synopsis maintenance — the property that makes KMV a
     // standing corpus statistic at 100 TB: when a refresh batch arrives
     // (doc_id % 10 == 0 here), only the BATCH is aggregated and the
@@ -1756,6 +1788,42 @@ object PipelineQueries {
          |FROM est
          |JOIN ex ea ON ea.s = est.s1
          |JOIN ex eb ON eb.s = est.s2""".stripMargin
+    },
+
+    "d_kmv_diff" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 256
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT CAST(source[4:] AS INT) % 2 AS corpus,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT corpus, ${H(gram3)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |d AS (SELECT DISTINCT corpus, h FROM sh),
+         |r2 AS (SELECT corpus, h,
+         |  row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT corpus, list(h ORDER BY h) AS sk FROM r2
+         |  WHERE rn <= $k GROUP BY corpus),
+         |ex AS (SELECT
+         |  count(DISTINCT CASE WHEN corpus = 0 THEN h END) AS exact_a,
+         |  count(DISTINCT CASE WHEN corpus = 1 THEN h END) AS exact_b,
+         |  count(DISTINCT h) AS exact_union FROM d),
+         |ab AS (SELECT (SELECT sk FROM sk WHERE corpus = 0) AS sk_a,
+         |  (SELECT sk FROM sk WHERE corpus = 1) AS sk_b),
+         |u AS (SELECT sk_a, sk_b,
+         |  list_sort(list_distinct(sk_a || sk_b))[1:$k] AS uni FROM ab),
+         |m AS (SELECT uni, len(uni) AS kk,
+         |  len(list_filter(uni, x -> list_contains(sk_a, x)
+         |    AND NOT list_contains(sk_b, x))) AS rho_a_only FROM u),
+         |est AS (SELECT kk, rho_a_only,
+         |  ${KmvSketch.oracleEstimateSql("uni", k)} AS est_union FROM m)
+         |SELECT exact_a, exact_union - exact_b AS exact_diff,
+         |  kk, rho_a_only,
+         |  floor(CAST(rho_a_only AS DOUBLE) / kk * est_union
+         |    * 10000.0e0 + 0.5e0) / 10000.0e0 AS diff_est
+         |FROM est, ex""".stripMargin
     },
 
     // the maintained synopsis provably equals the full recompute, so
