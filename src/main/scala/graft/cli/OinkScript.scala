@@ -450,6 +450,39 @@ object OinkScript {
               // overlap [n] — cross-source n-gram overlap matrix
               val n = pos.headOption.map(_.toInt).getOrElse(3)
               sinkAndBind(Dedup.sourceOverlap(in0, col("source"), col("text"), n), outs, line)
+            case "containment" =>
+              // containment [n] [r] [maxDf] — excerpt/prefix duplicates
+              // via rare-shingle blocking (the class LSH-Jaccard misses)
+              sinkAndBind(Dedup.containmentPairs(in0, col("doc_id"),
+                col("text"), pos.lift(0).map(_.toInt).getOrElse(3),
+                pos.lift(1).map(_.toInt).getOrElse(5),
+                pos.lift(2).map(_.toInt).getOrElse(10)), outs, line)
+            case "merge" =>
+              // merge key -i target batch — MERGE INTO snapshot upsert.
+              // Batch rows with op='d' delete; other matched rows update
+              // every shared non-key column; unmatched rows insert.
+              if (pos.isEmpty || ins.size < 2)
+                throw ScriptError(line, "merge key -i target batch")
+              val key = pos.head
+              val batch = obj(ins(1), line)
+              val shared = in0.columns.toSeq
+                .filter(c => c != key && batch.columns.contains(c))
+              val hasOp = batch.columns.contains("op")
+              sinkAndBind(graft.pipeline.MergeInto.mergeInto(in0, batch, key,
+                matchedDeleteWhen =
+                  if (hasOp) Some(col("s_op") === "d") else None,
+                matchedUpdate = shared.map(c => c -> col(s"s_$c")),
+                notMatchedInsert = (key +: shared).map(c => c -> col(s"s_$c"))),
+                outs, line)
+            case "hard_negatives" =>
+              // hard_negatives [k] -i queries candidates — contrastive
+              // mining: queries (qid,qvec,qlabel), candidates
+              // (vec_id,embedding,label)
+              if (ins.size < 2)
+                throw ScriptError(line, "hard_negatives [k] -i queries candidates")
+              sinkAndBind(graft.pipeline.Similarity.hardNegatives(in0,
+                obj(ins(1), line),
+                pos.headOption.map(_.toInt).getOrElse(5)), outs, line)
             case "langid" =>
               sinkAndBind(TextAnalysis.langId(in0, col("doc_id"), col("text")), outs, line)
             case "pmi" =>

@@ -529,6 +529,64 @@ object Dedup {
           (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
   }
 
+  /** Containment-oriented near-duplicate detection — the duplicate
+    * class MinHash/LSH structurally misses: a document CONTAINED in a
+    * much longer one (an excerpt, a quoted page, a prefix re-crawl) has
+    * high containment |A∩B| / min(|A|,|B|) but LOW Jaccard (the union
+    * is dominated by the container), so its MinHash signatures disagree
+    * and LSH never buckets the pair — Broder (SEQUENCES 1997)
+    * distinguishes resemblance from containment for exactly this case.
+    *
+    * Blocking: every doc nominates its `r` RAREST shingles (corpus
+    * document-frequency ascending, hash tiebreak) among shingles with
+    * 2 <= df <= `maxDf`; a candidate pair is any pair where one side's
+    * nominated shingle occurs anywhere in the other's FULL shingle set.
+    * A contained doc's shingles all occur in its container, so whichever
+    * of them are corpus-rare are necessarily shared — the pair can only
+    * be missed if every one of its shingles is corpus-common
+    * (df > maxDf), which is the explicit recall/cost dial.
+    *
+    * Scale shape: rarity comes from the distinct (doc, gram-fingerprint)
+    * frame (16-byte rows — text never shuffles); the nomination join
+    * fans out at most df <= maxDf docs per rare gram, so block size is
+    * bounded by construction and no all-pairs stage exists. Exact
+    * verification then touches candidate pairs only (the
+    * [[ngramJaccard]] discipline).
+    *
+    * @return (a, b, na, nb, ninter, containment, jaccard) per candidate
+    *         pair over distinct `n`-gram sets, ratios rounded to 6. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, r: Int = 5, maxDf: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = TextAnalysis.explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+      .distinct()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.where(col("df").between(2, maxDf)), "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .where(col("rn") <= r)
+      .select(col("doc_id").as("nom"), col("h"))
+    val cand = rare.join(sh.select(col("doc_id").as("other"), col("h")), "h")
+      .where(col("nom") =!= col("other"))
+      .select(least(col("nom"), col("other")).as("a"),
+        greatest(col("nom"), col("other")).as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
+    cand.join(inter, Seq("a", "b")) // candidates share >= 1 gram by construction
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      .select(col("a"), col("b"), col("na"), col("nb"), col("ninter"),
+        round(col("ninter").cast("double") /
+          least(col("na"), col("nb")), 6).as("containment"),
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
+  }
+
   /** Segment-level (line/paragraph) deduplication — the sub-document
     * dedup step of C4 ("three-sentence span" removal; Raffel et al.,
     * JMLR 2020 §2.2) and CCNet/RefinedWeb line-dedup: split every

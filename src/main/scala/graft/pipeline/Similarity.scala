@@ -56,6 +56,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive / retrieval training
+    * (triplet-loss mining, Schroff et al. CVPR 2015 §3.2; dense-
+    * retrieval hard negatives): for each query, the top-k most-similar
+    * candidates with a DIFFERENT label — the negatives that actually
+    * move the loss — plus the query's best same-label similarity
+    * (`pos_sim`) and the semi-hard flag (negative still below the
+    * positive: sim < pos_sim).
+    *
+    * Queries (qid, qvec, qlabel) broadcast; candidates stream by once —
+    * the [[bruteForceTopK]] scale shape with a label predicate, so at
+    * corpus scale the same IVF/LSH bucketing drops in front unchanged.
+    * Similarities are rounded to 6 before ranking (tie-break vec_id),
+    * keeping the order engine-independent.
+    *
+    * @return (qid, vec_id, sim, rank, pos_sim, semi_hard) */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = candidates.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("sim"))
+    val pos = scored.where(col("label") === col("qlabel"))
+      .groupBy("qid").agg(max("sim").as("pos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.where(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .join(pos, Seq("qid"), "left")
+      .select(col("qid"), col("vec_id"), col("sim"), col("rank"),
+        col("pos_sim"),
+        (col("sim") < col("pos_sim")).cast("int").as("semi_hard"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× bandwidth
     * /memory lever for ANN at corpus scale (a 100 TB float corpus ships
     * 25 TB of int8 codes plus one double scale per vector). scale =

@@ -164,6 +164,29 @@ object GraphQueries {
            |WHERE dst >= 5 GROUP BY src""".stripMargin)
     }),
 
+    // SQL DML on the connector through the path-based catalog
+    // (EdgeListCatalog): CREATE TABLE, INSERT via the batch write,
+    // two pushed DELETE FROMs (range + IN — SupportsDeleteV2 rewrites
+    // only files holding matches), and the surviving rows aggregated in
+    // SQL. The oracle applies the same deletions as WHERE clauses over
+    // the derived edge list — it never sees the table, the DML, or the
+    // on-disk files.
+    "g_dsv2_dml" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2dml_").toFile
+      root.deleteOnExit()
+      val p = s"$root/edges"
+      val t = s"graft.`$p`"
+      s.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+      Tables.edges(s, dir).repartition(3)
+        .write.format("graft.sources.EdgeListSource").mode("append").save(p)
+      s.sql(s"DELETE FROM $t WHERE dst < 10")
+      s.sql(s"DELETE FROM $t WHERE src IN (0, 7)")
+      s.sql(s"""SELECT src, count(*) AS out_deg,
+               |  CAST(sum(dst) AS BIGINT) AS sum_dst
+               |FROM $t GROUP BY src""".stripMargin)
+    }),
+
     // GROUPED aggregate pushdown through the gate: count/min/max GROUP
     // BY src fold inside the chunk readers (one partial row per group
     // per chunk — a degree query over a 100 TB edge file ships group
@@ -546,6 +569,12 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
+
+    "g_dsv2_dml" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
+         |GROUP BY src""".stripMargin,
 
     "g_dsv2_stream" ->
       s"""WITH edges AS ($E)

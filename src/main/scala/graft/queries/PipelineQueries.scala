@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Bloom, Dedup, KMeansInt, Multimodal, Sampling, Scd2, Similarity}
+import graft.pipeline.{Bloom, Dedup, KMeansInt, MergeInto, Multimodal, Sampling, Scd2, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -274,11 +274,55 @@ object PipelineQueries {
       Dedup.ngramJaccard(d, col("doc_id"), col("text"), pairs)
     }),
 
+    // Containment dedup — the excerpt/prefix duplicate class LSH-on-
+    // Jaccard misses: rare-shingle blocking (each doc's 5 rarest grams,
+    // df <= 10 bounds every block) + exact containment/Jaccard verify
+    // over candidates only.
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), col("doc_id"), col("text"),
+        n = 3, r = 5, maxDf = 10)),
+
+    // MERGE INTO (snapshot upsert): one batch carries updates (% 7,
+    // re-crawled text), deletes (% 11 — takedowns; delete clause wins
+    // over update per SQL clause order), and inserts (% 13, shifted key
+    // space); the result is the refreshed snapshot in one full-outer
+    // join. The history-keeping variant is d_scd2.
+    "d_merge" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = docs(s, dir)
+        .where(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0 ||
+          col("doc_id") % 13 === 0)
+        .select(
+          when(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0,
+            col("doc_id")).otherwise(col("doc_id") + 10000000L).as("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("d"))
+            .when(col("doc_id") % 7 === 0, lit("u"))
+            .otherwise(lit("i")).as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      MergeInto.mergeInto(d, batch, "doc_id",
+        matchedDeleteWhen = Some(col("s_op") === "d"),
+        matchedUpdate = Seq("text" -> col("s_text")),
+        notMatchedInsert = Seq("doc_id" -> col("s_doc_id"),
+          "text" -> col("s_text")))
+        .select(col("doc_id"), Hashing.hash60(col("text")).as("content_hash"))
+    }),
+
     "s_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       val queries = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(queries, e, k = 3)
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): per query,
+    // the 5 most-similar DIFFERENT-label vectors, the best same-label
+    // similarity, and the semi-hard flag.
+    "s_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(queries, e, k = 5)
     }),
 
     "s_ann_lsh" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), Dim)),
@@ -731,6 +775,52 @@ object PipelineQueries {
           KmvSketch.estimate(col("sk_inc"), k).as("est_inc"),
           KmvSketch.estimate(col("sk_full"), k).as("est_full"),
           (col("sk_inc") === col("sk_full")).cast("int").as("same_synopsis"))
+    }),
+
+    // INCREMENTAL decontamination — the standing-synopsis consumer the
+    // KMV sketches were built for: one synopsis of word-8-gram hashes
+    // per training source is MAINTAINED (the refresh batch, doc_id % 10
+    // == 0, absorbed with an O(k) array merge — provably identical to a
+    // full recompute, asserted per source by same_synopsis), and
+    // contamination against the held-out eval set (src0, as in
+    // d_decontaminate) is re-estimated from the synopses alone — no
+    // re-shuffle of the training corpus per refresh, which is the whole
+    // point at 100 TB. Exact truth columns (the anti-join the sketch
+    // replaces) ride in the same row; the estimator replays bit-for-bit
+    // in DuckDB.
+    "d_decontam_inc" -> ((s, dir) => {
+      val k = 128
+      import graft.functions.KmvSketch
+      val sh = docs(s, dir).select(col("source"), col("doc_id"),
+          explode(graft.text.TextAnalysis.shingles(col("text"), 8)).as("sh"))
+        .select(col("source"), col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+      val evalSh = sh.where(col("source") === "src0")
+      val train = sh.where(col("source") =!= "src0")
+      val perSrc = train.groupBy("source").agg(
+        KmvSketch.kmv(when(col("doc_id") % 10 =!= 0, col("h")), k).as("sk_base"),
+        KmvSketch.kmv(when(col("doc_id") % 10 === 0, col("h")), k).as("sk_batch"),
+        KmvSketch.kmv(col("h"), k).as("sk_full"),
+        countDistinct(col("h")).as("exact_src"))
+      val evalSk = evalSh.agg(KmvSketch.kmv(col("h"), k).as("sk_eval"))
+      val exactInter = train.select("source", "h").distinct()
+        .join(evalSh.select("h").distinct(), "h")
+        .groupBy("source").agg(countDistinct("h").as("exact_inter"))
+      perSrc.crossJoin(broadcast(evalSk))
+        .join(exactInter, Seq("source"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .withColumn("sk_inc",
+          KmvSketch.unionOf(col("sk_base"), col("sk_batch"), k))
+        .withColumn("uni", KmvSketch.unionOf(col("sk_inc"), col("sk_eval"), k))
+        .withColumn("kk", size(col("uni")).cast("long"))
+        .withColumn("rho", size(array_intersect(
+          array_intersect(col("uni"), col("sk_inc")), col("sk_eval")))
+          .cast("long"))
+        .withColumn("est_union", KmvSketch.estimate(col("uni"), k))
+        .select(col("source"), col("exact_src"), col("exact_inter"),
+          col("kk"), col("rho"), col("est_union"),
+          (col("sk_inc") === col("sk_full")).cast("int").as("same_synopsis"),
+          (floor(col("rho").cast("double") / col("kk") * col("est_union")
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
     })
   )
 
@@ -1259,6 +1349,56 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = p.a
         |JOIN sizes sb ON sb.doc_id = p.b""".stripMargin,
 
+    "d_containment" -> {
+      val gram3 = "concat_ws(' ', " +
+        (1 to 3).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |shx AS (SELECT doc_id, ${H(gram3)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |sh2 AS (SELECT DISTINCT doc_id, h FROM shx),
+         |dfq AS (SELECT h, count(*) AS df FROM sh2 GROUP BY h),
+         |rare AS (SELECT doc_id AS nom, h FROM (
+         |  SELECT sh2.doc_id, sh2.h, row_number() OVER
+         |    (PARTITION BY sh2.doc_id ORDER BY df, sh2.h) AS rn
+         |  FROM sh2 JOIN dfq ON sh2.h = dfq.h WHERE df BETWEEN 2 AND 10)
+         |  WHERE rn <= 5),
+         |cand AS (SELECT DISTINCT least(nom, o.doc_id) AS a,
+         |    greatest(nom, o.doc_id) AS b
+         |  FROM rare JOIN sh2 o ON rare.h = o.h AND rare.nom <> o.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS ninter
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.a
+         |    JOIN sh2 y ON y.doc_id = c.b AND y.h = x.h
+         |  GROUP BY c.a, c.b)
+         |SELECT i.a, i.b, sa.nsh AS na, sb.nsh AS nb, ninter,
+         |  round(CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh), 6)
+         |    AS containment,
+         |  round(CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter), 6)
+         |    AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a
+         |JOIN sizes sb ON sb.doc_id = i.b""".stripMargin
+    },
+
+    "d_merge" ->
+      s"""WITH batch AS (SELECT
+         |  CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN doc_id
+         |       ELSE doc_id + 10000000 END AS doc_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN 'd'
+         |       WHEN doc_id % 7 = 0 THEN 'u' ELSE 'i' END AS op,
+         |  text || ' v2' AS text
+         |  FROM documents
+         |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0),
+         |merged AS (SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN b.doc_id IS NULL THEN t.text ELSE b.text END AS text,
+         |  b.op AS op
+         |  FROM documents t FULL OUTER JOIN batch b ON t.doc_id = b.doc_id)
+         |SELECT doc_id, ${H("text")} AS content_hash FROM merged
+         |WHERE op IS NULL OR op <> 'd'""".stripMargin,
+
     "s_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
         |  FROM embeddings WHERE vec_id < 10),
@@ -1272,6 +1412,25 @@ object PipelineQueries {
         |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM pairs)
         |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "s_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        | SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |  round(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |pos AS (SELECT qid, max(sim) AS pos_sim FROM pairs
+        |  WHERE label = qlabel GROUP BY qid),
+        |ranked AS (SELECT qid, vec_id, sim, row_number() OVER
+        |  (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM pairs WHERE label <> qlabel)
+        |SELECT r.qid, r.vec_id, r.sim, CAST(r.rank AS INTEGER) AS rank,
+        |  p.pos_sim, CAST(r.sim < p.pos_sim AS INTEGER) AS semi_hard
+        |FROM ranked r LEFT JOIN pos p USING (qid)
+        |WHERE r.rank <= 5""".stripMargin,
 
     "s_quantize" ->
       """WITH t AS (SELECT vec_id,
@@ -1846,6 +2005,47 @@ object PipelineQueries {
          |est AS (SELECT ${KmvSketch.oracleEstimateSql("sk", k)} AS e FROM sk)
          |SELECT exact_n, e AS est_inc, e AS est_full, 1 AS same_synopsis
          |FROM est, ex""".stripMargin
+    },
+
+    // the maintained synopsis provably equals the full recompute, so the
+    // oracle computes ONE synopsis per source and pins same_synopsis = 1
+    "d_decontam_inc" -> {
+      val gram8 = "concat_ws(' ', " +
+        (1 to 8).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 128
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT source, ${H(gram8)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 8),
+         |d AS (SELECT DISTINCT source, h FROM sh WHERE source <> 'src0'),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+         |r2 AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r2
+         |  WHERE rn <= $k GROUP BY source),
+         |re AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ev),
+         |ske AS (SELECT list(h ORDER BY h) AS sk_eval FROM re WHERE rn <= $k),
+         |ex AS (SELECT source, count(*) AS exact_src FROM d GROUP BY source),
+         |exi AS (SELECT d.source, count(*) AS exact_inter
+         |  FROM d JOIN ev ON d.h = ev.h GROUP BY d.source),
+         |u AS (SELECT source, sk, sk_eval,
+         |  list_sort(list_distinct(sk || sk_eval))[1:$k] AS uni FROM sk, ske),
+         |m AS (SELECT source, uni, len(uni) AS kk,
+         |  len(list_filter(uni, x -> list_contains(sk, x)
+         |    AND list_contains(sk_eval, x))) AS rho FROM u),
+         |est AS (SELECT source, kk, rho,
+         |  ${KmvSketch.oracleEstimateSql("uni", k)} AS est_union FROM m)
+         |SELECT est.source, exact_src,
+         |  COALESCE(exact_inter, 0) AS exact_inter, kk, rho, est_union,
+         |  1 AS same_synopsis,
+         |  floor(CAST(rho AS DOUBLE) / kk * est_union * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS inter_est
+         |FROM est
+         |JOIN ex ON ex.source = est.source
+         |LEFT JOIN exi ON exi.source = est.source""".stripMargin
     }
   )
 

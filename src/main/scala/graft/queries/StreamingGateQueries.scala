@@ -506,6 +506,15 @@ object StreamingGateQueries {
     "st_scd2_sink" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2StreamingSink(s, dir)),
 
+    // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
+    // foreachBatch upserts each batch's latest signup per user into an
+    // accumulating snapshot and deletes on error events; the conditional
+    // insert clause keeps deletes of absent users a no-op. Last-writer-
+    // wins per batch makes the fold cadence-independent, so the oracle
+    // is the one-shot "globally latest signup/error decides" rule.
+    "st_merge_sink" -> ((s, dir) =>
+      graft.streaming.EventStreams.mergeStreamingSink(s, dir)),
+
     // Streaming MinHash-LSH near-dup candidates over the documents table
     // with synthetic event time tts = (doc_id + 1) seconds: per (band,
     // bucket) the first-arriving doc (min doc_id here) becomes the
@@ -947,6 +956,18 @@ object StreamingGateQueries {
        |    ORDER BY valid_from), ${Long.MaxValue}) AS valid_to
        |FROM vers""".stripMargin
 
+  /** st_merge_sink: the per-batch last-writer-wins fold collapses to
+    * "globally latest signup/error per user decides" (delete if error,
+    * upsert value if signup) — cadence-independent, one window pass. */
+  private val mergeSinkOracle =
+    s"""WITH e AS (SELECT user_id, event_type, value,
+       |    epoch_ns(ts) // 1000 AS ts_us, event_id
+       |  FROM events WHERE event_type IN ('signup', 'error')),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts_us DESC, event_id DESC) AS rk FROM e)
+       |SELECT user_id, value FROM r
+       |WHERE rk = 1 AND event_type = 'signup'""".stripMargin
+
   // The multi-batch drains end at the same final table as their
   // single-batch twins (time-sorted staging: nothing is late, nothing
   // re-emits), so they share oracles verbatim — as do the RocksDB-backed
@@ -1155,5 +1176,6 @@ object StreamingGateQueries {
     "st_funnel_tws" -> baseOracles("st_funnel"),
     "st_sessionize_tws" -> baseOracles("st_sessionize"),
     "st_asof_dyn" -> asOfDynOracle,
-    "st_scd2_sink" -> scd2SinkOracle)
+    "st_scd2_sink" -> scd2SinkOracle,
+    "st_merge_sink" -> mergeSinkOracle)
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-based `TableCatalog` over [[EdgeListSource]] directories — what
+  * turns the connector into a SQL DML target with no metastore:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+  *   CREATE TABLE graft.`/data/edges` (src BIGINT, dst BIGINT)
+  *   INSERT INTO  graft.`/data/edges` VALUES (1, 2)
+  *   SELECT ...   FROM graft.`/data/edges`
+  *   DELETE FROM  graft.`/data/edges` WHERE src = 1     -- SupportsDeleteV2
+  *   DROP TABLE   graft.`/data/edges`
+  * }}}
+  *
+  * Table identity IS the filesystem path: a backquoted absolute path is
+  * the table name; dotted identifiers join namespace segments with '/'
+  * (`graft.data.edges` → `data/edges`). Nothing is cached — every load
+  * re-lists the directory, so concurrent writers (the streaming sink,
+  * compaction) are always seen at their latest committed state. The
+  * schema is fixed at (src BIGINT, dst BIGINT) like every edge-list
+  * table; CREATE TABLE validates rather than records it. */
+class EdgeListCatalog extends TableCatalog {
+
+  private var catName = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  /** No metastore to enumerate — tables are paths. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!new java.io.File(p).exists()) throw new NoSuchTableException(ident)
+    new EdgeListTable(p)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val f = new java.io.File(pathOf(ident))
+    if (f.exists()) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "edge-list tables are unpartitioned")
+    require(schema.isEmpty ||
+        (schema.fieldNames.toSeq == Seq("src", "dst") &&
+          schema.fields.forall(_.dataType ==
+            org.apache.spark.sql.types.LongType)),
+      "edge-list tables have the fixed schema (src BIGINT, dst BIGINT); " +
+        s"got ${schema.simpleString}")
+    require(f.mkdirs(), s"cannot create edge-list table directory $f")
+    new EdgeListTable(f.getPath)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "edge-list tables have a fixed schema (src BIGINT, dst BIGINT)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(pathOf(ident))
+    if (!f.exists()) false else { rm(f); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new java.io.File(pathOf(oldIdent))
+    val to = new java.io.File(pathOf(newIdent))
+    if (!from.exists()) throw new NoSuchTableException(oldIdent)
+    if (to.exists()) throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(from.toPath, to.toPath)
+    ()
+  }
+}

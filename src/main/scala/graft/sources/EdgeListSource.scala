@@ -8,7 +8,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -91,7 +93,7 @@ object EdgeListSource {
 }
 
 private[sources] class EdgeListTable(path: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   require(path != null, "EdgeListSource requires a single load(path)/save(path)")
 
   override def name(): String = s"edgelist($path)"
@@ -112,6 +114,54 @@ private[sources] class EdgeListTable(path: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new EdgeListWriteBuilder(path, info)
+
+  /** SQL `DELETE FROM graft.`<path>`` — filter-based row deletion
+    * (SupportsDeleteV2). Predicates arrive as the WHERE conjuncts; all
+    * must translate to the connector's src/dst comparison set
+    * ([[EdgeListFilters.supported]]) or `canDeleteWhere` refuses and
+    * Spark raises the standard cannot-delete analysis error instead of
+    * silently scanning-and-rewriting. An empty array (no WHERE) deletes
+    * every row. Each file is rewritten through a hidden temp file and
+    * atomically renamed into place; files with no matching rows are
+    * left untouched (their mtime and identity are preserved — the
+    * compaction/streaming-offset bookkeeping sees no change). */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p =>
+      Bridge.predicateToV1(p).exists(EdgeListFilters.supported(_)))
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.map(p => Bridge.predicateToV1(p).getOrElse(
+      throw new IllegalArgumentException(s"untranslatable delete predicate $p")))
+    val matches = EdgeListFilters.compile(v1)
+    EdgeListSource.listFiles(path).foreach { f =>
+      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.del-tmp")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new FileInputStream(f), StandardCharsets.UTF_8))
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
+      var dropped = 0L
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          val t = (if (line.endsWith("\r")) line.dropRight(1) else line)
+            .split("[ \t]")
+          val keep =
+            try !matches(t(0).toLong, t(1).toLong)
+            catch { case _: RuntimeException =>
+              throw new IllegalArgumentException(
+                s"malformed edge line in $f: ${line.take(80)}")
+            }
+          if (keep) { out.write(line); out.newLine() } else dropped += 1
+          line = in.readLine()
+        }
+      } finally { in.close(); out.close() }
+      if (dropped > 0)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else tmp.delete()
+    }
+  }
 }
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
@@ -261,6 +311,8 @@ private[sources] object EdgeListFilters {
     case LessThanOrEqual(a, v) => isCol(a) && isLong(v)
     case In(a, vs) => isCol(a) && vs.nonEmpty && vs.forall(isLong)
     case IsNotNull(a) => isCol(a) // non-nullable: always true
+    // DELETE with no WHERE arrives as a literal-true predicate
+    case AlwaysTrue() | AlwaysFalse() => true
     case _ => false
   }
 
@@ -294,6 +346,8 @@ private[sources] object EdgeListFilters {
         if (a == "src") (s: Long, _: Long) => set.contains(s)
         else (_: Long, d: Long) => set.contains(d)
       case IsNotNull(_) => (_: Long, _: Long) => true
+      case AlwaysTrue() => (_: Long, _: Long) => true
+      case AlwaysFalse() => (_: Long, _: Long) => false
       case f => throw new IllegalStateException(s"unsupported pushed filter $f")
     }
     (s, d) => {

@@ -729,6 +729,62 @@ object EventStreams {
     dim
   }
 
+  /** Streaming MERGE-INTO sink — [[scd2StreamingSink]]'s stateless
+    * companion: foreachBatch folds each micro-batch into an accumulating
+    * SNAPSHOT (no history) via [[graft.pipeline.MergeInto]]. Per batch,
+    * each user's latest signup/error event (by ts_us, event_id) becomes
+    * the merge action: signup upserts the value, error deletes the row;
+    * the conditional insert clause (op <> 'd') keeps a delete for an
+    * absent user a no-op instead of resurrecting it. Because each batch
+    * applies last-writer-wins per user, the final snapshot equals the
+    * one-shot batch rule "globally latest signup/error decides" — the
+    * cadence-independent oracle. */
+  def mergeStreamingSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_merge_ckpt_").toFile
+    ckpt.deleteOnExit()
+    val snapSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    var snap = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val stream = events
+      .where(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        graft.io.Tables.eventMicros(events).as("ts_us"), col("event_id"))
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upd = batch.groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("last"))
+          .select(col("user_id"),
+            when(col("last.event_type") === "error", lit("d"))
+              .otherwise(lit("u")).as("op"),
+            col("last.value").as("value"))
+        if (!upd.isEmpty) {
+          snap = graft.pipeline.MergeInto.mergeInto(snap, upd, "user_id",
+            matchedDeleteWhen = Some(col("s_op") === "d"),
+            matchedUpdate = Seq("value" -> col("s_value")),
+            notMatchedInsert = Seq("user_id" -> col("s_user_id"),
+              "value" -> col("s_value")),
+            notMatchedInsertWhen = Some(col("s_op") =!= "d"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    snap
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session

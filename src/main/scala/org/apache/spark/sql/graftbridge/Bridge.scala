@@ -79,6 +79,13 @@ object Bridge {
     }
   }
 
+  /** V2 Predicate → V1 Filter (`PredicateUtils` is `private[sql]`);
+    * None when the predicate has no V1 translation. Used by the
+    * connector's SupportsDeleteV2 to reuse its pushdown filter set. */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Install an extra planner strategy on a live session (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

@@ -435,4 +435,43 @@ class OinkScriptSpec extends SparkSpec {
       case None => spark.conf.unset(ConfKey)
     }
   }
+
+  test("containment, merge, and hard_negatives verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("oinkmerge")
+    Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3))
+      .toDF("id", "text", "keepme")
+      .write.parquet(tmp.resolve("target").toString)
+    Seq((2L, "B", "u"), (3L, "x", "d"), (5L, "E", "i"))
+      .toDF("id", "text", "op")
+      .write.parquet(tmp.resolve("batch").toString)
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/documents.parquet -o NULL docs",
+      "containment 3 5 10 -i docs -o NULL cont",
+      s"read_parquet -i ${tmp.resolve("target")} -o NULL tgt",
+      s"read_parquet -i ${tmp.resolve("batch")} -o NULL upd",
+      "merge id -i tgt upd -o NULL snap",
+      s"read_parquet -i $dir/embeddings.parquet -o NULL e",
+      """filter "vec_id < 5" -i e -o NULL eq""",
+      """select "vec_id AS qid" "embedding AS qvec" "label AS qlabel" -i eq -o NULL q""",
+      "hard_negatives 3 -i q e -o NULL hn"))
+    // containment: same result as the direct call
+    val direct = graft.pipeline.Dedup.containmentPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"), 3, 5, 10).count()
+    assert(reg("cont").count() == direct)
+    // merge: update applied, delete applied, insert landed, retain kept
+    val snap = reg("snap").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(snap == Map(1L -> "a", 2L -> "B", 5L -> "E"))
+    // non-shared target column survives on retained/updated rows
+    assert(reg("snap").where(col("id") === 2).head.getAs[Int]("keepme") == 2)
+    // hard negatives: 3 per query, none sharing the query's label
+    val hn = reg("hn")
+    assert(hn.groupBy("qid").count().collect().forall(_.getLong(1) == 3L))
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    assert(hn.select("qid", "vec_id").as[(Long, Long)].collect()
+      .forall { case (q, v) => labels(q) != labels(v) })
+  }
 }

@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.AnalysisException
+
+/** The connector as a SQL DML target: the path-based catalog resolves
+  * CREATE / INSERT / SELECT / DELETE / RENAME / DROP, and deletes are
+  * pushed to [[EdgeListTable]]'s SupportsDeleteV2 (file rewrite +
+  * atomic rename) — never a scan-and-rewrite through Spark. */
+class EdgeListCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("graftcat").resolve("edges")
+    s"graft.`$dir`"
+  }
+
+  test("CREATE / INSERT / SELECT / DELETE / DROP round trip in SQL") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (1, 3), (2, 3), (5, 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 4L)
+
+    spark.sql(s"DELETE FROM $t WHERE src = 1")
+    assert(spark.sql(s"SELECT src, dst FROM $t").as[(Long, Long)]
+      .collect().toSet === Set((2L, 3L), (5L, 1L)))
+
+    // compound conjunction: IN + range, both pushed
+    spark.sql(s"INSERT INTO $t VALUES (7, 8), (9, 10), (7, 10)")
+    spark.sql(s"DELETE FROM $t WHERE dst IN (8, 10) AND src >= 8")
+    assert(spark.sql(s"SELECT src, dst FROM $t").as[(Long, Long)]
+      .collect().toSet === Set((2L, 3L), (5L, 1L), (7L, 8L), (7L, 10L)))
+
+    // unconditional delete empties but keeps the table
+    spark.sql(s"DELETE FROM $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 0L)
+
+    spark.sql(s"DROP TABLE $t")
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $t").collect())
+  }
+
+  test("untranslatable delete predicate is refused, data intact") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (2, 1)")
+    intercept[Exception](
+      spark.sql(s"DELETE FROM $t WHERE src + dst = 3"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 2L)
+  }
+
+  test("delete rewrites only files with matches (atomic, others untouched)") {
+    val root = Files.createTempDirectory("graftcat").resolve("edges").toString
+    Seq((1L, 2L)).toDF("src", "dst").coalesce(1)
+      .write.format("graft.sources.EdgeListSource").mode("append").save(root)
+    Seq((3L, 4L)).toDF("src", "dst").coalesce(1)
+      .write.format("graft.sources.EdgeListSource")
+      .mode("append").save(root)
+    val before = EdgeListSource.listFiles(root)
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(before.size === 2)
+    Thread.sleep(50) // ensure a rewrite would bump mtime
+    spark.sql(s"DELETE FROM graft.`$root` WHERE src = 3")
+    val after = EdgeListSource.listFiles(root)
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after.keySet === before.keySet) // same file identities
+    val untouched = before.filter { case (n, m) => after(n) == m }
+    assert(untouched.size === 1) // the src=1 file was not rewritten
+    assert(spark.read.format("graft.sources.EdgeListSource").load(root)
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+  }
+
+  test("CREATE rejects a wrong schema; RENAME moves the directory") {
+    val dir = Files.createTempDirectory("graftcat")
+    val bad = s"graft.`${dir.resolve("bad")}`"
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $bad (a INT, b STRING)"))
+    val t = s"graft.`${dir.resolve("t1")}`"
+    val t2 = s"graft.`${dir.resolve("t2")}`"
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (8, 9)")
+    spark.sql(s"ALTER TABLE $t RENAME TO `${dir.resolve("t2")}`")
+    assert(spark.sql(s"SELECT src, dst FROM $t2").as[(Long, Long)]
+      .collect().toSeq === Seq((8L, 9L)))
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $t").collect())
+  }
+}
