@@ -791,21 +791,41 @@ object PipelineQueries {
     "d_decontam_inc" -> ((s, dir) => {
       val k = 128
       import graft.functions.KmvSketch
-      val sh = docs(s, dir).select(col("source"), col("doc_id"),
-          explode(graft.text.TextAnalysis.shingles(col("text"), 8)).as("sh"))
-        .select(col("source"), col("doc_id"), Hashing.hash60(col("sh")).as("h"))
-      val evalSh = sh.where(col("source") === "src0")
+      // ONE tokenize+hash scan feeds synopses, truth counts, and the
+      // inter join. Tokens are materialized into a column BEFORE the
+      // shingle transform — inlining tokens(text) inside the
+      // higher-order shingle expression re-evaluates the tokenizer per
+      // array element (measured 14.8 s vs 1 s for this scan at sf0.1).
+      // distinct() first: KMV is a set function, so the collapsed frame
+      // is equivalent — and it is exactly the standing per-source
+      // distinct-fingerprint table a 100 TB deployment maintains.
+      val sh = docs(s, dir).select(col("source"),
+          (col("doc_id") % 10 === 0).as("isb"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("source"), col("isb"),
+          explode(graft.text.TextAnalysis.shinglesFromTokens(col("toks"), 8))
+            .as("sh"))
+        .select(col("source"), col("isb"), Hashing.hash60(col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint()
+      val evalH = sh.where(col("source") === "src0").select("h").distinct()
       val train = sh.where(col("source") =!= "src0")
+      val trainH = train.select("source", "h").distinct()
+      // keep the imperative KMV aggregates distinct-free: mixing them
+      // with countDistinct in one groupBy forces the sort-based
+      // aggregation path (measured ~10x slower); the exact counts come
+      // from the already-distinct (source, h) frame instead
       val perSrc = train.groupBy("source").agg(
-        KmvSketch.kmv(when(col("doc_id") % 10 =!= 0, col("h")), k).as("sk_base"),
-        KmvSketch.kmv(when(col("doc_id") % 10 === 0, col("h")), k).as("sk_batch"),
-        KmvSketch.kmv(col("h"), k).as("sk_full"),
-        countDistinct(col("h")).as("exact_src"))
-      val evalSk = evalSh.agg(KmvSketch.kmv(col("h"), k).as("sk_eval"))
-      val exactInter = train.select("source", "h").distinct()
-        .join(evalSh.select("h").distinct(), "h")
-        .groupBy("source").agg(countDistinct("h").as("exact_inter"))
+        KmvSketch.kmv(when(!col("isb"), col("h")), k).as("sk_base"),
+        KmvSketch.kmv(when(col("isb"), col("h")), k).as("sk_batch"),
+        KmvSketch.kmv(col("h"), k).as("sk_full"))
+      val exactSrc = trainH.groupBy("source")
+        .agg(count(lit(1)).as("exact_src"))
+      val evalSk = evalH.agg(KmvSketch.kmv(col("h"), k).as("sk_eval"))
+      val exactInter = trainH.join(broadcast(evalH), "h")
+        .groupBy("source").agg(count(lit(1)).as("exact_inter"))
       perSrc.crossJoin(broadcast(evalSk))
+        .join(exactSrc, Seq("source"))
         .join(exactInter, Seq("source"), "left")
         .na.fill(0L, Seq("exact_inter"))
         .withColumn("sk_inc",
