@@ -32,10 +32,24 @@ object Compaction {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val it = fs.listFiles(p, true)
     val out = scala.collection.mutable.Buffer[(String, Long)]()
+    // a file nested under a metadata directory (_stats zone maps,
+    // _graft_commits markers) is not data even when its own name is
+    // plain — check every path component below `dir`
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    def underHidden(path: Path): Boolean = {
+      var q = path.getParent
+      while (q != null && q.toUri.getPath != rootPath) {
+        val n = q.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        q = q.getParent
+      }
+      false
+    }
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !underHidden(f.getPath))
         out += ((f.getPath.toString, f.getLen))
     }
     out.toSeq

@@ -47,6 +47,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    ORDER BY src/dst LIMIT n folds each chunk through one bounded
   *    O(n) heap — either way the retained global Limit/TakeOrdered
   *    merges ≤ n rows per chunk instead of the whole file.
+  *  - **Zone maps** ([[EdgeStats]]): every committed file gets a
+  *    `_stats/<file>.zmap` sidecar (min/max src & dst, rows) written
+  *    at commit; batch and micro-batch planning drop whole files whose
+  *    ranges cannot satisfy the pushed + runtime filters — the text
+  *    format's parquet-row-group-statistics equivalent. Sidecars are
+  *    an optimization only: absent or stale (post-DELETE, still
+  *    conservative) stats never change results.
+  *  - **SQL DML** ([[SupportsDeleteV2]] + [[EdgeListCatalog]]):
+  *    CREATE / INSERT / SELECT / DELETE FROM / DROP against
+  *    `graft.`<path>`` — deletes rewrite only files holding matches,
+  *    through a temp file and an atomic rename.
   *
   * Options: `chunkBytes` (split size, default 64 MiB), `malformed`
   * (`fail` — default, abort with file+offset, the reference checker's
@@ -82,7 +93,13 @@ object EdgeListSource {
     * sorted for deterministic partition order. */
   def listFiles(path: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      if (f.isDirectory)
+        // hidden/metadata directories (_stats zone maps, _graft_commits
+        // markers) are not data, at any nesting level
+        f.listFiles().toSeq.sortBy(_.getName)
+          .filterNot(c => c.isDirectory &&
+            (c.getName.startsWith(".") || c.getName.startsWith("_")))
+          .flatMap(walk)
       else if (f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         Seq(f)
       else Seq.empty
@@ -323,6 +340,27 @@ private[sources] object EdgeListFilters {
     case b: Byte => b.toLong
   }
 
+  /** Zone-map pruning test: can ANY row with src in [sMin,sMax] and dst
+    * in [dMin,dMax] satisfy every conjunct? Conservative — unknown
+    * filter shapes answer true (never skip on uncertainty). */
+  def mayMatch(filters: Array[Filter],
+      sMin: Long, sMax: Long, dMin: Long, dMax: Long): Boolean = {
+    def lo(a: String) = if (a == "src") sMin else dMin
+    def hi(a: String) = if (a == "src") sMax else dMax
+    filters.forall {
+      case EqualTo(a, v) if isCol(a) && isLong(v) =>
+        val c = toL(v); c >= lo(a) && c <= hi(a)
+      case GreaterThan(a, v) if isCol(a) && isLong(v) => hi(a) > toL(v)
+      case GreaterThanOrEqual(a, v) if isCol(a) && isLong(v) => hi(a) >= toL(v)
+      case LessThan(a, v) if isCol(a) && isLong(v) => lo(a) < toL(v)
+      case LessThanOrEqual(a, v) if isCol(a) && isLong(v) => lo(a) <= toL(v)
+      case In(a, vs) if isCol(a) && vs.nonEmpty && vs.forall(isLong) =>
+        vs.exists(v => { val c = toL(v); c >= lo(a) && c <= hi(a) })
+      case AlwaysFalse() => false
+      case _ => true
+    }
+  }
+
   /** Compile the pushed set to one (src, dst) => Boolean. */
   def compile(filters: Array[Filter]): (Long, Long) => Boolean = {
     val tests: Array[(Long, Long) => Boolean] = filters.map {
@@ -418,13 +456,21 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         s", PushedTopN: [${topN.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")} LIMIT ${limit.get}]"
       else limit.fold("")(l => s", PushedLimit: $l"))
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Zone-map file skip: a sidecar whose [min,max] ranges cannot satisfy
+    * the pushed + runtime filters drops the whole file from the plan —
+    * no chunk, no task, no read. Files without a sidecar always plan. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = pushed ++ runtimeFilters
     EdgeListSource.listFiles(path).flatMap { f =>
       val len = f.length()
-      if (len == 0) Seq.empty
+      val skip = len == 0 || (fs.nonEmpty && EdgeStats.read(f).exists(st =>
+        !EdgeListFilters.mayMatch(fs,
+          st.minSrc, st.maxSrc, st.minDst, st.maxDst)))
+      if (skip) Seq.empty
       else (0L until len by chunkBytes).map(start =>
         EdgeChunk(f.getAbsolutePath, start, math.min(start + chunkBytes, len)))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames,
@@ -760,7 +806,58 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
   }
 }
 
-private[sources] case class EdgeFileCommit(tempPath: String) extends WriterCommitMessage
+/** Per-file zone map (min/max src & dst + row count), carried from the
+  * task's writer to the driver commit and persisted as a sidecar under
+  * `_stats/<file>.zmap`. Readers use it to skip whole files whose
+  * range can't satisfy the pushed filters — the text format's answer
+  * to parquet row-group statistics. Bounds stay CONSERVATIVE under
+  * row deletion (removing rows can only narrow the true range), so
+  * `deleteWhere` rewrites never invalidate a sidecar. */
+private[sources] case class EdgeStats(
+    minSrc: Long, maxSrc: Long, minDst: Long, maxDst: Long, rows: Long)
+
+private[sources] object EdgeStats {
+  def file(dataFile: java.io.File): java.io.File =
+    new java.io.File(new java.io.File(dataFile.getParentFile, "_stats"),
+      dataFile.getName + ".zmap")
+
+  def write(dataFile: java.io.File, st: EdgeStats): Unit = {
+    val f = file(dataFile)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      s"${st.minSrc} ${st.maxSrc} ${st.minDst} ${st.maxDst} ${st.rows}\n"
+        .getBytes(StandardCharsets.US_ASCII))
+    ()
+  }
+
+  /** None when absent or unreadable — stats are an optimization, never
+    * a correctness dependency. */
+  def read(dataFile: java.io.File): Option[EdgeStats] = {
+    val f = file(dataFile)
+    if (!f.isFile) None
+    else try {
+      val t = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        StandardCharsets.US_ASCII).trim.split("\\s+")
+      if (t.length != 5) None
+      else Some(EdgeStats(t(0).toLong, t(1).toLong, t(2).toLong,
+        t(3).toLong, t(4).toLong))
+    } catch { case _: Exception => None }
+  }
+
+  /** Drop sidecars whose data file no longer exists (compaction /
+    * truncate leftovers). */
+  def dropOrphans(dir: java.io.File): Unit = {
+    val sd = new java.io.File(dir, "_stats")
+    if (sd.isDirectory)
+      sd.listFiles().foreach { s =>
+        if (!new java.io.File(dir, s.getName.stripSuffix(".zmap")).isFile)
+          s.delete()
+      }
+  }
+}
+
+private[sources] case class EdgeFileCommit(tempPath: String,
+    stats: Option[EdgeStats] = None) extends WriterCommitMessage
 
 private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
     extends BatchWrite {
@@ -775,19 +872,21 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
     if (truncate)
       dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
         .foreach(_.delete())
-    messages.foreach { case EdgeFileCommit(tmp) =>
+    messages.foreach { case EdgeFileCommit(tmp, stats) =>
       val f = new java.io.File(tmp)
       if (f.length() == 0) f.delete() // empty partition: no file
       else {
         val target = new java.io.File(dir, f.getName.stripPrefix("."))
         if (!f.renameTo(target))
           throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+        stats.foreach(EdgeStats.write(target, _))
       }
     }
+    if (truncate) EdgeStats.dropOrphans(dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case EdgeFileCommit(tmp) => new java.io.File(tmp).delete() }
+    messages.foreach { case EdgeFileCommit(tmp, _) => new java.io.File(tmp).delete() }
 }
 
 private[sources] class EdgeListWriterFactory(path: String)
@@ -830,7 +929,7 @@ private[sources] class EdgeListStreamingWrite(path: String)
     dir.mkdirs()
     val m = marker(epochId)
     if (m.exists()) {
-      messages.foreach { case EdgeFileCommit(t) => new java.io.File(t).delete() }
+      messages.foreach { case EdgeFileCommit(t, _) => new java.io.File(t).delete() }
       return
     }
     // a half-committed earlier attempt of this epoch: unpublish it
@@ -838,13 +937,14 @@ private[sources] class EdgeListStreamingWrite(path: String)
       .filter(f => f.isFile && f.getName.matches(s"part-\\d+-e$epochId-\\d+\\.txt"))
       .foreach(_.delete())
     val stamp = f"${System.currentTimeMillis()}%013d"
-    messages.zipWithIndex.foreach { case (EdgeFileCommit(t), i) =>
+    messages.zipWithIndex.foreach { case (EdgeFileCommit(t, stats), i) =>
       val f = new java.io.File(t)
       if (f.length() == 0) f.delete()
       else {
         val target = new java.io.File(dir, f"part-$stamp-e$epochId-$i%05d.txt")
         if (!f.renameTo(target))
           throw new java.io.IOException(s"epoch commit rename failed: $t -> $target")
+        stats.foreach(EdgeStats.write(target, _))
       }
     }
     m.getParentFile.mkdirs()
@@ -853,7 +953,7 @@ private[sources] class EdgeListStreamingWrite(path: String)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case EdgeFileCommit(t) => new java.io.File(t).delete() }
+    messages.foreach { case EdgeFileCommit(t, _) => new java.io.File(t).delete() }
 }
 
 private[sources] class EdgeListStreamingWriterFactory(path: String)
@@ -882,15 +982,30 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Lo
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp), 1 << 16)
 
+  private var minSrc = Long.MaxValue
+  private var maxSrc = Long.MinValue
+  private var minDst = Long.MaxValue
+  private var maxDst = Long.MinValue
+  private var rows = 0L
+
   override def write(r: InternalRow): Unit = {
-    out.write(java.lang.Long.toString(r.getLong(0)).getBytes(StandardCharsets.US_ASCII))
+    val s = r.getLong(0); val d = r.getLong(1)
+    if (s < minSrc) minSrc = s
+    if (s > maxSrc) maxSrc = s
+    if (d < minDst) minDst = d
+    if (d > maxDst) maxDst = d
+    rows += 1
+    out.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
     out.write(' ')
-    out.write(java.lang.Long.toString(r.getLong(1)).getBytes(StandardCharsets.US_ASCII))
+    out.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
     out.write('\n')
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); EdgeFileCommit(tmp.getAbsolutePath)
+    out.close()
+    EdgeFileCommit(tmp.getAbsolutePath,
+      if (rows == 0) None
+      else Some(EdgeStats(minSrc, maxSrc, minDst, maxDst, rows)))
   }
   override def abort(): Unit = { out.close(); tmp.delete() }
   override def close(): Unit = out.close()
@@ -939,7 +1054,13 @@ private[sources] class EdgeListMicroBatchStream(path: String,
     val e = end.asInstanceOf[FileCountOffset].n
     files().slice(s, e).flatMap { f =>
       val len = f.length()
-      if (len == 0) Seq.empty
+      // the zone-map skip stays offset-correct: a skipped file is still
+      // COUNTED by the offset (it was listed) — only its chunks vanish
+      val skip = len == 0 ||
+        (pushed.nonEmpty && EdgeStats.read(f).exists(st =>
+          !EdgeListFilters.mayMatch(pushed,
+            st.minSrc, st.maxSrc, st.minDst, st.maxDst)))
+      if (skip) Seq.empty
       else (0L until len by chunkBytes).map(off =>
         EdgeChunk(f.getAbsolutePath, off, math.min(off + chunkBytes, len)))
     }.toArray
