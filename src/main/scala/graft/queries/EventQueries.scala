@@ -254,6 +254,128 @@ object EventQueries {
     // deviations from their type's mean — per-type stats broadcast back
     // onto the scan; the filter and output share the ROUNDED z so the
     // cut cannot ride a last-ulp difference between engines.
+    // A/B experiment readout — Welch's unequal-variance t-test over a
+    // deterministic 50/50 user split (hash60 bucketing, partition-
+    // independent): the metric is purchase cents (exact integers
+    // through the shuffle — one tiny (n, sum, sum-of-squares) row per
+    // arm at ANY event volume), and mean/variance/t/df are the same
+    // IEEE expression tree over those exact sums in both engines, so
+    // even the Welch-Satterthwaite df replays bit-for-bit.
+    "e_abtest" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val m = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(
+          (graft.functions.Hashing.hash60(col("user_id").cast("string")) % 2)
+            .cast("int").as("bucket"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val g = m.groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum("cents").as("s"), sum(col("cents") * col("cents")).as("ss"))
+      val a = g.where(col("bucket") === 0)
+        .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+      val b = g.where(col("bucket") === 1)
+        .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("mean_a", col("s_a").cast("double") / col("n_a"))
+        .withColumn("mean_b", col("s_b").cast("double") / col("n_b"))
+        .withColumn("var_a",
+          (col("ss_a").cast("double") -
+            col("s_a").cast("double") * col("s_a").cast("double") / col("n_a"))
+            / (col("n_a") - 1))
+        .withColumn("var_b",
+          (col("ss_b").cast("double") -
+            col("s_b").cast("double") * col("s_b").cast("double") / col("n_b"))
+            / (col("n_b") - 1))
+        .withColumn("sea", col("var_a") / col("n_a"))
+        .withColumn("seb", col("var_b") / col("n_b"))
+        .withColumn("se2", col("sea") + col("seb"))
+        .select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+          r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
+          r6(col("var_a")).as("var_a"), r6(col("var_b")).as("var_b"),
+          r6((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t_stat"),
+          r6(col("se2") * col("se2") /
+            (col("sea") * col("sea") / (col("n_a") - 1) +
+             col("seb") * col("seb") / (col("n_b") - 1))).as("df_welch"))
+    }),
+
+    // CUPED variance reduction (Deng et al., WSDM 2013) on top of the
+    // e_abtest split: per user, pre-period purchase cents (first half of
+    // the time range) are the covariate x, experiment-period cents the
+    // metric y; theta = cov(x,y)/var(x) is fit on the POOLED users and
+    // each arm's adjusted mean/variance and the Welch t on adjusted
+    // means are pure algebra over exact integer sums — the whole
+    // readout ships one (n, Σx, Σy, Σx², Σy², Σxy) row per arm no
+    // matter the event volume, and replays bit-for-bit in DuckDB.
+    "e_cuped" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ev = eventsUs(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val cut = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("cut"))
+      val perUser = ev.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") < col("cut"), col("cents"))
+            .otherwise(lit(0L))).as("x"),
+          sum(when(col("ts_us") >= col("cut"), col("cents"))
+            .otherwise(lit(0L))).as("y"))
+        .select(
+          (graft.functions.Hashing.hash60(col("user_id").cast("string")) % 2)
+            .cast("int").as("bucket"),
+          col("x"), col("y"))
+      val glob = perUser.agg(count(lit(1)).as("nn"), sum("x").as("gx"),
+        sum("y").as("gy"), sum(col("x") * col("x")).as("gxx"),
+        sum(col("x") * col("y")).as("gxy"))
+        .withColumn("theta",
+          (col("gxy").cast("double") -
+            col("gx").cast("double") * col("gy").cast("double") / col("nn")) /
+          (col("gxx").cast("double") -
+            col("gx").cast("double") * col("gx").cast("double") / col("nn")))
+        .withColumn("mu_x", col("gx").cast("double") / col("nn"))
+        .select("theta", "mu_x")
+      val arms = perUser.groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      def arm(b: Int, suf: String) = arms.where(col("bucket") === b)
+        .select(col("n").as(s"n_$suf"), col("sx").as(s"sx_$suf"),
+          col("sy").as(s"sy_$suf"), col("sxx").as(s"sxx_$suf"),
+          col("syy").as(s"syy_$suf"), col("sxy").as(s"sxy_$suf"))
+      def derive(d: DataFrame, suf: String): DataFrame = {
+        val n = col(s"n_$suf")
+        val sx = col(s"sx_$suf").cast("double")
+        val sy = col(s"sy_$suf").cast("double")
+        d.withColumn(s"mean_y_$suf", sy / n)
+          .withColumn(s"mean_x_$suf", sx / n)
+          .withColumn(s"var_y_$suf",
+            (col(s"syy_$suf").cast("double") - sy * sy / n) / (n - 1))
+          .withColumn(s"var_x_$suf",
+            (col(s"sxx_$suf").cast("double") - sx * sx / n) / (n - 1))
+          .withColumn(s"cov_$suf",
+            (col(s"sxy_$suf").cast("double") - sx * sy / n) / (n - 1))
+          .withColumn(s"mean_adj_$suf", col(s"mean_y_$suf") -
+            col("theta") * (col(s"mean_x_$suf") - col("mu_x")))
+          .withColumn(s"var_adj_$suf", col(s"var_y_$suf") -
+            lit(2.0) * col("theta") * col(s"cov_$suf") +
+            col("theta") * col("theta") * col(s"var_x_$suf"))
+      }
+      val j = derive(derive(
+        arm(0, "a").crossJoin(broadcast(arm(1, "b")))
+          .crossJoin(broadcast(glob)), "a"), "b")
+      j.select(col("n_a"), col("n_b"), r6(col("theta")).as("theta"),
+        r6(col("mean_y_a")).as("mean_y_a"), r6(col("mean_y_b")).as("mean_y_b"),
+        r6(col("mean_adj_a")).as("mean_adj_a"),
+        r6(col("mean_adj_b")).as("mean_adj_b"),
+        r6(col("var_y_a")).as("var_y_a"), r6(col("var_y_b")).as("var_y_b"),
+        r6(col("var_adj_a")).as("var_adj_a"),
+        r6(col("var_adj_b")).as("var_adj_b"),
+        r6((col("mean_adj_a") - col("mean_adj_b")) /
+          sqrt(col("var_adj_a") / col("n_a") + col("var_adj_b") / col("n_b")))
+          .as("t_adj"))
+    }),
+
     "e_anomaly" -> ((s, dir) => {
       val e = Tables.events(s, dir).select("event_id", "event_type", "value")
       val st = e.groupBy("event_type")
@@ -533,6 +655,108 @@ object EventQueries {
          |  CASE WHEN event_type = 'view' THEN 0.1
          |       WHEN event_type = 'click' THEN 0.5
          |       ELSE 0.9 END""".stripMargin,
+
+    "e_abtest" -> {
+      val bucket =
+        s"${graft.functions.Hashing.hash60Sql("CAST(user_id AS VARCHAR)")} % 2"
+      def r6(x: String) = s"floor(($x) * 1000000.0e0 + 0.5e0) / 1000000.0e0"
+      s"""WITH m AS (SELECT $bucket AS bucket,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT bucket, count(*) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS s,
+         |    CAST(sum(cents * cents) AS BIGINT) AS ss
+         |  FROM m GROUP BY bucket),
+         |ab AS (SELECT
+         |  (SELECT n FROM g WHERE bucket = 0) AS n_a,
+         |  (SELECT s FROM g WHERE bucket = 0) AS s_a,
+         |  (SELECT ss FROM g WHERE bucket = 0) AS ss_a,
+         |  (SELECT n FROM g WHERE bucket = 1) AS n_b,
+         |  (SELECT s FROM g WHERE bucket = 1) AS s_b,
+         |  (SELECT ss FROM g WHERE bucket = 1) AS ss_b),
+         |d AS (SELECT *,
+         |  CAST(s_a AS DOUBLE) / n_a AS mean_a,
+         |  CAST(s_b AS DOUBLE) / n_b AS mean_b,
+         |  (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+         |    / (n_a - 1) AS var_a,
+         |  (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+         |    / (n_b - 1) AS var_b
+         |  FROM ab),
+         |e2 AS (SELECT *, var_a / n_a AS sea, var_b / n_b AS seb,
+         |  var_a / n_a + var_b / n_b AS se2 FROM d)
+         |SELECT n_a, n_b, s_a, s_b,
+         |  ${r6("mean_a")} AS mean_a, ${r6("mean_b")} AS mean_b,
+         |  ${r6("var_a")} AS var_a, ${r6("var_b")} AS var_b,
+         |  ${r6("(mean_a - mean_b) / sqrt(se2)")} AS t_stat,
+         |  ${r6("se2 * se2 / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1))")}
+         |    AS df_welch
+         |FROM e2""".stripMargin
+    },
+
+    "e_cuped" -> {
+      val bucket =
+        s"${graft.functions.Hashing.hash60Sql("CAST(user_id AS VARCHAR)")} % 2"
+      def r6(x: String) = s"floor(($x) * 1000000.0e0 + 0.5e0) / 1000000.0e0"
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM ev),
+         |pu AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN ts_us < cut THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN ts_us >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+         |  FROM ev, c GROUP BY user_id),
+         |pb AS (SELECT $bucket AS bucket, x, y FROM pu),
+         |gl AS (SELECT count(*) AS nn, CAST(sum(x) AS BIGINT) AS gx,
+         |    CAST(sum(y) AS BIGINT) AS gy, CAST(sum(x * x) AS BIGINT) AS gxx,
+         |    CAST(sum(x * y) AS BIGINT) AS gxy FROM pb),
+         |th AS (SELECT
+         |    (CAST(gxy AS DOUBLE) - CAST(gx AS DOUBLE) * CAST(gy AS DOUBLE) / nn)
+         |  / (CAST(gxx AS DOUBLE) - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE) / nn)
+         |    AS theta,
+         |  CAST(gx AS DOUBLE) / nn AS mu_x FROM gl),
+         |g AS (SELECT bucket, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM pb GROUP BY bucket),
+         |ab AS (SELECT
+         |  (SELECT n FROM g WHERE bucket = 0) AS n_a,
+         |  (SELECT sx FROM g WHERE bucket = 0) AS sx_a,
+         |  (SELECT sy FROM g WHERE bucket = 0) AS sy_a,
+         |  (SELECT sxx FROM g WHERE bucket = 0) AS sxx_a,
+         |  (SELECT syy FROM g WHERE bucket = 0) AS syy_a,
+         |  (SELECT sxy FROM g WHERE bucket = 0) AS sxy_a,
+         |  (SELECT n FROM g WHERE bucket = 1) AS n_b,
+         |  (SELECT sx FROM g WHERE bucket = 1) AS sx_b,
+         |  (SELECT sy FROM g WHERE bucket = 1) AS sy_b,
+         |  (SELECT sxx FROM g WHERE bucket = 1) AS sxx_b,
+         |  (SELECT syy FROM g WHERE bucket = 1) AS syy_b,
+         |  (SELECT sxy FROM g WHERE bucket = 1) AS sxy_b),
+         |d AS (SELECT *,
+         |  CAST(sy_a AS DOUBLE) / n_a AS mean_y_a,
+         |  CAST(sx_a AS DOUBLE) / n_a AS mean_x_a,
+         |  (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS var_y_a,
+         |  (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1) AS var_x_a,
+         |  (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a) / (n_a - 1) AS cov_a,
+         |  CAST(sy_b AS DOUBLE) / n_b AS mean_y_b,
+         |  CAST(sx_b AS DOUBLE) / n_b AS mean_x_b,
+         |  (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS var_y_b,
+         |  (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1) AS var_x_b,
+         |  (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b) / (n_b - 1) AS cov_b
+         |  FROM ab, th),
+         |f AS (SELECT *,
+         |  mean_y_a - theta * (mean_x_a - mu_x) AS mean_adj_a,
+         |  var_y_a - 2.0e0 * theta * cov_a + theta * theta * var_x_a AS var_adj_a,
+         |  mean_y_b - theta * (mean_x_b - mu_x) AS mean_adj_b,
+         |  var_y_b - 2.0e0 * theta * cov_b + theta * theta * var_x_b AS var_adj_b
+         |  FROM d)
+         |SELECT n_a, n_b, ${r6("theta")} AS theta,
+         |  ${r6("mean_y_a")} AS mean_y_a, ${r6("mean_y_b")} AS mean_y_b,
+         |  ${r6("mean_adj_a")} AS mean_adj_a, ${r6("mean_adj_b")} AS mean_adj_b,
+         |  ${r6("var_y_a")} AS var_y_a, ${r6("var_y_b")} AS var_y_b,
+         |  ${r6("var_adj_a")} AS var_adj_a, ${r6("var_adj_b")} AS var_adj_b,
+         |  ${r6("(mean_adj_a - mean_adj_b) / sqrt(var_adj_a / n_a + var_adj_b / n_b)")} AS t_adj
+         |FROM f""".stripMargin
+    },
 
     "e_anomaly" ->
       """WITH st AS (SELECT event_type, avg(value) AS m,
