@@ -110,8 +110,32 @@ object EdgeListSource {
 }
 
 private[sources] class EdgeListTable(path: String)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "EdgeListSource requires a single load(path)/save(path)")
+
+  /** File-provenance metadata column (`SELECT src, _file FROM …`), and
+    * the row-level operations' required metadata: requesting it routes
+    * ReplaceData through Spark's projection-applying write task, which
+    * is what strips the internal `__row_operation` column before rows
+    * reach the connector's writer. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding this row"
+    })
+
+  /** SQL UPDATE / MERGE INTO (and DELETE whose predicates don't
+    * translate — those fall back here from [[canDeleteWhere]]):
+    * group-based copy-on-write at whole-table granularity. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new EdgeListRowLevelOperation(path, info.command())
 
   override def name(): String = s"edgelist($path)"
   override def schema(): StructType = EdgeListSource.Schema
@@ -401,7 +425,8 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     skipMalformed: Boolean, required: StructType, pushed: Array[Filter],
     aggs: Seq[AggOp], limit: Option[Int] = None,
     topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
-    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
+    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
+    runtimePrunable: Boolean = true)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -424,10 +449,16 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * non-matching rows during the parse — rows for keys the join can
     * never match are never materialized. */
   private var runtimeFilters: Array[Filter] = Array.empty
+  // a row-level-operation rewrite scan must see EVERY current row:
+  // advertising no filterable attributes keeps runtime/group filtering
+  // away from it (runtimePrunable = false there)
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("src"),
-      org.apache.spark.sql.connector.expressions.Expressions.column("dst"))
+    if (!runtimePrunable)
+      Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
+    else
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("src"),
+        org.apache.spark.sql.connector.expressions.Expressions.column("dst"))
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(EdgeListFilters.supported)
 
@@ -618,6 +649,9 @@ private[sources] class EdgeChunkTopNReader(chunk: EdgeChunk,
     val vals = new Array[Any](columns.length)
     if (srcIdx >= 0) vals(srcIdx) = s
     if (dstIdx >= 0) vals(dstIdx) = d
+    val fi = columns.indexOf("_file")
+    if (fi >= 0)
+      vals(fi) = org.apache.spark.unsafe.types.UTF8String.fromString(chunk.file)
     row = new GenericInternalRow(vals)
     true
   }
@@ -684,6 +718,11 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
   private val needDst = columns.contains("dst")
   private val srcIdx = columns.indexOf("src")
   private val dstIdx = columns.indexOf("dst")
+  private val fileIdx = columns.indexOf("_file")
+  private val fileVal = // constant per chunk
+    if (fileIdx >= 0)
+      org.apache.spark.unsafe.types.UTF8String.fromString(chunk.file)
+    else null
   private var row: InternalRow = _
   private val lineBuf = new ArrayBuffer[Byte](64)
 
@@ -756,6 +795,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
           val vals = new Array[Any](columns.length)
           if (needSrc) vals(srcIdx) = pSrc
           if (needDst) vals(dstIdx) = pDst
+          if (fileIdx >= 0) vals(fileIdx) = fileVal
           row = new GenericInternalRow(vals)
           emitted += 1
           return true
@@ -804,6 +844,63 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
       }
     }
   }
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation — what makes SQL
+  * UPDATE and MERGE INTO work on the connector. Spark reads the current
+  * rows through the operation's scan, assembles the full replacement
+  * row set (updated matches plus untouched rows), and writes it through
+  * the operation's write; the commit is the connector's truncate +
+  * temp-file + atomic-rename path, so the swap is all-or-nothing at
+  * file granularity. The scan deliberately supports NO pushdown and
+  * advertises NO runtime-filterable attributes: the rewrite must see
+  * every current row — pushing the command's condition into this scan
+  * would silently drop non-matching rows from the new table. Group
+  * granularity is the whole table (a text format has no row ids to
+  * support a delta path); simple predicate deletes never come here —
+  * they take the [[SupportsDeleteV2]] file-rewrite fast path. */
+private[sources] class EdgeListRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** Requiring `_file` flips ReplaceData into the data+metadata write
+    * task, whose row projection delivers clean (src, dst) rows to the
+    * writer (the plain task hands the writer the raw query row,
+    * `__row_operation` included). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = StructType(
+        EdgeListSource.Schema.fields :+ StructField("_file", StringType, false))
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new EdgeListScan(path,
+        Option(options.get("chunkBytes")).map(_.toLong)
+          .getOrElse(EdgeListSource.DefaultChunkBytes),
+        Option(options.get("malformed")).getOrElse("fail") == "skip",
+        required, Array.empty, Nil,
+        runtimePrunable = false)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val in = info.schema()
+        require(in.fieldNames.toSeq == Seq("src", "dst") &&
+            in.fields.forall(_.dataType == LongType),
+          s"edge-list rewrite needs (src BIGINT, dst BIGINT); got ${in.simpleString}")
+        new Write {
+          override def toBatch: BatchWrite =
+            new EdgeListBatchWrite(path, truncate = true)
+        }
+      }
+    }
 }
 
 /** Per-file zone map (min/max src & dst + row count), carried from the

@@ -43,13 +43,46 @@ class EdgeListCatalogSpec extends SparkSpec {
     intercept[AnalysisException](spark.sql(s"SELECT * FROM $t").collect())
   }
 
-  test("untranslatable delete predicate is refused, data intact") {
+  test("untranslatable delete predicate falls back to the rewrite path") {
     val t = freshTable()
     spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
-    spark.sql(s"INSERT INTO $t VALUES (1, 2), (2, 1)")
-    intercept[Exception](
-      spark.sql(s"DELETE FROM $t WHERE src + dst = 3"))
-    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 2L)
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (5, 7)")
+    // src + dst has no v1 translation -> canDeleteWhere refuses -> Spark
+    // routes through the group-based row-level operation instead
+    spark.sql(s"DELETE FROM $t WHERE src + dst = 3")
+    assert(spark.sql(s"SELECT src, dst FROM $t").as[(Long, Long)]
+      .collect().toSeq === Seq((5L, 7L)))
+  }
+
+  test("SQL UPDATE rewrites matching rows, keeps the rest") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (1, 3), (4, 5)")
+    spark.sql(s"UPDATE $t SET dst = dst + 100 WHERE src = 1")
+    assert(spark.sql(s"SELECT src, dst FROM $t").as[(Long, Long)]
+      .collect().toSet === Set((1L, 102L), (1L, 103L), (4L, 5L)))
+    // zone maps regenerate with the rewrite
+    val files = EdgeListSource.listFiles(
+      t.stripPrefix("graft.`").stripSuffix("`"))
+    assert(files.nonEmpty && files.flatMap(EdgeStats.read).nonEmpty)
+  }
+
+  test("SQL MERGE INTO: update, delete, and insert clauses") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(
+      s"""MERGE INTO $t t
+         |USING (SELECT 1L AS src, 111L AS dst, 'u' AS op
+         |       UNION ALL SELECT 2L, 0L, 'd'
+         |       UNION ALL SELECT 9L, 99L, 'i') AS s
+         |ON t.src = s.src
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET dst = s.dst
+         |WHEN NOT MATCHED THEN INSERT (src, dst) VALUES (s.src, s.dst)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT src, dst FROM $t").as[(Long, Long)]
+      .collect().toSet === Set((1L, 111L), (3L, 30L), (9L, 99L)))
   }
 
   test("delete rewrites only files with matches (atomic, others untouched)") {
@@ -71,6 +104,20 @@ class EdgeListCatalogSpec extends SparkSpec {
     assert(untouched.size === 1) // the src=1 file was not rewritten
     assert(spark.read.format("graft.sources.EdgeListSource").load(root)
       .as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+  }
+
+  test("_file metadata column exposes row provenance") {
+    val root = Files.createTempDirectory("graftcat").resolve("edges").toString
+    Seq((1L, 2L)).toDF("src", "dst").coalesce(1)
+      .write.format("graft.sources.EdgeListSource").mode("append").save(root)
+    Seq((3L, 4L)).toDF("src", "dst").coalesce(1)
+      .write.format("graft.sources.EdgeListSource").mode("append").save(root)
+    val got = spark.sql(s"SELECT src, _file FROM graft.`$root`")
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) !== got(3L)) // two files, two provenances
+    val names = EdgeListSource.listFiles(root).map(_.getAbsolutePath).toSet
+    assert(got.values.toSet === names)
   }
 
   test("CREATE rejects a wrong schema; RENAME moves the directory") {
