@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.functions.JaroWinklerFn.jaroWinkler
+import graft.graph.ConnectedComponents
+
+/** Edit-distance fuzzy matching and entity resolution — the dedup family
+  * the corpus suite lacked: MinHash/SimHash find documents sharing many
+  * shingles, but catalog-style near-identical SHORT strings (product
+  * names, titles, author fields) need per-character edit distance, and
+  * all-pairs Levenshtein is quadratic in the vocabulary.
+  *
+  * Blocking is FastSS deletion neighborhoods (Bocek et al., "Fast
+  * Similarity Search in Large Dictionaries", 2007): two strings with
+  * Levenshtein distance ≤ k share a member of their ≤k-deletion
+  * neighborhoods, so exploding each distinct string to its O(|s|^k)
+  * deletion variants and bucket-joining on the variant finds EVERY true
+  * pair (lossless, unlike probabilistic LSH) while never forming
+  * cross-bucket pairs. Candidates are then verified with Spark's
+  * codegen'd `levenshtein`, so the output equals the exact all-pairs
+  * answer — which is exactly what the DuckDB oracle computes.
+  *
+  * Scale shape (billion-name catalog): deletion variants are a row-local
+  * array transform (one scan, no UDF); the bucket join shuffles
+  * (variant → names) pairs, bounded by `maxBucket` with the same
+  * drop-and-report policy as the LSH path ([[Dedup.candidatesFromSignatures]]);
+  * verification is per-candidate, never all-pairs. Long strings are the
+  * enemy of deletion blocking (|s|² variants for k=2) — `maxLen` guards
+  * the fan-out and is part of the operator contract, not a hidden cap.
+  */
+object FuzzyMatch {
+
+  /** One-character deletion variants of `s` as an array column (length
+    * |s|, one per deleted position). Row-local higher-order functions —
+    * no UDF, no shuffle. */
+  private def del1(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** The ≤`maxDel`-deletion neighborhood of `s`, including `s` itself,
+    * deduplicated. k-deletion variants are the 1-deletion variants of
+    * the (k−1)-deletion set, so the neighborhood composes [[del1]]. */
+  def deletionNeighborhood(s: Column, maxDel: Int): Column = {
+    require(maxDel >= 1 && maxDel <= 3, "deletionNeighborhood: maxDel in [1,3]")
+    var frontier = del1(s)
+    var all = concat(array(s), frontier)
+    (2 to maxDel).foreach { _ =>
+      frontier = array_distinct(flatten(transform(frontier, v => del1(v))))
+      all = concat(all, frontier)
+    }
+    array_distinct(all)
+  }
+
+  /** Exact Levenshtein-≤`maxDist` pairs over the DISTINCT values of
+    * `name` (a < b lexicographically): FastSS blocking + levenshtein
+    * verify. Strings longer than `maxLen` are excluded from matching
+    * (documented fan-out guard; the oracle applies the same predicate).
+    * @return (name_a, name_b, dist) */
+  def fuzzyPairs(names: DataFrame, name: Column, maxDist: Int = 2,
+      maxLen: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val distinctNames = names.select(name.cast("string").as("n"))
+      .where(col("n").isNotNull && length(col("n")) <= maxLen)
+      .distinct()
+    val keyed = distinctNames.select(col("n"),
+      explode(deletionNeighborhood(col("n"), maxDist)).as("k"))
+    val kept =
+      if (maxBucket == Int.MaxValue) keyed
+      else keyed.join(
+        keyed.groupBy("k").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= maxBucket).select("k"),
+        Seq("k"), "left_semi")
+    kept.select(col("k"), col("n").as("name_a"))
+      .join(kept.select(col("k"), col("n").as("name_b")), Seq("k"))
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Buckets a `maxBucket` cap would drop — the explicit overflow report
+    * (same policy as [[Dedup.oversizedBuckets]]). */
+  def oversizedBuckets(names: DataFrame, name: Column, maxDist: Int,
+      maxLen: Int, maxBucket: Int): Long =
+    names.select(name.cast("string").as("n"))
+      .where(col("n").isNotNull && length(col("n")) <= maxLen)
+      .distinct()
+      .select(explode(deletionNeighborhood(col("n"), maxDist)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .count()
+
+  /** [[fuzzyPairs]] scored with native Jaro-Winkler ([[JaroWinklerFn]]) —
+    * the ranking signal entity resolution sorts candidates by (edit
+    * distance alone can't distinguish a typo in a long name from a
+    * different short name). Rounded to 6 decimals for oracle parity.
+    * @return (name_a, name_b, dist, jw) */
+  def fuzzyScored(names: DataFrame, name: Column, maxDist: Int = 2,
+      maxLen: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame =
+    fuzzyPairs(names, name, maxDist, maxLen, maxBucket)
+      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+
+  /** Entity resolution: connected components over the fuzzy-pair graph,
+    * each name canonicalized to its cluster representative (the member
+    * with the minimum portable hash — hash60 is the vertex id, so the
+    * same large-star/small-star CC the graph suite uses runs unchanged
+    * on string entities, and the oracle re-derives identical ids).
+    * Singleton names map to themselves.
+    * @return (name, canon) for every distinct in-scope name */
+  def fuzzyEntities(spark: SparkSession, names: DataFrame, name: Column,
+      maxDist: Int = 2, maxLen: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val distinctNames = names.select(name.cast("string").as("n"))
+      .where(col("n").isNotNull && length(col("n")) <= maxLen)
+      .distinct()
+      .withColumn("vid", Hashing.hash60(col("n")))
+    val pairs = fuzzyPairs(names, name, maxDist, maxLen, maxBucket)
+    val edges = pairs
+      .select(Hashing.hash60(col("name_a")).as("src"),
+        Hashing.hash60(col("name_b")).as("dst"))
+    val comps = ConnectedComponents.run(spark, edges)  // (v, comp)
+    val canonOf = comps.join(
+        distinctNames.select(col("vid").as("comp"), col("n").as("canon")),
+        Seq("comp"))
+      .select(col("v").as("vid"), col("canon"))
+    distinctNames.join(canonOf, Seq("vid"), "left")
+      .select(col("n").as("name"),
+        coalesce(col("canon"), col("n")).as("canon"))
+  }
+}

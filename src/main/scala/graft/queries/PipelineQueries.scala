@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.pipeline.{Bloom, Dedup, KMeansInt, MergeInto, Multimodal, Sampling, Scd2, Similarity}
+import graft.pipeline.{Bloom, Dedup, FuzzyMatch, KMeansInt, MergeInto, Multimodal, Sampling, Scd2, Similarity}
 import graft.functions.Hashing
 
 /** Driver-gate queries for the dedup / similarity-search / multimodal
@@ -841,6 +841,40 @@ object PipelineQueries {
           (col("sk_inc") === col("sk_full")).cast("int").as("same_synopsis"),
           (floor(col("rho").cast("double") / col("kk") * col("est_union")
             * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
+    }),
+
+    // Edit-distance fuzzy matching over catalog names — FastSS deletion-
+    // neighborhood blocking (lossless for ed<=maxDist, unlike LSH) +
+    // codegen'd levenshtein verify; output equals the exact all-pairs
+    // answer without ever forming all pairs.
+    "d_fuzzy" -> ((s, dir) =>
+      FuzzyMatch.fuzzyPairs(Tables.part(s, dir), col("p_name"))),
+
+    // Fuzzy pairs ranked by the native Jaro-Winkler expression
+    // (functions/JaroWinklerExpr.scala) — semantics pinned to DuckDB's
+    // jaro_winkler_similarity, verified to 6 decimals.
+    "d_fuzzy_jw" -> ((s, dir) =>
+      FuzzyMatch.fuzzyScored(Tables.part(s, dir), col("p_name"))),
+
+    // Entity resolution: connected components over the fuzzy-pair graph
+    // (hash60 vertex ids, same large-star/small-star CC as g_cc),
+    // canonical = min-hash member; singletons map to themselves.
+    "d_fuzzy_entities" -> ((s, dir) =>
+      FuzzyMatch.fuzzyEntities(s, Tables.part(s, dir), col("p_name"))),
+
+    // Near-dup-cluster-aware split: split assignment hashes the CLUSTER
+    // representative (LSH-candidate CC keeper), not the doc id, so
+    // near-duplicate documents can never straddle train/test — the eval-
+    // hygiene property a per-doc hash split (d_split) cannot give.
+    "d_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.dedupClusters(s, d, col("doc_id"), col("text"))
+      val withRep = d.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper_id"), col("doc_id")).as("rep_id"))
+      Sampling.deterministicSplit(withRep, col("rep_id"),
+          trainPct = 98, valPct = 1, seed = 77L)
+        .select("doc_id", "rep_id", "split")
     })
   )
 
@@ -914,7 +948,78 @@ object PipelineQueries {
     s"bands AS ($bands)"
   }
 
+  /** Shared CTE for the fuzzy-match oracles: distinct in-scope part
+    * names (same maxLen=64 guard as [[FuzzyMatch.fuzzyPairs]]). */
+  private val FuzzyNamesCte =
+    """names AS (SELECT DISTINCT p_name AS n FROM part
+      | WHERE p_name IS NOT NULL AND length(p_name) <= 64)""".stripMargin
+
+  /** Exact all-pairs Levenshtein-≤2 over `names` — the ground truth the
+    * FastSS-blocked engine path must equal (blocking is lossless). The
+    * length-difference prefilter is implied by ed≤2, it only speeds the
+    * oracle up. */
+  private val FuzzyPairsSelect =
+    """SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
+      |FROM names a JOIN names b ON a.n < b.n
+      |WHERE abs(length(a.n) - length(b.n)) <= 2
+      |  AND levenshtein(a.n, b.n) <= 2""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
+    "d_fuzzy" ->
+      s"""WITH $FuzzyNamesCte
+         |$FuzzyPairsSelect""".stripMargin,
+
+    "d_fuzzy_jw" ->
+      s"""WITH $FuzzyNamesCte
+         |SELECT name_a, name_b, dist,
+         |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+         |FROM ($FuzzyPairsSelect)""".stripMargin,
+
+    "d_fuzzy_entities" ->
+      s"""WITH RECURSIVE $FuzzyNamesCte,
+         |ids AS (SELECT n, ${H("n")} AS vid FROM names),
+         |fpairs AS (SELECT a.vid AS va, b.vid AS vb
+         |  FROM ids a JOIN ids b ON a.n < b.n
+         |  WHERE abs(length(a.n) - length(b.n)) <= 2
+         |    AND levenshtein(a.n, b.n) <= 2),
+         |und AS (SELECT va AS vi, vb AS vj FROM fpairs
+         |        UNION ALL SELECT vb AS vi, va AS vj FROM fpairs),
+         |verts AS (SELECT DISTINCT vi AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
+         |cl AS (SELECT v, min(r) AS root FROM reach GROUP BY v)
+         |SELECT i.n AS name, coalesce(c2.n, i.n) AS canon
+         |FROM ids i LEFT JOIN cl ON cl.v = i.vid
+         |LEFT JOIN ids c2 ON c2.vid = cl.root""".stripMargin,
+
+    "d_split_leakfree" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |sigs AS (SELECT doc_id, $SigSelect FROM sh GROUP BY doc_id),
+         |$BandsCte,
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.band_hash = y.band_hash
+         | WHERE x.doc_id < y.doc_id),
+         |und AS (SELECT a AS vi, b AS vj FROM pairs
+         |        UNION ALL SELECT b AS vi, a AS vj FROM pairs),
+         |verts AS (SELECT DISTINCT vi AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
+         |cl AS (SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v),
+         |rep AS (SELECT d.doc_id,
+         |  coalesce(cl.keeper_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN ${Hs(77L, "CAST(rep_id AS VARCHAR)")} % 100 < 98 THEN 'train'
+         |       WHEN ${Hs(77L, "CAST(rep_id AS VARCHAR)")} % 100 < 99 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep""".stripMargin,
+
     "d_exact" ->
       s"""SELECT ${H("text")} AS content_hash, count(*) AS cnt,
          | min(doc_id) AS keeper_id
