@@ -587,6 +587,63 @@ object Dedup {
           (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
   }
 
+  /** Lossless τ-Jaccard set-similarity self-join via PREFIX FILTERING —
+    * the AllPairs/PPJoin family (Bayardo et al., WWW 2007; Xiao et al.,
+    * WWW 2008): every pair of documents whose distinct word-`n`-gram
+    * SETS have Jaccard ≥ `tau`, with a completeness GUARANTEE the
+    * probabilistic MinHash path cannot give (LSH misses pairs with
+    * band-collision probability < 1; this misses none).
+    *
+    * The filter: order each doc's shingles by a global canonical order —
+    * ascending document frequency, ties by hash — and index only the
+    * first |r| − ⌈τ·|r|⌉ + 1 of them. Two sets with Jaccard ≥ τ MUST
+    * share a prefix token under any shared total order (pigeonhole: a
+    * pair disjoint on both prefixes can overlap on at most
+    * min(|r|,|s|) − p(min) elements < τ·|r∪s|). Candidates therefore
+    * form only inside per-prefix-shingle buckets, and because prefixes
+    * are the RAREST shingles, bucket sizes are bounded by the df of rare
+    * grams — the property that keeps the join sub-quadratic on a 100 TB
+    * corpus where boilerplate grams would otherwise bucket everything
+    * together. Verification is an exact intersection count over
+    * candidate pairs only; the emitted rows equal the all-pairs truth
+    * the oracle computes.
+    *
+    * @return (a, b, na, nb, ninter, jaccard) for every pair with
+    *         jaccard ≥ tau, a < b, jaccard rounded to 6dp */
+  def setSimilarityJoin(docs: DataFrame, id: Column, text: Column,
+      tau: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, "setSimilarityJoin: tau in (0,1]")
+    val sh = TextAnalysis.explodedShingles(docs, id, text, n)
+      .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // prefix length p = n − ⌈τ·n⌉ + 1, computed in exact integer math
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .join(sizes, "doc_id")
+      .where(col("rn") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.select(col("h"), col("doc_id").as("a"))
+      .join(prefix.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
+    cand.join(inter, Seq("a", "b")) // prefix pairs share ≥ 1 gram
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter")), 6))
+      .where(col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter")) >= tau)
+      .select("a", "b", "na", "nb", "ninter", "jaccard")
+  }
+
   /** Segment-level (line/paragraph) deduplication — the sub-document
     * dedup step of C4 ("three-sentence span" removal; Raffel et al.,
     * JMLR 2020 §2.2) and CCNet/RefinedWeb line-dedup: split every

@@ -843,6 +843,14 @@ object PipelineQueries {
             * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
     }),
 
+    // Lossless τ-Jaccard set-similarity self-join (AllPairs/PPJoin
+    // prefix filter): every doc pair with 3-gram-set Jaccard ≥ 0.5,
+    // GUARANTEED complete (vs the probabilistic LSH candidates) while
+    // bucketing only on each doc's rarest grams — never all-pairs.
+    "d_setsim" -> ((s, dir) =>
+      Dedup.setSimilarityJoin(docs(s, dir), col("doc_id"), col("text"),
+        tau = 0.5)),
+
     // Edit-distance fuzzy matching over catalog names — FastSS deletion-
     // neighborhood blocking (lossless for ed<=maxDist, unlike LSH) +
     // codegen'd levenshtein verify; output equals the exact all-pairs
@@ -965,6 +973,29 @@ object PipelineQueries {
       |  AND levenshtein(a.n, b.n) <= 2""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    // Exact all-pairs truth for the prefix-filter join: same tokenizer,
+    // same distinct 3-gram hash sets, no blocking — the engine's
+    // prefix-filtered output must equal it (lossless filter).
+    "d_setsim" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |shs AS (SELECT DISTINCT doc_id,
+         |  ${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ninter
+         |          FROM shs x JOIN shs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.a, i.b, sa.nsh AS na, sb.nsh AS nb, i.ninter,
+         |  round(CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter), 6)
+         |    AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+         |JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter)
+         |  >= 0.5""".stripMargin,
+
     "d_fuzzy" ->
       s"""WITH $FuzzyNamesCte
          |$FuzzyPairsSelect""".stripMargin,

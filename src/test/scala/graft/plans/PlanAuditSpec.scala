@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_scd2_join", "d_minhash_sig", "d_minhash_pairs", "d_minhash_inc",
     "d_split", "d_source_quota", "d_simhash", "d_cdc", "d_asof_native",
     "d_asof_bcast",
-    "s_ann_brute", "s_quantize", "s_rproj", "s_hybrid_rrf", "d_winnow")
+    "s_ann_brute", "s_quantize", "s_rproj", "s_hybrid_rrf", "d_winnow",
+    "d_fuzzy", "d_fuzzy_jw", "d_setsim")
 
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>
