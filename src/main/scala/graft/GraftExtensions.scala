@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.Hashing.getClass.getName, "hash60"),
       graft.functions.GraftFunctions.hash60Builder _))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.JaroWinkler(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("normalize_nfc"),
       new ExpressionInfo(
         classOf[graft.functions.NormalizeNfc].getName, "normalize_nfc"),

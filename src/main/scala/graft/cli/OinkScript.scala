@@ -457,6 +457,22 @@ object OinkScript {
                 col("text"), pos.lift(0).map(_.toInt).getOrElse(3),
                 pos.lift(1).map(_.toInt).getOrElse(5),
                 pos.lift(2).map(_.toInt).getOrElse(10)), outs, line)
+            case "setsim" =>
+              // setsim [tau] [n] — lossless τ-Jaccard prefix-filter join
+              sinkAndBind(Dedup.setSimilarityJoin(in0, col("doc_id"),
+                col("text"), pos.lift(0).map(_.toDouble).getOrElse(0.5),
+                pos.lift(1).map(_.toInt).getOrElse(3)), outs, line)
+            case "fuzzy_pairs" =>
+              // fuzzy_pairs <col> [maxDist] — FastSS edit-distance pairs
+              sinkAndBind(graft.pipeline.FuzzyMatch.fuzzyPairs(in0,
+                col(pos.head), pos.lift(1).map(_.toInt).getOrElse(2)),
+                outs, line)
+            case "fuzzy_entities" =>
+              // fuzzy_entities <col> [maxDist] — entity resolution:
+              // CC over the fuzzy graph, canonical per cluster
+              sinkAndBind(graft.pipeline.FuzzyMatch.fuzzyEntities(spark,
+                in0, col(pos.head), pos.lift(1).map(_.toInt).getOrElse(2)),
+                outs, line)
             case "merge" =>
               // merge key -i target batch — MERGE INTO snapshot upsert.
               // Batch rows with op='d' delete; other matched rows update

@@ -37,6 +37,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // normalize_nfc injected: decomposed e + combining acute composes
       val nf = spark.sql("SELECT normalize_nfc('e\u0301') AS n").head().getString(0)
       assert(nf == "é")
+      // jaro_winkler injected: DuckDB-pinned value (see FuzzyMatchSpec)
+      val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+        .head().getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-12)
       // non-string args hash their decimal-string rendering (DuckDB
       // parity), not their big-endian binary cast
       val hn = spark.sql(

@@ -474,4 +474,30 @@ class OinkScriptSpec extends SparkSpec {
     assert(hn.select("qid", "vec_id").as[(Long, Long)].collect()
       .forall { case (q, v) => labels(q) != labels(v) })
   }
+
+  test("setsim, fuzzy_pairs, and fuzzy_entities verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("oinkfuzzy")
+    Seq("cold bolt", "old bolt", "bold bolt", "red gear", "red gears",
+      "widget").toDF("p_name")
+      .write.parquet(tmp.resolve("names").toString)
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/documents.parquet -o NULL docs",
+      "setsim 0.5 3 -i docs -o NULL ss",
+      s"read_parquet -i ${tmp.resolve("names")} -o NULL names",
+      "fuzzy_pairs p_name 2 -i names -o NULL fp",
+      "fuzzy_entities p_name 2 -i names -o NULL fe"))
+    val directSs = graft.pipeline.Dedup.setSimilarityJoin(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"), 0.5).count()
+    assert(reg("ss").count() == directSs)
+    // cold bolt ~ old bolt ~ bold bolt chain; red gear ~ red gears
+    val fp = reg("fp").select("name_a", "name_b")
+      .as[(String, String)].collect().toSet
+    assert(fp.contains(("cold bolt", "old bolt")))
+    assert(fp.contains(("red gear", "red gears")))
+    val fe = reg("fe").as[(String, String)].collect().toMap
+    assert(fe("cold bolt") == fe("old bolt") && fe("old bolt") == fe("bold bolt"))
+    assert(fe("widget") == "widget")
+  }
 }
