@@ -102,6 +102,29 @@ object FuzzyMatch {
     fuzzyPairs(names, name, maxDist, maxLen, maxBucket)
       .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
 
+  /** Incremental fuzzy match — the nightly-refresh shape (mirrors
+    * [[Dedup.minHashCandidatesIncremental]]): every (batch, standing)
+    * pair within Levenshtein ≤ `maxDist`, joining only the BATCH side's
+    * deletion keys against the standing corpus' precomputed key index.
+    * Standing×standing pairs are never re-formed, so a day's new names
+    * cost O(batch keys ⋈ matching buckets) regardless of catalog size;
+    * the standing index ([[deletionNeighborhood]] exploded once) is
+    * append-only across refreshes.
+    * @return (new_name, corpus_name, dist) */
+  def fuzzyPairsIncremental(standing: DataFrame, batch: DataFrame,
+      name: Column, maxDist: Int = 2, maxLen: Int = 64): DataFrame = {
+    def keyed(df: DataFrame, as: String) =
+      df.select(name.cast("string").as(as))
+        .where(col(as).isNotNull && length(col(as)) <= maxLen)
+        .distinct()
+        .select(col(as), explode(deletionNeighborhood(col(as), maxDist)).as("k"))
+    keyed(batch, "new_name")
+      .join(keyed(standing, "corpus_name"), Seq("k"))
+      .select("new_name", "corpus_name").distinct()
+      .withColumn("dist", levenshtein(col("new_name"), col("corpus_name")))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Entity resolution: connected components over the fuzzy-pair graph,
     * each name canonicalized to its cluster representative (the member
     * with the minimum portable hash — hash60 is the vertex id, so the

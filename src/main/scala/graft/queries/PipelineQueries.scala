@@ -864,6 +864,16 @@ object PipelineQueries {
     "d_fuzzy_jw" -> ((s, dir) =>
       FuzzyMatch.fuzzyScored(Tables.part(s, dir), col("p_name"))),
 
+    // Incremental fuzzy match: tonight's new part names (partkey % 10
+    // == 0) against the standing catalog — batch keys join the standing
+    // key index only; standing×standing pairs are never re-formed.
+    "d_fuzzy_inc" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      FuzzyMatch.fuzzyPairsIncremental(
+        p.where(col("p_partkey") % 10 =!= 0),
+        p.where(col("p_partkey") % 10 === 0), col("p_name"))
+    }),
+
     // Entity resolution: connected components over the fuzzy-pair graph
     // (hash60 vertex ids, same large-star/small-star CC as g_cc),
     // canonical = min-hash member; singletons map to themselves.
@@ -1005,6 +1015,19 @@ object PipelineQueries {
          |SELECT name_a, name_b, dist,
          |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
          |FROM ($FuzzyPairsSelect)""".stripMargin,
+
+    "d_fuzzy_inc" ->
+      s"""WITH bn AS (SELECT DISTINCT p_name AS n FROM part
+         |  WHERE p_partkey % 10 = 0 AND p_name IS NOT NULL
+         |    AND length(p_name) <= 64),
+         |cn AS (SELECT DISTINCT p_name AS n FROM part
+         |  WHERE p_partkey % 10 <> 0 AND p_name IS NOT NULL
+         |    AND length(p_name) <= 64)
+         |SELECT b.n AS new_name, c.n AS corpus_name,
+         |  levenshtein(b.n, c.n) AS dist
+         |FROM bn b JOIN cn c
+         |  ON abs(length(b.n) - length(c.n)) <= 2
+         | AND levenshtein(b.n, c.n) <= 2""".stripMargin,
 
     "d_fuzzy_entities" ->
       s"""WITH RECURSIVE $FuzzyNamesCte,

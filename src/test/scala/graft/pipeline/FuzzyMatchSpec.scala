@@ -100,6 +100,21 @@ class FuzzyMatchSpec extends SparkSpec {
     ents.values.toSet.foreach((c: String) => assert(ents(c) == c))
   }
 
+  test("fuzzyPairsIncremental: batch-vs-standing only, equal to the filtered all-pairs truth") {
+    val standing = vocab.filter(_.hashCode % 3 != 0).toDF("p_name")
+    val batch = vocab.filter(_.hashCode % 3 == 0).toDF("p_name")
+    val got = FuzzyMatch.fuzzyPairsIncremental(standing, batch, col("p_name"))
+      .as[(String, String, Int)].collect().toSet
+    val sSet = vocab.filter(_.hashCode % 3 != 0).toSet
+    val bSet = vocab.filter(_.hashCode % 3 == 0).toSet
+    val want = bruteForce(2).flatMap { case (a, b, d) =>
+      Seq((a, b, d), (b, a, d))
+    }.filter { case (x, y, _) => bSet(x) && sSet(y) }
+    assert(got == want)
+    // no batch-batch or standing-standing pairs by construction
+    assert(got.forall { case (x, y, _) => bSet(x) && sSet(y) })
+  }
+
   test("maxBucket cap drops oversized buckets and reports them") {
     // 'aN' strings all share the deletion variant "a": with maxBucket=2
     // the bucket is dropped and pairs through it disappear.
