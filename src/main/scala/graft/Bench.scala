@@ -260,7 +260,10 @@ object Bench {
         "e_interval_join", "e_interval_join_auto",
         // round-8 session-3 baselines: the KMV pairwise matrix and the
         // exact n-gram join it replaces at refresh time
-        "d_overlap_matrix", "d_overlap").flatMap { name => section(name) {
+        "d_overlap_matrix", "d_overlap",
+        // round-8 session-4 baselines: the lossless prefix-filter
+        // τ-Jaccard join and the FastSS+Jaro-Winkler fuzzy-match chain
+        "d_setsim", "d_fuzzy_jw").flatMap { name => section(name) {
       val q = SparkEntry.queries(name)
       materialize(q(spark, sfDir)) // warm
       val ts = (1 to 3).map(_ => timeIt(materialize(q(spark, sfDir)))).sorted

@@ -880,6 +880,24 @@ object PipelineQueries {
     "d_fuzzy_entities" -> ((s, dir) =>
       FuzzyMatch.fuzzyEntities(s, Tables.part(s, dir), col("p_name"))),
 
+    // Entity resolution APPLIED: lineitem revenue rolled up by the
+    // canonical part entity (spelling variants collapse into one line) —
+    // the canon map is tiny vs the fact table, so it broadcasts and the
+    // rollup is one fact-side aggregate; the fact table shuffles only
+    // its own group-by, exactly the 100 TB shape.
+    "d_fuzzy_rollup" -> ((s, dir) => {
+      val canon = FuzzyMatch.fuzzyEntities(
+        s, Tables.part(s, dir), col("p_name"))
+      val facts = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+          col("l_partkey") === col("p_partkey"))
+      facts.join(broadcast(canon), col("p_name") === col("name"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // Near-dup-cluster-aware split: split assignment hashes the CLUSTER
     // representative (LSH-candidate CC keeper), not the doc id, so
     // near-duplicate documents can never straddle train/test — the eval-
@@ -1047,6 +1065,31 @@ object PipelineQueries {
          |SELECT i.n AS name, coalesce(c2.n, i.n) AS canon
          |FROM ids i LEFT JOIN cl ON cl.v = i.vid
          |LEFT JOIN ids c2 ON c2.vid = cl.root""".stripMargin,
+
+    "d_fuzzy_rollup" ->
+      s"""WITH RECURSIVE $FuzzyNamesCte,
+         |ids AS (SELECT n, ${H("n")} AS vid FROM names),
+         |fpairs AS (SELECT a.vid AS va, b.vid AS vb
+         |  FROM ids a JOIN ids b ON a.n < b.n
+         |  WHERE abs(length(a.n) - length(b.n)) <= 2
+         |    AND levenshtein(a.n, b.n) <= 2),
+         |und AS (SELECT va AS vi, vb AS vj FROM fpairs
+         |        UNION ALL SELECT vb AS vi, va AS vj FROM fpairs),
+         |verts AS (SELECT DISTINCT vi AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
+         |cl AS (SELECT v, min(r) AS root FROM reach GROUP BY v),
+         |canon AS (SELECT i.n AS name, coalesce(c2.n, i.n) AS canon
+         |  FROM ids i LEFT JOIN cl ON cl.v = i.vid
+         |  LEFT JOIN ids c2 ON c2.vid = cl.root)
+         |SELECT c.canon, count(*) AS n_lines,
+         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN canon c ON p.p_name = c.name
+         |GROUP BY c.canon""".stripMargin,
 
     "d_split_leakfree" ->
       s"""WITH RECURSIVE $ShinglesCte,
