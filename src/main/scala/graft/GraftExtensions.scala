@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // keyless range join -> bin-replicated equi-join, OPT-IN (fires
     // only when spark.graft.rangeJoin.binWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // levenshtein(a,b) <= k join -> FastSS deletion-neighborhood
+    // blocked join, OPT-IN (spark.graft.fuzzyJoin.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -41,9 +41,17 @@ object FuzzyMatch {
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
 
   /** The ≤`maxDel`-deletion neighborhood of `s`, including `s` itself,
-    * deduplicated. k-deletion variants are the 1-deletion variants of
-    * the (k−1)-deletion set, so the neighborhood composes [[del1]]. */
-  def deletionNeighborhood(s: Column, maxDel: Int): Column = {
+    * deduplicated — the native [[graft.functions.DeletionNeighborhood]]
+    * expression (one static call, whole-stage codegen). */
+  def deletionNeighborhood(s: Column, maxDel: Int): Column =
+    graft.functions.DeletionNeighborhoodFn.deletionNeighborhood(s, maxDel)
+
+  /** The same neighborhood COMPOSED from builtin higher-order array
+    * functions — an independent second derivation, kept as the
+    * cross-check the native expression is tested against
+    * (FuzzyJoinRewriteSpec): k-deletion variants are the 1-deletion
+    * variants of the (k−1)-deletion set, so the set composes [[del1]]. */
+  def deletionNeighborhoodComposed(s: Column, maxDel: Int): Column = {
     require(maxDel >= 1 && maxDel <= 3, "deletionNeighborhood: maxDel in [1,3]")
     var frontier = del1(s)
     var all = concat(array(s), frontier)

@@ -19,6 +19,11 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
   private val Dim = 64
 
+  /** One fuzzy-join-rule child session per parent (d_fuzzy_sql) — same
+    * reuse rationale as EventQueries.binSessions. */
+  private val fuzzySessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
   val queries: Map[String, Q] = Map(
     "d_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("doc_id"), col("text"))),
@@ -864,6 +869,26 @@ object PipelineQueries {
     "d_fuzzy_jw" -> ((s, dir) =>
       FuzzyMatch.fuzzyScored(Tables.part(s, dir), col("p_name"))),
 
+    // The SAME fuzzy join written as PLAIN SQL — a levenshtein(a,b) <= 2
+    // join predicate Spark would nested-loop — executed under the
+    // FuzzyJoinRewrite optimizer rule (opt-in conf on a child session):
+    // the plan becomes the FastSS blocked join, the answer must stay the
+    // all-pairs truth. FuzzyJoinRewriteSpec pins the plan shape; this
+    // gate pins the values through DuckDB.
+    "d_fuzzy_sql" -> ((s, dir) => {
+      val s2 = fuzzySessions.getOrElseUpdate(s, {
+        val n = s.newSession()
+        n.conf.set(graft.plans.FuzzyJoinRewrite.ConfKey, "true")
+        n
+      })
+      Tables.part(s2, dir).createOrReplaceTempView("fz_part")
+      s2.sql(
+        """SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
+          |FROM (SELECT DISTINCT p_name AS n FROM fz_part) a
+          |JOIN (SELECT DISTINCT p_name AS n FROM fz_part) b
+          |  ON a.n < b.n AND levenshtein(a.n, b.n) <= 2""".stripMargin)
+    }),
+
     // Incremental fuzzy match: tonight's new part names (partkey % 10
     // == 0) against the standing catalog — batch keys join the standing
     // key index only; standing×standing pairs are never re-formed.
@@ -1033,6 +1058,12 @@ object PipelineQueries {
          |SELECT name_a, name_b, dist,
          |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
          |FROM ($FuzzyPairsSelect)""".stripMargin,
+
+    "d_fuzzy_sql" ->
+      """WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+        |SELECT a.n AS name_a, b.n AS name_b, levenshtein(a.n, b.n) AS dist
+        |FROM names a JOIN names b
+        |  ON a.n < b.n AND levenshtein(a.n, b.n) <= 2""".stripMargin,
 
     "d_fuzzy_inc" ->
       s"""WITH bn AS (SELECT DISTINCT p_name AS n FROM part
