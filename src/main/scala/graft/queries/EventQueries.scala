@@ -399,6 +399,47 @@ object EventQueries {
         .drop("value")
     }),
 
+    // User-journey transition matrix (Markov-chain estimation): per-user
+    // lag pairs (prev event_type → next), counted and normalized to the
+    // row-stochastic transition probability — the "where do users go
+    // after X" product-analytics primitive. Two windows, both
+    // partitioned (user for the lag, prev_type for the normalizer);
+    // never a global sort.
+    "e_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val pairs = eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs.withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type")), 6))
+    }),
+
+    // Exponential smoothing (EWMA) with α = 1/2 over the trailing 8
+    // events per user: weights 2^-(i+1) are exact binary doubles and the
+    // sum is a FIXED-ORDER expression tree (8 lags added left to right),
+    // so Spark and DuckDB compute bit-identical doubles — the trick that
+    // makes a smoothing gate hash-checkable. Rows need a full window
+    // (rn > 8) so no renormalization branch exists.
+    "e_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val norm = 1.0 - math.pow(0.5, 8) // Σ 2^-(i+1), i=0..7
+      val lags = (0 until 8).map { i =>
+        (if (i == 0) col("value") else lag("value", i).over(w)) *
+          lit(math.pow(0.5, i + 1))
+      }
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") > 8)
+        .withColumn("ewma", round(lags.reduce(_ + _) / lit(norm), 6))
+        .drop("value", "rn")
+    }),
+
     // Gap fill: LOCF forward fill (last observation carried forward)
     // and NOCB backward fill in ONE per-key window pass each — the
     // sparse-time-series repair primitive (sensor feeds, sparse feature
@@ -795,6 +836,37 @@ object EventQueries {
         |    ORDER BY ts_us, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         |FROM e""".stripMargin,
+
+    "e_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT user_id, event_type AS next_type,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev_type FROM e),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c""".stripMargin,
+
+    "e_ewma" -> {
+      val lags = (0 until 8).map { i =>
+        val v = if (i == 0) "value"
+          else s"lag(value, $i) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        s"($v) * ${math.pow(0.5, i + 1)}"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |r AS (SELECT user_id, event_id, ts_us, value,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS rn,
+         |  $lags AS wsum
+         |  FROM e)
+         |SELECT user_id, event_id, ts_us,
+         |  round(wsum / ${1.0 - math.pow(0.5, 8)}, 6) AS ewma
+         |FROM r WHERE rn > 8""".stripMargin
+    },
 
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

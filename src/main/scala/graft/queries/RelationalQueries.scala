@@ -466,6 +466,36 @@ object RelationalQueries {
               |  try_element_at(array('a', 'b'),
               |    CAST(o_orderkey % 4 + 1 AS INT)) AS idx
               |FROM orders""".stripMargin)
+    }),
+
+    // RFM segmentation (recency/frequency/monetary quintiles) — the
+    // marketing-analytics standard. Scores are quintiles WITHIN each
+    // market segment (the standard segment-relative practice, and the
+    // scale-honest shape: the ntile window partitions by segment over
+    // the already-reduced per-customer frame — never one global
+    // partition). Monetary rounds to cents BEFORE ranking and user_id
+    // breaks ties, so both engines rank identically; the global
+    // reference date is a 1-row broadcast.
+    "q40_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      val refDate = o.agg(max(to_date(col("o_orderdate"))).as("ref_d"))
+      val perCust = o.groupBy("o_custkey").agg(
+        max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        (round(sum(col("o_totalprice")) * 100) / 100).as("monetary"))
+      val seg = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val base = perCust.crossJoin(broadcast(refDate))
+        .withColumn("recency_days", datediff(col("ref_d"), col("last_d")))
+        .join(seg, col("o_custkey") === col("c_custkey"))
+      def quintile(order: org.apache.spark.sql.Column*) = ntile(5).over(
+        Window.partitionBy("c_mktsegment").orderBy(order: _*))
+      base.select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+        col("recency_days"), col("frequency"), col("monetary"),
+        quintile(col("recency_days").asc, col("o_custkey").asc).as("r_score"),
+        quintile(col("frequency").desc, col("o_custkey").asc).as("f_score"),
+        quintile(col("monetary").desc, col("o_custkey").asc).as("m_score"))
     })
   )
 
@@ -651,6 +681,27 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q40_rfm" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d
+        |  FROM orders),
+        |pc AS (SELECT o_custkey,
+        |  max(CAST(o_orderdate AS DATE)) AS last_d,
+        |  count(*) AS frequency,
+        |  round(sum(o_totalprice) * 100) / 100 AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT pc.o_custkey AS custkey, c.c_mktsegment,
+        |  date_diff('day', pc.last_d, ref.ref_d) AS recency_days,
+        |  pc.frequency, pc.monetary,
+        |  ntile(5) OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY date_diff('day', pc.last_d, ref.ref_d) ASC,
+        |             pc.o_custkey ASC) AS r_score,
+        |  ntile(5) OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY pc.frequency DESC, pc.o_custkey ASC) AS f_score,
+        |  ntile(5) OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY pc.monetary DESC, pc.o_custkey ASC) AS m_score
+        |FROM pc CROSS JOIN ref
+        |JOIN customer c ON pc.o_custkey = c.c_custkey""".stripMargin,
 
     // the try_* NULL pattern stated explicitly
     "q39_try_arith" ->
