@@ -73,4 +73,61 @@ object DataQuality {
       .agg(count(lit(1)).as("n_rows"))
       .select(col("value"), col("n_rows"),
         coalesce(col("value").isin(allowed: _*), lit(false)).as("in_domain"))
+
+  /** Categorical drift between a BASELINE snapshot and the CURRENT one —
+    * per-category chi-square contributions (the monitoring-pass
+    * alternative to PSI that needs no logarithm, so it hash-verifies
+    * exactly across engines: all arithmetic is counts, one shared
+    * division order). Expected counts are Laplace-smoothed over the
+    * union category set, so a category newly appearing in `current`
+    * contributes a finite, large term instead of dividing by zero —
+    * which is precisely the alert. Two group-by-category aggregates, a
+    * category-level full-outer join, and one broadcast 1-row totals
+    * frame: a scan per side at any scale.
+    * @return (category, n_base, n_cur, expected, chi2_contrib) */
+  def categoricalDrift(base: DataFrame, current: DataFrame,
+      cat: Column): DataFrame = {
+    val b = base.groupBy(cat.as("category")).agg(count(lit(1)).as("n_base"))
+    val c = current.groupBy(cat.as("category")).agg(count(lit(1)).as("n_cur"))
+    val j = b.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = j.agg(sum("n_base").as("tot_base"), sum("n_cur").as("tot_cur"),
+      count(lit(1)).as("n_cat"))
+    j.crossJoin(broadcast(tot))
+      // one shared unrounded expected; squaring by self-multiply (not
+      // pow) so both engines run the identical IEEE op sequence
+      .withColumn("__e", (col("n_base") + lit(1)).cast("double") /
+        (col("tot_base") + col("n_cat")) * col("tot_cur"))
+      .withColumn("expected", round(col("__e"), 6))
+      .withColumn("chi2_contrib", round(
+        (col("n_cur") - col("__e")) * (col("n_cur") - col("__e")) /
+          col("__e"), 6))
+      .select("category", "n_base", "n_cur", "expected", "chi2_contrib")
+  }
+
+  /** IQR outlier report per group — Tukey fences (1.5·IQR beyond the
+    * quartiles), the distribution-free outlier screen a DQ pass runs on
+    * numeric columns. One exact-percentile aggregate per group plus one
+    * broadcast join back; swap approx_percentile in at corpus scale
+    * (report schema unchanged).
+    * @return (group, q1, q3, lo_fence, hi_fence, n_rows, n_outliers) */
+  def iqrOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val gv = df.select(group.as("grp"), value.as("v"))
+    val q = gv.groupBy("grp").agg(
+      percentile(col("v"), lit(0.25)).as("q1"),
+      percentile(col("v"), lit(0.75)).as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    gv.join(broadcast(q), Seq("grp"))
+      .groupBy(col("grp"), col("q1"), col("q3"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("lo_fence") || col("v") > col("hi_fence"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("grp"), round(col("q1"), 6).as("q1"),
+        round(col("q3"), 6).as("q3"),
+        round(col("lo_fence"), 6).as("lo_fence"),
+        round(col("hi_fence"), 6).as("hi_fence"),
+        col("n_rows"), col("n_outliers"))
+  }
 }

@@ -545,6 +545,28 @@ object PipelineQueries {
         Tables.events(s, dir), col("event_type"),
         Seq("view", "click", "purchase", "signup"))),
 
+    // Distribution drift between snapshot halves (events split on the
+    // median event_id): per-category chi-square contributions with
+    // Laplace-smoothed expectations — the log-free monitoring statistic
+    // that hash-verifies exactly.
+    "dq_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      // the _v2 suffix exists only on the CURRENT (odd) side, so the
+      // report exercises the new-category Laplace path (n_base = 0)
+      graft.pipeline.DataQuality.categoricalDrift(
+        e.where(col("event_id") % 2 === 0),
+        e.where(col("event_id") % 2 =!= 0),
+        concat(col("event_type"),
+          when(col("event_id") % 7 === 0 && col("event_id") % 2 === 1,
+            "_v2").otherwise("")))
+    }),
+
+    // Tukey-fence (1.5·IQR) outlier report per event type — the
+    // distribution-free numeric screen of the DQ pass.
+    "dq_outliers" -> ((s, dir) =>
+      graft.pipeline.DataQuality.iqrOutliers(
+        Tables.events(s, dir), col("event_type"), col("value"))),
+
     // Native backward as-of join (the custom AsOfJoinExec operator):
     // every event left-joined to the latest signup version at or before
     // it. One streaming merge over key-sorted sides — no fact×version
@@ -2118,6 +2140,43 @@ object PipelineQueries {
          |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
          |  CAST(rank_ann AS BIGINT) AS rank_ann, rrf
          |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // identical op sequence to DataQuality.categoricalDrift: one shared
+    // unrounded expected, squaring by self-multiply
+    "dq_drift" ->
+      """WITH ec AS (SELECT event_id,
+        |  event_type || (CASE WHEN event_id % 7 = 0 AND event_id % 2 = 1
+        |                 THEN '_v2' ELSE '' END) AS category FROM events),
+        |b AS (SELECT category, count(*) AS n_base FROM ec
+        |      WHERE event_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT category, count(*) AS n_cur FROM ec
+        |      WHERE event_id % 2 <> 0 GROUP BY 1),
+        |j AS (SELECT coalesce(b.category, c.category) AS category,
+        |  coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.category = c.category),
+        |t AS (SELECT sum(n_base) AS tot_base, sum(n_cur) AS tot_cur,
+        |  count(*) AS n_cat FROM j),
+        |x AS (SELECT j.category, j.n_base, j.n_cur,
+        |  CAST(j.n_base + 1 AS DOUBLE) / (t.tot_base + t.n_cat) * t.tot_cur
+        |    AS e FROM j CROSS JOIN t)
+        |SELECT category, n_base, n_cur, round(e, 6) AS expected,
+        |  round((n_cur - e) * (n_cur - e) / e, 6) AS chi2_contrib
+        |FROM x""".stripMargin,
+
+    // identical fence arithmetic to DataQuality.iqrOutliers
+    "dq_outliers" ->
+      """WITH q AS (SELECT event_type AS grp,
+        |  quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1),
+        |f AS (SELECT grp, q1, q3, q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |  q3 + (q3 - q1) * 1.5 AS hi_fence FROM q)
+        |SELECT f.grp, round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+        |  round(f.lo_fence, 6) AS lo_fence, round(f.hi_fence, 6) AS hi_fence,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN f ON e.event_type = f.grp
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "d_compact" ->
       s"""SELECT doc_id % 10 AS bucket, count(*) AS n_docs,

@@ -42,4 +42,32 @@ class DataQualitySpec extends SparkSpec {
     assert(out("click") == ((1L, true)))
     assert(out("mystery") == ((1L, false)))
   }
+
+  test("categoricalDrift: stable categories contribute ~0, new ones alert") {
+    // base: 50/50 a/b. current: same shape PLUS a brand-new category.
+    val base = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("t")
+    val cur = (Seq.fill(48)("a") ++ Seq.fill(48)("b") ++ Seq.fill(20)("new"))
+      .toDF("t")
+    val out = DataQuality.categoricalDrift(base, cur, col("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(out.keySet == Set("a", "b", "new"))
+    assert(out("new")._1 == 0L)          // unseen in base
+    // the new category's contribution dwarfs the stable ones
+    assert(out("new")._3 > 10 * math.max(out("a")._3, out("b")._3))
+    // identical distributions → every contribution tiny
+    val same = DataQuality.categoricalDrift(base, base, col("t"))
+      .collect().map(_.getDouble(4))
+    assert(same.forall(_ < 0.1))
+  }
+
+  test("iqrOutliers: Tukey fences catch planted extremes only") {
+    val vals = (1 to 100).map(_.toDouble) :+ 1000.0 :+ -1000.0
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val r = DataQuality.iqrOutliers(df, col("grp"), col("v")).head()
+    assert(r.getAs[Long]("n_rows") == 102L)
+    assert(r.getAs[Long]("n_outliers") == 2L)
+    assert(r.getAs[Double]("q1") < r.getAs[Double]("q3"))
+    assert(r.getAs[Double]("lo_fence") < r.getAs[Double]("q1"))
+  }
 }
