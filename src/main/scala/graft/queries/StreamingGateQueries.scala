@@ -81,6 +81,28 @@ object StreamingGateQueries {
         .select(col("win_start_us"), col("event_type"), col("cnt"),
           col("total_cents"))),
 
+    // Streaming drift monitor: per closed hour window, chi-square
+    // contribution of each event category vs the static even-half
+    // baseline rate (Laplace-smoothed, broadcast); the stream side is
+    // the odd half. Windowed count + stateless stream-static left join;
+    // dq_drift's batch discipline, live.
+    "st_drift" -> ((s, dir) =>
+      drain(s, EventStreams.driftMonitorStream(
+        EventStreams.readEvents(s, dir).where(col("event_id") % 2 =!= 0),
+        graft.io.Tables.events(s, dir).where(col("event_id") % 2 === 0)),
+        "st_drift_gate")),
+
+    // Multi-batch twin: the drift counts accumulate window state across
+    // 4 time-contiguous micro-batches with the watermark ratcheting per
+    // batch; the final closed-window set depends only on the final
+    // watermark, so the single-batch oracle is unchanged.
+    "st_drift_mb" -> ((s, dir) =>
+      drain(s, EventStreams.driftMonitorStream(
+        EventStreams.readEventsMultiBatch(s, dir)
+          .where(col("event_id") % 2 =!= 0),
+        graft.io.Tables.events(s, dir).where(col("event_id") % 2 === 0)),
+        "st_drift_mb_gate")),
+
     // HOPPING-window twin of st_window_agg: 1 h windows every 30 min,
     // every event in exactly two windows; append-mode eviction on the
     // window END as above. The oracle replicates each event into its
@@ -666,6 +688,29 @@ object StreamingGateQueries {
          |FROM e JOIN iv ON e.user_id = iv.user_id
          | AND e.ts_us >= iv.vf AND e.ts_us < iv.vt""".stripMargin,
 
+    "st_drift" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_id,
+         |  event_type FROM events),
+         |str AS (SELECT ts_us - ts_us % $HourUs AS w, event_type AS category
+         |  FROM e WHERE event_id % 2 <> 0),
+         |kept AS (SELECT w, category, count(*) AS n_obs FROM str
+         |  WHERE w + $HourUs <=
+         |    (SELECT max(ts_us) FROM e WHERE event_id % 2 <> 0)
+         |      - ${2 * HourUs}
+         |  GROUP BY 1, 2),
+         |b AS (SELECT event_type AS category, count(*) AS n_base FROM e
+         |  WHERE event_id % 2 = 0 GROUP BY 1),
+         |nw AS (SELECT count(DISTINCT ts_us - ts_us % $HourUs) AS n FROM e
+         |  WHERE event_id % 2 = 0),
+         |x AS (SELECT k.w, k.category, k.n_obs,
+         |  coalesce(b.n_base, 0) AS n_base,
+         |  CAST(coalesce(b.n_base, 0) + 1 AS DOUBLE) / nw.n AS e2
+         |  FROM kept k LEFT JOIN b ON k.category = b.category CROSS JOIN nw)
+         |SELECT w AS win_start_us, category, n_obs, n_base,
+         |  round(e2, 6) AS expected,
+         |  round((n_obs - e2) * (n_obs - e2) / e2, 6) AS chi2_contrib
+         |FROM x""".stripMargin,
+
     "st_window_agg" ->
       s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type,
          |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -1126,6 +1171,7 @@ object StreamingGateQueries {
     "st_range_join_outer_mb" -> baseOracles("st_range_join_outer"),
     "st_range_join_full_mb" -> baseOracles("st_range_join_full"),
     "st_sessionize_mb" -> baseOracles("st_sessionize"),
+    "st_drift_mb" -> baseOracles("st_drift"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -108,6 +108,45 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("cnt"), col("total_value"), col("total_cents"))
 
+  /** Streaming distribution-drift monitor: per closed 1-hour window, the
+    * chi-square contribution of each observed category against a STATIC
+    * per-window rate baseline — the production alert for "tonight's
+    * event mix stopped looking like last week's". The baseline reduces
+    * to (category, expected-per-window) with Laplace smoothing
+    * e = (n_base + 1) / n_windows_base, so it BROADCASTS and the stream
+    * side is one windowed count plus a stateless stream-static left
+    * join; a category the baseline never saw gets the smoothed floor
+    * 1/n_windows_base — a finite huge contribution, which is the alert.
+    * All arithmetic is counts and one shared division order, so the
+    * monitor hash-verifies against the batch oracle exactly
+    * ([[graft.pipeline.DataQuality.categoricalDrift]]'s discipline). */
+  def driftMonitorStream(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val baseUs = baseline.select(
+      graft.io.Tables.eventMicros(baseline).as("ts_us"),
+      col("event_type").as("category"))
+    val nWin = baseUs.select((col("ts_us") - col("ts_us") % hourUs).as("w"))
+      .distinct().count()
+    val bexp = baseUs.groupBy("category")
+      .agg(count(lit(1)).as("n_base"))
+      .withColumn("e",
+        (col("n_base") + lit(1)).cast("double") / lit(nWin.toDouble))
+    events
+      .withColumn("tts", graft.io.Tables.eventTime(events))
+      .withWatermark("tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour"), col("event_type").as("category"))
+      .agg(count(lit(1)).as("n_obs"))
+      .join(broadcast(bexp), Seq("category"), "left")
+      .withColumn("__e", coalesce(col("e"), lit(1.0 / nWin.toDouble)))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("category"), col("n_obs"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        round(col("__e"), 6).as("expected"),
+        round((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
+          col("__e"), 6).as("chi2_contrib"))
+  }
+
   /** HOPPING (sliding) windowed aggregation — the third window shape
     * next to tumbling ([[windowedAgg]]) and session
     * ([[sessionWindowStream]]): 1-hour windows sliding every 30

@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     "d_split", "d_source_quota", "d_simhash", "d_cdc", "d_asof_native",
     "d_asof_bcast",
     "s_ann_brute", "s_quantize", "s_rproj", "s_hybrid_rrf", "d_winnow",
-    "d_fuzzy", "d_fuzzy_jw", "d_setsim")
+    "d_fuzzy", "d_fuzzy_jw", "d_setsim", "d_fuzzy_inc", "d_fuzzy_sql",
+    "d_fuzzy_rollup", "q40_rfm", "e_transitions", "e_ewma", "dq_drift",
+    "dq_outliers")
 
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>
