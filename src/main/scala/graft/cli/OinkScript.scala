@@ -601,6 +601,18 @@ object OinkScript {
                 throw ScriptError(line, "dq_refint childKey parentKey -i child parent")
               sinkAndBind(graft.pipeline.DataQuality.refIntegrity(
                 in0, col(pos(0)), obj(ins(1), line), col(pos(1))), outs, line)
+            case "dq_drift" =>
+              // dq_drift col -i base current — chi-square category drift
+              if (pos.isEmpty || ins.size < 2)
+                throw ScriptError(line, "dq_drift col -i base current")
+              sinkAndBind(graft.pipeline.DataQuality.categoricalDrift(
+                in0, obj(ins(1), line), col(pos.head)), outs, line)
+            case "dq_outliers" =>
+              // dq_outliers groupCol valueCol — Tukey 1.5*IQR report
+              if (pos.size < 2)
+                throw ScriptError(line, "dq_outliers groupCol valueCol")
+              sinkAndBind(graft.pipeline.DataQuality.iqrOutliers(
+                in0, col(pos(0)), col(pos(1))), outs, line)
             case "asof" =>
               // asof key dimKey ts vts [tolUs] [direction] -i facts dim
               if (pos.size < 4 || ins.size < 2)

@@ -500,4 +500,20 @@ class OinkScriptSpec extends SparkSpec {
     assert(fe("cold bolt") == fe("old bolt") && fe("old bolt") == fe("bold bolt"))
     assert(fe("widget") == "widget")
   }
+
+  test("dq_drift and dq_outliers verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/events.parquet -o NULL ev",
+      """filter "event_id % 2 = 0" -i ev -o NULL base""",
+      """filter "event_id % 2 <> 0" -i ev -o NULL cur""",
+      "dq_drift event_type -i base cur -o NULL drift",
+      "dq_outliers event_type value -i ev -o NULL outl"))
+    val drift = reg("drift").collect()
+    assert(drift.nonEmpty &&
+      drift.map(_.getAs[String]("category")).distinct.length == drift.length)
+    val outl = reg("outl").collect()
+    assert(outl.nonEmpty && outl.forall(r =>
+      r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_rows")))
+  }
 }
