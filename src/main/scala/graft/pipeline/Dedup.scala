@@ -614,6 +614,11 @@ object Dedup {
       tau: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, "setSimilarityJoin: tau in (0,1]")
+    // the (doc, gram-hash) frame has THREE consumers (dfreq, prefix, the
+    // gram-array verify frame). Deliberately NOT persisted: measured at
+    // sf0.1 the re-scan is cheaper than the persist barrier (3.45 s vs
+    // 4.50 s median, tools/SetSimProbe + QueryTime) — at corpus scale,
+    // where the scan dominates, callers persist `docs` themselves.
     val sh = TextAnalysis.explodedShingles(docs, id, text, n)
       .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
       .distinct()
@@ -630,13 +635,23 @@ object Dedup {
       .join(prefix.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
-    cand.join(inter, Seq("a", "b")) // prefix pairs share ≥ 1 gram
-      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+    // verify on per-doc gram ARRAYS (one row per candidate pair, one
+    // array_intersect each) — measured 4.5× cheaper than re-joining the
+    // exploded (doc, gram) rows per pair (tools/SetSimProbe: the
+    // row-level double join was 6.8 s of an 11 s chain at sf0.1). The
+    // PPJoin length filter (τ·|a| ≤ |b| ≤ |a|/τ, implied by Jaccard ≥ τ)
+    // prunes pairs before the intersection is computed.
+    val arrays = sh.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("grams"), count(lit(1)).as("nsh"))
+    cand
+      .join(arrays.select(col("doc_id").as("a"), col("grams").as("ga"),
+        col("nsh").as("na")), "a")
+      .join(arrays.select(col("doc_id").as("b"), col("grams").as("gb"),
+        col("nsh").as("nb")), "b")
+      .where(lit(tau) * col("na") <= col("nb") &&
+        lit(tau) * col("nb") <= col("na"))
+      .withColumn("ninter", size(array_intersect(col("ga"), col("gb")))
+        .cast("long"))
       .withColumn("jaccard", round(col("ninter").cast("double") /
         (col("na") + col("nb") - col("ninter")), 6))
       .where(col("ninter").cast("double") /
