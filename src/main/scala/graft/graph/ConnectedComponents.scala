@@ -63,6 +63,46 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
     runCounted(spark, edges, maxIter)._1
 
+  /** INCREMENTAL maintenance: components of (standing graph ∪ edge
+    * batch) from the standing ASSIGNMENT alone — the standing edges are
+    * never touched again, the nightly-graph-refresh shape (new follows /
+    * links / citations landing on a billion-edge standing graph).
+    *
+    * Each batch edge contracts onto its endpoints' standing component
+    * ids (endpoints the standing graph never saw stand for themselves);
+    * CC runs on that CONTRACTED graph — |batch| edges over component-id
+    * vertices, microscopic next to the standing graph — and the standing
+    * assignment remaps through the result with one join. Labels equal a
+    * full recompute EXACTLY: a standing component id is the min vertex
+    * of its part, new vertices are their own ids, so the min over a
+    * merged contracted component is the true global min — which is what
+    * the g_cc_inc gate proves (its oracle is the full-graph closure).
+    *
+    * @param standing (v, comp) from a prior [[run]] over the standing edges
+    * @param newEdges the batch (directed; treated undirected, as [[run]])
+    * @return (v, comp) for every vertex of the UNION graph */
+  def incremental(spark: SparkSession, standing: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val cmap = standing.select(col("v"), col("comp"))
+    val contracted = newEdges
+      .join(cmap.select(col("v").as("src"), col("comp").as("csrc")),
+        Seq("src"), "left")
+      .join(cmap.select(col("v").as("dst"), col("comp").as("cdst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+    val merged = run(spark, contracted) // (v = contracted id, comp = root)
+      .select(col("v").as("cid"), col("comp").as("root"))
+    val standingOut = cmap
+      .join(merged, cmap("comp") === merged("cid"), "left")
+      .select(col("v"), coalesce(col("root"), col("comp")).as("comp"))
+    val newOnly = GraphOps.vertexExtract(newEdges)
+      .join(cmap.select("v"), Seq("v"), "left_anti")
+      .join(merged, col("v") === merged("cid"), "left")
+      .select(col("v"), coalesce(col("root"), col("v")).as("comp"))
+    standingOut.unionAll(newOnly)
+  }
+
   /** Like [[run]] but also reports the number of star rounds executed —
     * the O(log n) bound is asserted in GraphAlgoSpec on a long chain.
     */

@@ -273,6 +273,18 @@ object GraphQueries {
 
     "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
 
+    // INCREMENTAL CC maintenance: a tenth of the edges arrive as a
+    // batch against the standing graph's assignment; contraction +
+    // remap must equal the full-graph recompute (the oracle is g_cc's
+    // full closure verbatim — equality proven, not assumed).
+    "g_cc_inc" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      val standingCC = ConnectedComponents.run(
+        s, e.where((col("src") + col("dst")) % 10 =!= 0))
+      ConnectedComponents.incremental(
+        s, standingCC, e.where((col("src") + col("dst")) % 10 === 0))
+    }),
+
     // Per-component bipartiteness: BFS-layer parity from each CC root
     // (deterministic — dist is the unique shortest distance), odd-parity
     // edges witness odd cycles. Reuses the memoized CC labels.
@@ -560,6 +572,22 @@ object GraphQueries {
        |  SELECT w.source, e.dst, w.d + 1.0
        |  FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 40)""".stripMargin
 
+  /** Full-graph reachability-closure min-label (shared by g_cc and the
+    * incremental-maintenance gate g_cc_inc, whose whole point is that
+    * the incremental path must reproduce this exactly). */
+  private lazy val ccClosureSql: String =
+    s"""WITH RECURSIVE edges AS ($E),
+       |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+       |       FROM edges WHERE src <> dst),
+       |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v)
+       |SELECT v, min(r) AS comp FROM reach GROUP BY v""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "g_degree" ->
       s"""WITH edges AS ($E)
@@ -634,18 +662,7 @@ object GraphQueries {
 
     // Reachability-closure min-label — same fixpoint the iterative
     // propagation converges to.
-    "g_cc" ->
-      s"""WITH RECURSIVE edges AS ($E),
-         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
-         |       FROM edges WHERE src <> dst),
-         |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
-         |verts AS (SELECT DISTINCT v FROM
-         |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
-         |reach(v, r) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v)
-         |SELECT v, min(r) AS comp FROM reach GROUP BY v""".stripMargin,
+    "g_cc" -> ccClosureSql,
 
     "g_cc_stats" ->
       s"""WITH RECURSIVE edges AS ($E),
@@ -879,7 +896,11 @@ object GraphQueries {
          |       THEN CAST(coalesce(tc.ntri, 0) * 2 AS DOUBLE)
          |            / (d.deg * (d.deg - 1))
          |       ELSE CAST(0 AS DOUBLE) END AS lcc
-         |FROM dg d LEFT JOIN tc ON tc.tv = d.v""".stripMargin
+         |FROM dg d LEFT JOIN tc ON tc.tv = d.v""".stripMargin,
+
+    // incremental maintenance must EQUAL the full recompute: the oracle
+    // is the g_cc closure over ALL edges, verbatim — no split appears
+    "g_cc_inc" -> ccClosureSql
   )
 
   /** Unrolled k-core peel mirroring KCore.run: each round recomputes

@@ -168,4 +168,36 @@ class GraphAlgoSpec extends SparkSpec {
       .select("assortativity").as[Double].head()
     assert(u == 0.0)
   }
+
+  test("incremental CC equals full recompute: merges, new vertices, no-ops") {
+    // standing: {0,1,2} and {10,11} and {20}-selfloop; batch BRIDGES the
+    // first two components (1-11), attaches a brand-new vertex (30-2),
+    // adds a no-op internal edge (0-2), and a fully-new component (40-41)
+    val standing = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val batch = Seq((1L, 11L), (30L, 2L), (0L, 2L), (40L, 41L))
+      .toDF("src", "dst")
+    val standingCC = ConnectedComponents.run(spark, standing)
+    val inc = ConnectedComponents.incremental(spark, standingCC, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.run(spark, standing.unionAll(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(11L) == 0L && inc(30L) == 0L && inc(40L) == 40L && inc(20L) == 20L)
+  }
+
+  test("incremental CC with a seeded random graph equals full recompute") {
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val (st, ba) = edges.partition { case (a, b) => (a + b) % 5 != 0 }
+    val standingCC = ConnectedComponents.run(spark, st.toDF("src", "dst"))
+    val inc = ConnectedComponents
+      .incremental(spark, standingCC, ba.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents
+      .run(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+  }
 }
