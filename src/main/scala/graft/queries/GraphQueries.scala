@@ -326,6 +326,17 @@ object GraphQueries {
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("ntri"))),
 
+    // INCREMENTAL triangle-count maintenance: the delta path touches
+    // only edges incident to batch endpoints (Δ = T1 − c2 + T3
+    // inclusion-exclusion); standing + delta must equal the full-graph
+    // recount the oracle computes independently.
+    "g_tri_inc" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      Triangles.incrementalCount(
+        e.where((col("src") + col("dst")) % 10 =!= 0),
+        e.where((col("src") + col("dst")) % 10 === 0))
+    }),
+
     // Faithful neigh_tri: neighbor edges + opposite triangle edges per
     // vertex (oink/neigh_tri.cpp:39-60).
     "g_neigh_tri" -> ((s, dir) =>
@@ -900,7 +911,26 @@ object GraphQueries {
 
     // incremental maintenance must EQUAL the full recompute: the oracle
     // is the g_cc closure over ALL edges, verbatim — no split appears
-    "g_cc_inc" -> ccClosureSql
+    "g_cc_inc" -> ccClosureSql,
+
+    // full-graph and standing-graph triangle counts recomputed from
+    // scratch; the engine's standing + Δ must reproduce both
+    "g_tri_inc" ->
+      s"""WITH edges AS ($E),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst),
+         |su AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+         |       FROM edges WHERE src <> dst AND (src + dst) % 10 <> 0),
+         |tall AS (SELECT count(*) AS n FROM eu a
+         |  JOIN eu b ON b.vi = a.vi AND b.vj > a.vj
+         |  JOIN eu c ON c.vi = a.vj AND c.vj = b.vj),
+         |tst AS (SELECT count(*) AS n FROM su a
+         |  JOIN su b ON b.vi = a.vi AND b.vj > a.vj
+         |  JOIN su c ON c.vi = a.vj AND c.vj = b.vj)
+         |SELECT CAST(tst.n AS BIGINT) AS tri_standing,
+         |  CAST(tall.n - tst.n AS BIGINT) AS tri_delta,
+         |  CAST(tall.n AS BIGINT) AS tri_total
+         |FROM tall, tst""".stripMargin
   )
 
   /** Unrolled k-core peel mirroring KCore.run: each round recomputes

@@ -186,6 +186,34 @@ class GraphAlgoSpec extends SparkSpec {
     assert(inc(11L) == 0L && inc(30L) == 0L && inc(40L) == 40L && inc(20L) == 20L)
   }
 
+  test("incremental triangle count equals full recount across k=1/2/3 cases") {
+    // standing: square 0-1-2-3 with one diagonal (one triangle 0,1,2).
+    // batch: (1,3) closes k=1 triangles via standing edges; (4,5),(5,6),
+    // (4,6) an all-new k=3 triangle; (0,7),(7,1) a k=2 pair closed by
+    // standing (0,1); plus a dup of a standing edge (no-op).
+    val standing = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val batch = Seq((1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (0L, 7L),
+      (7L, 1L), (0L, 1L)).toDF("src", "dst")
+    val r = Triangles.incrementalCount(standing, batch).head()
+    val full = Triangles.run(standing.unionAll(batch)).count()
+    val st = Triangles.run(standing).count()
+    assert(r.getAs[Long]("tri_standing") == st)
+    assert(r.getAs[Long]("tri_total") == full)
+    assert(r.getAs[Long]("tri_delta") == full - st)
+  }
+
+  test("incremental triangle count on a seeded random graph equals full recount") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val (st, ba) = edges.partition { case (a, b) => (a + b) % 4 != 0 }
+    val r = Triangles
+      .incrementalCount(st.toDF("src", "dst"), ba.toDF("src", "dst")).head()
+    val full = Triangles.run(edges.toDF("src", "dst")).count()
+    assert(r.getAs[Long]("tri_total") == full)
+  }
+
   test("incremental CC with a seeded random graph equals full recompute") {
     val rnd = new scala.util.Random(1234)
     val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
