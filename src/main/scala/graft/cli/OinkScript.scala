@@ -296,6 +296,18 @@ object OinkScript {
               if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
             case "tri_find" =>
               sinkAndBind(Triangles.run(in0), outs, line)
+            case "cc_inc" =>
+              // cc_inc -i standingAssignment batchEdges — incremental CC
+              if (ins.size < 2)
+                throw ScriptError(line, "cc_inc -i standing_cc batch_edges")
+              sinkAndBind(ConnectedComponents.incremental(
+                spark, in0, obj(ins(1), line)), outs, line)
+            case "tri_inc" =>
+              // tri_inc -i standingEdges batchEdges — incremental count
+              if (ins.size < 2)
+                throw ScriptError(line, "tri_inc -i standing_edges batch_edges")
+              sinkAndBind(Triangles.incrementalCount(
+                in0, obj(ins(1), line)), outs, line)
             case "luby_find" =>
               val seed = pos.headOption.map(_.toLong).getOrElse(1L)
               sinkAndBind(LubyMIS.run(spark, in0, seed), outs, line)

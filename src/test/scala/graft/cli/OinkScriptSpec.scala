@@ -501,6 +501,26 @@ class OinkScriptSpec extends SparkSpec {
     assert(fe("widget") == "widget")
   }
 
+  test("cc_inc and tri_inc verbs: incremental maintenance from scripts") {
+    val tmp = Files.createTempDirectory("oinkinc")
+    Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("src", "dst")
+      .write.parquet(tmp.resolve("standing").toString)
+    Seq((2L, 10L), (20L, 21L)).toDF("src", "dst")
+      .write.parquet(tmp.resolve("batch").toString)
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i ${tmp.resolve("standing")} -o NULL st",
+      s"read_parquet -i ${tmp.resolve("batch")} -o NULL ba",
+      "cc_find -i st -o NULL stcc",
+      "cc_inc -i stcc ba -o NULL inc",
+      "tri_inc -i st ba -o NULL tri"))
+    val inc = reg("inc").as[(Long, Long)].collect().toMap
+    // the batch edge 2-10 merges the two standing components
+    assert(inc(11L) == 0L && inc(20L) == 20L && inc(21L) == 20L)
+    val tri = reg("tri").head()
+    assert(tri.getAs[Long]("tri_standing") == 0L &&
+      tri.getAs[Long]("tri_total") == 0L)
+  }
+
   test("dq_drift and dq_outliers verbs run from scripts") {
     val dir = "/root/testdata/sf0.001"
     val reg = OinkScript.run(spark, Seq(
