@@ -468,6 +468,19 @@ object RelationalQueries {
               |FROM orders""".stripMargin)
     }),
 
+    // Spark 4's approx_top_k heavy-hitters sketch (space-saving). With
+    // far fewer distinct items than the 10 000-slot default the sketch
+    // is EXACT, so the DuckDB oracle is the exact top-3 — the same
+    // audit discipline as the HLL/KMV gates (sketch on the engine path,
+    // exact truth on the oracle path). No ties straddle the k=3 cut at
+    // any test SF (checked), so the selected set is deterministic.
+    "q41_approx_topk" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT item AS event_type, count AS cnt FROM
+              |  (SELECT inline(approx_top_k(event_type, 3)) FROM events)
+              |""".stripMargin)
+    }),
+
     // RFM segmentation (recency/frequency/monetary quintiles) — the
     // marketing-analytics standard. Scores are quintiles WITHIN each
     // market segment (the standard segment-relative practice, and the
@@ -681,6 +694,10 @@ object RelationalQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q41_approx_topk" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC LIMIT 3""".stripMargin,
 
     "q40_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d
