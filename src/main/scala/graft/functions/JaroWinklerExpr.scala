@@ -67,8 +67,10 @@ object JaroWinklerImpl {
     if (l1 == 0 || l2 == 0) return 0.0
 
     // Jaro: greedy in-window matching, then transposition count over the
-    // matched subsequences.
-    val window = math.max(l1, l2) / 2 - 1
+    // matched subsequences. The window clamps at 0 (same-position-only):
+    // for two 1-char strings the textbook max/2−1 is −1, and DuckDB
+    // scores jw('c','c') = 1.0 — caught by FuzzyProps, pinned by probe.
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
     var matches = 0

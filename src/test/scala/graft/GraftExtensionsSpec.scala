@@ -13,6 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions wires functions and strategy at session build") {
+    // Initialize the SHARED testkit session (and thus the SparkContext)
+    // FIRST: spark.sql.extensions is a static conf read from the
+    // SparkContext at session build, so if THIS suite created the
+    // context (via withExtensions, no conf string), every later suite's
+    // conf-based extensions would silently not apply — order-dependent
+    // failures in the rule specs (caught when FuzzyJoinRewriteSpec ran
+    // second and its rule never fired).
+    graft.testkit.SparkSpec.session
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()

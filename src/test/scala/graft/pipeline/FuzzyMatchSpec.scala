@@ -65,7 +65,11 @@ class FuzzyMatchSpec extends SparkSpec {
       ("abc", "abc", 1.0),
       ("ab", "ba", 0.0),                      // window 0: no matches
       ("", "", 0.0),                          // DuckDB: empty -> 0
-      ("a", "", 0.0))
+      ("a", "", 0.0),
+      ("c", "c", 1.0),                        // 1-char window clamps at 0
+      ("a", "b", 0.0),
+      ("a", "ab", 0.85),                      // DuckDB-probed
+      ("a", "ba", 0.0))
     pins.foreach { case (a, b, want) =>
       val got = math.round(JaroWinklerImpl.similarity(a, b) * 1e6) / 1e6
       assert(got == want, s"jw($a, $b): $got != $want")

@@ -31,6 +31,16 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     s2.sql(sql)
   }
 
+  /** Materialize BEFORE reading the plan: executedPlan accessed without
+    * an action optimizes under the THREAD's active-session conf, not the
+    * child session's (actions wrap withActive(df.sparkSession); a bare
+    * queryExecution does not) — caught when GraftExtensionsSpec ran
+    * first and left a different active session on the thread. */
+  private def materializedPlan(df: DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
   private val JoinSql =
     """SELECT ln, rn, levenshtein(ln, rn) AS dist
       |FROM fz_left JOIN fz_right ON levenshtein(ln, rn) <= 2""".stripMargin
@@ -46,7 +56,7 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
   }
 
   test("rewrite removes the nested loop and plans the blocking Generate") {
-    val plan = runSql(enabled = true, JoinSql).queryExecution.executedPlan
+    val plan = materializedPlan(runSql(enabled = true, JoinSql))
     val nodes = PlanWalk.nodes(plan)
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
@@ -54,7 +64,7 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
   }
 
   test("without the conf the nested loop stays (rule is opt-in)") {
-    val plan = runSql(enabled = false, JoinSql).queryExecution.executedPlan
+    val plan = materializedPlan(runSql(enabled = false, JoinSql))
     assert(PlanWalk.nodes(plan).exists(p =>
       p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
         p.isInstanceOf[CartesianProductExec]))
@@ -75,7 +85,7 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     val sql =
       """SELECT ln, rn FROM fz_left JOIN fz_right
         |ON ln = rn AND levenshtein(ln, rn) <= 2""".stripMargin
-    val plan = runSql(enabled = true, sql).queryExecution.executedPlan
+    val plan = materializedPlan(runSql(enabled = true, sql))
     assert(!PlanWalk.nodes(plan).exists(_.isInstanceOf[GenerateExec]))
   }
 
@@ -83,7 +93,7 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
     val sql =
       """SELECT ln, rn FROM fz_left JOIN fz_right
         |ON levenshtein(ln, rn) <= 4""".stripMargin
-    val plan = runSql(enabled = true, sql).queryExecution.executedPlan
+    val plan = materializedPlan(runSql(enabled = true, sql))
     assert(!PlanWalk.nodes(plan).exists(_.isInstanceOf[GenerateExec]))
   }
 
@@ -95,7 +105,8 @@ class FuzzyJoinRewriteSpec extends SparkSpec {
       val off = runSql(enabled = false, sql)
         .as[(String, String)].collect().sorted.toSeq
       val q = runSql(enabled = true, sql)
-      assert(PlanWalk.nodes(q.queryExecution.executedPlan)
+      val plan = materializedPlan(q)
+      assert(PlanWalk.nodes(plan)
         .exists(_.isInstanceOf[GenerateExec]), s"no rewrite for: $pred")
       assert(q.as[(String, String)].collect().sorted.toSeq == off)
     }
