@@ -659,6 +659,62 @@ object Dedup {
       .select("a", "b", "na", "nb", "ninter", "jaccard")
   }
 
+  /** INCREMENTAL [[setSimilarityJoin]] — batch docs against a standing
+    * corpus (the nightly-refresh member of the incremental family next
+    * to exactIncremental / minHashCandidatesIncremental /
+    * FuzzyMatch.fuzzyPairsIncremental): every (new, corpus) pair with
+    * gram-set Jaccard ≥ τ, batch×batch and corpus×corpus never formed.
+    *
+    * The prefix theorem needs one SHARED total order, not frequencies —
+    * so the order is (standing df, gram hash) with unseen-in-standing
+    * grams at df = 0. That choice is the design point: the standing
+    * prefix index depends only on standing data, so it is computed once
+    * and appended per refresh, never reindexed because a batch arrived.
+    * Still lossless: any common order satisfies the pigeonhole bound.
+    * @return (new_id, corpus_id, n_new, n_corpus, ninter, jaccard) */
+  def setSimilarityJoinIncremental(standing: DataFrame, batch: DataFrame,
+      id: Column, text: Column, tau: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, "setSimilarityJoinIncremental: tau in (0,1]")
+    def grams(docs: DataFrame) =
+      TextAnalysis.explodedShingles(docs, id, text, n)
+        .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+        .distinct()
+    val shS = grams(standing)
+    val shB = grams(batch)
+    val dfreqS = shS.groupBy("h").agg(count(lit(1)).as("df"))
+    def prefixOf(sh: DataFrame, name: String) = {
+      val withDf = sh.join(dfreqS, Seq("h"), "left")
+        .na.fill(0L, Seq("df"))
+      withDf
+        .withColumn("nsh", count(lit(1)).over(
+          Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .where(col("rn") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+        .select(col("doc_id").as(name), col("h"))
+    }
+    val cand = prefixOf(shB, "new_id")
+      .join(prefixOf(shS, "corpus_id"), Seq("h"))
+      .select("new_id", "corpus_id").distinct()
+    def arraysOf(sh: DataFrame, idName: String, gName: String, nName: String) =
+      sh.groupBy("doc_id").agg(
+        collect_list(col("h")).as(gName), count(lit(1)).as(nName))
+        .withColumnRenamed("doc_id", idName)
+    cand
+      .join(arraysOf(shB, "new_id", "gb", "n_new"), "new_id")
+      .join(arraysOf(shS, "corpus_id", "gs", "n_corpus"), "corpus_id")
+      .where(lit(tau) * col("n_new") <= col("n_corpus") &&
+        lit(tau) * col("n_corpus") <= col("n_new"))
+      .withColumn("ninter", size(array_intersect(col("gb"), col("gs")))
+        .cast("long"))
+      .withColumn("jaccard", round(col("ninter").cast("double") /
+        (col("n_new") + col("n_corpus") - col("ninter")), 6))
+      .where(col("ninter").cast("double") /
+        (col("n_new") + col("n_corpus") - col("ninter")) >= tau)
+      .select("new_id", "corpus_id", "n_new", "n_corpus", "ninter", "jaccard")
+  }
+
   /** Segment-level (line/paragraph) deduplication — the sub-document
     * dedup step of C4 ("three-sentence span" removal; Raffel et al.,
     * JMLR 2020 §2.2) and CCNet/RefinedWeb line-dedup: split every

@@ -878,6 +878,18 @@ object PipelineQueries {
       Dedup.setSimilarityJoin(docs(s, dir), col("doc_id"), col("text"),
         tau = 0.5)),
 
+    // Incremental set-similarity: tonight's docs (doc_id % 10 == 0) vs
+    // the standing corpus under the STANDING-df prefix order (the index
+    // that appends per refresh instead of reindexing); batch×batch and
+    // corpus×corpus pairs never form.
+    "d_setsim_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.setSimilarityJoinIncremental(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), tau = 0.5)
+    }),
+
     // Edit-distance fuzzy matching over catalog names — FastSS deletion-
     // neighborhood blocking (lossless for ed<=maxDist, unlike LSH) +
     // codegen'd levenshtein verify; output equals the exact all-pairs
@@ -1074,6 +1086,31 @@ object PipelineQueries {
     "d_fuzzy" ->
       s"""WITH $FuzzyNamesCte
          |$FuzzyPairsSelect""".stripMargin,
+
+    // exact cross-set truth: all (batch, standing) pairs with gram-set
+    // Jaccard >= tau — the incremental engine path must equal it
+    "d_setsim_inc" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |shs AS (SELECT DISTINCT doc_id,
+         |  ${H("concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])")} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 3),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+         |inter AS (SELECT b.doc_id AS new_id, s.doc_id AS corpus_id,
+         |  count(*) AS ninter
+         |  FROM shs b JOIN shs s ON b.h = s.h
+         |  WHERE b.doc_id % 10 = 0 AND s.doc_id % 10 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT i.new_id, i.corpus_id, sb.nsh AS n_new, ss.nsh AS n_corpus,
+         |  i.ninter,
+         |  round(CAST(i.ninter AS DOUBLE) / (sb.nsh + ss.nsh - i.ninter), 6)
+         |    AS jaccard
+         |FROM inter i JOIN sizes sb ON sb.doc_id = i.new_id
+         |JOIN sizes ss ON ss.doc_id = i.corpus_id
+         |WHERE CAST(i.ninter AS DOUBLE) / (sb.nsh + ss.nsh - i.ninter)
+         |  >= 0.5""".stripMargin,
 
     "d_fuzzy_jw" ->
       s"""WITH $FuzzyNamesCte

@@ -58,6 +58,27 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) == Set((6L, 7L)))
   }
 
+  test("incremental join equals the cross-set brute force, no within-side pairs") {
+    val (standing, batch) = corpus.partition(_._1 % 3 != 0)
+    Seq(0.3, 0.5, 1.0).foreach { tau =>
+      val got = Dedup.setSimilarityJoinIncremental(
+          standing.toDF("doc_id", "text"), batch.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), tau)
+        .select(col("new_id"), col("corpus_id"), col("ninter").cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (b, tb) <- batch; (s2, ts) <- standing
+        sb = shingleSet(tb, 3); ss = shingleSet(ts, 3)
+        if sb.nonEmpty && ss.nonEmpty
+        inter = (sb & ss).size
+        if inter.toDouble / (sb.size + ss.size - inter) >= tau
+      } yield (b, s2, inter)).toSet
+      assert(got == want, s"tau=$tau")
+      val bSet = batch.map(_._1).toSet
+      assert(got.forall { case (nb, cs, _) => bSet(nb) && !bSet(cs) })
+    }
+  }
+
   test("jaccard column is the exact rounded ratio") {
     val rows = Dedup.setSimilarityJoin(corpus.toDF("doc_id", "text"),
         col("doc_id"), col("text"), 0.3)
