@@ -262,8 +262,9 @@ object Bench {
         // exact n-gram join it replaces at refresh time
         "d_overlap_matrix", "d_overlap",
         // round-8 session-4 baselines: the lossless prefix-filter
-        // τ-Jaccard join and the FastSS+Jaro-Winkler fuzzy-match chain
-        "d_setsim", "d_fuzzy_jw").flatMap { name => section(name) {
+        // τ-Jaccard join (full + incremental) and the FastSS+Jaro-Winkler
+        // fuzzy-match chain
+        "d_setsim", "d_setsim_inc", "d_fuzzy_jw").flatMap { name => section(name) {
       val q = SparkEntry.queries(name)
       materialize(q(spark, sfDir)) // warm
       val ts = (1 to 3).map(_ => timeIt(materialize(q(spark, sfDir)))).sorted
