@@ -476,12 +476,14 @@ object OinkScript {
                 pos.lift(1).map(_.toInt).getOrElse(3)), outs, line)
             case "fuzzy_pairs" =>
               // fuzzy_pairs <col> [maxDist] — FastSS edit-distance pairs
+              if (pos.isEmpty) throw ScriptError(line, "fuzzy_pairs col [maxDist]")
               sinkAndBind(graft.pipeline.FuzzyMatch.fuzzyPairs(in0,
                 col(pos.head), pos.lift(1).map(_.toInt).getOrElse(2)),
                 outs, line)
             case "fuzzy_entities" =>
               // fuzzy_entities <col> [maxDist] — entity resolution:
               // CC over the fuzzy graph, canonical per cluster
+              if (pos.isEmpty) throw ScriptError(line, "fuzzy_entities col [maxDist]")
               sinkAndBind(graft.pipeline.FuzzyMatch.fuzzyEntities(spark,
                 in0, col(pos.head), pos.lift(1).map(_.toInt).getOrElse(2)),
                 outs, line)

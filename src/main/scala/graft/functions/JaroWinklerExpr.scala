@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * prefix bonus `ℓ·0.1·(1−jaro)` with ℓ = common prefix capped at 4,
   * applied only above the 0.7 boost threshold, and 0.0 when either side
   * is empty (DuckDB returns 0 even for ''==''). That pin is what lets
-  * fuzzy-match gates be verified by the DuckDB oracle to 6 decimals.
+  * fuzzy-match gates be verified by the DuckDB oracle — for ASCII
+  * inputs (this walks chars, DuckDB walks UTF-8 bytes; see
+  * [[JaroWinklerImpl.similarity]] for the exact boundary).
   *
   * Stays inside whole-stage codegen: `doGenCode` emits one static call,
   * the same pattern Spark's own levenshtein uses (and [[Hash60]] here).
@@ -59,8 +61,14 @@ object JaroWinklerImpl {
   def similarity(a: UTF8String, b: UTF8String): Double =
     similarity(a.toString, b.toString)
 
-  /** Jaro-Winkler over Java chars (the corpus is BMP text; DuckDB's
-    * byte-wise walk agrees on it). */
+  /** Jaro-Winkler over Java chars. Oracle parity holds for ASCII text
+    * ONLY: DuckDB walks UTF-8 BYTES, so any multi-byte char — even BMP,
+    * e.g. 'é' (1 Java char, 2 UTF-8 bytes) — changes lengths, the match
+    * window, and the prefix count between the two engines. The
+    * DuckDB-verified gates feed ASCII name columns (TPC-H p_name);
+    * non-ASCII input is well-defined here (per-CHARACTER distance,
+    * arguably the more useful unit) but must not be gated against
+    * DuckDB's byte-wise score. */
   def similarity(s1: String, s2: String): Double = {
     val l1 = s1.length
     val l2 = s2.length

@@ -90,8 +90,18 @@ object Triangles {
     * dropped first (they create no triangles), as are duplicates and
     * self-loops (edgeUpper).
     *
+    * Two entry points. The MAINTAINED shape takes the standing count as
+    * a parameter (a 1-row `tri_standing BIGINT` frame — the number the
+    * caller has been carrying since the last batch), so a refresh costs
+    * only the delta joins and never re-enumerates the standing graph's
+    * triangles — the contract that matters at billion-edge scale. The
+    * 2-arg convenience overload BOOTSTRAPS that count with a full
+    * [[run]] (one-time cost, or the oracle-checking shape); it is NOT
+    * the steady-state refresh path.
+    *
     * @return one row (tri_standing, tri_delta, tri_total) */
-  def incrementalCount(standingEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
+  def incrementalCount(standingEdges: DataFrame, batchEdges: DataFrame,
+      standingCount: DataFrame): DataFrame = {
     val gu = GraphOps.edgeUpper(standingEdges)
     val bu = GraphOps.edgeUpper(batchEdges)
       .join(gu, Seq("vi", "vj"), "left_anti")
@@ -128,7 +138,9 @@ object Triangles {
     // T3: triangles entirely inside the batch (tiny by construction)
     val t3 = run(bu.select(col("vi").as("src"), col("vj").as("dst")))
       .agg(count(lit(1)).as("t3"))
-    val standing = run(standingEdges).agg(count(lit(1)).as("tri_standing"))
+    val standing = standingCount
+      .select(standingCount.columns.head)
+      .toDF("tri_standing")
 
     standing.crossJoin(t1).crossJoin(c2).crossJoin(t3)
       .select(col("tri_standing"),
@@ -136,4 +148,12 @@ object Triangles {
         (col("tri_standing") + col("t1") - col("c2") + col("t3"))
           .as("tri_total"))
   }
+
+  /** Bootstrap overload: computes the standing count with a full
+    * [[run]] over `standingEdges`, then delegates. Use once to seed the
+    * maintained count (or to oracle-check it); every subsequent refresh
+    * should pass the carried count to the 3-arg form. */
+  def incrementalCount(standingEdges: DataFrame, batchEdges: DataFrame): DataFrame =
+    incrementalCount(standingEdges, batchEdges,
+      run(standingEdges).agg(count(lit(1)).as("tri_standing")))
 }

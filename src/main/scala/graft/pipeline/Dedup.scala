@@ -191,8 +191,11 @@ object Dedup {
     candidatesFromSignatures(sig)
       .join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"),
-        round(mh.map(c => when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0))
-          .reduce(_ + _).cast("double") / NumHashes, 6).as("est_jaccard"))
+        // raw agree/64 — an exact integer over a power of two is an
+        // exact double, and gating it raw avoids the decimal-round
+        // half-ulp hazard class (VERDICT r8 #2 sweep)
+        (mh.map(c => when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / NumHashes).as("est_jaccard"))
   }
 
   /** Sketch width. 60, not 64: the portable [[Hashing.hash60]] yields 60
@@ -503,7 +506,9 @@ object Dedup {
       .na.fill(0L, Seq("n_dup_spans", "n_dup_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"), col("n_dup_tokens"),
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+          // raw integer ratio: both engines divide the same two exact
+          // integers, bit-identical without a decimal re-round
+          .otherwise(col("n_dup_tokens").cast("double") / col("n_tokens"))
           .as("dup_frac"))
   }
 
@@ -525,8 +530,10 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(col("ninter").cast("double") /
-          (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
+        // raw |A∩B| / |A∪B| — exact-integer division, bit-identical in
+        // both engines; no decimal round (VERDICT r8 #2 sweep)
+        (col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
   }
 
   /** Containment-oriented near-duplicate detection — the duplicate
@@ -554,7 +561,8 @@ object Dedup {
     * [[ngramJaccard]] discipline).
     *
     * @return (a, b, na, nb, ninter, containment, jaccard) per candidate
-    *         pair over distinct `n`-gram sets, ratios rounded to 6. */
+    *         pair over distinct `n`-gram sets; ratios are RAW doubles
+    *         (exact-integer divisions — bit-identical across engines). */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, r: Int = 5, maxDf: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -581,10 +589,11 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
       .select(col("a"), col("b"), col("na"), col("nb"), col("ninter"),
-        round(col("ninter").cast("double") /
-          least(col("na"), col("nb")), 6).as("containment"),
-        round(col("ninter").cast("double") /
-          (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
+        // raw integer ratios (bit-identical across engines; no round)
+        (col("ninter").cast("double") /
+          least(col("na"), col("nb"))).as("containment"),
+        (col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
   }
 
   /** Lossless τ-Jaccard set-similarity self-join via PREFIX FILTERING —
@@ -652,10 +661,9 @@ object Dedup {
         lit(tau) * col("nb") <= col("na"))
       .withColumn("ninter", size(array_intersect(col("ga"), col("gb")))
         .cast("long"))
-      .withColumn("jaccard", round(col("ninter").cast("double") /
-        (col("na") + col("nb") - col("ninter")), 6))
-      .where(col("ninter").cast("double") /
-        (col("na") + col("nb") - col("ninter")) >= tau)
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter")))
+      .where(col("jaccard") >= tau)
       .select("a", "b", "na", "nb", "ninter", "jaccard")
   }
 
@@ -708,10 +716,9 @@ object Dedup {
         lit(tau) * col("n_corpus") <= col("n_new"))
       .withColumn("ninter", size(array_intersect(col("gb"), col("gs")))
         .cast("long"))
-      .withColumn("jaccard", round(col("ninter").cast("double") /
-        (col("n_new") + col("n_corpus") - col("ninter")), 6))
-      .where(col("ninter").cast("double") /
-        (col("n_new") + col("n_corpus") - col("ninter")) >= tau)
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("n_new") + col("n_corpus") - col("ninter")))
+      .where(col("jaccard") >= tau)
       .select("new_id", "corpus_id", "n_new", "n_corpus", "ninter", "jaccard")
   }
 
@@ -874,8 +881,9 @@ object Dedup {
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_cdc_tokens"),
         col("n_dup_chunks"),
-        round(col("n_dup_chunks").cast("double") /
-          col("n_chunks").cast("double"), 6).as("dup_ratio"))
+        // raw integer ratio (bit-identical across engines; no round)
+        (col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double")).as("dup_ratio"))
   }
 
   /** DuckDB replica of [[cdcChunkStats]] over the `documents` table. */
@@ -905,8 +913,8 @@ object Dedup {
        |  CAST(count(*) AS BIGINT) AS n_chunks,
        |  CAST(sum(c.ntk) AS BIGINT) AS n_cdc_tokens,
        |  CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-       |  round(CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS dup_ratio
+       |  CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_ratio
        |FROM chunks c JOIN spread s ON s.h = c.h
        |GROUP BY 1""".stripMargin
   }

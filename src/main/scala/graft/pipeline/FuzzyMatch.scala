@@ -103,12 +103,17 @@ object FuzzyMatch {
   /** [[fuzzyPairs]] scored with native Jaro-Winkler ([[JaroWinklerFn]]) —
     * the ranking signal entity resolution sorts candidates by (edit
     * distance alone can't distinguish a typo in a long name from a
-    * different short name). Rounded to 6 decimals for oracle parity.
+    * different short name). The RAW double is emitted: on ASCII input
+    * the expression is bit-identical to DuckDB's
+    * jaro_winkler_similarity (tools/JwParityProbe — 0 ulp diffs over
+    * 256k pairs covering every branch), while a decimal round(x, 6)
+    * would re-introduce the Spark-HALF_UP vs DuckDB-std::round
+    * half-ulp divergence that broke e_ewma in round 8.
     * @return (name_a, name_b, dist, jw) */
   def fuzzyScored(names: DataFrame, name: Column, maxDist: Int = 2,
       maxLen: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame =
     fuzzyPairs(names, name, maxDist, maxLen, maxBucket)
-      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+      .withColumn("jw", jaroWinkler(col("name_a"), col("name_b")))
 
   /** Incremental fuzzy match — the nightly-refresh shape (mirrors
     * [[Dedup.minHashCandidatesIncremental]]): every (batch, standing)
@@ -120,18 +125,34 @@ object FuzzyMatch {
     * append-only across refreshes.
     * @return (new_name, corpus_name, dist) */
   def fuzzyPairsIncremental(standing: DataFrame, batch: DataFrame,
-      name: Column, maxDist: Int = 2, maxLen: Int = 64): DataFrame = {
-    def keyed(df: DataFrame, as: String) =
-      df.select(name.cast("string").as(as))
-        .where(col(as).isNotNull && length(col(as)) <= maxLen)
-        .distinct()
-        .select(col(as), explode(deletionNeighborhood(col(as), maxDist)).as("k"))
-    keyed(batch, "new_name")
-      .join(keyed(standing, "corpus_name"), Seq("k"))
+      name: Column, maxDist: Int = 2, maxLen: Int = 64): DataFrame =
+    fuzzyPairsAgainstIndex(
+      deletionKeyIndex(standing, name, maxDist, maxLen, "corpus_name"),
+      batch, name, maxDist, maxLen)
+
+  /** The standing corpus' deletion-key index — the STATE a nightly (or
+    * streaming) refresh maintains: each distinct in-scope name exploded
+    * to its ≤`maxDist`-deletion variants, one (name, k) row per variant.
+    * Append-only across refreshes; build once, persist, and hand to
+    * [[fuzzyPairsAgainstIndex]] per batch. */
+  def deletionKeyIndex(df: DataFrame, name: Column, maxDist: Int,
+      maxLen: Int, as: String): DataFrame =
+    df.select(name.cast("string").as(as))
+      .where(col(as).isNotNull && length(col(as)) <= maxLen)
+      .distinct()
+      .select(col(as), explode(deletionNeighborhood(col(as), maxDist)).as("k"))
+
+  /** One refresh step against a prebuilt [[deletionKeyIndex]] (columns
+    * (corpus_name, k)): only the BATCH side is keyed here — the standing
+    * corpus is never rescanned, which is the property that makes the
+    * shape streamable ([[graft.streaming.FuzzyStreams]]). */
+  def fuzzyPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+      name: Column, maxDist: Int = 2, maxLen: Int = 64): DataFrame =
+    deletionKeyIndex(batch, name, maxDist, maxLen, "new_name")
+      .join(index, Seq("k"))
       .select("new_name", "corpus_name").distinct()
       .withColumn("dist", levenshtein(col("new_name"), col("corpus_name")))
       .where(col("dist") <= maxDist)
-  }
 
   /** Entity resolution: connected components over the fuzzy-pair graph,
     * each name canonicalized to its cluster representative (the member

@@ -169,7 +169,9 @@ object Sampling {
     base.join(broadcast(rates), "domain")
       .where(Hashing.rand01(seed, col("doc_id")) < col("keep_rate"))
       .select(col("doc_id"), col("domain"), col("n_tokens"),
-        round(col("keep_rate"), 6).as("keep_rate"))
+        // raw: share·budget/mass is a fixed-order product/division of
+        // exact operands, bit-identical across engines — no round
+        col("keep_rate"))
   }
 
   /** Deterministic epoch shuffle + round-robin sharding — the

@@ -89,8 +89,13 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 stringDet(a) && stringDet(b) &&
                 ((canEvaluate(a, left) && canEvaluate(b, right)) ||
                   (canEvaluate(a, right) && canEvaluate(b, left))) =>
-              // orient (levenshtein is symmetric)
-              if (canEvaluate(a, left)) (a, b, k) else (b, a, k)
+              // orient (levenshtein is symmetric) — by the FULL matched
+              // combination, not the first side alone: an attribute-free
+              // `a` (a literal/constant expr) evaluates on BOTH sides,
+              // so `canEvaluate(a, left)` alone could pair it with a
+              // left-only `b` and build bDist over the wrong child
+              if (canEvaluate(a, left) && canEvaluate(b, right)) (a, b, k)
+              else (b, a, k)
           }
           hit.map { case (a, b, k) => rewrite(j, left, right, a, b, k) }
             .getOrElse(j)

@@ -414,8 +414,11 @@ object EventQueries {
         .where(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
-      pairs.withColumn("p", round(col("n").cast("double") /
-        sum("n").over(Window.partitionBy("prev_type")), 6))
+      // raw division, no round(,6): both engines divide the SAME two
+      // exact integers, so the double is bit-identical — while a decimal
+      // re-round diverges at half-ulp boundaries (the e_ewma lesson).
+      pairs.withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type")))
     }),
 
     // Exponential smoothing (EWMA) with α = 1/2 over the trailing 8
@@ -423,7 +426,14 @@ object EventQueries {
     // sum is a FIXED-ORDER expression tree (8 lags added left to right),
     // so Spark and DuckDB compute bit-identical doubles — the trick that
     // makes a smoothing gate hash-checkable. Rows need a full window
-    // (rn > 8) so no renormalization branch exists.
+    // (rn > 8) so no renormalization branch exists. The RAW division
+    // result is gated (e_gapfill's discipline): a trailing round(x, 6)
+    // broke the bit-identity claim at half-ulp boundaries — Spark rounds
+    // the exact binary expansion via BigDecimal HALF_UP, DuckDB rounds
+    // the scaled product std::round(x*1e6)/1e6, and the driver's r8 data
+    // hit the boundary (CORRECTNESS_r08 e_ewma hash fail). The wsum and
+    // the IEEE division are deterministic; decimal re-rounding was the
+    // only divergent step, so it is gone.
     "e_ewma" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -436,7 +446,7 @@ object EventQueries {
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") > 8)
-        .withColumn("ewma", round(lags.reduce(_ + _) / lit(norm), 6))
+        .withColumn("ewma", lags.reduce(_ + _) / lit(norm))
         .drop("value", "rn")
     }),
 
@@ -846,8 +856,8 @@ object EventQueries {
         |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
         |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, next_type, n,
-        |  round(CAST(n AS DOUBLE) /
-        |    sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM c""".stripMargin,
 
     "e_ewma" -> {
@@ -864,7 +874,7 @@ object EventQueries {
          |  $lags AS wsum
          |  FROM e)
          |SELECT user_id, event_id, ts_us,
-         |  round(wsum / ${1.0 - math.pow(0.5, 8)}, 6) AS ewma
+         |  wsum / ${1.0 - math.pow(0.5, 8)} AS ewma
          |FROM r WHERE rn > 8""".stripMargin
     },
 

@@ -870,6 +870,27 @@ object PipelineQueries {
             * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
     }),
 
+    // STEADY-STATE incremental decontamination (graft.pipeline.Decontam):
+    // standing per-source KMV synopses + the eval synopsis are the
+    // MAINTAINED state (bootstrapped once, localCheckpoint = the stored
+    // synopsis table); the refresh aggregates ONLY the batch docs
+    // (doc_id % 10 == 0 — the filter reaches the parquet scan), folds
+    // them in with the O(k) merge, and recomputes the matrix from
+    // synopses alone. d_decontam_inc proves the merge lossless and pins
+    // exact truth; THIS entry is the refresh path those proofs license —
+    // zero standing-corpus reads per refresh (bench extra times it).
+    // The oracle replays the synopsis set-function over base+batch,
+    // which the lossless merge provably equals.
+    "d_decontam_kmv" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (standingSk, evalSk) = graft.pipeline.Decontam.standingState(
+        d.where(col("doc_id") % 10 =!= 0 || col("source") === "src0"),
+        "src0", k = 128)
+      graft.pipeline.Decontam.refresh(standingSk, evalSk,
+        d.where(col("doc_id") % 10 === 0 && col("source") =!= "src0"),
+        "src0", k = 128)
+    }),
+
     // Lossless τ-Jaccard set-similarity self-join (AllPairs/PPJoin
     // prefix filter): every doc pair with 3-gram-set Jaccard ≥ 0.5,
     // GUARANTEED complete (vs the probabilistic LSH candidates) while
@@ -1076,7 +1097,7 @@ object PipelineQueries {
          |          FROM shs x JOIN shs y ON x.h = y.h AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
          |SELECT i.a, i.b, sa.nsh AS na, sb.nsh AS nb, i.ninter,
-         |  round(CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter), 6)
+         |  CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter)
          |    AS jaccard
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
          |JOIN sizes sb ON sb.doc_id = i.b
@@ -1105,7 +1126,7 @@ object PipelineQueries {
          |  GROUP BY 1, 2)
          |SELECT i.new_id, i.corpus_id, sb.nsh AS n_new, ss.nsh AS n_corpus,
          |  i.ninter,
-         |  round(CAST(i.ninter AS DOUBLE) / (sb.nsh + ss.nsh - i.ninter), 6)
+         |  CAST(i.ninter AS DOUBLE) / (sb.nsh + ss.nsh - i.ninter)
          |    AS jaccard
          |FROM inter i JOIN sizes sb ON sb.doc_id = i.new_id
          |JOIN sizes ss ON ss.doc_id = i.corpus_id
@@ -1115,7 +1136,7 @@ object PipelineQueries {
     "d_fuzzy_jw" ->
       s"""WITH $FuzzyNamesCte
          |SELECT name_a, name_b, dist,
-         |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+         |  jaro_winkler_similarity(name_a, name_b) AS jw
          |FROM ($FuzzyPairsSelect)""".stripMargin,
 
     "d_fuzzy_sql" ->
@@ -1428,7 +1449,7 @@ object PipelineQueries {
          |          WHEN domain = 'src3' THEN 0.2 ELSE 0.0 END)
          |      * CAST(2000 AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)) AS keep_rate
          |  FROM base GROUP BY domain)
-         |SELECT doc_id, domain, n_tokens, round(keep_rate, 6) AS keep_rate
+         |SELECT doc_id, domain, n_tokens, keep_rate
          |FROM base JOIN rates USING (domain)
          |WHERE ${Hashing.rand01Sql(7L, "doc_id")} < keep_rate""".stripMargin,
 
@@ -1453,7 +1474,7 @@ object PipelineQueries {
          | CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
          | CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
          | CASE WHEN n.n_tokens = 0 THEN 0.0
-         |   ELSE round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+         |   ELSE CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / n.n_tokens
          | END AS dup_frac
          |FROM nt n
          |LEFT JOIN spans s ON s.doc_id = n.doc_id
@@ -1515,7 +1536,7 @@ object PipelineQueries {
          |   ON x.band = y.band AND x.band_hash = y.band_hash
          | WHERE x.doc_id < y.doc_id)
          |SELECT p.a, p.b,
-         | round(CAST($agree AS DOUBLE) / ${Dedup.NumHashes}, 6) AS est_jaccard
+         | CAST($agree AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.a
          |JOIN sigs sb ON sb.doc_id = p.b""".stripMargin
@@ -1579,7 +1600,7 @@ object PipelineQueries {
          | WHERE x.doc_id < y.doc_id),
          |cand AS (
          | SELECT p.a, p.b,
-         |  round(CAST($agree AS DOUBLE) / ${Dedup.NumHashes}, 6) AS est_jaccard
+         |  CAST($agree AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
          | FROM pairs p
          | JOIN sigs sa ON sa.doc_id = p.a
          | JOIN sigs sb ON sb.doc_id = p.b),
@@ -1595,8 +1616,8 @@ object PipelineQueries {
          |   JOIN wtoks tb ON tb.doc_id = s.b AND tb.w = ta.w
          | GROUP BY s.a, s.b)
          |SELECT s.a, s.b, s.est_jaccard,
-         | round(CAST(coalesce(i.ninter, 0) AS DOUBLE) /
-         |   (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+         | CAST(coalesce(i.ninter, 0) AS DOUBLE) /
+         |   (sa.n + sb.n - coalesce(i.ninter, 0)) AS jaccard
          |FROM surv s
          |LEFT JOIN inter i ON i.a = s.a AND i.b = s.b
          |JOIN sizes sa ON sa.doc_id = s.a
@@ -1654,8 +1675,8 @@ object PipelineQueries {
         |   JOIN wtoks tb ON tb.doc_id = p.b AND tb.w = ta.w
         | GROUP BY p.a, p.b)
         |SELECT p.a, p.b,
-        | round(CAST(coalesce(i.ninter, 0) AS DOUBLE) /
-        |   (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+        | CAST(coalesce(i.ninter, 0) AS DOUBLE) /
+        |   (sa.n + sb.n - coalesce(i.ninter, 0)) AS jaccard
         |FROM pairs p
         |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
         |JOIN sizes sa ON sa.doc_id = p.a
@@ -1686,9 +1707,9 @@ object PipelineQueries {
          |    JOIN sh2 y ON y.doc_id = c.b AND y.h = x.h
          |  GROUP BY c.a, c.b)
          |SELECT i.a, i.b, sa.nsh AS na, sb.nsh AS nb, ninter,
-         |  round(CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh), 6)
+         |  CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh)
          |    AS containment,
-         |  round(CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter), 6)
+         |  CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter)
          |    AS jaccard
          |FROM inter i
          |JOIN sizes sa ON sa.doc_id = i.a
@@ -2196,8 +2217,8 @@ object PipelineQueries {
         |x AS (SELECT j.category, j.n_base, j.n_cur,
         |  CAST(j.n_base + 1 AS DOUBLE) / (t.tot_base + t.n_cat) * t.tot_cur
         |    AS e FROM j CROSS JOIN t)
-        |SELECT category, n_base, n_cur, round(e, 6) AS expected,
-        |  round((n_cur - e) * (n_cur - e) / e, 6) AS chi2_contrib
+        |SELECT category, n_base, n_cur, e AS expected,
+        |  (n_cur - e) * (n_cur - e) / e AS chi2_contrib
         |FROM x""".stripMargin,
 
     // identical fence arithmetic to DataQuality.iqrOutliers
@@ -2358,6 +2379,42 @@ object PipelineQueries {
 
     // the maintained synopsis provably equals the full recompute, so the
     // oracle computes ONE synopsis per source and pins same_synopsis = 1
+    // the maintained-synopsis refresh must equal the full set-function
+    // replay (KMV's merge-losslessness, proven by d_kmv_inc /
+    // d_decontam_inc's same_synopsis) — so the oracle just computes the
+    // synopses over base+batch directly
+    "d_decontam_kmv" -> {
+      val gram8 = "concat_ws(' ', " +
+        (1 to 8).map(j => s"toks[i+$j]").mkString(", ") + ")"
+      val k = 128
+      import graft.functions.KmvSketch
+      s"""WITH t AS (SELECT source,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT source, ${H(gram8)} AS h
+         |  FROM t, (SELECT unnest(range((SELECT max(len(toks)) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 8),
+         |d AS (SELECT DISTINCT source, h FROM sh WHERE source <> 'src0'),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+         |r2 AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r2
+         |  WHERE rn <= $k GROUP BY source),
+         |re AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ev),
+         |ske AS (SELECT list(h ORDER BY h) AS sk_eval FROM re WHERE rn <= $k),
+         |u AS (SELECT source, sk, sk_eval,
+         |  list_sort(list_distinct(sk || sk_eval))[1:$k] AS uni FROM sk, ske),
+         |m AS (SELECT source, uni, len(uni) AS kk,
+         |  len(list_filter(uni, x -> list_contains(sk, x)
+         |    AND list_contains(sk_eval, x))) AS rho FROM u),
+         |est AS (SELECT source, kk, rho,
+         |  ${KmvSketch.oracleEstimateSql("uni", k)} AS est_union FROM m)
+         |SELECT source, kk, rho, est_union,
+         |  floor(CAST(rho AS DOUBLE) / kk * est_union * 10000.0e0 + 0.5e0)
+         |    / 10000.0e0 AS inter_est
+         |FROM est""".stripMargin
+    },
+
     "d_decontam_inc" -> {
       val gram8 = "concat_ws(' ', " +
         (1 to 8).map(j => s"toks[i+$j]").mkString(", ") + ")"

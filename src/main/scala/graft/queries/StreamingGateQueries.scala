@@ -528,6 +528,15 @@ object StreamingGateQueries {
     "st_scd2_sink" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2StreamingSink(s, dir)),
 
+    // Streaming fuzzy match (the FastSS family's streaming twin): the
+    // standing deletion-key index is the persisted state; 4 micro-
+    // batches of new part names join against it in foreachBatch — the
+    // standing catalog is scanned exactly once, at bootstrap. Oracle:
+    // d_fuzzy_inc's exact all-(batch,standing)-pairs truth, shared
+    // verbatim — cadence cannot change a lossless per-pair blocking.
+    "st_fuzzy" -> ((s, dir) =>
+      graft.streaming.FuzzyStreams.fuzzyMatchStreamingSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -620,6 +629,16 @@ object StreamingGateQueries {
       drain(s, EventStreams.anomalyStream(s,
         EventStreams.readEventsMultiBatch(s, dir)), "st_anomaly_gate")),
 
+    // Explicit _mb twin completing the multi-batch matrix (VERDICT r8
+    // #4): same operator and oracle, staged as EIGHT time-contiguous
+    // files instead of the default four, so the prior-moments state
+    // round-trips the store across twice as many batch boundaries
+    // (including boundaries that split a single event_type's run).
+    "st_anomaly_mb" -> ((s, dir) =>
+      drain(s, EventStreams.anomalyStream(s,
+        EventStreams.readEventsMultiBatch(s, dir, nFiles = 8)),
+        "st_anomaly_mb_gate")),
+
     // Exactly-once file sink via idempotent batch-id foreachBatch: a
     // 4-batch drain writes per-batch dirs, then the gate CRASHES the
     // pipeline retroactively (deletes the final commit marker) and
@@ -707,8 +726,8 @@ object StreamingGateQueries {
          |  CAST(coalesce(b.n_base, 0) + 1 AS DOUBLE) / nw.n AS e2
          |  FROM kept k LEFT JOIN b ON k.category = b.category CROSS JOIN nw)
          |SELECT w AS win_start_us, category, n_obs, n_base,
-         |  round(e2, 6) AS expected,
-         |  round((n_obs - e2) * (n_obs - e2) / e2, 6) AS chi2_contrib
+         |  e2 AS expected,
+         |  (n_obs - e2) * (n_obs - e2) / e2 AS chi2_contrib
          |FROM x""".stripMargin,
 
     "st_window_agg" ->
@@ -1172,6 +1191,8 @@ object StreamingGateQueries {
     "st_range_join_full_mb" -> baseOracles("st_range_join_full"),
     "st_sessionize_mb" -> baseOracles("st_sessionize"),
     "st_drift_mb" -> baseOracles("st_drift"),
+    "st_anomaly_mb" -> baseOracles("st_anomaly"),
+    "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -373,8 +373,8 @@ object TextQueries {
         |SELECT doc_id,
         | CAST(sum(cnt) AS BIGINT) AS n_shingles,
         | CAST(count(*) AS BIGINT) AS n_distinct,
-        | round(CAST(1.0 AS DOUBLE) -
-        |   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS rep_ratio,
+        | CAST(1.0 AS DOUBLE) -
+        |   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_ratio,
         | CAST(max(cnt) AS BIGINT) AS max_repeat
         |FROM c GROUP BY doc_id""".stripMargin,
 
@@ -414,10 +414,10 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id,
          | CAST(len(toks) AS BIGINT) AS n_tokens,
-         | round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 6) AS mean_token_len,
-         | round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
-         | round(least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
-         |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)), 6) AS quality_score
+         | CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+         | CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         | least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
+         |   (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks)) AS quality_score
          |FROM t""".stripMargin
     },
 

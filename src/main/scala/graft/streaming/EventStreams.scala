@@ -127,6 +127,9 @@ object EventStreams {
       col("event_type").as("category"))
     val nWin = baseUs.select((col("ts_us") - col("ts_us") % hourUs).as("w"))
       .distinct().count()
+    // an empty baseline would make every expected rate Infinity/NaN —
+    // fail loudly instead of emitting unusable chi2 rows
+    require(nWin > 0, "driftMonitorStream: empty baseline")
     val bexp = baseUs.groupBy("category")
       .agg(count(lit(1)).as("n_base"))
       .withColumn("e",
@@ -142,9 +145,11 @@ object EventStreams {
         unix_micros(col("window.start")).as("win_start_us"),
         col("category"), col("n_obs"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
-        round(col("__e"), 6).as("expected"),
-        round((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
-          col("__e"), 6).as("chi2_contrib"))
+        // raw doubles (integer operands, shared op order → bit-identical
+        // across engines; decimal rounds carry the half-ulp hazard)
+        col("__e").as("expected"),
+        ((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
+          col("__e")).as("chi2_contrib"))
   }
 
   /** HOPPING (sliding) windowed aggregation — the third window shape

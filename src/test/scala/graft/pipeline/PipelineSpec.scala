@@ -176,7 +176,7 @@ class PipelineSpec extends SparkSpec {
     assert(!r.contains(3L))
     assert(r(2L)._3 == 0.0 && r(2L)._4 == 1L)
     // doc 1: 7 shingles, 3 distinct ("a b c","b c a","c a b") -> 4/7 repeated
-    assert(r(1L) == ((7L, 3L, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6, 3L)))
+    assert(r(1L) == ((7L, 3L, 1.0 - 3.0 / 7.0, 3L)))
   }
 
   test("int8 quantization: codes stay in [-127,127], stats match by hand") {
@@ -628,7 +628,7 @@ class PipelineSpec extends SparkSpec {
         ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
           r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac")))).toMap
     assert(out(1L) == ((9L, 2L, 9L, 1.0)))      // spans at 0 and 1 union to all 9 tokens
-    assert(out(2L) == ((9L, 1L, 8L, 0.888889))) // only pos 0 duplicated -> tokens 0-7
+    assert(out(2L) == ((9L, 1L, 8L, 8.0 / 9.0))) // only pos 0 duplicated -> tokens 0-7
     assert(out(4L) == out(1L))                  // exact dup of doc 1
     assert(out(3L) == ((8L, 0L, 0L, 0.0)))
     assert(out(5L) == ((1L, 0L, 0L, 0.0)))

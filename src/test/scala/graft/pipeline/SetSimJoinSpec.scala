@@ -79,14 +79,14 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
-  test("jaccard column is the exact rounded ratio") {
+  test("jaccard column is the exact raw ratio") {
     val rows = Dedup.setSimilarityJoin(corpus.toDF("doc_id", "text"),
         col("doc_id"), col("text"), 0.3)
       .select("na", "nb", "ninter", "jaccard")
       .as[(Long, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (na, nb, ni, j) =>
-      assert(j == math.round(ni.toDouble / (na + nb - ni) * 1e6) / 1e6)
+      assert(j == ni.toDouble / (na + nb - ni))
     }
   }
 }
