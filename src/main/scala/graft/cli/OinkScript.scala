@@ -591,6 +591,30 @@ object OinkScript {
               if (ins.isEmpty) throw ScriptError(line, "stream_scd2 requires -i dir")
               sinkAndBind(graft.streaming.EventStreams.scd2StreamingSink(
                 spark, resolve(ins.head)), outs, line)
+            case "stream_fuzzy" =>
+              // stream_fuzzy [maxDist] -i dir — micro-batches of new
+              // part names joined against the persisted standing
+              // deletion-key index (streaming FastSS)
+              if (ins.isEmpty) throw ScriptError(line, "stream_fuzzy [maxDist] -i dir")
+              sinkAndBind(graft.streaming.FuzzyStreams.fuzzyMatchStreamingSink(
+                spark, resolve(ins.head),
+                pos.headOption.map(_.toInt).getOrElse(2)), outs, line)
+            case "stream_decontam" =>
+              // stream_decontam [k] -i dir — per-micro-batch KMV synopsis
+              // fold + contamination matrix vs the src0 eval set
+              if (ins.isEmpty) throw ScriptError(line, "stream_decontam [k] -i dir")
+              sinkAndBind(graft.streaming.DecontamStreams.decontamStreamingSink(
+                spark, resolve(ins.head),
+                pos.headOption.map(_.toInt).getOrElse(128)), outs, line)
+            case "decontam_kmv" =>
+              // decontam_kmv [k] -i standing_docs batch_docs — batch-only
+              // refresh over maintained per-source synopses (src0 = eval)
+              if (ins.size < 2)
+                throw ScriptError(line, "decontam_kmv [k] -i standing_docs batch_docs")
+              val dk = pos.headOption.map(_.toInt).getOrElse(128)
+              val (ssk, esk) = graft.pipeline.Decontam.standingState(in0, "src0", dk)
+              sinkAndBind(graft.pipeline.Decontam.refresh(
+                ssk, esk, obj(ins(1), line), "src0", dk), outs, line)
             case "stream_running_tws" =>
               // transformWithState generation of stream_running
               sinkAndBind(graft.streaming.TwsOperators.runningStatsStreamTws(

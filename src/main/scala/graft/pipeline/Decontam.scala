@@ -55,6 +55,44 @@ object Decontam {
     (perSrc, evalSk)
   }
 
+  /** O(k) synopsis merge: fold per-source batch synopses into the
+    * standing ones. A source seen only on one side passes through
+    * (full-outer) — new-in-batch sources enter the state here. Both
+    * inputs are (source, <skCol>) frames; output is (source, sk_base)
+    * so the result can be fed back in as next refresh's standing state
+    * (the streaming fold, [[graft.streaming.DecontamStreams]]). */
+  def mergeSynopses(standingSk: DataFrame, batchSk: DataFrame,
+      k: Int): DataFrame =
+    standingSk.join(batchSk, Seq("source"), "full_outer")
+      .select(col("source"),
+        when(col("sk_batch").isNull, col("sk_base"))
+          .when(col("sk_base").isNull, col("sk_batch"))
+          .otherwise(KmvSketch.unionOf(col("sk_base"), col("sk_batch"), k))
+          .as("sk_base"))
+
+  /** The contamination matrix from synopses ALONE — no corpus access.
+    * @return (source, kk, rho, est_union, inter_est) per source */
+  def matrix(perSourceSk: DataFrame, evalSk: DataFrame, k: Int): DataFrame =
+    perSourceSk
+      .crossJoin(broadcast(evalSk))
+      .withColumn("uni", KmvSketch.unionOf(col("sk_base"), col("sk_eval"), k))
+      .withColumn("kk", size(col("uni")).cast("long"))
+      .withColumn("rho", size(array_intersect(
+        array_intersect(col("uni"), col("sk_base")), col("sk_eval")))
+        .cast("long"))
+      .withColumn("est_union", KmvSketch.estimate(col("uni"), k))
+      .select(col("source"), col("kk"), col("rho"), col("est_union"),
+        (floor(col("rho").cast("double") / col("kk") * col("est_union")
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
+
+  /** Per-source synopses of a refresh batch (the only scan a refresh
+    * pays). `evalSource` rows are ignored — the eval set does not grow. */
+  def batchSynopses(batchDocs: DataFrame, evalSource: String, k: Int,
+      n: Int = 8): DataFrame =
+    shingleHashes(batchDocs, n)
+      .where(col("source") =!= evalSource)
+      .groupBy("source").agg(KmvSketch.kmv(col("h"), k).as("sk_batch"))
+
   /** One refresh: aggregate ONLY `batchDocs`, O(k)-merge into the
     * standing synopses, re-estimate the contamination matrix from
     * synopses alone. A source seen only in the batch enters the matrix
@@ -63,24 +101,7 @@ object Decontam {
     * @return (source, kk, rho, est_union, inter_est) per source */
   def refresh(standingSk: DataFrame, evalSk: DataFrame,
       batchDocs: DataFrame, evalSource: String, k: Int,
-      n: Int = 8): DataFrame = {
-    val batchSk = shingleHashes(batchDocs, n)
-      .where(col("source") =!= evalSource)
-      .groupBy("source").agg(KmvSketch.kmv(col("h"), k).as("sk_batch"))
-    standingSk.join(batchSk, Seq("source"), "full_outer")
-      .withColumn("sk_inc",
-        when(col("sk_batch").isNull, col("sk_base"))
-          .when(col("sk_base").isNull, col("sk_batch"))
-          .otherwise(KmvSketch.unionOf(col("sk_base"), col("sk_batch"), k)))
-      .crossJoin(broadcast(evalSk))
-      .withColumn("uni", KmvSketch.unionOf(col("sk_inc"), col("sk_eval"), k))
-      .withColumn("kk", size(col("uni")).cast("long"))
-      .withColumn("rho", size(array_intersect(
-        array_intersect(col("uni"), col("sk_inc")), col("sk_eval")))
-        .cast("long"))
-      .withColumn("est_union", KmvSketch.estimate(col("uni"), k))
-      .select(col("source"), col("kk"), col("rho"), col("est_union"),
-        (floor(col("rho").cast("double") / col("kk") * col("est_union")
-          * lit(1e4) + lit(0.5)) / lit(1e4)).as("inter_est"))
-  }
+      n: Int = 8): DataFrame =
+    matrix(mergeSynopses(standingSk, batchSynopses(batchDocs, evalSource, k, n), k),
+      evalSk, k)
 }

@@ -537,6 +537,14 @@ object StreamingGateQueries {
     "st_fuzzy" -> ((s, dir) =>
       graft.streaming.FuzzyStreams.fuzzyMatchStreamingSink(s, dir)),
 
+    // Streaming decontamination monitor: per micro-batch, per-source
+    // KMV batch synopses fold into accumulated state with the O(k)
+    // merge; the terminal matrix comes from synopses alone. KMV union
+    // is associative+commutative, so the fold equals d_decontam_kmv's
+    // one-shot answer under ANY cadence — shared oracle.
+    "st_decontam" -> ((s, dir) =>
+      graft.streaming.DecontamStreams.decontamStreamingSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -1193,6 +1201,7 @@ object StreamingGateQueries {
     "st_drift_mb" -> baseOracles("st_drift"),
     "st_anomaly_mb" -> baseOracles("st_anomaly"),
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
+    "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

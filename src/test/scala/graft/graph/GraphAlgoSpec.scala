@@ -203,6 +203,23 @@ class GraphAlgoSpec extends SparkSpec {
     assert(r.getAs[Long]("tri_delta") == full - st)
   }
 
+  test("incremental triangle count accepts a MAINTAINED standing count") {
+    // the steady-state refresh shape (ADVICE r8): the caller passes the
+    // count it has been carrying — no run(standing) re-enumeration —
+    // and the result must equal the bootstrap overload's
+    val standing = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val batch = Seq((1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    // maintained count: the standing square+diagonal holds TWO
+    // triangles — (0,1,2) and (0,2,3)
+    val carried = Seq(Tuple1(2L)).toDF("tri_standing")
+    val viaCarried = Triangles.incrementalCount(standing, batch, carried).head()
+    val viaBootstrap = Triangles.incrementalCount(standing, batch).head()
+    assert(viaCarried == viaBootstrap)
+    assert(viaCarried.getAs[Long]("tri_total") ==
+      Triangles.run(standing.unionAll(batch)).count())
+  }
+
   test("incremental triangle count on a seeded random graph equals full recount") {
     val rnd = new scala.util.Random(99)
     val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -73,6 +73,55 @@ class EdgeListStatsSpec extends SparkSpec {
       Set((1L, 100L), (2L, 200L), (10L, 1000L), (11L, 1100L)))
   }
 
+  test("DELETE + immediate filtered read is exact under stale zone maps") {
+    // VERDICT r8 #7: prove no filter exists for which a post-DELETE
+    // (stale) sidecar drops a file that still holds matching rows.
+    // Deletion can only NARROW a file's true range, so the stale
+    // [min,max] stays a superset and mayMatch stays conservative —
+    // this test makes that argument empirical by deleting the very
+    // rows that DEFINED each file's bounds and then sweeping filters
+    // over the whole domain against an in-memory truth table.
+    val root = twoFileTable()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    // kill both files' boundary rows: file1 loses its min (src=1) and
+    // max (src=3), file2 loses its max (src=11)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE src IN (1, 3, 11)")
+    val truth = Set((2L, 200L), (10L, 1000L))
+    // sidecars are STALE by construction (old bounds, old row counts)
+    val stats = EdgeListSource.listFiles(root).flatMap(EdgeStats.read)
+    assert(stats.map(s => (s.minSrc, s.maxSrc)).toSet ===
+      Set((1L, 3L), (10L, 11L)), "precondition: maps must still be stale")
+    // exhaustive single-point + range sweep over the src/dst domain:
+    // every filtered read must equal the truth table's filter
+    val srcPoints = (0L to 12L).map(v => (s"src=$v", col("src") === v,
+      truth.filter(_._1 == v)))
+    val dstPoints = Seq(100L, 200L, 300L, 1000L, 1100L).map(v =>
+      (s"dst=$v", col("dst") === v, truth.filter(_._2 == v)))
+    val ranges = Seq(
+      ("src<=2", col("src") <= 2, truth.filter(_._1 <= 2)),
+      ("src>=3", col("src") >= 3, truth.filter(_._1 >= 3)),
+      ("src between 2 and 10", col("src").between(2, 10), truth),
+      ("dst>=200", col("dst") >= 200, truth.filter(_._2 >= 200)),
+      ("dst<1000", col("dst") < 1000, truth.filter(_._2 < 1000)),
+      ("src in (2,10)", col("src").isin(2, 10), truth))
+    (srcPoints ++ dstPoints ++ ranges).foreach { case (label, cond, want) =>
+      val got = spark.read.format(Fmt).load(root).where(cond)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want, s"filter $label read through stale zone maps")
+    }
+    // and a second DELETE leaving only a mid-range row in file1:
+    // its stale map is now maximally wide relative to the truth
+    spark.sql(s"DELETE FROM graft.`$root` WHERE src = 10")
+    assert(spark.read.format(Fmt).load(root).where(col("src") === 2)
+      .as[(Long, Long)].collect().toSet === Set((2L, 200L)))
+    // DELETE then APPEND: fresh sidecar on the new file coexists with
+    // the stale one on the rewritten file; the combined read is exact
+    Seq((7L, 700L)).toDF("src", "dst").coalesce(1)
+      .write.format(Fmt).mode("append").save(root)
+    assert(spark.read.format(Fmt).load(root).where(col("src") >= 2)
+      .as[(Long, Long)].collect().toSet === Set((2L, 200L), (7L, 700L)))
+  }
+
   test("overwrite truncate drops the previous generation's sidecars") {
     val root = twoFileTable()
     Seq((50L, 60L)).toDF("src", "dst").coalesce(1)
