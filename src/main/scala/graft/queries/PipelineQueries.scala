@@ -255,6 +255,17 @@ object PipelineQueries {
       Multimodal.videoFeatures(s,
         Multimodal.withAviPayload(s, docs(s, dir))).toDF()),
 
+    // REAL video frame decode (uncompressed BI_RGB DIB inside AVI):
+    // genuine pixel arrays decoded byte-by-byte — BGR order, 4-byte row
+    // stride, bottom-up rows (top_row_r catches a decoder that ignores
+    // the orientation). Retires the codec-decode stub for the one video
+    // codec expressible without external libs; compressed codecs still
+    // reject loudly. Pixel law is row-constant so the oracle states
+    // every channel sum in closed form over (frame, row).
+    "mm_video_decode" -> ((s, dir) =>
+      Multimodal.videoDecodeFeatures(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()),
+
     // Seeded epoch shuffle + round-robin sharding: reproducible training
     // data order per epoch, ±1-balanced shards, distributed rank (no
     // single-partition window).
@@ -2081,6 +2092,23 @@ object PipelineQueries {
         |  CAST(4 + doc_id % 12 AS BIGINT) AS frames_seen,
         |  CAST(33333 AS BIGINT) AS us_per_frame
         |FROM documents""".stripMargin,
+
+    "mm_video_decode" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |fy AS (SELECT p.doc_id, p.w, p.h, p.nf, f.f, y.y FROM p,
+        |  (SELECT unnest(range(5)) AS f) f,
+        |  (SELECT unnest(range(11)) AS y) y
+        |  WHERE f.f < p.nf AND y.y < p.h)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w * h * nf AS BIGINT) AS n_px,
+        |  CAST(sum(w * ((3 * doc_id + f + 2 * y) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(sum(w * ((2 * doc_id + f + y) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(sum(w * ((doc_id + 7 * f + y) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(max(w) * ((3 * doc_id) % 256) AS BIGINT) AS top_row_r
+        |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
 
     "d_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,

@@ -121,4 +121,31 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.aviMetadata(Multimodal.synthWav(1L)) // RIFF/WAVE, not AVI
     }
   }
+
+  test("BI_RGB frame decode: pixel sums match the closed form; bottom-up rows honored") {
+    for (id <- Seq(0L, 1L, 5L, 14L, 255L, 9999L)) {
+      val d = Multimodal.decodeAviRgb(id, Multimodal.synthAviRgb(id))
+      val (w, h, nf) = ((8 + id % 16).toInt, (4 + id % 8).toInt, (2 + id % 4).toInt)
+      assert(d.width == w && d.height == h && d.n_frames == nf, s"doc $id")
+      assert(d.n_px == w.toLong * h * nf)
+      def tot(f: (Long, Long) => Long): Long =
+        (0 until nf).map(fr => (0 until h).map(y =>
+          w * f(fr.toLong, y.toLong)).sum).sum
+      assert(d.sum_b == tot((f, y) => (id + 7 * f + y) % 256), s"doc $id B")
+      assert(d.sum_g == tot((f, y) => (2 * id + f + y) % 256), s"doc $id G")
+      assert(d.sum_r == tot((f, y) => (3 * id + f + 2 * y) % 256), s"doc $id R")
+      // logical TOP row of frame 0 lives at the END of the pixel array
+      // (bottom-up): a top-is-first decoder would read (3id + 2(h-1))%256
+      assert(d.top_row_r == w.toLong * ((3 * id) % 256), s"doc $id orientation")
+    }
+    // compressed (or non-24-bit) streams must reject, not stub
+    val bad = Multimodal.synthAviRgb(3L)
+    // biCompression lives 16 bytes into the strf payload; flip it to 1
+    val strfAt = {
+      val s4 = "strf".getBytes("US-ASCII")
+      (0 until bad.length - 4).find(i => bad.slice(i, i + 4).sameElements(s4)).get
+    }
+    bad(strfAt + 8 + 16) = 1 // MS-RLE8
+    intercept[IllegalArgumentException] { Multimodal.decodeAviRgb(3L, bad) }
+  }
 }
