@@ -24,7 +24,7 @@ import graft.text.TextAnalysis
   */
 object Main {
 
-  private val commands = Seq("pagerank", "degree", "degree_stats",
+  private val commands = Seq("pagerank", "pagerank_w", "degree", "degree_stats",
     "edge_upper", "vertex_extract", "neighbor", "neigh_tri", "histo",
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find", "coloring",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
@@ -40,7 +40,7 @@ object Main {
          |         --seed N (luby_find, coloring, rmat, walks, matching) --levels N --edges N (rmat)
          |         --k N (kcore, truss) --rounds N (lpa, anf, hopplot, hyperball,
          |                                   effdiam, hb_closeness)
-         |         --iters N (hits, eigen, katz) --alpha-shift N (katz)
+         |         --iters N (pagerank_w, hits, eigen, katz) --alpha-shift N (katz)
          |         --max-center-degree N (linkpred) --dir in|out (hyperball, hb_closeness)
          |         --length N (walks)
          |         --top N (wordfreq; input may be a file, glob, or dir tree)""".stripMargin)
@@ -85,6 +85,17 @@ object Main {
             PageRank.DefaultAlpha, PageRank.DefaultTol, PageRank.DefaultMaxIter, 10)
           EdgeListIO.writeGolden(ranks, output)
           println(f"Pagerank finished in ${(System.nanoTime() - t0) / 1e6}%.1f ms ($iters iterations)")
+          spark.stop(); return
+        case "pagerank_w" =>
+          // weighted fixed-iteration variant over `vi vj weight` lines
+          // (read_edge_weight format): rank flows ∝ edge weight / wout
+          val we = EdgeListIO.readWeighted(spark, input)
+            .withColumnRenamed("weight", "w")
+          val n = we.agg(greatest(max("src"), max("dst"))).head().getLong(0) + 1
+          val iters = o.getOrElse("iters", "10").toInt
+          EdgeListIO.writeGolden(
+            PageRank.runFixedWeighted(spark, we, n, iters), output)
+          println(f"Weighted pagerank finished in ${(System.nanoTime() - t0) / 1e6}%.1f ms ($iters iterations)")
           spark.stop(); return
         case _ => ()
       }

@@ -207,6 +207,66 @@ object PageRank {
     state.select(col("id"), col("pr").as("rank"))
   }
 
+  /** WEIGHTED fixed-iteration PageRank — the variant the reference's
+    * `add_weight` primitive (`oink/add_weight.cpp`) exists to feed but
+    * its own pagerank never consumes: rank flows along each edge in
+    * proportion to the edge weight,
+    * pr[i] = α·Σ_{j→i} old_pr[j]·w(j,i)/wout(j) + α·dangling/n + (1−α)/n,
+    * wout(j) = Σ out-weights of j; dangling = no out-edges (weights are
+    * ≥ 1, so the dangling set matches the unweighted one). Per-edge
+    * contribution is written `(old_pr · w) / wout` in EXACTLY that
+    * order here and in the unrolled oracle. Same single-job-per-
+    * iteration shape, pre-normalization discipline, and edge-frame
+    * reuse as [[runFixed]].
+    * @param edges (src, dst, w) — weights are carried as doubles (the
+    *   `read_edge_weight` CLI format); INTEGER-valued weights keep wout
+    *   exact (integer sums are exact in IEEE below 2^53,
+    *   order-independent), which is what the hash gate relies on */
+  def runFixedWeighted(
+      spark: SparkSession,
+      edges: DataFrame,
+      websize: Long,
+      iterations: Int,
+      alpha: Double = DefaultAlpha): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double").as("w"))
+    val wout = e.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
+    val verts = spark.range(websize).toDF("id")
+      .join(broadcast(wout), Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = websize
+    val oneIv = (1.0 - alpha) / n
+
+    var state = verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      val stats = state.agg(
+        sum("pr").as("sum_pr"),
+        sum(when(col("wout").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
+      val withStats = state.crossJoin(broadcast(stats))
+      val normalized =
+        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
+      val contrib = e
+        .join(normalized.select(col("id"), col("old_pr"), col("wout")),
+          e("src") === col("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum((col("old_pr") * col("w")) / col("wout")).as("h"))
+      val next = normalized.select("id", "wout", "dangling_pr")
+        .join(contrib, Seq("id"), "left")
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
+          ((lit(alpha) * col("dangling_pr") / lit(n.toDouble)) + lit(oneIv)))
+        .select("id", "wout", "pr")
+        .localCheckpoint(true)
+      state.unpersist(false)
+      state = next
+      iter += 1
+    }
+    verts.unpersist(false)
+    state.select(col("id"), col("pr").as("rank"))
+  }
+
   /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
     * search", WWW 2003): the [[runFixed]] recurrence with the restart
     * mass directed at a seed set instead of spread uniformly —

@@ -262,6 +262,18 @@ object GraphQueries {
       PageRank.runFixed(s, Tables.edges(s, dir), N, iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
 
+    // WEIGHTED PageRank: rank flows in proportion to deterministic
+    // integer edge weights w = 1 + (src+dst)%5 — the add_weight
+    // consumer the reference's own pagerank lacks. Same unrolled-
+    // oracle discipline; per-edge term (old_pr·w)/wout in a shared
+    // op order.
+    "g_pagerank_w" -> ((s, dir) =>
+      PageRank.runFixedWeighted(s,
+        Tables.edges(s, dir).withColumn("w",
+          lit(1L) + (col("src") + col("dst")) % 5),
+        N, iterations = 3)
+        .select(col("id"), round(col("rank"), 9).as("rank"))),
+
     // Personalized PageRank: restart mass on the shared seeded sources
     // (Jeh-Widom); identical unrolled recurrence in the oracle.
     "g_ppr" -> ((s, dir) =>
@@ -668,6 +680,7 @@ object GraphQueries {
          |FROM edges GROUP BY src""".stripMargin,
 
     "g_pagerank" -> pagerankSql(3),
+    "g_pagerank_w" -> pagerankWeightedSql(3),
 
     "g_ppr" -> pprSql(3),
 
@@ -1046,6 +1059,35 @@ object GraphQueries {
       sb.append(s"r${i + 1} AS (SELECT n.id, n.outdeg, n.p,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE))\n")
       sb.append(s"          + (0.85 * (SELECT d FROM s$i) + (CAST(1.0 AS DOUBLE) - 0.85)) * n.p AS pr\n")
+      sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id)")
+      sb.append(if (i == iters - 1) "\n" else ",\n")
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM r$iters")
+    sb.toString
+  }
+
+  /** Unrolled weighted-PageRank oracle mirroring
+    * PageRank.runFixedWeighted: the pagerankSql recurrence with
+    * per-edge contribution (old_pr·w)/wout, w = 1 + (src+dst)%5,
+    * wout = Σ out-weights, dangling = no out-edges. */
+  def pagerankWeightedSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS ($E),\n")
+    sb.append("wedges AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
+    sb.append("wout AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("r0 AS (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("       FROM verts v LEFT JOIN wout o ON v.id = o.id),\n")
+    for (i <- 0 until iters) {
+      val norm =
+        if (i == 0) "pr AS old_pr"
+        else s"pr / (SELECT s FROM s$i) AS old_pr"
+      sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS (SELECT id, wout, $norm FROM r$i),\n")
+      sb.append(s"c$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"        FROM wedges e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"r${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id)")
       sb.append(if (i == iters - 1) "\n" else ",\n")
     }

@@ -203,6 +203,43 @@ class GraphAlgoSpec extends SparkSpec {
     assert(r.getAs[Long]("tri_delta") == full - st)
   }
 
+  test("weighted PageRank with constant power-of-two weights equals unweighted EXACTLY") {
+    // w = 2 everywhere: (old_pr·2)/(2·outdeg) = old_pr/outdeg in exact
+    // IEEE arithmetic (×2 and ÷2 are lossless), so the weighted
+    // recurrence must reproduce runFixed bit-for-bit — a stronger check
+    // than any tolerance
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+      .toDF("src", "dst")
+    val unweighted = PageRank.runFixed(spark, edges, websize = 5L, iterations = 4)
+    val weighted = PageRank.runFixedWeighted(spark,
+      edges.withColumn("w", lit(2L)), websize = 5L, iterations = 4)
+    assert(weighted.exceptAll(unweighted).isEmpty &&
+      unweighted.exceptAll(weighted).isEmpty)
+    // and NON-uniform weights genuinely change the ranking: all of 1's
+    // mass comes from 0; tilt 0's out-weights toward 2 and vertex 1
+    // must lose rank. Vertex 2's rank is PARITY-dependent (the tilt
+    // tightens the 0↔2 cycle, so at even iteration counts the extra
+    // mass has bounced back to 0 — hand-unrolled: tilted pr₂=0.2715 <
+    // uniform 0.4133 at iter 4, but 0.795 > 0.455 at iter 1), so the
+    // monotone assertions are on vertex 1 (down) and vertex 0 (up).
+    val tilted = PageRank.runFixedWeighted(spark,
+      edges.withColumn("w",
+        when(col("src") === 0 && col("dst") === 2, lit(9L)).otherwise(lit(1L))),
+      websize = 5L, iterations = 4)
+    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Double =
+      df.where(col("id") === id).head().getDouble(1)
+    assert(rankOf(tilted, 1L) < rankOf(unweighted, 1L))
+    assert(rankOf(tilted, 0L) > rankOf(unweighted, 0L))
+    // odd parity: one iteration, the tilted 0→2 edge carries 0.9 of
+    // the seed mass instead of 0.5 — vertex 2 must be ahead here
+    val t1 = PageRank.runFixedWeighted(spark,
+      edges.withColumn("w",
+        when(col("src") === 0 && col("dst") === 2, lit(9L)).otherwise(lit(1L))),
+      websize = 5L, iterations = 1)
+    val u1 = PageRank.runFixed(spark, edges, websize = 5L, iterations = 1)
+    assert(rankOf(t1, 2L) > rankOf(u1, 2L))
+  }
+
   test("incremental triangle count accepts a MAINTAINED standing count") {
     // the steady-state refresh shape (ADVICE r8): the caller passes the
     // count it has been carrying — no run(standing) re-enumeration —
