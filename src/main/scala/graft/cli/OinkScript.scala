@@ -651,6 +651,31 @@ object OinkScript {
                 throw ScriptError(line, "dq_outliers groupCol valueCol")
               sinkAndBind(graft.pipeline.DataQuality.iqrOutliers(
                 in0, col(pos(0)), col(pos(1))), outs, line)
+            case "dq_ks" =>
+              // dq_ks groupCol valueCol curBoolExpr... — exact two-sample
+              // Kolmogorov-Smirnov per group (rest of line = predicate
+              // marking the CURRENT sample)
+              if (pos.size < 3)
+                throw ScriptError(line, "dq_ks groupCol valueCol curBoolExpr")
+              sinkAndBind(graft.pipeline.DataQuality.ksTest(
+                in0, col(pos(0)), col(pos(1)),
+                expr(pos.drop(2).mkString(" "))), outs, line)
+            case "dq_mwu" =>
+              // dq_mwu groupCol valueCol curBoolExpr... — exact
+              // Mann-Whitney U / AUC per group (location-shift twin of
+              // dq_ks; rest of line = CURRENT-sample predicate)
+              if (pos.size < 3)
+                throw ScriptError(line, "dq_mwu groupCol valueCol curBoolExpr")
+              sinkAndBind(graft.pipeline.DataQuality.mwuTest(
+                in0, col(pos(0)), col(pos(1)),
+                expr(pos.drop(2).mkString(" "))), outs, line)
+            case "dq_skew" =>
+              // dq_skew groupCol keyCol — hot-key report (Gini/HHI/top
+              // share of per-key counts), the pre-shuffle skew screen
+              if (pos.size < 2)
+                throw ScriptError(line, "dq_skew groupCol keyCol")
+              sinkAndBind(graft.pipeline.DataQuality.skewReport(
+                in0, col(pos(0)), col(pos(1))), outs, line)
             case "asof" =>
               // asof key dimKey ts vts [tolUs] [direction] -i facts dim
               if (pos.size < 4 || ins.size < 2)

@@ -108,6 +108,147 @@ object DataQuality {
       .select("category", "n_base", "n_cur", "expected", "chi2_contrib")
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-SHAPE drift test completing the DQ trio (chi-square
+    * [[categoricalDrift]] sees category mix, Tukey [[iqrOutliers]] sees
+    * tails; KS sees the whole CDF). All arithmetic is integers until
+    * one terminal exact-integer division, so the statistic hash-gates
+    * bit-for-bit across engines:
+    *
+    *   D = max over observed values v of |F_base(v) − F_cur(v)|
+    *     = d_num / (n_base · n_cur),
+    *   d_num = max |cum_base(v)·n_cur − cum_cur(v)·n_base|  (exact longs)
+    *
+    * Scale shape: one (group, value) count aggregate (map-side
+    * combined), one per-group cumulative window over DISTINCT values
+    * (the sort is per group and over distinct points, not rows), one
+    * broadcast-sized totals join. Ties between the two samples are
+    * handled exactly — both CDFs step at the shared point before the
+    * difference is taken.
+    * @return (grp, n_base, n_cur, d_num, d) one row per group */
+  def ksTest(df: DataFrame, group: Column, value: Column,
+      isCurrent: Column): DataFrame =
+    ksFromCounts(sideCounts(df, group, value, isCurrent))
+
+  /** Per-(group, value) side counts — the sufficient statistic both
+    * [[ksTest]] and [[mwuTest]] reduce to, and the ADDITIVE state a
+    * streaming fold accumulates (counts of the union of batches = sum
+    * of per-batch counts, any cadence — see
+    * [[graft.streaming.EventStreams.ksMonitorSink]]).
+    * @return (grp, v, b, c) */
+  def sideCounts(df: DataFrame, group: Column, value: Column,
+      isCurrent: Column): DataFrame =
+    df.select(group.as("grp"), value.as("v"),
+        when(isCurrent, 1L).otherwise(0L).as("cur"))
+      .groupBy("grp", "v").agg(
+        sum(lit(1L) - col("cur")).as("b"), sum(col("cur")).as("c"))
+
+  /** [[ksTest]]'s statistic from pre-aggregated [[sideCounts]]. */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.groupBy("grp")
+      .agg(sum("b").as("n_base"), sum("c").as("n_cur"))
+    counts
+      .withColumn("cb", sum("b").over(w))
+      .withColumn("cc", sum("c").over(w))
+      .join(tot, Seq("grp"))
+      .withColumn("diff",
+        abs(col("cb") * col("n_cur") - col("cc") * col("n_base")))
+      .groupBy(col("grp"), col("n_base"), col("n_cur"))
+      .agg(max("diff").as("d_num"))
+      .select(col("grp"), col("n_base"), col("n_cur"), col("d_num"),
+        // raw exact-integer ratio — bit-identical across engines
+        (col("d_num").cast("double") /
+          (col("n_base") * col("n_cur")).cast("double")).as("d"))
+  }
+
+  /** EXACT Mann–Whitney U / AUC per group — the rank-based LOCATION
+    * test beside [[ksTest]]'s shape test (KS asks "same distribution?",
+    * MWU asks "did the current sample shift up or down?"). Tied values
+    * take midranks, which are half-integers — so everything is carried
+    * at 2× scale and stays an exact long:
+    *
+    *   2·midrank(v) = 2·cum_t(v) − t(v) + 1          (t = b + c)
+    *   r2 = Σ_v c(v) · (2·midrank(v))                 (2× cur rank-sum)
+    *   u2_cur = r2 − n_cur·(n_cur + 1)                (2× U statistic)
+    *   auc = u2_cur / (2·n_base·n_cur)                (= P(cur > base)
+    *                                                   + ½·P(tie))
+    *
+    * One terminal exact-integer division → the AUC hash-gates
+    * bit-for-bit, no tolerance. auc ≈ 0.5 = no shift; 1.0 = current
+    * stochastically dominates. Same scale shape as KS: grouped counts
+    * (map-side combined), a per-group window over DISTINCT values,
+    * a broadcast-sized totals join. Longs overflow only past ~3·10⁹
+    * rows in ONE group (u2 ≤ 2·n_b·n_c < 2⁶³).
+    * @return (grp, n_base, n_cur, u2_cur, auc) one row per group */
+  def mwuTest(df: DataFrame, group: Column, value: Column,
+      isCurrent: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = sideCounts(df, group, value, isCurrent)
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.groupBy("grp")
+      .agg(sum("b").as("n_base"), sum("c").as("n_cur"))
+    counts
+      .withColumn("cum_t", sum(col("b") + col("c")).over(w))
+      .groupBy("grp")
+      .agg(sum(col("c") *
+        (lit(2L) * col("cum_t") - (col("b") + col("c")) + lit(1L)))
+        .as("r2"))
+      .join(tot, Seq("grp"))
+      .withColumn("u2_cur", col("r2") - col("n_cur") * (col("n_cur") + 1L))
+      .select(col("grp"), col("n_base"), col("n_cur"), col("u2_cur"),
+        (col("u2_cur").cast("double") /
+          (lit(2L) * col("n_base") * col("n_cur")).cast("double")).as("auc"))
+  }
+
+  /** Key-skew report per group — the PRE-SHUFFLE diagnostic: before a
+    * 100 TB `groupBy(key)` or `join(key)`, this one pass names the
+    * groups whose key distribution would hot-spot a partition (the
+    * salting / AQE-skew-join decision input). Three exact-integer
+    * concentration measures over the per-key counts x₁ ≤ … ≤ x_n:
+    *
+    *   gini_num = Σ_i (2i − n − 1)·x_i   → gini = gini_num/(n·Σx)
+    *   hhi_num  = Σ x_i²                 → hhi  = hhi_num/(Σx)²
+    *   top_share = max(x)/Σx
+    *
+    * (0 = perfectly uniform; gini→1 / hhi→1 = one key owns the group.
+    * The (2i−n−1) coefficient is invariant under permutations of tied
+    * x, so the key tie-break only pins determinism, not the value.)
+    * Each ratio is ONE terminal division of exact longs → bit-identical
+    * across engines, gated raw. Cost: one (grp,key) count aggregate,
+    * one per-group sort over DISTINCT KEYS (not rows), one broadcast
+    * totals join.
+    * @return (grp, n_keys, n_rows, gini_num, gini, hhi_num, hhi,
+    *          max_key_rows, top_share) */
+  def skewReport(df: DataFrame, group: Column, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.groupBy(group.as("grp"), key.as("k"))
+      .agg(count(lit(1)).as("x"))
+    val tot = c.groupBy("grp").agg(
+      count(lit(1)).as("n_keys"), sum("x").as("n_rows"),
+      sum(col("x") * col("x")).as("hhi_num"), max("x").as("max_key_rows"))
+    c.withColumn("i",
+        row_number().over(
+          Window.partitionBy("grp").orderBy(col("x"), col("k"))))
+      .join(broadcast(tot), Seq("grp"))
+      .groupBy(col("grp"), col("n_keys"), col("n_rows"),
+        col("hhi_num"), col("max_key_rows"))
+      .agg(sum((lit(2L) * col("i") - col("n_keys") - 1L) * col("x"))
+        .as("gini_num"))
+      .select(col("grp"), col("n_keys"), col("n_rows"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double")).as("gini"),
+        col("hhi_num"),
+        (col("hhi_num").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("hhi"),
+        col("max_key_rows"),
+        (col("max_key_rows").cast("double") /
+          col("n_rows").cast("double")).as("top_share"))
+  }
+
   /** IQR outlier report per group — Tukey fences (1.5·IQR beyond the
     * quartiles), the distribution-free outlier screen a DQ pass runs on
     * numeric columns. One exact-percentile aggregate per group plus one

@@ -578,6 +578,31 @@ object PipelineQueries {
       graft.pipeline.DataQuality.iqrOutliers(
         Tables.events(s, dir), col("event_type"), col("value"))),
 
+    // EXACT two-sample Kolmogorov–Smirnov per event type (baseline =
+    // even event_ids, current = odd): the CDF-shape drift statistic —
+    // all-integer arithmetic to one terminal exact division, so the
+    // gate hashes it bit-for-bit (no round, no tolerance).
+    "dq_ks" -> ((s, dir) =>
+      graft.pipeline.DataQuality.ksTest(
+        Tables.events(s, dir), col("event_type"), col("value"),
+        col("event_id") % 2 =!= 0)),
+
+    // EXACT Mann-Whitney U / AUC per event type (same even/odd split as
+    // dq_ks): the rank-based LOCATION shift test beside KS's shape test.
+    // Midranks carried at 2x scale stay exact longs; one terminal
+    // integer division -> bit-identical hash, no tolerance.
+    "dq_mwu" -> ((s, dir) =>
+      graft.pipeline.DataQuality.mwuTest(
+        Tables.events(s, dir), col("event_type"), col("value"),
+        col("event_id") % 2 =!= 0)),
+
+    // Key-skew report per event type over user_id — the pre-shuffle
+    // hot-key diagnostic (Gini / HHI / top-share of per-key counts),
+    // every ratio one terminal division of exact longs.
+    "dq_skew" -> ((s, dir) =>
+      graft.pipeline.DataQuality.skewReport(
+        Tables.events(s, dir), col("event_type"), col("user_id"))),
+
     // Native backward as-of join (the custom AsOfJoinExec operator):
     // every event left-joined to the latest signup version at or before
     // it. One streaming merge over key-sorted sides — no fact×version
@@ -2248,6 +2273,79 @@ object PipelineQueries {
         |SELECT category, n_base, n_cur, e AS expected,
         |  (n_cur - e) * (n_cur - e) / e AS chi2_contrib
         |FROM x""".stripMargin,
+
+    // identical integer ladder to DataQuality.ksTest: per-(grp, value)
+    // side counts, per-group cumulative sums over distinct values,
+    // d_num = max |cb·n_cur − cc·n_base| in exact longs, one terminal
+    // exact-integer division
+    "dq_ks" ->
+      """WITH e AS (SELECT event_type AS grp, value AS v,
+        |  CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END AS cur
+        |  FROM events),
+        |c AS (SELECT grp, v, sum(1 - cur) AS b, sum(cur) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, b, c,
+        |  sum(b) OVER w AS cb, sum(c) OVER w AS cc
+        |  FROM c WINDOW w AS (PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT grp, CAST(sum(b) AS BIGINT) AS n_base,
+        |  CAST(sum(c) AS BIGINT) AS n_cur FROM c GROUP BY 1)
+        |SELECT cum.grp, t.n_base, t.n_cur,
+        |  CAST(max(abs(cb * t.n_cur - cc * t.n_base)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cb * t.n_cur - cc * t.n_base)) AS DOUBLE) /
+        |    CAST(t.n_base * t.n_cur AS DOUBLE) AS d
+        |FROM cum JOIN t ON t.grp = cum.grp
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // identical 2x-scaled midrank ladder to DataQuality.mwuTest:
+    // 2·midrank(v) = 2·cum_t − t + 1 in exact longs, r2 = Σ c·(2·mid),
+    // u2 = r2 − n_cur·(n_cur+1), one terminal exact division
+    "dq_mwu" ->
+      """WITH e AS (SELECT event_type AS grp, value AS v,
+        |  CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END AS cur
+        |  FROM events),
+        |c AS (SELECT grp, v, sum(1 - cur) AS b, sum(cur) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, b, c,
+        |  sum(b + c) OVER (PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum_t
+        |  FROM c),
+        |t AS (SELECT grp, CAST(sum(b) AS BIGINT) AS n_base,
+        |  CAST(sum(c) AS BIGINT) AS n_cur FROM c GROUP BY 1),
+        |r AS (SELECT grp,
+        |  CAST(sum(c * (2 * cum_t - (b + c) + 1)) AS BIGINT) AS r2
+        |  FROM cum GROUP BY 1)
+        |SELECT t.grp, t.n_base, t.n_cur,
+        |  CAST(r.r2 - t.n_cur * (t.n_cur + 1) AS BIGINT) AS u2_cur,
+        |  CAST(r.r2 - t.n_cur * (t.n_cur + 1) AS DOUBLE) /
+        |    CAST(2 * t.n_base * t.n_cur AS DOUBLE) AS auc
+        |FROM t JOIN r ON r.grp = t.grp""".stripMargin,
+
+    // identical exact-integer ladder to DataQuality.skewReport: per-key
+    // counts, ascending (x, key) rank, gini_num = Σ(2i−n−1)x, hhi_num =
+    // Σx², each ratio one terminal division of exact longs
+    "dq_skew" ->
+      """WITH c AS (SELECT event_type AS grp, user_id AS k,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT grp, k, x, row_number() OVER
+        |  (PARTITION BY grp ORDER BY x, k) AS i FROM c),
+        |t AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(x) AS BIGINT) AS n_rows,
+        |  CAST(sum(x * x) AS BIGINT) AS hhi_num,
+        |  CAST(max(x) AS BIGINT) AS max_key_rows FROM c GROUP BY 1),
+        |g AS (SELECT r.grp,
+        |  CAST(sum((2 * i - t.n_keys - 1) * x) AS BIGINT) AS gini_num
+        |  FROM r JOIN t ON t.grp = r.grp GROUP BY 1)
+        |SELECT t.grp, t.n_keys, t.n_rows, g.gini_num,
+        |  CAST(g.gini_num AS DOUBLE) /
+        |    CAST(t.n_keys * t.n_rows AS DOUBLE) AS gini,
+        |  t.hhi_num,
+        |  CAST(t.hhi_num AS DOUBLE) /
+        |    CAST(t.n_rows * t.n_rows AS DOUBLE) AS hhi,
+        |  t.max_key_rows,
+        |  CAST(t.max_key_rows AS DOUBLE) /
+        |    CAST(t.n_rows AS DOUBLE) AS top_share
+        |FROM t JOIN g ON g.grp = t.grp""".stripMargin,
 
     // identical fence arithmetic to DataQuality.iqrOutliers
     "dq_outliers" ->

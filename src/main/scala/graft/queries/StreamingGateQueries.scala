@@ -545,6 +545,13 @@ object StreamingGateQueries {
     "st_decontam" -> ((s, dir) =>
       graft.streaming.DecontamStreams.decontamStreamingSink(s, dir)),
 
+    // Streaming KS drift monitor: per-micro-batch side counts folded
+    // into an accumulated count table (counts additive → cadence-
+    // independent), statistic re-derived from the fold — terminal
+    // result ≡ the one-shot batch dq_ks, oracle shared verbatim.
+    "st_ks" -> ((s, dir) =>
+      graft.streaming.EventStreams.ksMonitorSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -1202,6 +1209,7 @@ object StreamingGateQueries {
     "st_anomaly_mb" -> baseOracles("st_anomaly"),
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
+    "st_ks" -> graft.queries.PipelineQueries.oracles("dq_ks"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -829,6 +829,54 @@ object EventStreams {
     snap
   }
 
+  /** Streaming Kolmogorov–Smirnov drift monitor — the live twin of
+    * [[graft.pipeline.DataQuality.ksTest]]: events arrive as
+    * micro-batches, each batch is reduced to its per-(group, value)
+    * side counts (the only scan a batch pays), folded into the
+    * accumulated count state by key-summed union, and the exact KS
+    * statistic is re-derived from the folded counts. The fold is
+    * cadence-independent BY ALGEBRA — counts are additive, so any
+    * batching of the same events ends at the identical count table and
+    * the terminal statistic equals the one-shot batch dq_ks (shared
+    * oracle verbatim). State = one row per (group, DISTINCT value),
+    * independent of how many events streamed through a bucket.
+    * @return (grp, n_base, n_cur, d_num, d) — ksTest's schema */
+  def ksMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ks_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("grp", StringType),
+        StructField("v", DoubleType), StructField("b", LongType),
+        StructField("c", LongType))))
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = graft.pipeline.DataQuality.sideCounts(
+          batch, col("event_type"), col("value"), col("event_id") % 2 =!= 0)
+        if (!bc.isEmpty) {
+          acc = acc.unionByName(bc)
+            .groupBy("grp", "v")
+            .agg(sum("b").as("b"), sum("c").as("c"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.pipeline.DataQuality.ksFromCounts(acc)
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session

@@ -536,4 +536,29 @@ class OinkScriptSpec extends SparkSpec {
     assert(outl.nonEmpty && outl.forall(r =>
       r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_rows")))
   }
+
+  test("dq_ks, dq_mwu, and dq_skew verbs run from scripts") {
+    val dir = "/root/testdata/sf0.001"
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $dir/events.parquet -o NULL ev",
+      "dq_ks event_type value event_id % 2 <> 0 -i ev -o NULL ks",
+      "dq_mwu event_type value event_id % 2 <> 0 -i ev -o NULL mwu",
+      "dq_skew event_type user_id -i ev -o NULL skew"))
+    val ks = reg("ks").collect()
+    assert(ks.nonEmpty && ks.forall { r =>
+      val d = r.getAs[Double]("d"); d >= 0.0 && d <= 1.0 })
+    val mwu = reg("mwu").collect()
+    assert(mwu.nonEmpty && mwu.forall { r =>
+      val a = r.getAs[Double]("auc"); a >= 0.0 && a <= 1.0 })
+    val skew = reg("skew").collect()
+    assert(skew.nonEmpty && skew.forall { r =>
+      val g = r.getAs[Double]("gini"); g >= 0.0 && g < 1.0 })
+    // usage errors raise ScriptError, not NoSuchElementException
+    val err = intercept[OinkScript.ScriptError] {
+      OinkScript.run(spark, Seq(
+        s"read_parquet -i $dir/events.parquet -o NULL ev",
+        "dq_mwu event_type -i ev -o NULL bad"))
+    }
+    assert(err.getMessage.contains("dq_mwu"))
+  }
 }

@@ -61,6 +61,84 @@ class DataQualitySpec extends SparkSpec {
     assert(same.forall(_ < 0.1))
   }
 
+  test("ksTest: hand-computed exact statistic, identical samples, disjoint samples") {
+    // base [1,2,3,4], cur [3,5]: CDF diffs .25/.5/.25/.5/0 -> D = 0.5,
+    // d_num = max|cb*2 - cc*4| = 4 over n1*n2 = 8
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("g", _, false)) ++
+      Seq(3.0, 5.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    val r = DataQuality.ksTest(df, col("grp"), col("v"), col("cur")).head()
+    assert(r.getAs[Long]("n_base") == 4L && r.getAs[Long]("n_cur") == 2L)
+    assert(r.getAs[Long]("d_num") == 4L)
+    assert(r.getAs[Double]("d") == 0.5)
+    // identical samples -> D = 0 exactly
+    val same = (Seq(1.0, 2.0, 7.0).map(("g", _, false)) ++
+      Seq(1.0, 2.0, 7.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.ksTest(same, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("d") == 0.0)
+    // fully separated samples -> D = 1 exactly
+    val apart = (Seq(1.0, 2.0).map(("g", _, false)) ++
+      Seq(9.0, 10.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.ksTest(apart, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("d") == 1.0)
+  }
+
+  test("mwuTest: hand-computed midrank statistic, tie handling, symmetry") {
+    // base [1,2,3], cur [2,4]: sorted 1,2,2,3,4 with midranks
+    // 1, 2.5, 2.5, 4, 5 -> R_cur = 7.5, U_cur = 7.5 - 3 = 4.5,
+    // u2_cur = 9; AUC = 4.5/6 = 0.75 (pairs: 4 wins + 1 tie of 6)
+    val df = (Seq(1.0, 2.0, 3.0).map(("g", _, false)) ++
+      Seq(2.0, 4.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    val r = DataQuality.mwuTest(df, col("grp"), col("v"), col("cur")).head()
+    assert(r.getAs[Long]("n_base") == 3L && r.getAs[Long]("n_cur") == 2L)
+    assert(r.getAs[Long]("u2_cur") == 9L)
+    assert(r.getAs[Double]("auc") == 0.75)
+    // identical samples -> no shift, AUC exactly 0.5
+    val same = (Seq(1.0, 5.0, 9.0).map(("g", _, false)) ++
+      Seq(1.0, 5.0, 9.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.mwuTest(same, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("auc") == 0.5)
+    // current strictly above base -> AUC exactly 1; below -> 0
+    val above = (Seq(1.0, 2.0).map(("g", _, false)) ++
+      Seq(3.0, 4.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.mwuTest(above, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("auc") == 1.0)
+    val below = (Seq(3.0, 4.0).map(("g", _, false)) ++
+      Seq(1.0, 2.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.mwuTest(below, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("auc") == 0.0)
+  }
+
+  test("skewReport: uniform keys score 0, a dominant key is named") {
+    // uniform: 4 keys x 3 rows each -> gini 0, hhi = 1/n_keys, top 1/4
+    val uni = (for { k <- 1 to 4; _ <- 1 to 3 } yield ("g", k.toLong))
+      .toDF("grp", "k")
+    val u = DataQuality.skewReport(uni, col("grp"), col("k")).head()
+    assert(u.getAs[Long]("n_keys") == 4L && u.getAs[Long]("n_rows") == 12L)
+    assert(u.getAs[Long]("gini_num") == 0L)
+    assert(u.getAs[Double]("gini") == 0.0)
+    assert(u.getAs[Double]("hhi") == 0.25)
+    assert(u.getAs[Double]("top_share") == 0.25)
+    // hot key: key 9 owns 9 of 12 rows, three singleton keys.
+    // sorted x = [1,1,1,9], gini_num = -3·1 -1·1 +1·1 +3·9 = 24,
+    // gini = 24/(4·12) = 0.5, hhi = (1+1+1+81)/144
+    val hot = ((1 to 3).map(k => ("g", k.toLong)) ++
+      Seq.fill(9)(("g", 9L))).toDF("grp", "k")
+    val h = DataQuality.skewReport(hot, col("grp"), col("k")).head()
+    assert(h.getAs[Long]("gini_num") == 24L)
+    assert(h.getAs[Double]("gini") == 0.5)
+    assert(h.getAs[Long]("hhi_num") == 84L)
+    assert(h.getAs[Double]("top_share") == 0.75)
+  }
+
+  test("streaming KS fold over micro-batches equals the one-shot batch statistic") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = DataQuality.ksTest(
+      spark.read.parquet(s"$dir/events.parquet"),
+      col("event_type"), col("value"), col("event_id") % 2 =!= 0)
+    val streamed = graft.streaming.EventStreams.ksMonitorSink(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("iqrOutliers: Tukey fences catch planted extremes only") {
     val vals = (1 to 100).map(_.toDouble) :+ 1000.0 :+ -1000.0
     val df = vals.map(("g", _)).toDF("grp", "v")
