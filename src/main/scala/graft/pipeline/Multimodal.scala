@@ -456,6 +456,189 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeAviRgb(id, payload) })
   }
 
+  final case class VideoResize(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      n_frames: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      wsum_r: Long)
+
+  /** Nearest-neighbor RESIZE of every decoded BI_RGB frame to a fixed
+    * (outW, outH) grid — the normalize-before-featurize step a vision
+    * training pipeline runs on every frame (all crops land on one
+    * tensor shape). Pure integer index math, so the result replays in
+    * closed form: output pixel (x', y') reads source pixel
+    * (⌊x'·w/outW⌋, ⌊y'·h/outH⌋) — the standard floor-mapping NN kernel,
+    * covering both up- and down-sampling (source w spans 8–23 around
+    * outW, h spans 4–11 around outH). Emits per-channel sums over ALL
+    * resized frames plus `wsum_r`, the (y'+1)-weighted R sum — a
+    * row-position-sensitive checksum a resizer with a flipped or
+    * off-by-one row map cannot fake. Every mapped pixel is READ from
+    * the payload (no shortcut through the synthetic pixel law). */
+  def resizeAviRgb(docId: Long, payload: Array[Byte],
+      outW: Int, outH: Int): VideoResize = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourcc() == "AVI ", "not an AVI file")
+    var width = 0; var height = 0; var compression = -1
+    var nFrames = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    def walk(end: Int): Unit =
+      while (bb.position() < end) {
+        val id = fourcc(); val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1)
+        id match {
+          case "LIST" => fourcc(); walk(next)
+          case "strf" =>
+            bb.getInt
+            width = bb.getInt; height = bb.getInt
+            bb.getShort
+            val bitCount = bb.getShort.toInt
+            compression = bb.getInt
+            require(compression == 0 && bitCount == 24,
+              s"unsupported codec: biCompression=$compression")
+          case "00db" | "00dc" =>
+            require(compression == 0, "frame before strf header")
+            val stride = (width * 3 + 3) & ~3
+            require(sz == stride * height, s"frame size $sz != ${stride * height}")
+            val base = bb.position()
+            var yp = 0
+            while (yp < outH) {
+              val ySrc = yp * height / outH          // logical source row
+              val rowOff = base + (height - 1 - ySrc) * stride // bottom-up
+              var xp = 0
+              while (xp < outW) {
+                val off = rowOff + (xp * width / outW) * 3
+                val b = payload(off) & 0xff
+                val g = payload(off + 1) & 0xff
+                val r = payload(off + 2) & 0xff
+                sumB += b; sumG += g; sumR += r
+                wsumR += (yp + 1).toLong * r
+                xp += 1
+              }
+              yp += 1
+            }
+            nFrames += 1
+          case _ =>
+        }
+        bb.position(next)
+      }
+    walk(payload.length)
+    VideoResize(docId, width, height, outW, outH, nFrames,
+      sumR, sumG, sumB, wsumR)
+  }
+
+  /** Resize pass over a payload frame — same mapPartitions batch shape
+    * as the other media paths. */
+  def videoResizeFeatures(spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): Dataset[VideoResize] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => resizeAviRgb(id, p, outW, outH) })
+  }
+
+  final case class FrameSample(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      n_sampled: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Uniform FRAME SAMPLING: decode only `n` uniformly-spaced frames
+    * (indices ⌊i·nFrames/n⌋, deduplicated when nFrames < n) and skip
+    * the pixel arrays of every other frame entirely — the
+    * don't-decode-what-you-don't-need pass a video pipeline runs
+    * before featurizing hour-long clips. The walk still visits every
+    * chunk header (that's how it counts n_frames), but only sampled
+    * frames pay the pixel scan. */
+  def sampleAviFrames(docId: Long, payload: Array[Byte], n: Int): FrameSample = {
+    require(n > 0, "sampleAviFrames: n must be positive")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourcc() == "AVI ", "not an AVI file")
+    var width = 0; var height = 0; var compression = -1
+    var totalFrames = 0  // from the avih header — known before any frame
+    var frameIdx = 0L
+    var nSampled = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sampled: Set[Long] = Set.empty
+    def walk(end: Int): Unit =
+      while (bb.position() < end) {
+        val id = fourcc(); val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1)
+        id match {
+          case "LIST" => fourcc(); walk(next)
+          case "avih" =>
+            bb.getInt; bb.getInt; bb.getInt; bb.getInt // us/frame, rate, pad, flags
+            totalFrames = bb.getInt
+            sampled = (0 until n).map(i => i.toLong * totalFrames / n).toSet
+          case "strf" =>
+            bb.getInt
+            width = bb.getInt; height = bb.getInt
+            bb.getShort
+            val bitCount = bb.getShort.toInt
+            compression = bb.getInt
+            require(compression == 0 && bitCount == 24,
+              s"unsupported codec: biCompression=$compression")
+          case "00db" | "00dc" =>
+            require(compression == 0, "frame before strf header")
+            if (sampled.contains(frameIdx)) {
+              val stride = (width * 3 + 3) & ~3
+              require(sz == stride * height,
+                s"frame size $sz != ${stride * height}")
+              val base = bb.position()
+              var fileRow = 0
+              while (fileRow < height) {
+                val rowOff = base + fileRow * stride
+                var x = 0
+                while (x < width) {
+                  val off = rowOff + x * 3
+                  sumB += payload(off) & 0xff
+                  sumG += payload(off + 1) & 0xff
+                  sumR += payload(off + 2) & 0xff
+                  x += 1
+                }
+                fileRow += 1
+              }
+              nSampled += 1
+            }
+            frameIdx += 1
+          case _ =>
+        }
+        bb.position(next)
+      }
+    walk(payload.length)
+    FrameSample(docId, width, height, frameIdx, nSampled, sumR, sumG, sumB)
+  }
+
+  /** Frame-sampling pass — same mapPartitions batch shape. */
+  def videoFrameSample(spark: SparkSession, media: DataFrame,
+      n: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => sampleAviFrames(id, p, n) })
+  }
+
   /** Declarative metadata-only variant (columnar, codegen'd, oracle-
     * checkable): identical feature math expressed as column functions —
     * the path a metadata query takes without ever decoding payloads. */

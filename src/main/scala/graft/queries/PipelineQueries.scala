@@ -266,6 +266,20 @@ object PipelineQueries {
       Multimodal.videoDecodeFeatures(s,
         Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()),
 
+    // Nearest-neighbor resize of every decoded frame to a fixed 16x8
+    // grid (floor-mapped source indices; covers up- AND down-sampling
+    // since src w spans 8-23 / h spans 4-11). wsum_r is the
+    // row-position-weighted checksum a flipped row map can't fake.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.videoResizeFeatures(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir)), 16, 8).toDF()),
+
+    // Uniform 2-frame sampling: only frames {0, floor(nf/2)} pay the
+    // pixel scan; headers alone count the rest.
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.videoFrameSample(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir)), 2).toDF()),
+
     // Seeded epoch shuffle + round-robin sharding: reproducible training
     // data order per epoch, ±1-balanced shards, distributed rank (no
     // single-partition window).
@@ -2133,6 +2147,47 @@ object PipelineQueries {
         |  CAST(sum(w * ((2 * doc_id + f + y) % 256)) AS BIGINT) AS sum_g,
         |  CAST(sum(w * ((doc_id + 7 * f + y) % 256)) AS BIGINT) AS sum_b,
         |  CAST(max(w) * ((3 * doc_id) % 256) AS BIGINT) AS top_row_r
+        |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
+
+    // closed-form NN-resize replay: output row yp reads source row
+    // ys = (yp*h)//8; pixels are row-constant so the x' sum is a *16
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |fy AS (SELECT p.doc_id, p.w, p.h, p.nf, f.f, y.yp,
+        |  (y.yp * p.h) // 8 AS ys FROM p,
+        |  (SELECT unnest(range(5)) AS f) f,
+        |  (SELECT unnest(range(8)) AS yp) y
+        |  WHERE f.f < p.nf)
+        |SELECT doc_id, CAST(w AS INTEGER) AS src_w,
+        |  CAST(h AS INTEGER) AS src_h,
+        |  CAST(16 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum(16 * ((3 * doc_id + f + 2 * ys) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(sum(16 * ((2 * doc_id + f + ys) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(sum(16 * ((doc_id + 7 * f + ys) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(sum(16 * (yp + 1) * ((3 * doc_id + f + 2 * ys) % 256))
+        |    AS BIGINT) AS wsum_r
+        |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
+
+    // closed-form frame-sample replay: sampled frame set
+    // {(i*nf)//2 : i<2} = {0, nf//2}, distinct by construction (nf>=2)
+    "mm_frame_sample" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |sf AS (SELECT DISTINCT p.doc_id, p.w, p.h, p.nf,
+        |  (i.i * p.nf) // 2 AS f FROM p,
+        |  (SELECT unnest(range(2)) AS i) i),
+        |fy AS (SELECT sf.doc_id, sf.w, sf.h, sf.nf, sf.f, y.y FROM sf,
+        |  (SELECT unnest(range(11)) AS y) y
+        |  WHERE y.y < sf.h)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+        |  CAST(sum(w * ((3 * doc_id + f + 2 * y) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(sum(w * ((2 * doc_id + f + y) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(sum(w * ((doc_id + 7 * f + y) % 256)) AS BIGINT) AS sum_b
         |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
 
     "d_epoch_shuffle" ->

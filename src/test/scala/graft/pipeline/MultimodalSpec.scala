@@ -148,4 +148,53 @@ class MultimodalSpec extends SparkSpec {
     bad(strfAt + 8 + 16) = 1 // MS-RLE8
     intercept[IllegalArgumentException] { Multimodal.decodeAviRgb(3L, bad) }
   }
+
+  test("NN resize: identity at source dims; floor-map law up and down; row-weighted checksum") {
+    for (id <- Seq(0L, 1L, 5L, 14L, 255L, 9999L)) {
+      val payload = Multimodal.synthAviRgb(id)
+      val (w, h, nf) = ((8 + id % 16).toInt, (4 + id % 8).toInt, (2 + id % 4).toInt)
+      // identity: resizing to the source grid reproduces the full
+      // decode's channel sums exactly (floor map is the identity there)
+      val same = Multimodal.resizeAviRgb(id, payload, w, h)
+      val full = Multimodal.decodeAviRgb(id, payload)
+      assert(same.sum_r == full.sum_r && same.sum_g == full.sum_g &&
+        same.sum_b == full.sum_b, s"doc $id identity")
+      // independent brute-force replay of the floor map at 16x8
+      val r = Multimodal.resizeAviRgb(id, payload, 16, 8)
+      assert(r.src_w == w && r.src_h == h && r.n_frames == nf)
+      def px(f: Long, y: Long): (Long, Long, Long) =
+        (((3 * id + f + 2 * y) % 256, (2 * id + f + y) % 256,
+          (id + 7 * f + y) % 256))
+      var er = 0L; var eg = 0L; var eb = 0L; var ewr = 0L
+      for (f <- 0 until nf; yp <- 0 until 8; _ <- 0 until 16) {
+        val (pr, pg, pb) = px(f.toLong, yp.toLong * h / 8)
+        er += pr; eg += pg; eb += pb; ewr += (yp + 1) * pr
+      }
+      assert(r.sum_r == er && r.sum_g == eg && r.sum_b == eb, s"doc $id 16x8")
+      assert(r.wsum_r == ewr, s"doc $id weighted checksum")
+    }
+  }
+
+  test("frame sampling: n >= nf degrades to full decode; n=2 reads only {0, nf/2}") {
+    for (id <- Seq(0L, 1L, 5L, 14L, 255L, 9999L)) {
+      val payload = Multimodal.synthAviRgb(id)
+      val (w, h, nf) = ((8 + id % 16).toInt, (4 + id % 8).toInt, (2 + id % 4).toInt)
+      val full = Multimodal.decodeAviRgb(id, payload)
+      // oversampling covers every frame exactly once (indices dedup)
+      val all = Multimodal.sampleAviFrames(id, payload, 16)
+      assert(all.n_sampled == nf && all.n_frames == nf, s"doc $id all")
+      assert(all.sum_r == full.sum_r && all.sum_g == full.sum_g &&
+        all.sum_b == full.sum_b, s"doc $id all sums")
+      // n=2: frames {0, nf/2}, replayed brute-force
+      val s2 = Multimodal.sampleAviFrames(id, payload, 2)
+      val picked = Set(0L, nf.toLong / 2)
+      assert(s2.n_sampled == picked.size && s2.width == w && s2.height == h)
+      def tot(f: (Long, Long) => Long): Long =
+        picked.toSeq.map(fr => (0 until h).map(y =>
+          w * f(fr, y.toLong)).sum).sum
+      assert(s2.sum_r == tot((f, y) => (3 * id + f + 2 * y) % 256), s"doc $id R")
+      assert(s2.sum_g == tot((f, y) => (2 * id + f + y) % 256), s"doc $id G")
+      assert(s2.sum_b == tot((f, y) => (id + 7 * f + y) % 256), s"doc $id B")
+    }
+  }
 }
