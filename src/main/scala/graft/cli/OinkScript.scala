@@ -676,6 +676,15 @@ object OinkScript {
                 throw ScriptError(line, "dq_skew groupCol keyCol")
               sinkAndBind(graft.pipeline.DataQuality.skewReport(
                 in0, col(pos(0)), col(pos(1))), outs, line)
+            case "dq_spearman" =>
+              // dq_spearman groupCol xCol yExpr... — exact tie-aware
+              // Spearman trend per group (rest of line = y expression,
+              // e.g. the event-time column)
+              if (pos.size < 3)
+                throw ScriptError(line, "dq_spearman groupCol xCol yExpr")
+              sinkAndBind(graft.pipeline.DataQuality.spearmanTrend(
+                in0, col(pos(0)), col(pos(1)),
+                expr(pos.drop(2).mkString(" "))), outs, line)
             case "asof" =>
               // asof key dimKey ts vts [tolUs] [direction] -i facts dim
               if (pos.size < 4 || ins.size < 2)

@@ -223,10 +223,15 @@ object DataQuality {
     * totals join.
     * @return (grp, n_keys, n_rows, gini_num, gini, hhi_num, hhi,
     *          max_key_rows, top_share) */
-  def skewReport(df: DataFrame, group: Column, key: Column): DataFrame = {
+  def skewReport(df: DataFrame, group: Column, key: Column): DataFrame =
+    skewFromCounts(df.groupBy(group.as("grp"), key.as("k"))
+      .agg(count(lit(1)).as("x")))
+
+  /** [[skewReport]]'s measures from pre-aggregated per-key counts
+    * (grp, k, x) — the additive state a streaming fold accumulates
+    * ([[graft.streaming.EventStreams.skewMonitorSink]]). */
+  def skewFromCounts(c: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = df.groupBy(group.as("grp"), key.as("k"))
-      .agg(count(lit(1)).as("x"))
     val tot = c.groupBy("grp").agg(
       count(lit(1)).as("n_keys"), sum("x").as("n_rows"),
       sum(col("x") * col("x")).as("hhi_num"), max("x").as("max_key_rows"))
@@ -273,5 +278,52 @@ object DataQuality {
         round(col("lo_fence"), 6).as("lo_fence"),
         round(col("hi_fence"), 6).as("hi_fence"),
         col("n_rows"), col("n_outliers"))
+  }
+
+  /** EXACT tie-aware Spearman rank correlation per group — the
+    * monotone-TREND screen (x = metric, y = time ⇒ "is this metric
+    * drifting monotonically"), completing the drift suite's third
+    * axis: KS = shape, MWU = location, Spearman = trend. Pearson on
+    * midranks, with midranks carried at 2× scale so everything below
+    * the closing expression is an exact long:
+    *
+    *   a = 2·midrank = 2·RANK() + |ties| − 1     (per row, windowed)
+    *   Sxy = n·Σ(ax·ay) − Σax·Σay                (exact longs)
+    *   Sxx = n·Σax² − (Σax)²,   Syy likewise
+    *   rho = Sxy / (√Sxx · √Syy)
+    *
+    * The closing expression is division and IEEE-754 sqrt — BOTH
+    * correctly rounded by spec in any conforming engine — applied to
+    * exact-integer operands in a shared op order, so rho hash-gates
+    * bit-for-bit. A constant column (Sxx or Syy = 0) yields NULL, not
+    * NaN. Scale shape: two per-group rank windows + one aggregate.
+    * Long-exactness envelope: n·Σa² ≤ 4n⁴ needs n ≲ 38k rows per
+    * group; past that, swap the five accumulators to DECIMAL(38,0)
+    * (schema unchanged, exactness kept to ~10⁹ rows).
+    * @return (grp, n, sxy, sxx, syy, rho) one row per group */
+  def spearmanTrend(df: DataFrame, group: Column, xc: Column,
+      yc: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("grp"), xc.as("x"), yc.as("y"))
+    val ranked = base
+      .withColumn("ax",
+        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("x")) +
+          count(lit(1)).over(Window.partitionBy("grp", "x")) - 1L)
+      .withColumn("ay",
+        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("grp", "y")) - 1L)
+    ranked.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("ax").as("sax"), sum("ay").as("say"),
+        sum(col("ax") * col("ax")).as("sxx_s"),
+        sum(col("ay") * col("ay")).as("syy_s"),
+        sum(col("ax") * col("ay")).as("sxy_s"))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sxy_s") - col("sax") * col("say")).as("sxy"),
+        (col("n") * col("sxx_s") - col("sax") * col("sax")).as("sxx"),
+        (col("n") * col("syy_s") - col("say") * col("say")).as("syy"))
+      .withColumn("rho",
+        when(col("sxx") === 0L || col("syy") === 0L, lit(null).cast("double"))
+          .otherwise(col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))))
   }
 }

@@ -617,6 +617,17 @@ object PipelineQueries {
       graft.pipeline.DataQuality.skewReport(
         Tables.events(s, dir), col("event_type"), col("user_id"))),
 
+    // EXACT tie-aware Spearman between value and event time per type —
+    // the monotone-trend screen (third drift axis: KS shape, MWU
+    // location, Spearman trend). 2x-scaled midranks keep every
+    // accumulator an exact long; the closing sqrt/divide are IEEE
+    // correctly-rounded on shared op order -> raw-double hash gate.
+    "dq_spearman" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.pipeline.DataQuality.spearmanTrend(ev, col("event_type"),
+        col("value"), graft.io.Tables.eventMicros(ev))
+    }),
+
     // Native backward as-of join (the custom AsOfJoinExec operator):
     // every event left-joined to the latest signup version at or before
     // it. One streaming merge over key-sorted sides — no fact×version
@@ -2401,6 +2412,33 @@ object PipelineQueries {
         |  CAST(t.max_key_rows AS DOUBLE) /
         |    CAST(t.n_rows AS DOUBLE) AS top_share
         |FROM t JOIN g ON g.grp = t.grp""".stripMargin,
+
+    // identical 2x-midrank ladder to DataQuality.spearmanTrend:
+    // a = 2*RANK + |ties| - 1, five exact-long accumulators, closing
+    // sqrt/divide on the shared op order (IEEE correctly rounded)
+    "dq_spearman" ->
+      """WITH e AS (SELECT event_type AS grp, value AS x,
+        |  epoch_ns(ts) // 1000 AS y FROM events),
+        |r AS (SELECT grp,
+        |  2 * rank() OVER (PARTITION BY grp ORDER BY x) +
+        |    count(*) OVER (PARTITION BY grp, x) - 1 AS ax,
+        |  2 * rank() OVER (PARTITION BY grp ORDER BY y) +
+        |    count(*) OVER (PARTITION BY grp, y) - 1 AS ay
+        |  FROM e),
+        |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ax) AS BIGINT) AS sax, CAST(sum(ay) AS BIGINT) AS say,
+        |  CAST(sum(ax * ax) AS BIGINT) AS sxx_s,
+        |  CAST(sum(ay * ay) AS BIGINT) AS syy_s,
+        |  CAST(sum(ax * ay) AS BIGINT) AS sxy_s FROM r GROUP BY 1),
+        |s AS (SELECT grp, n, n * sxy_s - sax * say AS sxy,
+        |  n * sxx_s - sax * sax AS sxx,
+        |  n * syy_s - say * say AS syy FROM a)
+        |SELECT grp, n, sxy, sxx, syy,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |       ELSE CAST(sxy AS DOUBLE) /
+        |         (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |  END AS rho
+        |FROM s""".stripMargin,
 
     // identical fence arithmetic to DataQuality.iqrOutliers
     "dq_outliers" ->

@@ -552,6 +552,12 @@ object StreamingGateQueries {
     "st_ks" -> ((s, dir) =>
       graft.streaming.EventStreams.ksMonitorSink(s, dir)),
 
+    // Streaming hot-key monitor: per-micro-batch (group, key) counts
+    // folded additively; terminal Gini/HHI/top-share report ≡ the
+    // one-shot batch dq_skew (shared oracle).
+    "st_skew" -> ((s, dir) =>
+      graft.streaming.EventStreams.skewMonitorSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -1210,6 +1216,7 @@ object StreamingGateQueries {
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
     "st_ks" -> graft.queries.PipelineQueries.oracles("dq_ks"),
+    "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

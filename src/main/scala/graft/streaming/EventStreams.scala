@@ -877,6 +877,49 @@ object EventStreams {
     graft.pipeline.DataQuality.ksFromCounts(acc)
   }
 
+  /** Streaming hot-key (skew) monitor — [[ksMonitorSink]]'s companion
+    * on the per-key COUNT state: each micro-batch reduces to its
+    * (group, key) counts, the fold is a key-summed union (additive →
+    * cadence-independent), and the Gini / HHI / top-share report is
+    * re-derived from the folded counts — the "which groupBy key is
+    * about to hot-spot a partition" alert at micro-batch freshness.
+    * Terminal result ≡ the one-shot batch dq_skew (shared oracle).
+    * @return skewReport's schema */
+  def skewMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_skew_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("grp", StringType),
+        StructField("k", LongType), StructField("x", LongType))))
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batch.groupBy(col("event_type").as("grp"),
+            col("user_id").as("k"))
+          .agg(count(lit(1)).as("x"))
+        if (!bc.isEmpty) {
+          acc = acc.unionByName(bc)
+            .groupBy("grp", "k").agg(sum("x").as("x"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.pipeline.DataQuality.skewFromCounts(acc)
+  }
+
   /** Gap sessionization on the NATIVE `session_window` aggregate — the
     * Catalyst-built-in twin of the hand-rolled
     * [[sessionize]] flatMapGroupsWithState path. State merges session

@@ -543,7 +543,8 @@ class OinkScriptSpec extends SparkSpec {
       s"read_parquet -i $dir/events.parquet -o NULL ev",
       "dq_ks event_type value event_id % 2 <> 0 -i ev -o NULL ks",
       "dq_mwu event_type value event_id % 2 <> 0 -i ev -o NULL mwu",
-      "dq_skew event_type user_id -i ev -o NULL skew"))
+      "dq_skew event_type user_id -i ev -o NULL skew",
+      "dq_spearman event_type value event_id -i ev -o NULL trend"))
     val ks = reg("ks").collect()
     assert(ks.nonEmpty && ks.forall { r =>
       val d = r.getAs[Double]("d"); d >= 0.0 && d <= 1.0 })
@@ -553,6 +554,9 @@ class OinkScriptSpec extends SparkSpec {
     val skew = reg("skew").collect()
     assert(skew.nonEmpty && skew.forall { r =>
       val g = r.getAs[Double]("gini"); g >= 0.0 && g < 1.0 })
+    val trend = reg("trend").collect()
+    assert(trend.nonEmpty && trend.forall { r =>
+      r.isNullAt(5) || math.abs(r.getAs[Double]("rho")) <= 1.0 + 1e-12 })
     // usage errors raise ScriptError, not NoSuchElementException
     val err = intercept[OinkScript.ScriptError] {
       OinkScript.run(spark, Seq(

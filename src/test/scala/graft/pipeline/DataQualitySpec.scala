@@ -130,6 +130,42 @@ class DataQualitySpec extends SparkSpec {
     assert(h.getAs[Double]("top_share") == 0.75)
   }
 
+  test("spearmanTrend: hand-computed tie case; monotone extremes; constant column -> NULL") {
+    // x=[1,1,2], y=[1,2,3]: ax (2x midranks) = [3,3,6], ay = [2,4,6]
+    // -> Sxy = 3*54 - 144 = 18, Sxx = 18, Syy = 24; rho replays the
+    // identical IEEE closing expression bit-for-bit
+    val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L))
+      .toDF("grp", "x", "y")
+    val r = DataQuality.spearmanTrend(df, col("grp"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("sxy") == 18L && r.getAs[Long]("sxx") == 18L &&
+      r.getAs[Long]("syy") == 24L)
+    assert(r.getAs[Double]("rho") ==
+      18.0 / (math.sqrt(18.0) * math.sqrt(24.0)))
+    // strictly monotone up / down: |rho| = 1 up to the sqrt closing ulp
+    val up = Seq(("g", 1.0, 5L), ("g", 2.0, 7L), ("g", 3.0, 9L), ("g", 4.0, 11L))
+      .toDF("grp", "x", "y")
+    assert(math.abs(DataQuality.spearmanTrend(up, col("grp"), col("x"), col("y"))
+      .head().getAs[Double]("rho") - 1.0) < 1e-12)
+    val down = Seq(("g", 4.0, 5L), ("g", 3.0, 7L), ("g", 2.0, 9L), ("g", 1.0, 11L))
+      .toDF("grp", "x", "y")
+    assert(math.abs(DataQuality.spearmanTrend(down, col("grp"), col("x"), col("y"))
+      .head().getAs[Double]("rho") + 1.0) < 1e-12)
+    // constant x: Sxx = 0 -> NULL, never NaN
+    val const = Seq(("g", 7.0, 1L), ("g", 7.0, 2L), ("g", 7.0, 3L))
+      .toDF("grp", "x", "y")
+    assert(DataQuality.spearmanTrend(const, col("grp"), col("x"), col("y"))
+      .head().isNullAt(5))
+  }
+
+  test("streaming skew fold over micro-batches equals the one-shot batch report") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = DataQuality.skewReport(
+      spark.read.parquet(s"$dir/events.parquet"),
+      col("event_type"), col("user_id"))
+    val streamed = graft.streaming.EventStreams.skewMonitorSink(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming KS fold over micro-batches equals the one-shot batch statistic") {
     val dir = "/root/testdata/sf0.001"
     val batch = DataQuality.ksTest(
