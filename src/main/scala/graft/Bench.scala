@@ -257,7 +257,9 @@ object Bench {
         // the hand-binned interval join vs the RangeJoinRewrite-rule
         // plan from the naive join text (the rule-less naive plan is a
         // nested loop: 3.1 s at sf0.1, measured in COVERAGE)
-        "e_interval_join", "e_interval_join_auto",
+        // ... and the round-9 range-sliced sorted sweep beside them:
+        // same answer, O(output) comparisons vs all-pairs-in-bin
+        "e_interval_join", "e_interval_join_auto", "e_interval_join_sweep",
         // round-8 session-3 baselines: the KMV pairwise matrix and the
         // exact n-gram join it replaces at refresh time
         "d_overlap_matrix", "d_overlap",

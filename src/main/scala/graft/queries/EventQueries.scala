@@ -140,6 +140,23 @@ object EventQueries {
         .select("interval_id", "click_id")
     }),
 
+    // The SAME interval join as the range-sliced SORTED SWEEP
+    // (Ops.intervalOverlapJoinSweep): one sort per slice + an
+    // active-buffer walk doing O(output) comparisons, vs the binned
+    // join's all-pairs-in-bin filter — the hot-window-skew plan.
+    // Must hash-match e_interval_join's oracle exactly.
+    "e_interval_join_sweep" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("ts_us").as("ps"),
+          (col("ts_us") + 1800L * 1000000L).as("pe"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("cs"),
+          (col("ts_us") + 600L * 1000000L).as("ce"))
+      graft.core.Ops.intervalOverlapJoinSweep(p, c, "ps", "pe", "cs", "ce")
+        .select("interval_id", "click_id")
+    }),
+
     // The SAME interval join written NAIVELY (a keyless range predicate
     // Spark alone can only nested-loop) with the RangeJoinRewrite rule
     // opted in: the optimizer itself must produce the bin-replicated
@@ -678,6 +695,18 @@ object EventQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "e_interval_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT event_id AS interval_id, ts_us AS ps,
+        |    ts_us + CAST(1800000000 AS BIGINT) AS pe
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, ts_us AS cs,
+        |    ts_us + CAST(600000000 AS BIGINT) AS ce
+        |  FROM e WHERE event_type = 'click')
+        |SELECT p.interval_id, c.click_id
+        |FROM p JOIN c ON p.ps <= c.ce AND c.cs <= p.pe""".stripMargin,
+
+    // the sweep formulation must match the same range-join oracle
+    "e_interval_join_sweep" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events),
         |p AS (SELECT event_id AS interval_id, ts_us AS ps,
         |    ts_us + CAST(1800000000 AS BIGINT) AS pe

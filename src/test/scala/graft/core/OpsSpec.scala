@@ -66,6 +66,41 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("intervalOverlapJoinSweep: equals binned join and naive on hand and random sets") {
+    // hand case with long spans crossing many slices
+    val a = Seq((1L, 0L, 500L), (2L, 90L, 110L), (3L, 600L, 700L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 100L, 450L), (11L, 480L, 520L), (12L, 900L, 950L))
+      .toDF("bid", "bs", "be")
+    val sweep = Ops.intervalOverlapJoinSweep(a, b, "as", "ae", "bs", "be",
+        nSlices = 7)
+      .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    assert(sweep == List((1L, 10L), (1L, 11L), (2L, 10L)))
+    // randomized parity: sweep == binned == brute force, including
+    // touching endpoints (inclusive bounds), nested and disjoint spans
+    val rnd = new scala.util.Random(7)
+    val ra = (1 to 120).map { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(300))
+    }
+    val rb = (1 to 120).map { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(300))
+    }
+    val da = ra.toDF("aid", "as", "ae"); val db = rb.toDF("bid", "bs", "be")
+    val naive = (for {
+      (ai, as_, ae) <- ra; (bi, bs, be) <- rb
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)).toList.sorted
+    val gotSweep = Ops.intervalOverlapJoinSweep(da, db, "as", "ae", "bs", "be")
+      .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    val gotBin = Ops.intervalOverlapJoin(da, db, "as", "ae", "bs", "be", 128L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    assert(gotSweep == naive, "sweep vs brute force")
+    assert(gotBin == naive, "binned vs brute force")
+    // degenerate: empty side
+    assert(Ops.intervalOverlapJoinSweep(da.limit(0), db,
+      "as", "ae", "bs", "be").isEmpty)
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
