@@ -676,6 +676,17 @@ object OinkScript {
                 throw ScriptError(line, "dq_skew groupCol keyCol")
               sinkAndBind(graft.pipeline.DataQuality.skewReport(
                 in0, col(pos(0)), col(pos(1))), outs, line)
+            case "mv_refresh" =>
+              // mv_refresh keyCol measureCol delBoolExpr... -i standing batch
+              // — fold a refresh batch (inserts + retractions) into a
+              // standing (k, n, total) rollup without rescanning it
+              if (pos.size < 3 || ins.size < 2)
+                throw ScriptError(line,
+                  "mv_refresh keyCol measureCol delBoolExpr -i standing batch")
+              sinkAndBind(graft.pipeline.IncrementalAgg.refresh(in0,
+                graft.pipeline.IncrementalAgg.delta(obj(ins(1), line),
+                  col(pos(0)), col(pos(1)),
+                  expr(pos.drop(2).mkString(" ")))), outs, line)
             case "dq_spearman" =>
               // dq_spearman groupCol xCol yExpr... — exact tie-aware
               // Spearman trend per group (rest of line = y expression,

@@ -184,9 +184,14 @@ object DataQuality {
     * rows in ONE group (u2 ≤ 2·n_b·n_c < 2⁶³).
     * @return (grp, n_base, n_cur, u2_cur, auc) one row per group */
   def mwuTest(df: DataFrame, group: Column, value: Column,
-      isCurrent: Column): DataFrame = {
+      isCurrent: Column): DataFrame =
+    mwuFromCounts(sideCounts(df, group, value, isCurrent))
+
+  /** [[mwuTest]]'s statistic from pre-aggregated [[sideCounts]] — the
+    * same additive state the streaming KS fold keeps, so one folded
+    * count table serves both monitors. */
+  def mwuFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = sideCounts(df, group, value, isCurrent)
     val w = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = counts.groupBy("grp")

@@ -617,6 +617,29 @@ object PipelineQueries {
       graft.pipeline.DataQuality.skewReport(
         Tables.events(s, dir), col("event_type"), col("user_id"))),
 
+    // Incremental materialized aggregate with RETRACTIONS: standing
+    // per-key (n, total_cents) rollup + a refresh batch mixing inserts
+    // (event_id%10==0) and deletes (retract standing rows with
+    // event_id%7==0); the refresh reads ONLY the batch — the standing
+    // corpus is never rescanned. Oracle = from-scratch recompute over
+    // the surviving row set; exact integers end to end.
+    "d_mv_inc" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        concat_ws("|", col("event_type"), col("user_id")).as("key"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val standing = graft.pipeline.IncrementalAgg.bootstrap(
+        e.where(col("event_id") % 10 =!= 0), col("key"), col("cents"))
+        .localCheckpoint() // maintained state, not a live view
+      val batch = e.where(col("event_id") % 10 === 0)
+        .withColumn("del", lit(false))
+        .unionByName(
+          e.where(col("event_id") % 10 =!= 0 && col("event_id") % 7 === 0)
+            .withColumn("del", lit(true)))
+      graft.pipeline.IncrementalAgg.refresh(standing,
+        graft.pipeline.IncrementalAgg.delta(
+          batch, col("key"), col("cents"), col("del")))
+    }),
+
     // EXACT tie-aware Spearman between value and event time per type —
     // the monotone-trend screen (third drift axis: KS shape, MWU
     // location, Spearman trend). 2x-scaled midranks keep every
@@ -2412,6 +2435,19 @@ object PipelineQueries {
         |  CAST(t.max_key_rows AS DOUBLE) /
         |    CAST(t.n_rows AS DOUBLE) AS top_share
         |FROM t JOIN g ON g.grp = t.grp""".stripMargin,
+
+    // from-scratch recompute over the surviving rows: standing minus
+    // retracted (%7) plus inserted (%10), same exact-cents ladder
+    "d_mv_inc" ->
+      """WITH e AS (SELECT event_id,
+        |  event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |live AS (SELECT * FROM e
+        |  WHERE (event_id % 10 <> 0 AND event_id % 7 <> 0)
+        |     OR event_id % 10 = 0)
+        |SELECT key AS k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total
+        |FROM live GROUP BY 1""".stripMargin,
 
     // identical 2x-midrank ladder to DataQuality.spearmanTrend:
     // a = 2*RANK + |ties| - 1, five exact-long accumulators, closing

@@ -558,6 +558,12 @@ object StreamingGateQueries {
     "st_skew" -> ((s, dir) =>
       graft.streaming.EventStreams.skewMonitorSink(s, dir)),
 
+    // Streaming Mann-Whitney U off the SAME side-count fold as st_ks
+    // (both statistics are functions of the additive per-(group,value)
+    // side counts); terminal result ≡ batch dq_mwu, shared oracle.
+    "st_mwu" -> ((s, dir) =>
+      graft.streaming.EventStreams.mwuMonitorSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -1217,6 +1223,7 @@ object StreamingGateQueries {
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
     "st_ks" -> graft.queries.PipelineQueries.oracles("dq_ks"),
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
+    "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -842,7 +842,26 @@ object EventStreams {
     * independent of how many events streamed through a bucket.
     * @return (grp, n_base, n_cur, d_num, d) — ksTest's schema */
   def ksMonitorSink(spark: SparkSession, dir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 4): DataFrame =
+    graft.pipeline.DataQuality.ksFromCounts(
+      foldSideCounts(spark, dir, nFiles))
+
+  /** Streaming Mann–Whitney U monitor — the location-shift twin of
+    * [[ksMonitorSink]] on the SAME folded side-count state: one count
+    * fold serves both statistics (both are functions of the per-
+    * (group, value) side counts, which are additive across batches).
+    * Terminal result ≡ the one-shot batch dq_mwu (shared oracle). */
+  def mwuMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame =
+    graft.pipeline.DataQuality.mwuFromCounts(
+      foldSideCounts(spark, dir, nFiles))
+
+  /** The shared fold: drain the staged event files one micro-batch per
+    * file, reducing each batch to its (group, value) side counts and
+    * key-sum-merging into the accumulated state. Counts are additive →
+    * any batching of the same events ends at the identical table. */
+  private def foldSideCounts(spark: SparkSession, dir: String,
+      nFiles: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val staged = stageSortedEventFiles(spark, dir, nFiles)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ks_ckpt_").toFile
@@ -874,7 +893,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.pipeline.DataQuality.ksFromCounts(acc)
+    acc
   }
 
   /** Streaming hot-key (skew) monitor — [[ksMonitorSink]]'s companion
