@@ -548,6 +548,17 @@ object OinkScript {
                 spark, resolve(ins.head), mb << 20)
               println(s"compact_edges: ${r.filesBefore} -> ${r.filesAfter} files " +
                 s"(${r.bytes} bytes)") // scalastyle:ignore
+            case "zorder_edges" =>
+              // zorder_edges numFiles [bits] -i dir — rewrite the
+              // connector table on the (src, dst) Morton curve so the
+              // zone-map sidecars prune on both columns
+              if (pos.isEmpty || ins.isEmpty)
+                throw ScriptError(line, "zorder_edges numFiles [bits] -i dir")
+              val zr = graft.io.Compaction.zorderEdgeList(spark,
+                resolve(ins.head), pos(0).toInt,
+                pos.lift(1).map(_.toInt).getOrElse(20))
+              println(s"zorder_edges: ${zr.filesBefore} -> ${zr.filesAfter} " +
+                s"files (${zr.bytes} bytes)") // scalastyle:ignore
             case "ann_lsh" =>
               // ann_lsh [k] [dim] — dim probed from the data if absent
               val k = pos.lift(0).map(_.toInt).getOrElse(10)

@@ -147,6 +147,26 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // Write -> OPTIMIZE ZORDER -> filtered read round trip: the
+    // maintenance pass rewrites the connector table on the (src, dst)
+    // Morton curve (fresh zone-map sidecars from the rewrite commit),
+    // then a two-sided range filter reads through the pruned file set.
+    // The oracle never sees the on-disk detour or the layout.
+    "g_dsv2_zorder" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2z_").toFile
+      root.deleteOnExit()
+      Tables.edges(s, dir)
+        .repartition(4).write.format("graft.sources.EdgeListSource")
+        .mode("overwrite").save(s"$root/edges")
+      graft.io.Compaction.zorderEdgeList(s, s"$root/edges",
+        numFiles = 4, bits = 20)
+      s.read.format("graft.sources.EdgeListSource")
+        .load(s"$root/edges")
+        .where(col("src") >= 100 && col("dst") < 5000)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+    }),
+
     // The connector as a PURE-SQL relation (graft_edges table function):
     // the same grouped-pushdown degree query, written entirely in SQL —
     // the thrift-server / SQL-script access path. Shares g_dsv2_degree's
@@ -626,6 +646,11 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
          |GROUP BY src""".stripMargin,
+
+    "g_dsv2_zorder" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE src >= 100 AND dst < 5000 GROUP BY src""".stripMargin,
 
     "g_dsv2_stream" ->
       s"""WITH edges AS ($E)

@@ -142,4 +142,46 @@ class EdgeListStatsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(got === ((2L, 1000L, 1100L)))
   }
+
+  test("OPTIMIZE ZORDER turns no-prune append layout into quadrant-pruned files") {
+    // 4 appended files, EACH spanning the whole 64x64 key plane
+    // ((src+dst)%4 slicing) -> zone maps are useless: every file plans
+    // for any point or range query
+    val root = Files.createTempDirectory("graftzord").resolve("edges").toString
+    val all = for { s <- 0L until 64L; d <- 0L until 64L } yield (s, d)
+    for (slice <- 0 until 4)
+      all.filter { case (s, d) => (s + d) % 4 == slice }
+        .toDF("src", "dst").coalesce(1)
+        .write.format(Fmt).mode("append").save(root)
+    assert(EdgeListSource.listFiles(root).size === 4)
+    assert(plannedPartitions(root, col("src") === 5 && col("dst") === 7) === 4)
+    assert(plannedPartitions(root, col("src") < 32) === 4)
+
+    val before = spark.read.format(Fmt).load(root)
+      .as[(Long, Long)].collect().sorted
+    val r = graft.io.Compaction.zorderEdgeList(spark, root,
+      numFiles = 4, bits = 6)
+    assert(r.filesBefore === 4 && r.filesAfter === 4)
+
+    // content identical after the rewrite
+    val after = spark.read.format(Fmt).load(root)
+      .as[(Long, Long)].collect().sorted
+    assert(after.toSeq === before.toSeq)
+    // every new file has a fresh sidecar (written by the connector commit)
+    val files = EdgeListSource.listFiles(root)
+    assert(files.flatMap(EdgeStats.read).size === 4)
+    // Morton layout: 4 contiguous z-ranges ≈ the four 32x32 quadrants
+    // (repartitionByRange SAMPLES boundaries, so a file edge can sit
+    // slightly off the exact quadrant corner and one neighboring file's
+    // bounding rectangle may still admit a point) — a point query now
+    // plans at most 2 files instead of all 4, half-planes at most 3
+    assert(plannedPartitions(root, col("src") === 5 && col("dst") === 7) <= 2)
+    assert(plannedPartitions(root, col("src") < 32) <= 3)
+    assert(plannedPartitions(root, col("dst") >= 32) <= 3)
+    // and pruned reads stay exact
+    assert(spark.read.format(Fmt).load(root)
+      .where(col("src") === 5 && col("dst") === 7).count() === 1L)
+    assert(spark.read.format(Fmt).load(root)
+      .where(col("src") < 32).count() === 32L * 64L)
+  }
 }
