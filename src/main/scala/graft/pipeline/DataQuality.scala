@@ -301,28 +301,96 @@ object DataQuality {
     * correctly rounded by spec in any conforming engine — applied to
     * exact-integer operands in a shared op order, so rho hash-gates
     * bit-for-bit. A constant column (Sxx or Syy = 0) yields NULL, not
-    * NaN. Scale shape: two per-group rank windows + one aggregate.
+    * NaN. Scale shape: rows first REDUCE to distinct (x, y) pair
+    * counts (map-side combined), then the rank windows sort only
+    * DISTINCT values per axis — never the raw rows (the per-row
+    * formulation the DuckDB oracle replays is value-identical: the
+    * accumulators are the same exact integers either way).
     * Long-exactness envelope: n·Σa² ≤ 4n⁴ needs n ≲ 38k rows per
     * group; past that, swap the five accumulators to DECIMAL(38,0)
     * (schema unchanged, exactness kept to ~10⁹ rows).
     * @return (grp, n, sxy, sxx, syy, rho) one row per group */
   def spearmanTrend(df: DataFrame, group: Column, xc: Column,
-      yc: Column): DataFrame = {
+      yc: Column): DataFrame =
+    spearmanFromPairCounts(
+      df.groupBy(group.as("grp"), xc.as("x"), yc.as("y"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The SAME statistic from pre-aggregated per-(group, x, y) PAIR
+    * counts — the additive state a streaming fold accumulates
+    * ([[graft.streaming.EventStreams.spearmanMonitorSink]]): midranks
+    * re-derive from the marginal cumulative counts (the KS ladder,
+    * once per axis), every accumulator weights by `cnt`, and the
+    * closing expression is shared with [[spearmanTrend]] verbatim —
+    * identical exact-integer inputs ⇒ the identical bit pattern.
+    * @param pc (grp, x, y, cnt) */
+  def spearmanFromPairCounts(pc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(group.as("grp"), xc.as("x"), yc.as("y"))
-    val ranked = base
-      .withColumn("ax",
-        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("x")) +
-          count(lit(1)).over(Window.partitionBy("grp", "x")) - 1L)
-      .withColumn("ay",
-        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("y")) +
-          count(lit(1)).over(Window.partitionBy("grp", "y")) - 1L)
-    ranked.groupBy("grp")
-      .agg(count(lit(1)).as("n"), sum("ax").as("sax"), sum("ay").as("say"),
-        sum(col("ax") * col("ax")).as("sxx_s"),
-        sum(col("ay") * col("ay")).as("syy_s"),
-        sum(col("ax") * col("ay")).as("sxy_s"))
-      .select(col("grp"), col("n"),
+    def axis(v: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pc.groupBy("grp", v).agg(sum("cnt").as("t"))
+        .withColumn("cum", sum("t").over(w))
+        .select(col("grp"), col(v),
+          (lit(2L) * col("cum") - col("t") + 1L).as(s"a$v"))
+    }
+    pc.join(axis("x"), Seq("grp", "x")).join(axis("y"), Seq("grp", "y"))
+      .groupBy("grp")
+      .agg(sum("cnt").as("n"),
+        sum(col("cnt") * col("ax")).as("sax"),
+        sum(col("cnt") * col("ay")).as("say"),
+        sum(col("cnt") * col("ax") * col("ax")).as("sxx_s"),
+        sum(col("cnt") * col("ay") * col("ay")).as("syy_s"),
+        sum(col("cnt") * col("ax") * col("ay")).as("sxy_s"))
+      .transform(spearmanClose)
+  }
+
+  /** Benford's-law first-digit rates as 17-significant-digit decimal
+    * literals — both engines parse the same strings to the same
+    * doubles (IEEE parses are correctly rounded), so the expected
+    * counts and chi-square ladder built on them hash-gate exactly. */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Benford first-digit screen per group — the fabricated-numbers /
+    * unit-mixup detector a DQ pass runs on money-like columns: compare
+    * the observed first-significant-digit distribution of the EXACT
+    * cents integers against Benford's log law, as per-digit chi-square
+    * contributions (the dq_drift construction — no row-level log ever
+    * runs). The first digit comes from the decimal rendering of a
+    * BIGINT (identical across engines), never from floating log10;
+    * non-positive cents are excluded (no first significant digit).
+    * One grouped count + a broadcast totals join: one scan at any
+    * scale.
+    * @param cents exact integer column (e.g. floor(value·100 + 0.5))
+    * @return (grp, digit, n_obs, n_rows, expected, chi2_contrib) */
+  def benford(df: DataFrame, group: Column, cents: Column): DataFrame = {
+    val p = BenfordP.foldLeft(lit(null).cast("double")) { case (acc, (d, v)) =>
+      when(col("digit") === d, lit(v)).otherwise(acc)
+    }
+    val counts = df.select(group.as("grp"), cents.cast("long").as("c"))
+      .where(col("c") > 0L)
+      .withColumn("digit",
+        substring(col("c").cast("string"), 1, 1).cast("int"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.groupBy("grp").agg(sum("n_obs").as("n_rows"))
+    counts.join(broadcast(tot), Seq("grp"))
+      .withColumn("__e", col("n_rows").cast("double") * p)
+      .select(col("grp"), col("digit"), col("n_obs"), col("n_rows"),
+        col("__e").as("expected"),
+        ((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
+          col("__e")).as("chi2_contrib"))
+  }
+
+  /** Shared closing expression of the two Spearman paths — the one
+    * piece that must stay op-for-op identical for the raw-double hash
+    * to agree. */
+  private def spearmanClose(agged: DataFrame): DataFrame =
+    agged.select(col("grp"), col("n"),
         (col("n") * col("sxy_s") - col("sax") * col("say")).as("sxy"),
         (col("n") * col("sxx_s") - col("sax") * col("sax")).as("sxx"),
         (col("n") * col("syy_s") - col("say") * col("say")).as("syy"))
@@ -330,5 +398,4 @@ object DataQuality {
         when(col("sxx") === 0L || col("syy") === 0L, lit(null).cast("double"))
           .otherwise(col("sxy").cast("double") /
             (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))))
-  }
 }

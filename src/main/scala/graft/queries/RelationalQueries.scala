@@ -481,6 +481,26 @@ object RelationalQueries {
               |""".stripMargin)
     }),
 
+    // SQL session VARIABLES + EXECUTE IMMEDIATE (Spark 4 scripting
+    // surface): DECLARE a typed variable, SET VAR it, store the query
+    // TEXT in a second variable, and run it via EXECUTE IMMEDIATE with
+    // the threshold bound through a positional parameter marker — the
+    // parameterized-SQL path a driver-less SQL client uses. The oracle
+    // inlines the constant; the output must not change one row.
+    "q42_sql_vars" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_thr DOUBLE DEFAULT 500.0")
+      s.sql("SET VAR graft_thr = 700.0")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_q42 STRING DEFAULT ''")
+      s.sql("""SET VAR graft_q42 =
+              |  'SELECT event_type, count(*) AS n_above,
+              |     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              |       AS BIGINT) AS cents_above
+              |   FROM events WHERE value > ? GROUP BY event_type'
+              |""".stripMargin)
+      s.sql("EXECUTE IMMEDIATE graft_q42 USING graft_thr")
+    }),
+
     // RFM segmentation (recency/frequency/monetary quintiles) — the
     // marketing-analytics standard. Scores are quintiles WITHIN each
     // market segment (the standard segment-relative practice, and the
@@ -698,6 +718,13 @@ object RelationalQueries {
     "q41_approx_topk" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY cnt DESC LIMIT 3""".stripMargin,
+
+    // the variable-threshold query with the parameter inlined
+    "q42_sql_vars" ->
+      """SELECT event_type, count(*) AS n_above,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_above
+        |FROM events WHERE value > 700.0 GROUP BY event_type""".stripMargin,
 
     "q40_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d

@@ -564,6 +564,13 @@ object StreamingGateQueries {
     "st_mwu" -> ((s, dir) =>
       graft.streaming.EventStreams.mwuMonitorSink(s, dir)),
 
+    // Streaming Spearman trend: per-(group, value, time) PAIR counts
+    // folded additively; exact tie-aware rho re-derived from the fold
+    // ≡ batch dq_spearman (identical integer accumulators ⇒ identical
+    // raw-double bit pattern; shared oracle).
+    "st_spearman" -> ((s, dir) =>
+      graft.streaming.EventStreams.spearmanMonitorSink(s, dir)),
+
     // Streaming MERGE-INTO sink (st_scd2_sink's stateless companion):
     // foreachBatch upserts each batch's latest signup per user into an
     // accumulating snapshot and deletes on error events; the conditional
@@ -1224,6 +1231,7 @@ object StreamingGateQueries {
     "st_ks" -> graft.queries.PipelineQueries.oracles("dq_ks"),
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
+    "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -856,6 +856,50 @@ object EventStreams {
     graft.pipeline.DataQuality.mwuFromCounts(
       foldSideCounts(spark, dir, nFiles))
 
+  /** Streaming Spearman trend monitor — the third statistic on an
+    * additive fold: state is per-(group, value, time) PAIR counts
+    * (one row per distinct pair, summed across batches), and the exact
+    * tie-aware rho re-derives from the folded pairs via
+    * [[graft.pipeline.DataQuality.spearmanFromPairCounts]] — terminal
+    * result ≡ the one-shot batch dq_spearman (identical exact-integer
+    * accumulators ⇒ identical bit pattern; shared oracle). */
+  def spearmanMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sp_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("grp", StringType),
+        StructField("x", DoubleType), StructField("y", LongType),
+        StructField("cnt", LongType))))
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batch.groupBy(col("event_type").as("grp"),
+            col("value").as("x"),
+            graft.io.Tables.eventMicros(batch).as("y"))
+          .agg(count(lit(1)).as("cnt"))
+        if (!bc.isEmpty) {
+          acc = acc.unionByName(bc)
+            .groupBy("grp", "x", "y").agg(sum("cnt").as("cnt"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.pipeline.DataQuality.spearmanFromPairCounts(acc)
+  }
+
   /** The shared fold: drain the staged event files one micro-batch per
     * file, reducing each batch to its (group, value) side counts and
     * key-sum-merging into the accumulated state. Counts are additive →

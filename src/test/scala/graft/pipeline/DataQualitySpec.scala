@@ -157,6 +157,49 @@ class DataQualitySpec extends SparkSpec {
       .head().isNullAt(5))
   }
 
+  test("pair-count Spearman equals the per-row rank-window formulation BIT-FOR-BIT") {
+    // the per-row formulation (what the DuckDB oracle replays),
+    // written independently here: a = 2*RANK() + |ties| - 1 per row
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_type").as("grp"), col("value").as("x"),
+      graft.io.Tables.eventMicros(ev).as("y"))
+    val ranked = base
+      .withColumn("ax",
+        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("x")) +
+          count(lit(1)).over(Window.partitionBy("grp", "x")) - 1L)
+      .withColumn("ay",
+        lit(2L) * rank().over(Window.partitionBy("grp").orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("grp", "y")) - 1L)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("ax").as("sax"), sum("ay").as("say"),
+        sum(col("ax") * col("ax")).as("sxx_s"),
+        sum(col("ay") * col("ay")).as("syy_s"),
+        sum(col("ax") * col("ay")).as("sxy_s"))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sxy_s") - col("sax") * col("say")).as("sxy"),
+        (col("n") * col("sxx_s") - col("sax") * col("sax")).as("sxx"),
+        (col("n") * col("syy_s") - col("say") * col("say")).as("syy"))
+      .withColumn("rho", col("sxy").cast("double") /
+        (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+    val fromCounts = DataQuality.spearmanTrend(ev, col("event_type"),
+      col("value"), graft.io.Tables.eventMicros(ev))
+    // exceptAll compares doubles exactly — identical integer
+    // accumulators through the shared closing expression must
+    // reproduce the identical bit pattern
+    assert(fromCounts.exceptAll(ranked).isEmpty &&
+      ranked.exceptAll(fromCounts).isEmpty)
+  }
+
+  test("streaming Spearman fold over micro-batches equals the one-shot batch statistic") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val batch = DataQuality.spearmanTrend(ev, col("event_type"),
+      col("value"), graft.io.Tables.eventMicros(ev))
+    val streamed = graft.streaming.EventStreams.spearmanMonitorSink(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming skew fold over micro-batches equals the one-shot batch report") {
     val dir = "/root/testdata/sf0.001"
     val batch = DataQuality.skewReport(
@@ -173,6 +216,30 @@ class DataQualitySpec extends SparkSpec {
       col("event_type"), col("value"), col("event_id") % 2 =!= 0)
     val streamed = graft.streaming.EventStreams.ksMonitorSink(spark, dir)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("benford: digit extraction from exact cents, planted distribution, exclusions") {
+    // cents 19,25,199,2,-3,0: digits 1,2,1,2 (negative and zero excluded)
+    val df = Seq(19L, 25L, 199L, 2L, -3L, 0L).map(("g", _)).toDF("grp", "c")
+    val r = DataQuality.benford(df, col("grp"), col("c"))
+      .collect().map(x => x.getAs[Int]("digit") ->
+        ((x.getAs[Long]("n_obs"), x.getAs[Long]("n_rows"),
+          x.getAs[Double]("expected")))).toMap
+    assert(r.keySet == Set(1, 2))
+    assert(r(1)._1 == 2L && r(2)._1 == 2L)
+    assert(r(1)._2 == 4L)
+    // expected = n_rows * the shared literal, one multiply
+    assert(r(1)._3 == 4.0 * 0.3010299956639812)
+    assert(r(2)._3 == 4.0 * 0.17609125905568124)
+    // a perfectly-Benford synthetic sample scores tiny contributions:
+    // counts proportional to p over 10000 rows
+    val n = 10000
+    val rows = DataQuality.BenfordP.flatMap { case (d, p) =>
+      Seq.fill(math.round(p * n).toInt)(("g", d.toLong))
+    }
+    val chi = DataQuality.benford(rows.toDF("grp", "c"), col("grp"), col("c"))
+      .agg(sum("chi2_contrib")).head().getDouble(0)
+    assert(chi < 1.0, s"near-Benford sample scored $chi")
   }
 
   test("iqrOutliers: Tukey fences catch planted extremes only") {
