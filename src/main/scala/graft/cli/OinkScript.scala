@@ -687,6 +687,14 @@ object OinkScript {
                 throw ScriptError(line, "dq_skew groupCol keyCol")
               sinkAndBind(graft.pipeline.DataQuality.skewReport(
                 in0, col(pos(0)), col(pos(1))), outs, line)
+            case "dq_benford" =>
+              // dq_benford groupCol centsExpr... — first-digit Benford
+              // screen (rest of line = exact-integer expression)
+              if (pos.size < 2)
+                throw ScriptError(line, "dq_benford groupCol centsExpr")
+              sinkAndBind(graft.pipeline.DataQuality.benford(
+                in0, col(pos(0)),
+                expr(pos.drop(1).mkString(" "))), outs, line)
             case "mv_refresh" =>
               // mv_refresh keyCol measureCol delBoolExpr... -i standing batch
               // — fold a refresh batch (inserts + retractions) into a

@@ -510,6 +510,40 @@ object EventQueries {
     // time reaching each stage STRICTLY AFTER the previous stage's
     // time — one conditional-min aggregation per stage, each keyed on
     // user_id (tiny per-user state; no per-user event lists collect).
+    // Multi-touch attribution: every purchase credits the click/view
+    // touches of the same user in the preceding 7 days — last-touch /
+    // first-touch flags (row_number with touch_id tie-break) and the
+    // linear credit 1/k as ONE exact division (k is an exact count, so
+    // the double hash-gates). Equi-join on user_id + range residual;
+    // the windows partition by purchase over the already-matched
+    // frame, never one global partition.
+    "e_attrib" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUs(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("pts"))
+      val t = e.where(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("user_id"),
+          col("ts_us").as("tts"))
+      val horizon = 7L * 24 * 3600 * 1000000L
+      val j = p.join(t, Seq("user_id"))
+        .where(col("tts") <= col("pts") &&
+          col("pts") - col("tts") <= horizon)
+      val w = Window.partitionBy("purchase_id")
+      j.withColumn("n_touches", count(lit(1)).over(w))
+        .withColumn("rn_first", row_number().over(
+          w.orderBy(col("tts"), col("touch_id"))))
+        .withColumn("rn_last", row_number().over(
+          w.orderBy(col("tts").desc, col("touch_id").desc)))
+        .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+          col("n_touches"),
+          (lit(1.0) / col("n_touches").cast("double")).as("credit"),
+          (col("rn_first") === 1).as("is_first"),
+          (col("rn_last") === 1).as("is_last"))
+    }),
+
     "e_funnel" -> ((s, dir) => {
       val e = eventsUs(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
       val t1 = e.where(col("event_type") === "view")
@@ -906,6 +940,31 @@ object EventQueries {
          |  wsum / ${1.0 - math.pow(0.5, 8)} AS ewma
          |FROM r WHERE rn > 8""".stripMargin
     },
+
+    // identical join + windows; CAST keeps DuckDB's 1.0 literal in
+    // DOUBLE land for the single credit division
+    "e_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_id, event_type AS touch_type,
+        |      user_id, ts_us AS tts
+        |      FROM e WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.purchase_id, t.touch_id, t.touch_type
+        |  , count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        |  , row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY t.tts, t.touch_id) AS rn_first
+        |  , row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY t.tts DESC, t.touch_id DESC) AS rn_last
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |  WHERE t.tts <= p.pts
+        |    AND p.pts - t.tts <= CAST(604800000000 AS BIGINT))
+        |SELECT purchase_id, touch_id, touch_type,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  CAST(1.0 AS DOUBLE) / CAST(n_touches AS DOUBLE) AS credit,
+        |  rn_first = 1 AS is_first, rn_last = 1 AS is_last
+        |FROM j""".stripMargin,
 
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

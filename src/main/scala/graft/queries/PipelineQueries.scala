@@ -640,6 +640,17 @@ object PipelineQueries {
           batch, col("key"), col("cents"), col("del")))
     }),
 
+    // Benford first-digit screen per event type on exact cents — the
+    // fabricated-numbers detector: observed first-significant-digit
+    // counts vs the log law, as chi-square contributions. The digit
+    // comes from the BIGINT's decimal rendering (engine-identical);
+    // the nine Benford rates are shared 17-digit literals, so the
+    // doubles hash-gate bit-for-bit.
+    "dq_benford" -> ((s, dir) =>
+      graft.pipeline.DataQuality.benford(
+        Tables.events(s, dir), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))),
+
     // EXACT tie-aware Spearman between value and event time per type —
     // the monotone-trend screen (third drift axis: KS shape, MWU
     // location, Spearman trend). 2x-scaled midranks keep every
@@ -2448,6 +2459,35 @@ object PipelineQueries {
         |SELECT key AS k, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total
         |FROM live GROUP BY 1""".stripMargin,
+
+    // identical digit extraction (BIGINT decimal rendering) and the
+    // same nine shared Benford literals; CASTs keep DuckDB's decimal
+    // literals in DOUBLE land (the q19 gotcha)
+    "dq_benford" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |d AS (SELECT grp,
+        |  CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM e WHERE c > 0),
+        |cnt AS (SELECT grp, digit, count(*) AS n_obs FROM d GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(n_obs) AS BIGINT) AS n_rows
+        |      FROM cnt GROUP BY 1),
+        |x AS (SELECT cnt.grp, cnt.digit, CAST(cnt.n_obs AS BIGINT) AS n_obs,
+        |  t.n_rows,
+        |  CAST(t.n_rows AS DOUBLE) * CAST(CASE cnt.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS e
+        |  FROM cnt JOIN t ON t.grp = cnt.grp)
+        |SELECT grp, digit, n_obs, n_rows, e AS expected,
+        |  (n_obs - e) * (n_obs - e) / e AS chi2_contrib
+        |FROM x""".stripMargin,
 
     // identical 2x-midrank ladder to DataQuality.spearmanTrend:
     // a = 2*RANK + |ties| - 1, five exact-long accumulators, closing
