@@ -564,6 +564,13 @@ object StreamingGateQueries {
     "st_mwu" -> ((s, dir) =>
       graft.streaming.EventStreams.mwuMonitorSink(s, dir)),
 
+    // Streaming MV maintenance: per-micro-batch signed deltas folded
+    // into the standing per-key rollup (IncrementalAgg) — standing
+    // side never rescanned; terminal MV ≡ from-scratch recompute over
+    // all events (delta folding is additive).
+    "st_mv_inc" -> ((s, dir) =>
+      graft.streaming.EventStreams.mvMaintenanceSink(s, dir)),
+
     // Streaming Spearman trend: per-(group, value, time) PAIR counts
     // folded additively; exact tie-aware rho re-derived from the fold
     // ≡ batch dq_spearman (identical integer accumulators ⇒ identical
@@ -1232,6 +1239,14 @@ object StreamingGateQueries {
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
+    // inserts-only recompute: the full rollup over every event
+    "st_mv_inc" ->
+      """WITH e AS (SELECT
+        |  event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT key AS k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total
+        |FROM e GROUP BY 1""".stripMargin,
     "st_session_native_mb" -> baseOracles("st_session_native"),
     "st_running_rocks" -> baseOracles("st_running"),
     "st_interval_join" -> EventQueries.oracles("e_interval_join"),

@@ -900,6 +900,54 @@ object EventStreams {
     graft.pipeline.DataQuality.spearmanFromPairCounts(acc)
   }
 
+  /** Streaming materialized-aggregate maintenance — the live twin of
+    * the d_mv_inc batch refresh: each micro-batch reduces to per-key
+    * signed deltas ([[graft.pipeline.IncrementalAgg.delta]], one batch
+    * scan) and folds into the standing rollup with the key full-outer
+    * merge; the standing side is never rescanned. Delta folding is
+    * additive, so any batching of the same rows lands on the identical
+    * MV — the terminal table equals a from-scratch recompute over all
+    * events (the oracle). Exactly-once is the AvailableNow drain's
+    * checkpoint contract here; on a replaying sink, pair with the
+    * idempotent batch-id pattern (retraction algebra is not
+    * idempotent).
+    * @return (k, n, total) — key = event_type|user_id, total = cents */
+  def mvMaintenanceSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var mv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType),
+        StructField("n", LongType), StructField("total", LongType))))
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          concat_ws("|", col("event_type"), col("user_id")).as("key"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        if (!rows.isEmpty) {
+          mv = graft.pipeline.IncrementalAgg.refresh(mv,
+            graft.pipeline.IncrementalAgg.delta(
+              rows, col("key"), col("cents"), lit(false)))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    mv
+  }
+
   /** The shared fold: drain the staged event files one micro-batch per
     * file, reducing each batch to its (group, value) side counts and
     * key-sum-merging into the accumulated state. Counts are additive →

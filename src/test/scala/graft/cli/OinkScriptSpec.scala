@@ -544,7 +544,8 @@ class OinkScriptSpec extends SparkSpec {
       "dq_ks event_type value event_id % 2 <> 0 -i ev -o NULL ks",
       "dq_mwu event_type value event_id % 2 <> 0 -i ev -o NULL mwu",
       "dq_skew event_type user_id -i ev -o NULL skew",
-      "dq_spearman event_type value event_id -i ev -o NULL trend"))
+      "dq_spearman event_type value event_id -i ev -o NULL trend",
+      "dq_benford event_type CAST(floor(value * 100 + 0.5) AS BIGINT) -i ev -o NULL benf"))
     val ks = reg("ks").collect()
     assert(ks.nonEmpty && ks.forall { r =>
       val d = r.getAs[Double]("d"); d >= 0.0 && d <= 1.0 })
@@ -557,6 +558,9 @@ class OinkScriptSpec extends SparkSpec {
     val trend = reg("trend").collect()
     assert(trend.nonEmpty && trend.forall { r =>
       r.isNullAt(5) || math.abs(r.getAs[Double]("rho")) <= 1.0 + 1e-12 })
+    val benf = reg("benf").collect()
+    assert(benf.nonEmpty && benf.forall { r =>
+      val d = r.getAs[Int]("digit"); d >= 1 && d <= 9 })
     // usage errors raise ScriptError, not NoSuchElementException
     val err = intercept[OinkScript.ScriptError] {
       OinkScript.run(spark, Seq(
@@ -564,5 +568,27 @@ class OinkScriptSpec extends SparkSpec {
         "dq_mwu event_type -i ev -o NULL bad"))
     }
     assert(err.getMessage.contains("dq_mwu"))
+  }
+
+  test("mv_refresh verb folds a batch into a standing rollup exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id").as("key"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_verb_")
+    tmp.toFile.deleteOnExit()
+    graft.pipeline.IncrementalAgg.bootstrap(
+        ev.where(col("event_id") % 2 === 0), col("key"), col("cents"))
+      .write.parquet(s"$tmp/standing")
+    ev.where(col("event_id") % 2 =!= 0).withColumn("del", lit(false))
+      .write.parquet(s"$tmp/batch")
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $tmp/standing -o NULL st",
+      s"read_parquet -i $tmp/batch -o NULL ba",
+      "mv_refresh key cents del -i st ba -o NULL mv"))
+    val full = graft.pipeline.IncrementalAgg.bootstrap(
+      ev, col("key"), col("cents"))
+    val got = reg("mv")
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 }
