@@ -706,6 +706,24 @@ object OinkScript {
                 graft.pipeline.IncrementalAgg.delta(obj(ins(1), line),
                   col(pos(0)), col(pos(1)),
                   expr(pos.drop(2).mkString(" ")))), outs, line)
+            case "dq_mad" =>
+              // dq_mad groupCol centsExpr... — exact median/MAD
+              // (Hampel X84) outlier screen per group (rest of line =
+              // exact-integer expression, e.g. the cents ladder)
+              if (pos.size < 2)
+                throw ScriptError(line, "dq_mad groupCol centsExpr")
+              sinkAndBind(graft.pipeline.DataQuality.madOutliers(
+                in0, col(pos(0)),
+                expr(pos.drop(1).mkString(" "))), outs, line)
+            case "dq_contingency" =>
+              // dq_contingency aCol bExpr... — per-cell chi-square
+              // association screen between two categoricals (rest of
+              // line = the second categorical expression)
+              if (pos.size < 2)
+                throw ScriptError(line, "dq_contingency aCol bExpr")
+              sinkAndBind(graft.pipeline.DataQuality.contingency(
+                in0, col(pos(0)),
+                expr(pos.drop(1).mkString(" "))), outs, line)
             case "dq_spearman" =>
               // dq_spearman groupCol xCol yExpr... — exact tie-aware
               // Spearman trend per group (rest of line = y expression,

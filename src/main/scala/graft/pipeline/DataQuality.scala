@@ -368,15 +368,26 @@ object DataQuality {
     * scale.
     * @param cents exact integer column (e.g. floor(value·100 + 0.5))
     * @return (grp, digit, n_obs, n_rows, expected, chi2_contrib) */
-  def benford(df: DataFrame, group: Column, cents: Column): DataFrame = {
-    val p = BenfordP.foldLeft(lit(null).cast("double")) { case (acc, (d, v)) =>
-      when(col("digit") === d, lit(v)).otherwise(acc)
-    }
-    val counts = df.select(group.as("grp"), cents.cast("long").as("c"))
+  def benford(df: DataFrame, group: Column, cents: Column): DataFrame =
+    benfordFromCounts(digitCounts(df, group, cents))
+
+  /** Per-(group, first digit) counts — [[benford]]'s sufficient
+    * statistic, and the ADDITIVE state a streaming fold accumulates
+    * ([[graft.streaming.EventStreams.benfordMonitorSink]]): digit
+    * counts of the union of batches = sum of per-batch digit counts.
+    * @return (grp, digit, n_obs) */
+  def digitCounts(df: DataFrame, group: Column, cents: Column): DataFrame =
+    df.select(group.as("grp"), cents.cast("long").as("c"))
       .where(col("c") > 0L)
       .withColumn("digit",
         substring(col("c").cast("string"), 1, 1).cast("int"))
       .groupBy("grp", "digit").agg(count(lit(1)).as("n_obs"))
+
+  /** [[benford]]'s report from pre-aggregated [[digitCounts]]. */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val p = BenfordP.foldLeft(lit(null).cast("double")) { case (acc, (d, v)) =>
+      when(col("digit") === d, lit(v)).otherwise(acc)
+    }
     val tot = counts.groupBy("grp").agg(sum("n_obs").as("n_rows"))
     counts.join(broadcast(tot), Seq("grp"))
       .withColumn("__e", col("n_rows").cast("double") * p)
@@ -384,6 +395,128 @@ object DataQuality {
         col("__e").as("expected"),
         ((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
           col("__e")).as("chi2_contrib"))
+  }
+
+  /** Contingency report between two categorical columns — the
+    * ASSOCIATION screen of the DQ pass ("did the device mix shift per
+    * event type?", "is source correlated with language?"): per-cell
+    * observed count vs the independence expectation e = n_a·n_b/n, as
+    * chi-square contributions (the [[categoricalDrift]] construction —
+    * per-cell doubles on a shared op order of exact-long operands, so
+    * the gate hashes them raw; the SUM of contributions is
+    * order-nondeterministic across engines and is left to
+    * [[cramersV]], which is tolerance-checked in specs, not
+    * hash-gated). Cost: one (a, b) count aggregate (map-side combined)
+    * + three broadcast-sized marginal joins — one scan at any scale.
+    * Long envelope: n_a·n_b overflows past ~3·10⁹ rows in one table;
+    * switch the marginals to DECIMAL(38,0) beyond that.
+    * @return (a, b, n_obs, n_a, n_b, n_tot, expected, chi2_contrib) */
+  def contingency(df: DataFrame, a: Column, b: Column): DataFrame =
+    contingencyFromCounts(cellCounts(df, a, b))
+
+  /** Per-(a, b) cell counts — [[contingency]]'s sufficient statistic
+    * and the additive streaming-fold state.
+    * @return (a, b, n_obs) */
+  def cellCounts(df: DataFrame, a: Column, b: Column): DataFrame =
+    df.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n_obs"))
+
+  /** [[contingency]]'s report from pre-aggregated [[cellCounts]].
+    * Emits the FULL marginal grid — a (level-a, level-b) combination
+    * with no observed rows is a zero cell, and zero cells carry real
+    * chi-square mass ((0 − e)²/e); dropping them would understate the
+    * association (a perfectly-associated 2×2 would score V ≈ 0.71
+    * instead of 1). */
+  def contingencyFromCounts(cells: DataFrame): DataFrame = {
+    val rowT = cells.groupBy("a").agg(sum("n_obs").as("n_a"))
+    val colT = cells.groupBy("b").agg(sum("n_obs").as("n_b"))
+    val tot = cells.agg(sum("n_obs").as("n_tot"))
+    broadcast(rowT).crossJoin(broadcast(colT))
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e", (col("n_a") * col("n_b")).cast("double") /
+        col("n_tot").cast("double"))
+      .select(col("a"), col("b"), col("n_obs"), col("n_a"), col("n_b"),
+        col("n_tot"), col("__e").as("expected"),
+        ((col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) /
+          col("__e")).as("chi2_contrib"))
+  }
+
+  /** Cramér's V from a [[contingency]] report — the [0, 1] association
+    * strength V = sqrt(chi2 / (n·(min(R,C) − 1))). chi2 sums the
+    * per-cell contributions, whose order differs between engines — so
+    * V is a spec-checked summary (tolerance), never a hash-gated
+    * column; gate the per-cell report instead.
+    * @return (n_tot, n_a_levels, n_b_levels, chi2, v) one row */
+  def cramersV(report: DataFrame): DataFrame =
+    report.agg(max("n_tot").as("n_tot"),
+        countDistinct("a").as("n_a_levels"),
+        countDistinct("b").as("n_b_levels"),
+        sum("chi2_contrib").as("chi2"))
+      .withColumn("v", sqrt(col("chi2") / (col("n_tot") *
+        (least(col("n_a_levels"), col("n_b_levels")) - 1L))))
+
+  /** EXACT median / MAD (Hampel X84) outlier screen per group — the
+    * robust companion to [[iqrOutliers]]: median and median absolute
+    * deviation are immune to the very outliers they hunt (a single
+    * corrupt 10⁹ row drags a mean/stddev z-score but moves the median
+    * not at all). On EXACT integer cents the whole ladder stays in
+    * longs: the median of longs is a half-integer carried at 2× scale
+    * (med2 = c@⌈n/2⌉ + c@⌊n/2⌋+1), deviations at 2× are exact
+    * (dev2 = |2c − med2|), the MAD at 4× is the median of the dev2s
+    * (mad4), and the Hampel flag |x − med| > 3·MAD is the exact-long
+    * comparison 2·dev2 > 3·mad4. The terminal median/mad doubles are
+    * exact halves/quarters of longs → bit-identical across engines,
+    * gated raw. Cost: one (grp, value) count aggregate, two per-group
+    * cumulative windows over DISTINCT values, broadcast-sized joins.
+    * @param cents exact integer column (e.g. floor(value·100 + 0.5))
+    * @return (grp, n, med2, median, mad4, mad, n_outliers) */
+  def madOutliers(df: DataFrame, group: Column, cents: Column): DataFrame =
+    madFromCounts(centsCounts(df, group, cents))
+
+  /** Per-(group, cents) counts — [[madOutliers]]'s sufficient statistic
+    * and the additive streaming-fold state
+    * ([[graft.streaming.EventStreams.madMonitorSink]]).
+    * @return (grp, c, cnt) */
+  def centsCounts(df: DataFrame, group: Column, cents: Column): DataFrame =
+    df.select(group.as("grp"), cents.cast("long").as("c"))
+      .where(col("c").isNotNull) // no position in an ordered ladder
+      .groupBy("grp", "c").agg(count(lit(1)).as("cnt"))
+
+  /** [[madOutliers]]'s report from pre-aggregated [[centsCounts]].
+    * Weighted-median-at-position p over the cumulative counts: the
+    * value at 1-indexed position p is the MINIMUM value whose
+    * cumulative count reaches p (values ascend with the window). */
+  def madFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianAt2x(c: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      c.withColumn("cum", sum("cnt").over(w))
+        .groupBy("grp", "n")
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col(v))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col(v))))
+          .as(s"${v}_med2"))
+    }
+    val tot = counts.groupBy("grp").agg(sum("cnt").as("n"))
+    val cn = counts.join(broadcast(tot), Seq("grp"))
+    val med = medianAt2x(cn, "c").withColumnRenamed("c_med2", "med2")
+    val dev = cn.join(broadcast(med.drop("n")), Seq("grp"))
+      .withColumn("d", abs(lit(2L) * col("c") - col("med2")))
+      .groupBy("grp", "n", "med2", "d").agg(sum("cnt").as("cnt"))
+    val mad = medianAt2x(dev.drop("med2"), "d")
+      .withColumnRenamed("d_med2", "mad4")
+    cn.join(broadcast(med.drop("n")), Seq("grp"))
+      .join(broadcast(mad.drop("n")), Seq("grp"))
+      .groupBy(col("grp"), col("n"), col("med2"), col("mad4"))
+      .agg(sum(when(lit(2L) * abs(lit(2L) * col("c") - col("med2")) >
+        lit(3L) * col("mad4"), col("cnt")).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("grp"), col("n"), col("med2"),
+        (col("med2").cast("double") / lit(2.0d)).as("median"),
+        col("mad4"),
+        (col("mad4").cast("double") / lit(4.0d)).as("mad"),
+        col("n_outliers"))
   }
 
   /** Shared closing expression of the two Spearman paths — the one

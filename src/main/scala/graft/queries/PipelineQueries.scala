@@ -656,6 +656,25 @@ object PipelineQueries {
     // location, Spearman trend). 2x-scaled midranks keep every
     // accumulator an exact long; the closing sqrt/divide are IEEE
     // correctly-rounded on shared op order -> raw-double hash gate.
+    // Contingency / association screen between event type and a
+    // user-hash bucket: per-cell chi-square contributions vs the
+    // independence expectation n_a*n_b/n — the dq_drift construction
+    // (exact-long operands, shared op order -> raw doubles hash-gate;
+    // the order-nondeterministic SUM is left to cramersV in specs).
+    "dq_contingency" -> ((s, dir) =>
+      graft.pipeline.DataQuality.contingency(
+        Tables.events(s, dir), col("event_type"),
+        concat(lit("u"), (col("user_id") % 4).cast("string")))),
+
+    // EXACT median/MAD (Hampel X84) outlier screen per event type on
+    // exact cents: the robust companion to dq_outliers — the whole
+    // ladder is longs (2x median, 4x MAD, integer Hampel comparison),
+    // terminal median/mad are exact halves/quarters -> hash-gated raw.
+    "dq_mad" -> ((s, dir) =>
+      graft.pipeline.DataQuality.madOutliers(
+        Tables.events(s, dir), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))),
+
     "dq_spearman" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.pipeline.DataQuality.spearmanTrend(ev, col("event_type"),
@@ -2488,6 +2507,64 @@ object PipelineQueries {
         |SELECT grp, digit, n_obs, n_rows, e AS expected,
         |  (n_obs - e) * (n_obs - e) / e AS chi2_contrib
         |FROM x""".stripMargin,
+
+    // identical marginals / expectation / contribution op order; every
+    // count CAST to BIGINT (DuckDB sum -> HUGEINT otherwise)
+    "dq_contingency" ->
+      """WITH e AS (SELECT event_type AS a,
+        |  'u' || CAST(user_id % 4 AS VARCHAR) AS b FROM events),
+        |cells AS (SELECT a, b, count(*) AS n_obs FROM e GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(n_obs) AS BIGINT) AS n_a
+        |       FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(n_obs) AS BIGINT) AS n_b
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM cells),
+        |x AS (SELECT ra.a, cb.b,
+        |  COALESCE(CAST(cells.n_obs AS BIGINT), CAST(0 AS BIGINT)) AS n_obs,
+        |  ra.n_a, cb.n_b, t.n_tot,
+        |  CAST(ra.n_a * cb.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE) AS e
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        |  CROSS JOIN t)
+        |SELECT a, b, n_obs, n_a, n_b, n_tot, e AS expected,
+        |  (n_obs - e) * (n_obs - e) / e AS chi2_contrib FROM x""".stripMargin,
+
+    // identical exact-long ladder: 2x median = c@ceil(n/2) + c@(n/2+1)
+    // over cumulative DISTINCT-value counts, 4x MAD over the 2x
+    // deviations, Hampel flag as the integer comparison 2*dev2 > 3*mad4
+    "dq_mad" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |cnt AS (SELECT grp, c, count(*) AS cnt FROM e
+        |        WHERE c IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |cum AS (SELECT cnt.grp, c, cnt, t.n,
+        |  sum(cnt) OVER (PARTITION BY cnt.grp ORDER BY c) AS cum
+        |  FROM cnt JOIN t ON t.grp = cnt.grp),
+        |m AS (SELECT grp, n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN c END) +
+        |  min(CASE WHEN cum >= n // 2 + 1 THEN c END) AS med2
+        |  FROM cum GROUP BY 1, 2),
+        |d AS (SELECT cnt.grp, m.n, abs(2 * c - m.med2) AS dev2,
+        |  CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cnt JOIN m ON m.grp = cnt.grp GROUP BY 1, 2, 3),
+        |dcum AS (SELECT grp, n, dev2, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY dev2) AS cum FROM d),
+        |md AS (SELECT grp, n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END) +
+        |  min(CASE WHEN cum >= n // 2 + 1 THEN dev2 END) AS mad4
+        |  FROM dcum GROUP BY 1, 2),
+        |o AS (SELECT cnt.grp,
+        |  CAST(sum(CASE WHEN 2 * abs(2 * c - m.med2) > 3 * md.mad4
+        |    THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM cnt JOIN m ON m.grp = cnt.grp JOIN md ON md.grp = cnt.grp
+        |  GROUP BY 1)
+        |SELECT m.grp, m.n, m.med2,
+        |  CAST(m.med2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS median,
+        |  md.mad4, CAST(md.mad4 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS mad,
+        |  o.n_outliers
+        |FROM m JOIN md ON md.grp = m.grp
+        |JOIN o ON o.grp = m.grp""".stripMargin,
 
     // identical 2x-midrank ladder to DataQuality.spearmanTrend:
     // a = 2*RANK + |ties| - 1, five exact-long accumulators, closing

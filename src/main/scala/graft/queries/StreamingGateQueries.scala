@@ -575,6 +575,25 @@ object StreamingGateQueries {
     // folded additively; exact tie-aware rho re-derived from the fold
     // ≡ batch dq_spearman (identical integer accumulators ⇒ identical
     // raw-double bit pattern; shared oracle).
+    // Streaming Benford monitor: per-(group, first-digit) counts fold
+    // additively; the chi-square-vs-log-law report re-derives from the
+    // folded counts ≡ batch dq_benford (shared oracle).
+    "st_benford" -> ((s, dir) =>
+      graft.streaming.EventStreams.benfordMonitorSink(s, dir)),
+
+    // Streaming median/MAD (Hampel) outlier monitor: per-(group, cents)
+    // value counts fold additively; the exact 2x-median / 4x-MAD ladder
+    // re-derives from the folded counts ≡ batch dq_mad (shared oracle).
+    "st_mad" -> ((s, dir) =>
+      graft.streaming.EventStreams.madMonitorSink(s, dir)),
+
+    // Streaming association monitor: (event_type, user-bucket) cell
+    // counts fold additively; the per-cell chi-square-vs-independence
+    // report re-derives from the folded cells ≡ batch dq_contingency
+    // (shared oracle).
+    "st_contingency" -> ((s, dir) =>
+      graft.streaming.EventStreams.contingencyMonitorSink(s, dir)),
+
     "st_spearman" -> ((s, dir) =>
       graft.streaming.EventStreams.spearmanMonitorSink(s, dir)),
 
@@ -1239,6 +1258,10 @@ object StreamingGateQueries {
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
+    "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),
+    "st_mad" -> graft.queries.PipelineQueries.oracles("dq_mad"),
+    "st_contingency" ->
+      graft.queries.PipelineQueries.oracles("dq_contingency"),
     // inserts-only recompute: the full rollup over every event
     "st_mv_inc" ->
       """WITH e AS (SELECT

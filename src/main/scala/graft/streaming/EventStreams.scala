@@ -948,6 +948,103 @@ object EventStreams {
     mv
   }
 
+  /** Generic additive-count fold: drain the staged event files one
+    * micro-batch per file, reduce each batch to a count table via
+    * `batchCounts`, and key-sum-merge it into the accumulated state.
+    * Any count-shaped sufficient statistic is additive — counts of the
+    * union of batches = sum of per-batch counts — so the fold is
+    * cadence-independent by algebra and the terminal state equals the
+    * one-shot batch aggregate. `keys` are the grouping columns of the
+    * count table; every remaining column is summed. */
+  private def foldCountTable(spark: SparkSession, dir: String,
+      nFiles: Int, schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String])(
+      batchCounts: DataFrame => DataFrame): DataFrame = {
+    val staged = stageSortedEventFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cnt_ckpt_").toFile
+    ckpt.deleteOnExit()
+    val sums = schema.fieldNames.filterNot(keys.contains).toSeq
+    var acc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val events = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batchCounts(batch)
+        if (!bc.isEmpty) {
+          acc = acc.unionByName(bc)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(sums.head).as(sums.head),
+              sums.tail.map(s => sum(s).as(s)): _*)
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    acc
+  }
+
+  /** Streaming Benford monitor — the live twin of
+    * [[graft.pipeline.DataQuality.benford]]: each micro-batch reduces
+    * to its per-(group, first-digit) counts, folded additively, and the
+    * chi-square-vs-log-law report re-derives from the folded counts.
+    * Terminal result ≡ the one-shot batch dq_benford (shared oracle). */
+  def benfordMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.pipeline.DataQuality.benfordFromCounts(
+      foldCountTable(spark, dir, nFiles,
+        StructType(Seq(StructField("grp", StringType),
+          StructField("digit", IntegerType),
+          StructField("n_obs", LongType))), Seq("grp", "digit")) { b =>
+        graft.pipeline.DataQuality.digitCounts(b, col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long"))
+      })
+  }
+
+  /** Streaming median/MAD (Hampel) outlier monitor — the robust twin
+    * of [[ksMonitorSink]]'s family on per-(group, cents) value counts:
+    * counts fold additively, and the exact 2×-median / 4×-MAD ladder
+    * re-derives from the folded counts. Terminal result ≡ the one-shot
+    * batch dq_mad (shared oracle). */
+  def madMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.pipeline.DataQuality.madFromCounts(
+      foldCountTable(spark, dir, nFiles,
+        StructType(Seq(StructField("grp", StringType),
+          StructField("c", LongType),
+          StructField("cnt", LongType))), Seq("grp", "c")) { b =>
+        graft.pipeline.DataQuality.centsCounts(b, col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long"))
+      })
+  }
+
+  /** Streaming contingency (association) monitor — cell counts of the
+    * event_type × user-bucket table fold additively; the per-cell
+    * chi-square-vs-independence report re-derives from the folded
+    * cells. Terminal result ≡ the one-shot batch dq_contingency
+    * (shared oracle). */
+  def contingencyMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.pipeline.DataQuality.contingencyFromCounts(
+      foldCountTable(spark, dir, nFiles,
+        StructType(Seq(StructField("a", StringType),
+          StructField("b", StringType),
+          StructField("n_obs", LongType))), Seq("a", "b")) { b =>
+        graft.pipeline.DataQuality.cellCounts(b, col("event_type"),
+          concat(lit("u"), (col("user_id") % 4).cast("string")))
+      })
+  }
+
   /** The shared fold: drain the staged event files one micro-batch per
     * file, reducing each batch to its (group, value) side counts and
     * key-sum-merging into the accumulated state. Counts are additive →

@@ -545,7 +545,9 @@ class OinkScriptSpec extends SparkSpec {
       "dq_mwu event_type value event_id % 2 <> 0 -i ev -o NULL mwu",
       "dq_skew event_type user_id -i ev -o NULL skew",
       "dq_spearman event_type value event_id -i ev -o NULL trend",
-      "dq_benford event_type CAST(floor(value * 100 + 0.5) AS BIGINT) -i ev -o NULL benf"))
+      "dq_benford event_type CAST(floor(value * 100 + 0.5) AS BIGINT) -i ev -o NULL benf",
+      "dq_mad event_type CAST(floor(value * 100 + 0.5) AS BIGINT) -i ev -o NULL mad",
+      "dq_contingency event_type 'u' || CAST(user_id % 4 AS STRING) -i ev -o NULL cont"))
     val ks = reg("ks").collect()
     assert(ks.nonEmpty && ks.forall { r =>
       val d = r.getAs[Double]("d"); d >= 0.0 && d <= 1.0 })
@@ -561,6 +563,13 @@ class OinkScriptSpec extends SparkSpec {
     val benf = reg("benf").collect()
     assert(benf.nonEmpty && benf.forall { r =>
       val d = r.getAs[Int]("digit"); d >= 1 && d <= 9 })
+    val mad = reg("mad").collect()
+    assert(mad.nonEmpty && mad.forall { r =>
+      r.getAs[Double]("mad") >= 0.0 &&
+        r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") })
+    val cont = reg("cont").collect()
+    assert(cont.nonEmpty && cont.forall(r =>
+      r.getAs[Double]("chi2_contrib") >= 0.0))
     // usage errors raise ScriptError, not NoSuchElementException
     val err = intercept[OinkScript.ScriptError] {
       OinkScript.run(spark, Seq(

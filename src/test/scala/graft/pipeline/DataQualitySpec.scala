@@ -251,4 +251,72 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("q1") < r.getAs[Double]("q3"))
     assert(r.getAs[Double]("lo_fence") < r.getAs[Double]("q1"))
   }
+
+  test("madOutliers: hand-computed odd/even/degenerate ladders") {
+    // odd n=5: [1,2,3,4,100] -> median 3 (med2=6), deviations
+    // {2,1,0,1,97} -> MAD 1 (mad4=4); Hampel |x-3| > 3 flags only 100
+    val odd = DataQuality.madOutliers(
+      Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)).toDF("grp", "c"),
+      col("grp"), col("c")).head()
+    assert(odd.getAs[Long]("n") == 5L)
+    assert(odd.getAs[Long]("med2") == 6L)
+    assert(odd.getAs[Double]("median") == 3.0)
+    assert(odd.getAs[Long]("mad4") == 4L)
+    assert(odd.getAs[Double]("mad") == 1.0)
+    assert(odd.getAs[Long]("n_outliers") == 1L)
+    // even n=4: [1,2,3,4] -> median 2.5 (med2=5), dev2 {3,1,1,3}
+    // -> mad4 = 1+3 = 4 (MAD 1); no |x-2.5| exceeds 3
+    val even = DataQuality.madOutliers(
+      Seq(1L, 2L, 3L, 4L).map(("g", _)).toDF("grp", "c"),
+      col("grp"), col("c")).head()
+    assert(even.getAs[Long]("med2") == 5L)
+    assert(even.getAs[Double]("median") == 2.5)
+    assert(even.getAs[Long]("mad4") == 4L)
+    assert(even.getAs[Long]("n_outliers") == 0L)
+    // degenerate MAD=0 (majority identical): [5,5,5,9] -> med 5,
+    // mad 0 -> ANY deviation flags (2*dev2 > 0)
+    val degen = DataQuality.madOutliers(
+      Seq(5L, 5L, 5L, 9L).map(("g", _)).toDF("grp", "c"),
+      col("grp"), col("c")).head()
+    assert(degen.getAs[Long]("mad4") == 0L)
+    assert(degen.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("contingency: exact-zero contributions under independence; zero cells carry mass") {
+    // perfectly proportional 2x2 (10/20 vs 20/40): every e is exact
+    // and every contribution is exactly 0.0
+    val ind = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val rInd = DataQuality.contingency(ind.toDF("a0", "b0"),
+      col("a0"), col("b0"))
+    assert(rInd.count() == 4L)
+    assert(rInd.agg(sum("chi2_contrib")).head().getDouble(0) == 0.0)
+    // perfect association (only diagonal observed): the grid emits the
+    // two ZERO cells and V = sqrt(chi2 / (n * (min(R,C)-1))) = 1 exactly
+    val assoc = Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))
+    val rAssoc = DataQuality.contingency(assoc.toDF("a0", "b0"),
+      col("a0"), col("b0"))
+    assert(rAssoc.count() == 4L)
+    assert(rAssoc.where(col("n_obs") === 0L).count() == 2L)
+    val v = DataQuality.cramersV(rAssoc).head()
+    assert(v.getAs[Double]("v") == 1.0)
+    val vInd = DataQuality.cramersV(rInd).head()
+    assert(vInd.getAs[Double]("v") == 0.0)
+  }
+
+  test("streaming Benford/MAD/contingency folds equal the one-shot batch reports") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val bBen = DataQuality.benford(ev, col("event_type"), cents)
+    val sBen = graft.streaming.EventStreams.benfordMonitorSink(spark, dir)
+    assert(sBen.exceptAll(bBen).isEmpty && bBen.exceptAll(sBen).isEmpty)
+    val bMad = DataQuality.madOutliers(ev, col("event_type"), cents)
+    val sMad = graft.streaming.EventStreams.madMonitorSink(spark, dir)
+    assert(sMad.exceptAll(bMad).isEmpty && bMad.exceptAll(sMad).isEmpty)
+    val bCon = DataQuality.contingency(ev, col("event_type"),
+      concat(lit("u"), (col("user_id") % 4).cast("string")))
+    val sCon = graft.streaming.EventStreams.contingencyMonitorSink(spark, dir)
+    assert(sCon.exceptAll(bCon).isEmpty && bCon.exceptAll(sCon).isEmpty)
+  }
 }
