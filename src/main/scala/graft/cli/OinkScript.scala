@@ -423,11 +423,16 @@ object OinkScript {
               sinkAndBind(spark.read.option("recursiveFileLookup", "true")
                 .parquet(ins.map(resolve): _*), outs, line)
             case "read_edge_dsv2" =>
-              // edge list through the V2 connector (byte-range chunked
-              // scan with pruning/pushdown) instead of the text reader
-              if (ins.size != 1) throw ScriptError(line, "read_edge_dsv2 requires -i path")
-              sinkAndBind(spark.read.format("graft.sources.EdgeListSource")
-                .load(resolve(ins.head)), outs, line)
+              // read_edge_dsv2 [version] -i path — edge list through
+              // the V2 connector (byte-range chunked scan with
+              // pruning/pushdown); with a positional version number the
+              // read pins that `_graft_log` snapshot (time travel)
+              if (ins.size != 1)
+                throw ScriptError(line, "read_edge_dsv2 [version] requires -i path")
+              val rd = spark.read.format("graft.sources.EdgeListSource")
+              sinkAndBind(
+                pos.headOption.fold(rd)(v => rd.option("versionAsOf", v))
+                  .load(resolve(ins.head)), outs, line)
             case "write_edge_dsv2" =>
               // sink verb: emit (src, dst) through the connector's
               // temp-file + rename commit; -o DIR [OBJ]

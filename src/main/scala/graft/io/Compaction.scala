@@ -117,13 +117,31 @@ object Compaction {
     fs.delete(tmp, true); fs.delete(bak, true)
     spark.read.format(fmt).load(dir).repartition(want)
       .write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
-    if (!fs.rename(p, bak)) sys.error(s"compaction: cannot move $p aside")
+    swapWithLogHistory(fs, p, tmp, bak, "compaction")
+    Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
+  }
+
+  /** Shared table swap for full rewrites (compaction / zorder) that
+    * keeps the snapshot log's HISTORY: the rewrite's own tmp-side
+    * manifest (a v0 of the new layout) is dropped, the table's log
+    * moves back in across the swap, and the rewrite commits as the
+    * NEXT version — so pre-rewrite version numbers stay resolvable
+    * (reading one fails with the explicit rewritten-snapshot story,
+    * not an unknown-version error). */
+  private def swapWithLogHistory(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, tmp: Path, bak: Path, what: String): Unit = {
+    import graft.sources.EdgeLog
+    fs.delete(new Path(tmp, EdgeLog.LogDirName), true)
+    if (!fs.rename(p, bak)) sys.error(s"$what: cannot move $p aside")
     if (!fs.rename(tmp, p)) {
       fs.rename(bak, p) // restore
-      sys.error(s"compaction: cannot move rewritten table into $p")
+      sys.error(s"$what: cannot move rewritten table into $p")
     }
+    val oldLog = new Path(bak, EdgeLog.LogDirName)
+    if (fs.exists(oldLog)) fs.rename(oldLog, new Path(p, EdgeLog.LogDirName))
     fs.delete(bak, true)
-    Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
+    EdgeLog.commit(new java.io.File(p.toUri.getPath))
+    ()
   }
 
   /** OPTIMIZE ZORDER for the edge-list connector table: rewrite the
@@ -150,15 +168,12 @@ object Compaction {
     val tmp = new Path(p.getParent, s".${p.getName}__zorder_tmp")
     val bak = new Path(p.getParent, s".${p.getName}__zorder_old")
     fs.delete(tmp, true); fs.delete(bak, true)
-    ZOrder.layoutBy(spark.read.format(fmt).load(dir),
-        Seq(col("src"), col("dst")), bits, numFiles)
-      .write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
-    if (!fs.rename(p, bak)) sys.error(s"zorder: cannot move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(bak, p) // restore
-      sys.error(s"zorder: cannot move rewritten table into $p")
+    val laid = ZOrder.layoutBy(spark.read.format(fmt).load(dir),
+      Seq(col("src"), col("dst")), bits, numFiles)
+    ZOrder.withExactRangeSampling(laid) {
+      laid.write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
     }
-    fs.delete(bak, true)
+    swapWithLogHistory(fs, p, tmp, bak, "zorder")
     Report(files.length, dataFiles(spark, dir).length, bytes, bytes)
   }
 }

@@ -50,9 +50,35 @@ object ZOrder {
     terms.mkString(" + ")
   }
 
+  /** Run `body` with the range-exchange sampler turned up so
+    * repartitionByRange boundaries are (near-)exact instead of
+    * 100-rows-per-partition estimates. The default sampler is also
+    * SEED-UNSTABLE across sessions (the seed derives from RDD ids), so
+    * a pathological sample can hand one output file almost the whole
+    * z-range and void the layout's pruning guarantee — observed once
+    * under full-suite ordering. 20k samples/partition is a few hundred
+    * KB on the driver and makes small/medium tables exactly
+    * quantile-split; at 100 TB it is still noise next to the rewrite
+    * itself. Restored after the ACTION, not the plan build — the conf
+    * is read at exchange-planning time. */
+  def withExactRangeSampling[T](df: DataFrame)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = conf.getOption(key)
+    conf.set(key, "20000")
+    try body
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Lay `df` out on the z-curve of `cols`: range-partition then sort by
     * the z-value, so every output file covers a small hyper-rectangle of
-    * the key space (one exchange — same cost as any global sort). */
+    * the key space (one exchange — same cost as any global sort).
+    * Callers that materialize the layout should wrap the action in
+    * [[withExactRangeSampling]] for boundary quality (zorderEdgeList
+    * does). */
   def layoutBy(df: DataFrame, cols: Seq[Column], bits: Int,
       numPartitions: Int): DataFrame = {
     // collision-proof scratch name: a caller column literally named __z

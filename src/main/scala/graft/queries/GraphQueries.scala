@@ -147,6 +147,28 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // TIME TRAVEL round trip: write the low-dst half of the edges as
+    // snapshot v, append the high-dst half (a later version), then
+    // read VERSION AS OF v — the pinned read must see only the first
+    // commit's rows while the live table holds both. The oracle never
+    // sees the on-disk detour: it just filters the low half.
+    "g_dsv2_timetravel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2t_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.where(col("dst") < 5000).repartition(2)
+        .write.format(fmtName).mode("overwrite").save(s"$root/edges")
+      val v = graft.sources.EdgeLog
+        .currentVersion(new java.io.File(s"$root/edges")).get
+      e.where(col("dst") >= 5000).repartition(2)
+        .write.format(fmtName).mode("append").save(s"$root/edges")
+      s.read.format(fmtName).option("versionAsOf", v)
+        .load(s"$root/edges")
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+    }),
+
     // Write -> OPTIMIZE ZORDER -> filtered read round trip: the
     // maintenance pass rewrites the connector table on the (src, dst)
     // Morton curve (fresh zone-map sidecars from the rewrite commit),
@@ -646,6 +668,12 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
          |GROUP BY src""".stripMargin,
+
+    // the snapshot holds exactly the first commit: the low-dst half
+    "g_dsv2_timetravel" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE dst < 5000 GROUP BY src""".stripMargin,
 
     "g_dsv2_zorder" ->
       s"""WITH edges AS ($E)

@@ -47,6 +47,28 @@ class EdgeListCatalog extends TableCatalog {
     new EdgeListTable(p)
   }
 
+  /** SQL time travel — `SELECT … FROM graft.`path` VERSION AS OF n`:
+    * pins the scan to snapshot n of the table's `_graft_log` manifest
+    * history (every connector commit records one). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!new java.io.File(p).exists()) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"edge-list snapshot versions are integers; got '$version'")
+    }
+    new EdgeListTable(p, versionAsOf = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF` — resolves to the latest snapshot committed
+    * at or before the timestamp (micros), then pins it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!new java.io.File(p).exists()) throw new NoSuchTableException(ident)
+    new EdgeListTable(p, versionAsOf =
+      Some(EdgeLog.versionAt(new java.io.File(p), timestamp)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val f = new java.io.File(pathOf(ident))

@@ -109,11 +109,18 @@ object EdgeListSource {
   }
 }
 
-private[sources] class EdgeListTable(path: String)
+private[sources] class EdgeListTable(path: String,
+    versionAsOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "EdgeListSource requires a single load(path)/save(path)")
+
+  private def requireWritable(op: String): Unit =
+    if (versionAsOf.isDefined)
+      throw new UnsupportedOperationException(
+        s"$op is not allowed on a snapshot (VERSION AS OF " +
+          s"${versionAsOf.get}) of edge-list table $path")
 
   /** File-provenance metadata column (`SELECT src, _file FROM …`), and
     * the row-level operations' required metadata: requesting it routes
@@ -134,10 +141,13 @@ private[sources] class EdgeListTable(path: String)
     * group-based copy-on-write at whole-table granularity. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireWritable("UPDATE/MERGE")
     () => new EdgeListRowLevelOperation(path, info.command())
+  }
 
-  override def name(): String = s"edgelist($path)"
+  override def name(): String =
+    s"edgelist($path${versionAsOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = EdgeListSource.Schema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -151,10 +161,15 @@ private[sources] class EdgeListTable(path: String)
         .getOrElse(EdgeListSource.DefaultChunkBytes),
       Option(options.get("malformed")).getOrElse("fail") == "skip",
       Option(options.get("maxGroupsPerChunk")).map(_.toInt)
-        .getOrElse(EdgeListSource.DefaultMaxGroupsPerChunk))
+        .getOrElse(EdgeListSource.DefaultMaxGroupsPerChunk),
+      // a DataFrame-read option pins a snapshot too; the catalog's SQL
+      // VERSION AS OF arrives through the constructor
+      Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write")
     new EdgeListWriteBuilder(path, info)
+  }
 
   /** SQL `DELETE FROM graft.`<path>`` — filter-based row deletion
     * (SupportsDeleteV2). Predicates arrive as the WHERE conjuncts; all
@@ -171,9 +186,11 @@ private[sources] class EdgeListTable(path: String)
       Bridge.predicateToV1(p).exists(EdgeListFilters.supported(_)))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireWritable("DELETE")
     val v1 = predicates.map(p => Bridge.predicateToV1(p).getOrElse(
       throw new IllegalArgumentException(s"untranslatable delete predicate $p")))
     val matches = EdgeListFilters.compile(v1)
+    var rewrote = false
     EdgeListSource.listFiles(path).foreach { f =>
       val tmp = new java.io.File(f.getParentFile, s".${f.getName}.del-tmp")
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -196,17 +213,22 @@ private[sources] class EdgeListTable(path: String)
           line = in.readLine()
         }
       } finally { in.close(); out.close() }
-      if (dropped > 0)
+      if (dropped > 0) {
         java.nio.file.Files.move(tmp.toPath, f.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      else tmp.delete()
+        rewrote = true
+      } else tmp.delete()
     }
+    // a rewrite is a new snapshot (and invalidates the rewritten
+    // files' presence in older ones — time travel is append-history)
+    if (rewrote) EdgeLog.commit(new java.io.File(path))
   }
 }
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
-    skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
+    skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
+    version: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -302,7 +324,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
 
   override def build(): Scan =
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
-      limit, topN, groupBy, maxGroups)
+      limit, topN, groupBy, maxGroups, version = version)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -426,9 +448,28 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     aggs: Seq[AggOp], limit: Option[Int] = None,
     topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
-    runtimePrunable: Boolean = true)
+    runtimePrunable: Boolean = true, version: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** The snapshot's recorded (file, length) set, validated against the
+    * live directory: data files are immutable once published, so an
+    * existing file with the recorded length IS the committed content;
+    * anything else means a later rewrite (DELETE / compaction /
+    * OPTIMIZE ZORDER) replaced it and the snapshot is gone — fail with
+    * the story rather than return mixed-era rows. */
+  private def snapshotFiles(v: Int): Seq[(java.io.File, Long)] =
+    EdgeLog.read(new java.io.File(path), v).map { case (f, len) =>
+      if (!f.isFile || f.length() != len)
+        throw new IllegalStateException(
+          s"snapshot v$v of edge-list table $path is no longer " +
+            s"readable: ${f.getName} " +
+            (if (!f.isFile) "was removed"
+             else s"was rewritten (length ${f.length()} != recorded $len)") +
+            " by a later DELETE/compaction/zorder; time travel covers" +
+            " append-only history")
+      (f, len)
+    }
 
   /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
     * no decode amplification worth modeling), rows ≈ bytes / the
@@ -437,7 +478,10 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = EdgeListSource.listFiles(path).map(_.length()).sum
+      private val bytes = version match {
+        case Some(v) => snapshotFiles(v).map(_._2).sum
+        case None => EdgeListSource.listFiles(path).map(_.length()).sum
+      }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
@@ -475,11 +519,18 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
 
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (version.isDefined)
+      throw new UnsupportedOperationException(
+        "streaming read of a snapshot (VERSION AS OF) is not supported —" +
+          " a snapshot is a fixed file set, stream the live table")
     new EdgeListMicroBatchStream(path, chunkBytes, skipMalformed,
       required, pushed)
+  }
   override def description(): String =
-    s"EdgeListScan path=$path, ReadSchema: ${readSchema().simpleString}, " +
+    s"EdgeListScan path=$path" +
+      version.fold("")(v => s", VersionAsOf: $v") +
+      s", ReadSchema: ${readSchema().simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]") +
       (if (groupBy.isEmpty) "" else s", PushedGroupBy: [${groupBy.mkString(", ")}]") +
@@ -492,8 +543,14 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * no chunk, no task, no read. Files without a sidecar always plan. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = pushed ++ runtimeFilters
-    EdgeListSource.listFiles(path).flatMap { f =>
-      val len = f.length()
+    val files = version match {
+      // a validated snapshot file equals its committed content, so the
+      // current sidecar (if any) describes exactly these rows — zone
+      // maps keep pruning under time travel
+      case Some(v) => snapshotFiles(v)
+      case None => EdgeListSource.listFiles(path).map(f => (f, f.length()))
+    }
+    files.flatMap { case (f, len) =>
       val skip = len == 0 || (fs.nonEmpty && EdgeStats.read(f).exists(st =>
         !EdgeListFilters.mayMatch(fs,
           st.minSrc, st.maxSrc, st.minDst, st.maxDst)))
@@ -980,6 +1037,7 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
       }
     }
     if (truncate) EdgeStats.dropOrphans(dir)
+    EdgeLog.commit(dir) // snapshot manifest: this commit's file set
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1046,6 +1104,9 @@ private[sources] class EdgeListStreamingWrite(path: String)
     }
     m.getParentFile.mkdirs()
     java.nio.file.Files.write(m.toPath, Array.emptyByteArray)
+    // snapshot manifest per published epoch (a marker-deduped replay
+    // returned above — no duplicate version for a replayed epoch)
+    EdgeLog.commit(dir)
   }
 
   override def abort(epochId: Long,

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Snapshot manifest log for edge-list tables — the connector's time
+  * travel / snapshot-isolation layer (the Delta/Iceberg idea reduced to
+  * the text table's invariants). Every successful commit — batch
+  * append/truncate, streaming epoch, DELETE rewrite, compaction,
+  * OPTIMIZE ZORDER — records the table's data-file set as
+  * `_graft_log/v%08d.manifest`, one `<relative-path>\t<length>` line
+  * per file. A reader pinned to a version (`.option("versionAsOf", v)`
+  * or SQL `VERSION AS OF v` through [[EdgeListCatalog]]) plans exactly
+  * the recorded files and fails fast if a later REWRITE (DELETE /
+  * compaction / zorder) replaced one — data files are otherwise
+  * immutable once published, so an intact manifest IS the snapshot:
+  * time travel over append-only history needs no copied bytes and no
+  * tombstone retention.
+  *
+  * Concurrency: the manifest is published with a no-replace atomic
+  * rename onto the next version number; a racing committer that loses
+  * the name retries with the following number. Readers never lock —
+  * a manifest is immutable once it exists.
+  *
+  * At 100 TB the same design holds on an object store: manifests are
+  * tiny, written once, and the read path does one log listing + one
+  * manifest read instead of a directory walk — cheaper, not dearer,
+  * than the unversioned listing.
+  */
+private[graft] object EdgeLog {
+
+  val LogDirName = "_graft_log"
+
+  private def logDir(root: java.io.File) = new java.io.File(root, LogDirName)
+  private val ManifestName = """v(\d{8})\.manifest""".r
+
+  private def manifestFile(root: java.io.File, version: Int): java.io.File =
+    new java.io.File(logDir(root), f"v$version%08d.manifest")
+
+  /** All committed versions, ascending; empty when the table has no
+    * log (pre-log directories stay readable, just not time-travelable). */
+  def versions(root: java.io.File): Seq[Int] = {
+    val d = logDir(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.flatMap(_.getName match {
+      case ManifestName(v) => Some(v.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  def currentVersion(root: java.io.File): Option[Int] =
+    versions(root).lastOption
+
+  /** Record the current data-file set as the next version and return
+    * its number. Atomic publish: body to a dot-temp, then a no-replace
+    * move onto the version name; losing a race bumps and retries. */
+  def commit(root: java.io.File): Int = {
+    val files = EdgeListSource.listFiles(root.getPath)
+    val rootPath = root.getCanonicalFile.toPath
+    val body = files.map { f =>
+      val rel = rootPath.relativize(f.getCanonicalFile.toPath).toString
+      s"$rel\t${f.length()}"
+    }.mkString("\n")
+    val d = logDir(root)
+    d.mkdirs()
+    var v = currentVersion(root).getOrElse(-1) + 1
+    var committed = -1
+    while (committed < 0) {
+      val tmp = java.io.File.createTempFile(".manifest-", ".tmp", d)
+      java.nio.file.Files.write(tmp.toPath,
+        body.getBytes(StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.move(tmp.toPath, manifestFile(root, v).toPath)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.delete(); v += 1 // lost the race: next number
+      }
+    }
+    committed
+  }
+
+  /** The recorded (file, length) set of `version`, in manifest (=
+    * deterministic listing) order. */
+  def read(root: java.io.File, version: Int): Seq[(java.io.File, Long)] = {
+    val m = manifestFile(root, version)
+    if (!m.isFile)
+      throw new IllegalArgumentException(
+        s"no snapshot version $version of edge-list table $root " +
+          s"(committed versions: ${versions(root).mkString(", ")})")
+    val src = scala.io.Source.fromFile(m)(scala.io.Codec.UTF8)
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val cut = line.lastIndexOf('\t')
+      (new java.io.File(root, line.take(cut)), line.drop(cut + 1).toLong)
+    }.toList
+    finally src.close()
+  }
+
+  /** Latest version committed at or before `timestampMicros` (the SQL
+    * `TIMESTAMP AS OF` contract: manifest publish time, wall clock). */
+  def versionAt(root: java.io.File, timestampMicros: Long): Int =
+    versions(root).filter(v =>
+        manifestFile(root, v).lastModified() * 1000L <= timestampMicros)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of edge-list table $root at or before " +
+          s"timestamp $timestampMicros µs " +
+          s"(committed versions: ${versions(root).mkString(", ")})"))
+}

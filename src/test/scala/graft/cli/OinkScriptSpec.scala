@@ -128,6 +128,13 @@ class OinkScriptSpec extends SparkSpec {
     val back = reg("back").select("src", "dst").as[(Long, Long)]
       .collect().sorted.toSeq
     assert(back == orig && back.nonEmpty)
+    // time travel: the write's snapshot version pins the same rows
+    val v = graft.sources.EdgeLog
+      .currentVersion(new java.io.File(s"$dir/edges")).get
+    val reg2 = OinkScript.run(spark, Seq(
+      s"read_edge_dsv2 $v -i $dir/edges -o NULL pinned"))
+    assert(reg2("pinned").select("src", "dst").as[(Long, Long)]
+      .collect().sorted.toSeq == orig)
   }
 
   test("pipeline verbs: read_parquet -> minhash dedup chain end to end") {

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_fuzzy", "d_fuzzy_jw", "d_setsim", "d_fuzzy_inc", "d_fuzzy_sql",
     "d_fuzzy_rollup", "q40_rfm", "e_transitions", "e_ewma", "dq_drift",
     "dq_outliers", "d_setsim_inc", "d_decontam_kmv", "dq_ks", "dq_mwu",
-    "dq_skew", "dq_spearman", "d_mv_inc", "dq_benford", "e_attrib")
+    "dq_skew", "dq_spearman", "d_mv_inc", "dq_benford", "e_attrib",
+    "dq_mad", "dq_contingency")
 
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.testkit.SparkSpec
+
+/** Snapshot manifests + time travel: every connector commit records a
+  * `_graft_log` manifest; pinned reads (option / SQL VERSION AS OF /
+  * TIMESTAMP AS OF) replay exactly the recorded file set, stay stable
+  * under later appends, and fail with the explicit rewritten-snapshot
+  * story after DELETE / zorder replaced a recorded file. */
+class EdgeListTimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+  private val fmt = "graft.sources.EdgeListSource"
+
+  private def freshDir(): java.io.File =
+    Files.createTempDirectory("graft_tt").resolve("edges").toFile
+
+  private def write(dir: java.io.File, rows: Seq[(Long, Long)],
+      mode: String = "append"): Unit =
+    rows.toDF("src", "dst").coalesce(1)
+      .write.format(fmt).mode(mode).save(dir.getPath)
+
+  private def readV(dir: java.io.File, v: Int): Set[(Long, Long)] =
+    spark.read.format(fmt).option("versionAsOf", v).load(dir.getPath)
+      .as[(Long, Long)].collect().toSet
+
+  test("appends create versions; pinned reads are stable under later appends") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L), (3L, 4L)))
+    val v0 = EdgeLog.currentVersion(dir).get
+    write(dir, Seq((5L, 6L)))
+    val v1 = EdgeLog.currentVersion(dir).get
+    assert(v1 == v0 + 1)
+    assert(readV(dir, v0) == Set((1L, 2L), (3L, 4L)))
+    assert(readV(dir, v1) == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    // latest (unpinned) read tracks the live table
+    write(dir, Seq((7L, 8L)))
+    assert(spark.read.format(fmt).load(dir.getPath).count() == 4L)
+    assert(readV(dir, v0) == Set((1L, 2L), (3L, 4L))) // still stable
+    // the pin shows up in the plan description
+    val desc = spark.read.format(fmt).option("versionAsOf", v0)
+      .load(dir.getPath).queryExecution.executedPlan.toString
+    assert(desc.contains(s"VersionAsOf: $v0"))
+  }
+
+  test("SQL VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    val dir = freshDir()
+    val t = s"graft.`$dir`"
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2), (3, 4)")
+    val v0 = EdgeLog.currentVersion(dir).get
+    Thread.sleep(1100) // TIMESTAMP AS OF resolves on manifest mtime (s granularity on some filesystems)
+    val cut = java.time.Instant.now()
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO $t VALUES (5, 6)")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $v0")
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
+    assert(spark.sql(
+        s"SELECT * FROM $t TIMESTAMP AS OF '${java.sql.Timestamp.from(cut)}'")
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
+    // writes to a pinned snapshot are refused
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $t VERSION AS OF $v0 WHERE src = 1"))
+    assert(e.getMessage != null)
+  }
+
+  test("DELETE commits a new version and invalidates rewritten snapshots explicitly") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L), (3L, 4L)))
+    write(dir, Seq((5L, 6L)))
+    val vBefore = EdgeLog.currentVersion(dir).get
+    val t = s"graft.`$dir`"
+    spark.sql(s"DELETE FROM $t WHERE src = 1") // rewrites file 1 only
+    assert(EdgeLog.currentVersion(dir).get == vBefore + 1)
+    // latest version reads the post-delete table
+    assert(readV(dir, vBefore + 1) == Set((3L, 4L), (5L, 6L)))
+    // the pre-delete snapshot's file was rewritten in place -> the
+    // pinned read must fail with the story, never mix eras
+    val e = intercept[Exception](readV(dir, vBefore))
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("was rewritten")), s"got: $e")
+  }
+
+  test("zorder keeps version history; old numbers resolve to the explicit story") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    val vOld = EdgeLog.currentVersion(dir).get
+    graft.io.Compaction.zorderEdgeList(spark, dir.getPath, numFiles = 2,
+      bits = 4)
+    val vNew = EdgeLog.currentVersion(dir).get
+    assert(vNew > vOld) // history carried across the swap, not reset
+    assert(readV(dir, vNew) == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    val e = intercept[Exception](readV(dir, vOld))
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("was removed") ||
+        c.getMessage.contains("was rewritten"))), s"got: $e")
+  }
+
+  test("streaming epochs commit versions; replay does not duplicate them") {
+    val dir = freshDir()
+    val src = Files.createTempDirectory("graft_tt_src").toFile
+    write(src, Seq((1L, 2L)))
+    write(src, Seq((3L, 4L)))
+    val ckpt = Files.createTempDirectory("graft_tt_ckpt").toFile
+    val q = spark.readStream.format(fmt)
+      .option("maxFilesPerTrigger", "1").load(src.getPath)
+      .writeStream.format(fmt)
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir.getPath)
+    q.awaitTermination()
+    val vs = EdgeLog.versions(dir)
+    assert(vs.nonEmpty)
+    // the earliest epoch snapshot holds a strict subset
+    assert(readV(dir, vs.head).subsetOf(Set((1L, 2L), (3L, 4L))))
+    assert(readV(dir, vs.last) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("unknown version and pre-log directories fail with clear errors") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    val e1 = intercept[Exception](readV(dir, 99))
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot version 99")))
+    // a directory written outside the connector has no log
+    val raw = Files.createTempDirectory("graft_tt_raw").toFile
+    java.nio.file.Files.write(new java.io.File(raw, "e.txt").toPath,
+      "1 2\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      spark.read.format(fmt).option("versionAsOf", 0).load(raw.getPath)
+        .collect()
+    }
+    assert(chain(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot version 0")))
+  }
+}
