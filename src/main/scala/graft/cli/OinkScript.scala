@@ -433,6 +433,28 @@ object OinkScript {
               sinkAndBind(
                 pos.headOption.fold(rd)(v => rd.option("versionAsOf", v))
                   .load(resolve(ins.head)), outs, line)
+            case "edge_changes" =>
+              // edge_changes fromVersion [toVersion] -i path — the
+              // append-only changes feed: rows committed after
+              // fromVersion (exclusive) up to toVersion/current
+              if (pos.isEmpty || ins.size != 1)
+                throw ScriptError(line,
+                  "edge_changes fromVersion [toVersion] -i path")
+              val rd0 = spark.read.format("graft.sources.EdgeListSource")
+                .option("changesFromVersion", pos(0))
+              sinkAndBind(
+                pos.lift(1).fold(rd0)(v => rd0.option("versionAsOf", v))
+                  .load(resolve(ins.head)), outs, line)
+            case "edge_history" =>
+              // edge_history -i path — snapshot log as rows
+              // (version, committed_at_ms, n_files, bytes)
+              if (ins.size != 1)
+                throw ScriptError(line, "edge_history requires -i path")
+              val h = graft.sources.EdgeLog
+                .history(new java.io.File(resolve(ins.head)))
+              sinkAndBind(spark.createDataFrame(h)
+                .toDF("version", "committed_at_ms", "n_files", "bytes"),
+                outs, line)
             case "write_edge_dsv2" =>
               // sink verb: emit (src, dst) through the connector's
               // temp-file + rename commit; -o DIR [OBJ]

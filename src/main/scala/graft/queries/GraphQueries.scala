@@ -169,6 +169,27 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // APPEND-ONLY CHANGES FEED: commit the low-dst half, then the
+    // high-dst half; reading changesFromVersion=v0 returns EXACTLY the
+    // second commit's rows — the standing table is never rescanned
+    // (the incremental-ingest read path). Oracle filters the high half.
+    "g_dsv2_changes" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2c_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.where(col("dst") < 5000).repartition(2)
+        .write.format(fmtName).mode("overwrite").save(s"$root/edges")
+      val v = graft.sources.EdgeLog
+        .currentVersion(new java.io.File(s"$root/edges")).get
+      e.where(col("dst") >= 5000).repartition(2)
+        .write.format(fmtName).mode("append").save(s"$root/edges")
+      s.read.format(fmtName).option("changesFromVersion", v)
+        .load(s"$root/edges")
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+    }),
+
     // Write -> OPTIMIZE ZORDER -> filtered read round trip: the
     // maintenance pass rewrites the connector table on the (src, dst)
     // Morton curve (fresh zone-map sidecars from the rewrite commit),
@@ -668,6 +689,12 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
          |GROUP BY src""".stripMargin,
+
+    // the changes window holds exactly the second commit: the high half
+    "g_dsv2_changes" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE dst >= 5000 GROUP BY src""".stripMargin,
 
     // the snapshot holds exactly the first commit: the low-dst half
     "g_dsv2_timetravel" ->

@@ -164,7 +164,10 @@ private[sources] class EdgeListTable(path: String,
         .getOrElse(EdgeListSource.DefaultMaxGroupsPerChunk),
       // a DataFrame-read option pins a snapshot too; the catalog's SQL
       // VERSION AS OF arrives through the constructor
-      Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf))
+      Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf),
+      // append-only changes feed: rows committed AFTER this version
+      // (exclusive) up to versionAsOf/current (inclusive)
+      Option(options.get("changesFromVersion")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
@@ -228,7 +231,7 @@ private[sources] class EdgeListTable(path: String,
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
-    version: Option[Int] = None)
+    version: Option[Int] = None, changesFrom: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -324,7 +327,8 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
 
   override def build(): Scan =
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
-      limit, topN, groupBy, maxGroups, version = version)
+      limit, topN, groupBy, maxGroups, version = version,
+      changesFrom = changesFrom)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -448,18 +452,20 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     aggs: Seq[AggOp], limit: Option[Int] = None,
     topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
-    runtimePrunable: Boolean = true, version: Option[Int] = None)
+    runtimePrunable: Boolean = true, version: Option[Int] = None,
+    changesFrom: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
-  /** The snapshot's recorded (file, length) set, validated against the
-    * live directory: data files are immutable once published, so an
+  /** Validate recorded (file, length) pairs against the live
+    * directory: data files are immutable once published, so an
     * existing file with the recorded length IS the committed content;
     * anything else means a later rewrite (DELETE / compaction /
-    * OPTIMIZE ZORDER) replaced it and the snapshot is gone — fail with
-    * the story rather than return mixed-era rows. */
-  private def snapshotFiles(v: Int): Seq[(java.io.File, Long)] =
-    EdgeLog.read(new java.io.File(path), v).map { case (f, len) =>
+    * OPTIMIZE ZORDER) replaced it — fail with the story rather than
+    * return mixed-era rows. */
+  private def validated(v: Int,
+      recorded: Seq[(java.io.File, Long)]): Seq[(java.io.File, Long)] =
+    recorded.map { case (f, len) =>
       if (!f.isFile || f.length() != len)
         throw new IllegalStateException(
           s"snapshot v$v of edge-list table $path is no longer " +
@@ -471,6 +477,24 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
       (f, len)
     }
 
+  private def snapshotFiles(v: Int): Seq[(java.io.File, Long)] =
+    validated(v, EdgeLog.read(new java.io.File(path), v))
+
+  /** The planned file set: live listing, a pinned snapshot, or the
+    * append-only changes feed (files added in (changesFrom, to]). */
+  private def plannedFiles(): Seq[(java.io.File, Long)] =
+    (changesFrom, version) match {
+      case (Some(from), to) =>
+        val root = new java.io.File(path)
+        val toV = to.orElse(EdgeLog.currentVersion(root)).getOrElse(
+          throw new IllegalArgumentException(
+            s"changes feed: edge-list table $path has no snapshot log"))
+        validated(toV, EdgeLog.changedFiles(root, from, toV))
+      case (None, Some(v)) => snapshotFiles(v)
+      case (None, None) =>
+        EdgeListSource.listFiles(path).map(f => (f, f.length()))
+    }
+
   /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
     * no decode amplification worth modeling), rows ≈ bytes / the
     * 8-byte "1 2\n"-scale lower bound is too coarse to claim; sizing
@@ -478,10 +502,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = version match {
-        case Some(v) => snapshotFiles(v).map(_._2).sum
-        case None => EdgeListSource.listFiles(path).map(_.length()).sum
-      }
+      private val bytes = plannedFiles().map(_._2).sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
@@ -520,16 +541,18 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    if (version.isDefined)
+    if (version.isDefined || changesFrom.isDefined)
       throw new UnsupportedOperationException(
-        "streaming read of a snapshot (VERSION AS OF) is not supported —" +
-          " a snapshot is a fixed file set, stream the live table")
+        "streaming read of a snapshot/changes feed is not supported —" +
+          " a snapshot is a fixed file set, stream the live table" +
+          " (the micro-batch source is itself an incremental reader)")
     new EdgeListMicroBatchStream(path, chunkBytes, skipMalformed,
       required, pushed)
   }
   override def description(): String =
     s"EdgeListScan path=$path" +
       version.fold("")(v => s", VersionAsOf: $v") +
+      changesFrom.fold("")(v => s", ChangesFromVersion: $v") +
       s", ReadSchema: ${readSchema().simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (aggs.isEmpty) "" else s", PushedAggregates: [${aggs.map(_.name).mkString(", ")}]") +
@@ -543,14 +566,10 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * no chunk, no task, no read. Files without a sidecar always plan. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = pushed ++ runtimeFilters
-    val files = version match {
-      // a validated snapshot file equals its committed content, so the
-      // current sidecar (if any) describes exactly these rows — zone
-      // maps keep pruning under time travel
-      case Some(v) => snapshotFiles(v)
-      case None => EdgeListSource.listFiles(path).map(f => (f, f.length()))
-    }
-    files.flatMap { case (f, len) =>
+    // a validated snapshot/changes file equals its committed content,
+    // so the current sidecar (if any) describes exactly these rows —
+    // zone maps keep pruning under time travel and changes feeds
+    plannedFiles().flatMap { case (f, len) =>
       val skip = len == 0 || (fs.nonEmpty && EdgeStats.read(f).exists(st =>
         !EdgeListFilters.mayMatch(fs,
           st.minSrc, st.maxSrc, st.minDst, st.maxDst)))

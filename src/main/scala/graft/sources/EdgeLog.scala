@@ -95,6 +95,49 @@ private[graft] object EdgeLog {
     finally src.close()
   }
 
+  /** The files ADDED between `fromV` (exclusive) and `toV` (inclusive)
+    * — the append-only changes feed: consuming them reads exactly the
+    * rows committed in that version window, never rescanning the
+    * standing table (the incremental-ingest shape: "give me what
+    * landed since I last looked"). Fails fast when the window contains
+    * a REWRITE — a file present in both manifests with different
+    * lengths, or present in `fromV` but gone from `toV` (DELETE /
+    * compaction / zorder) — because then "changes" are no longer pure
+    * appends and a file diff would silently misreport them. */
+  def changedFiles(root: java.io.File, fromV: Int,
+      toV: Int): Seq[(java.io.File, Long)] = {
+    require(fromV <= toV,
+      s"changes feed: fromVersion $fromV > toVersion $toV")
+    val before = read(root, fromV).map { case (f, l) => f.getPath -> l }.toMap
+    val after = read(root, toV)
+    val afterNames = after.map(_._1.getPath).toSet
+    before.keys.filterNot(afterNames.contains).foreach { gone =>
+      throw new IllegalStateException(
+        s"changes feed v$fromV..v$toV of edge-list table $root is not " +
+          s"append-only: ${new java.io.File(gone).getName} was removed " +
+          "by a DELETE/compaction/zorder in the window")
+    }
+    after.filter { case (f, len) =>
+      before.get(f.getPath) match {
+        case None => true // appended in the window
+        case Some(`len`) => false // unchanged standing file
+        case Some(old) => throw new IllegalStateException(
+          s"changes feed v$fromV..v$toV of edge-list table $root is not " +
+            s"append-only: ${f.getName} was rewritten in the window " +
+            s"(length $old -> $len)")
+      }
+    }
+  }
+
+  /** Snapshot history as rows: (version, committed_at_ms, n_files,
+    * bytes) — the DESCRIBE HISTORY face. */
+  def history(root: java.io.File): Seq[(Int, Long, Int, Long)] =
+    versions(root).map { v =>
+      val files = read(root, v)
+      (v, manifestFile(root, v).lastModified(), files.size,
+        files.map(_._2).sum)
+    }
+
   /** Latest version committed at or before `timestampMicros` (the SQL
     * `TIMESTAMP AS OF` contract: manifest publish time, wall clock). */
   def versionAt(root: java.io.File, timestampMicros: Long): Int =

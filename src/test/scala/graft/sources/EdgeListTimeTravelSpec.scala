@@ -124,6 +124,51 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     assert(readV(dir, vs.last) == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("changes feed returns exactly the window's appends; rewrites fail it") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    val v0 = EdgeLog.currentVersion(dir).get
+    write(dir, Seq((3L, 4L)))
+    val v1 = EdgeLog.currentVersion(dir).get
+    write(dir, Seq((5L, 6L)))
+    val v2 = EdgeLog.currentVersion(dir).get
+    def changes(from: Int, to: Option[Int]): Set[(Long, Long)] = {
+      val rd = spark.read.format(fmt).option("changesFromVersion", from)
+      to.fold(rd)(v => rd.option("versionAsOf", v)).load(dir.getPath)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(changes(v0, Some(v1)) == Set((3L, 4L)))
+    assert(changes(v0, Some(v2)) == Set((3L, 4L), (5L, 6L)))
+    assert(changes(v1, None) == Set((5L, 6L))) // to = current
+    assert(changes(v2, Some(v2)) == Set.empty[(Long, Long)])
+    // same-window read is REPEATABLE after further appends
+    write(dir, Seq((7L, 8L)))
+    assert(changes(v0, Some(v1)) == Set((3L, 4L)))
+    // a DELETE inside the window breaks append-only -> explicit error
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE src = 1")
+    val vDel = EdgeLog.currentVersion(dir).get
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    val e = intercept[Exception](changes(v0, Some(vDel)))
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not append-only")), s"got: $e")
+    // a window strictly AFTER the delete is append-only again
+    write(dir, Seq((9L, 10L)))
+    assert(changes(vDel, None) == Set((9L, 10L)))
+  }
+
+  test("history lists every version with file counts and sizes") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    write(dir, Seq((3L, 4L), (5L, 6L)))
+    val h = EdgeLog.history(dir)
+    assert(h.map(_._1) == EdgeLog.versions(dir))
+    assert(h.last._3 == 2) // two data files at the head version
+    assert(h.map(_._2).sliding(2).forall { case Seq(a, b) => a <= b
+      case _ => true })
+    assert(h.last._4 > h.head._4) // bytes grew with the append
+  }
+
   test("unknown version and pre-log directories fail with clear errors") {
     val dir = freshDir()
     write(dir, Seq((1L, 2L)))
