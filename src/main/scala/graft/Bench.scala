@@ -295,7 +295,43 @@ object Bench {
         "d_decontam_kmv_refresh_min_sec" -> ts.head,
         "d_decontam_kmv_refresh_max_sec" -> ts.last)
     }
-    val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv
+    // Changes-feed read vs full-table rescan (round 9): a big standing
+    // connector table gets a ~1% append; consuming the new rows via the
+    // manifest file-diff should cost ~append-size, not ~table-size —
+    // the incremental-ingest claim as a measured pair.
+    val changesFeed = section("edge_changes") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_cf_")
+        .toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      // the 60k-row graph table is overhead-bound (agg pushdown makes
+      // a full scan ~free at that size) — replicate the lineitem key
+      // pairs ×16 (~10M rows, ~120 MB text) so the standing-table scan
+      // cost is visible against the ~1% append
+      val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        .crossJoin(broadcast(spark.range(16).toDF("rep")))
+        .select((col("src") * 16 + col("rep")).as("src"), col("dst"))
+      e.where(col("dst") % 100 =!= 0).repartition(8)
+        .write.format(fmtName).mode("overwrite").save(s"$root/edges")
+      val v = graft.sources.EdgeLog
+        .currentVersion(new java.io.File(s"$root/edges")).get
+      e.where(col("dst") % 100 === 0).repartition(1)
+        .write.format(fmtName).mode("append").save(s"$root/edges")
+      def full(): Unit = materialize(
+        spark.read.format(fmtName).load(s"$root/edges")
+          .agg(count(lit(1)), sum("dst")))
+      def changes(): Unit = materialize(
+        spark.read.format(fmtName).option("changesFromVersion", v)
+          .load(s"$root/edges").agg(count(lit(1)), sum("dst")))
+      full(); changes() // warm
+      val tf = (1 to 3).map(_ => timeIt(full())).sorted
+      val tc = (1 to 3).map(_ => timeIt(changes())).sorted
+      Seq("edge_full_scan_sec" -> tf(1), "edge_changes_window_sec" -> tc(1))
+    }
+    val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
+      changesFeed
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
