@@ -89,5 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_edges"),
       new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_edges"),
       graft.functions.GraftFunctions.edgesTvfBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_history"),
+      graft.functions.GraftFunctions.historyTvfBuilder _))
   }
 }

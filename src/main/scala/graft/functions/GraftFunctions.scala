@@ -85,6 +85,29 @@ object GraftFunctions {
     withChunk.load(path).queryExecution.logical
   }
 
+  /** `SELECT * FROM graft_history('path')` — the connector's snapshot
+    * log as a relation: (version INT, committed_at TIMESTAMP, n_files
+    * INT, bytes BIGINT). The DESCRIBE-HISTORY face of time travel. */
+  private[graft] def historyTvfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 && exprs.head.foldable,
+      "graft_history expects one literal path STRING")
+    val path = exprs.head.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"graft_history path: got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = graft.sources.EdgeLog.history(new java.io.File(path))
+      .map { case (v, ms, n, b) =>
+        (v, new java.sql.Timestamp(ms), n, b)
+      }
+    spark.createDataFrame(rows)
+      .toDF("version", "committed_at", "n_files", "bytes")
+      .queryExecution.logical
+  }
+
   private[graft] def kmvBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {

@@ -135,6 +135,17 @@ class OinkScriptSpec extends SparkSpec {
       s"read_edge_dsv2 $v -i $dir/edges -o NULL pinned"))
     assert(reg2("pinned").select("src", "dst").as[(Long, Long)]
       .collect().sorted.toSeq == orig)
+    // append one edge: the changes window holds exactly it, and the
+    // history gained a version
+    Seq((999L, 998L)).toDF("src", "dst").coalesce(1)
+      .write.format("graft.sources.EdgeListSource")
+      .mode("append").save(s"$dir/edges")
+    val reg3 = OinkScript.run(spark, Seq(
+      s"edge_changes $v -i $dir/edges -o NULL delta",
+      s"edge_history -i $dir/edges -o NULL hist"))
+    assert(reg3("delta").select("src", "dst").as[(Long, Long)]
+      .collect().toSeq == Seq((999L, 998L)))
+    assert(reg3("hist").select("version").as[Int].collect().max == v + 1)
   }
 
   test("pipeline verbs: read_parquet -> minhash dedup chain end to end") {

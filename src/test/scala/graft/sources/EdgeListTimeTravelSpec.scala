@@ -167,6 +167,11 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     assert(h.map(_._2).sliding(2).forall { case Seq(a, b) => a <= b
       case _ => true })
     assert(h.last._4 > h.head._4) // bytes grew with the append
+    // the SQL face: SELECT * FROM graft_history('path')
+    val viaSql = spark.sql(
+      s"SELECT version, n_files, bytes FROM graft_history('$dir')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaSql == h.map(x => (x._1, x._3, x._4)))
   }
 
   test("unknown version and pre-log directories fail with clear errors") {
