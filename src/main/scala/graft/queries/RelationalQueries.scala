@@ -501,6 +501,32 @@ object RelationalQueries {
       s.sql("EXECUTE IMMEDIATE graft_q42 USING graft_thr")
     }),
 
+    // SQL SCRIPTING (Spark 4's procedural BEGIN…END blocks): a WHILE
+    // loop builds the threshold in a session variable (5 × 100.0 —
+    // exact doubles), an IF validates it, and the block's result is
+    // its final SELECT. The oracle inlines the computed constant: the
+    // control flow must be semantically invisible.
+    "q43_sql_script" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""BEGIN
+              |  DECLARE thr DOUBLE DEFAULT 0.0;
+              |  DECLARE i INT DEFAULT 0;
+              |  WHILE i < 5 DO
+              |    SET thr = thr + 100.0;
+              |    SET i = i + 1;
+              |  END WHILE;
+              |  IF thr <> 500.0 THEN
+              |    SELECT raise_error('loop drifted') AS boom;
+              |  END IF;
+              |  SELECT event_type, count(*) AS n_above,
+              |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              |      AS BIGINT) AS cents_above
+              |  FROM events WHERE value > thr / 1000.0
+              |  GROUP BY event_type;
+              |END""".stripMargin)
+    }),
+
     // RFM segmentation (recency/frequency/monetary quintiles) — the
     // marketing-analytics standard. Scores are quintiles WITHIN each
     // market segment (the standard segment-relative practice, and the
@@ -725,6 +751,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS cents_above
         |FROM events WHERE value > 700.0 GROUP BY event_type""".stripMargin,
+
+    // the WHILE loop computes thr = 500.0 exactly; 500.0/1000.0 = 0.5
+    // in IEEE — the script's control flow inlines to this constant
+    "q43_sql_script" ->
+      """SELECT event_type, count(*) AS n_above,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_above
+        |FROM events WHERE value > 0.5 GROUP BY event_type""".stripMargin,
 
     "q40_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d
