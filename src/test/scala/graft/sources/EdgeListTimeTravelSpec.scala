@@ -174,6 +174,21 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     assert(viaSql == h.map(x => (x._1, x._3, x._4)))
   }
 
+  test("a committer losing the version-number race retries with the next number") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L))) // v0
+    // simulate a concurrent committer that already claimed v1: the
+    // no-replace rename must lose and retry onto v2
+    val stolen = new java.io.File(new java.io.File(dir, "_graft_log"),
+      "v00000001.manifest")
+    java.nio.file.Files.write(stolen.toPath, Array.emptyByteArray)
+    val v = EdgeLog.commit(dir)
+    assert(v == 2)
+    assert(EdgeLog.versions(dir) == Seq(0, 1, 2))
+    // the retried manifest records the real file set
+    assert(readV(dir, 2) == Set((1L, 2L)))
+  }
+
   test("unknown version and pre-log directories fail with clear errors") {
     val dir = freshDir()
     write(dir, Seq((1L, 2L)))
