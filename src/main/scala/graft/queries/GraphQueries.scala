@@ -169,6 +169,29 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // WEIGHTED edge format through the connector (read_edge_weight's
+    // `vi vj wt`): write with integer-valued weights, read back under
+    // the 3-column schema, aggregate — integer-valued doubles sum
+    // exactly, so the cast-to-long total hash-gates. The oracle never
+    // sees the on-disk text detour.
+    "g_dsv2_weighted" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2w_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      Tables.edges(s, dir)
+        .withColumn("weight",
+          ((col("src") + col("dst")) % 7 + 1).cast("double"))
+        .repartition(3)
+        .write.format(fmtName).option("withWeight", "true")
+        .mode("overwrite").save(s"$root/edges")
+      s.read.format(fmtName).option("withWeight", "true")
+        .load(s"$root/edges")
+        .where(col("dst") >= 10)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"),
+          sum("weight").cast("long").as("sum_w"))
+    }),
+
     // APPEND-ONLY CHANGES FEED: commit the low-dst half, then the
     // high-dst half; reading changesFromVersion=v0 returns EXACTLY the
     // second commit's rows — the standing table is never rescanned
@@ -689,6 +712,13 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
          |GROUP BY src""".stripMargin,
+
+    // identical weight expression; integer-valued double sums are exact
+    "g_dsv2_weighted" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg,
+         |  CAST(sum(CAST((src + dst) % 7 + 1 AS DOUBLE)) AS BIGINT) AS sum_w
+         |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
 
     // the changes window holds exactly the second commit: the high half
     "g_dsv2_changes" ->

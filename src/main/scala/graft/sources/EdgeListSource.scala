@@ -69,11 +69,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class EdgeListSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EdgeListSource.Schema
+    if (java.lang.Boolean.parseBoolean(options.get("withWeight")))
+      EdgeListSource.WeightedSchema
+    else EdgeListSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new EdgeListTable(properties.get("path"))
+    new EdgeListTable(properties.get("path"), withWeight =
+      java.lang.Boolean.parseBoolean(properties.get("withWeight")))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -82,6 +85,17 @@ object EdgeListSource {
   val Schema: StructType = StructType(Seq(
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false)))
+
+  /** The reference's weighted edge format (`vi vj weight`,
+    * `read_edge_weight` — mr-pr inputs with per-edge weights): opt in
+    * with `.option("withWeight", true)`. Filter/limit pushdown and
+    * zone maps work as in the plain format (both key columns); agg /
+    * top-N pushdown is declined (the partial readers are integer-only)
+    * and falls back to Spark over the scanned rows. */
+  val WeightedSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false)))
 
   val DefaultChunkBytes: Long = 64L * 1024 * 1024
 
@@ -110,7 +124,7 @@ object EdgeListSource {
 }
 
 private[sources] class EdgeListTable(path: String,
-    versionAsOf: Option[Int] = None)
+    versionAsOf: Option[Int] = None, withWeight: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -143,12 +157,17 @@ private[sources] class EdgeListTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireWritable("UPDATE/MERGE")
+    if (withWeight) throw new UnsupportedOperationException(
+      "UPDATE/MERGE on a weighted edge-list table is not supported — " +
+        "the copy-on-write path rewrites through the (src, dst) schema; " +
+        "DELETE (line-preserving rewrite) works")
     () => new EdgeListRowLevelOperation(path, info.command())
   }
 
   override def name(): String =
     s"edgelist($path${versionAsOf.fold("")(v => s"@v$v")})"
-  override def schema(): StructType = EdgeListSource.Schema
+  override def schema(): StructType =
+    if (withWeight) EdgeListSource.WeightedSchema else EdgeListSource.Schema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -167,7 +186,9 @@ private[sources] class EdgeListTable(path: String,
       Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf),
       // append-only changes feed: rows committed AFTER this version
       // (exclusive) up to versionAsOf/current (inclusive)
-      Option(options.get("changesFromVersion")).map(_.toInt))
+      Option(options.get("changesFromVersion")).map(_.toInt),
+      withWeight ||
+        java.lang.Boolean.parseBoolean(options.get("withWeight")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
@@ -231,12 +252,14 @@ private[sources] class EdgeListTable(path: String,
 
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
-    version: Option[Int] = None, changesFrom: Option[Int] = None)
+    version: Option[Int] = None, changesFrom: Option[Int] = None,
+    withWeight: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  private var required: StructType = EdgeListSource.Schema
+  private var required: StructType =
+    if (withWeight) EdgeListSource.WeightedSchema else EdgeListSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Seq[AggOp] = Nil
   private var groupBy: Seq[String] = Nil
@@ -280,6 +303,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     // an untranslatable agg function (e.g. AVG) reaches here as an
     // EMPTY aggregate list with only the group columns — accepting it
     // would promise Spark a scan it cannot finish the query from
+    if (withWeight) return false // integer-only partial readers
     if (aggregation.aggregateExpressions().isEmpty) return false
     val gb = aggregation.groupByExpressions().toSeq.map(AggOp.colOf)
     if (gb.exists(_.isEmpty) || gb.flatten.distinct.size != gb.size) return false
@@ -308,7 +332,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (aggs.nonEmpty || l < 0 || orders.isEmpty) return false
+    if (withWeight || aggs.nonEmpty || l < 0 || orders.isEmpty) return false
     val cols = orders.toSeq.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
@@ -328,7 +352,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
   override def build(): Scan =
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
       limit, topN, groupBy, maxGroups, version = version,
-      changesFrom = changesFrom)
+      changesFrom = changesFrom, withWeight = withWeight)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -453,7 +477,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
     runtimePrunable: Boolean = true, version: Option[Int] = None,
-    changesFrom: Option[Int] = None)
+    changesFrom: Option[Int] = None, withWeight: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -547,7 +571,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
           " a snapshot is a fixed file set, stream the live table" +
           " (the micro-batch source is itself an incremental reader)")
     new EdgeListMicroBatchStream(path, chunkBytes, skipMalformed,
-      required, pushed)
+      required, pushed, withWeight)
   }
   override def description(): String =
     s"EdgeListScan path=$path" +
@@ -582,7 +606,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames,
       pushed ++ runtimeFilters, skipMalformed, aggs, limit, topN, groupBy,
-      maxGroups)
+      maxGroups, withWeight)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
@@ -592,7 +616,8 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
     pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
     limit: Option[Int] = None, topN: Seq[(String, Boolean)] = Nil,
     groupBy: Seq[String] = Nil,
-    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk)
+    maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
+    withWeight: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     if (aggs.nonEmpty && groupBy.nonEmpty)
@@ -605,7 +630,7 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
         skipMalformed, topN, limit.get)
     else
       new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed,
-        skipMalformed, limit)
+        skipMalformed, limit, withWeight)
 }
 
 /** Grouped-aggregate-pushdown reader: folds the chunk into one partial
@@ -782,7 +807,7 @@ private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
   * consuming PAST `end` to finish a line it started. */
 private[sources] class EdgeChunkReader(chunk: EdgeChunk,
     columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, withWeight: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val in = new BufferedInputStream(
@@ -794,6 +819,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
   private val needDst = columns.contains("dst")
   private val srcIdx = columns.indexOf("src")
   private val dstIdx = columns.indexOf("dst")
+  private val wtIdx = if (withWeight) columns.indexOf("weight") else -1
   private val fileIdx = columns.indexOf("_file")
   private val fileVal = // constant per chunk
     if (fileIdx >= 0)
@@ -839,6 +865,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
     * false on malformed. */
   private var pSrc = 0L
   private var pDst = 0L
+  private var pWt = 0.0d
   private def parse(bs: Array[Byte]): Boolean = {
     var i = 0
     val n = if (bs.nonEmpty && bs(bs.length - 1) == '\r') bs.length - 1 else bs.length
@@ -855,9 +882,19 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
     while (i < n && bs(i) >= '0' && bs(i) <= '9') {
       v = v * 10 + (bs(i) - '0'); digits += 1; i += 1
     }
-    if (digits == 0 || (digits > 1 && bs(dStart) == '0') || i != n) return false
+    if (digits == 0 || (digits > 1 && bs(dStart) == '0')) return false
     pDst = v
-    true
+    if (!withWeight) return i == n
+    // weighted line: exactly one more whitespace-separated float token
+    // (read_edge_weight's `vi vj wt`); Double.parseDouble carries the
+    // reference checker's float-text tolerance
+    if (i >= n || !(bs(i) == ' ' || bs(i) == '\t')) return false
+    i += 1
+    if (i >= n) return false
+    val tok = new String(bs, i, n - i, StandardCharsets.US_ASCII)
+    if (tok.exists(c => c == ' ' || c == '\t')) return false
+    try { pWt = java.lang.Double.parseDouble(tok); !pWt.isNaN }
+    catch { case _: NumberFormatException => false }
   }
 
   override def next(): Boolean = {
@@ -871,6 +908,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
           val vals = new Array[Any](columns.length)
           if (needSrc) vals(srcIdx) = pSrc
           if (needDst) vals(dstIdx) = pDst
+          if (wtIdx >= 0) vals(wtIdx) = pWt
           if (fileIdx >= 0) vals(fileIdx) = fileVal
           row = new GenericInternalRow(vals)
           emitted += 1
@@ -906,17 +944,22 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
 
   override def build(): Write = {
     val in = info.schema()
-    require(in.length == 2 &&
+    val weighted = in.fieldNames.toSeq == Seq("src", "dst", "weight") &&
+      in.fields.take(2).forall(_.dataType == LongType) &&
+      in.fields(2).dataType == DoubleType
+    require(weighted || (in.length == 2 &&
         in.fields.forall(f => f.dataType == LongType) &&
-        in.fieldNames.toSeq == Seq("src", "dst"),
-      s"edge-list writes need (src BIGINT, dst BIGINT); got ${in.simpleString}")
+        in.fieldNames.toSeq == Seq("src", "dst")),
+      "edge-list writes need (src BIGINT, dst BIGINT) or " +
+        s"(src BIGINT, dst BIGINT, weight DOUBLE); got ${in.simpleString}")
     new Write {
-      override def toBatch: BatchWrite = new EdgeListBatchWrite(path, doTruncate)
+      override def toBatch: BatchWrite =
+        new EdgeListBatchWrite(path, doTruncate, weighted)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!doTruncate, "edge-list streaming sink supports Append " +
           "output only (Complete would rewrite committed epochs)")
-        new EdgeListStreamingWrite(path)
+        new EdgeListStreamingWrite(path, weighted)
       }
     }
   }
@@ -1032,12 +1075,13 @@ private[sources] object EdgeStats {
 private[sources] case class EdgeFileCommit(tempPath: String,
     stats: Option[EdgeStats] = None) extends WriterCommitMessage
 
-private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
+private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
+    weighted: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): DataWriterFactory =
-    new EdgeListWriterFactory(path)
+    new EdgeListWriterFactory(path, weighted)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -1063,10 +1107,11 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean)
     messages.foreach { case EdgeFileCommit(tmp, _) => new java.io.File(tmp).delete() }
 }
 
-private[sources] class EdgeListWriterFactory(path: String)
+private[sources] class EdgeListWriterFactory(path: String,
+    weighted: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EdgeFileWriter(path, partitionId, taskId)
+    new EdgeFileWriter(path, partitionId, taskId, weighted)
 }
 
 /** EXACTLY-ONCE streaming sink (Append mode): the connector's fourth
@@ -1086,13 +1131,14 @@ private[sources] class EdgeListWriterFactory(path: String)
   * Fresh wall-clock stamps keep the offset contract of
   * [[EdgeListMicroBatchStream]] (new files sort after processed ones),
   * so a sink directory can be re-consumed as a stream. */
-private[sources] class EdgeListStreamingWrite(path: String)
+private[sources] class EdgeListStreamingWrite(path: String,
+    weighted: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new EdgeListStreamingWriterFactory(path)
+    new EdgeListStreamingWriterFactory(path, weighted)
 
   private def marker(epochId: Long) =
     new java.io.File(new java.io.File(path, "_graft_commits"), s"_$epochId")
@@ -1133,14 +1179,16 @@ private[sources] class EdgeListStreamingWrite(path: String)
     messages.foreach { case EdgeFileCommit(t, _) => new java.io.File(t).delete() }
 }
 
-private[sources] class EdgeListStreamingWriterFactory(path: String)
+private[sources] class EdgeListStreamingWriterFactory(path: String,
+    weighted: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new EdgeFileWriter(path, partitionId, taskId)
+    new EdgeFileWriter(path, partitionId, taskId, weighted)
 }
 
-private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Long)
+private[sources] class EdgeFileWriter(path: String, partitionId: Int,
+    taskId: Long, weighted: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // dot-prefixed → invisible to listFiles until commit renames it.
@@ -1175,6 +1223,13 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Lo
     out.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
     out.write(' ')
     out.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
+    if (weighted) {
+      out.write(' ')
+      // Double.toString: shortest text that re-parses to the same
+      // double — a write→read round trip is bit-exact
+      out.write(java.lang.Double.toString(r.getDouble(2))
+        .getBytes(StandardCharsets.US_ASCII))
+    }
     out.write('\n')
   }
 
@@ -1202,7 +1257,7 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int, taskId: Lo
   * a re-scan of the directory. */
 private[sources] class EdgeListMicroBatchStream(path: String,
     chunkBytes: Long, skipMalformed: Boolean, required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter], withWeight: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1244,5 +1299,6 @@ private[sources] class EdgeListMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed, Nil)
+    new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed,
+      Nil, withWeight = withWeight)
 }
