@@ -192,6 +192,25 @@ object GraphQueries {
           sum("weight").cast("long").as("sum_w"))
     }),
 
+    // LABELED edge format through the connector (read_edge_label's
+    // `vi vj label`, signed integer): the label expression goes
+    // negative for half the edges, so the gate exercises the signed
+    // parse; exact longs end to end.
+    "g_dsv2_labeled" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2l_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      Tables.edges(s, dir)
+        .withColumn("label", (col("src") + col("dst")) % 9 - 4)
+        .repartition(3)
+        .write.format(fmtName).option("withLabel", "true")
+        .mode("overwrite").save(s"$root/edges")
+      s.read.format(fmtName).option("withLabel", "true")
+        .load(s"$root/edges")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("dst").as("sum_dst"))
+    }),
+
     // APPEND-ONLY CHANGES FEED: commit the low-dst half, then the
     // high-dst half; reading changesFromVersion=v0 returns EXACTLY the
     // second commit's rows — the standing table is never rescanned
@@ -712,6 +731,13 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE dst >= 10 AND src NOT IN (0, 7)
          |GROUP BY src""".stripMargin,
+
+    // identical signed-label expression, exact longs
+    "g_dsv2_labeled" ->
+      s"""WITH edges AS ($E)
+         |SELECT (src + dst) % 9 - 4 AS label, count(*) AS n,
+         |  CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges GROUP BY 1""".stripMargin,
 
     // identical weight expression; integer-valued double sums are exact
     "g_dsv2_weighted" ->

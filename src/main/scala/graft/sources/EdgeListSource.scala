@@ -71,12 +71,16 @@ class EdgeListSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (java.lang.Boolean.parseBoolean(options.get("withWeight")))
       EdgeListSource.WeightedSchema
+    else if (java.lang.Boolean.parseBoolean(options.get("withLabel")))
+      EdgeListSource.LabeledSchema
     else EdgeListSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new EdgeListTable(properties.get("path"), withWeight =
-      java.lang.Boolean.parseBoolean(properties.get("withWeight")))
+      java.lang.Boolean.parseBoolean(properties.get("withWeight")),
+      withLabel =
+        java.lang.Boolean.parseBoolean(properties.get("withLabel")))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -96,6 +100,15 @@ object EdgeListSource {
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false),
     StructField("weight", DoubleType, nullable = false)))
+
+  /** The reference's labeled edge format (`vi vj label`, an INTEGER
+    * label per edge — read_edge_label): opt in with
+    * `.option("withLabel", true)`. Same pushdown posture as
+    * [[WeightedSchema]]. */
+  val LabeledSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("label", LongType, nullable = false)))
 
   val DefaultChunkBytes: Long = 64L * 1024 * 1024
 
@@ -124,11 +137,14 @@ object EdgeListSource {
 }
 
 private[sources] class EdgeListTable(path: String,
-    versionAsOf: Option[Int] = None, withWeight: Boolean = false)
+    versionAsOf: Option[Int] = None, withWeight: Boolean = false,
+    withLabel: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "EdgeListSource requires a single load(path)/save(path)")
+  require(!(withWeight && withLabel),
+    "withWeight and withLabel are mutually exclusive (one extra column)")
 
   private def requireWritable(op: String): Unit =
     if (versionAsOf.isDefined)
@@ -157,17 +173,19 @@ private[sources] class EdgeListTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireWritable("UPDATE/MERGE")
-    if (withWeight) throw new UnsupportedOperationException(
-      "UPDATE/MERGE on a weighted edge-list table is not supported — " +
-        "the copy-on-write path rewrites through the (src, dst) schema; " +
-        "DELETE (line-preserving rewrite) works")
+    if (withWeight || withLabel) throw new UnsupportedOperationException(
+      "UPDATE/MERGE on a weighted/labeled edge-list table is not " +
+        "supported — the copy-on-write path rewrites through the " +
+        "(src, dst) schema; DELETE (line-preserving rewrite) works")
     () => new EdgeListRowLevelOperation(path, info.command())
   }
 
   override def name(): String =
     s"edgelist($path${versionAsOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType =
-    if (withWeight) EdgeListSource.WeightedSchema else EdgeListSource.Schema
+    if (withWeight) EdgeListSource.WeightedSchema
+    else if (withLabel) EdgeListSource.LabeledSchema
+    else EdgeListSource.Schema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -188,7 +206,9 @@ private[sources] class EdgeListTable(path: String,
       // (exclusive) up to versionAsOf/current (inclusive)
       Option(options.get("changesFromVersion")).map(_.toInt),
       withWeight ||
-        java.lang.Boolean.parseBoolean(options.get("withWeight")))
+        java.lang.Boolean.parseBoolean(options.get("withWeight")),
+      withLabel ||
+        java.lang.Boolean.parseBoolean(options.get("withLabel")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
@@ -253,13 +273,15 @@ private[sources] class EdgeListTable(path: String,
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
     version: Option[Int] = None, changesFrom: Option[Int] = None,
-    withWeight: Boolean = false)
+    withWeight: Boolean = false, withLabel: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType =
-    if (withWeight) EdgeListSource.WeightedSchema else EdgeListSource.Schema
+    if (withWeight) EdgeListSource.WeightedSchema
+    else if (withLabel) EdgeListSource.LabeledSchema
+    else EdgeListSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Seq[AggOp] = Nil
   private var groupBy: Seq[String] = Nil
@@ -303,7 +325,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     // an untranslatable agg function (e.g. AVG) reaches here as an
     // EMPTY aggregate list with only the group columns — accepting it
     // would promise Spark a scan it cannot finish the query from
-    if (withWeight) return false // integer-only partial readers
+    if (withWeight || withLabel) return false // 2-col partial readers
     if (aggregation.aggregateExpressions().isEmpty) return false
     val gb = aggregation.groupByExpressions().toSeq.map(AggOp.colOf)
     if (gb.exists(_.isEmpty) || gb.flatten.distinct.size != gb.size) return false
@@ -332,7 +354,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (withWeight || aggs.nonEmpty || l < 0 || orders.isEmpty) return false
+    if (withWeight || withLabel || aggs.nonEmpty || l < 0 || orders.isEmpty) return false
     val cols = orders.toSeq.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 &&
@@ -352,7 +374,8 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
   override def build(): Scan =
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
       limit, topN, groupBy, maxGroups, version = version,
-      changesFrom = changesFrom, withWeight = withWeight)
+      changesFrom = changesFrom, withWeight = withWeight,
+      withLabel = withLabel)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -477,7 +500,8 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     topN: Seq[(String, Boolean)] = Nil, groupBy: Seq[String] = Nil,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
     runtimePrunable: Boolean = true, version: Option[Int] = None,
-    changesFrom: Option[Int] = None, withWeight: Boolean = false)
+    changesFrom: Option[Int] = None, withWeight: Boolean = false,
+    withLabel: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -571,7 +595,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
           " a snapshot is a fixed file set, stream the live table" +
           " (the micro-batch source is itself an incremental reader)")
     new EdgeListMicroBatchStream(path, chunkBytes, skipMalformed,
-      required, pushed, withWeight)
+      required, pushed, withWeight, withLabel)
   }
   override def description(): String =
     s"EdgeListScan path=$path" +
@@ -606,7 +630,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames,
       pushed ++ runtimeFilters, skipMalformed, aggs, limit, topN, groupBy,
-      maxGroups, withWeight)
+      maxGroups, withWeight, withLabel)
 }
 
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
@@ -617,7 +641,7 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
     limit: Option[Int] = None, topN: Seq[(String, Boolean)] = Nil,
     groupBy: Seq[String] = Nil,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
-    withWeight: Boolean = false)
+    withWeight: Boolean = false, withLabel: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     if (aggs.nonEmpty && groupBy.nonEmpty)
@@ -630,7 +654,7 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
         skipMalformed, topN, limit.get)
     else
       new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed,
-        skipMalformed, limit, withWeight)
+        skipMalformed, limit, withWeight, withLabel)
 }
 
 /** Grouped-aggregate-pushdown reader: folds the chunk into one partial
@@ -807,7 +831,8 @@ private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
   * consuming PAST `end` to finish a line it started. */
 private[sources] class EdgeChunkReader(chunk: EdgeChunk,
     columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
-    limit: Option[Int] = None, withWeight: Boolean = false)
+    limit: Option[Int] = None, withWeight: Boolean = false,
+    withLabel: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val in = new BufferedInputStream(
@@ -820,6 +845,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
   private val srcIdx = columns.indexOf("src")
   private val dstIdx = columns.indexOf("dst")
   private val wtIdx = if (withWeight) columns.indexOf("weight") else -1
+  private val lbIdx = if (withLabel) columns.indexOf("label") else -1
   private val fileIdx = columns.indexOf("_file")
   private val fileVal = // constant per chunk
     if (fileIdx >= 0)
@@ -866,6 +892,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
   private var pSrc = 0L
   private var pDst = 0L
   private var pWt = 0.0d
+  private var pLabel = 0L
   private def parse(bs: Array[Byte]): Boolean = {
     var i = 0
     val n = if (bs.nonEmpty && bs(bs.length - 1) == '\r') bs.length - 1 else bs.length
@@ -884,6 +911,22 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
     }
     if (digits == 0 || (digits > 1 && bs(dStart) == '0')) return false
     pDst = v
+    if (withLabel) {
+      // labeled line: exactly one more INTEGER token (read_edge_label
+      // parses `%lu %lu %d` — signed int label)
+      if (i >= n || !(bs(i) == ' ' || bs(i) == '\t')) return false
+      i += 1
+      val neg = i < n && bs(i) == '-'
+      if (neg) i += 1
+      v = 0L; digits = 0; val lStart = i
+      while (i < n && bs(i) >= '0' && bs(i) <= '9') {
+        v = v * 10 + (bs(i) - '0'); digits += 1; i += 1
+      }
+      if (digits == 0 || (digits > 1 && bs(lStart) == '0') || i != n)
+        return false
+      pLabel = if (neg) -v else v
+      return true
+    }
     if (!withWeight) return i == n
     // weighted line: exactly one more whitespace-separated float token
     // (read_edge_weight's `vi vj wt`); Double.parseDouble carries the
@@ -909,6 +952,7 @@ private[sources] class EdgeChunkReader(chunk: EdgeChunk,
           if (needSrc) vals(srcIdx) = pSrc
           if (needDst) vals(dstIdx) = pDst
           if (wtIdx >= 0) vals(wtIdx) = pWt
+          if (lbIdx >= 0) vals(lbIdx) = pLabel
           if (fileIdx >= 0) vals(fileIdx) = fileVal
           row = new GenericInternalRow(vals)
           emitted += 1
@@ -947,19 +991,22 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
     val weighted = in.fieldNames.toSeq == Seq("src", "dst", "weight") &&
       in.fields.take(2).forall(_.dataType == LongType) &&
       in.fields(2).dataType == DoubleType
-    require(weighted || (in.length == 2 &&
+    val labeled = in.fieldNames.toSeq == Seq("src", "dst", "label") &&
+      in.fields.forall(_.dataType == LongType)
+    require(weighted || labeled || (in.length == 2 &&
         in.fields.forall(f => f.dataType == LongType) &&
         in.fieldNames.toSeq == Seq("src", "dst")),
-      "edge-list writes need (src BIGINT, dst BIGINT) or " +
-        s"(src BIGINT, dst BIGINT, weight DOUBLE); got ${in.simpleString}")
+      "edge-list writes need (src BIGINT, dst BIGINT), " +
+        "(src BIGINT, dst BIGINT, weight DOUBLE) or " +
+        s"(src BIGINT, dst BIGINT, label BIGINT); got ${in.simpleString}")
     new Write {
       override def toBatch: BatchWrite =
-        new EdgeListBatchWrite(path, doTruncate, weighted)
+        new EdgeListBatchWrite(path, doTruncate, weighted, labeled)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!doTruncate, "edge-list streaming sink supports Append " +
           "output only (Complete would rewrite committed epochs)")
-        new EdgeListStreamingWrite(path, weighted)
+        new EdgeListStreamingWrite(path, weighted, labeled)
       }
     }
   }
@@ -1076,12 +1123,12 @@ private[sources] case class EdgeFileCommit(tempPath: String,
     stats: Option[EdgeStats] = None) extends WriterCommitMessage
 
 private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
-    weighted: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): DataWriterFactory =
-    new EdgeListWriterFactory(path, weighted)
+    new EdgeListWriterFactory(path, weighted, labeled)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -1108,10 +1155,10 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
 }
 
 private[sources] class EdgeListWriterFactory(path: String,
-    weighted: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EdgeFileWriter(path, partitionId, taskId, weighted)
+    new EdgeFileWriter(path, partitionId, taskId, weighted, labeled)
 }
 
 /** EXACTLY-ONCE streaming sink (Append mode): the connector's fourth
@@ -1132,13 +1179,13 @@ private[sources] class EdgeListWriterFactory(path: String,
   * [[EdgeListMicroBatchStream]] (new files sort after processed ones),
   * so a sink directory can be re-consumed as a stream. */
 private[sources] class EdgeListStreamingWrite(path: String,
-    weighted: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new EdgeListStreamingWriterFactory(path, weighted)
+    new EdgeListStreamingWriterFactory(path, weighted, labeled)
 
   private def marker(epochId: Long) =
     new java.io.File(new java.io.File(path, "_graft_commits"), s"_$epochId")
@@ -1180,15 +1227,15 @@ private[sources] class EdgeListStreamingWrite(path: String,
 }
 
 private[sources] class EdgeListStreamingWriterFactory(path: String,
-    weighted: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new EdgeFileWriter(path, partitionId, taskId, weighted)
+    new EdgeFileWriter(path, partitionId, taskId, weighted, labeled)
 }
 
 private[sources] class EdgeFileWriter(path: String, partitionId: Int,
-    taskId: Long, weighted: Boolean = false)
+    taskId: Long, weighted: Boolean = false, labeled: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // dot-prefixed → invisible to listFiles until commit renames it.
@@ -1229,6 +1276,10 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
       // double — a write→read round trip is bit-exact
       out.write(java.lang.Double.toString(r.getDouble(2))
         .getBytes(StandardCharsets.US_ASCII))
+    } else if (labeled) {
+      out.write(' ')
+      out.write(java.lang.Long.toString(r.getLong(2))
+        .getBytes(StandardCharsets.US_ASCII))
     }
     out.write('\n')
   }
@@ -1257,7 +1308,8 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
   * a re-scan of the directory. */
 private[sources] class EdgeListMicroBatchStream(path: String,
     chunkBytes: Long, skipMalformed: Boolean, required: StructType,
-    pushed: Array[Filter], withWeight: Boolean = false)
+    pushed: Array[Filter], withWeight: Boolean = false,
+    withLabel: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1300,5 +1352,5 @@ private[sources] class EdgeListMicroBatchStream(path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EdgeListReaderFactory(required.fieldNames, pushed, skipMalformed,
-      Nil, withWeight = withWeight)
+      Nil, withWeight = withWeight, withLabel = withLabel)
 }
