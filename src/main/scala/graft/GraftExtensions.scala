@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_history"),
       new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_history"),
       graft.functions.GraftFunctions.historyTvfBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_changes"),
+      graft.functions.GraftFunctions.changesTvfBuilder _))
   }
 }

@@ -108,6 +108,30 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `SELECT * FROM graft_changes('path', fromV [, toV])` — the
+    * append-only changes feed as a relation: the rows committed in
+    * version window (fromV, toV] (toV defaults to the current
+    * version). SQL face of `.option("changesFromVersion", …)`. */
+  private[graft] def changesTvfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length >= 2 && exprs.length <= 3 &&
+      exprs.forall(_.foldable),
+      "graft_changes expects (path STRING, fromVersion INT [, toVersion INT]) literals")
+    val path = exprs.head.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"graft_changes path: got $other")
+    }
+    def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.eval(null).asInstanceOf[java.lang.Number].intValue.toString
+    val reader = org.apache.spark.sql.SparkSession.active.read
+      .format("graft.sources.EdgeListSource")
+      .option("changesFromVersion", intOf(exprs(1)))
+    exprs.lift(2).fold(reader)(e => reader.option("versionAsOf", intOf(e)))
+      .load(path).queryExecution.logical
+  }
+
   private[graft] def kmvBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {

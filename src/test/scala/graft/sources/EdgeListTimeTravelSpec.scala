@@ -155,6 +155,11 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     // a window strictly AFTER the delete is append-only again
     write(dir, Seq((9L, 10L)))
     assert(changes(vDel, None) == Set((9L, 10L)))
+    // the SQL face agrees: bounded window and open-ended window
+    assert(spark.sql(s"SELECT src, dst FROM graft_changes('$dir', $v0, $v1)")
+      .as[(Long, Long)].collect().toSet == Set((3L, 4L)))
+    assert(spark.sql(s"SELECT src, dst FROM graft_changes('$dir', $vDel)")
+      .as[(Long, Long)].collect().toSet == Set((9L, 10L)))
   }
 
   test("history lists every version with file counts and sizes") {
