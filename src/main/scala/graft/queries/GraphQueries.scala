@@ -379,6 +379,34 @@ object GraphQueries {
         N, iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
 
+    // The same weighted PageRank fed END-TO-END from the connector's
+    // weighted format: weights round-trip through `vi vj wt` text
+    // (integer-valued doubles — bit-exact), so the ranks must equal
+    // g_pagerank_w's (shared oracle). The reference's read_edge_weight
+    // → pagerank pipeline, on the modern source.
+    "g_dsv2_pagerank_w" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2pw_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      Tables.edges(s, dir)
+        .withColumn("weight",
+          (lit(1L) + (col("src") + col("dst")) % 5).cast("double"))
+        .repartition(3)
+        .write.format(fmtName).option("withWeight", "true")
+        .mode("overwrite").save(s"$root/edges")
+      // localCheckpoint severs the V2 relation before the iterative
+      // self-joins: DataFrame-apply column refs (e("dst")) across a
+      // deduplicated DSv2 self-join re-id one branch's pruned
+      // attributes, which a checkpointed leaf does not hit — and an
+      // iterative consumer wants the truncated lineage anyway
+      val e = s.read.format(fmtName).option("withWeight", "true")
+        .load(s"$root/edges")
+        .select(col("src"), col("dst"), col("weight").as("w"))
+        .localCheckpoint()
+      PageRank.runFixedWeighted(s, e, N, iterations = 3)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
+
     // Personalized PageRank: restart mass on the shared seeded sources
     // (Jeh-Widom); identical unrolled recurrence in the oracle.
     "g_ppr" -> ((s, dir) =>
@@ -817,6 +845,9 @@ object GraphQueries {
 
     "g_pagerank" -> pagerankSql(3),
     "g_pagerank_w" -> pagerankWeightedSql(3),
+    // the text round trip is bit-exact, so the connector-fed variant
+    // shares the unrolled oracle verbatim
+    "g_dsv2_pagerank_w" -> pagerankWeightedSql(3),
 
     "g_ppr" -> pprSql(3),
 
