@@ -91,6 +91,21 @@ object Compaction {
     Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
   }
 
+  /** A catalog-created weighted/labeled table records its extra column
+    * in `_graft_meta`; rewrites must read AND write that schema (a
+    * plain-format read of 3-token lines is malformed) and carry the
+    * sidecar across the swap ([[swapWithLogHistory]] does). */
+  private def extraColOption(dir: String): Option[String] = {
+    val m = new java.io.File(dir, "_graft_meta")
+    if (!m.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim match {
+      case "weight" => Some("withWeight")
+      case "label" => Some("withLabel")
+      case _ => None
+    }
+  }
+
   /** [[compactParquet]] for an edge-list directory written by the
     * connector's streaming sink — the natural companion op: every epoch
     * commit lands ≥ 1 small file, and a long-lived sink accretes
@@ -115,8 +130,11 @@ object Compaction {
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
     val bak = new Path(p.getParent, s".${p.getName}__compact_old")
     fs.delete(tmp, true); fs.delete(bak, true)
-    spark.read.format(fmt).load(dir).repartition(want)
-      .write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
+    val opt = extraColOption(dir)
+    val rd = opt.foldLeft(spark.read.format(fmt))(_.option(_, "true"))
+    val wr = opt.foldLeft(rd.load(dir).repartition(want).write.format(fmt))(
+      _.option(_, "true"))
+    wr.mode(SaveMode.Overwrite).save(tmp.toString)
     swapWithLogHistory(fs, p, tmp, bak, "compaction")
     Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
   }
@@ -139,6 +157,9 @@ object Compaction {
     }
     val oldLog = new Path(bak, EdgeLog.LogDirName)
     if (fs.exists(oldLog)) fs.rename(oldLog, new Path(p, EdgeLog.LogDirName))
+    // the catalog's extra-column sidecar survives the rewrite too
+    val oldMeta = new Path(bak, "_graft_meta")
+    if (fs.exists(oldMeta)) fs.rename(oldMeta, new Path(p, "_graft_meta"))
     fs.delete(bak, true)
     EdgeLog.commit(new java.io.File(p.toUri.getPath))
     ()
@@ -168,10 +189,13 @@ object Compaction {
     val tmp = new Path(p.getParent, s".${p.getName}__zorder_tmp")
     val bak = new Path(p.getParent, s".${p.getName}__zorder_old")
     fs.delete(tmp, true); fs.delete(bak, true)
-    val laid = ZOrder.layoutBy(spark.read.format(fmt).load(dir),
+    val opt = extraColOption(dir)
+    val rd = opt.foldLeft(spark.read.format(fmt))(_.option(_, "true"))
+    val laid = ZOrder.layoutBy(rd.load(dir),
       Seq(col("src"), col("dst")), bits, numFiles)
     ZOrder.withExactRangeSampling(laid) {
-      laid.write.format(fmt).mode(SaveMode.Overwrite).save(tmp.toString)
+      opt.foldLeft(laid.write.format(fmt))(_.option(_, "true"))
+        .mode(SaveMode.Overwrite).save(tmp.toString)
     }
     swapWithLogHistory(fs, p, tmp, bak, "zorder")
     Report(files.length, dataFiles(spark, dir).length, bytes, bytes)

@@ -25,8 +25,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`graft.data.edges` → `data/edges`). Nothing is cached — every load
   * re-lists the directory, so concurrent writers (the streaming sink,
   * compaction) are always seen at their latest committed state. The
-  * schema is fixed at (src BIGINT, dst BIGINT) like every edge-list
-  * table; CREATE TABLE validates rather than records it. */
+  * schema is (src BIGINT, dst BIGINT), optionally + weight DOUBLE or
+  * + label BIGINT chosen at CREATE — the extra-column choice persists
+  * as a `_graft_meta` sidecar so later loads resolve it with no read
+  * option. */
 class EdgeListCatalog extends TableCatalog {
 
   private var catName = "graft"
@@ -41,10 +43,27 @@ class EdgeListCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** The persisted extra-column choice of a catalog-created table
+    * (`_graft_meta` holding "weight" or "label"), so SQL resolves a
+    * weighted/labeled table without any read option. Absent file =
+    * plain (src, dst) — every pre-existing table. */
+  private def metaOf(p: String): (Boolean, Boolean) = {
+    val m = new java.io.File(p, "_graft_meta")
+    if (!m.isFile) (false, false)
+    else new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim match {
+      case "weight" => (true, false)
+      case "label" => (false, true)
+      case other => throw new IllegalStateException(
+        s"corrupt _graft_meta in $p: '$other' (expected weight|label)")
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
     if (!new java.io.File(p).exists()) throw new NoSuchTableException(ident)
-    new EdgeListTable(p)
+    val (w, l) = metaOf(p)
+    new EdgeListTable(p, withWeight = w, withLabel = l)
   }
 
   /** SQL time travel — `SELECT … FROM graft.`path` VERSION AS OF n`:
@@ -57,7 +76,9 @@ class EdgeListCatalog extends TableCatalog {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"edge-list snapshot versions are integers; got '$version'")
     }
-    new EdgeListTable(p, versionAsOf = Some(v))
+    val (w, l) = metaOf(p)
+    new EdgeListTable(p, versionAsOf = Some(v), withWeight = w,
+      withLabel = l)
   }
 
   /** SQL `TIMESTAMP AS OF` — resolves to the latest snapshot committed
@@ -65,8 +86,10 @@ class EdgeListCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val p = pathOf(ident)
     if (!new java.io.File(p).exists()) throw new NoSuchTableException(ident)
+    val (w, l) = metaOf(p)
     new EdgeListTable(p, versionAsOf =
-      Some(EdgeLog.versionAt(new java.io.File(p), timestamp)))
+      Some(EdgeLog.versionAt(new java.io.File(p), timestamp)),
+      withWeight = w, withLabel = l)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -74,19 +97,33 @@ class EdgeListCatalog extends TableCatalog {
     val f = new java.io.File(pathOf(ident))
     if (f.exists()) throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty, "edge-list tables are unpartitioned")
-    require(schema.isEmpty ||
-        (schema.fieldNames.toSeq == Seq("src", "dst") &&
-          schema.fields.forall(_.dataType ==
-            org.apache.spark.sql.types.LongType)),
-      "edge-list tables have the fixed schema (src BIGINT, dst BIGINT); " +
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val plain = schema.isEmpty ||
+      (schema.fieldNames.toSeq == Seq("src", "dst") &&
+        schema.fields.forall(_.dataType == LongType))
+    val weighted = schema.fieldNames.toSeq == Seq("src", "dst", "weight") &&
+      schema.fields.take(2).forall(_.dataType == LongType) &&
+      schema.fields(2).dataType == DoubleType
+    val labeled = schema.fieldNames.toSeq == Seq("src", "dst", "label") &&
+      schema.fields.forall(_.dataType == LongType)
+    require(plain || weighted || labeled,
+      "edge-list tables have schema (src BIGINT, dst BIGINT)" +
+        " [, weight DOUBLE | label BIGINT]; " +
         s"got ${schema.simpleString}")
     require(f.mkdirs(), s"cannot create edge-list table directory $f")
-    new EdgeListTable(f.getPath)
+    // persist the extra-column choice so loadTable resolves it with no
+    // read option (pre-existing plain tables simply have no meta file)
+    if (weighted || labeled)
+      java.nio.file.Files.write(new java.io.File(f, "_graft_meta").toPath,
+        (if (weighted) "weight" else "label")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new EdgeListTable(f.getPath, withWeight = weighted, withLabel = labeled)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "edge-list tables have a fixed schema (src BIGINT, dst BIGINT)")
+      "edge-list tables have a fixed schema, chosen at CREATE " +
+        "((src, dst) [+ weight | label])")
 
   override def dropTable(ident: Identifier): Boolean = {
     def rm(f: java.io.File): Unit = {

@@ -173,11 +173,8 @@ private[sources] class EdgeListTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireWritable("UPDATE/MERGE")
-    if (withWeight || withLabel) throw new UnsupportedOperationException(
-      "UPDATE/MERGE on a weighted/labeled edge-list table is not " +
-        "supported — the copy-on-write path rewrites through the " +
-        "(src, dst) schema; DELETE (line-preserving rewrite) works")
-    () => new EdgeListRowLevelOperation(path, info.command())
+    () => new EdgeListRowLevelOperation(path, info.command(), withWeight,
+      withLabel)
   }
 
   override def name(): String =
@@ -1026,8 +1023,14 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
   * support a delta path); simple predicate deletes never come here —
   * they take the [[SupportsDeleteV2]] file-rewrite fast path. */
 private[sources] class EdgeListRowLevelOperation(path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    withWeight: Boolean = false, withLabel: Boolean = false)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private def tableSchema: StructType =
+    if (withWeight) EdgeListSource.WeightedSchema
+    else if (withLabel) EdgeListSource.LabeledSchema
+    else EdgeListSource.Schema
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -1043,7 +1046,7 @@ private[sources] class EdgeListRowLevelOperation(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = StructType(
-        EdgeListSource.Schema.fields :+ StructField("_file", StringType, false))
+        tableSchema.fields :+ StructField("_file", StringType, false))
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new EdgeListScan(path,
@@ -1051,19 +1054,23 @@ private[sources] class EdgeListRowLevelOperation(path: String,
           .getOrElse(EdgeListSource.DefaultChunkBytes),
         Option(options.get("malformed")).getOrElse("fail") == "skip",
         required, Array.empty, Nil,
-        runtimePrunable = false)
+        runtimePrunable = false, withWeight = withWeight,
+        withLabel = withLabel)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
         val in = info.schema()
-        require(in.fieldNames.toSeq == Seq("src", "dst") &&
-            in.fields.forall(_.dataType == LongType),
-          s"edge-list rewrite needs (src BIGINT, dst BIGINT); got ${in.simpleString}")
+        require(in.fieldNames.toSeq == tableSchema.fieldNames.toSeq &&
+            in.fields.map(_.dataType).toSeq ==
+              tableSchema.fields.map(_.dataType).toSeq,
+          s"edge-list rewrite needs ${tableSchema.simpleString}; " +
+            s"got ${in.simpleString}")
         new Write {
           override def toBatch: BatchWrite =
-            new EdgeListBatchWrite(path, truncate = true)
+            new EdgeListBatchWrite(path, truncate = true,
+              weighted = withWeight, labeled = withLabel)
         }
       }
     }
@@ -1134,7 +1141,11 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     val dir = new java.io.File(path)
     dir.mkdirs()
     if (truncate)
-      dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      // data files only: dot-temps are in-flight writers' property and
+      // _-prefixed entries are metadata (_graft_meta schema sidecar;
+      // _stats/_graft_log/_graft_commits are directories anyway)
+      dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
         .foreach(_.delete())
     messages.foreach { case EdgeFileCommit(tmp, stats) =>
       val f = new java.io.File(tmp)

@@ -90,6 +90,36 @@ class EdgeListWeightedSpec extends SparkSpec {
       c.getMessage.contains("malformed edge line")))
   }
 
+  test("catalog-created weighted table: SQL DML resolves the schema with no option") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val dir = freshDir()
+    val t = s"graft.`$dir`"
+    spark.sql(s"CREATE TABLE $t (src BIGINT, dst BIGINT, weight DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2, 0.5), (3, 4, 1.25), (1, 9, 2.0)")
+    // plain SELECT sees the weight column — the _graft_meta sidecar
+    // resolves the schema, no read option anywhere
+    assert(spark.sql(s"SELECT sum(weight) FROM $t").head.getDouble(0) == 3.75)
+    // time travel resolves the weighted schema too (pinned BEFORE the
+    // delete below — a rewrite invalidates earlier snapshots by design)
+    val v0 = EdgeLog.versions(dir).head
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $v0")
+      .head.getLong(0) == 3L)
+    // DELETE's line-preserving rewrite keeps weights intact
+    spark.sql(s"DELETE FROM $t WHERE src = 1")
+    assert(spark.sql(s"SELECT src, dst, weight FROM $t")
+      .as[(Long, Long, Double)].collect().toSet == Set((3L, 4L, 1.25)))
+    // UPDATE rewrites through the weighted copy-on-write path
+    spark.sql(s"UPDATE $t SET weight = weight * 2.0 WHERE src = 3")
+    assert(spark.sql(s"SELECT weight FROM $t WHERE src = 3")
+      .head.getDouble(0) == 2.5)
+    // zorder keeps the meta sidecar (weighted rewrite, weighted read)
+    spark.sql(s"INSERT INTO $t VALUES (5, 6, 4.0), (7, 8, 8.0)")
+    graft.io.Compaction.zorderEdgeList(spark, dir.getPath, numFiles = 2,
+      bits = 4)
+    assert(spark.sql(s"SELECT sum(weight) FROM $t").head.getDouble(0) == 14.5)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("weighted streaming read and streaming sink round trip") {
     val src = freshDir()
     Seq((1L, 2L, 0.25)).toDF("src", "dst", "weight").coalesce(1)
