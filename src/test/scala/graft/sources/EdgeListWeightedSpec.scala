@@ -48,6 +48,18 @@ class EdgeListWeightedSpec extends SparkSpec {
     assert(df.agg(sum("weight")).head.getDouble(0) == 9.75)
   }
 
+  test("weighted mode still prunes columns: a src-only projection drops weight from the scan") {
+    val dir = freshDir()
+    Seq((1L, 2L, 0.5)).toDF("src", "dst", "weight").coalesce(1)
+      .write.format(fmt).option("withWeight", "true")
+      .mode("overwrite").save(dir.getPath)
+    val df = spark.read.format(fmt).option("withWeight", "true")
+      .load(dir.getPath).select("src")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("ReadSchema: struct<src:bigint>"), desc)
+    assert(df.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("weighted mode declines agg/top-N pushdown; Spark computes them correctly") {
     val dir = freshDir()
     (1L to 100L).map(i => (i, i + 1, i.toDouble)).toDF("src", "dst", "weight")
