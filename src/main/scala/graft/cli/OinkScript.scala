@@ -707,6 +707,15 @@ object OinkScript {
               sinkAndBind(graft.pipeline.DataQuality.mwuTest(
                 in0, col(pos(0)), col(pos(1)),
                 expr(pos.drop(2).mkString(" "))), outs, line)
+            case "dq_tvd" =>
+              // dq_tvd groupCol valueCol curBoolExpr... — exact total-
+              // variation distance per group (mass-movement twin of
+              // dq_ks; rest of line = CURRENT-sample predicate)
+              if (pos.size < 3)
+                throw ScriptError(line, "dq_tvd groupCol valueCol curBoolExpr")
+              sinkAndBind(graft.pipeline.DataQuality.tvdTest(
+                in0, col(pos(0)), col(pos(1)),
+                expr(pos.drop(2).mkString(" "))), outs, line)
             case "dq_skew" =>
               // dq_skew groupCol keyCol — hot-key report (Gini/HHI/top
               // share of per-key counts), the pre-shuffle skew screen

@@ -209,6 +209,44 @@ object DataQuality {
           (lit(2L) * col("n_base") * col("n_cur")).cast("double")).as("auc"))
   }
 
+  /** EXACT total-variation distance per group — the per-point MASS
+    * drift measure completing the two-sample family ([[ksTest]] = CDF
+    * shape, [[mwuTest]] = location, TVD = how much probability mass
+    * moved anywhere):
+    *
+    *   TVD = ½ Σ_v |b_v/n_base − c_v/n_cur|
+    *       = tvd_num / (2·n_base·n_cur),
+    *   tvd_num = Σ_v |b_v·n_cur − c_v·n_base|   (exact longs)
+    *
+    * One terminal exact-integer division → hash-gates bit-for-bit.
+    * Cheaper than KS: no cumulative window at all — just the grouped
+    * side counts (map-side combined) and a broadcast totals join; the
+    * Σ of longs is order-independent. Overflow: tvd_num ≤ 2·n_b·n_c,
+    * safe below ~2·10⁹ rows per group (the dq_mwu envelope).
+    * Unlike KS, TVD also reads naturally on CATEGORICAL values — pass
+    * any orderable column as `value`.
+    * @return (grp, n_base, n_cur, tvd_num, tvd) one row per group */
+  def tvdTest(df: DataFrame, group: Column, value: Column,
+      isCurrent: Column): DataFrame =
+    tvdFromCounts(sideCounts(df, group, value, isCurrent))
+
+  /** [[tvdTest]]'s statistic from pre-aggregated [[sideCounts]] — the
+    * same additive state the streaming KS/MWU folds keep, so ONE folded
+    * count table now serves three monitors. */
+  def tvdFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.groupBy("grp")
+      .agg(sum("b").as("n_base"), sum("c").as("n_cur"))
+    counts
+      .join(broadcast(tot), Seq("grp"))
+      .groupBy(col("grp"), col("n_base"), col("n_cur"))
+      .agg(sum(abs(col("b") * col("n_cur") - col("c") * col("n_base")))
+        .as("tvd_num"))
+      .select(col("grp"), col("n_base"), col("n_cur"), col("tvd_num"),
+        // raw exact-integer ratio — bit-identical across engines
+        (col("tvd_num").cast("double") /
+          (lit(2L) * col("n_base") * col("n_cur")).cast("double")).as("tvd"))
+  }
+
   /** Key-skew report per group — the PRE-SHUFFLE diagnostic: before a
     * 100 TB `groupBy(key)` or `join(key)`, this one pass names the
     * groups whose key distribution would hot-spot a partition (the

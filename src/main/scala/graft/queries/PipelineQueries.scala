@@ -610,6 +610,15 @@ object PipelineQueries {
         Tables.events(s, dir), col("event_type"), col("value"),
         col("event_id") % 2 =!= 0)),
 
+    // EXACT total-variation distance per event type (same even/odd
+    // split): the per-point mass-movement drift measure beside KS's
+    // CDF test — tvd_num = Σ|b·n_cur − c·n_base| in exact longs, one
+    // terminal division, no window at all (cheapest of the family).
+    "dq_tvd" -> ((s, dir) =>
+      graft.pipeline.DataQuality.tvdTest(
+        Tables.events(s, dir), col("event_type"), col("value"),
+        col("event_id") % 2 =!= 0)),
+
     // Key-skew report per event type over user_id — the pre-shuffle
     // hot-key diagnostic (Gini / HHI / top-share of per-key counts),
     // every ratio one terminal division of exact longs.
@@ -2439,6 +2448,25 @@ object PipelineQueries {
         |  CAST(r.r2 - t.n_cur * (t.n_cur + 1) AS DOUBLE) /
         |    CAST(2 * t.n_base * t.n_cur AS DOUBLE) AS auc
         |FROM t JOIN r ON r.grp = t.grp""".stripMargin,
+
+    // identical exact-integer ladder to DataQuality.tvdTest: per-(grp,
+    // value) side counts, tvd_num = Σ|b·n_cur − c·n_base| in exact
+    // longs (order-independent integer sum), one terminal division
+    "dq_tvd" ->
+      """WITH e AS (SELECT event_type AS grp, value AS v,
+        |  CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END AS cur
+        |  FROM events),
+        |c AS (SELECT grp, v, sum(1 - cur) AS b, sum(cur) AS c
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(b) AS BIGINT) AS n_base,
+        |  CAST(sum(c) AS BIGINT) AS n_cur FROM c GROUP BY 1)
+        |SELECT c.grp, t.n_base, t.n_cur,
+        |  CAST(sum(abs(b * t.n_cur - c.c * t.n_base)) AS BIGINT)
+        |    AS tvd_num,
+        |  CAST(sum(abs(b * t.n_cur - c.c * t.n_base)) AS DOUBLE) /
+        |    CAST(2 * t.n_base * t.n_cur AS DOUBLE) AS tvd
+        |FROM c JOIN t ON t.grp = c.grp
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // identical exact-integer ladder to DataQuality.skewReport: per-key
     // counts, ascending (x, key) rank, gini_num = Σ(2i−n−1)x, hhi_num =

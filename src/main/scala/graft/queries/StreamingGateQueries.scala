@@ -545,6 +545,29 @@ object StreamingGateQueries {
     "st_decontam" -> ((s, dir) =>
       graft.streaming.DecontamStreams.decontamStreamingSink(s, dir)),
 
+    // Streaming TOP-K LEADERBOARD: the custom TopKPerKey operator's
+    // streaming member — per batch the bounded standing board (≤k rows
+    // per key) unions the batch and is re-cut through the operator's
+    // heaps; total tie-break makes top-k a fold monoid, so the terminal
+    // board ≡ the one-shot batch top-k (row_number oracle).
+    "st_topk" -> ((s, dir) =>
+      graft.streaming.EventStreams.topkLeaderboardSink(s, dir)),
+
+    // Streaming CONNECTED-COMPONENTS maintenance: edge micro-batches
+    // fold into a standing (v, comp) assignment via the incremental
+    // contraction (standing edges never stored); terminal assignment ≡
+    // one-shot CC over the full graph — oracle = the full closure,
+    // shared with g_cc_inc.
+    "st_cc_inc" -> ((s, dir) =>
+      graft.streaming.GraphStreams.ccMaintenanceSink(s, dir)),
+
+    // Streaming TRIANGLE-COUNT maintenance: the carried-count
+    // incremental fold (T1 − c2 + T3 per batch, never re-enumerating
+    // standing triangles); terminal carried count ≡ the one-shot
+    // full-graph recount.
+    "st_tri_inc" -> ((s, dir) =>
+      graft.streaming.GraphStreams.triMaintenanceSink(s, dir)),
+
     // Streaming KS drift monitor: per-micro-batch side counts folded
     // into an accumulated count table (counts additive → cadence-
     // independent), statistic re-derived from the fold — terminal
@@ -563,6 +586,12 @@ object StreamingGateQueries {
     // side counts); terminal result ≡ batch dq_mwu, shared oracle.
     "st_mwu" -> ((s, dir) =>
       graft.streaming.EventStreams.mwuMonitorSink(s, dir)),
+
+    // Streaming total-variation drift off the SAME side-count fold as
+    // st_ks/st_mwu (one additive fold, three statistics); terminal
+    // result ≡ batch dq_tvd, shared oracle.
+    "st_tvd" -> ((s, dir) =>
+      graft.streaming.EventStreams.tvdMonitorSink(s, dir)),
 
     // Streaming MV maintenance: per-micro-batch signed deltas folded
     // into the standing per-key rollup (IncrementalAgg) — standing
@@ -1254,9 +1283,30 @@ object StreamingGateQueries {
     "st_anomaly_mb" -> baseOracles("st_anomaly"),
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
+    // terminal leaderboard ≡ the one-shot top-k per key (total
+    // tie-break: cents desc, event_id asc — event_id is unique)
+    "st_topk" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, event_id, cents, row_number() OVER
+        |  (PARTITION BY event_type ORDER BY cents DESC, event_id) AS rn
+        |  FROM e)
+        |SELECT event_type, event_id, cents FROM r WHERE rn <= 3""".stripMargin,
+    // terminal standing assignment ≡ the full-graph closure (the union
+    // of all edge micro-batches IS the full edge set)
+    "st_cc_inc" -> graft.queries.GraphQueries.oracles("g_cc_inc"),
+    // terminal carried count ≡ the full-graph triangle recount
+    "st_tri_inc" ->
+      s"""WITH edges AS (${graft.io.Tables.EdgesSql}),
+         |eu AS (SELECT DISTINCT least(src,dst) AS vi,
+         |  greatest(src,dst) AS vj FROM edges WHERE src <> dst)
+         |SELECT CAST(count(*) AS BIGINT) AS tri_total FROM eu a
+         |  JOIN eu b ON b.vi = a.vi AND b.vj > a.vj
+         |  JOIN eu c ON c.vi = a.vj AND c.vj = b.vj""".stripMargin,
     "st_ks" -> graft.queries.PipelineQueries.oracles("dq_ks"),
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
+    "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),
     "st_mad" -> graft.queries.PipelineQueries.oracles("dq_mad"),

@@ -856,6 +856,15 @@ object EventStreams {
     graft.pipeline.DataQuality.mwuFromCounts(
       foldSideCounts(spark, dir, nFiles))
 
+  /** Streaming total-variation drift monitor — the third statistic off
+    * the SAME folded side-count state as [[ksMonitorSink]] /
+    * [[mwuMonitorSink]] (one additive count fold, three monitors).
+    * Terminal result ≡ the one-shot batch dq_tvd (shared oracle). */
+  def tvdMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame =
+    graft.pipeline.DataQuality.tvdFromCounts(
+      foldSideCounts(spark, dir, nFiles))
+
   /** Streaming Spearman trend monitor — the third statistic on an
     * additive fold: state is per-(group, value, time) PAIR counts
     * (one row per distinct pair, summed across batches), and the exact
@@ -946,6 +955,41 @@ object EventStreams {
       .start()
     q.awaitTermination()
     mv
+  }
+
+  /** Streaming TOP-K LEADERBOARD maintenance — the custom TopKPerKey
+    * operator's streaming member: per micro-batch, the standing
+    * leaderboard (≤k rows per key — BOUNDED state, independent of
+    * stream length) unions the batch and is re-cut through
+    * [[graft.plans.TopKPerKey]]'s bounded heaps. Top-k under a TOTAL
+    * tie-break is a fold monoid — topk(topk(A) ∪ B) = topk(A ∪ B) —
+    * so the fold is cadence-independent by algebra and the terminal
+    * board equals the one-shot batch top-k over all events (the
+    * q17_topk_per_key shape; oracle = row_number window).
+    * @return (event_type, event_id, cents) — k rows per key */
+  def topkLeaderboardSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4, k: Int = 3): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var standing: Option[DataFrame] = None
+    val q = readEventsMultiBatch(spark, dir, nFiles).writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col("event_type"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          val merged = standing.map(_.unionByName(b)).getOrElse(b)
+          standing = Some(graft.plans.TopKPerKey.topKPerKey(merged,
+            Seq(col("event_type")),
+            Seq(col("cents").desc, col("event_id")), k).localCheckpoint())
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    standing.getOrElse(spark.range(0).select(
+      lit("").as("event_type"), lit(0L).as("event_id"), lit(0L).as("cents")))
   }
 
   /** Generic additive-count fold: drain the staged event files one

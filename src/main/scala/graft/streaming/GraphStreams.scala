@@ -39,6 +39,132 @@ object GraphStreams {
         (col("o_orderkey") % graft.io.Tables.GraphN).cast("long").as("dst"))
   }
 
+  // ---- staged edge micro-batches (multi-batch drain harness) ----
+
+  private val edgeStageCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+
+  /** Stage the canonical edge list as `nFiles` parquet files with
+    * strictly increasing modification times, so a maxFilesPerTrigger=1
+    * AvailableNow drain delivers one edge micro-batch per file — the
+    * nightly-link-refresh arrival shape. The split is a deterministic
+    * hash of the edge (NOT time: edges have no event time), and the
+    * maintenance folds below are cadence-independent by construction —
+    * their per-batch algebra is proven ≡ full recompute (g_cc_inc /
+    * g_tri_inc), so any split and any batching end at the same state. */
+  private def stageEdgeFiles(spark: SparkSession, dir: String,
+      nFiles: Int): String =
+    edgeStageCache.getOrElseUpdate((spark, dir, nFiles), {
+      val e = graft.io.Tables.edges(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_mb_edges_").toFile
+      out.deleteOnExit()
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      (0 until nFiles).foreach { k =>
+        val stage = new java.io.File(out, s"_stage$k")
+        e.where(pmod(col("src") * 7 + col("dst"), lit(nFiles.toLong)) === k)
+          .coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(out, f"b$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      out.getPath
+    })
+
+  /** Streaming CONNECTED-COMPONENTS maintenance — the incremental
+    * family's streaming graph member: edge micro-batches fold into a
+    * standing (v, comp) assignment via
+    * [[graft.graph.ConnectedComponents.incremental]] (each batch
+    * contracts onto component ids; CC runs on the contracted graph —
+    * |batch| edges — and the standing assignment remaps through one
+    * join; the standing EDGES are never stored or rescanned, only the
+    * assignment). incremental ≡ full recompute exactly (the g_cc_inc
+    * proof), and the fold composes that equality batch over batch, so
+    * the terminal assignment ≡ one-shot CC over all edges under ANY
+    * cadence — shared oracle (the full-graph closure).
+    * @return (v, comp) for every vertex of the drained graph */
+  def ccMaintenanceSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageEdgeFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ccm_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var standing: Option[DataFrame] = None
+
+    val edges = spark.readStream
+      .schema(graft.io.Tables.edges(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = edges.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val next = standing match {
+            case None => graft.graph.ConnectedComponents.run(spark, batch)
+            case Some(st) =>
+              graft.graph.ConnectedComponents.incremental(spark, st, batch)
+          }
+          standing = Some(next.localCheckpoint())
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    standing.getOrElse(
+      spark.emptyDataFrame.select(lit(0L).as("v"), lit(0L).as("comp")).limit(0))
+  }
+
+  /** Streaming TRIANGLE-COUNT maintenance — the carried-count shape of
+    * [[graft.graph.Triangles.incrementalCount]] folded per micro-batch:
+    * state is the accumulated edge set plus ONE long (the maintained
+    * count); each batch pays only the delta joins (T1 − c2 + T3,
+    * semi-join-restricted to batch endpoints) and never re-enumerates
+    * standing triangles. Each refresh ≡ recount by the g_tri_inc
+    * identity, composed batch over batch ⇒ the terminal carried count
+    * equals the one-shot full-graph triangle count under ANY cadence.
+    * @return one row (tri_total BIGINT) */
+  def triMaintenanceSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageEdgeFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trim_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc: Option[DataFrame] = None     // accumulated edges
+    var carried: Option[DataFrame] = None // 1-row maintained count
+
+    val edges = spark.readStream
+      .schema(graft.io.Tables.edges(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = edges.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          (acc, carried) match {
+            case (Some(st), Some(cnt)) =>
+              val r = graft.graph.Triangles
+                .incrementalCount(st, batch, cnt).localCheckpoint()
+              carried = Some(r.select(col("tri_total").as("tri_standing")))
+              acc = Some(st.unionAll(batch).localCheckpoint())
+            case _ => // bootstrap: first batch seeds the maintained count
+              carried = Some(graft.graph.Triangles.run(batch)
+                .agg(count(lit(1)).as("tri_standing")).localCheckpoint())
+              acc = Some(batch.localCheckpoint())
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    carried.getOrElse(spark.range(1).select(lit(0L).as("tri_standing")))
+      .select(col("tri_standing").cast("long").as("tri_total"))
+  }
+
   /** Incremental radius-1 ANF ball per vertex over an edge stream:
     * each edge contributes its dst to src's ball and both endpoints to
     * their own (HyperBall's self-inclusive convention, so the result

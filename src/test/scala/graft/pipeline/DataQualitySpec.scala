@@ -108,6 +108,41 @@ class DataQualitySpec extends SparkSpec {
       .head().getAs[Double]("auc") == 0.0)
   }
 
+  test("tvdTest: hand-computed exact statistic, identical samples, disjoint samples") {
+    // base [1,2,3,4], cur [3,5]: per-point |b*2 - c*4| = 2,2,2,2,4 ->
+    // tvd_num = 12 over 2*n_b*n_c = 16 -> TVD = 0.75
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("g", _, false)) ++
+      Seq(3.0, 5.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    val r = DataQuality.tvdTest(df, col("grp"), col("v"), col("cur")).head()
+    assert(r.getAs[Long]("n_base") == 4L && r.getAs[Long]("n_cur") == 2L)
+    assert(r.getAs[Long]("tvd_num") == 12L)
+    assert(r.getAs[Double]("tvd") == 0.75)
+    // identical samples -> TVD = 0 exactly
+    val same = (Seq(1.0, 2.0, 7.0).map(("g", _, false)) ++
+      Seq(1.0, 2.0, 7.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.tvdTest(same, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("tvd") == 0.0)
+    // disjoint supports -> TVD = 1 exactly (all mass moved)
+    val apart = (Seq(1.0, 2.0).map(("g", _, false)) ++
+      Seq(9.0, 10.0).map(("g", _, true))).toDF("grp", "v", "cur")
+    assert(DataQuality.tvdTest(apart, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("tvd") == 1.0)
+    // TVD dominates KS on shared supports: mass can move without the
+    // CDF max moving as much (KS ≤ TVD always)
+    val ks = DataQuality.ksTest(df, col("grp"), col("v"), col("cur"))
+      .head().getAs[Double]("d")
+    assert(ks <= r.getAs[Double]("tvd"))
+  }
+
+  test("streaming TVD fold over micro-batches equals the one-shot batch statistic") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = DataQuality.tvdTest(
+      spark.read.parquet(s"$dir/events.parquet"),
+      col("event_type"), col("value"), col("event_id") % 2 =!= 0)
+    val streamed = graft.streaming.EventStreams.tvdMonitorSink(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("skewReport: uniform keys score 0, a dominant key is named") {
     // uniform: 4 keys x 3 rows each -> gini 0, hhi = 1/n_keys, top 1/4
     val uni = (for { k <- 1 to 4; _ <- 1 to 3 } yield ("g", k.toLong))

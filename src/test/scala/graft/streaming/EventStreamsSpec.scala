@@ -430,4 +430,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.getAs[Long]("n_events") == 2L)
     assert(s.getAs[Long]("start_us") == 1000L * us && s.getAs[Long]("end_us") == 1060L * us)
   }
+
+  test("streaming top-k leaderboard fold equals the one-shot batch top-k") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val batch = graft.plans.TopKPerKey.topKPerKey(e, Seq(col("event_type")),
+      Seq(col("cents").desc, col("event_id")), k = 3)
+    val folded = EventStreams.topkLeaderboardSink(spark, dir)
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "folded leaderboard diverged from the one-shot top-k")
+    // cadence independence (fold monoid): 8 micro-batches, same board
+    val folded8 = EventStreams.topkLeaderboardSink(spark, dir, nFiles = 8)
+    assert(folded8.exceptAll(batch).isEmpty && batch.exceptAll(folded8).isEmpty,
+      "8-file cadence diverged")
+  }
 }

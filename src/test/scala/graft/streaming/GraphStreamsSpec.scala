@@ -60,4 +60,28 @@ class GraphStreamsSpec extends SparkSpec {
         "incremental arrival diverged from the all-at-once sketch")
     } finally q.stop()
   }
+
+  test("streaming CC maintenance fold equals the one-shot full-graph CC") {
+    val batch = graft.graph.ConnectedComponents.run(
+      spark, Tables.edges(spark, dir))
+    val folded = GraphStreams.ccMaintenanceSink(spark, dir)
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "folded standing assignment diverged from full recompute")
+    // cadence independence: a different batching ends at the same state
+    val folded8 = GraphStreams.ccMaintenanceSink(spark, dir, nFiles = 8)
+    assert(folded8.exceptAll(batch).isEmpty && batch.exceptAll(folded8).isEmpty,
+      "8-file cadence diverged")
+  }
+
+  test("streaming triangle-count maintenance equals the one-shot recount") {
+    val full = graft.graph.Triangles.run(
+        Tables.edges(spark, dir).select(col("src"), col("dst")))
+      .count()
+    val folded = GraphStreams.triMaintenanceSink(spark, dir)
+      .head().getAs[Long]("tri_total")
+    assert(folded == full, s"carried count $folded != recount $full")
+    val folded8 = GraphStreams.triMaintenanceSink(spark, dir, nFiles = 8)
+      .head().getAs[Long]("tri_total")
+    assert(folded8 == full, s"8-file cadence carried $folded8 != $full")
+  }
 }
