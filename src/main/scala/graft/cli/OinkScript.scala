@@ -366,6 +366,10 @@ object OinkScript {
               if (outs.nonEmpty) sinkAndBind(df, outs, line) else df.collect()
             case "scc" =>
               sinkAndBind(StronglyConnectedComponents.run(spark, in0), outs, line)
+            case "toposort" =>
+              // toposort — longest-path levels of a DAG object (run scc
+              // + condense first on a general digraph); raises on cycles
+              sinkAndBind(graft.graph.TopoSort.levels(spark, in0), outs, line)
             case "eigen" =>
               val iters = pos.headOption.map(_.toInt).getOrElse(8)
               sinkAndBind(EigenvectorCentrality.run(spark, in0, iters), outs, line)

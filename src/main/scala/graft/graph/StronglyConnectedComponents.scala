@@ -245,6 +245,28 @@ object StronglyConnectedComponents {
        |JOIN scc sb ON sb.v = e.dst
        |WHERE sa.scc <> sb.scc""".stripMargin
 
+  /** Oracle for [[TopoSort.levels]] over the condensation: longest
+    * path ending at each condensation vertex, enumerated by a second
+    * recursive CTE (every vertex seeds level 0; each edge extends a
+    * path by 1; the max over all enumerated (v, l) pairs is the
+    * longest path ending at v — identical to the 1+max(preds)
+    * recursion with sources at 0). */
+  def topoOracleSql(edgesCte: String): String =
+    s"""${oracleCtes(edgesCte)},
+       |cond AS (SELECT DISTINCT sa.scc AS f, sb.scc AS t
+       |  FROM edges e
+       |  JOIN scc sa ON sa.v = e.src
+       |  JOIN scc sb ON sb.v = e.dst
+       |  WHERE sa.scc <> sb.scc),
+       |cverts AS (SELECT DISTINCT x AS v FROM (
+       |  SELECT f AS x FROM cond UNION ALL SELECT t AS x FROM cond)),
+       |lp(v, l) AS (
+       |  SELECT v, 0 FROM cverts
+       |  UNION
+       |  SELECT c.t, lp.l + 1 FROM lp JOIN cond c ON c.f = lp.v)
+       |SELECT v AS scc, CAST(max(l) AS BIGINT) AS level
+       |FROM lp GROUP BY 1""".stripMargin
+
   /** Oracle for [[stats]]. */
   def statsOracleSql(edgesCte: String): String =
     s"""${oracleCtes(edgesCte)}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, DensestSubgraph, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, MinimumSpanningForest, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, Triangles, Truss}
+import graft.graph.{Betweenness, Bipartite, Coloring, CommunityMetrics, ConnectedComponents, Coreness, DensestSubgraph, EigenvectorCentrality, GraphOps, Hits, Katz, KCore, LinkPrediction, LabelPropagation, LubyMIS, MaximalMatching, MinimumSpanningForest, NeighborhoodFunction, PageRank, RMat, RandomWalks, ShortestPaths, StronglyConnectedComponents, TopoSort, Triangles, Truss}
 import graft.io.Tables
 
 /** Driver-gate queries for the OINK graph suite (SURVEY.md §2.5) over the
@@ -447,6 +447,15 @@ object GraphQueries {
     // Condensation DAG — the link DAG over the components.
     "g_scc_condense" -> ((s, dir) => StronglyConnectedComponents
       .condense(Tables.edges(s, dir), sccOf(s, dir))),
+
+    // Topological LEVELS of the condensation DAG (longest path ending
+    // at each component): the dependency-wave layering a scheduler
+    // derives from the SCC surface — monotone Bellman fixpoint, one
+    // join + grouped max per round, rounds = DAG depth.
+    "g_toposort" -> ((s, dir) => TopoSort.levels(s,
+        StronglyConnectedComponents.condense(Tables.edges(s, dir), sccOf(s, dir))
+          .select(col("from_scc").as("src"), col("to_scc").as("dst")))
+      .select(col("v").as("scc"), col("level"))),
 
     "g_sssp" -> ((s, dir) => ShortestPaths.run(s, Tables.edges(s, dir), source = 0L)),
 
@@ -896,6 +905,10 @@ object GraphQueries {
     "g_scc_stats" -> StronglyConnectedComponents.statsOracleSql(E),
 
     "g_scc_condense" -> StronglyConnectedComponents.condenseOracleSql(E),
+
+    // longest-path levels over the condensation, enumerated by a second
+    // recursive CTE on top of the reachability-closure scc labels
+    "g_toposort" -> StronglyConnectedComponents.topoOracleSql(E),
 
     "g_sssp_multi" ->
       s"""$multiWalkCtes

@@ -196,6 +196,19 @@ class OinkScriptSpec extends SparkSpec {
     assert(reg("mrm").columns.toSeq == Seq("vi", "vj") && reg("mrm").count() > 0)
   }
 
+  test("toposort runs from a script over a DAG object") {
+    import spark.implicits._
+    val dag = java.nio.file.Files.createTempDirectory("graft_dag_").toFile
+    dag.deleteOnExit()
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(dag.getPath)
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i ${dag.getPath} -o NULL d",
+      "toposort -i d -o NULL lv"))
+    val m = reg("lv").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("msf, densest, and pmi run from scripts") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     assume(new java.io.File(docs).exists())
