@@ -720,6 +720,14 @@ object OinkScript {
               sinkAndBind(graft.pipeline.DataQuality.tvdTest(
                 in0, col(pos(0)), col(pos(1)),
                 expr(pos.drop(2).mkString(" "))), outs, line)
+            case "dq_qq" =>
+              // dq_qq groupCol centsCol curBoolExpr... — exact per-decile
+              // quantile-shift table (type-1 integer order statistics)
+              if (pos.size < 3)
+                throw ScriptError(line, "dq_qq groupCol centsCol curBoolExpr")
+              sinkAndBind(graft.pipeline.DataQuality.quantileShift(
+                in0, col(pos(0)), col(pos(1)),
+                expr(pos.drop(2).mkString(" "))), outs, line)
             case "dq_skew" =>
               // dq_skew groupCol keyCol — hot-key report (Gini/HHI/top
               // share of per-key counts), the pre-shuffle skew screen

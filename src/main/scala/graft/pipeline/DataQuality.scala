@@ -247,6 +247,48 @@ object DataQuality {
           (lit(2L) * col("n_base") * col("n_cur")).cast("double")).as("tvd"))
   }
 
+  /** EXACT per-decile quantile-shift table — the drift dashboard's
+    * Q-Q view: for each group and decile q ∈ 1..9, the base and
+    * current order statistics and their difference. Deciles are TYPE-1
+    * (no interpolation): decile(q) = min v with cum(v) ≥ ⌈q·n/10⌉,
+    * and for integer cum that threshold is the pure-integer test
+    * 10·cum ≥ q·n — the WHOLE ladder is exact longs, zero doubles,
+    * so every cell hash-gates bit-for-bit. Where [[ksTest]] reports
+    * one number, this names WHERE the distribution moved (median up
+    * 12 cents, p90 up 3 dollars — the unit-mixup signature).
+    * Scale shape: grouped side counts (map-side combined), one
+    * per-group cumulative window over DISTINCT values, a ×9 decile
+    * expansion of the distinct-value rows before the grouped min.
+    * @param value an exact-integer (cents-style) column
+    * @return (grp, q, base_cents, cur_cents, shift_cents) 9 rows/group */
+  def quantileShift(df: DataFrame, group: Column, value: Column,
+      isCurrent: Column): DataFrame =
+    qqFromCounts(sideCounts(df, group, value, isCurrent))
+
+  /** [[quantileShift]] from pre-aggregated [[sideCounts]] — additive
+    * state, so the streaming twin folds the same count table. */
+  def qqFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.groupBy("grp")
+      .agg(sum("b").as("n_base"), sum("c").as("n_cur"))
+    val qs = (1 to 9).map(_.toLong)
+    counts
+      .withColumn("cb", sum("b").over(w))
+      .withColumn("cc", sum("c").over(w))
+      .join(broadcast(tot), Seq("grp"))
+      .withColumn("q", explode(lit(qs.toArray)))
+      .groupBy(col("grp"), col("q"))
+      .agg(
+        min(when(col("cb") * 10L >= col("q") * col("n_base"), col("v")))
+          .as("base_cents"),
+        min(when(col("cc") * 10L >= col("q") * col("n_cur"), col("v")))
+          .as("cur_cents"))
+      .select(col("grp"), col("q"), col("base_cents"), col("cur_cents"),
+        (col("cur_cents") - col("base_cents")).as("shift_cents"))
+  }
+
   /** Key-skew report per group — the PRE-SHUFFLE diagnostic: before a
     * 100 TB `groupBy(key)` or `join(key)`, this one pass names the
     * groups whose key distribution would hot-spot a partition (the

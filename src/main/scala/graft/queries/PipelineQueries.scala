@@ -619,6 +619,16 @@ object PipelineQueries {
         Tables.events(s, dir), col("event_type"), col("value"),
         col("event_id") % 2 =!= 0)),
 
+    // EXACT per-decile quantile-shift table (same even/odd split on
+    // exact cents): type-1 deciles as pure-integer order statistics
+    // (10·cum ≥ q·n), zero doubles anywhere — names WHERE the
+    // distribution moved, beside dq_ks's single statistic.
+    "dq_qq" -> ((s, dir) =>
+      graft.pipeline.DataQuality.quantileShift(
+        Tables.events(s, dir), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        col("event_id") % 2 =!= 0)),
+
     // Key-skew report per event type over user_id — the pre-shuffle
     // hot-key diagnostic (Gini / HHI / top-share of per-key counts),
     // every ratio one terminal division of exact longs.
@@ -2467,6 +2477,33 @@ object PipelineQueries {
         |    CAST(2 * t.n_base * t.n_cur AS DOUBLE) AS tvd
         |FROM c JOIN t ON t.grp = c.grp
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // identical pure-integer ladder to DataQuality.quantileShift:
+    // side counts on exact cents, cumulative sums over distinct
+    // values, decile = min v with 10·cum ≥ q·n — no doubles at all
+    "dq_qq" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |  CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END AS cur
+        |  FROM events),
+        |c AS (SELECT grp, v, sum(1 - cur) AS b, sum(cur) AS c
+        |      FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, sum(b) OVER w AS cb, sum(c) OVER w AS cc
+        |  FROM c WINDOW w AS (PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT grp, CAST(sum(b) AS BIGINT) AS n_base,
+        |  CAST(sum(c) AS BIGINT) AS n_cur FROM c GROUP BY 1),
+        |q AS (SELECT CAST(range AS BIGINT) AS q FROM range(1, 10))
+        |SELECT cum.grp, q.q,
+        |  CAST(min(CASE WHEN cb * 10 >= q.q * t.n_base THEN v END)
+        |    AS BIGINT) AS base_cents,
+        |  CAST(min(CASE WHEN cc * 10 >= q.q * t.n_cur THEN v END)
+        |    AS BIGINT) AS cur_cents,
+        |  CAST(min(CASE WHEN cc * 10 >= q.q * t.n_cur THEN v END) -
+        |       min(CASE WHEN cb * 10 >= q.q * t.n_base THEN v END)
+        |    AS BIGINT) AS shift_cents
+        |FROM cum JOIN t ON t.grp = cum.grp CROSS JOIN q
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical exact-integer ladder to DataQuality.skewReport: per-key
     // counts, ascending (x, key) rank, gini_num = Σ(2i−n−1)x, hhi_num =

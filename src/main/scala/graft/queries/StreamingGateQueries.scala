@@ -593,6 +593,12 @@ object StreamingGateQueries {
     "st_tvd" -> ((s, dir) =>
       graft.streaming.EventStreams.tvdMonitorSink(s, dir)),
 
+    // Streaming quantile-shift monitor: per-(group, cents) side counts
+    // folded additively; pure-integer decile ladder re-derived from the
+    // fold — terminal result ≡ batch dq_qq, shared oracle.
+    "st_qq" -> ((s, dir) =>
+      graft.streaming.EventStreams.qqMonitorSink(s, dir)),
+
     // Streaming MV maintenance: per-micro-batch signed deltas folded
     // into the standing per-key rollup (IncrementalAgg) — standing
     // side never rescanned; terminal MV ≡ from-scratch recompute over
@@ -1307,6 +1313,7 @@ object StreamingGateQueries {
     "st_skew" -> graft.queries.PipelineQueries.oracles("dq_skew"),
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
+    "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),
     "st_mad" -> graft.queries.PipelineQueries.oracles("dq_mad"),

@@ -1071,6 +1071,25 @@ object EventStreams {
       })
   }
 
+  /** Streaming quantile-shift (Q-Q) monitor — per-(group, cents) side
+    * counts fold additively through the generic count drain; the
+    * pure-integer decile ladder re-derives from the folded counts.
+    * Terminal result ≡ the one-shot batch dq_qq (shared oracle). */
+  def qqMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.pipeline.DataQuality.qqFromCounts(
+      foldCountTable(spark, dir, nFiles,
+        StructType(Seq(StructField("grp", StringType),
+          StructField("v", LongType),
+          StructField("b", LongType),
+          StructField("c", LongType))), Seq("grp", "v")) { batch =>
+        graft.pipeline.DataQuality.sideCounts(batch, col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long"),
+          col("event_id") % 2 =!= 0)
+      })
+  }
+
   /** Streaming contingency (association) monitor — cell counts of the
     * event_type × user-bucket table fold additively; the per-cell
     * chi-square-vs-independence report re-derives from the folded

@@ -143,6 +143,35 @@ class DataQualitySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("quantileShift: hand-computed type-1 deciles, uniform shift, ties") {
+    // base 10..100 step 10 (n=10): decile q = 10q; cur = base + 5
+    val df = ((1 to 10).map(i => ("g", i * 10L, false)) ++
+      (1 to 10).map(i => ("g", i * 10L + 5L, true))).toDF("grp", "v", "cur")
+    val r = DataQuality.quantileShift(df, col("grp"), col("v"), col("cur"))
+      .collect().map(x => x.getAs[Long]("q") ->
+        ((x.getAs[Long]("base_cents"), x.getAs[Long]("cur_cents"),
+          x.getAs[Long]("shift_cents")))).toMap
+    assert(r.keySet == (1L to 9L).toSet)
+    (1L to 9L).foreach { q =>
+      assert(r(q) == ((q * 10L, q * 10L + 5L, 5L)), s"decile $q: ${r(q)}")
+    }
+    // ties and tiny n: base [1,1,2] -> q=7 needs cum >= ceil(2.1) = 3 -> 2
+    val t = (Seq(1L, 1L, 2L).map(("g", _, false)) ++ Seq(1L).map(("g", _, true)))
+      .toDF("grp", "v", "cur")
+    val m = DataQuality.quantileShift(t, col("grp"), col("v"), col("cur"))
+      .collect().map(x => x.getAs[Long]("q") -> x.getAs[Long]("base_cents")).toMap
+    assert(m(1L) == 1L && m(6L) == 1L && m(7L) == 2L && m(9L) == 2L)
+  }
+
+  test("streaming Q-Q fold over micro-batches equals the one-shot batch table") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = DataQuality.quantileShift(
+      spark.read.parquet(s"$dir/events.parquet"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long"), col("event_id") % 2 =!= 0)
+    val streamed = graft.streaming.EventStreams.qqMonitorSink(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("skewReport: uniform keys score 0, a dominant key is named") {
     // uniform: 4 keys x 3 rows each -> gini 0, hhi = 1/n_keys, top 1/4
     val uni = (for { k <- 1 to 4; _ <- 1 to 3 } yield ("g", k.toLong))
