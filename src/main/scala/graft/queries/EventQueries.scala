@@ -206,6 +206,32 @@ object EventQueries {
       s.read.option("mergeSchema", "true").parquet(s"$root/b0", s"$root/b1")
     }),
 
+    // XML round trip through Spark 4's BUILT-IN xml source (the
+    // spark-xml package merged into core): a typed slice of events is
+    // written as <event> rows and read back with an explicit schema
+    // (no inference), then aggregated to exact integers — the oracle
+    // replays over the ORIGINAL events, so writer escaping (props is
+    // JSON text full of quotes/braces) and reader parsing must be
+    // value-exact end to end for the hash to gate.
+    "e_xml" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_xml_").toFile
+      root.deleteOnExit()
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("props"))
+      e.write.format("xml").option("rowTag", "event")
+        .mode("overwrite").save(s"$root/x")
+      s.read.format("xml").option("rowTag", "event")
+        .schema(e.schema).load(s"$root/x")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("cnt"),
+          sum("cents").as("sum_cents"),
+          sum("user_id").as("sum_uid"),
+          sum(length(col("props"))).as("sum_props_len"),
+          countDistinct(col("props")).as("n_props"))
+    }),
+
     // Semi-structured VARIANT path (Spark 4): each event carries a
     // nested JSON payload (object/array/null/mixed-type field) parsed
     // once into a VARIANT, then consumed via typed-path extraction.
@@ -699,6 +725,18 @@ object EventQueries {
         |UNION ALL
         |SELECT event_id, user_id, cents FROM e
         |WHERE event_type NOT IN ('view', 'click')""".stripMargin,
+
+    // every aggregate re-derived from the ORIGINAL events — the XML
+    // write/read detour must be value-exact to match (props is ASCII
+    // JSON, so length() agrees across engines)
+    "e_xml" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(length(props)) AS BIGINT) AS sum_props_len,
+        |  count(DISTINCT props) AS n_props
+        |FROM events GROUP BY 1""".stripMargin,
 
     // every aggregate re-derived from the raw columns: k from the
     // props JSON, uid/xs1 from arithmetic, maybe-int from the parity

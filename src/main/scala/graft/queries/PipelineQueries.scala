@@ -378,6 +378,29 @@ object PipelineQueries {
     // probing, exact cosine inside probed lists only.
     "s_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 3)),
 
+    // ANN quality EVALUATION — recall@3 of the IVF index against the
+    // exact brute-force top-3 per query (the number an index owner
+    // reports before trusting nprobe at scale): n_hits = |ivf ∩ exact|,
+    // recall = n_hits/3 (one small-integer IEEE division, bit-stable).
+    // Composes the two existing gate surfaces, so the oracle replays
+    // both and intersects.
+    "s_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(queries, e, k = 3)
+        .select("qid", "vec_id")
+      val approx = Similarity.ivfTopK(e, k = 3)
+        .where(col("qid") < 10).select("qid", "vec_id")
+      val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      queries.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(3L).cast("double")).as("recall"))
+    }),
+
     // PQ ANN top-k — the compressed-domain path: seeded per-subspace
     // codebooks (8 subspaces × 16 codewords), byte codes per vector,
     // asymmetric-distance top-3 from broadcast lookup tables.
@@ -2000,6 +2023,56 @@ object PipelineQueries {
          | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    // recall@3 = |ivf top-3 ∩ exact top-3| / 3 per query: both sides'
+    // CTEs replayed verbatim (same seeded centroids, same round-6
+    // cosine, same tie-breaks), then intersected
+    "s_ann_recall" -> {
+      val nlist = Similarity.DefaultNList
+      val nprobe = Similarity.DefaultNProbe
+      s"""WITH cents AS (
+         | SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         | ORDER BY ${Hs(Similarity.IvfSeed, "vec_id")}, vec_id LIMIT $nlist),
+         |csc AS MATERIALIZED (
+         | SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cvec")} AS csim
+         | FROM embeddings e, cents c),
+         |assigned AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         | WHERE rn = 1),
+         |probes AS (
+         | SELECT vec_id AS qid, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn FROM csc)
+         | WHERE rn <= $nprobe),
+         |iscored AS (
+         | SELECT p.qid, a.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim
+         | FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid
+         | JOIN embeddings q ON q.vec_id = p.qid
+         | JOIN embeddings e ON e.vec_id = a.vec_id),
+         |ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM iscored) WHERE rank <= 3 AND qid < 10),
+         |bpairs AS (
+         | SELECT q.vec_id AS qid, e.vec_id,
+         |  ${cosSql("q.embedding", "e.embedding")} AS sim
+         | FROM embeddings q, embeddings e
+         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |brute AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM bpairs) WHERE rank <= 3),
+         |h AS (SELECT b.qid, count(*) AS n_hits FROM brute b
+         | JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY 1)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(3 AS DOUBLE)
+         |    AS recall
+         |FROM embeddings q LEFT JOIN h ON h.qid = q.vec_id
+         |WHERE q.vec_id < 10""".stripMargin
     },
 
     "d_weighted_sample" ->
