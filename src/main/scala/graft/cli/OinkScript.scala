@@ -728,6 +728,13 @@ object OinkScript {
               sinkAndBind(graft.pipeline.DataQuality.quantileShift(
                 in0, col(pos(0)), col(pos(1)),
                 expr(pos.drop(2).mkString(" "))), outs, line)
+            case "survival" =>
+              // survival durationCol eventCol — Kaplan-Meier curve with
+              // right censoring over (duration, 0/1-event) rows
+              if (pos.size < 2)
+                throw ScriptError(line, "survival durationCol eventCol")
+              sinkAndBind(graft.pipeline.DataQuality.kaplanMeier(
+                in0, col(pos(0)), col(pos(1))), outs, line)
             case "dq_skew" =>
               // dq_skew groupCol keyCol — hot-key report (Gini/HHI/top
               // share of per-key counts), the pre-shuffle skew screen

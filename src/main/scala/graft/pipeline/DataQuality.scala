@@ -289,6 +289,40 @@ object DataQuality {
         (col("cur_cents") - col("base_cents")).as("shift_cents"))
   }
 
+  /** Kaplan-Meier survival curve with RIGHT CENSORING — time-to-event
+    * analysis (churn, hardware failure, time-to-conversion) done the
+    * statistically honest way: subjects that leave observation without
+    * the event shrink the risk set but contribute no deaths. One row
+    * per subject in: `duration` (exact integer time-to-exit) and
+    * `event` (1 = observed event, 0 = censored). At each distinct
+    * event time t: n_risk = subjects with duration ≥ t (total minus a
+    * cumulative count — exact longs), factor = 1 − d/n (one correctly-
+    * rounded IEEE division), S(t) = running product in ascending-t
+    * order, ROUNDED to 9 decimals (windowed products reassociate
+    * across engines past small frames — tools/ProdProbe — so surv is
+    * the iterative-float convention, not a raw hash).
+    * Scale shape: one per-duration count aggregate, one global ordered
+    * window over DISTINCT event times (a curve is small by nature),
+    * a broadcast 1-row total.
+    * @return (t, n_risk, n_events, surv) one row per distinct event time */
+  def kaplanMeier(df: DataFrame, duration: Column, event: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.select(duration.as("t"), event.cast("long").as("evt"))
+    val tot = u.agg(count(lit(1)).as("n_total"))
+    val byT = u.groupBy("t").agg(count(lit(1)).as("a"), sum("evt").as("d"))
+    val wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val ws = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("before", coalesce(sum("a").over(wb), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") - col("before"))
+      .where(col("d") > 0)
+      .withColumn("factor", lit(1.0) -
+        col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("surv", round(product(col("factor")).over(ws), 9))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"), col("surv"))
+  }
+
   /** Key-skew report per group — the PRE-SHUFFLE diagnostic: before a
     * 100 TB `groupBy(key)` or `join(key)`, this one pass names the
     * groups whose key distribution would hot-spot a partition (the

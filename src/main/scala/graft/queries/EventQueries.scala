@@ -603,6 +603,29 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Kaplan-Meier survival curve over user lifetimes — the
+    // time-to-event analysis (churn / reliability) with RIGHT
+    // CENSORING done correctly: a user's lifetime = last−first event
+    // time; users who ever purchased are "events", the rest censor the
+    // risk set without contributing deaths. At each distinct event
+    // time t: n_risk = users with lifetime ≥ t (exact longs via total
+    // minus a cumulative count), factor = 1 − d/n (one correctly-
+    // rounded IEEE division), S(t) = running product of factors in
+    // ascending-t order. The product is NOT order-deterministic across
+    // engines (DuckDB's windowed product reassociates in its segment
+    // tree past small frames — measured max 3.3e-16 at sf0.01, see
+    // tools/ProdProbe), so surv carries the iterative-float round-9
+    // convention (g_pagerank/g_sssp_w): a tolerance on a full-range
+    // double, not the e_ewma few-digit-decimal hazard.
+    "e_survival" -> ((s, dir) => {
+      val u = eventsUs(s, dir).groupBy("user_id").agg(
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("evt"))
+      graft.pipeline.DataQuality.kaplanMeier(u, col("dur"), col("evt"))
+        .withColumnRenamed("t", "t_us")
+    }),
+
     // Approximate distinct users per event type via the custom HLL
     // aggregate (graft.functions.HllSketch60) next to the exact count —
     // at corpus scale the sketch shuffles 256 bytes per group instead of
@@ -1030,6 +1053,29 @@ object EventQueries {
         |  (d - cohort_d) // CAST(86400000000 AS BIGINT) AS day_offset,
         |  count(*) AS n_users
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // identical ladder: exact-long risk sets, one IEEE division per
+    // factor, ordered window product (frame-order multiply both
+    // engines, tools/ProdProbe). CAST(1 AS DOUBLE): a bare 1.0 is
+    // DECIMAL in DuckDB and would change the arithmetic.
+    "e_survival" ->
+      """WITH u AS (SELECT user_id,
+        |  max(epoch_ns(ts) // 1000) - min(epoch_ns(ts) // 1000) AS dur,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM u),
+        |bd AS (SELECT dur, count(*) AS a, sum(evt) AS d FROM u GROUP BY 1),
+        |cum AS (SELECT dur, a, d, coalesce(sum(a) OVER
+        |  (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0) AS before FROM bd),
+        |dth AS (SELECT dur, t.n_total - before AS n_risk, d
+        |  FROM cum, t WHERE d > 0)
+        |SELECT dur AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  round(product(CAST(1 AS DOUBLE) -
+        |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING), 9) AS surv
+        |FROM dth""".stripMargin,
 
     "e_approx_distinct" ->
       s"""WITH sk AS (${graft.functions.HllSketch60.oracleSql("events",

@@ -172,6 +172,28 @@ class DataQualitySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("kaplanMeier: hand-computed curve with censoring") {
+    // subjects (dur, evt): (1,1) (2,0) (3,1) (3,1) (4,0)
+    // t=1: n=5, d=1 -> S = 4/5 = 0.8
+    // t=3: before = 2 (durs 1,2), n=3, d=2 -> S = 0.8 * 1/3
+    // censored t=2 and t=4 contribute no rows but shrink risk sets
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+      .toDF("dur", "evt")
+    val r = DataQuality.kaplanMeier(df, col("dur"), col("evt"))
+      .collect().map(x => x.getAs[Long]("t") ->
+        ((x.getAs[Long]("n_risk"), x.getAs[Long]("n_events"),
+          x.getAs[Double]("surv")))).toMap
+    assert(r.keySet == Set(1L, 3L))
+    assert(r(1L) == ((5L, 1L, 0.8)))
+    assert(r(3L)._1 == 3L && r(3L)._2 == 2L)
+    assert(math.abs(r(3L)._3 - 0.8 / 3.0) < 1e-9)
+    // no censoring -> S at the last event = exact empirical survivor
+    val all = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("dur", "evt")
+    val s4 = DataQuality.kaplanMeier(all, col("dur"), col("evt"))
+      .where(col("t") === 4L).head().getAs[Double]("surv")
+    assert(s4 == 0.0)
+  }
+
   test("skewReport: uniform keys score 0, a dominant key is named") {
     // uniform: 4 keys x 3 rows each -> gini 0, hhi = 1/n_keys, top 1/4
     val uni = (for { k <- 1 to 4; _ <- 1 to 3 } yield ("g", k.toLong))
