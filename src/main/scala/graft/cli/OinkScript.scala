@@ -728,6 +728,14 @@ object OinkScript {
               sinkAndBind(graft.pipeline.DataQuality.quantileShift(
                 in0, col(pos(0)), col(pos(1)),
                 expr(pos.drop(2).mkString(" "))), outs, line)
+            case "dq_cusum" =>
+              // dq_cusum groupCol timeCol idCol valueCol — exact CUSUM
+              // changepoint report (peak upward level shift per group)
+              if (pos.size < 4)
+                throw ScriptError(line, "dq_cusum groupCol timeCol idCol valueCol")
+              sinkAndBind(graft.pipeline.DataQuality.cusumReport(
+                in0, col(pos(0)), col(pos(1)), col(pos(2)), col(pos(3))),
+                outs, line)
             case "survival" =>
               // survival durationCol eventCol — Kaplan-Meier curve with
               // right censoring over (duration, 0/1-event) rows

@@ -289,6 +289,42 @@ object DataQuality {
         (col("cur_cents") - col("base_cents")).as("shift_cents"))
   }
 
+  /** EXACT CUSUM changepoint report per group — the SEQUENTIAL drift
+    * detector beside the two-sample family (KS/TVD compare two fixed
+    * windows; CUSUM scans the time axis and names WHERE the level
+    * shifted). Deviations are mean-centered at n× scale so everything
+    * stays exact longs: dev_i = n·x_i − Σx. The one-sided CUSUM
+    * recursion S_i = max(0, S_{i-1} + dev_i) is computed closed-form as
+    *
+    *   S_i = cum_i − min(0, min_{j≤i} cum_j)      (cum = running Σdev)
+    *
+    * — two running windows instead of an unexpressible recursion.
+    * Reported per group: the maximum accumulated upward shift and the
+    * row where it peaks (for a persisting level shift the peak rides
+    * the end of the shifted run; the alarm threshold is the caller's —
+    * every output is an exact long, so the gate hashes bit-for-bit).
+    * Scale shape: per-group windows over event order, broadcast totals.
+    * @return (grp, n, max_cusum, cp_event_id, cp_ts) one row per group */
+  def cusumReport(df: DataFrame, group: Column, time: Column,
+      id: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(group.as("grp"), time.as("t"), id.as("eid"),
+      value.cast("long").as("x"))
+    val tot = e.groupBy("grp").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val wc = Window.partitionBy("grp").orderBy(col("t"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = e.join(broadcast(tot), Seq("grp"))
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .withColumn("cum", sum("dev").over(wc))
+      .withColumn("s",
+        col("cum") - least(lit(0L), min(col("cum")).over(wc)))
+    val wr = Window.partitionBy("grp")
+      .orderBy(col("s").desc, col("t"), col("eid"))
+    s.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+      .select(col("grp"), col("n"), col("s").as("max_cusum"),
+        col("eid").as("cp_event_id"), col("t").as("cp_ts"))
+  }
+
   /** Kaplan-Meier survival curve with RIGHT CENSORING — time-to-event
     * analysis (churn, hardware failure, time-to-conversion) done the
     * statistically honest way: subjects that leave observation without

@@ -652,6 +652,19 @@ object PipelineQueries {
         floor(col("value") * 100 + 0.5).cast("long"),
         col("event_id") % 2 =!= 0)),
 
+    // EXACT CUSUM changepoint report per event type: deviations
+    // mean-centered at n× scale (exact longs), the max(0, S+dev)
+    // recursion closed-form as cum − min(0, running-min cum), the
+    // peak row named — WHERE the value level shifted, not just that
+    // two windows differ.
+    "dq_cusum" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.pipeline.DataQuality.cusumReport(
+        e.withColumn("ts_us", Tables.eventMicros(e)),
+        col("event_type"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+    }),
+
     // Key-skew report per event type over user_id — the pre-shuffle
     // hot-key diagnostic (Gini / HHI / top-share of per-key counts),
     // every ratio one terminal division of exact longs.
@@ -2577,6 +2590,29 @@ object PipelineQueries {
         |    AS BIGINT) AS shift_cents
         |FROM cum JOIN t ON t.grp = cum.grp CROSS JOIN q
         |GROUP BY 1, 2""".stripMargin,
+
+    // identical exact-long ladder to DataQuality.cusumReport: n×-scaled
+    // mean-centered deviations, running sum, running min, peak row by
+    // (s DESC, t, eid)
+    "dq_cusum" ->
+      """WITH e AS (SELECT event_type AS grp, epoch_ns(ts) // 1000 AS t,
+        |  event_id AS eid,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+        |tt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM e GROUP BY 1),
+        |z AS (SELECT e.grp, t, eid, tt.n, tt.n * x - tt.sx AS dev
+        |  FROM e JOIN tt ON tt.grp = e.grp),
+        |c AS (SELECT grp, t, eid, n, sum(dev) OVER
+        |  (PARTITION BY grp ORDER BY t, eid ROWS UNBOUNDED PRECEDING)
+        |  AS cum FROM z),
+        |s AS (SELECT grp, n, t, eid, cum - least(CAST(0 AS BIGINT),
+        |  min(cum) OVER (PARTITION BY grp ORDER BY t, eid
+        |    ROWS UNBOUNDED PRECEDING)) AS s FROM c),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY grp ORDER BY s DESC, t, eid) AS rn FROM s)
+        |SELECT grp, n, CAST(s AS BIGINT) AS max_cusum,
+        |  eid AS cp_event_id, t AS cp_ts
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // identical exact-integer ladder to DataQuality.skewReport: per-key
     // counts, ascending (x, key) rank, gini_num = Σ(2i−n−1)x, hhi_num =

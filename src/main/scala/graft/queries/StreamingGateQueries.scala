@@ -599,6 +599,19 @@ object StreamingGateQueries {
     "st_qq" -> ((s, dir) =>
       graft.streaming.EventStreams.qqMonitorSink(s, dir)),
 
+    // Streaming SURVIVAL maintenance: per-user lifetime extrema merge
+    // as a join-semilattice (min first-ts, max last-ts, max event flag)
+    // — order/batching/duplication cannot change the state; terminal
+    // Kaplan-Meier ≡ batch e_survival, shared oracle.
+    "st_survival" -> ((s, dir) =>
+      graft.streaming.EventStreams.survivalMonitorSink(s, dir)),
+
+    // Streaming RETENTION maintenance: the distinct (user, active-day)
+    // pair set folds as a set union; terminal cohort table ≡ batch
+    // e_retention, shared oracle.
+    "st_retention" -> ((s, dir) =>
+      graft.streaming.EventStreams.retentionMonitorSink(s, dir)),
+
     // Streaming MV maintenance: per-micro-batch signed deltas folded
     // into the standing per-key rollup (IncrementalAgg) — standing
     // side never rescanned; terminal MV ≡ from-scratch recompute over
@@ -1314,6 +1327,8 @@ object StreamingGateQueries {
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
     "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
+    "st_survival" -> graft.queries.EventQueries.oracles("e_survival"),
+    "st_retention" -> graft.queries.EventQueries.oracles("e_retention"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),
     "st_mad" -> graft.queries.PipelineQueries.oracles("dq_mad"),

@@ -992,6 +992,62 @@ object EventStreams {
       lit("").as("event_type"), lit(0L).as("event_id"), lit(0L).as("cents")))
   }
 
+  /** Streaming SURVIVAL-CURVE maintenance — per-user lifetime state is
+    * a JOIN-SEMILATTICE, not just additive: (first_ts, last_ts, ever-
+    * purchased) merge by (min, max, max), so arrival order, batching,
+    * and duplication cannot change the folded state (the CRDT argument,
+    * same as the ANF register fold). Each micro-batch reduces to its
+    * per-user extrema (the only scan it pays); the standing table is
+    * one row per user; the terminal Kaplan-Meier curve re-derives from
+    * the folded lifetimes ≡ the one-shot batch e_survival (shared
+    * oracle). @return kaplanMeier's schema with t renamed t_us */
+  def survivalMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val folded = foldCountTable(spark, dir, nFiles,
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("t0", LongType), StructField("t1", LongType),
+        StructField("evt", LongType))), Seq("user_id"),
+      merge = Map("t0" -> "min", "t1" -> "max", "evt" -> "max")) { b =>
+      b.select(col("user_id"), graft.io.Tables.eventMicros(b).as("ts_us"),
+          col("event_type"))
+        .groupBy("user_id").agg(
+          min("ts_us").as("t0"), max("ts_us").as("t1"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("evt"))
+    }
+    graft.pipeline.DataQuality.kaplanMeier(
+        folded.select((col("t1") - col("t0")).as("dur"), col("evt")),
+        col("dur"), col("evt"))
+      .withColumnRenamed("t", "t_us")
+  }
+
+  /** Streaming COHORT-RETENTION maintenance — the state is the DISTINCT
+    * (user, active-day) pair set, a set-union semilattice: each batch
+    * contributes its distinct pairs, the fold unions them (min-merge of
+    * an indicator ≡ distinct), and the terminal cohort table (first day
+    * per user × day offset) re-derives from the folded pairs ≡ the
+    * one-shot batch e_retention (shared oracle). */
+  def retentionMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val day = 86400L * 1000000L
+    val folded = foldCountTable(spark, dir, nFiles,
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("d", LongType), StructField("one", LongType))),
+      Seq("user_id", "d"), merge = Map("one" -> "min")) { b =>
+      val ts = graft.io.Tables.eventMicros(b)
+      b.select(col("user_id"), (ts - (ts % day)).as("d"))
+        .distinct().withColumn("one", lit(1L))
+    }
+    val e = folded.select("user_id", "d")
+    val first = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+    e.join(first, Seq("user_id"))
+      .groupBy((col("cohort_d") / day).cast("long").as("cohort_day"),
+        ((col("d") - col("cohort_d")) / day).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Generic additive-count fold: drain the staged event files one
     * micro-batch per file, reduce each batch to a count table via
     * `batchCounts`, and key-sum-merge it into the accumulated state.
@@ -999,15 +1055,25 @@ object EventStreams {
     * union of batches = sum of per-batch counts — so the fold is
     * cadence-independent by algebra and the terminal state equals the
     * one-shot batch aggregate. `keys` are the grouping columns of the
-    * count table; every remaining column is summed. */
+    * count table; every remaining column is merged with its entry in
+    * `merge` (default sum; min/max extend the fold to join-semilattice
+    * state — extrema and indicator sets — with the same cadence-
+    * independence argument: idempotent + commutative + associative). */
   private def foldCountTable(spark: SparkSession, dir: String,
       nFiles: Int, schema: org.apache.spark.sql.types.StructType,
-      keys: Seq[String])(
+      keys: Seq[String], merge: Map[String, String] = Map.empty)(
       batchCounts: DataFrame => DataFrame): DataFrame = {
     val staged = stageSortedEventFiles(spark, dir, nFiles)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cnt_ckpt_").toFile
     ckpt.deleteOnExit()
     val sums = schema.fieldNames.filterNot(keys.contains).toSeq
+    def agg1(c: String) = merge.getOrElse(c, "sum") match {
+      case "sum" => sum(c).as(c)
+      case "min" => min(c).as(c)
+      case "max" => max(c).as(c)
+      case other => throw new IllegalArgumentException(
+        s"foldCountTable: unknown merge '$other' for column $c")
+    }
     var acc = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
@@ -1023,8 +1089,7 @@ object EventStreams {
         if (!bc.isEmpty) {
           acc = acc.unionByName(bc)
             .groupBy(keys.map(col): _*)
-            .agg(sum(sums.head).as(sums.head),
-              sums.tail.map(s => sum(s).as(s)): _*)
+            .agg(agg1(sums.head), sums.tail.map(agg1): _*)
             .localCheckpoint()
         }
         ()

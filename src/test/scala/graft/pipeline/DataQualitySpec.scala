@@ -172,6 +172,31 @@ class DataQualitySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("cusumReport: level shift peaks at the end of the shifted run; flat is 0") {
+    // x = [0,0,0,10,10]: n=5, sx=20, dev = [-20,-20,-20,30,30],
+    // cum = [-20,-40,-60,-30,0], runmin(incl 0) = [-20,...,-60],
+    // s = [0,0,0,30,60] -> peak 60 at t=5
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L), (5L, 10L))
+      .map { case (t, x) => ("g", t, t, x) }.toDF("grp", "t", "eid", "x")
+    val r = DataQuality.cusumReport(df, col("grp"), col("t"), col("eid"),
+      col("x")).head()
+    assert(r.getAs[Long]("max_cusum") == 60L)
+    assert(r.getAs[Long]("cp_event_id") == 5L)
+    // constant series: every deviation 0, peak 0 at the first row
+    val flat = (1L to 4L).map(t => ("g", t, t, 7L)).toDF("grp", "t", "eid", "x")
+    val f = DataQuality.cusumReport(flat, col("grp"), col("t"), col("eid"),
+      col("x")).head()
+    assert(f.getAs[Long]("max_cusum") == 0L && f.getAs[Long]("cp_event_id") == 1L)
+    // high-then-drop series: the upward excursion peaks on the last
+    // above-mean row, and the drop returns s to 0 (never negative)
+    val down = Seq((1L, 10L), (2L, 10L), (3L, 0L))
+      .map { case (t, x) => ("g", t, t, x) }.toDF("grp", "t", "eid", "x")
+    val d = DataQuality.cusumReport(down, col("grp"), col("t"), col("eid"),
+      col("x")).head()
+    // dev = [10,10,-20], cum=[10,20,0], runmin incl 0 = 0 -> s=[10,20,0]
+    assert(d.getAs[Long]("max_cusum") == 20L && d.getAs[Long]("cp_event_id") == 2L)
+  }
+
   test("kaplanMeier: hand-computed curve with censoring") {
     // subjects (dur, evt): (1,1) (2,0) (3,1) (3,1) (4,0)
     // t=1: n=5, d=1 -> S = 4/5 = 0.8
