@@ -548,6 +548,94 @@ object Multimodal {
       .mapPartitions(_.map { case (id, p) => resizeAviRgb(id, p, outW, outH) })
   }
 
+  final case class FrameHash(
+      doc_id: Long,
+      frame_idx: Long,
+      ahash_lo: Long,
+      ahash_hi: Long)
+
+  /** Average-hash (aHash) image fingerprint per decoded frame — the
+    * embedding-free image NEAR-DUP primitive: resize to an 8×8 grid
+    * (the same floor-mapped nearest-neighbor sampling as
+    * [[resizeAviRgb]]), luminance s = r+g+b per cell (exact ints), one
+    * bit per cell set iff the cell is brighter than the frame mean —
+    * the threshold 64·s > Σs is pure-integer, so the 64-bit hash is
+    * bit-exact and replayable closed-form. Emitted as two BIGINT
+    * halves (lo = cells 0..31, hi = 32..63) so neither engine rides
+    * the sign bit; Hamming distance between hashes = visual
+    * difference, computed downstream with bit_count(xor). */
+  def aHashAviRgb(docId: Long, payload: Array[Byte]): Seq[FrameHash] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourcc() == "AVI ", "not an AVI file")
+    var width = 0; var height = 0; var compression = -1
+    var frameIdx = 0L
+    val out = Seq.newBuilder[FrameHash]
+    def walk(end: Int): Unit =
+      while (bb.position() < end) {
+        val id = fourcc(); val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1)
+        id match {
+          case "LIST" => fourcc(); walk(next)
+          case "strf" =>
+            bb.getInt
+            width = bb.getInt; height = bb.getInt
+            bb.getShort
+            val bitCount = bb.getShort.toInt
+            compression = bb.getInt
+            require(compression == 0 && bitCount == 24,
+              s"unsupported codec: biCompression=$compression")
+          case "00db" | "00dc" =>
+            require(compression == 0, "frame before strf header")
+            val stride = (width * 3 + 3) & ~3
+            require(sz == stride * height, s"frame size $sz != ${stride * height}")
+            val base = bb.position()
+            val s = new Array[Long](64)
+            var yp = 0
+            while (yp < 8) {
+              val ySrc = yp * height / 8
+              val rowOff = base + (height - 1 - ySrc) * stride // bottom-up
+              var xp = 0
+              while (xp < 8) {
+                val off = rowOff + (xp * width / 8) * 3
+                s(yp * 8 + xp) = (payload(off) & 0xff).toLong +
+                  (payload(off + 1) & 0xff) + (payload(off + 2) & 0xff)
+                xp += 1
+              }
+              yp += 1
+            }
+            val total = s.sum
+            var lo = 0L; var hi = 0L
+            var idx = 0
+            while (idx < 64) {
+              if (64L * s(idx) > total) {
+                if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+              }
+              idx += 1
+            }
+            out += FrameHash(docId, frameIdx, lo, hi)
+            frameIdx += 1
+          case _ =>
+        }
+        bb.position(next)
+      }
+    walk(payload.length)
+    out.result()
+  }
+
+  /** aHash pass over a payload frame — one fingerprint row per frame. */
+  def videoAHash(spark: SparkSession, media: DataFrame): Dataset[FrameHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) => aHashAviRgb(id, p) }
+  }
+
   final case class FrameSample(
       doc_id: Long,
       width: Int,

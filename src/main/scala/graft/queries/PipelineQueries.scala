@@ -274,6 +274,35 @@ object PipelineQueries {
       Multimodal.videoResizeFeatures(s,
         Multimodal.withAviRgbPayload(s, docs(s, dir)), 16, 8).toDF()),
 
+    // Average-hash (aHash) fingerprint per decoded frame: 8x8
+    // floor-mapped resample, luminance per cell, one bit per cell via
+    // the pure-integer brighter-than-mean test (64*s > total) — the
+    // embedding-free image near-dup primitive, bit-exact from real
+    // pixel bytes.
+    "mm_ahash" -> ((s, dir) =>
+      Multimodal.videoAHash(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()),
+
+    // Image near-dup via aHash: Hamming distance (bit_count of xor)
+    // between CONSECUTIVE frames of each clip — the scene-cut /
+    // duplicate-frame detector; per-doc pair count, max distance, and
+    // how many pairs fall under the near threshold.
+    "mm_ahash_dup" -> ((s, dir) => {
+      val h = Multimodal.videoAHash(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()
+      val nxt = h.select(col("doc_id"),
+        (col("frame_idx") - 1L).as("frame_idx"),
+        col("ahash_lo").as("lo2"), col("ahash_hi").as("hi2"))
+      h.join(nxt, Seq("doc_id", "frame_idx"))
+        .withColumn("hamming",
+          expr("bit_count(ahash_lo ^ lo2) + bit_count(ahash_hi ^ hi2)")
+            .cast("long"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_pairs"),
+          max("hamming").as("max_hamming"),
+          sum(when(col("hamming") <= 16L, 1L).otherwise(0L)).as("n_near"))
+    }),
+
     // Uniform 2-frame sampling: only frames {0, floor(nf/2)} pay the
     // pixel scan; headers alone count the rest.
     "mm_frame_sample" -> ((s, dir) =>
@@ -2338,6 +2367,62 @@ object PipelineQueries {
         |  CAST(sum(16 * (yp + 1) * ((3 * doc_id + f + 2 * ys) % 256))
         |    AS BIGINT) AS wsum_r
         |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
+
+    // closed-form aHash replay: pixels are row-constant in the
+    // synthetic payloads, so each 8-cell hash row is all-0 or all-255
+    // (an 0xff block per bright row); the brighter-than-mean test
+    // reduces to 8*srow > sum(srow)
+    "mm_ahash" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |cell AS (SELECT p.doc_id, f.f, y.yp,
+        |    ((3 * doc_id + f + 2 * ((y.yp * h) // 8)) % 256
+        |   + (2 * doc_id + f + ((y.yp * h) // 8)) % 256
+        |   + (doc_id + 7 * f + ((y.yp * h) // 8)) % 256) AS srow
+        |  FROM p, (SELECT unnest(range(5)) AS f) f,
+        |    (SELECT unnest(range(8)) AS yp) y
+        |  WHERE f.f < p.nf),
+        |t AS (SELECT doc_id, f, sum(srow) AS tot FROM cell GROUP BY 1, 2)
+        |SELECT c.doc_id, CAST(c.f AS BIGINT) AS frame_idx,
+        |  CAST(sum(CASE WHEN yp < 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * yp)) ELSE 0 END)
+        |    AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN yp >= 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * (yp - 4))) ELSE 0 END)
+        |    AS BIGINT) AS ahash_hi
+        |FROM cell c JOIN t ON t.doc_id = c.doc_id AND t.f = c.f
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same hash CTEs, consecutive frames joined, hamming = bit_count
+    // of the xor'd halves
+    "mm_ahash_dup" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |cell AS (SELECT p.doc_id, f.f, y.yp,
+        |    ((3 * doc_id + f + 2 * ((y.yp * h) // 8)) % 256
+        |   + (2 * doc_id + f + ((y.yp * h) // 8)) % 256
+        |   + (doc_id + 7 * f + ((y.yp * h) // 8)) % 256) AS srow
+        |  FROM p, (SELECT unnest(range(5)) AS f) f,
+        |    (SELECT unnest(range(8)) AS yp) y
+        |  WHERE f.f < p.nf),
+        |t AS (SELECT doc_id, f, sum(srow) AS tot FROM cell GROUP BY 1, 2),
+        |hsh AS (SELECT c.doc_id, c.f,
+        |  CAST(sum(CASE WHEN yp < 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * yp)) ELSE 0 END)
+        |    AS BIGINT) AS lo,
+        |  CAST(sum(CASE WHEN yp >= 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * (yp - 4))) ELSE 0 END)
+        |    AS BIGINT) AS hi
+        |  FROM cell c JOIN t ON t.doc_id = c.doc_id AND t.f = c.f
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT a.doc_id,
+        |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |  FROM hsh a JOIN hsh b ON b.doc_id = a.doc_id AND b.f = a.f + 1)
+        |SELECT doc_id, count(*) AS n_pairs,
+        |  CAST(max(hamming) AS BIGINT) AS max_hamming,
+        |  CAST(sum(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_near
+        |FROM pr GROUP BY 1""".stripMargin,
 
     // closed-form frame-sample replay: sampled frame set
     // {(i*nf)//2 : i<2} = {0, nf//2}, distinct by construction (nf>=2)

@@ -197,4 +197,68 @@ class MultimodalSpec extends SparkSpec {
       assert(s2.sum_b == tot((f, y) => (id + 7 * f + y) % 256), s"doc $id B")
     }
   }
+
+  test("aHash: brute-force closed form; row-block structure; tamper sensitivity") {
+    for (id <- Seq(0L, 1L, 5L, 14L, 255L, 9999L)) {
+      val payload = Multimodal.synthAviRgb(id)
+      val h = (4 + id % 8).toInt
+      val nf = (2 + id % 4).toInt
+      val hashes = Multimodal.aHashAviRgb(id, payload)
+      assert(hashes.size == nf, s"doc $id frame count")
+      hashes.foreach { fh =>
+        // closed form: pixels are row-constant, so cell luminance only
+        // depends on the floor-mapped source row
+        val srow = (0 until 8).map { yp =>
+          val y = yp * h / 8
+          ((3 * id + fh.frame_idx + 2 * y) % 256) +
+            ((2 * id + fh.frame_idx + y) % 256) +
+            ((id + 7 * fh.frame_idx + y) % 256)
+        }
+        val tot = srow.sum
+        var lo = 0L; var hi = 0L
+        for (yp <- 0 until 8; xp <- 0 until 8 if 8 * srow(yp) > tot) {
+          val idx = yp * 8 + xp
+          if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+        }
+        assert(fh.ahash_lo == lo && fh.ahash_hi == hi,
+          s"doc $id frame ${fh.frame_idx}")
+        // row-constant input -> every 8-bit row of the hash is 0x00 or 0xff
+        Seq(fh.ahash_lo, fh.ahash_hi).foreach { half =>
+          (0 until 4).foreach { r =>
+            val byte = (half >> (8 * r)) & 0xff
+            assert(byte == 0L || byte == 0xffL, s"doc $id row block $byte")
+          }
+        }
+      }
+      // tamper: blast frame 0's LOGICAL row 0 to white and assert the
+      // hash moves to the closed form recomputed with that row at max
+      // luminance — deterministic, and catches a decoder that ignores
+      // the tampered bytes or the bottom-up row map
+      val f0 = hashes.head
+      val tampered = payload.clone()
+      val stride = (((8 + id % 16).toInt * 3) + 3) & ~3
+      // find "00db" then skip 8 bytes (fourcc + size) to the pixel base
+      val key = "00db".getBytes("US-ASCII")
+      val pos = tampered.indices.find(i => i + 4 <= tampered.length &&
+        key.indices.forall(j => tampered(i + j) == key(j))).get + 8
+      // file row h-1 = logical row 0 under bottom-up orientation
+      val rowOff = pos + (h - 1) * stride
+      (0 until stride).foreach(i => tampered(rowOff + i) = 0xff.toByte)
+      val th = Multimodal.aHashAviRgb(id, tampered).head
+      val srow0 = (0 until 8).map { yp =>
+        val y = yp * h / 8
+        if (y == 0) 765L
+        else ((3 * id + 2 * y) % 256) + ((2 * id + y) % 256) +
+          ((id + y) % 256)
+      }
+      val tot0 = srow0.sum
+      var elo = 0L; var ehi = 0L
+      for (yp <- 0 until 8; xp <- 0 until 8 if 8 * srow0(yp) > tot0) {
+        val idx = yp * 8 + xp
+        if (idx < 32) elo |= 1L << idx else ehi |= 1L << (idx - 32)
+      }
+      assert(th.ahash_lo == elo && th.ahash_hi == ehi,
+        s"doc $id tampered hash != closed form (orig $f0, got $th)")
+    }
+  }
 }
