@@ -325,6 +325,34 @@ object DataQuality {
         col("eid").as("cp_event_id"), col("t").as("cp_ts"))
   }
 
+  /** [[cusumReport]] against a FIXED target instead of the global mean
+    * — deviations dev_i = x_i − target need no totals pass, so this
+    * variant STREAMS with O(1) state per group (the carried
+    * (cum, runmin, peak) prefix summary,
+    * [[graft.streaming.EventStreams.cusumMonitorSink]]); the
+    * mean-centered [[cusumReport]] cannot, because the center is a
+    * function of data it hasn't seen. Same closed form, same exact
+    * longs. @return (grp, n, max_cusum, cp_event_id, cp_ts) */
+  def cusumTargetReport(df: DataFrame, group: Column, time: Column,
+      id: Column, value: Column, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(group.as("grp"), time.as("t"), id.as("eid"),
+      (value.cast("long") - lit(target)).as("dev"))
+    val wc = Window.partitionBy("grp").orderBy(col("t"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = e
+      .withColumn("cum", sum("dev").over(wc))
+      .withColumn("s",
+        col("cum") - least(lit(0L), min(col("cum")).over(wc)))
+    val tot = e.groupBy("grp").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("grp")
+      .orderBy(col("s").desc, col("t"), col("eid"))
+    s.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+      .join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("n"), col("s").as("max_cusum"),
+        col("eid").as("cp_event_id"), col("t").as("cp_ts"))
+  }
+
   /** Kaplan-Meier survival curve with RIGHT CENSORING — time-to-event
     * analysis (churn, hardware failure, time-to-conversion) done the
     * statistically honest way: subjects that leave observation without

@@ -694,6 +694,17 @@ object PipelineQueries {
         floor(col("value") * 100 + 0.5).cast("long"))
     }),
 
+    // CUSUM against a FIXED target (5000 cents): the variant whose
+    // deviations need no totals pass, and therefore the one that
+    // STREAMS with O(1) state (st_cusum shares this oracle).
+    "dq_cusum_t" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.pipeline.DataQuality.cusumTargetReport(
+        e.withColumn("ts_us", Tables.eventMicros(e)),
+        col("event_type"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long"), target = 5000L)
+    }),
+
     // Key-skew report per event type over user_id — the pre-shuffle
     // hot-key diagnostic (Gini / HHI / top-share of per-key counts),
     // every ratio one terminal division of exact longs.
@@ -2698,6 +2709,26 @@ object PipelineQueries {
         |SELECT grp, n, CAST(s AS BIGINT) AS max_cusum,
         |  eid AS cp_event_id, t AS cp_ts
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // same ladder with dev = x − 5000 (no totals pass)
+    "dq_cusum_t" ->
+      """WITH e AS (SELECT event_type AS grp, epoch_ns(ts) // 1000 AS t,
+        |  event_id AS eid,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS dev
+        |  FROM events),
+        |c AS (SELECT grp, t, eid, sum(dev) OVER
+        |  (PARTITION BY grp ORDER BY t, eid ROWS UNBOUNDED PRECEDING)
+        |  AS cum FROM e),
+        |s AS (SELECT grp, t, eid, cum - least(CAST(0 AS BIGINT),
+        |  min(cum) OVER (PARTITION BY grp ORDER BY t, eid
+        |    ROWS UNBOUNDED PRECEDING)) AS s FROM c),
+        |tt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY grp ORDER BY s DESC, t, eid) AS rn FROM s)
+        |SELECT r.grp, tt.n, CAST(s AS BIGINT) AS max_cusum,
+        |  eid AS cp_event_id, t AS cp_ts
+        |FROM r JOIN tt ON tt.grp = r.grp WHERE rn = 1""".stripMargin,
 
     // identical exact-integer ladder to DataQuality.skewReport: per-key
     // counts, ascending (x, key) rank, gini_num = Σ(2i−n−1)x, hhi_num =

@@ -599,6 +599,14 @@ object StreamingGateQueries {
     "st_qq" -> ((s, dir) =>
       graft.streaming.EventStreams.qqMonitorSink(s, dir)),
 
+    // Streaming CUSUM changepoint monitor: the (cum, runmin) prefix
+    // summary is associative under concatenation, so per-group state
+    // is O(1) scalars + the running peak; exact under in-order arrival
+    // (the staged drain). Terminal report ≡ batch dq_cusum_t, shared
+    // oracle.
+    "st_cusum" -> ((s, dir) =>
+      graft.streaming.EventStreams.cusumMonitorSink(s, dir)),
+
     // Streaming SURVIVAL maintenance: per-user lifetime extrema merge
     // as a join-semilattice (min first-ts, max last-ts, max event flag)
     // — order/batching/duplication cannot change the state; terminal
@@ -1328,6 +1336,7 @@ object StreamingGateQueries {
     "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
     "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
     "st_survival" -> graft.queries.EventQueries.oracles("e_survival"),
+    "st_cusum" -> graft.queries.PipelineQueries.oracles("dq_cusum_t"),
     "st_retention" -> graft.queries.EventQueries.oracles("e_retention"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),

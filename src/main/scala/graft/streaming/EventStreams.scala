@@ -992,6 +992,100 @@ object EventStreams {
       lit("").as("event_type"), lit(0L).as("event_id"), lit(0L).as("cents")))
   }
 
+  /** Streaming CUSUM changepoint monitor — a third fold ALGEBRA next
+    * to the additive counts and the min/max semilattices: the CUSUM
+    * prefix summary (cum, runmin) is ASSOCIATIVE under sequence
+    * concatenation —
+    *
+    *   cum(A·B)    = cum(A) + cum(B)
+    *   runmin(A·B) = min(runmin(A), cum(A) + runmin(B))
+    *
+    * — so per-group state is O(1) scalars (plus the running peak), and
+    * each micro-batch pays one local prefix window over ITS rows, one
+    * broadcast join against the carried state, and one argmax. Unlike
+    * the count folds this is ORDER-SENSITIVE: it is exact under
+    * in-order arrival (the staged time-contiguous drain here; a Kafka
+    * partition's per-key order in production), which is precisely why
+    * the mean-centered dq_cusum cannot stream and this fixed-target
+    * variant can. Terminal report ≡ the one-shot batch
+    * [[graft.pipeline.DataQuality.cusumTargetReport]] (shared oracle).
+    * @return (grp, n, max_cusum, cp_event_id, cp_ts) */
+  def cusumMonitorSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4, targetCents: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cus_ckpt_").toFile
+    ckpt.deleteOnExit()
+    val stSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("cum", LongType),
+      StructField("rmin", LongType), StructField("peak", LongType),
+      StructField("cp_t", LongType), StructField("cp_eid", LongType),
+      StructField("n", LongType)))
+    var st = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stSchema)
+
+    val q = readEventsMultiBatch(spark, dir, nFiles).writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val wc = Window.partitionBy("grp").orderBy(col("t"), col("eid"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val loc = batch.select(col("event_type").as("grp"),
+              graft.io.Tables.eventMicros(batch).as("t"),
+              col("event_id").as("eid"),
+              (floor(col("value") * 100 + 0.5).cast("long") -
+                lit(targetCents)).as("dev"))
+            .withColumn("cumb", sum("dev").over(wc))
+            .withColumn("rminb", least(lit(0L), min(col("cumb")).over(wc)))
+            .join(broadcast(st.select(col("grp"), col("cum"), col("rmin"))),
+              Seq("grp"), "left")
+            .withColumn("cumA", coalesce(col("cum"), lit(0L)))
+            .withColumn("rminA", coalesce(col("rmin"), lit(0L)))
+            .withColumn("sadj", col("cumA") + col("cumb") -
+              least(col("rminA"), col("cumA") + col("rminb")))
+            .localCheckpoint()
+          val bpeak = loc.withColumn("rn", row_number().over(
+              Window.partitionBy("grp")
+                .orderBy(col("sadj").desc, col("t"), col("eid"))))
+            .where(col("rn") === 1)
+            .select(col("grp"), col("sadj").as("bpeak"),
+              col("t").as("bt"), col("eid").as("beid"))
+          val blast = loc.withColumn("rn", row_number().over(
+              Window.partitionBy("grp")
+                .orderBy(col("t").desc, col("eid").desc)))
+            .where(col("rn") === 1)
+            .select(col("grp"),
+              (col("cumA") + col("cumb")).as("cum2"),
+              least(col("rminA"), col("cumA") + col("rminb")).as("rmin2"))
+          val bn = loc.groupBy("grp").agg(count(lit(1)).as("bn"))
+          val bsumm = bpeak.join(blast, Seq("grp")).join(bn, Seq("grp"))
+          st = st.join(bsumm, Seq("grp"), "full_outer")
+            .select(col("grp"),
+              coalesce(col("cum2"), col("cum")).as("cum"),
+              coalesce(col("rmin2"), col("rmin")).as("rmin"),
+              // carried peak wins ties: it is the EARLIER occurrence
+              when(col("bpeak").isNull || (col("peak").isNotNull &&
+                  col("peak") >= col("bpeak")), col("peak"))
+                .otherwise(col("bpeak")).as("peak"),
+              when(col("bpeak").isNull || (col("peak").isNotNull &&
+                  col("peak") >= col("bpeak")), col("cp_t"))
+                .otherwise(col("bt")).as("cp_t"),
+              when(col("bpeak").isNull || (col("peak").isNotNull &&
+                  col("peak") >= col("bpeak")), col("cp_eid"))
+                .otherwise(col("beid")).as("cp_eid"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+                .as("n"))
+            .localCheckpoint()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    st.select(col("grp"), col("n"), col("peak").as("max_cusum"),
+      col("cp_eid").as("cp_event_id"), col("cp_t").as("cp_ts"))
+  }
+
   /** Streaming SURVIVAL-CURVE maintenance — per-user lifetime state is
     * a JOIN-SEMILATTICE, not just additive: (first_ts, last_ts, ever-
     * purchased) merge by (min, max, max), so arrival order, batching,

@@ -197,6 +197,23 @@ class DataQualitySpec extends SparkSpec {
     assert(d.getAs[Long]("max_cusum") == 20L && d.getAs[Long]("cp_event_id") == 2L)
   }
 
+  test("streaming CUSUM prefix fold equals the one-shot target report at two cadences") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val batch = DataQuality.cusumTargetReport(
+      e.withColumn("ts_us", graft.io.Tables.eventMicros(e)),
+      col("event_type"), col("ts_us"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long"), target = 5000L)
+    val s4 = graft.streaming.EventStreams.cusumMonitorSink(spark, dir)
+    assert(s4.exceptAll(batch).isEmpty && batch.exceptAll(s4).isEmpty,
+      "4-batch fold diverged from the one-shot report")
+    // the prefix summary is associative, so a finer cadence (more
+    // concatenation points) must not move the answer
+    val s8 = graft.streaming.EventStreams.cusumMonitorSink(spark, dir, nFiles = 8)
+    assert(s8.exceptAll(batch).isEmpty && batch.exceptAll(s8).isEmpty,
+      "8-batch fold diverged")
+  }
+
   test("kaplanMeier: hand-computed curve with censoring") {
     // subjects (dur, evt): (1,1) (2,0) (3,1) (3,1) (4,0)
     // t=1: n=5, d=1 -> S = 4/5 = 0.8
