@@ -330,8 +330,28 @@ object Bench {
       val tc = (1 to 3).map(_ => timeIt(changes())).sorted
       Seq("edge_full_scan_sec" -> tf(1), "edge_changes_window_sec" -> tc(1))
     }
+    // Incremental-CC refresh vs full recompute (round 9, fourth
+    // session): the standing assignment absorbs a 10% edge batch via
+    // the contraction (CC rounds over |batch| contracted edges) — the
+    // measured gap vs re-running large/small-star over ALL edges is
+    // the claim behind g_cc_inc / st_cc_inc.
+    val ccInc = section("cc_inc") {
+      val e = graft.io.Tables.edges(spark, sfDir)
+      val standing = graft.graph.ConnectedComponents.run(spark,
+        e.where((col("src") + col("dst")) % 10 =!= 0)).localCheckpoint()
+      val batch = e.where((col("src") + col("dst")) % 10 === 0)
+        .localCheckpoint()
+      def refresh(): Unit = materialize(
+        graft.graph.ConnectedComponents.incremental(spark, standing, batch))
+      def full(): Unit = materialize(
+        graft.graph.ConnectedComponents.run(spark, e))
+      refresh(); full() // warm
+      val tr = (1 to 3).map(_ => timeIt(refresh())).sorted
+      val tf = (1 to 3).map(_ => timeIt(full())).sorted
+      Seq("cc_inc_refresh_sec" -> tr(1), "cc_full_recompute_sec" -> tf(1))
+    }
     val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
-      changesFeed
+      changesFeed ++ ccInc
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

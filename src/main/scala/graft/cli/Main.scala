@@ -29,7 +29,7 @@ object Main {
     "wordfreq", "cc_find", "cc_stats", "sssp", "tri_find", "luby_find", "coloring",
     "kcore", "coreness", "lpa", "betweenness", "hits", "scc", "eigen", "katz",
     "matching", "walks", "rmat", "anf", "hopplot", "hyperball", "effdiam",
-    "hb_closeness", "linkpred", "truss", "transitivity", "reciprocity",
+    "hb_closeness", "linkpred", "truss", "toposort", "transitivity", "reciprocity",
     "assortativity", "msf", "msf_stats", "densest")
 
   def usage(): Nothing = {
@@ -148,6 +148,13 @@ object Main {
           o.getOrElse("iters", "3").toInt).orderBy("v")
         case "scc"            =>
           graft.graph.StronglyConnectedComponents.run(spark, edges()).orderBy("v")
+        case "toposort"       => // scc -> condensation -> longest-path levels
+          val e = edges()
+          val scc = graft.graph.StronglyConnectedComponents.run(spark, e)
+          graft.graph.TopoSort.levels(spark,
+            graft.graph.StronglyConnectedComponents.condense(e, scc)
+              .select(col("from_scc").as("src"), col("to_scc").as("dst")))
+            .orderBy("v")
         case "matching"       => graft.graph.MaximalMatching.run(spark, edges(),
           o.getOrElse("seed", "1").toLong).orderBy("vi", "vj")
         case "eigen"          => graft.graph.EigenvectorCentrality.run(spark,
