@@ -369,22 +369,36 @@ object DataQuality {
     * window over DISTINCT event times (a curve is small by nature),
     * a broadcast 1-row total.
     * @return (t, n_risk, n_events, surv) one row per distinct event time */
-  def kaplanMeier(df: DataFrame, duration: Column, event: Column): DataFrame = {
+  def kaplanMeier(df: DataFrame, duration: Column, event: Column): DataFrame =
+    kaplanMeierBy(df, lit("all"), duration, event).drop("cohort")
+
+  /** Per-COHORT [[kaplanMeier]] — the scale shape: every window
+    * partitions by cohort, so a million independent curves (one per
+    * segment / device / model version) compute in one pass with no
+    * global sort; the single-curve form is this with a constant
+    * cohort. @return (cohort, t, n_risk, n_events, surv) */
+  def kaplanMeierBy(df: DataFrame, cohort: Column, duration: Column,
+      event: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = df.select(duration.as("t"), event.cast("long").as("evt"))
-    val tot = u.agg(count(lit(1)).as("n_total"))
-    val byT = u.groupBy("t").agg(count(lit(1)).as("a"), sum("evt").as("d"))
-    val wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    val ws = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val u = df.select(cohort.as("cohort"), duration.as("t"),
+      event.cast("long").as("evt"))
+    val tot = u.groupBy("cohort").agg(count(lit(1)).as("n_total"))
+    val byT = u.groupBy("cohort", "t")
+      .agg(count(lit(1)).as("a"), sum("evt").as("d"))
+    val wb = Window.partitionBy("cohort").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ws = Window.partitionBy("cohort").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
     byT
       .withColumn("before", coalesce(sum("a").over(wb), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .join(broadcast(tot), Seq("cohort"))
       .withColumn("n_risk", col("n_total") - col("before"))
       .where(col("d") > 0)
       .withColumn("factor", lit(1.0) -
         col("d").cast("double") / col("n_risk").cast("double"))
       .withColumn("surv", round(product(col("factor")).over(ws), 9))
-      .select(col("t"), col("n_risk"), col("d").as("n_events"), col("surv"))
+      .select(col("cohort"), col("t"), col("n_risk"),
+        col("d").as("n_events"), col("surv"))
   }
 
   /** Key-skew report per group — the PRE-SHUFFLE diagnostic: before a

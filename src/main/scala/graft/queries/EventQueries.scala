@@ -626,6 +626,21 @@ object EventQueries {
         .withColumnRenamed("t", "t_us")
     }),
 
+    // Per-cohort Kaplan-Meier — the PARTITIONED-window scale shape
+    // (a million independent curves in one pass): same ladder as
+    // e_survival, every window keyed by the user's cohort.
+    "e_survival_cohort" -> ((s, dir) => {
+      val u = eventsUs(s, dir).groupBy("user_id").agg(
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("evt"))
+        .withColumn("cohort",
+          concat(lit("c"), (col("user_id") % 3).cast("string")))
+      graft.pipeline.DataQuality.kaplanMeierBy(
+          u, col("cohort"), col("dur"), col("evt"))
+        .withColumnRenamed("t", "t_us")
+    }),
+
     // Approximate distinct users per event type via the custom HLL
     // aggregate (graft.functions.HllSketch60) next to the exact count —
     // at corpus scale the sketch shuffles 256 bytes per group instead of
@@ -1075,6 +1090,30 @@ object EventQueries {
         |  round(product(CAST(1 AS DOUBLE) -
         |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
         |    OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING), 9) AS surv
+        |FROM dth""".stripMargin,
+
+    // same ladder with every window PARTITIONed BY cohort
+    "e_survival_cohort" ->
+      """WITH u AS (SELECT user_id,
+        |  'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |  max(epoch_ns(ts) // 1000) - min(epoch_ns(ts) // 1000) AS dur,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT cohort, count(*) AS n_total FROM u GROUP BY 1),
+        |bd AS (SELECT cohort, dur, count(*) AS a, sum(evt) AS d
+        |  FROM u GROUP BY 1, 2),
+        |cum AS (SELECT cohort, dur, a, d, coalesce(sum(a) OVER
+        |  (PARTITION BY cohort ORDER BY dur
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM bd),
+        |dth AS (SELECT cum.cohort, dur, t.n_total - before AS n_risk, d
+        |  FROM cum JOIN t ON t.cohort = cum.cohort WHERE d > 0)
+        |SELECT cohort, dur AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  round(product(CAST(1 AS DOUBLE) -
+        |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    OVER (PARTITION BY cohort ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING), 9) AS surv
         |FROM dth""".stripMargin,
 
     "e_approx_distinct" ->

@@ -527,6 +527,32 @@ object RelationalQueries {
               |END""".stripMargin)
     }),
 
+    // Column DEFAULT values (Spark 3.4+ SQL surface): a table declares
+    // per-column defaults; a column-list INSERT fills the omitted
+    // columns, and the DEFAULT keyword works positionally. Fresh temp
+    // LOCATION per run keeps the gate idempotent; the oracle inlines
+    // the defaults.
+    "q44_defaults" -> ((s, dir) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_defaults_")
+        .toFile
+      loc.deleteOnExit()
+      val tbl = "graft_defaults_tbl"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (
+               |  o_orderkey BIGINT,
+               |  status STRING DEFAULT 'open',
+               |  qty BIGINT DEFAULT 1
+               |) USING parquet LOCATION '${loc.getPath}/t'""".stripMargin)
+      Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey").createOrReplaceTempView("graft_defaults_src")
+      s.sql(s"INSERT INTO $tbl (o_orderkey) " +
+        "SELECT o_orderkey FROM graft_defaults_src")
+      s.sql(s"INSERT INTO $tbl VALUES (-1, DEFAULT, 7), (-2, 'closed', DEFAULT)")
+      s.sql(s"""SELECT status, count(*) AS cnt,
+               |  sum(qty) AS sum_qty, sum(o_orderkey) AS sum_key
+               |FROM $tbl GROUP BY status""".stripMargin)
+    }),
+
     // RFM segmentation (recency/frequency/monetary quintiles) — the
     // marketing-analytics standard. Scores are quintiles WITHIN each
     // market segment (the standard segment-relative practice, and the
@@ -759,6 +785,19 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS cents_above
         |FROM events WHERE value > 0.5 GROUP BY event_type""".stripMargin,
+
+    // defaults inlined: omitted columns take ('open', 1); the DEFAULT
+    // keyword rows take one default each
+    "q44_defaults" ->
+      """WITH src AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 100 = 0),
+        |t AS (SELECT o_orderkey, 'open' AS status, 1 AS qty FROM src
+        |  UNION ALL SELECT -1, 'open', 7
+        |  UNION ALL SELECT -2, 'closed', 1)
+        |SELECT status, count(*) AS cnt,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q40_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d

@@ -599,6 +599,38 @@ object StreamingGateQueries {
     "st_qq" -> ((s, dir) =>
       graft.streaming.EventStreams.qqMonitorSink(s, dir)),
 
+    // Streaming XML ingestion: the built-in xml source as a FILE
+    // STREAM (one micro-batch per staged file), aggregated in Complete
+    // mode — the format × streaming composition; terminal aggregates ≡
+    // the batch e_xml round trip, shared oracle.
+    "st_xml" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val root = java.nio.file.Files.createTempDirectory("graft_stxml_")
+        .toFile
+      root.deleteOnExit()
+      val e = graft.io.Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("props"))
+      e.repartition(4).write.format("xml").option("rowTag", "event")
+        .mode("overwrite").save(s"$root/x")
+      val stream = s.readStream.format("xml").option("rowTag", "event")
+        .option("maxFilesPerTrigger", "1")
+        .schema(e.schema).load(s"$root/x")
+      // no countDistinct: distinct aggregation is unsupported on
+      // streams — the batch e_xml twin carries that column
+      val agg = stream.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum("cents").as("sum_cents"),
+        sum("user_id").as("sum_uid"),
+        sum(length(col("props"))).as("sum_props_len"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName("st_xml_gate")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table("st_xml_gate")
+    }),
+
     // Streaming CUSUM changepoint monitor: the (cum, runmin) prefix
     // summary is associative under concatenation, so per-group state
     // is O(1) scalars + the running peak; exact under in-order arrival
@@ -1337,6 +1369,15 @@ object StreamingGateQueries {
     "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
     "st_survival" -> graft.queries.EventQueries.oracles("e_survival"),
     "st_cusum" -> graft.queries.PipelineQueries.oracles("dq_cusum_t"),
+    // e_xml's aggregates minus the distinct census (unsupported on
+    // streams)
+    "st_xml" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(length(props)) AS BIGINT) AS sum_props_len
+        |FROM events GROUP BY 1""".stripMargin,
     "st_retention" -> graft.queries.EventQueries.oracles("e_retention"),
     "st_spearman" -> graft.queries.PipelineQueries.oracles("dq_spearman"),
     "st_benford" -> graft.queries.PipelineQueries.oracles("dq_benford"),

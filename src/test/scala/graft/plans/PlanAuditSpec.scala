@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "dq_skew", "dq_spearman", "d_mv_inc", "dq_benford", "e_attrib",
     "dq_mad", "dq_contingency", "q42_sql_vars", "q43_sql_script",
     "dq_tvd", "dq_qq", "s_ann_recall", "dq_cusum", "dq_cusum_t",
-    "e_survival")
+    "e_survival", "e_survival_cohort")
 
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>
