@@ -160,12 +160,19 @@ object PageRank {
   /** Fixed-iteration variant (no convergence test) — used by the
     * SQL-oracle-checked query entry, where the oracle unrolls the same
     * number of iterations. */
+  /** @param init optional WARM-START rank vector (id, rank) — the
+    *   incremental-refresh shape: after a graph change, continue from
+    *   the previous fixpoint instead of re-converging from the unit
+    *   impulse. A warm start normalizes on its FIRST iteration too
+    *   (the carried vector is not exactly unit mass), which the
+    *   unrolled warm oracle replays. */
   def runFixed(
       spark: SparkSession,
       edges: DataFrame,
       websize: Long,
       iterations: Int,
-      alpha: Double = DefaultAlpha): DataFrame = {
+      alpha: Double = DefaultAlpha,
+      init: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
@@ -173,8 +180,13 @@ object PageRank {
     val n = websize
     val oneIv = (1.0 - alpha) / n
 
-    var state = verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
-      .localCheckpoint(true)
+    var state = (init match {
+      case None =>
+        verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
+      case Some(r0) =>
+        verts.join(r0.select(col("id"), col("rank").as("pr")), Seq("id"), "left")
+          .withColumn("pr", coalesce(col("pr"), lit(0.0)))
+    }).localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
       // No convergence test → no driver-side scalars needed: sum_pr and
@@ -185,7 +197,8 @@ object PageRank {
         sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
       val withStats = state.crossJoin(broadcast(stats))
       val normalized =
-        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        if (iter == 0 && init.isEmpty)
+          withStats.withColumn("old_pr", col("pr"))
         else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
       val contrib = e
         .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),

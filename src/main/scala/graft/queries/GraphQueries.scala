@@ -367,6 +367,22 @@ object GraphQueries {
       PageRank.runFixed(s, Tables.edges(s, dir), N, iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
 
+    // WARM-START (incremental) PageRank — the incremental family's
+    // PageRank member: 3 iterations on the standing 90% of edges, then
+    // a 10% edge batch lands and 2 more iterations continue from the
+    // carried vector over the union graph (re-derived outdegrees /
+    // dangling set; first warm iteration normalizes — the carried
+    // vector is not exactly unit mass). At refresh time the cost is
+    // the warm iterations, not a cold re-convergence. The oracle
+    // unrolls BOTH phases.
+    "g_pagerank_warm" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      val standing = e.where((col("src") + col("dst")) % 10 =!= 0)
+      val r0 = PageRank.runFixed(s, standing, N, iterations = 3)
+      PageRank.runFixed(s, e, N, iterations = 2, init = Some(r0))
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
+
     // WEIGHTED PageRank: rank flows in proportion to deterministic
     // integer edge weights w = 1 + (src+dst)%5 — the add_weight
     // consumer the reference's own pagerank lacks. Same unrolled-
@@ -853,6 +869,7 @@ object GraphQueries {
          |FROM edges GROUP BY src""".stripMargin,
 
     "g_pagerank" -> pagerankSql(3),
+    "g_pagerank_warm" -> pagerankWarmSql(3, 2),
     "g_pagerank_w" -> pagerankWeightedSql(3),
     // the text round trip is bit-exact, so the connector-fed variant
     // shares the unrolled oracle verbatim
@@ -1279,6 +1296,51 @@ object GraphQueries {
     * per iteration, sum/dangling from the pre-normalized vector,
     * normalize (skipped at iteration 0), contributions old_pr/outdeg,
     * pr = α·h + α·dangling/n + (1−α)/n. */
+  /** Two-phase unrolled oracle for g_pagerank_warm: `standingIters`
+    * cold iterations over the 90% standing edge set, a phase switch
+    * that re-keys outdegrees (and hence the dangling set) to the full
+    * graph while carrying the rank vector, then `warmIters` warm
+    * iterations — every warm iteration normalizes, including the
+    * first, mirroring runFixed's init branch. */
+  def pagerankWarmSql(standingIters: Int, warmIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS ($E),\n")
+    sb.append("edges1 AS (SELECT * FROM edges WHERE (src + dst) % 10 <> 0),\n")
+    sb.append("outdeg1 AS (SELECT src AS id, count(*) AS outdeg FROM edges1 GROUP BY src),\n")
+    sb.append("outdeg2 AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("r0 AS (SELECT v.id, o.outdeg, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("       FROM verts v LEFT JOIN outdeg1 o ON v.id = o.id),\n")
+    for (i <- 0 until standingIters) {
+      val norm =
+        if (i == 0) "pr AS old_pr"
+        else s"pr / (SELECT s FROM s$i) AS old_pr"
+      sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS (SELECT id, outdeg, $norm FROM r$i),\n")
+      sb.append(s"c$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"        FROM edges1 e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"r${i + 1} AS (SELECT n.id, n.outdeg,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+      sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id),\n")
+    }
+    // phase switch: carry pr, re-key outdeg to the union graph
+    sb.append(s"w0 AS (SELECT v.id, o.outdeg, r.pr FROM verts v\n")
+    sb.append(s"       LEFT JOIN outdeg2 o ON v.id = o.id\n")
+    sb.append(s"       JOIN r$standingIters r ON r.id = v.id),\n")
+    for (i <- 0 until warmIters) {
+      sb.append(s"ws${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
+      sb.append(s"wn$i AS (SELECT id, outdeg, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
+      sb.append(s"wc$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"        FROM edges e JOIN wn$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"w${i + 1} AS (SELECT n.id, n.outdeg,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM ws$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+      sb.append(s"        FROM wn$i n LEFT JOIN wc$i c ON n.id = c.id)")
+      sb.append(if (i == warmIters - 1) "\n" else ",\n")
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM w$warmIters")
+    sb.toString
+  }
+
   def pagerankSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(s"WITH edges AS ($E),\n")

@@ -282,4 +282,26 @@ class GraphAlgoSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(inc == full)
   }
+
+  test("warm-start runFixed on an unchanged graph equals the cold run at round 9") {
+    // cold iterations 2..5 normalize each step (iter > 0), and a warm
+    // continuation normalizes from ITS first step — so splitting a
+    // 5-iteration run at any j >= 1 computes the same math. Equality is
+    // at the family's round-9 convention, not raw bits: the init path
+    // re-partitions the carried vector, so the Σpr aggregates fold in a
+    // different order (last-ulp reassociation only).
+    val edges = graft.io.Tables.edges(spark, "/root/testdata/sf0.001")
+    def r9(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), round(col("rank"), 9).as("rank"))
+    val cold = r9(PageRank.runFixed(spark, edges, graft.io.Tables.GraphN,
+      iterations = 5))
+    for (j <- Seq(1, 3)) {
+      val head = PageRank.runFixed(spark, edges, graft.io.Tables.GraphN,
+        iterations = j)
+      val warm = r9(PageRank.runFixed(spark, edges, graft.io.Tables.GraphN,
+        iterations = 5 - j, init = Some(head)))
+      assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+        s"split at $j diverged from the cold 5-iteration run")
+    }
+  }
 }
