@@ -1341,6 +1341,48 @@ object GraphQueries {
     sb.toString
   }
 
+  /** N-phase unrolled oracle for st_pagerank: phase p runs `iters`
+    * iterations over the CUMULATIVE staged edge set ((src·7 + dst) %
+    * nPhases ≤ p — the GraphStreams staging split), cold on phase 0,
+    * warm-carried (outdegrees re-keyed, first iteration normalized)
+    * on every later phase. */
+  def pagerankPhasedSql(nPhases: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED: DuckDB inlines plain CTEs, re-opening the parquet
+    // once per reference — at 4 phases x 2 iterations that exhausts
+    // the process fd limit (see kcoreSql's identical note)
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    for (p <- 0 until nPhases)
+      sb.append(s"e$p AS MATERIALIZED (SELECT * FROM edges WHERE (src * 7 + dst) % $nPhases <= $p),\n")
+    for (p <- 0 until nPhases)
+      sb.append(s"od$p AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e$p GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("p0r0 AS MATERIALIZED (SELECT v.id, o.outdeg, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("       FROM verts v LEFT JOIN od0 o ON v.id = o.id),\n")
+    for (p <- 0 until nPhases) {
+      if (p > 0) {
+        sb.append(s"p${p}r0 AS MATERIALIZED (SELECT v.id, o.outdeg, r.pr FROM verts v\n")
+        sb.append(s"       LEFT JOIN od$p o ON v.id = o.id\n")
+        sb.append(s"       JOIN p${p - 1}r$iters r ON r.id = v.id),\n")
+      }
+      for (i <- 0 until iters) {
+        val norm =
+          if (p == 0 && i == 0) "pr AS old_pr"
+          else s"pr / (SELECT s FROM p${p}s$i) AS old_pr"
+        sb.append(s"p${p}s$i AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM p${p}r$i),\n")
+        sb.append(s"p${p}n$i AS MATERIALIZED (SELECT id, outdeg, $norm FROM p${p}r$i),\n")
+        sb.append(s"p${p}c$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+        sb.append(s"        FROM e$p e JOIN p${p}n$i n ON e.src = n.id GROUP BY e.dst),\n")
+        sb.append(s"p${p}r${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg,\n")
+        sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM p${p}s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+        sb.append(s"        FROM p${p}n$i n LEFT JOIN p${p}c$i c ON n.id = c.id)")
+        sb.append(if (p == nPhases - 1 && i == iters - 1) "\n" else ",\n")
+      }
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM p${nPhases - 1}r$iters")
+    sb.toString
+  }
+
   def pagerankSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(s"WITH edges AS ($E),\n")

@@ -553,6 +553,13 @@ object StreamingGateQueries {
     "st_topk" -> ((s, dir) =>
       graft.streaming.EventStreams.topkLeaderboardSink(s, dir)),
 
+    // Streaming PAGERANK maintenance: each edge micro-batch joins the
+    // standing set and ranks continue WARM from the carried vector for
+    // 2 iterations over the union graph; cadence is part of the
+    // semantics, so the oracle unrolls the exact 4-phase sequence.
+    "st_pagerank" -> ((s, dir) =>
+      graft.streaming.GraphStreams.pagerankMaintenanceSink(s, dir)),
+
     // Streaming CONNECTED-COMPONENTS maintenance: edge micro-batches
     // fold into a standing (v, comp) assignment via the incremental
     // contraction (standing edges never stored); terminal assignment ≡
@@ -1354,6 +1361,8 @@ object StreamingGateQueries {
     // terminal standing assignment ≡ the full-graph closure (the union
     // of all edge micro-batches IS the full edge set)
     "st_cc_inc" -> graft.queries.GraphQueries.oracles("g_cc_inc"),
+    // 4 staged phases x 2 warm iterations, unrolled exactly
+    "st_pagerank" -> graft.queries.GraphQueries.pagerankPhasedSql(4, 2),
     // terminal carried count ≡ the full-graph triangle recount
     "st_tri_inc" ->
       s"""WITH edges AS (${graft.io.Tables.EdgesSql}),

@@ -165,6 +165,51 @@ object GraphStreams {
       .select(col("tri_standing").cast("long").as("tri_total"))
   }
 
+  /** Streaming PAGERANK maintenance — the rank-refresh shape of the
+    * nightly-graph pipeline: each edge micro-batch joins the standing
+    * edge set and ranks continue WARM from the carried vector
+    * ([[graft.graph.PageRank.runFixed]] init) for `iters` iterations
+    * over the union graph, instead of re-converging cold. PageRank is
+    * a whole-graph fixpoint, so the union edges are re-scanned per
+    * refresh (inherent to the operator — the saving is ITERATIONS:
+    * a warm vector is already near the new fixpoint); the carried
+    * state is one rank per vertex. Cadence is part of the semantics
+    * (each batch buys `iters` more iterations), so the oracle unrolls
+    * exactly the staged phase sequence. @return (id, rank) round-9 */
+  def pagerankMaintenanceSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageEdgeFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_prm_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc: Option[DataFrame] = None
+    var ranks: Option[DataFrame] = None
+
+    val edges = spark.readStream
+      .schema(graft.io.Tables.edges(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = edges.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val union = acc.map(_.unionAll(batch)).getOrElse(batch)
+            .localCheckpoint()
+          acc = Some(union)
+          ranks = Some(graft.graph.PageRank.runFixed(spark, union,
+            graft.io.Tables.GraphN, iterations = iters,
+            init = ranks).localCheckpoint())
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ranks.getOrElse(spark.range(0).select(col("id"), lit(0.0).as("rank")))
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
   /** Incremental radius-1 ANF ball per vertex over an edge stream:
     * each edge contributes its dst to src's ball and both endpoints to
     * their own (HyperBall's self-inclusive convention, so the result

@@ -73,6 +73,23 @@ class GraphStreamsSpec extends SparkSpec {
       "8-file cadence diverged")
   }
 
+  test("streaming pagerank maintenance: 1-batch drain equals the cold fixed run") {
+    // with a single staged file there is exactly one (cold) phase, so
+    // the sink must reproduce runFixed(iters) at the gate's round-9
+    val cold = graft.graph.PageRank.runFixed(spark,
+        Tables.edges(spark, dir), Tables.GraphN, iterations = 2)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+    val folded = GraphStreams.pagerankMaintenanceSink(spark, dir, nFiles = 1)
+    assert(folded.exceptAll(cold).isEmpty && cold.exceptAll(folded).isEmpty,
+      "single-phase drain diverged from the cold fixed run")
+    // multi-batch drain: ranks stay a probability vector (mass ≈ 1 —
+    // the final iteration adds teleport mass exactly once per vertex)
+    val folded4 = GraphStreams.pagerankMaintenanceSink(spark, dir, nFiles = 4)
+    val mass = folded4.agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+    assert(folded4.count() == Tables.GraphN)
+  }
+
   test("streaming triangle-count maintenance equals the one-shot recount") {
     val full = graft.graph.Triangles.run(
         Tables.edges(spark, dir).select(col("src"), col("dst")))
