@@ -407,6 +407,27 @@ object PipelineQueries {
     // probing, exact cosine inside probed lists only.
     "s_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 3)),
 
+    // Recall@3 for the LSH path — the probabilistic family's quality
+    // number beside the IVF one (s_ann_recall): multi-table OR-
+    // amplification trades recall for candidate volume, and this row
+    // is the measurement of that trade.
+    "s_ann_recall_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(queries, e, k = 3)
+        .select("qid", "vec_id")
+      val approx = Similarity.lshTopK(e, Dim, k = 3)
+        .where(col("qid") < 10).select("qid", "vec_id")
+      val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      queries.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(3L).cast("double")).as("recall"))
+    }),
+
     // ANN quality EVALUATION — recall@3 of the IVF index against the
     // exact brute-force top-3 per query (the number an index owner
     // reports before trusting nprobe at scale): n_hits = |ivf ∩ exact|,
@@ -2076,6 +2097,57 @@ object PipelineQueries {
          | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    // recall@3 = |lsh top-3 ∩ exact top-3| / 3 per query — the LSH
+    // CTEs replayed verbatim and intersected with the brute replay
+    "s_ann_recall_lsh" -> {
+      val planes = Similarity.DefaultPlanes
+      val tables = Similarity.DefaultTables
+      val seed = Similarity.PlaneSeed
+      val w = Hashing.rand01Sql(seed, "concat_ws(',', p, j)")
+      s"""WITH planes AS (
+         | SELECT p, j, ($w - 0.5) AS w
+         | FROM (SELECT unnest(range(${tables * planes})) AS p) pp,
+         |      (SELECT unnest(range($Dim)) AS j) jj),
+         |dots AS (
+         | SELECT e.vec_id, pl.p,
+         |   sum(CAST(e.embedding[CAST(pl.j AS INTEGER) + 1] AS DOUBLE) * pl.w) AS dot
+         | FROM embeddings e, planes pl
+         | GROUP BY e.vec_id, pl.p),
+         |buckets AS (SELECT vec_id, CAST(p // $planes AS INTEGER) AS tbl,
+         | CAST(sum(CASE WHEN dot >= 0.0 THEN 1 << CAST(p % $planes AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id, p // $planes),
+         |cand AS (
+         | SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vec_id
+         | FROM buckets x JOIN buckets y
+         |   ON x.tbl = y.tbl AND x.bucket = y.bucket
+         | WHERE x.vec_id <> y.vec_id),
+         |lscored AS (
+         | SELECT c.qid, c.vec_id, ${cosSql("q.embedding", "e.embedding")} AS sim
+         | FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+         |   JOIN embeddings e ON e.vec_id = c.vec_id),
+         |lsh AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM lscored) WHERE rank <= 3 AND qid < 10),
+         |bpairs AS (
+         | SELECT q.vec_id AS qid, e.vec_id,
+         |  ${cosSql("q.embedding", "e.embedding")} AS sim
+         | FROM embeddings q, embeddings e
+         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |brute AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM bpairs) WHERE rank <= 3),
+         |h AS (SELECT b.qid, count(*) AS n_hits FROM brute b
+         | JOIN lsh i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY 1)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(3 AS DOUBLE)
+         |    AS recall
+         |FROM embeddings q LEFT JOIN h ON h.qid = q.vec_id
+         |WHERE q.vec_id < 10""".stripMargin
     },
 
     // recall@3 = |ivf top-3 ∩ exact top-3| / 3 per query: both sides'

@@ -172,6 +172,24 @@ class DataQualitySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("kaplanMeierBy: cohorts are independent — each equals its solo curve") {
+    // two cohorts with different censoring structure, computed in one
+    // pass, must match the single-curve operator run per cohort
+    val a = Seq((1L, 1L), (2L, 0L), (3L, 1L))
+    val b = Seq((1L, 0L), (2L, 1L), (2L, 1L), (5L, 0L))
+    val both = (a.map { case (d, e) => ("A", d, e) } ++
+      b.map { case (d, e) => ("B", d, e) }).toDF("cohort", "dur", "evt")
+    val joint = DataQuality.kaplanMeierBy(both, col("cohort"), col("dur"),
+      col("evt"))
+    for ((name, rows) <- Seq("A" -> a, "B" -> b)) {
+      val solo = DataQuality.kaplanMeier(rows.toDF("dur", "evt"),
+        col("dur"), col("evt"))
+      val part = joint.where(col("cohort") === name).drop("cohort")
+      assert(part.exceptAll(solo).isEmpty && solo.exceptAll(part).isEmpty,
+        s"cohort $name diverged from its solo curve")
+    }
+  }
+
   test("cusumReport: level shift peaks at the end of the shifted run; flat is 0") {
     // x = [0,0,0,10,10]: n=5, sx=20, dev = [-20,-20,-20,30,30],
     // cum = [-20,-40,-60,-30,0], runmin(incl 0) = [-20,...,-60],
