@@ -337,6 +337,22 @@ object Similarity {
   private def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** Exact squared-L2 brute-force top-k — the recall REFERENCE for the
+    * PQ path (PQ approximates L2 distances, not cosine, so its quality
+    * must be judged against the exact L2 ranking). Same broadcast
+    * shape as [[bruteForceTopK]]; distances rounded to 6 like
+    * pqSearch's ADC sums so ties break identically. */
+  def bruteForceTopKL2(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = candidates.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(sqDist(col("qvec"), col("embedding")), 6).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** (code, subsp, cw): deterministic per-subspace codebooks. The
     * `codewords` corpus vectors with the smallest `hash60(seed|vec_id)`
     * are the seeds (same seeded-sample quantizer as [[ivfCentroids]] —

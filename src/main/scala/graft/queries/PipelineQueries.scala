@@ -428,6 +428,26 @@ object PipelineQueries {
             lit(3L).cast("double")).as("recall"))
     }),
 
+    // Recall@3 for the PQ path — completes the eval trio (IVF, LSH,
+    // PQ). PQ approximates L2 distances, so the exact reference is the
+    // brute-force L2 top-3, not cosine.
+    "s_ann_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopKL2(queries, e, k = 3)
+        .select("qid", "vec_id")
+      val approx = Similarity.pqTopK(e, Dim, k = 3)
+        .where(col("qid") < 10).select("qid", "vec_id")
+      val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      queries.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(3L).cast("double")).as("recall"))
+    }),
+
     // ANN quality EVALUATION — recall@3 of the IVF index against the
     // exact brute-force top-3 per query (the number an index owner
     // reports before trusting nprobe at scale): n_hits = |ivf ∩ exact|,
@@ -2097,6 +2117,56 @@ object PipelineQueries {
          | (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT qid, vec_id, sim, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    // recall@3 = |pq top-3 ∩ exact L2 top-3| / 3 per query — the PQ
+    // CTEs replayed verbatim, the reference ranked by exact squared-L2
+    "s_ann_recall_pq" -> {
+      val m = Similarity.DefaultSubspaces
+      val kw = Similarity.DefaultCodewords
+      val ds = Dim / m
+      val d2 = (a: String, b: String) =>
+        s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v, ${Hs(Similarity.PqSeed, "vec_id")} AS h
+         |  FROM e ORDER BY h, vec_id LIMIT $kw),
+         |sidx AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM seeds),
+         |ss AS (SELECT CAST(unnest(range($m)) AS INTEGER) AS subsp),
+         |cb AS MATERIALIZED (SELECT code, subsp,
+         |  v[subsp * $ds + 1 : subsp * $ds + $ds] AS cw FROM sidx, ss),
+         |subs AS MATERIALIZED (SELECT vec_id, subsp,
+         |  v[subsp * $ds + 1 : subsp * $ds + $ds] AS sub FROM e, ss),
+         |enc AS (SELECT vec_id, subsp, code, ${d2("sub", "cw")} AS d2
+         |  FROM subs JOIN cb USING (subsp)),
+         |codes AS (SELECT vec_id, subsp, code FROM (
+         |  SELECT vec_id, subsp, code, row_number() OVER
+         |    (PARTITION BY vec_id, subsp ORDER BY d2, code) AS rn FROM enc)
+         |  WHERE rn = 1),
+         |dtab AS (SELECT s.vec_id AS qid, s.subsp, c.code, ${d2("s.sub", "c.cw")} AS qd2
+         |  FROM subs s JOIN cb c USING (subsp)),
+         |sc AS (SELECT qid, vec_id, round(sum(qd2), 6) AS ad2
+         |  FROM codes JOIN dtab USING (subsp, code)
+         |  WHERE qid <> vec_id GROUP BY qid, vec_id),
+         |pq AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM sc)
+         |  WHERE rank <= 3 AND qid < 10),
+         |bl2 AS (SELECT q.vec_id AS qid, x.vec_id,
+         |  round(${d2("q.v", "x.v")}, 6) AS d2
+         |  FROM e q, e x WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |brute AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY d2, vec_id) AS rank FROM bl2)
+         |  WHERE rank <= 3),
+         |h AS (SELECT b.qid, count(*) AS n_hits FROM brute b
+         | JOIN pq i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY 1)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(3 AS DOUBLE)
+         |    AS recall
+         |FROM embeddings q LEFT JOIN h ON h.qid = q.vec_id
+         |WHERE q.vec_id < 10""".stripMargin
     },
 
     // recall@3 = |lsh top-3 ∩ exact top-3| / 3 per query — the LSH

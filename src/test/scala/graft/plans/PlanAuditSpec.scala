@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "dq_outliers", "d_setsim_inc", "d_decontam_kmv", "dq_ks", "dq_mwu",
     "dq_skew", "dq_spearman", "d_mv_inc", "dq_benford", "e_attrib",
     "dq_mad", "dq_contingency", "q42_sql_vars", "q43_sql_script",
-    "dq_tvd", "dq_qq", "s_ann_recall", "s_ann_recall_lsh", "dq_cusum", "dq_cusum_t",
+    "dq_tvd", "dq_qq", "s_ann_recall", "s_ann_recall_lsh", "s_ann_recall_pq",
+    "dq_cusum", "dq_cusum_t",
     "e_survival", "e_survival_cohort")
 
   test("no audited gate query plans a cartesian product") {
