@@ -21,7 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // checkpoint-release WARNs are routine
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,e_ewma — builder-side subset for fast
+    // single-query mirror iteration; driver never sets it (full dump).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None     => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -460,6 +460,10 @@ object EventQueries {
       // raw division, no round(,6): both engines divide the SAME two
       // exact integers, so the double is bit-identical — while a decimal
       // re-round diverges at half-ulp boundaries (the e_ewma lesson).
+      // CONTRACT: the normalizer window runs over the FILTERED frame
+      // (prev_type NOT NULL) intentionally — the oracle's CTE filters
+      // before its SUM() OVER too. Do not hoist it above the filter
+      // (the inverse of the e_ewma filter-placement bug).
       pairs.withColumn("p", col("n").cast("double") /
         sum("n").over(Window.partitionBy("prev_type")))
     }),
@@ -485,11 +489,17 @@ object EventQueries {
         (if (i == 0) col("value") else lag("value", i).over(w)) *
           lit(math.pow(0.5, i + 1))
       }
+      // The ewma window MUST be computed BEFORE the rn > 8 filter: the
+      // oracle's CTE computes wsum over the full per-user partition and
+      // only then filters, while a window evaluated after .where sees
+      // partitions that START at original rn=9, so lag(1..7) reach into
+      // the removed prefix and NULL the first 7 kept rows of every user
+      // (the r8/r9 hash failure — filter placement, not arithmetic).
       eventsUs(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
         .withColumn("rn", row_number().over(w))
-        .where(col("rn") > 8)
         .withColumn("ewma", lags.reduce(_ + _) / lit(norm))
+        .where(col("rn") > 8)
         .drop("value", "rn")
     }),
 
@@ -557,6 +567,10 @@ object EventQueries {
       val j = p.join(t, Seq("user_id"))
         .where(col("tts") <= col("pts") &&
           col("pts") - col("tts") <= horizon)
+      // CONTRACT: these windows run over the FILTERED+JOINED frame
+      // intentionally (only in-horizon touches are credited); the
+      // oracle computes its windows post-join too. Do not move them
+      // above the .where (the inverse of the e_ewma placement bug).
       val w = Window.partitionBy("purchase_id")
       j.withColumn("n_touches", count(lit(1)).over(w))
         .withColumn("rn_first", row_number().over(

@@ -89,6 +89,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"ScalaUDF in: ${offenders.mkString(", ")}")
   }
 
+  // WINDOW-vs-FILTER CONTRACT (the r8/r9 e_ewma lesson): a window
+  // function evaluated AFTER a row filter sees the filtered partitions —
+  // lags reach into removed rows and yield NULL. Each gate query must
+  // place its windows on the same side of the filter as its oracle's
+  // CTE does. e_ewma computes the window BEFORE `rn > 8` (oracle CTE
+  // pre-filter); e_transitions / e_attrib / st_asof_enrich compute
+  // windows over the filtered frame INTENTIONALLY (their oracles filter
+  // first too — commented at each site). This test machine-checks the
+  // e_ewma side of the contract: a full trailing-8 window exists for
+  // every kept row, so no NULL can appear.
+  test("e_ewma windows before the rn filter: zero NULL ewma rows") {
+    val nulls = graft.SparkEntry.queries("e_ewma")(spark, dir)
+      .where(org.apache.spark.sql.functions.col("ewma").isNull).count()
+    assert(nulls == 0L,
+      s"$nulls NULL ewma rows — the window moved back below the rn>8 filter")
+  }
+
   test("dimension joins broadcast; the q3 plan never shuffles the nation side") {
     val plan = graft.SparkEntry.queries("q3_join_agg")(spark, dir)
       .queryExecution.executedPlan
