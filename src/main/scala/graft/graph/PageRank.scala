@@ -240,7 +240,8 @@ object PageRank {
       edges: DataFrame,
       websize: Long,
       iterations: Int,
-      alpha: Double = DefaultAlpha): DataFrame = {
+      alpha: Double = DefaultAlpha,
+      init: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("double").as("w"))
     val wout = e.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
@@ -250,8 +251,19 @@ object PageRank {
     val n = websize
     val oneIv = (1.0 - alpha) / n
 
-    var state = verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
-      .localCheckpoint(true)
+    // init: optional WARM-START vector (id, rank) — runFixed's
+    // incremental-refresh shape on the weighted surface: continue from
+    // a previous fixpoint after a graph change, re-deriving wout (and
+    // the dangling set) from the new edge set. A warm start normalizes
+    // on its FIRST iteration too (the carried vector is not exactly
+    // unit mass), which the unrolled warm oracle replays.
+    var state = (init match {
+      case None =>
+        verts.withColumn("pr", when(col("id") === 0, 1.0).otherwise(0.0))
+      case Some(r0) =>
+        verts.join(r0.select(col("id"), col("rank").as("pr")), Seq("id"), "left")
+          .withColumn("pr", coalesce(col("pr"), lit(0.0)))
+    }).localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
       val stats = state.agg(
@@ -259,7 +271,7 @@ object PageRank {
         sum(when(col("wout").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
       val withStats = state.crossJoin(broadcast(stats))
       val normalized =
-        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        if (iter == 0 && init.isEmpty) withStats.withColumn("old_pr", col("pr"))
         else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
       val contrib = e
         .join(normalized.select(col("id"), col("old_pr"), col("wout")),

@@ -281,9 +281,15 @@ object DataQuality {
       .withColumn("q", explode(lit(qs.toArray)))
       .groupBy(col("grp"), col("q"))
       .agg(
-        min(when(col("cb") * 10L >= col("q") * col("n_base"), col("v")))
+        // a side with zero rows has no quantiles: without the n > 0
+        // guard the threshold 10·cum ≥ q·0 is trivially true and the
+        // empty side would report min(v) of the OTHER sample (ADVICE
+        // r9) — NULL is the honest decile for a one-sided group
+        min(when(col("n_base") > 0L &&
+            col("cb") * 10L >= col("q") * col("n_base"), col("v")))
           .as("base_cents"),
-        min(when(col("cc") * 10L >= col("q") * col("n_cur"), col("v")))
+        min(when(col("n_cur") > 0L &&
+            col("cc") * 10L >= col("q") * col("n_cur"), col("v")))
           .as("cur_cents"))
       .select(col("grp"), col("q"), col("base_cents"), col("cur_cents"),
         (col("cur_cents") - col("base_cents")).as("shift_cents"))
@@ -476,6 +482,63 @@ object DataQuality {
         round(col("hi_fence"), 6).as("hi_fence"),
         col("n_rows"), col("n_outliers"))
   }
+
+  /** EXACT IQR outlier report from pre-aggregated [[centsCounts]] —
+    * the additive state a streaming fold accumulates
+    * ([[graft.streaming.EventStreams.outlierMonitorSink]]). The
+    * quantile_cont (type-7) interpolation re-derives from the folded
+    * counts as pure order statistics over the cumulative ladder:
+    * h = (n−1)·q lands at 1-based position m+1 with remainder r ∈
+    * {0..3}, so q_q = x_{m+1} + r·(x_{m+2} − x_{m+1})/4 — and because
+    * the values are exact integer cents and r/4 is dyadic, EVERY
+    * number downstream (quartiles, 1.5·IQR fences, the fence
+    * comparisons) is an exactly-representable double computed in a
+    * shared op order: the gate hashes raw, no round(), no tolerance —
+    * the exactness dq_outliers' raw-double percentile can't offer.
+    * @return (grp, q1, q3, lo_fence, hi_fence, n_rows, n_outliers) */
+  def iqrOutliersFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.groupBy("grp").agg(sum("cnt").as("n"))
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), Seq("grp"))
+      .withColumn("pos1", expr("(n - 1) div 4 + 1"))
+      .withColumn("pos2", least(col("pos1") + 1L, col("n")))
+      .withColumn("r1", expr("(n - 1) % 4"))
+      .withColumn("pos3", expr("(3 * (n - 1)) div 4 + 1"))
+      .withColumn("pos4", least(col("pos3") + 1L, col("n")))
+      .withColumn("r3", expr("(3 * (n - 1)) % 4"))
+    val xs = cum.groupBy("grp", "n", "r1", "r3").agg(
+      min(when(col("cum") >= col("pos1"), col("c"))).as("x1"),
+      min(when(col("cum") >= col("pos2"), col("c"))).as("x2"),
+      min(when(col("cum") >= col("pos3"), col("c"))).as("x3"),
+      min(when(col("cum") >= col("pos4"), col("c"))).as("x4"))
+    val f = xs
+      .withColumn("q1", col("x1") +
+        (col("r1") * (col("x2") - col("x1"))).cast("double") / lit(4.0))
+      .withColumn("q3", col("x3") +
+        (col("r3") * (col("x4") - col("x3"))).cast("double") / lit(4.0))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .select(col("grp"), col("q1"), col("q3"),
+        col("lo_fence"), col("hi_fence"), col("n"))
+    counts.join(broadcast(f), Seq("grp"))
+      .groupBy(col("grp"), col("q1"), col("q3"),
+        col("lo_fence"), col("hi_fence"), col("n"))
+      .agg(sum(when(col("c") < col("lo_fence") ||
+          col("c") > col("hi_fence"), col("cnt")).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("grp"), col("q1"), col("q3"), col("lo_fence"),
+        col("hi_fence"), col("n").as("n_rows"), col("n_outliers"))
+  }
+
+  /** One-shot batch twin of [[iqrOutliersFromCounts]] on exact cents —
+    * the non-streaming anchor for the fold (same report, same oracle
+    * ladder; beside [[iqrOutliers]]'s raw-double percentile shape). */
+  def iqrOutliersCents(df: DataFrame, group: Column,
+      cents: Column): DataFrame =
+    iqrOutliersFromCounts(centsCounts(df, group, cents))
 
   /** EXACT tie-aware Spearman rank correlation per group — the
     * monotone-TREND screen (x = metric, y = time ⇒ "is this metric

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -726,6 +726,81 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => sampleAviFrames(id, p, n) })
   }
+
+  /** Pigeonhole band table over the 64-bit aHash (two nonneg BIGINT
+    * halves, 32 bits each): splits the hash into `maxDist + 1` bands —
+    * two hashes within `maxDist` bit flips must agree EXACTLY on at
+    * least one band (≤ maxDist differing positions cannot touch all
+    * maxDist+1 bands), so banding has perfect recall and the all-pairs
+    * Hamming scan never forms. Bands never cross the lo/hi boundary:
+    * ceil(b/2) bands tile lo's 32 bits, the rest tile hi's — any
+    * partition satisfies the pigeonhole. Same scale shape as the
+    * SimHash band join ([[Dedup]]): candidates meet on (band, bits)
+    * equality, each bucket is a tiny fraction of the corpus, and a
+    * standing side can be banded ONCE and probed forever. */
+  def aHashBandTable(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val b = maxDist + 1
+    require(b >= 2 && b <= 64, s"need 2..64 bands, got $b")
+    val bLo = (b + 1) / 2
+    val bHi = b - bLo
+    def half(c: Column, k: Int, base: Int): Seq[Column] = {
+      var start = 0
+      (0 until k).map { i =>
+        val w = 32 / k + (if (i < 32 % k) 1 else 0)
+        val bits = shiftright(c, start).bitwiseAND(lit((1L << w) - 1))
+        start += w
+        struct(lit(base + i).as("band"), bits.as("bits"))
+      }
+    }
+    val bands = half(col("ahash_lo"), bLo, 0) ++
+      half(col("ahash_hi"), bHi, bLo)
+    hashes.select(col("doc_id"), col("frame_idx"),
+        col("ahash_lo"), col("ahash_hi"),
+        explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("ahash_lo"), col("ahash_hi"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Cross-document aHash near-dup probe, batch-vs-standing (the
+    * d_fuzzy_inc shape on image fingerprints): the standing corpus'
+    * band table — built once, reusable — is met by the batch's bands
+    * on (band, bits); candidates collapse per frame pair (a close pair
+    * agrees on several bands) and verify with the exact xor-popcount.
+    * Standing×standing and batch×batch pairs never form, so a day's
+    * new clips cost O(batch bands ⋈ matching buckets) regardless of
+    * corpus size. Verified-equal to the all-pairs truth: banding has
+    * perfect recall for hamming ≤ maxDist (see [[aHashBandTable]]). */
+  def aHashNearDupProbe(standingBands: DataFrame, batch: DataFrame,
+      maxDist: Int): DataFrame = {
+    val sb = standingBands.select(col("band"), col("bits"),
+      col("doc_id").as("src_doc"), col("frame_idx").as("src_frame"),
+      col("ahash_lo").as("src_lo"), col("ahash_hi").as("src_hi"))
+    val bb = aHashBandTable(batch, maxDist)
+    bb.join(sb, Seq("band", "bits"))
+      .select(col("doc_id"), col("frame_idx"), col("src_doc"),
+        col("src_frame"), col("ahash_lo"), col("ahash_hi"),
+        col("src_lo"), col("src_hi"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(ahash_lo ^ src_lo) + bit_count(ahash_hi ^ src_hi)")
+          .cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_id"), col("frame_idx"), col("src_doc"),
+        col("src_frame"), col("hamming"))
+  }
+
+  /** Per-batch-doc near-dup rollup over verified probe pairs — the
+    * gate-friendly terminal (one row per probing doc, not a pair
+    * blow-up): how many standing frames sit within the threshold, how
+    * many are exact, the closest distance, and how many distinct
+    * standing docs contributed. */
+  def aHashNearDupStats(pairs: DataFrame): DataFrame =
+    pairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_near"),
+      sum(when(col("hamming") === 0L, 1L).otherwise(0L)).as("n_exact"),
+      min("hamming").as("min_hamming"),
+      countDistinct("src_doc").as("n_src_docs"))
 
   /** Declarative metadata-only variant (columnar, codegen'd, oracle-
     * checkable): identical feature math expressed as column functions —

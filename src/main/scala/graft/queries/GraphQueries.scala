@@ -232,6 +232,33 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // CHANGES-FEED-DRIVEN INCREMENTAL CC — the connector's feed wired
+    // into the maintenance path (the full 100 TB refresh loop): the
+    // standing graph is written to the connector and its CC assignment
+    // computed ONCE from that snapshot; the 10% batch lands as an
+    // append commit; the refresh reads ONLY the changes window
+    // (changesFromVersion=v0 — the standing table is never rescanned)
+    // and folds it through ConnectedComponents.incremental. Terminal
+    // assignment ≡ the full-graph closure (g_cc_inc's oracle verbatim
+    // — equality proven, not assumed).
+    "g_dsv2_cc_inc" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2cc_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.where((col("src") + col("dst")) % 10 =!= 0).repartition(2)
+        .write.format(fmtName).mode("overwrite").save(s"$root/edges")
+      val v = graft.sources.EdgeLog
+        .currentVersion(new java.io.File(s"$root/edges")).get
+      val standingCC = ConnectedComponents.run(
+        s, s.read.format(fmtName).load(s"$root/edges"))
+      e.where((col("src") + col("dst")) % 10 === 0).repartition(2)
+        .write.format(fmtName).mode("append").save(s"$root/edges")
+      val delta = s.read.format(fmtName)
+        .option("changesFromVersion", v).load(s"$root/edges")
+      ConnectedComponents.incremental(s, standingCC, delta)
+    }),
+
     // Write -> OPTIMIZE ZORDER -> filtered read round trip: the
     // maintenance pass rewrites the connector table on the (src, dst)
     // Morton curve (fresh zone-map sidecars from the rewrite commit),
@@ -394,6 +421,22 @@ object GraphQueries {
           lit(1L) + (col("src") + col("dst")) % 5),
         N, iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
+
+    // WARM-START weighted PageRank (VERDICT r9 #8): the incremental-
+    // refresh shape on the weighted surface — 3 cold iterations over
+    // the 90% standing weighted graph, then a 10% edge batch lands and
+    // 2 warm iterations continue from the carried vector with wout
+    // (and the dangling set) re-derived over the union. First warm
+    // iteration normalizes (carried mass ≠ 1), mirroring g_pagerank_
+    // warm; the oracle unrolls both phases in the weighted algebra.
+    "g_pagerank_w_warm" -> ((s, dir) => {
+      val e = Tables.edges(s, dir).withColumn("w",
+        lit(1L) + (col("src") + col("dst")) % 5)
+      val standing = e.where((col("src") + col("dst")) % 10 =!= 0)
+      val r0 = PageRank.runFixedWeighted(s, standing, N, iterations = 3)
+      PageRank.runFixedWeighted(s, e, N, iterations = 2, init = Some(r0))
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
 
     // The same weighted PageRank fed END-TO-END from the connector's
     // weighted format: weights round-trip through `vi vj wt` text
@@ -871,6 +914,7 @@ object GraphQueries {
     "g_pagerank" -> pagerankSql(3),
     "g_pagerank_warm" -> pagerankWarmSql(3, 2),
     "g_pagerank_w" -> pagerankWeightedSql(3),
+    "g_pagerank_w_warm" -> pagerankWeightedWarmSql(3, 2),
     // the text round trip is bit-exact, so the connector-fed variant
     // shares the unrolled oracle verbatim
     "g_dsv2_pagerank_w" -> pagerankWeightedSql(3),
@@ -1122,6 +1166,9 @@ object GraphQueries {
     // incremental maintenance must EQUAL the full recompute: the oracle
     // is the g_cc closure over ALL edges, verbatim — no split appears
     "g_cc_inc" -> ccClosureSql,
+    // the feed-driven refresh must land on the same fixpoint: full
+    // closure verbatim — neither the connector nor the feed appears
+    "g_dsv2_cc_inc" -> ccClosureSql,
 
     // full-graph and standing-graph triangle counts recomputed from
     // scratch; the engine's standing + Δ must reproduce both
@@ -1296,6 +1343,53 @@ object GraphQueries {
     * per iteration, sum/dangling from the pre-normalized vector,
     * normalize (skipped at iteration 0), contributions old_pr/outdeg,
     * pr = α·h + α·dangling/n + (1−α)/n. */
+  /** Two-phase unrolled oracle for g_pagerank_w_warm — the WEIGHTED
+    * twin of [[pagerankWarmSql]]: cold iterations over the standing
+    * weighted edge set, a phase switch that re-keys wout (and the
+    * dangling set) to the full weighted graph while carrying the rank
+    * vector, then warm iterations (every one normalizes, including the
+    * first). Per-edge term (old_pr · w) / wout in the shared op order
+    * of [[pagerankWeightedSql]]. */
+  def pagerankWeightedWarmSql(standingIters: Int, warmIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS ($E),\n")
+    sb.append("wedges AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
+    sb.append("wedges1 AS (SELECT * FROM wedges WHERE (src + dst) % 10 <> 0),\n")
+    sb.append("wout1 AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges1 GROUP BY src),\n")
+    sb.append("wout2 AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("r0 AS (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("       FROM verts v LEFT JOIN wout1 o ON v.id = o.id),\n")
+    for (i <- 0 until standingIters) {
+      val norm =
+        if (i == 0) "pr AS old_pr"
+        else s"pr / (SELECT s FROM s$i) AS old_pr"
+      sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS (SELECT id, wout, $norm FROM r$i),\n")
+      sb.append(s"c$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"        FROM wedges1 e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"r${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+      sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id),\n")
+    }
+    // phase switch: carry pr, re-key wout to the union weighted graph
+    sb.append(s"w0 AS (SELECT v.id, o.wout, r.pr FROM verts v\n")
+    sb.append(s"       LEFT JOIN wout2 o ON v.id = o.id\n")
+    sb.append(s"       JOIN r$standingIters r ON r.id = v.id),\n")
+    for (i <- 0 until warmIters) {
+      sb.append(s"ws${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
+      sb.append(s"wn$i AS (SELECT id, wout, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
+      sb.append(s"wc$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"        FROM wedges e JOIN wn$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"w${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM ws$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+      sb.append(s"        FROM wn$i n LEFT JOIN wc$i c ON n.id = c.id)")
+      sb.append(if (i == warmIters - 1) "\n" else ",\n")
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM w$warmIters")
+    sb.toString
+  }
+
   /** Two-phase unrolled oracle for g_pagerank_warm: `standingIters`
     * cold iterations over the 90% standing edge set, a phase switch
     * that re-keys outdegrees (and hence the dangling set) to the full
@@ -1338,6 +1432,49 @@ object GraphQueries {
       sb.append(if (i == warmIters - 1) "\n" else ",\n")
     }
     sb.append(s"SELECT id, round(pr, 9) AS rank FROM w$warmIters")
+    sb.toString
+  }
+
+  /** N-phase unrolled oracle for st_pagerank_w — the WEIGHTED twin of
+    * [[pagerankPhasedSql]]: phase p runs `iters` iterations over the
+    * CUMULATIVE staged weighted edge set, cold on phase 0, warm-carried
+    * (wout and the dangling set re-keyed per phase, first iteration
+    * normalized) on every later phase. Per-edge term (old_pr·w)/wout
+    * in [[pagerankWeightedSql]]'s shared op order. Every
+    * multiply-referenced per-iteration CTE MATERIALIZED (DuckDB
+    * inlines plain CTEs exponentially — the kcoreSql note). */
+  def pagerankWeightedPhasedSql(nPhases: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    sb.append("wedges AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
+    for (p <- 0 until nPhases)
+      sb.append(s"e$p AS MATERIALIZED (SELECT * FROM wedges WHERE (src * 7 + dst) % $nPhases <= $p),\n")
+    for (p <- 0 until nPhases)
+      sb.append(s"od$p AS MATERIALIZED (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM e$p GROUP BY src),\n")
+    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("p0r0 AS MATERIALIZED (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("       FROM verts v LEFT JOIN od0 o ON v.id = o.id),\n")
+    for (p <- 0 until nPhases) {
+      if (p > 0) {
+        sb.append(s"p${p}r0 AS MATERIALIZED (SELECT v.id, o.wout, r.pr FROM verts v\n")
+        sb.append(s"       LEFT JOIN od$p o ON v.id = o.id\n")
+        sb.append(s"       JOIN p${p - 1}r$iters r ON r.id = v.id),\n")
+      }
+      for (i <- 0 until iters) {
+        val norm =
+          if (p == 0 && i == 0) "pr AS old_pr"
+          else s"pr / (SELECT s FROM p${p}s$i) AS old_pr"
+        sb.append(s"p${p}s$i AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM p${p}r$i),\n")
+        sb.append(s"p${p}n$i AS MATERIALIZED (SELECT id, wout, $norm FROM p${p}r$i),\n")
+        sb.append(s"p${p}c$i AS MATERIALIZED (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+        sb.append(s"        FROM e$p e JOIN p${p}n$i n ON e.src = n.id GROUP BY e.dst),\n")
+        sb.append(s"p${p}r${i + 1} AS MATERIALIZED (SELECT n.id, n.wout,\n")
+        sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM p${p}s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
+        sb.append(s"        FROM p${p}n$i n LEFT JOIN p${p}c$i c ON n.id = c.id)")
+        sb.append(if (p == nPhases - 1 && i == iters - 1) "\n" else ",\n")
+      }
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM p${nPhases - 1}r$iters")
     sb.toString
   }
 

@@ -303,6 +303,23 @@ object PipelineQueries {
           sum(when(col("hamming") <= 16L, 1L).otherwise(0L)).as("n_near"))
     }),
 
+    // Cross-document aHash near-dup index (one-shot anchor for
+    // st_ahash): new clips (doc_id % 10 == 0) probe the standing
+    // corpus' banded fingerprint index — pigeonhole bands (maxDist+1 =
+    // 9 over the 64 hash bits) give perfect recall at hamming ≤ 8, the
+    // xor-popcount verifies, and the rollup is one row per new doc.
+    // Never all-pairs; the oracle replays the exact all-pairs truth
+    // closed-form (banding is lossless, so they agree).
+    "mm_ahash_index" -> ((s, dir) => {
+      val h = Multimodal.videoAHash(s,
+        Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()
+      val standing = Multimodal.aHashBandTable(
+        h.where(col("doc_id") % 10 =!= 0), 8)
+      Multimodal.aHashNearDupStats(
+        Multimodal.aHashNearDupProbe(standing,
+          h.where(col("doc_id") % 10 === 0), 8))
+    }),
+
     // Uniform 2-frame sampling: only frames {0, floor(nf/2)} pay the
     // pixel scan; headers alone count the rest.
     "mm_frame_sample" -> ((s, dir) =>
@@ -684,6 +701,18 @@ object PipelineQueries {
     "dq_outliers" -> ((s, dir) =>
       graft.pipeline.DataQuality.iqrOutliers(
         Tables.events(s, dir), col("event_type"), col("value"))),
+
+    // EXACT Tukey-fence outlier report on integer cents — the
+    // count-fold twin of dq_outliers (and st_outliers' one-shot
+    // anchor): type-7 quantile interpolation as order statistics over
+    // the cumulative cents ladder, dyadic r/4 remainders, so the
+    // quartiles and fences are exact doubles and the gate hashes raw —
+    // the tolerance dq_outliers needs (round 6 on quantile_cont) is
+    // structurally gone here.
+    "dq_outliers_c" -> ((s, dir) =>
+      graft.pipeline.DataQuality.iqrOutliersCents(
+        Tables.events(s, dir), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))),
 
     // EXACT two-sample Kolmogorov–Smirnov per event type (baseline =
     // even event_ids, current = odd): the CDF-shape drift statistic —
@@ -2577,6 +2606,42 @@ object PipelineQueries {
         |    AS n_near
         |FROM pr GROUP BY 1""".stripMargin,
 
+    // same hash CTE; the exact all-pairs batch×standing Hamming truth
+    // (the banded Spark plan is recall-lossless at hamming <= 8, so the
+    // sub-quadratic probe equals this quadratic replay)
+    "mm_ahash_index" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h, 2 + doc_id % 4 AS nf FROM documents),
+        |cell AS (SELECT p.doc_id, f.f, y.yp,
+        |    ((3 * doc_id + f + 2 * ((y.yp * h) // 8)) % 256
+        |   + (2 * doc_id + f + ((y.yp * h) // 8)) % 256
+        |   + (doc_id + 7 * f + ((y.yp * h) // 8)) % 256) AS srow
+        |  FROM p, (SELECT unnest(range(5)) AS f) f,
+        |    (SELECT unnest(range(8)) AS yp) y
+        |  WHERE f.f < p.nf),
+        |t AS (SELECT doc_id, f, sum(srow) AS tot FROM cell GROUP BY 1, 2),
+        |hsh AS (SELECT c.doc_id, c.f,
+        |  CAST(sum(CASE WHEN yp < 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * yp)) ELSE 0 END)
+        |    AS BIGINT) AS lo,
+        |  CAST(sum(CASE WHEN yp >= 4 AND 8 * srow > t.tot
+        |    THEN (CAST(255 AS BIGINT) << (8 * (yp - 4))) ELSE 0 END)
+        |    AS BIGINT) AS hi
+        |  FROM cell c JOIN t ON t.doc_id = c.doc_id AND t.f = c.f
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT b.doc_id, b.f, s.doc_id AS src_doc,
+        |    bit_count(xor(b.lo, s.lo)) + bit_count(xor(b.hi, s.hi))
+        |      AS hamming
+        |  FROM hsh b JOIN hsh s
+        |    ON b.doc_id % 10 = 0 AND s.doc_id % 10 <> 0),
+        |nr AS (SELECT * FROM pr WHERE hamming <= 8)
+        |SELECT doc_id, count(*) AS n_near,
+        |  CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(min(hamming) AS BIGINT) AS min_hamming,
+        |  CAST(count(DISTINCT src_doc) AS BIGINT) AS n_src_docs
+        |FROM nr GROUP BY 1""".stripMargin,
+
     // closed-form frame-sample replay: sampled frame set
     // {(i*nf)//2 : i<2} = {0, nf//2}, distinct by construction (nf>=2)
     "mm_frame_sample" ->
@@ -2819,13 +2884,14 @@ object PipelineQueries {
         |  CAST(sum(c) AS BIGINT) AS n_cur FROM c GROUP BY 1),
         |q AS (SELECT CAST(range AS BIGINT) AS q FROM range(1, 10))
         |SELECT cum.grp, q.q,
-        |  CAST(min(CASE WHEN cb * 10 >= q.q * t.n_base THEN v END)
-        |    AS BIGINT) AS base_cents,
-        |  CAST(min(CASE WHEN cc * 10 >= q.q * t.n_cur THEN v END)
-        |    AS BIGINT) AS cur_cents,
-        |  CAST(min(CASE WHEN cc * 10 >= q.q * t.n_cur THEN v END) -
-        |       min(CASE WHEN cb * 10 >= q.q * t.n_base THEN v END)
-        |    AS BIGINT) AS shift_cents
+        |  CAST(min(CASE WHEN t.n_base > 0 AND cb * 10 >= q.q * t.n_base
+        |    THEN v END) AS BIGINT) AS base_cents,
+        |  CAST(min(CASE WHEN t.n_cur > 0 AND cc * 10 >= q.q * t.n_cur
+        |    THEN v END) AS BIGINT) AS cur_cents,
+        |  CAST(min(CASE WHEN t.n_cur > 0 AND cc * 10 >= q.q * t.n_cur
+        |    THEN v END) -
+        |       min(CASE WHEN t.n_base > 0 AND cb * 10 >= q.q * t.n_base
+        |    THEN v END) AS BIGINT) AS shift_cents
         |FROM cum JOIN t ON t.grp = cum.grp CROSS JOIN q
         |GROUP BY 1, 2""".stripMargin,
 
@@ -3039,6 +3105,44 @@ object PipelineQueries {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN f ON e.event_type = f.grp
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // identical exact ladder to DataQuality.iqrOutliersFromCounts:
+    // cents counts, cumulative sums, type-7 positions m+1 with dyadic
+    // remainder r/4, fences at 1.5·IQR — every double exact, raw hash
+    "dq_outliers_c" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |cnts AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp, c, cnt, sum(cnt) OVER (PARTITION BY grp
+        |  ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum FROM cnts),
+        |t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM cnts GROUP BY 1),
+        |p AS (SELECT grp, n,
+        |  (n - 1) // 4 + 1 AS pos1, least((n - 1) // 4 + 2, n) AS pos2,
+        |  (n - 1) % 4 AS r1,
+        |  (3 * (n - 1)) // 4 + 1 AS pos3,
+        |  least((3 * (n - 1)) // 4 + 2, n) AS pos4,
+        |  (3 * (n - 1)) % 4 AS r3 FROM t),
+        |xs AS (SELECT cum.grp, p.n, p.r1, p.r3,
+        |  min(CASE WHEN cum >= pos1 THEN c END) AS x1,
+        |  min(CASE WHEN cum >= pos2 THEN c END) AS x2,
+        |  min(CASE WHEN cum >= pos3 THEN c END) AS x3,
+        |  min(CASE WHEN cum >= pos4 THEN c END) AS x4
+        |  FROM cum JOIN p ON p.grp = cum.grp GROUP BY 1, 2, 3, 4),
+        |q AS (SELECT grp, n,
+        |  x1 + CAST(r1 * (x2 - x1) AS DOUBLE) / CAST(4 AS DOUBLE) AS q1,
+        |  x3 + CAST(r3 * (x4 - x3) AS DOUBLE) / CAST(4 AS DOUBLE) AS q3
+        |  FROM xs),
+        |f AS (SELECT grp, n, q1, q3,
+        |  q1 - (q3 - q1) * CAST(1.5 AS DOUBLE) AS lo_fence,
+        |  q3 + (q3 - q1) * CAST(1.5 AS DOUBLE) AS hi_fence FROM q)
+        |SELECT f.grp, f.q1, f.q3, f.lo_fence, f.hi_fence,
+        |  f.n AS n_rows,
+        |  CAST(sum(CASE WHEN cnts.c < f.lo_fence OR cnts.c > f.hi_fence
+        |    THEN cnts.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM cnts JOIN f ON cnts.grp = f.grp
+        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "d_compact" ->
       s"""SELECT doc_id % 10 AS bucket, count(*) AS n_docs,

@@ -529,28 +529,41 @@ object RelationalQueries {
 
     // Column DEFAULT values (Spark 3.4+ SQL surface): a table declares
     // per-column defaults; a column-list INSERT fills the omitted
-    // columns, and the DEFAULT keyword works positionally. Fresh temp
-    // LOCATION per run keeps the gate idempotent; the oracle inlines
-    // the defaults.
+    // columns, and the DEFAULT keyword works positionally. Run-unique
+    // table/view names keep concurrent gate runs from racing in the
+    // shared session, and the table + its temp LOCATION are dropped and
+    // recursively deleted once the aggregate is materialized (ADVICE
+    // r9: deleteOnExit cannot remove non-empty dirs).
     "q44_defaults" -> ((s, dir) => {
+      val runId = java.util.UUID.randomUUID().toString.replace("-", "_")
       val loc = java.nio.file.Files.createTempDirectory("graft_defaults_")
         .toFile
-      loc.deleteOnExit()
-      val tbl = "graft_defaults_tbl"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"""CREATE TABLE $tbl (
-               |  o_orderkey BIGINT,
-               |  status STRING DEFAULT 'open',
-               |  qty BIGINT DEFAULT 1
-               |) USING parquet LOCATION '${loc.getPath}/t'""".stripMargin)
-      Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
-        .select("o_orderkey").createOrReplaceTempView("graft_defaults_src")
-      s.sql(s"INSERT INTO $tbl (o_orderkey) " +
-        "SELECT o_orderkey FROM graft_defaults_src")
-      s.sql(s"INSERT INTO $tbl VALUES (-1, DEFAULT, 7), (-2, 'closed', DEFAULT)")
-      s.sql(s"""SELECT status, count(*) AS cnt,
-               |  sum(qty) AS sum_qty, sum(o_orderkey) AS sum_key
-               |FROM $tbl GROUP BY status""".stripMargin)
+      val tbl = s"graft_defaults_tbl_$runId"
+      val src = s"graft_defaults_src_$runId"
+      try {
+        s.sql(s"""CREATE TABLE $tbl (
+                 |  o_orderkey BIGINT,
+                 |  status STRING DEFAULT 'open',
+                 |  qty BIGINT DEFAULT 1
+                 |) USING parquet LOCATION '${loc.getPath}/t'""".stripMargin)
+        Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
+          .select("o_orderkey").createOrReplaceTempView(src)
+        s.sql(s"INSERT INTO $tbl (o_orderkey) " +
+          s"SELECT o_orderkey FROM $src")
+        s.sql(s"INSERT INTO $tbl VALUES (-1, DEFAULT, 7), (-2, 'closed', DEFAULT)")
+        // materialize before dropping the backing table/location
+        val out = s.sql(s"""SELECT status, count(*) AS cnt,
+                 |  sum(qty) AS sum_qty, sum(o_orderkey) AS sum_key
+                 |FROM $tbl GROUP BY status""".stripMargin).localCheckpoint()
+        out
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(src)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
     }),
 
     // RFM segmentation (recency/frequency/monetary quintiles) — the

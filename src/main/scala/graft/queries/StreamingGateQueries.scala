@@ -165,6 +165,9 @@ object StreamingGateQueries {
     // event's own time (signup intervals built statically per user via
     // lead(); duplicate same-ts signups collapse to max(value), matching
     // e_asof's window order). Inner: only events a version covers emit.
+    // CONTRACT: the lead() window runs over the FILTERED frame (signup
+    // rows only) intentionally — the oracle builds its intervals from
+    // the same filtered CTE. Keep filter-then-window (cf. e_ewma bug).
     "st_asof_enrich" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.io.Tables.events(s, dir)
@@ -537,6 +540,15 @@ object StreamingGateQueries {
     "st_fuzzy" -> ((s, dir) =>
       graft.streaming.FuzzyStreams.fuzzyMatchStreamingSink(s, dir)),
 
+    // Streaming cross-document aHash near-dup: standing fingerprints
+    // banded once at bootstrap; each micro-batch of new clips decodes,
+    // hashes, and probes the standing index (never rescanned). Banding
+    // is recall-lossless at hamming <= 8 and batch files are disjoint,
+    // so the accumulated rollup equals mm_ahash_index's one-shot
+    // answer under any cadence — shared oracle.
+    "st_ahash" -> ((s, dir) =>
+      graft.streaming.AHashStreams.aHashStreamingSink(s, dir)),
+
     // Streaming decontamination monitor: per micro-batch, per-source
     // KMV batch synopses fold into accumulated state with the O(k)
     // merge; the terminal matrix comes from synopses alone. KMV union
@@ -559,6 +571,13 @@ object StreamingGateQueries {
     // semantics, so the oracle unrolls the exact 4-phase sequence.
     "st_pagerank" -> ((s, dir) =>
       graft.streaming.GraphStreams.pagerankMaintenanceSink(s, dir)),
+
+    // Streaming WEIGHTED PageRank maintenance — the weighted twin of
+    // st_pagerank (streaming × weighted × warm-start matrix closed):
+    // wout re-keys per phase, ranks carry warm; 4-phase unrolled
+    // weighted oracle.
+    "st_pagerank_w" -> ((s, dir) =>
+      graft.streaming.GraphStreams.pagerankWeightedMaintenanceSink(s, dir)),
 
     // Streaming CONNECTED-COMPONENTS maintenance: edge micro-batches
     // fold into a standing (v, comp) assignment via the incremental
@@ -603,6 +622,14 @@ object StreamingGateQueries {
     // Streaming quantile-shift monitor: per-(group, cents) side counts
     // folded additively; pure-integer decile ladder re-derived from the
     // fold — terminal result ≡ batch dq_qq, shared oracle.
+    // Streaming IQR outlier monitor — the last dq entry to gain a st_
+    // twin: per-(group, cents) counts fold additively; the exact
+    // type-7 ladder (dyadic r/4 on integer cents) re-derives from the
+    // folded counts, so the terminal report hashes raw against the
+    // one-shot dq_outliers_c oracle — no quantile_cont tolerance.
+    "st_outliers" -> ((s, dir) =>
+      graft.streaming.EventStreams.outlierMonitorSink(s, dir)),
+
     "st_qq" -> ((s, dir) =>
       graft.streaming.EventStreams.qqMonitorSink(s, dir)),
 
@@ -652,6 +679,13 @@ object StreamingGateQueries {
     // Kaplan-Meier ≡ batch e_survival, shared oracle.
     "st_survival" -> ((s, dir) =>
       graft.streaming.EventStreams.survivalMonitorSink(s, dir)),
+
+    // Streaming per-COHORT survival: the SAME lifetime semilattice
+    // fold as st_survival (cohort = f(user_id), no extra state key);
+    // terminal per-cohort Kaplan-Meier ≡ batch e_survival_cohort,
+    // shared oracle.
+    "st_survival_cohort" -> ((s, dir) =>
+      graft.streaming.EventStreams.survivalCohortMonitorSink(s, dir)),
 
     // Streaming RETENTION maintenance: the distinct (user, active-day)
     // pair set folds as a set union; terminal cohort table ≡ batch
@@ -1348,6 +1382,7 @@ object StreamingGateQueries {
     "st_drift_mb" -> baseOracles("st_drift"),
     "st_anomaly_mb" -> baseOracles("st_anomaly"),
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
+    "st_ahash" -> graft.queries.PipelineQueries.oracles("mm_ahash_index"),
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
     // terminal leaderboard ≡ the one-shot top-k per key (total
     // tie-break: cents desc, event_id asc — event_id is unique)
@@ -1363,6 +1398,9 @@ object StreamingGateQueries {
     "st_cc_inc" -> graft.queries.GraphQueries.oracles("g_cc_inc"),
     // 4 staged phases x 2 warm iterations, unrolled exactly
     "st_pagerank" -> graft.queries.GraphQueries.pagerankPhasedSql(4, 2),
+    // 4 staged phases x 2 warm iterations in the weighted algebra
+    "st_pagerank_w" ->
+      graft.queries.GraphQueries.pagerankWeightedPhasedSql(4, 2),
     // terminal carried count ≡ the full-graph triangle recount
     "st_tri_inc" ->
       s"""WITH edges AS (${graft.io.Tables.EdgesSql}),
@@ -1376,7 +1414,10 @@ object StreamingGateQueries {
     "st_mwu" -> graft.queries.PipelineQueries.oracles("dq_mwu"),
     "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
     "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
+    "st_outliers" -> graft.queries.PipelineQueries.oracles("dq_outliers_c"),
     "st_survival" -> graft.queries.EventQueries.oracles("e_survival"),
+    "st_survival_cohort" ->
+      graft.queries.EventQueries.oracles("e_survival_cohort"),
     "st_cusum" -> graft.queries.PipelineQueries.oracles("dq_cusum_t"),
     // e_xml's aggregates minus the distinct census (unsupported on
     // streams)

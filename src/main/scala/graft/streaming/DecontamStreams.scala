@@ -26,12 +26,16 @@ object DecontamStreams {
   // staged multi-batch copies of the training docs (source != src0),
   // one per (session, dir, nFiles) — the FuzzyStreams staging pattern
   // on the documents table, doc_id-contiguous slices
+  // keyed by applicationId, not the session object (ADVICE r9: a
+  // SparkSession key pins the session and its staged dirs for the JVM
+  // lifetime)
   private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
 
   private def stageDocBatches(spark: SparkSession, dir: String,
       nFiles: Int): String =
-    stageCache.getOrElseUpdate((spark, dir, nFiles), {
+    stageCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, nFiles), {
       val train = spark.read.parquet(s"$dir/documents.parquet")
         .where(col("source") =!= "src0")
       val n = train.count()

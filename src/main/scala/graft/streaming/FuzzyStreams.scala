@@ -28,12 +28,16 @@ object FuzzyStreams {
   // (session, dir, nFiles) — the EventStreams.stageSortedEventFiles
   // pattern on the part table; order is partkey-contiguous (arrival
   // order is irrelevant to the result, see object doc)
+  // keyed by applicationId, not the session object (ADVICE r9: a
+  // SparkSession key pins the session and its staged dirs for the JVM
+  // lifetime)
   private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
 
   private def stagePartBatches(spark: SparkSession, dir: String,
       nFiles: Int): String =
-    stageCache.getOrElseUpdate((spark, dir, nFiles), {
+    stageCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, nFiles), {
       val batch = spark.read.parquet(s"$dir/part.parquet")
         .where(col("p_partkey") % 10 === 0)
         .select(col("p_partkey"), col("p_name"))

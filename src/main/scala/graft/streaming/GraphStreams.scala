@@ -41,8 +41,11 @@ object GraphStreams {
 
   // ---- staged edge micro-batches (multi-batch drain harness) ----
 
+  // keyed by applicationId, not the session object (ADVICE r9: a
+  // SparkSession key pins the session and its staged dirs for the JVM
+  // lifetime)
   private val edgeStageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
 
   /** Stage the canonical edge list as `nFiles` parquet files with
     * strictly increasing modification times, so a maxFilesPerTrigger=1
@@ -54,8 +57,21 @@ object GraphStreams {
     * g_tri_inc), so any split and any batching end at the same state. */
   private def stageEdgeFiles(spark: SparkSession, dir: String,
       nFiles: Int): String =
-    edgeStageCache.getOrElseUpdate((spark, dir, nFiles), {
+    edgeStageCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, nFiles), {
       val e = graft.io.Tables.edges(spark, dir)
+      // every hash bucket must be non-empty: the pagerank maintenance
+      // sink skips empty micro-batches while its oracle unrolls exactly
+      // nFiles warm phases — an empty bucket would silently drop a
+      // phase and diverge the gate (ADVICE r9). Fail loudly instead.
+      val bucketCounts = e.groupBy(
+          pmod(col("src") * 7 + col("dst"), lit(nFiles.toLong)).as("b"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until nFiles).foreach { k =>
+        require(bucketCounts.getOrElse(k.toLong, 0L) > 0L,
+          s"staged edge bucket $k/$nFiles is empty at $dir — " +
+            "phase count would not match the unrolled oracle")
+      }
       val out = java.nio.file.Files.createTempDirectory("graft_mb_edges_").toFile
       out.deleteOnExit()
       val t0 = System.currentTimeMillis() - 3600L * 1000L
@@ -198,6 +214,51 @@ object GraphStreams {
             .localCheckpoint()
           acc = Some(union)
           ranks = Some(graft.graph.PageRank.runFixed(spark, union,
+            graft.io.Tables.GraphN, iterations = iters,
+            init = ranks).localCheckpoint())
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ranks.getOrElse(spark.range(0).select(col("id"), lit(0.0).as("rank")))
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
+  /** Streaming WEIGHTED PageRank maintenance — [[pagerankMaintenanceSink]]
+    * on the weighted surface (completes the streaming × weighted ×
+    * warm-start matrix): per micro-batch the deterministic edge
+    * weights are re-derived (w is a pure function of the edge), wout
+    * and the dangling set re-key to the union weighted graph, and the
+    * ranks continue WARM from the carried vector via
+    * [[graft.graph.PageRank.runFixedWeighted]]'s init. Cadence is
+    * part of the semantics (each batch buys `iters` iterations), so
+    * the oracle unrolls the exact staged phase sequence in the
+    * weighted algebra. @return (id, rank) round-9 */
+  def pagerankWeightedMaintenanceSink(spark: SparkSession, dir: String,
+      nFiles: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageEdgeFiles(spark, dir, nFiles)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_prw_ckpt_").toFile
+    ckpt.deleteOnExit()
+    var acc: Option[DataFrame] = None
+    var ranks: Option[DataFrame] = None
+
+    val edges = spark.readStream
+      .schema(graft.io.Tables.edges(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+    val q = edges.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val union = acc.map(_.unionAll(batch)).getOrElse(batch)
+            .localCheckpoint()
+          acc = Some(union)
+          ranks = Some(graft.graph.PageRank.runFixedWeighted(spark,
+            union.withColumn("w", lit(1L) + (col("src") + col("dst")) % 5),
             graft.io.Tables.GraphN, iterations = iters,
             init = ranks).localCheckpoint())
         }

@@ -304,4 +304,23 @@ class GraphAlgoSpec extends SparkSpec {
         s"split at $j diverged from the cold 5-iteration run")
     }
   }
+
+  test("warm-start runFixedWeighted splits a cold run the same way") {
+    // the weighted mirror of the split identity above: cold(5) ==
+    // cold(j) continued warm(5-j) on the unchanged weighted graph
+    val edges = graft.io.Tables.edges(spark, "/root/testdata/sf0.001")
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+    def r9(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), round(col("rank"), 9).as("rank"))
+    val cold = r9(PageRank.runFixedWeighted(spark, edges,
+      graft.io.Tables.GraphN, iterations = 5))
+    for (j <- Seq(1, 3)) {
+      val head = PageRank.runFixedWeighted(spark, edges,
+        graft.io.Tables.GraphN, iterations = j)
+      val warm = r9(PageRank.runFixedWeighted(spark, edges,
+        graft.io.Tables.GraphN, iterations = 5 - j, init = Some(head)))
+      assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+        s"weighted split at $j diverged from the cold 5-iteration run")
+    }
+  }
 }

@@ -465,4 +465,61 @@ class DataQualitySpec extends SparkSpec {
     val sCon = graft.streaming.EventStreams.contingencyMonitorSink(spark, dir)
     assert(sCon.exceptAll(bCon).isEmpty && bCon.exceptAll(sCon).isEmpty)
   }
+
+  test("iqrOutliersFromCounts matches the type-7 quantile definition") {
+    // 8 values => h_q1 = 7/4 = 1.75: q1 = x2 + 0.75*(x3-x2);
+    // h_q3 = 21/4 = 5.25: q3 = x6 + 0.25*(x7-x6). One far outlier.
+    val vals = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 100000L)
+    val df = vals.toDF("c").withColumn("grp", lit("g"))
+    val out = DataQuality.iqrOutliersCents(df, col("grp"), col("c"))
+      .collect().head
+    val q1 = 20.0 + 0.75 * 10.0   // 27.5
+    val q3 = 60.0 + 0.25 * 10.0   // 62.5
+    val lo = q1 - (q3 - q1) * 1.5 // -25.0
+    val hi = q3 + (q3 - q1) * 1.5 // 115.0
+    assert(out.getAs[Double]("q1") == q1 && out.getAs[Double]("q3") == q3)
+    assert(out.getAs[Double]("lo_fence") == lo &&
+      out.getAs[Double]("hi_fence") == hi)
+    assert(out.getAs[Long]("n_rows") == 8L &&
+      out.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("iqrOutliersFromCounts: duplicates weight positions; n=1 degenerates") {
+    // counts-weighted: {5 x3, 9 x1} => n=4, q1 pos: h=0.75 -> x1+(3/4)(x2-x1)
+    // over sorted (5,5,5,9): x1=5,x2=5 => q1=5; q3: h=2.25 -> x3 + .25*(x4-x3)=6
+    val df = Seq(5L, 5L, 5L, 9L).toDF("c").withColumn("grp", lit("g"))
+    val r = DataQuality.iqrOutliersCents(df, col("grp"), col("c"))
+      .collect().head
+    assert(r.getAs[Double]("q1") == 5.0 && r.getAs[Double]("q3") == 6.0)
+    val one = Seq(42L).toDF("c").withColumn("grp", lit("solo"))
+    val r1 = DataQuality.iqrOutliersCents(one, col("grp"), col("c"))
+      .collect().head
+    assert(r1.getAs[Double]("q1") == 42.0 && r1.getAs[Double]("q3") == 42.0 &&
+      r1.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("streaming outlierMonitorSink equals the one-shot cents report") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.io.Tables.events(spark, dir)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val b = DataQuality.iqrOutliersCents(ev, col("event_type"), cents)
+    val s = graft.streaming.EventStreams.outlierMonitorSink(spark, dir)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("qqFromCounts reports NULL deciles for a one-sided group") {
+    // grp "both" has rows on both sides; grp "baseonly" only baseline:
+    // its cur_cents deciles must be NULL, not the base side's min
+    // (ADVICE r9: 10·cum >= q·0 was trivially true)
+    val df = Seq(
+      ("both", 10L, false), ("both", 20L, true),
+      ("baseonly", 30L, false), ("baseonly", 40L, false)
+    ).toDF("grp", "v", "cur")
+    val out = DataQuality.quantileShift(df, col("grp"), col("v"), col("cur"))
+      .where(col("grp") === "baseonly").collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("cur_cents")) &&
+      r.isNullAt(r.fieldIndex("shift_cents"))))
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("base_cents"))))
+  }
 }

@@ -261,4 +261,61 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id tampered hash != closed form (orig $f0, got $th)")
     }
   }
+
+  test("aHashBandTable: maxDist+1 bands that reassemble the hash exactly") {
+    val h = Seq((1L, 0L, 0x12345678L, 0x7edcba98L))
+      .toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
+    val rows = Multimodal.aHashBandTable(h, 8)
+      .select("band", "bits").as[(Int, Long)].collect().toMap
+    assert(rows.size == 9, s"expected 9 bands, got ${rows.size}")
+    // widths: lo gets ceil(9/2)=5 bands (7,7,6,6,6), hi 4 bands (8 each)
+    val loWidths = Seq(7, 7, 6, 6, 6); val hiWidths = Seq(8, 8, 8, 8)
+    def reassemble(widths: Seq[Int], base: Int): Long =
+      widths.zipWithIndex.foldLeft((0L, 0)) { case ((acc, start), (w, i)) =>
+        (acc | (rows(base + i) << start), start + w)
+      }._1
+    assert(reassemble(loWidths, 0) == 0x12345678L)
+    assert(reassemble(hiWidths, 5) == 0x7edcba98L)
+  }
+
+  test("banded near-dup probe equals brute-force Hamming at maxDist 8") {
+    // synthetic fingerprints engineered around the threshold: exact dup,
+    // 1-bit, 8-bit (boundary, spread across bands), 9-bit (just out),
+    // and far pairs — recall must be lossless vs the quadratic truth
+    val rnd = new scala.util.Random(7)
+    val standing = (0 until 40).map { i =>
+      (100L + i, 0L, rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL)
+    }
+    def flip(h: (Long, Long, Long, Long), nBits: Int, id: Long) = {
+      // flip nBits distinct positions spread over the full 64 bits —
+      // adversarial for banding (touches many bands)
+      val picks = rnd.shuffle((0 until 64).toList).take(nBits)
+      val (lo, hi) = picks.foldLeft((h._3, h._4)) { case ((l, g), p) =>
+        if (p < 32) (l ^ (1L << p), g) else (l, g ^ (1L << (p - 32)))
+      }
+      (id, 0L, lo, hi)
+    }
+    val batch = Seq(
+      (0L, 0L, standing(0)._3, standing(0)._4),   // exact
+      flip(standing(1), 1, 1L),
+      flip(standing(2), 8, 2L),                    // boundary: kept
+      flip(standing(3), 9, 3L),                    // just out
+      (4L, 0L, rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL))
+    val cols = Seq("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
+    val sDf = standing.toDF(cols: _*); val bDf = batch.toDF(cols: _*)
+    val got = Multimodal.aHashNearDupProbe(
+        Multimodal.aHashBandTable(sDf, 8), bDf, 8)
+      .select("doc_id", "src_doc", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      b <- batch; s <- standing
+      d = java.lang.Long.bitCount(b._3 ^ s._3) +
+        java.lang.Long.bitCount(b._4 ^ s._4)
+      if d <= 8
+    } yield (b._1, s._1, d.toLong)).toSet
+    assert(got == brute,
+      s"banded=${got.size} brute=${brute.size}; missing=${brute -- got}")
+    assert(brute.exists(_._3 == 0L) && brute.exists(_._3 == 8L))
+    assert(!brute.exists(p => p._1 == 3L && p._2 == 103L))
+  }
 }

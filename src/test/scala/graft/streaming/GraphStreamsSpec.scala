@@ -90,6 +90,31 @@ class GraphStreamsSpec extends SparkSpec {
     assert(folded4.count() == Tables.GraphN)
   }
 
+  test("streaming weighted pagerank maintenance: 1-batch drain equals cold weighted run") {
+    val cold = graft.graph.PageRank.runFixedWeighted(spark,
+        Tables.edges(spark, dir)
+          .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5),
+        Tables.GraphN, iterations = 2)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+    val folded = GraphStreams.pagerankWeightedMaintenanceSink(spark, dir,
+      nFiles = 1)
+    assert(folded.exceptAll(cold).isEmpty && cold.exceptAll(folded).isEmpty,
+      "single-phase weighted drain diverged from the cold weighted run")
+    val folded4 = GraphStreams.pagerankWeightedMaintenanceSink(spark, dir)
+    val mass = folded4.agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"weighted rank mass drifted: $mass")
+  }
+
+  test("changes-feed-driven incremental CC equals the full recompute") {
+    import spark.implicits._
+    val full = graft.graph.ConnectedComponents.run(
+        spark, Tables.edges(spark, dir))
+      .as[(Long, Long)].collect().toMap
+    val fed = graft.SparkEntry.queries("g_dsv2_cc_inc")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(fed == full)
+  }
+
   test("streaming triangle-count maintenance equals the one-shot recount") {
     val full = graft.graph.Triangles.run(
         Tables.edges(spark, dir).select(col("src"), col("dst")))
