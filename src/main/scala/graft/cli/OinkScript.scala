@@ -590,6 +590,16 @@ object OinkScript {
                 pos.lift(1).map(_.toInt).getOrElse(20))
               println(s"zorder_edges: ${zr.filesBefore} -> ${zr.filesAfter} " +
                 s"files (${zr.bytes} bytes)") // scalastyle:ignore
+            case "vacuum_edges" =>
+              // vacuum_edges retainLast -i dir — log retention: drop
+              // all but the newest retainLast snapshot manifests
+              if (pos.isEmpty || ins.isEmpty)
+                throw ScriptError(line, "vacuum_edges retainLast -i dir")
+              val removed = graft.sources.EdgeLog.vacuum(
+                new java.io.File(resolve(ins.head)), pos(0).toInt)
+              println(s"vacuum_edges: removed ${removed.size} versions" +
+                (if (removed.isEmpty) ""
+                 else s" (${removed.head}..${removed.last})")) // scalastyle:ignore
             case "ann_lsh" =>
               // ann_lsh [k] [dim] — dim probed from the data if absent
               val k = pos.lift(0).map(_.toInt).getOrElse(10)

@@ -503,6 +503,33 @@ object EventQueries {
         .drop("value", "rn")
     }),
 
+    // ADJUSTED (partial-window) EWMA — the renormalized head rows the
+    // plain e_ewma drops: missing lags contribute 0 to the numerator
+    // (coalesce, exact) and the denominator renormalizes to the
+    // weights actually present, Σ_{i<min(rn,8)} 2^-(i+1) =
+    // 1 − 2^-min(rn,8) — an 8-branch CASE of exact dyadic LITERALS,
+    // not a runtime pow() (libm pow is not correctly-rounded by spec).
+    // Every number is an exact dyadic scaling/sum to one IEEE
+    // division, so ALL rows gate raw — no filter, no tolerance. This
+    // is pandas' adjust=True semantics restricted to the trailing-8
+    // frame.
+    "e_ewma_adj" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val terms = (0 until 8).map { i =>
+        val v = if (i == 0) col("value") else lag("value", i).over(w)
+        coalesce(v, lit(0.0)) * lit(math.pow(0.5, i + 1))
+      }
+      var den: org.apache.spark.sql.Column = lit(1.0 - math.pow(0.5, 8))
+      for (k <- 1 to 7)
+        den = when(col("rn") === k, lit(1.0 - math.pow(0.5, k))).otherwise(den)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma_adj", terms.reduce(_ + _) / den)
+        .drop("value", "rn")
+    }),
+
     // Gap fill: LOCF forward fill (last observation carried forward)
     // and NOCB backward fill in ONE per-key window pass each — the
     // sparse-time-series repair primitive (sensor feeds, sparse feature
@@ -1029,6 +1056,31 @@ object EventQueries {
          |SELECT user_id, event_id, ts_us,
          |  wsum / ${1.0 - math.pow(0.5, 8)} AS ewma
          |FROM r WHERE rn > 8""".stripMargin
+    },
+
+    // identical fixed-order numerator with coalesce-to-0 lags; the
+    // denominator CASE carries the same exact dyadic literals (decimal
+    // -> double conversion is exact for finite dyadics), CAST to
+    // DOUBLE so the division never enters DECIMAL land
+    "e_ewma_adj" -> {
+      val lagTerms = (0 until 8).map { i =>
+        val v = if (i == 0) "value"
+          else s"lag(value, $i) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        s"coalesce($v, 0) * ${math.pow(0.5, i + 1)}"
+      }.mkString(" + ")
+      val cases = (1 to 7).map(k =>
+        s"WHEN rn = $k THEN ${1.0 - math.pow(0.5, k)}").mkString(" ")
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |r AS (SELECT user_id, event_id, ts_us, value,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS rn,
+         |  $lagTerms AS num
+         |  FROM e)
+         |SELECT user_id, event_id, ts_us,
+         |  num / CAST(CASE $cases ELSE ${1.0 - math.pow(0.5, 8)} END
+         |    AS DOUBLE) AS ewma_adj
+         |FROM r""".stripMargin
     },
 
     // identical join + windows; CAST keeps DuckDB's 1.0 literal in

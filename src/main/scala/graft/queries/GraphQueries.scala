@@ -232,6 +232,37 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // VACUUM (log retention): two commits land, then vacuum retains
+    // only the newest manifest — the dropped snapshot must fail fast
+    // when pinned (probed and asserted in-query), history shrinks to
+    // the retained window, and the CURRENT read is byte-identical to
+    // before (the oracle sees all edges, never the maintenance op).
+    // The op that bounds metadata growth at thousands of commits/day.
+    "g_dsv2_vacuum" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2v_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val tbl = new java.io.File(s"$root/edges")
+      val e = Tables.edges(s, dir)
+      e.where(col("dst") < 5000).repartition(2)
+        .write.format(fmtName).mode("overwrite").save(tbl.getPath)
+      e.where(col("dst") >= 5000).repartition(2)
+        .write.format(fmtName).mode("append").save(tbl.getPath)
+      val removed = graft.sources.EdgeLog.vacuum(tbl, retainLast = 1)
+      require(removed.nonEmpty, "vacuum removed no versions")
+      require(graft.sources.EdgeLog.versions(tbl).size == 1,
+        "history did not shrink to the retained window")
+      val gone =
+        try {
+          s.read.format(fmtName).option("versionAsOf", removed.head)
+            .load(tbl.getPath).collect(); false
+        } catch { case _: Exception => true }
+      require(gone, s"vacuumed version ${removed.head} is still readable")
+      s.read.format(fmtName).load(tbl.getPath)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+    }),
+
     // CHANGES-FEED-DRIVEN INCREMENTAL CC — the connector's feed wired
     // into the maintenance path (the full 100 TB refresh loop): the
     // standing graph is written to the connector and its CC assignment
@@ -841,6 +872,12 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg,
          |  CAST(sum(CAST((src + dst) % 7 + 1 AS DOUBLE)) AS BIGINT) AS sum_w
          |FROM edges WHERE dst >= 10 GROUP BY src""".stripMargin,
+
+    // vacuum touches only the log: the current read sees all edges
+    "g_dsv2_vacuum" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges GROUP BY src""".stripMargin,
 
     // the changes window holds exactly the second commit: the high half
     "g_dsv2_changes" ->

@@ -313,10 +313,10 @@ object PipelineQueries {
     "mm_ahash_index" -> ((s, dir) => {
       val h = Multimodal.videoAHash(s,
         Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()
-      val standing = Multimodal.aHashBandTable(
-        h.where(col("doc_id") % 10 =!= 0), 8)
+      val standing = h.where(col("doc_id") % 10 =!= 0)
       Multimodal.aHashNearDupStats(
-        Multimodal.aHashNearDupProbe(standing,
+        Multimodal.aHashNearDupProbe(
+          Multimodal.aHashIndex(standing), standing,
           h.where(col("doc_id") % 10 === 0), 8))
     }),
 

@@ -566,6 +566,54 @@ object RelationalQueries {
       }
     }),
 
+    // BUCKETED CO-LOCATED JOIN — the shuffle-free join, the single
+    // most important 100 TB layout decision: both fact tables are
+    // written CLUSTERED BY the join key SORTED BY it INTO the same
+    // bucket count, so the join planner reads bucket i against bucket
+    // i directly — NO Exchange on either side, ever again, for every
+    // downstream join on that key (the write pays the shuffle once;
+    // at 100 TB that is the difference between re-shuffling petabytes
+    // per query and none). Broadcast is disabled around the join so
+    // the bucketed sort-merge path is what runs (and what
+    // BucketJoinPlanSpec asserts: zero ShuffleExchange in the plan);
+    // the oracle sees only the relational answer.
+    "q45_bucket_join" -> ((s, dir) => {
+      val runId = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val loc = java.nio.file.Files.createTempDirectory("graft_bucket_")
+        .toFile
+      val li = s"graft_bkt_li_$runId"
+      val od = s"graft_bkt_od_$runId"
+      val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevThr = s.conf.get(thrKey)
+      try {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"${loc.getPath}/li").saveAsTable(li)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"${loc.getPath}/od").saveAsTable(od)
+        s.conf.set(thrKey, "-1") // force the bucketed SMJ, not broadcast
+        val out = s.sql(
+          s"""SELECT o.o_orderpriority AS priority,
+             |  count(*) AS n_items,
+             |  sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+             |FROM $li l JOIN $od o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1""".stripMargin).localCheckpoint()
+        out
+      } finally {
+        s.conf.set(thrKey, prevThr)
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $od")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }),
+
     // RFM segmentation (recency/frequency/monetary quintiles) — the
     // marketing-analytics standard. Scores are quintiles WITHIN each
     // market segment (the standard segment-relative practice, and the
@@ -811,6 +859,13 @@ object RelationalQueries {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM t GROUP BY 1""".stripMargin,
+
+    // the bucketed layout is invisible to the answer: a plain join
+    "q45_bucket_join" ->
+      """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q40_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d

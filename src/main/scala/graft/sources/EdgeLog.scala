@@ -129,6 +129,30 @@ private[graft] object EdgeLog {
     }
   }
 
+  /** VACUUM — log retention, the maintenance op that bounds metadata
+    * growth (the Delta `logRetentionDuration` idea on the version
+    * axis): drop every manifest except the newest `retainLast`,
+    * shrinking the time-travel window to exactly those versions. Data
+    * files are untouched — rewrites already replace them in place, so
+    * the log is the only thing that accumulates (one manifest per
+    * commit, forever; at 100 TB with thousands of commits a day the
+    * unbounded listing is the real cost). A reader pinned to a dropped
+    * version fails fast with the committed-versions story
+    * ([[read]]); current reads, the changes feed inside the retained
+    * window, and new commits are unaffected.
+    * @return the removed version numbers, ascending (empty = nothing
+    *         to drop) */
+  def vacuum(root: java.io.File, retainLast: Int): Seq[Int] = {
+    require(retainLast >= 1,
+      s"vacuum must retain at least 1 version, got $retainLast")
+    val drop = versions(root).dropRight(retainLast)
+    drop.foreach { v =>
+      val m = manifestFile(root, v)
+      require(m.delete(), s"could not remove manifest $m")
+    }
+    drop
+  }
+
   /** Snapshot history as rows: (version, committed_at_ms, n_files,
     * bytes) — the DESCRIBE HISTORY face. */
   def history(root: java.io.File): Seq[(Int, Long, Int, Long)] =

@@ -15,13 +15,13 @@ import graft.pipeline.Multimodal
   * re-decoded or rescanned after bootstrap, and standing×standing
   * pairs never form.
   *
-  * The oracle is mm_ahash_index's one-shot all-pairs truth: banding
-  * has perfect recall for hamming ≤ maxDist (pigeonhole over
-  * maxDist+1 bands, [[Multimodal.aHashBandTable]]), each batch clip
-  * meets the FULL standing index in its own micro-batch, and the
-  * staged doc files are disjoint — so the union of per-batch verified
-  * pairs equals the one-shot probe under any cadence (the terminal
-  * distinct guards re-delivery).
+  * The oracle is mm_ahash_index's one-shot all-pairs truth: the
+  * multi-index probe has perfect recall for hamming ≤ maxDist (the
+  * per-band radius pigeonhole, [[Multimodal.aHashNearDupProbe]]),
+  * each batch clip meets the FULL standing index in its own
+  * micro-batch, and the staged doc files are disjoint — so the union
+  * of per-batch verified pairs equals the one-shot probe under any
+  * cadence (the terminal distinct guards re-delivery).
   */
 object AHashStreams {
 
@@ -72,12 +72,14 @@ object AHashStreams {
     ckpt.deleteOnExit()
 
     // standing state: decode + hash + band the corpus ONCE; the
-    // per-batch probe reads THIS, never the corpus clips again
+    // per-batch probe reads THESE (the distinct-value band index plus
+    // the frame->hash table for the fan-back), never the clips again
     val standingDocs = graft.io.Tables.documents(spark, dir)
       .where(col("doc_id") % 10 =!= 0)
-    val index = Multimodal.aHashBandTable(
-      Multimodal.videoAHash(spark,
-        Multimodal.withAviRgbPayload(spark, standingDocs)).toDF(), maxDist)
+    val standingHashes = Multimodal.videoAHash(spark,
+        Multimodal.withAviRgbPayload(spark, standingDocs)).toDF()
+      .localCheckpoint()
+    val index = Multimodal.aHashIndex(standingHashes)
       .localCheckpoint()
 
     var acc = spark.createDataFrame(
@@ -104,7 +106,8 @@ object AHashStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val hashes = Multimodal.videoAHash(spark,
           Multimodal.withAviRgbPayload(spark, batch)).toDF()
-        val pairs = Multimodal.aHashNearDupProbe(index, hashes, maxDist)
+        val pairs = Multimodal.aHashNearDupProbe(
+          index, standingHashes, hashes, maxDist)
         if (!pairs.isEmpty) {
           acc = acc.unionByName(pairs).localCheckpoint()
         }

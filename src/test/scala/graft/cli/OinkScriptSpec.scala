@@ -451,7 +451,10 @@ class OinkScriptSpec extends SparkSpec {
         """select "user_id AS src" "event_id AS dst" -i pur0 -o NULL pur""",
         s"write_edge_stream $out -i pur",
         s"compact_edges 128 -i $out",
+        s"vacuum_edges 1 -i $out",
         s"read_edge_dsv2 -i $out -o NULL back"))
+      // vacuum kept only the newest snapshot; current reads unaffected
+      assert(graft.sources.EdgeLog.versions(new java.io.File(out)).size == 1)
       assert(reg("res").columns.toSeq == Seq("user_id", "fact_id",
         "fact_ts_us", "dim_id", "dim_ts_us", "dim_cents"))
       assert(reg("res").count() > 0)

@@ -262,20 +262,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("aHashBandTable: maxDist+1 bands that reassemble the hash exactly") {
-    val h = Seq((1L, 0L, 0x12345678L, 0x7edcba98L))
+  test("aHashBandTable: 4 x 16-bit bands that reassemble the hash exactly") {
+    val h = Seq((1L, 0L, 0x12345678L, 0xfedcba98L))
       .toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
-    val rows = Multimodal.aHashBandTable(h, 8)
+    val rows = Multimodal.aHashBandTable(h)
       .select("band", "bits").as[(Int, Long)].collect().toMap
-    assert(rows.size == 9, s"expected 9 bands, got ${rows.size}")
-    // widths: lo gets ceil(9/2)=5 bands (7,7,6,6,6), hi 4 bands (8 each)
-    val loWidths = Seq(7, 7, 6, 6, 6); val hiWidths = Seq(8, 8, 8, 8)
-    def reassemble(widths: Seq[Int], base: Int): Long =
-      widths.zipWithIndex.foldLeft((0L, 0)) { case ((acc, start), (w, i)) =>
-        (acc | (rows(base + i) << start), start + w)
-      }._1
-    assert(reassemble(loWidths, 0) == 0x12345678L)
-    assert(reassemble(hiWidths, 5) == 0x7edcba98L)
+    assert(rows.size == 4, s"expected 4 bands, got ${rows.size}")
+    assert((rows(1) << 16 | rows(0)) == 0x12345678L)
+    assert((rows(3) << 16 | rows(2)) == 0xfedcba98L)
+    rows.values.foreach(b => assert(b >= 0 && b < (1L << 16)))
   }
 
   test("banded near-dup probe equals brute-force Hamming at maxDist 8") {
@@ -304,7 +299,7 @@ class MultimodalSpec extends SparkSpec {
     val cols = Seq("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
     val sDf = standing.toDF(cols: _*); val bDf = batch.toDF(cols: _*)
     val got = Multimodal.aHashNearDupProbe(
-        Multimodal.aHashBandTable(sDf, 8), bDf, 8)
+        Multimodal.aHashIndex(sDf), sDf, bDf, 8)
       .select("doc_id", "src_doc", "hamming")
       .as[(Long, Long, Long)].collect().toSet
     val brute = (for {

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "dq_mad", "dq_contingency", "q42_sql_vars", "q43_sql_script",
     "dq_tvd", "dq_qq", "s_ann_recall", "s_ann_recall_lsh", "s_ann_recall_pq",
     "dq_cusum", "dq_cusum_t",
-    "e_survival", "e_survival_cohort", "dq_outliers_c", "mm_ahash_index")
+    "e_survival", "e_survival_cohort", "dq_outliers_c", "mm_ahash_index",
+    "e_ewma_adj")
 
   test("no audited gate query plans a cartesian product") {
     val offenders = Audited.flatMap { name =>

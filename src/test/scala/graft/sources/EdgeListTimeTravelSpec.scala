@@ -213,4 +213,32 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     assert(chain(e2).exists(c => c.getMessage != null &&
       c.getMessage.contains("no snapshot version 0")))
   }
+
+  test("vacuum retains the newest N versions; dropped pins fail, current reads hold") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    write(dir, Seq((3L, 4L)))
+    write(dir, Seq((5L, 6L)))
+    val vs = EdgeLog.versions(dir)
+    assert(vs.size == 3)
+    val removed = EdgeLog.vacuum(dir, retainLast = 2)
+    assert(removed == Seq(vs.head))
+    assert(EdgeLog.versions(dir) == vs.tail)
+    // retained pins still read; the dropped one fails with the story
+    assert(readV(dir, vs(1)) == Set((1L, 2L), (3L, 4L)))
+    assert(readV(dir, vs(2)) == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    val e = intercept[Exception](readV(dir, vs.head))
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains(s"no snapshot version ${vs.head}")))
+    // current (unpinned) read and new commits are unaffected
+    assert(spark.read.format(fmt).load(dir.getPath).count() == 3L)
+    write(dir, Seq((7L, 8L)))
+    assert(EdgeLog.currentVersion(dir).get == vs.last + 1)
+    // idempotent floor: retaining at least everything is a no-op, and
+    // retainLast < 1 is rejected
+    assert(EdgeLog.vacuum(dir, retainLast = 10).isEmpty)
+    intercept[IllegalArgumentException](EdgeLog.vacuum(dir, 0))
+  }
 }

@@ -16,9 +16,10 @@ class AHashStreamsSpec extends SparkSpec {
     val h = Multimodal.videoAHash(spark,
       Multimodal.withAviRgbPayload(spark,
         graft.io.Tables.documents(spark, dir))).toDF()
+    val standing = h.where(col("doc_id") % 10 =!= 0)
     Multimodal.aHashNearDupStats(
       Multimodal.aHashNearDupProbe(
-        Multimodal.aHashBandTable(h.where(col("doc_id") % 10 =!= 0), 8),
+        Multimodal.aHashIndex(standing), standing,
         h.where(col("doc_id") % 10 === 0), 8))
   }
 
