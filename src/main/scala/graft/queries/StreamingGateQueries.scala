@@ -549,6 +549,11 @@ object StreamingGateQueries {
     "st_ahash" -> ((s, dir) =>
       graft.streaming.AHashStreams.aHashStreamingSink(s, dir)),
 
+    // cadence twin at 8 files (the _mb matrix convention): any split
+    // of the batch docs ends at the same accumulated rollup
+    "st_ahash_mb" -> ((s, dir) =>
+      graft.streaming.AHashStreams.aHashStreamingSink(s, dir, nFiles = 8)),
+
     // Streaming decontamination monitor: per micro-batch, per-source
     // KMV batch synopses fold into accumulated state with the O(k)
     // merge; the terminal matrix comes from synopses alone. KMV union
@@ -629,6 +634,11 @@ object StreamingGateQueries {
     // one-shot dq_outliers_c oracle — no quantile_cont tolerance.
     "st_outliers" -> ((s, dir) =>
       graft.streaming.EventStreams.outlierMonitorSink(s, dir)),
+
+    // cadence twin at 8 files: the count fold is additive, any
+    // batching ends at the same ladder
+    "st_outliers_mb" -> ((s, dir) =>
+      graft.streaming.EventStreams.outlierMonitorSink(s, dir, nFiles = 8)),
 
     "st_qq" -> ((s, dir) =>
       graft.streaming.EventStreams.qqMonitorSink(s, dir)),
@@ -1383,6 +1393,7 @@ object StreamingGateQueries {
     "st_anomaly_mb" -> baseOracles("st_anomaly"),
     "st_fuzzy" -> graft.queries.PipelineQueries.oracles("d_fuzzy_inc"),
     "st_ahash" -> graft.queries.PipelineQueries.oracles("mm_ahash_index"),
+    "st_ahash_mb" -> graft.queries.PipelineQueries.oracles("mm_ahash_index"),
     "st_decontam" -> graft.queries.PipelineQueries.oracles("d_decontam_kmv"),
     // terminal leaderboard ≡ the one-shot top-k per key (total
     // tie-break: cents desc, event_id asc — event_id is unique)
@@ -1415,6 +1426,8 @@ object StreamingGateQueries {
     "st_tvd" -> graft.queries.PipelineQueries.oracles("dq_tvd"),
     "st_qq" -> graft.queries.PipelineQueries.oracles("dq_qq"),
     "st_outliers" -> graft.queries.PipelineQueries.oracles("dq_outliers_c"),
+    "st_outliers_mb" ->
+      graft.queries.PipelineQueries.oracles("dq_outliers_c"),
     "st_survival" -> graft.queries.EventQueries.oracles("e_survival"),
     "st_survival_cohort" ->
       graft.queries.EventQueries.oracles("e_survival_cohort"),

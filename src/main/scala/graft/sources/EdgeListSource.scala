@@ -197,11 +197,19 @@ private[sources] class EdgeListTable(path: String,
       Option(options.get("maxGroupsPerChunk")).map(_.toInt)
         .getOrElse(EdgeListSource.DefaultMaxGroupsPerChunk),
       // a DataFrame-read option pins a snapshot too; the catalog's SQL
-      // VERSION AS OF arrives through the constructor
-      Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf),
+      // VERSION AS OF arrives through the constructor. timestampAsOf
+      // (epoch MICROS, EdgeLog.versionAt's contract) resolves to the
+      // latest version committed at or before the instant.
+      Option(options.get("versionAsOf")).map(_.toInt)
+        .orElse(Option(options.get("timestampAsOf")).map(t =>
+          EdgeLog.versionAt(new java.io.File(path), t.toLong)))
+        .orElse(versionAsOf),
       // append-only changes feed: rows committed AFTER this version
-      // (exclusive) up to versionAsOf/current (inclusive)
-      Option(options.get("changesFromVersion")).map(_.toInt),
+      // (exclusive) up to versionAsOf/current (inclusive); the
+      // timestamp form resolves through the same versionAt contract
+      Option(options.get("changesFromVersion")).map(_.toInt)
+        .orElse(Option(options.get("changesFromTimestamp")).map(t =>
+          EdgeLog.versionAt(new java.io.File(path), t.toLong))),
       withWeight ||
         java.lang.Boolean.parseBoolean(options.get("withWeight")),
       withLabel ||

@@ -214,6 +214,33 @@ class EdgeListTimeTravelSpec extends SparkSpec {
       c.getMessage.contains("no snapshot version 0")))
   }
 
+  test("timestampAsOf and changesFromTimestamp options resolve via versionAt") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    val v0 = EdgeLog.currentVersion(dir).get
+    // manifests are published with wall-clock mtimes; pin v0's instant
+    val t0us = new java.io.File(new java.io.File(dir, EdgeLog.LogDirName),
+      f"v$v0%08d.manifest").lastModified() * 1000L
+    Thread.sleep(1100) // separate the commits on the seconds axis
+    write(dir, Seq((3L, 4L)))
+    val pinned = spark.read.format(fmt).option("timestampAsOf", t0us)
+      .load(dir.getPath).as[(Long, Long)].collect().toSet
+    assert(pinned == Set((1L, 2L)), s"timestampAsOf read $pinned")
+    val changed = spark.read.format(fmt)
+      .option("changesFromTimestamp", t0us)
+      .load(dir.getPath).as[(Long, Long)].collect().toSet
+    assert(changed == Set((3L, 4L)), s"changesFromTimestamp read $changed")
+    // an instant before any commit fails with the committed-versions story
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("timestampAsOf", 0L)
+        .load(dir.getPath).collect()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot")))
+  }
+
   test("vacuum retains the newest N versions; dropped pins fail, current reads hold") {
     val dir = freshDir()
     write(dir, Seq((1L, 2L)))
