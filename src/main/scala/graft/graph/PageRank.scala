@@ -307,7 +307,8 @@ object PageRank {
       websize: Long,
       seeds: Seq[Long],
       iterations: Int,
-      alpha: Double = DefaultAlpha): DataFrame = {
+      alpha: Double = DefaultAlpha,
+      init: Option[DataFrame] = None): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -317,8 +318,18 @@ object PageRank {
     val pSeed = 1.0 / seeds.size
     val restart = when(col("id").isin(seeds: _*), pSeed).otherwise(0.0)
 
-    var state = verts.withColumn("pr", restart)
-      .localCheckpoint(true)
+    // init: optional WARM-START vector (id, rank) — [[runFixed]]'s
+    // incremental-refresh shape with the restart mass still directed
+    // at the seeds: after a graph change, continue from the previous
+    // personalized fixpoint over the new edge set (outdegrees and the
+    // dangling set re-derive). A warm start normalizes on its FIRST
+    // iteration too; the unrolled warm oracle replays it.
+    var state = (init match {
+      case None => verts.withColumn("pr", restart)
+      case Some(r0) =>
+        verts.join(r0.select(col("id"), col("rank").as("pr")), Seq("id"), "left")
+          .withColumn("pr", coalesce(col("pr"), lit(0.0)))
+    }).localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
       val stats = state.agg(
@@ -326,7 +337,7 @@ object PageRank {
         sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
       val withStats = state.crossJoin(broadcast(stats))
       val normalized =
-        if (iter == 0) withStats.withColumn("old_pr", col("pr"))
+        if (iter == 0 && init.isEmpty) withStats.withColumn("old_pr", col("pr"))
         else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
       val contrib = e
         .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),

@@ -504,6 +504,22 @@ object GraphQueries {
           iterations = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))),
 
+    // WARM-START personalized PageRank — the last PageRank variant to
+    // join the incremental family: 3 cold personalized iterations over
+    // the 90% standing graph, a 10% edge batch lands, 2 warm
+    // iterations continue from the carried vector (restart mass still
+    // on the seeds; outdegrees/dangling re-keyed; first warm iteration
+    // normalizes). Oracle unrolls both phases.
+    "g_ppr_warm" -> ((s, dir) => {
+      val e = Tables.edges(s, dir)
+      val seeds = srcsOf(s, dir)
+      val standing = e.where((col("src") + col("dst")) % 10 =!= 0)
+      val r0 = PageRank.runPersonalized(s, standing, N, seeds, iterations = 3)
+      PageRank.runPersonalized(s, e, N, seeds, iterations = 2,
+          init = Some(r0))
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
+
     "g_cc" -> ((s, dir) => ccOf(s, dir)),
 
     "g_cc_stats" -> ((s, dir) => ConnectedComponents.stats(ccOf(s, dir))),
@@ -957,6 +973,7 @@ object GraphQueries {
     "g_dsv2_pagerank_w" -> pagerankWeightedSql(3),
 
     "g_ppr" -> pprSql(3),
+    "g_ppr_warm" -> pprWarmSql(3, 2),
 
     // Reachability-closure min-label — same fixpoint the iterative
     // propagation converges to.
@@ -1347,27 +1364,78 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Two-phase unrolled oracle for g_ppr_warm: [[pprSql]]'s
+    * personalized recurrence, cold over the standing edge set, then
+    * warm-carried over the full graph (outdegrees and the dangling
+    * set re-keyed, restart vector unchanged, every warm iteration
+    * normalizes including the first). */
+  def pprWarmSql(standingIters: Int, warmIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    sb.append("edges1 AS MATERIALIZED (SELECT * FROM edges WHERE (src + dst) % 10 <> 0),\n")
+    sb.append(s"$seededSrcsCtes,\n")
+    sb.append(s"outdeg1 AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges1 GROUP BY src),\n")
+    sb.append(s"outdeg2 AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(s"vertsu AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("pv AS MATERIALIZED (SELECT v.id, CASE WHEN EXISTS (SELECT 1 FROM srcs s WHERE s.source = v.id)\n")
+    sb.append("  THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM srcs)\n")
+    sb.append("  ELSE CAST(0.0 AS DOUBLE) END AS p FROM vertsu v),\n")
+    sb.append("r0 AS MATERIALIZED (SELECT v.id, o.outdeg, pv.p, pv.p AS pr\n")
+    sb.append("       FROM vertsu v LEFT JOIN outdeg1 o ON v.id = o.id JOIN pv ON pv.id = v.id),\n")
+    for (i <- 0 until standingIters) {
+      val norm =
+        if (i == 0) "pr AS old_pr"
+        else s"pr / (SELECT s FROM s$i) AS old_pr"
+      sb.append(s"s$i AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT id, outdeg, p, $norm FROM r$i),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"        FROM edges1 e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"r${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg, n.p,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE))\n")
+      sb.append(s"          + (0.85 * (SELECT d FROM s$i) + (CAST(1.0 AS DOUBLE) - 0.85)) * n.p AS pr\n")
+      sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id),\n")
+    }
+    // phase switch: carry pr and the restart vector, re-key outdegrees
+    sb.append(s"w0 AS MATERIALIZED (SELECT v.id, o.outdeg, pv.p, r.pr FROM vertsu v\n")
+    sb.append(s"       LEFT JOIN outdeg2 o ON v.id = o.id\n")
+    sb.append(s"       JOIN pv ON pv.id = v.id\n")
+    sb.append(s"       JOIN r$standingIters r ON r.id = v.id),\n")
+    for (i <- 0 until warmIters) {
+      sb.append(s"ws$i AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
+      sb.append(s"wn$i AS MATERIALIZED (SELECT id, outdeg, p, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
+      sb.append(s"wc$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"        FROM edges e JOIN wn$i n ON e.src = n.id GROUP BY e.dst),\n")
+      sb.append(s"w${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg, n.p,\n")
+      sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE))\n")
+      sb.append(s"          + (0.85 * (SELECT d FROM ws$i) + (CAST(1.0 AS DOUBLE) - 0.85)) * n.p AS pr\n")
+      sb.append(s"        FROM wn$i n LEFT JOIN wc$i c ON n.id = c.id)")
+      sb.append(if (i == warmIters - 1) "\n" else ",\n")
+    }
+    sb.append(s"SELECT id, round(pr, 9) AS rank FROM w$warmIters")
+    sb.toString
+  }
+
   /** Unrolled weighted-PageRank oracle mirroring
     * PageRank.runFixedWeighted: the pagerankSql recurrence with
     * per-edge contribution (old_pr·w)/wout, w = 1 + (src+dst)%5,
     * wout = Σ out-weights, dangling = no out-edges. */
   def pagerankWeightedSql(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH edges AS ($E),\n")
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
     sb.append("wedges AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
     sb.append("wout AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges GROUP BY src),\n")
     sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
-    sb.append("r0 AS (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append("r0 AS MATERIALIZED (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
     sb.append("       FROM verts v LEFT JOIN wout o ON v.id = o.id),\n")
     for (i <- 0 until iters) {
       val norm =
         if (i == 0) "pr AS old_pr"
         else s"pr / (SELECT s FROM s$i) AS old_pr"
       sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
-      sb.append(s"n$i AS (SELECT id, wout, $norm FROM r$i),\n")
-      sb.append(s"c$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT id, wout, $norm FROM r$i),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
       sb.append(s"        FROM wedges e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"r${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"r${i + 1} AS MATERIALIZED (SELECT n.id, n.wout,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id)")
       sb.append(if (i == iters - 1) "\n" else ",\n")

@@ -153,6 +153,26 @@ private[graft] object EdgeLog {
     drop
   }
 
+  /** VACUUM by AGE — the retention-window form of [[vacuum]] (the
+    * Delta `logRetentionDuration` contract on the time axis): drop
+    * every manifest committed strictly before `cutoffMicros`, EXCEPT
+    * the latest such manifest — that one is the snapshot every
+    * `TIMESTAMP AS OF t` with t in [cutoff, next-commit) resolves to
+    * ([[versionAt]]), so keeping it preserves timestamp addressing
+    * for the whole retained window. Always leaves ≥ 1 version.
+    * @return the removed version numbers, ascending */
+  def vacuumOlderThan(root: java.io.File, cutoffMicros: Long): Seq[Int] = {
+    val vs = versions(root)
+    val before = vs.filter(v =>
+      manifestFile(root, v).lastModified() * 1000L < cutoffMicros)
+    val drop = if (before.isEmpty) Seq.empty[Int] else before.dropRight(1)
+    drop.foreach { v =>
+      val m = manifestFile(root, v)
+      require(m.delete(), s"could not remove manifest $m")
+    }
+    drop
+  }
+
   /** Snapshot history as rows: (version, committed_at_ms, n_files,
     * bytes) — the DESCRIBE HISTORY face. */
   def history(root: java.io.File): Seq[(Int, Long, Int, Long)] =

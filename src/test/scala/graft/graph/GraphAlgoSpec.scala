@@ -305,6 +305,26 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("warm-start runPersonalized splits a cold run the same way") {
+    // the personalized mirror of the split identity: restart mass
+    // stays on the seeds across the split
+    val edges = graft.io.Tables.edges(spark, "/root/testdata/sf0.001")
+    val seeds = Seq(3L, 7L, 11L)
+    def r9(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), round(col("rank"), 9).as("rank"))
+    val cold = r9(PageRank.runPersonalized(spark, edges,
+      graft.io.Tables.GraphN, seeds, iterations = 5))
+    for (j <- Seq(1, 3)) {
+      val head = PageRank.runPersonalized(spark, edges,
+        graft.io.Tables.GraphN, seeds, iterations = j)
+      val warm = r9(PageRank.runPersonalized(spark, edges,
+        graft.io.Tables.GraphN, seeds, iterations = 5 - j,
+        init = Some(head)))
+      assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+        s"personalized split at $j diverged from the cold 5-iteration run")
+    }
+  }
+
   test("warm-start runFixedWeighted splits a cold run the same way") {
     // the weighted mirror of the split identity above: cold(5) ==
     // cold(j) continued warm(5-j) on the unchanged weighted graph

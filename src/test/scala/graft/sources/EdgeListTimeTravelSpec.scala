@@ -268,4 +268,24 @@ class EdgeListTimeTravelSpec extends SparkSpec {
     assert(EdgeLog.vacuum(dir, retainLast = 10).isEmpty)
     intercept[IllegalArgumentException](EdgeLog.vacuum(dir, 0))
   }
+
+  test("vacuumOlderThan keeps the version TIMESTAMP AS OF the cutoff resolves to") {
+    val dir = freshDir()
+    write(dir, Seq((1L, 2L)))
+    Thread.sleep(1100)
+    write(dir, Seq((3L, 4L)))
+    Thread.sleep(1100)
+    // cutoff sits between commits 2 and 3: v1 and v2 are both "before"
+    // but v2 is what TIMESTAMP AS OF cutoff resolves to — it must stay
+    val cutoffUs = System.currentTimeMillis() * 1000L
+    Thread.sleep(1100)
+    write(dir, Seq((5L, 6L)))
+    val vs = EdgeLog.versions(dir)
+    val removed = EdgeLog.vacuumOlderThan(dir, cutoffUs)
+    assert(removed == Seq(vs.head), s"removed $removed of $vs")
+    assert(EdgeLog.versionAt(dir, cutoffUs) == vs(1))
+    assert(readV(dir, vs(1)) == Set((1L, 2L), (3L, 4L)))
+    // a cutoff before every commit removes nothing
+    assert(EdgeLog.vacuumOlderThan(dir, 0L).isEmpty)
+  }
 }
