@@ -584,6 +584,16 @@ object StreamingGateQueries {
     "st_pagerank_w" -> ((s, dir) =>
       graft.streaming.GraphStreams.pagerankWeightedMaintenanceSink(s, dir)),
 
+    // cadence twins at 8 files: PageRank maintenance cadence is
+    // SEMANTIC (each batch buys 2 warm iterations), so each twin gets
+    // its own exactly-unrolled 8-phase oracle rather than a shared one
+    "st_pagerank_mb" -> ((s, dir) =>
+      graft.streaming.GraphStreams.pagerankMaintenanceSink(s, dir,
+        nFiles = 8)),
+    "st_pagerank_w_mb" -> ((s, dir) =>
+      graft.streaming.GraphStreams.pagerankWeightedMaintenanceSink(s, dir,
+        nFiles = 8)),
+
     // Streaming CONNECTED-COMPONENTS maintenance: edge micro-batches
     // fold into a standing (v, comp) assignment via the incremental
     // contraction (standing edges never stored); terminal assignment ≡
@@ -1412,6 +1422,10 @@ object StreamingGateQueries {
     // 4 staged phases x 2 warm iterations in the weighted algebra
     "st_pagerank_w" ->
       graft.queries.GraphQueries.pagerankWeightedPhasedSql(4, 2),
+    // 8-phase cadence twins, unrolled exactly
+    "st_pagerank_mb" -> graft.queries.GraphQueries.pagerankPhasedSql(8, 2),
+    "st_pagerank_w_mb" ->
+      graft.queries.GraphQueries.pagerankWeightedPhasedSql(8, 2),
     // terminal carried count ≡ the full-graph triangle recount
     "st_tri_inc" ->
       s"""WITH edges AS (${graft.io.Tables.EdgesSql}),
