@@ -583,8 +583,6 @@ object RelationalQueries {
         .toFile
       val li = s"graft_bkt_li_$runId"
       val od = s"graft_bkt_od_$runId"
-      val thrKey = "spark.sql.autoBroadcastJoinThreshold"
-      val prevThr = s.conf.get(thrKey)
       try {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"),
@@ -595,16 +593,17 @@ object RelationalQueries {
           .select(col("o_orderkey"), col("o_orderpriority"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"${loc.getPath}/od").saveAsTable(od)
-        s.conf.set(thrKey, "-1") // force the bucketed SMJ, not broadcast
+        // MERGE hint, not a session-conf flip: forcing the sort-merge
+        // path via spark.conf would race concurrent gate queries in
+        // the shared session (the q44 lesson); the hint is plan-local
         val out = s.sql(
-          s"""SELECT o.o_orderpriority AS priority,
+          s"""SELECT /*+ MERGE(l) */ o.o_orderpriority AS priority,
              |  count(*) AS n_items,
              |  sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
              |FROM $li l JOIN $od o ON l.l_orderkey = o.o_orderkey
              |GROUP BY 1""".stripMargin).localCheckpoint()
         out
       } finally {
-        s.conf.set(thrKey, prevThr)
         s.sql(s"DROP TABLE IF EXISTS $li")
         s.sql(s"DROP TABLE IF EXISTS $od")
         def rm(f: java.io.File): Unit = {

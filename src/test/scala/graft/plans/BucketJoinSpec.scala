@@ -20,8 +20,6 @@ class BucketJoinSpec extends SparkSpec {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "_")
     val loc = java.nio.file.Files.createTempDirectory("graft_bktspec_").toFile
     val li = s"bktspec_li_$runId"; val od = s"bktspec_od_$runId"
-    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prevThr = spark.conf.get(thrKey)
     try {
       graft.io.Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"))
@@ -31,9 +29,11 @@ class BucketJoinSpec extends SparkSpec {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"${loc.getPath}/od").saveAsTable(od)
-      spark.conf.set(thrKey, "-1")
-      val joined = spark.table(li)
-        .join(spark.table(od), col("l_orderkey") === col("o_orderkey"))
+      // the exact join shape q45_bucket_join runs: MERGE hint (plan-
+      // local), no session-conf flip
+      val joined = spark.sql(
+        s"SELECT /*+ MERGE(l) */ * FROM $li l JOIN $od o " +
+          "ON l.l_orderkey = o.o_orderkey")
       val plan = joined.queryExecution.executedPlan
       val nodes = PlanWalk.nodes(plan)
       assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
@@ -48,7 +48,6 @@ class BucketJoinSpec extends SparkSpec {
           col("l_orderkey") === col("o_orderkey")).count()
       assert(n == truth)
     } finally {
-      spark.conf.set(thrKey, prevThr)
       spark.sql(s"DROP TABLE IF EXISTS $li")
       spark.sql(s"DROP TABLE IF EXISTS $od")
       def rm(f: java.io.File): Unit = {
