@@ -376,11 +376,16 @@ object Bench {
       val batch = fp(spark.range(200000).toDF("id")
           .where(col("id") % 100 === 0))
         .select((col("doc_id") + 1000000L).as("doc_id"), col("frame_idx"),
-          // plant a 1-bit flip so true near pairs exist
-          expr("CASE WHEN doc_id % 2 = 0 THEN ahash_lo ^ " +
+          col("ahash_lo"), col("ahash_hi"))
+        // plant a 1-bit flip so true near pairs exist; the lo/hi choice
+        // keys on (doc_id div 100) % 2 — doc_id itself is a multiple of
+        // 100 here, so `doc_id % 2` would route EVERY flip into
+        // ahash_lo and never exercise the hi bands (r10 ADVICE)
+        .select(col("doc_id"), col("frame_idx"),
+          expr("CASE WHEN (doc_id div 100) % 2 = 0 THEN ahash_lo ^ " +
             "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT)) " +
             "ELSE ahash_lo END").as("ahash_lo"),
-          expr("CASE WHEN doc_id % 2 <> 0 THEN ahash_hi ^ " +
+          expr("CASE WHEN (doc_id div 100) % 2 <> 0 THEN ahash_hi ^ " +
             "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT)) " +
             "ELSE ahash_hi END").as("ahash_hi"))
         .localCheckpoint()

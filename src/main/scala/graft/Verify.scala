@@ -26,7 +26,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case Some(ks) =>
+        // a typo'd name would silently shrink the dump and read as a
+        // successful mirror run — fail fast with the unmatched set
+        val unknown = ks.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

@@ -256,8 +256,16 @@ object GraphQueries {
         try {
           s.read.format(fmtName).option("versionAsOf", removed.head)
             .load(tbl.getPath).collect(); false
-        } catch { case _: Exception => true }
-      require(gone, s"vacuumed version ${removed.head} is still readable")
+        } catch { case e: Exception =>
+          // assert on the story, not on "anything threw": an unrelated
+          // failure (bad path, format error) must not pass as "snapshot
+          // correctly gone"
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => t.getMessage != null &&
+              t.getMessage.contains(s"no snapshot version ${removed.head}"))
+        }
+      require(gone, s"vacuumed version ${removed.head} is still readable" +
+        " (or failed without the no-snapshot story)")
       s.read.format(fmtName).load(tbl.getPath)
         .groupBy("src")
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
@@ -281,8 +289,15 @@ object GraphQueries {
         .write.format(fmtName).mode("overwrite").save(s"$root/edges")
       val v = graft.sources.EdgeLog
         .currentVersion(new java.io.File(s"$root/edges")).get
+      // pin the standing read to the pre-append snapshot: the assignment
+      // is computed lazily, and an UNPINNED read would re-list the
+      // directory at execution time — i.e. after the append below — so
+      // the "standing" state would silently rescan the full post-append
+      // table (r10 ADVICE). The pinned version makes the carried state a
+      // true snapshot and the refresh touch only the changes window.
       val standingCC = ConnectedComponents.run(
-        s, s.read.format(fmtName).load(s"$root/edges"))
+        s, s.read.format(fmtName).option("versionAsOf", v)
+          .load(s"$root/edges"))
       e.where((col("src") + col("dst")) % 10 === 0).repartition(2)
         .write.format(fmtName).mode("append").save(s"$root/edges")
       val delta = s.read.format(fmtName)

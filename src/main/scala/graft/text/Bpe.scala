@@ -54,7 +54,17 @@ object Bpe {
     out.result()
   }
 
-  /** Learn `nMerges` merges. Returns the ordered merge table. */
+  /** Learn `nMerges` merges. Returns the ordered merge table.
+    *
+    * Scale note (100 TB story): BPE training is inherently SEQUENTIAL —
+    * merge k+1's pair counts depend on merge k having been applied — so
+    * each round is one distributed count + one driver-side argmax
+    * (`limit(1).collect()` below is the algorithm, not an accident).
+    * At corpus scale the standard practice holds here unchanged: TRAIN
+    * on a bounded sample (token statistics converge long before the
+    * full corpus is seen), then APPLY the learned merge table fully
+    * distributed — [[encode]]/[[tokenize]] are per-row map work with a
+    * broadcast merge table and no driver round-trips. */
   def train(spark: SparkSession, docs: DataFrame,
       text: org.apache.spark.sql.Column, nMerges: Int): Seq[Merge] = {
     import spark.implicits._
