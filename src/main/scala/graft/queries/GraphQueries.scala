@@ -365,6 +365,66 @@ object GraphQueries {
                |FROM $t GROUP BY src""".stripMargin)
     }),
 
+    // STORAGE-PARTITIONED JOIN through the connector — q45's zero-
+    // Exchange lesson extended to the engine's OWN storage format: both
+    // edge tables are written bucketed by the join key (the fanout
+    // writer tags every file `-b<k>`, the `_graft_buckets` sidecar
+    // persists the layout), the scans report bucket(8, src) key-grouped
+    // partitioning, EdgeListCatalog's function catalog resolves both
+    // transforms to the same bucket function, and the sort-merge join
+    // plans with ZERO Exchange of any kind — shuffle OR broadcast —
+    // asserted in-query on the EXECUTED plan (AQE stages walked). The
+    // write paid the shuffle once; every later join on the key rides
+    // the layout — the reference's aggregate-once idiom
+    // (mapreduce.cpp:382-536) durable on disk. The oracle computes the
+    // same 2-paths-through-v aggregate from the derived edge list and
+    // never sees the layout, the catalog, or the plan.
+    "g_dsv2_bucket_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bj_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/out_edges")
+      e.select(col("dst").as("src"), col("src").as("dst"))
+        .write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/in_edges")
+      // storage-partitioned joins are conf-gated in Spark; set + restore
+      // around the one planning window (the gate runs queries
+      // sequentially — no concurrent-query exposure)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n_two_paths,
+             |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+             |FROM graft.`$root/out_edges` a
+             |JOIN graft.`$root/in_edges` b ON a.src = b.src
+             |GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint() // executes the join
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join over the bucketed connector tables:\n" +
+            df.queryExecution.executedPlan)
+        val exchanges = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(exchanges.isEmpty,
+          s"bucketed connector join planned ${exchanges.size} Exchange(s):\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // GROUPED aggregate pushdown through the gate: count/min/max GROUP
     // BY src fold inside the chunk readers (one partial row per group
     // per chunk — a degree query over a 100 TB edge file ships group
@@ -937,6 +997,17 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
          |  max(dst) AS max_dst
          |FROM edges WHERE dst >= 5 GROUP BY src""".stripMargin,
+
+    // 2-paths through each vertex: out-edges joined to in-edges on the
+    // shared middle vertex — the layout (bucketed files, SPJ plan) is
+    // invisible to the result
+    "g_dsv2_bucket_join" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n_two_paths,
+         |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+         |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
 
     "g_dsv2_tvf" ->
       s"""WITH edges AS ($E)

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+
+/** Hive-style hash bucketing for edge-list tables — the storage half of
+  * the connector's STORAGE-PARTITIONED JOIN story (the reference's
+  * pay-the-shuffle-once `aggregate` idiom, `mapreduce.cpp:382-536`,
+  * made durable in the table layout):
+  *
+  *  - writes with `.option("bucketBy", "src").option("numBuckets", 8)`
+  *    route every row to its bucket's file (`…-b<k>.txt`) and persist
+  *    the spec as a `_graft_buckets` sidecar;
+  *  - reads of a fully-bucketed table report [[org.apache.spark.sql.
+  *    connector.read.partitioning.KeyGroupedPartitioning]] over
+  *    `bucket(n, col)`, each chunk carrying its bucket id as the
+  *    partition key;
+  *  - [[EdgeListCatalog]] exposes the bucket function (FunctionCatalog),
+  *    so Catalyst resolves both sides' transforms to the SAME function
+  *    and plans a co-located sort-merge join with ZERO Exchange
+  *    (`spark.sql.sources.v2.bucketing.enabled`) — at 100 TB the join's
+  *    shuffle is paid once at write time, then never again.
+  */
+private[graft] object BucketHash {
+  /** Murmur3 fmix64 finalizer, then a nonneg modulo — a full-avalanche
+    * mix so sequential vertex ids spread across buckets (a raw `id % n`
+    * would alias arithmetic progressions in the data onto few buckets).
+    * This function IS the contract between the writer and the reported
+    * partitioning: [[BoundBucket.produceResult]] delegates here. */
+  def bucket(key: Long, n: Int): Int = {
+    var h = key
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (((h % n) + n) % n).toInt
+  }
+}
+
+/** The persisted bucket layout of a table: `_graft_buckets` sidecar
+  * holding `<col> <numBuckets>`. Absent file = unbucketed (every
+  * pre-existing table). */
+private[graft] object BucketSpecIO {
+  def file(root: java.io.File): java.io.File =
+    new java.io.File(root, "_graft_buckets")
+
+  def read(path: String): Option[(String, Int)] = {
+    val f = file(new java.io.File(path))
+    if (!f.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.split("\\s+") match {
+      case Array(col, n) if (col == "src" || col == "dst") &&
+          n.forall(_.isDigit) && n.toInt >= 1 => Some((col, n.toInt))
+      case other => throw new IllegalStateException(
+        s"corrupt _graft_buckets sidecar in $path: '${other.mkString(" ")}'" +
+          " (expected '<src|dst> <numBuckets>')")
+    }
+  }
+
+  def write(root: java.io.File, spec: (String, Int)): Unit = {
+    java.nio.file.Files.write(file(root).toPath,
+      s"${spec._1} ${spec._2}\n".getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The bucket id a committed data file was written under (`…-b<k>.txt`
+    * naming), None for an unbucketed file. A table reports key-grouped
+    * partitioning only when EVERY planned file carries a tag — a later
+    * unbucketed append or a compaction/zorder rewrite degrades the read
+    * to unknown partitioning, never to a wrong plan. */
+  private val Tagged = """.*-b(\d+)\.txt""".r
+  def bucketOf(name: String): Option[Int] = name match {
+    case Tagged(b) => Some(b.toInt)
+    case _ => None
+  }
+}
+
+/** The V2 bucket function the catalog serves (FunctionCatalog): what
+  * lets Catalyst resolve a reported `bucket(n, col)` transform and
+  * prove two scans share a layout (`TransformExpression` compatibility
+  * is by the bound function's `canonicalName`). Signature follows the
+  * V2 bucket-transform convention: (numBuckets INT, key BIGINT) → INT. */
+private[graft] object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key): Hive-style hash bucket id of a BIGINT key"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.size == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+      s"bucket expects (INT numBuckets, BIGINT key); got ${inputType.simpleString}")
+    BoundBucket
+  }
+}
+
+private[graft] object BoundBucket extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    BucketHash.bucket(input.getLong(1), input.getInt(0))
+}

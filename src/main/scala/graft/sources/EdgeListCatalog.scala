@@ -29,12 +29,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * + label BIGINT chosen at CREATE — the extra-column choice persists
   * as a `_graft_meta` sidecar so later loads resolve it with no read
   * option. */
-class EdgeListCatalog extends TableCatalog {
+class EdgeListCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
   override def name(): String = catName
+
+  /** FunctionCatalog face — serves the ONE function the storage layer
+    * defines: `bucket(n, key)`, the hash behind bucketed layouts. This
+    * is what lets Catalyst resolve a scan's reported `bucket(n, col)`
+    * transform ([[EdgeListScan.outputPartitioning]]) and prove two
+    * bucketed tables share a layout, i.e. plan their join with zero
+    * Exchange (storage-partitioned join). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def pathOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")

@@ -213,7 +213,10 @@ private[sources] class EdgeListTable(path: String,
       withWeight ||
         java.lang.Boolean.parseBoolean(options.get("withWeight")),
       withLabel ||
-        java.lang.Boolean.parseBoolean(options.get("withLabel")))
+        java.lang.Boolean.parseBoolean(options.get("withLabel")),
+      // persisted bucket layout (storage-partitioned joins): the spec
+      // is table state, not a read option — every reader sees it
+      BucketSpecIO.read(path))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
@@ -278,7 +281,8 @@ private[sources] class EdgeListTable(path: String,
 private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     skipMalformed: Boolean, maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
     version: Option[Int] = None, changesFrom: Option[Int] = None,
-    withWeight: Boolean = false, withLabel: Boolean = false)
+    withWeight: Boolean = false, withLabel: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -380,7 +384,7 @@ private[sources] class EdgeListScanBuilder(path: String, chunkBytes: Long,
     new EdgeListScan(path, chunkBytes, skipMalformed, required, pushed, aggs,
       limit, topN, groupBy, maxGroups, version = version,
       changesFrom = changesFrom, withWeight = withWeight,
-      withLabel = withLabel)
+      withLabel = withLabel, bucketSpec = bucketSpec)
 }
 
 /** One pushed ungrouped aggregate, reader-side. */
@@ -506,9 +510,11 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     maxGroups: Int = EdgeListSource.DefaultMaxGroupsPerChunk,
     runtimePrunable: Boolean = true, version: Option[Int] = None,
     changesFrom: Option[Int] = None, withWeight: Boolean = false,
-    withLabel: Boolean = false)
+    withLabel: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   /** Validate recorded (file, length) pairs against the live
     * directory: data files are immutable once published, so an
@@ -562,6 +568,41 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         java.util.OptionalLong.empty()
     }
 
+  /** The bucket layout this scan can REPORT as key-grouped partitioning:
+    * only a plain row scan (no pushed agg/top-N/limit reshaping the
+    * output), and only when EVERY planned data file carries its bucket
+    * tag — an unbucketed append or a compaction/zorder rewrite degrades
+    * the report to unknown partitioning, never to a wrong plan. */
+  private def reportableBuckets: Option[(String, Int)] =
+    bucketSpec.filter(_ => aggs.isEmpty && topN.isEmpty && limit.isEmpty)
+      .filter { case (_, n) =>
+        val fs = plannedFiles()
+        fs.nonEmpty && fs.forall { case (f, _) =>
+          BucketSpecIO.bucketOf(f.getName).exists(_ < n)
+        }
+      }
+
+  /** Storage-partitioned-join face ([[SupportsReportPartitioning]]):
+    * a fully-bucketed table reports `bucket(n, col)` key-grouped
+    * partitioning — each chunk carries its bucket id — so two tables
+    * bucketed alike join with ZERO Exchange once Catalyst resolves the
+    * transform through [[EdgeListCatalog]]'s function catalog (enable
+    * `spark.sql.sources.v2.bucketing.enabled`). The shuffle is paid
+    * once at write time and amortized over every later join — the
+    * reference's `aggregate`-once idiom (`mapreduce.cpp:382-536`) as a
+    * durable layout. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    reportableBuckets match {
+      case Some((col, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, col)),
+          planInputPartitions().length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Runtime (DPP-style) filtering: a broadcast join key set arrives
     * after planning as In(src/dst, …) and the chunk readers drop
     * non-matching rows during the parse — rows for keys the join can
@@ -569,14 +610,23 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   private var runtimeFilters: Array[Filter] = Array.empty
   // a row-level-operation rewrite scan must see EVERY current row:
   // advertising no filterable attributes keeps runtime/group filtering
-  // away from it (runtimePrunable = false there)
+  // away from it (runtimePrunable = false there). A key-grouped-
+  // reporting scan opts out too: runtime filtering may drop whole
+  // buckets from the plan, and Spark requires the reported partitioning
+  // be preserved across filter() — degrading the filter is safe,
+  // degrading the partitioning mid-plan is not.
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!runtimePrunable)
+    if (!runtimePrunable || reportableBuckets.isDefined)
       Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
     else
-      Array(org.apache.spark.sql.connector.expressions.Expressions.column("src"),
-        org.apache.spark.sql.connector.expressions.Expressions.column("dst"))
+      // only columns that SURVIVED pruning: Spark resolves these against
+      // the scan's output, and a dst reference on a src-only scan is an
+      // analysis crash inside PartitionPruning (surfaced the first time
+      // two pruned connector scans met in a join)
+      Array("src", "dst")
+        .filter(c => readSchema().fieldNames.contains(c))
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(EdgeListFilters.supported)
 
@@ -619,6 +669,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * no chunk, no task, no read. Files without a sidecar always plan. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = pushed ++ runtimeFilters
+    val keyed = reportableBuckets.isDefined
     // a validated snapshot/changes file equals its committed content,
     // so the current sidecar (if any) describes exactly these rows —
     // zone maps keep pruning under time travel and changes feeds
@@ -627,8 +678,13 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         !EdgeListFilters.mayMatch(fs,
           st.minSrc, st.maxSrc, st.minDst, st.maxDst)))
       if (skip) Seq.empty
-      else (0L until len by chunkBytes).map(start =>
-        EdgeChunk(f.getAbsolutePath, start, math.min(start + chunkBytes, len)))
+      else (0L until len by chunkBytes).map { start =>
+        val end = math.min(start + chunkBytes, len)
+        if (keyed)
+          BucketedEdgeChunk(f.getAbsolutePath, start, end,
+            BucketSpecIO.bucketOf(f.getName).get)
+        else EdgeChunk(f.getAbsolutePath, start, end)
+      }
     }.toArray
   }
 
@@ -638,8 +694,22 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
       maxGroups, withWeight, withLabel)
 }
 
+/** One byte range of one data file — the unit of scan parallelism. */
+private[sources] sealed trait EdgeRange extends InputPartition {
+  def file: String; def start: Long; def end: Long
+}
+
 private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
-    extends InputPartition
+    extends EdgeRange
+
+/** A chunk of a bucket-tagged file: carries its bucket id as the
+  * partition key, which is what lets Spark group both join sides'
+  * chunks bucket-by-bucket (storage-partitioned join). */
+private[sources] case class BucketedEdgeChunk(file: String, start: Long,
+    end: Long, bucket: Int) extends EdgeRange with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 private[sources] class EdgeListReaderFactory(columns: Array[String],
     pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
@@ -650,15 +720,15 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     if (aggs.nonEmpty && groupBy.nonEmpty)
-      new EdgeChunkGroupAggReader(p.asInstanceOf[EdgeChunk], pushed,
+      new EdgeChunkGroupAggReader(p.asInstanceOf[EdgeRange], pushed,
         skipMalformed, aggs, groupBy, maxGroups)
     else if (aggs.nonEmpty)
-      new EdgeChunkAggReader(p.asInstanceOf[EdgeChunk], pushed, skipMalformed, aggs)
+      new EdgeChunkAggReader(p.asInstanceOf[EdgeRange], pushed, skipMalformed, aggs)
     else if (topN.nonEmpty)
-      new EdgeChunkTopNReader(p.asInstanceOf[EdgeChunk], columns, pushed,
+      new EdgeChunkTopNReader(p.asInstanceOf[EdgeRange], columns, pushed,
         skipMalformed, topN, limit.get)
     else
-      new EdgeChunkReader(p.asInstanceOf[EdgeChunk], columns, pushed,
+      new EdgeChunkReader(p.asInstanceOf[EdgeRange], columns, pushed,
         skipMalformed, limit, withWeight, withLabel)
 }
 
@@ -669,7 +739,7 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
   * as-is and refilled — duplicate group rows are exactly what Spark's
   * retained final aggregate already merges across chunks, so a flush
   * costs shuffle bytes, never correctness. */
-private[sources] class EdgeChunkGroupAggReader(chunk: EdgeChunk,
+private[sources] class EdgeChunkGroupAggReader(chunk: EdgeRange,
     pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp],
     groupBy: Seq[String], maxGroups: Int)
     extends PartitionReader[InternalRow] {
@@ -730,7 +800,7 @@ private[sources] class EdgeChunkGroupAggReader(chunk: EdgeChunk,
   * its ≤ n best rows — O(n) memory and no per-chunk sort of the full
   * range. Spark's retained global TakeOrdered merges the per-chunk
   * candidate sets. */
-private[sources] class EdgeChunkTopNReader(chunk: EdgeChunk,
+private[sources] class EdgeChunkTopNReader(chunk: EdgeRange,
     columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
     topN: Seq[(String, Boolean)], n: Int)
     extends PartitionReader[InternalRow] {
@@ -792,7 +862,7 @@ private[sources] class EdgeChunkTopNReader(chunk: EdgeChunk,
 
 /** Aggregate-pushdown reader: folds its whole byte range into ONE row
   * of partial values — no per-edge InternalRow is ever allocated. */
-private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
+private[sources] class EdgeChunkAggReader(chunk: EdgeRange,
     pushed: Array[Filter], skipMalformed: Boolean, aggs: Seq[AggOp])
     extends PartitionReader[InternalRow] {
 
@@ -834,7 +904,7 @@ private[sources] class EdgeChunkAggReader(chunk: EdgeChunk,
   * at offset > 0 discards bytes up to and including the first newline
   * (they are the tail of the previous chunk's last line), and keeps
   * consuming PAST `end` to finish a line it started. */
-private[sources] class EdgeChunkReader(chunk: EdgeChunk,
+private[sources] class EdgeChunkReader(chunk: EdgeRange,
     columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
     limit: Option[Int] = None, withWeight: Boolean = false,
     withLabel: Boolean = false)
@@ -991,6 +1061,36 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** The effective bucket layout of this write: the explicit options
+    * (`bucketBy` + `numBuckets`) if given, else the table's persisted
+    * sidecar — so plain appends to a bucketed table keep bucketing
+    * (Hive semantics: the layout is table state, not a per-write
+    * whim). An append whose options CONTRADICT the standing layout
+    * fails fast; a truncate may re-layout. */
+  private def resolveBuckets(): Option[(String, Int)] = {
+    val opts = info.options()
+    val optSpec = (Option(opts.get("bucketBy")),
+        Option(opts.get("numBuckets"))) match {
+      case (None, None) => None
+      case (Some(c), Some(n)) =>
+        require(c == "src" || c == "dst",
+          s"bucketBy must be src or dst; got '$c'")
+        require(n.forall(_.isDigit) && n.toInt >= 1,
+          s"numBuckets must be a positive integer; got '$n'")
+        Some((c, n.toInt))
+      case _ => throw new IllegalArgumentException(
+        "bucketed edge-list writes need BOTH bucketBy and numBuckets")
+    }
+    val standing = BucketSpecIO.read(path)
+    (optSpec, standing) match {
+      case (Some(o), Some(s)) if !doTruncate && o != s =>
+        throw new IllegalArgumentException(
+          s"append bucket spec $o contradicts table layout $s of $path" +
+            " (overwrite to re-layout)")
+      case _ => optSpec.orElse(standing)
+    }
+  }
+
   override def build(): Write = {
     val in = info.schema()
     val weighted = in.fieldNames.toSeq == Seq("src", "dst", "weight") &&
@@ -1004,13 +1104,21 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
       "edge-list writes need (src BIGINT, dst BIGINT), " +
         "(src BIGINT, dst BIGINT, weight DOUBLE) or " +
         s"(src BIGINT, dst BIGINT, label BIGINT); got ${in.simpleString}")
+    val bucketSpec = resolveBuckets()
     new Write {
       override def toBatch: BatchWrite =
-        new EdgeListBatchWrite(path, doTruncate, weighted, labeled)
+        new EdgeListBatchWrite(path, doTruncate, weighted, labeled,
+          bucketSpec)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!doTruncate, "edge-list streaming sink supports Append " +
           "output only (Complete would rewrite committed epochs)")
+        // a streaming epoch's published names carry the epoch id, not a
+        // bucket tag — bucketed layouts are a batch-write feature; the
+        // sink's untagged appends simply degrade the table's reported
+        // partitioning (read-side fallback), never its rows
+        require(Option(info.options().get("bucketBy")).isEmpty,
+          "the edge-list streaming sink does not write bucketed layouts")
         new EdgeListStreamingWrite(path, weighted, labeled)
       }
     }
@@ -1078,7 +1186,10 @@ private[sources] class EdgeListRowLevelOperation(path: String,
         new Write {
           override def toBatch: BatchWrite =
             new EdgeListBatchWrite(path, truncate = true,
-              weighted = withWeight, labeled = withLabel)
+              weighted = withWeight, labeled = withLabel,
+              // a rewrite replaces every file — re-bucket through the
+              // fanout writer so the standing layout survives DML
+              bucketSpec = BucketSpecIO.read(path))
         }
       }
     }
@@ -1134,16 +1245,19 @@ private[sources] object EdgeStats {
   }
 }
 
-private[sources] case class EdgeFileCommit(tempPath: String,
-    stats: Option[EdgeStats] = None) extends WriterCommitMessage
+/** One task's committed temp files: usually one, one PER BUCKET under a
+  * bucketed layout (the Hive-style fanout writer). */
+private[sources] case class EdgeFileCommit(
+    files: Seq[(String, Option[EdgeStats])]) extends WriterCommitMessage
 
 private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
-    weighted: Boolean = false, labeled: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): DataWriterFactory =
-    new EdgeListWriterFactory(path, weighted, labeled)
+    new EdgeListWriterFactory(path, weighted, labeled, bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -1155,29 +1269,36 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
       dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
           !f.getName.startsWith("_"))
         .foreach(_.delete())
-    messages.foreach { case EdgeFileCommit(tmp, stats) =>
-      val f = new java.io.File(tmp)
-      if (f.length() == 0) f.delete() // empty partition: no file
-      else {
-        val target = new java.io.File(dir, f.getName.stripPrefix("."))
-        if (!f.renameTo(target))
-          throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
-        stats.foreach(EdgeStats.write(target, _))
-      }
-    }
+    messages.foreach { case EdgeFileCommit(files) => files.foreach {
+      case (tmp, stats) =>
+        val f = new java.io.File(tmp)
+        if (f.length() == 0) f.delete() // empty partition: no file
+        else {
+          val target = new java.io.File(dir, f.getName.stripPrefix("."))
+          if (!f.renameTo(target))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+          stats.foreach(EdgeStats.write(target, _))
+        }
+    } }
     if (truncate) EdgeStats.dropOrphans(dir)
+    // the layout is table state: persist it so later reads report the
+    // partitioning and later appends keep bucketing without the option
+    bucketSpec.foreach(BucketSpecIO.write(dir, _))
     EdgeLog.commit(dir) // snapshot manifest: this commit's file set
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case EdgeFileCommit(tmp, _) => new java.io.File(tmp).delete() }
+    messages.foreach { case EdgeFileCommit(files) =>
+      files.foreach { case (tmp, _) => new java.io.File(tmp).delete() } }
 }
 
 private[sources] class EdgeListWriterFactory(path: String,
-    weighted: Boolean = false, labeled: Boolean = false)
+    weighted: Boolean = false, labeled: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EdgeFileWriter(path, partitionId, taskId, weighted, labeled)
+    new EdgeFileWriter(path, partitionId, taskId, weighted, labeled,
+      bucketSpec)
 }
 
 /** EXACTLY-ONCE streaming sink (Append mode): the connector's fourth
@@ -1215,7 +1336,8 @@ private[sources] class EdgeListStreamingWrite(path: String,
     dir.mkdirs()
     val m = marker(epochId)
     if (m.exists()) {
-      messages.foreach { case EdgeFileCommit(t, _) => new java.io.File(t).delete() }
+      messages.foreach { case EdgeFileCommit(files) =>
+        files.foreach { case (t, _) => new java.io.File(t).delete() } }
       return
     }
     // a half-committed earlier attempt of this epoch: unpublish it
@@ -1223,7 +1345,8 @@ private[sources] class EdgeListStreamingWrite(path: String,
       .filter(f => f.isFile && f.getName.matches(s"part-\\d+-e$epochId-\\d+\\.txt"))
       .foreach(_.delete())
     val stamp = f"${System.currentTimeMillis()}%013d"
-    messages.zipWithIndex.foreach { case (EdgeFileCommit(t, stats), i) =>
+    messages.flatMap { case EdgeFileCommit(files) => files }
+      .zipWithIndex.foreach { case ((t, stats), i) =>
       val f = new java.io.File(t)
       if (f.length() == 0) f.delete()
       else {
@@ -1242,7 +1365,8 @@ private[sources] class EdgeListStreamingWrite(path: String,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case EdgeFileCommit(t, _) => new java.io.File(t).delete() }
+    messages.foreach { case EdgeFileCommit(files) =>
+      files.foreach { case (t, _) => new java.io.File(t).delete() } }
 }
 
 private[sources] class EdgeListStreamingWriterFactory(path: String,
@@ -1254,8 +1378,11 @@ private[sources] class EdgeListStreamingWriterFactory(path: String,
 }
 
 private[sources] class EdgeFileWriter(path: String, partitionId: Int,
-    taskId: Long, weighted: Boolean = false, labeled: Boolean = false)
+    taskId: Long, weighted: Boolean = false, labeled: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
+
+  private val dir = { val d = new java.io.File(path); d.mkdirs(); d }
 
   // dot-prefixed → invisible to listFiles until commit renames it.
   // Name order IS the stream-offset contract: the micro-batch reader
@@ -1265,52 +1392,78 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
   // part-00001-…) — so the name leads with a fixed-width wall-clock
   // generation stamp; partitionId and taskId only break ties within
   // the same millisecond.
-  private val tmp = {
-    val dir = new java.io.File(path); dir.mkdirs()
-    new java.io.File(dir,
-      f".part-${System.currentTimeMillis()}%013d-$partitionId%05d-$taskId.txt")
-  }
-  private val out = new java.io.BufferedOutputStream(
-    new java.io.FileOutputStream(tmp), 1 << 16)
+  private val stamp = f"${System.currentTimeMillis()}%013d"
 
-  private var minSrc = Long.MaxValue
-  private var maxSrc = Long.MinValue
-  private var minDst = Long.MaxValue
-  private var maxDst = Long.MinValue
-  private var rows = 0L
+  /** One output file + its zone-map accumulator. Under a bucketed
+    * layout a task keeps one Sink PER BUCKET IT SEES (Hive-style
+    * fanout, lazily opened — a task whose rows hit 3 of 1024 buckets
+    * opens 3 files), each tagged `-b<k>` so readers recover the bucket
+    * id from the committed name. */
+  private final class Sink(suffix: String) {
+    val tmp = new java.io.File(dir,
+      f".part-$stamp-$partitionId%05d-$taskId$suffix.txt")
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp), 1 << 16)
+    var minSrc = Long.MaxValue
+    var maxSrc = Long.MinValue
+    var minDst = Long.MaxValue
+    var maxDst = Long.MinValue
+    var rows = 0L
 
-  override def write(r: InternalRow): Unit = {
-    val s = r.getLong(0); val d = r.getLong(1)
-    if (s < minSrc) minSrc = s
-    if (s > maxSrc) maxSrc = s
-    if (d < minDst) minDst = d
-    if (d > maxDst) maxDst = d
-    rows += 1
-    out.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
-    out.write(' ')
-    out.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
-    if (weighted) {
+    def write(r: InternalRow): Unit = {
+      val s = r.getLong(0); val d = r.getLong(1)
+      if (s < minSrc) minSrc = s
+      if (s > maxSrc) maxSrc = s
+      if (d < minDst) minDst = d
+      if (d > maxDst) maxDst = d
+      rows += 1
+      out.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
       out.write(' ')
-      // Double.toString: shortest text that re-parses to the same
-      // double — a write→read round trip is bit-exact
-      out.write(java.lang.Double.toString(r.getDouble(2))
-        .getBytes(StandardCharsets.US_ASCII))
-    } else if (labeled) {
-      out.write(' ')
-      out.write(java.lang.Long.toString(r.getLong(2))
-        .getBytes(StandardCharsets.US_ASCII))
+      out.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
+      if (weighted) {
+        out.write(' ')
+        // Double.toString: shortest text that re-parses to the same
+        // double — a write→read round trip is bit-exact
+        out.write(java.lang.Double.toString(r.getDouble(2))
+          .getBytes(StandardCharsets.US_ASCII))
+      } else if (labeled) {
+        out.write(' ')
+        out.write(java.lang.Long.toString(r.getLong(2))
+          .getBytes(StandardCharsets.US_ASCII))
+      }
+      out.write('\n')
     }
-    out.write('\n')
-  }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    EdgeFileCommit(tmp.getAbsolutePath,
+    def entry: (String, Option[EdgeStats]) = (tmp.getAbsolutePath,
       if (rows == 0) None
       else Some(EdgeStats(minSrc, maxSrc, minDst, maxDst, rows)))
   }
-  override def abort(): Unit = { out.close(); tmp.delete() }
-  override def close(): Unit = out.close()
+
+  private val plain: Sink = if (bucketSpec.isEmpty) new Sink("") else null
+  private val buckets: Array[Sink] =
+    bucketSpec.map { case (_, n) => new Array[Sink](n) }.orNull
+  private val keyOrdinal = bucketSpec.map { case (c, _) =>
+    if (c == "src") 0 else 1 }.getOrElse(0)
+  private val nBuckets = bucketSpec.map(_._2).getOrElse(0)
+
+  private def sinks: Seq[Sink] =
+    if (plain != null) Seq(plain) else buckets.toSeq.filter(_ != null)
+
+  override def write(r: InternalRow): Unit =
+    if (plain != null) plain.write(r)
+    else {
+      val b = BucketHash.bucket(r.getLong(keyOrdinal), nBuckets)
+      var s = buckets(b)
+      if (s == null) { s = new Sink(s"-b$b"); buckets(b) = s }
+      s.write(r)
+    }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    EdgeFileCommit(sinks.map(_.entry))
+  }
+  override def abort(): Unit = { close(); sinks.foreach(_.tmp.delete()) }
+  override def close(): Unit = sinks.foreach(_.out.close())
 }
 
 /** Streaming read of an append-only edge-list directory — the third

@@ -1,0 +1,188 @@
+package graft.io
+
+import graft.testkit.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** The connector's STORAGE-PARTITIONED JOIN must actually be
+  * exchange-free: two edge-list tables bucketed alike report
+  * `bucket(n, src)` key-grouped partitioning, EdgeListCatalog's
+  * function catalog resolves both transforms to the same function, and
+  * the sort-merge join plans with zero Exchange — the engine's own
+  * format now carries the q45 bucketed-layout guarantee
+  * (BucketJoinSpec proves it for builtin tables; this spec for the
+  * connector). Plus the layout lifecycle: tagged files + sidecar on
+  * write, auto-bucketed appends, fail-fast on a contradicting append,
+  * safe degradation when a file loses its tag. */
+class EdgeListBucketJoinSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.EdgeListSource"
+
+  private def tmp(): java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_bktj_").toFile
+    f.deleteOnExit(); f
+  }
+
+  private def edges(n: Int): DataFrame =
+    spark.range(n).selectExpr("id % 97 AS src", "(id * 7) % 89 AS dst")
+
+  private def withSpj[A](f: => A): A = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed write: tagged files, sidecar, exact round trip") {
+    val root = tmp()
+    val e = edges(5000)
+    e.repartition(3).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/t")
+    // sidecar persisted
+    assert(graft.sources.BucketSpecIO.read(s"$root/t") === Some(("src", 8)))
+    // every data file tagged with a valid bucket id
+    val files = graft.sources.EdgeListSource.listFiles(s"$root/t")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val b = graft.sources.BucketSpecIO.bucketOf(f.getName)
+      assert(b.isDefined && b.get >= 0 && b.get < 8, s"untagged file $f")
+    }
+    // the rows came back exactly (multiset equality via counts)
+    val back = spark.read.format(fmt).load(s"$root/t")
+    assert(back.count() === 5000)
+    assert(back.groupBy("src", "dst").count()
+      .except(e.groupBy("src", "dst").count()).isEmpty)
+    // and each file holds ONLY rows of its bucket
+    val withFile = spark.read.format(fmt).load(s"$root/t")
+      .select(col("src"), col("_file"))
+      .collect()
+    withFile.foreach { r =>
+      val tag = graft.sources.BucketSpecIO
+        .bucketOf(new java.io.File(r.getString(1)).getName).get
+      assert(graft.sources.BucketHash.bucket(r.getLong(0), 8) === tag)
+    }
+  }
+
+  test("storage-partitioned join: zero exchanges, answer matches unbucketed") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    val b = edges(4000).selectExpr("dst AS src", "src AS dst")
+    a.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/a")
+    b.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/b")
+    val out = withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+           |  CAST(sum(b.dst) AS BIGINT) AS s
+           |FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src
+           |GROUP BY a.src""".stripMargin)
+      val rows = df.collect()
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      val ex = nodes.filter(_.isInstanceOf[Exchange])
+      assert(ex.isEmpty,
+        s"SPJ still planned ${ex.size} Exchange(s):\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    // truth from the in-memory frames, no connector, no layout
+    val truth = a.as("a").join(b.as("b"), "src")
+      .groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("b.dst")).cast("long").as("s"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
+  test("append without options keeps the layout; contradicting append fails") {
+    val root = tmp()
+    edges(1000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/t")
+    // plain append rides the sidecar — still fully tagged after
+    edges(500).write.format(fmt).mode("append").save(s"$root/t")
+    val files = graft.sources.EdgeListSource.listFiles(s"$root/t")
+    files.foreach(f => assert(
+      graft.sources.BucketSpecIO.bucketOf(f.getName).exists(_ < 4)))
+    assert(spark.read.format(fmt).load(s"$root/t").count() === 1500)
+    // a contradicting append fails fast
+    val err = intercept[Exception] {
+      edges(10).write.format(fmt)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("append").save(s"$root/t")
+    }
+    assert(err.getMessage.contains("contradicts table layout"))
+    // an overwrite MAY re-layout
+    edges(1000).write.format(fmt)
+      .option("bucketBy", "dst").option("numBuckets", "2")
+      .mode("overwrite").save(s"$root/t")
+    assert(graft.sources.BucketSpecIO.read(s"$root/t") === Some(("dst", 2)))
+  }
+
+  test("an untagged file degrades the report to a shuffled (still correct) join") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/a")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/b")
+    // simulate a pre-bucketing file landing in table b (e.g. an old
+    // generation): hand-write an untagged data file + recommit
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/b", "part-legacy.txt").toPath,
+      "1 2\n".getBytes("UTF-8"))
+    graft.sources.EdgeLog.commit(new java.io.File(s"$root/b"))
+    val df = withSpj {
+      spark.sql(s"SELECT /*+ MERGE(a) */ count(*) AS n " +
+        s"FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src")
+    }
+    val n = df.collect().head.getLong(0)
+    // correctness holds; the plan simply shuffles again
+    val expected = edges(2000).as("x")
+      .join(edges(2000).unionByName(
+        spark.sql("SELECT 1L AS src, 2L AS dst")), "src").count()
+    assert(n === expected)
+    assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "degraded table should not report key-grouped partitioning")
+  }
+
+  test("DELETE preserves tags and the layout keeps joining exchange-free") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/a")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/b")
+    spark.sql(s"DELETE FROM graft.`$root/a` WHERE dst < 5")
+    graft.sources.EdgeListSource.listFiles(s"$root/a").foreach(f =>
+      assert(graft.sources.BucketSpecIO.bucketOf(f.getName).isDefined,
+        s"DELETE broke the tag on $f"))
+    withSpj {
+      // group by the bucket key: the key-grouped output satisfies the
+      // aggregate's clustering too (a GLOBAL count would legitimately
+      // plan one single-partition Exchange above the join)
+      val df = spark.sql(s"SELECT /*+ MERGE(a) */ a.src, count(*) AS n " +
+        s"FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src " +
+        s"GROUP BY a.src")
+      df.collect()
+      assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[Exchange]) === 0)
+    }
+  }
+}

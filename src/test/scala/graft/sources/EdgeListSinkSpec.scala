@@ -62,11 +62,11 @@ class EdgeListSinkSpec extends SparkSpec {
     val out = tmpDir("replay")
     val w = new EdgeListStreamingWrite(out)
     w.commit(7L, Array[WriterCommitMessage](
-      EdgeFileCommit(tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))))))
+      EdgeFileCommit(Seq((tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))), None)))))
     val after1 = readBack(out)
     // the replay arrives with ITS OWN fresh temp files (same rows)
     w.commit(7L, Array[WriterCommitMessage](
-      EdgeFileCommit(tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))))))
+      EdgeFileCommit(Seq((tempEdgeFile(out, Seq((1L, 2L), (3L, 4L))), None)))))
     assert(readBack(out) == after1 && after1 == Set((1L, 2L), (3L, 4L)))
     assert(new java.io.File(out).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".txt")) == 1)
@@ -80,7 +80,7 @@ class EdgeListSinkSpec extends SparkSpec {
     val stale = new java.io.File(out, "part-0000000000001-e3-00000.txt")
     Files.write(stale.toPath, "99 99\n".getBytes)
     w.commit(3L, Array[WriterCommitMessage](
-      EdgeFileCommit(tempEdgeFile(out, Seq((5L, 6L))))))
+      EdgeFileCommit(Seq((tempEdgeFile(out, Seq((5L, 6L))), None)))))
     assert(readBack(out) == Set((5L, 6L)), "stale partial epoch survived replay")
     assert(!stale.exists())
   }
