@@ -390,21 +390,51 @@ object Bench {
             "ELSE ahash_hi END").as("ahash_hi"))
         .localCheckpoint()
       val index = Multimodal.aHashIndex(standing).localCheckpoint()
-      def probe(): Unit = materialize(Multimodal.aHashNearDupStats(
-        Multimodal.aHashNearDupProbe(index, standing, batch, 8)))
-      def brute(): Unit = materialize(
-        batch.select(col("doc_id"), col("frame_idx"),
-            col("ahash_lo").as("blo"), col("ahash_hi").as("bhi"))
-          .crossJoin(standing.select(col("doc_id").as("src_doc"),
-            col("ahash_lo").as("slo"), col("ahash_hi").as("shi")))
-          .withColumn("hamming",
-            expr("bit_count(blo ^ slo) + bit_count(bhi ^ shi)").cast("long"))
-          .where(col("hamming") <= 8L)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_near")))
-      probe(); brute() // warm
-      val tp = (1 to 3).map(_ => timeIt(probe())).sorted
-      val tb = (1 to 3).map(_ => timeIt(brute())).sorted
-      Seq("ahash_probe_sec" -> tp(1), "ahash_brute_sec" -> tb(1))
+      // duplicate-heavy regime: same row counts, hashes drawn from a
+      // 1 000-value set (screenshots/logos shape) — the value-distinct
+      // index collapses to 1 000 hashes while brute still pays the full
+      // 4×10⁸ row-pair product
+      def fpDup(ids: DataFrame): DataFrame = ids.select(
+        col("id").as("doc_id"), lit(0L).as("frame_idx"),
+        pmod(Hashing.hash60(concat(lit("dlo"), col("id") % 1000)),
+          lit(bound)).as("ahash_lo"),
+        pmod(Hashing.hash60(concat(lit("dhi"), col("id") % 1000)),
+          lit(bound)).as("ahash_hi"))
+      val standingDup = fpDup(spark.range(200000).toDF("id")).localCheckpoint()
+      val batchDup = fpDup(spark.range(200000).toDF("id")
+          .where(col("id") % 100 === 0))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("frame_idx"),
+          col("ahash_lo"), col("ahash_hi"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("CASE WHEN (doc_id div 100) % 2 = 0 THEN ahash_lo ^ " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT)) " +
+            "ELSE ahash_lo END").as("ahash_lo"),
+          expr("CASE WHEN (doc_id div 100) % 2 <> 0 THEN ahash_hi ^ " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT)) " +
+            "ELSE ahash_hi END").as("ahash_hi"))
+        .localCheckpoint()
+      val indexDup = Multimodal.aHashIndex(standingDup).localCheckpoint()
+      def stats(df: DataFrame): Unit =
+        materialize(Multimodal.aHashNearDupStats(df))
+      def probe(): Unit =
+        stats(Multimodal.aHashNearDupProbe(index, standing, batch, 8))
+      def brute(): Unit =
+        stats(Multimodal.aHashNearDupBrute(standing, batch, 8))
+      def auto(): Unit =
+        stats(Multimodal.aHashNearDupAuto(index, standing, batch, 8))
+      def probeDup(): Unit =
+        stats(Multimodal.aHashNearDupProbe(indexDup, standingDup, batchDup, 8))
+      def bruteDup(): Unit =
+        stats(Multimodal.aHashNearDupBrute(standingDup, batchDup, 8))
+      def autoDup(): Unit =
+        stats(Multimodal.aHashNearDupAuto(indexDup, standingDup, batchDup, 8))
+      probe(); brute(); auto(); probeDup(); bruteDup(); autoDup() // warm
+      def med(f: () => Unit): Double = (1 to 3).map(_ => timeIt(f())).sorted.apply(1)
+      Seq("ahash_probe_sec" -> med(probe), "ahash_brute_sec" -> med(brute),
+        "ahash_auto_sec" -> med(auto),
+        "ahash_dup_probe_sec" -> med(probeDup),
+        "ahash_dup_brute_sec" -> med(bruteDup),
+        "ahash_dup_auto_sec" -> med(autoDup))
     }
     // No rescan-vs-index pair for st_ahash here, deliberately: on the
     // synthetic corpus the AVI decode is ~free (1 KB clips; measured

@@ -309,15 +309,25 @@ object PipelineQueries {
     // 9 over the 64 hash bits) give perfect recall at hamming ≤ 8, the
     // xor-popcount verifies, and the rollup is one row per new doc.
     // Never all-pairs; the oracle replays the exact all-pairs truth
-    // closed-form (banding is lossless, so they agree).
+    // closed-form (banding is lossless, so they agree). The DEFAULT
+    // entry point is the crossover-adaptive pick (r11): at gate scale
+    // it selects broadcast-brute, and the query also runs the
+    // multi-index path explicitly and REQUIRES the two rollups to be
+    // identical — both regimes' plans gate-covered, equality proven
+    // in-query, the returned frame produced by the default path.
     "mm_ahash_index" -> ((s, dir) => {
       val h = Multimodal.videoAHash(s,
         Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()
-      val standing = h.where(col("doc_id") % 10 =!= 0)
-      Multimodal.aHashNearDupStats(
-        Multimodal.aHashNearDupProbe(
-          Multimodal.aHashIndex(standing), standing,
-          h.where(col("doc_id") % 10 === 0), 8))
+      val standing = h.where(col("doc_id") % 10 =!= 0).localCheckpoint()
+      val batch = h.where(col("doc_id") % 10 === 0).localCheckpoint()
+      val index = Multimodal.aHashIndex(standing)
+      val auto = Multimodal.aHashNearDupStats(
+        Multimodal.aHashNearDupAuto(index, standing, batch, 8))
+      val mih = Multimodal.aHashNearDupStats(
+        Multimodal.aHashNearDupProbe(index, standing, batch, 8))
+      require(auto.except(mih).isEmpty && mih.except(auto).isEmpty,
+        "adaptive pick diverged from the multi-index probe")
+      auto
     }),
 
     // Uniform 2-frame sampling: only frames {0, floor(nf/2)} pay the

@@ -312,5 +312,21 @@ class MultimodalSpec extends SparkSpec {
       s"banded=${got.size} brute=${brute.size}; missing=${brute -- got}")
     assert(brute.exists(_._3 == 0L) && brute.exists(_._3 == 8L))
     assert(!brute.exists(p => p._1 == 3L && p._2 == 103L))
+    // the broadcast-brute operator and the adaptive pick return the
+    // SAME pair set — at either extreme of the threshold (tiny forces
+    // the multi-index branch, huge forces brute), so both branches of
+    // the crossover pick are exercised against the same truth
+    val bruteOp = Multimodal.aHashNearDupBrute(sDf, bDf, 8)
+      .select("doc_id", "src_doc", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bruteOp == brute)
+    Seq(0L, Long.MaxValue).foreach { threshold =>
+      val auto = Multimodal.aHashNearDupAuto(
+          Multimodal.aHashIndex(sDf), sDf, bDf, 8,
+          bruteMaxPairs = threshold)
+        .select("doc_id", "src_doc", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(auto == brute, s"adaptive pick diverged at threshold $threshold")
+    }
   }
 }
