@@ -774,6 +774,17 @@ object StreamingGateQueries {
         "st_chunk_gate")
     }),
 
+    // the learned curation scorer on the ingest stream: stateless
+    // per-doc feature hashing + bag sum, so every row emits immediately
+    // and the batch t_classify oracle carries over verbatim
+    "st_classify" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      drain(s, graft.text.TextAnalysis.classify(
+        docsStream, col("doc_id"), col("text")), "st_classify_gate")
+    }),
+
     // VARIANT inside a streaming micro-batch: semi-structured payloads
     // are the normal shape of a production event stream, and a fixed
     // from_json schema can't hold the mixed-type `maybe` field. The
@@ -1367,6 +1378,7 @@ object StreamingGateQueries {
     "st_variant_state" -> variantStateOracle,
     "st_variant_state_mb" -> variantStateOracle,
     "st_chunk" -> TextQueries.oracles("t_chunk"),
+    "st_classify" -> TextQueries.oracles("t_classify"),
     // stateless per-row extraction: every value a closed form of the
     // raw columns (k from the props JSON; maybe_int only on the even
     // parity that wrote a number; '$.nul' is an explicit JSON null)

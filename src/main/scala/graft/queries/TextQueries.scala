@@ -53,6 +53,14 @@ object TextQueries {
     "t_c4" -> ((s, dir) =>
       TextAnalysis.c4Rules(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Hashed-n-gram linear quality classifier (fastText-style): the
+    // LEARNED curation scorer beside the rule filters — unigram+bigram
+    // feature hashing into 4096 buckets, a deterministic stand-in
+    // weight vector, exact integer bag-sum score, sign = keep. Pure
+    // vectorized expressions: no shuffle, no UDF.
+    "t_classify" -> ((s, dir) =>
+      TextAnalysis.classify(docs(s, dir), col("doc_id"), col("text"))),
+
     // Unicode NFC normalization (native codegen expression; DuckDB
     // nfc_normalize is the oracle twin). ASCII corpus -> identity, which
     // the changed flag makes visible; NormalizeSpec covers real unicode.
@@ -425,6 +433,27 @@ object TextQueries {
       """SELECT doc_id, nfc_normalize(text) AS norm_text,
         |  nfc_normalize(text) <> text AS changed
         |FROM documents""".stripMargin,
+
+    // same feature-hash + weight arithmetic via the portable hash60;
+    // the LEFT JOIN emits the zero row for a token-free doc exactly as
+    // the engine's empty-array aggregate does
+    "t_classify" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |b AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+         |  FROM t, (SELECT unnest(range((SELECT COALESCE(max(len(toks)), 0) FROM t))) AS i) r
+         |  WHERE i <= len(toks) - 2),
+         |f AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+         |w AS (SELECT doc_id,
+         |  (${H(s"concat('clfw|', CAST((${H("concat('clf|', g)")} % 4096) AS VARCHAR))")} % 2001) - 1000 AS wt
+         |  FROM f),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(wt) AS BIGINT) AS sc FROM w GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.n, 0) AS n_feats,
+         |  COALESCE(s.sc, 0) AS score, COALESCE(s.sc, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
 
     "t_bpe" -> graft.text.Bpe.oracleSql(nMerges = 10),
 

@@ -82,6 +82,47 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** Feature-hash width of [[classify]] (2^12 buckets — collisions are
+    * part of the model, exactly as in the public algorithm). */
+  val ClassifyBuckets = 4096L
+
+  /** Hashed-n-gram LINEAR quality classifier — the fastText-style
+    * learned scorer (Joulin et al. 2016, "Bag of Tricks for Efficient
+    * Text Classification"): each doc's word unigrams + bigrams hash
+    * into [[ClassifyBuckets]] feature buckets, a weight vector scores
+    * the bag, and the sign decides keep/drop. The learned complement
+    * to the rule filters (gopherRules/c4Rules) in the curation family.
+    *
+    * The weight vector here is DETERMINISTIC (weight of bucket b =
+    * hash60("clfw|" + b) % 2001 − 1000 ∈ [−1000, 1000]) — an exact
+    * stand-in for offline-trained weights, so the gate hashes integers
+    * with no tolerance. In production the vector is whatever training
+    * produced, broadcast exactly the same way; everything else —
+    * integer feature hashing, fixed-order bag sum, vectorized
+    * higher-order-function execution with NO shuffle and NO UDF — is
+    * the 100 TB scoring path itself. */
+  def classify(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    // word bigrams: zip the token array with its own tail (zip_with
+    // null-pads the short side; the guard drops that slot)
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), size(toks)),
+        (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      g => g.isNotNull)
+    val feats = concat(toks, bigrams)
+    def bucket(g: Column): Column =
+      pmod(Hashing.hash60(concat(lit("clf|"), g)), lit(ClassifyBuckets))
+    def weight(g: Column): Column =
+      Hashing.hash60(concat(lit("clfw|"), bucket(g).cast("string"))) %
+        lit(2001L) - lit(1000L)
+    docs.select(
+      id.as("doc_id"),
+      size(feats).cast("long").as("n_feats"),
+      aggregate(transform(feats, weight(_)), lit(0L),
+        (acc, w) => acc + w).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
   /** Token statistics: whitespace tokens + a bytes/4 BPE-like estimate
     * (the classic "~4 chars per token" heuristic). */
   def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
