@@ -425,6 +425,42 @@ object GraphQueries {
       }
     }),
 
+    // BUCKET PRUNING through the gate (the layout's read-side dividend
+    // beyond joins): a point filter on the bucket column keeps only
+    // files whose `-b<k>` tag can hold a match — exact, because a
+    // tagged file holds ONLY its bucket's rows, and effective exactly
+    // where hash-scattered keys defeat zone-map min/max ranges. The
+    // in-query audit requires the executed scan to have planned
+    // precisely the allowed buckets' files (a strict subset); the
+    // oracle sees only the WHERE clause.
+    "g_dsv2_bucket_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bp_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      Tables.edges(s, dir).repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/edges")
+      val df = s.read.format(fmtName).load(s"$root/edges")
+        .where(col("src").isin(7L, 11L, 40L))
+        .groupBy("src").agg(count(lit(1)).as("out_deg"),
+          sum("dst").cast("long").as("sum_dst"))
+      val out = df.localCheckpoint()
+      val scans = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b }
+      require(scans.nonEmpty, "no BatchScanExec in the executed plan")
+      val allowedB = Set(7L, 11L, 40L)
+        .map(graft.sources.BucketHash.bucket(_, 8))
+      val files = graft.sources.EdgeListSource.listFiles(s"$root/edges")
+      val expected = files.count(f => graft.sources.BucketSpecIO
+        .bucketOf(f.getName).exists(allowedB.contains))
+      val scanned = scans.map(_.inputPartitions.size).sum
+      require(scanned == expected && expected < files.size,
+        s"bucket pruning inactive: scanned=$scanned expected=$expected " +
+          s"of ${files.size} files")
+      out
+    }),
+
     // GROUPED aggregate pushdown through the gate: count/min/max GROUP
     // BY src fold inside the chunk readers (one partial row per group
     // per chunk — a degree query over a 100 TB edge file ships group
@@ -997,6 +1033,12 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
          |  max(dst) AS max_dst
          |FROM edges WHERE dst >= 5 GROUP BY src""".stripMargin,
+
+    // the pruning is a planning optimization: only the filter shows
+    "g_dsv2_bucket_prune" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE src IN (7, 11, 40) GROUP BY src""".stripMargin,
 
     // 2-paths through each vertex: out-edges joined to in-edges on the
     // shared middle vertex — the layout (bucketed files, SPJ plan) is

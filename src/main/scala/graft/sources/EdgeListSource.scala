@@ -467,6 +467,23 @@ private[sources] object EdgeListFilters {
     }
   }
 
+  /** BUCKET PRUNING (the Hive story, exact on hash-scattered keys
+    * where zone-map min/max ranges are useless): the bucket ids that
+    * rows satisfying every conjunct can live in, or None when the
+    * filters don't constrain the bucket column to points. A `src = k`
+    * probe on a 100 TB table bucketed by src reads 1/n of the files —
+    * before any byte moves. */
+  def allowedBuckets(filters: Array[Filter], bucketCol: String,
+      n: Int): Option[Set[Int]] = {
+    val sets = filters.collect {
+      case EqualTo(a, v) if a == bucketCol && isLong(v) =>
+        Set(BucketHash.bucket(toL(v), n))
+      case In(a, vs) if a == bucketCol && vs.nonEmpty && vs.forall(isLong) =>
+        vs.map(v => BucketHash.bucket(toL(v), n)).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   /** Compile the pushed set to one (src, dst) => Boolean. */
   def compile(filters: Array[Filter]): (Long, Long) => Boolean = {
     val tests: Array[(Long, Long) => Boolean] = filters.map {
@@ -670,13 +687,21 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = pushed ++ runtimeFilters
     val keyed = reportableBuckets.isDefined
+    // bucket pruning: a point filter on the bucket column (=, IN) keeps
+    // only files whose tag can hold a match — exact (a tagged file holds
+    // ONLY its bucket's rows) where hash-scattered keys defeat zone
+    // maps; untagged files never prune this way
+    val allowed = bucketSpec.flatMap { case (c, n) =>
+      EdgeListFilters.allowedBuckets(fs, c, n) }
     // a validated snapshot/changes file equals its committed content,
     // so the current sidecar (if any) describes exactly these rows —
     // zone maps keep pruning under time travel and changes feeds
     plannedFiles().flatMap { case (f, len) =>
       val skip = len == 0 || (fs.nonEmpty && EdgeStats.read(f).exists(st =>
         !EdgeListFilters.mayMatch(fs,
-          st.minSrc, st.maxSrc, st.minDst, st.maxDst)))
+          st.minSrc, st.maxSrc, st.minDst, st.maxDst))) ||
+        allowed.exists(ok => BucketSpecIO.bucketOf(f.getName)
+          .exists(b => !ok.contains(b)))
       if (skip) Seq.empty
       else (0L until len by chunkBytes).map { start =>
         val end = math.min(start + chunkBytes, len)

@@ -160,6 +160,44 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       "degraded table should not report key-grouped partitioning")
   }
 
+  test("bucket pruning: a point filter plans only its buckets' files, exactly") {
+    val root = tmp()
+    edges(5000).repartition(3).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/t")
+    val files = graft.sources.EdgeListSource.listFiles(s"$root/t")
+    def scanSize(df: DataFrame): Int = {
+      df.collect()
+      graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    val full = spark.read.format(fmt).load(s"$root/t")
+    assert(scanSize(full) === files.size)
+    // equality probe: exactly the matching bucket's files, right rows
+    val one = spark.read.format(fmt).load(s"$root/t")
+      .where(col("src") === 42L)
+    val b42 = graft.sources.BucketHash.bucket(42L, 8)
+    val expected42 = files.count(f =>
+      graft.sources.BucketSpecIO.bucketOf(f.getName).contains(b42))
+    assert(scanSize(one) === expected42 && expected42 < files.size)
+    assert(one.count() === edges(5000).where(col("src") === 42L).count())
+    // IN probe: union of the named keys' buckets
+    val in = spark.read.format(fmt).load(s"$root/t")
+      .where(col("src").isin(1L, 2L, 3L))
+    val allowed = Set(1L, 2L, 3L).map(graft.sources.BucketHash.bucket(_, 8))
+    val expectedIn = files.count(f => graft.sources.BucketSpecIO
+      .bucketOf(f.getName).exists(allowed.contains))
+    assert(scanSize(in) === expectedIn)
+    assert(in.count() ===
+      edges(5000).where(col("src").isin(1L, 2L, 3L)).count())
+    // a range filter does NOT bucket-prune (hash order is unrelated)
+    val rng = spark.read.format(fmt).load(s"$root/t")
+      .where(col("src") < 3L)
+    assert(rng.count() === edges(5000).where(col("src") < 3L).count())
+  }
+
   test("DELETE preserves tags and the layout keeps joining exchange-free") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
