@@ -467,6 +467,21 @@ object OinkScript {
                 .write.format("graft.sources.EdgeListSource")
                 .mode("overwrite").save(resolve(outs.head))
               outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
+            case "write_edge_bucketed" =>
+              // bucketed sink: write_edge_bucketed COL N -o DIR [OBJ] —
+              // pays the layout shuffle once; every later join/point
+              // probe on COL rides it (SPJ + bucket pruning)
+              val bcol = pos.lift(0).getOrElse(
+                throw ScriptError(line, "write_edge_bucketed needs COL N"))
+              val n = pos.lift(1).map(_.toInt).getOrElse(
+                throw ScriptError(line, "write_edge_bucketed needs COL N"))
+              if (outs.isEmpty)
+                throw ScriptError(line, "write_edge_bucketed requires -o dir [OBJ]")
+              in0.select("src", "dst")
+                .write.format("graft.sources.EdgeListSource")
+                .option("bucketBy", bcol).option("numBuckets", n.toString)
+                .mode("overwrite").save(resolve(outs.head))
+              outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
             case "dedup_exact" =>
               sinkAndBind(Dedup.exact(in0, col("doc_id"), col("text")), outs, line)
             case "minhash_sig" =>
@@ -553,6 +568,9 @@ object OinkScript {
               sinkAndBind(TextAnalysis.pmiCollocations(in0, col("text"), minC, topN), outs, line)
             case "quality" =>
               sinkAndBind(TextAnalysis.quality(in0, col("doc_id"), col("text")), outs, line)
+            case "classify" =>
+              // hashed-n-gram linear quality scorer (fastText-style)
+              sinkAndBind(TextAnalysis.classify(in0, col("doc_id"), col("text")), outs, line)
             case "tokens" =>
               sinkAndBind(TextAnalysis.tokenCounts(in0, col("doc_id"), col("text")), outs, line)
             case "fingerprint" =>

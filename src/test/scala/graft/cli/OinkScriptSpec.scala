@@ -634,4 +634,24 @@ class OinkScriptSpec extends SparkSpec {
     val got = reg("mv")
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
+
+  test("classify and write_edge_bucketed verbs run from scripts") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(docs).exists())
+    val dir = Files.createTempDirectory("oinkbkt").toString
+    val reg = OinkScript.run(spark, Seq(
+      s"read_parquet -i $docs -o NULL docs",
+      "classify -i docs -o NULL scored",
+      "rmat 6 3 0.25 0.25 0.25 0.25 0.0 99 -o NULL mre",
+      s"write_edge_bucketed src 4 -i mre -o $dir/edges mre2",
+      s"read_edge_dsv2 -i $dir/edges -o NULL back"))
+    // classify equals the direct API call
+    val direct = graft.text.TextAnalysis.classify(
+      spark.read.parquet(docs), col("doc_id"), col("text"))
+    assert(reg("scored").exceptAll(direct).isEmpty &&
+      direct.exceptAll(reg("scored")).isEmpty)
+    // the bucketed sink persisted the layout and kept every row
+    assert(graft.sources.BucketSpecIO.read(s"$dir/edges") === Some(("src", 4)))
+    assert(reg("back").count() === reg("mre").count())
+  }
 }
