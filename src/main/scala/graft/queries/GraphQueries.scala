@@ -425,6 +425,60 @@ object GraphQueries {
       }
     }),
 
+    // MIXED storage-partitioned join — the realistic 100 TB refresh
+    // shape: the standing fact table is bucketed, the fresh batch is
+    // not; with v2 bucketing-shuffle enabled, ONLY the batch side
+    // shuffles (hashed by the catalog's own bucket function into the
+    // reported partitioning) and the standing side moves zero bytes.
+    // The in-query audit requires exactly ONE ShuffleExchange in the
+    // whole executed plan (batch side; the join and the group-by ride
+    // the layout). This is also the function-evaluation contract test:
+    // if BoundBucket.produceResult disagreed with the writer's hash,
+    // batch rows would land in wrong partitions and matches would
+    // silently vanish — the oracle's exact counts would catch it.
+    "g_dsv2_bucket_mixed" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bm_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/standing")
+      e.where(col("dst") % 3 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .repartition(2)
+        .write.format(fmtName).mode("overwrite").save(s"$root/batch")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n_two_paths,
+             |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+             |FROM graft.`$root/standing` a
+             |JOIN graft.`$root/batch` b ON a.src = b.src
+             |GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint()
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join:\n" + df.queryExecution.executedPlan)
+        val shuffles = nodes.filter(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        require(shuffles.size == 1,
+          s"expected exactly the batch-side shuffle, got ${shuffles.size}:\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // BUCKET PRUNING through the gate (the layout's read-side dividend
     // beyond joins): a point filter on the bucket column keeps only
     // files whose `-b<k>` tag can hold a match — exact, because a
@@ -1033,6 +1087,17 @@ object GraphQueries {
          |SELECT src, count(*) AS out_deg, min(dst) AS min_dst,
          |  max(dst) AS max_dst
          |FROM edges WHERE dst >= 5 GROUP BY src""".stripMargin,
+
+    // the batch side is the dst%3 reversed subset; the plan shape
+    // (one-sided shuffle) is invisible to the result
+    "g_dsv2_bucket_mixed" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n_two_paths,
+         |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+         |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges
+         |  WHERE dst % 3 = 0) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
 
     // the pruning is a planning optimization: only the filter shows
     "g_dsv2_bucket_prune" ->

@@ -160,6 +160,51 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       "degraded table should not report key-grouped partitioning")
   }
 
+  test("mixed join: only the unbucketed side shuffles, into OUR bucket function") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    a.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/a")
+    // the fresh batch side: plain (unbucketed) connector table
+    val b = edges(1000).selectExpr("dst AS src", "src AS dst")
+    b.repartition(2).write.format(fmt).mode("overwrite").save(s"$root/b")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    // the shuffled side is hashed by BoundBucket.produceResult: any
+    // disagreement with the writer's BucketHash would land rows in the
+    // wrong partition and silently DROP matches — the count equality
+    // below is the contract test
+    try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+           |  CAST(sum(b.dst) AS BIGINT) AS s
+           |FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src
+           |GROUP BY a.src""".stripMargin)
+      val rows = df.collect()
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      val shuffles = nodes.filter(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles.size === 1,
+        s"expected exactly the batch-side shuffle, got ${shuffles.size}:\n" +
+          df.queryExecution.executedPlan)
+      val truth = a.as("a").join(b.as("b"), "src")
+        .groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("b.dst")).cast("long").as("s"))
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucket pruning: a point filter plans only its buckets' files, exactly") {
     val root = tmp()
     edges(5000).repartition(3).write.format(fmt)
