@@ -250,6 +250,13 @@ private[sources] class EdgeListTable(path: String,
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
       var dropped = 0L
+      // refreshed zone map for the surviving rows: the rewrite parses
+      // every line anyway, so the sidecar stays EXACT (row counts feed
+      // estimateStatistics.numRows — a stale post-DELETE count would
+      // overstate cardinality as fact)
+      var kept = 0L
+      var minSrc = Long.MaxValue; var maxSrc = Long.MinValue
+      var minDst = Long.MaxValue; var maxDst = Long.MinValue
       try {
         var line = in.readLine()
         while (line != null) {
@@ -261,7 +268,13 @@ private[sources] class EdgeListTable(path: String,
               throw new IllegalArgumentException(
                 s"malformed edge line in $f: ${line.take(80)}")
             }
-          if (keep) { out.write(line); out.newLine() } else dropped += 1
+          if (keep) {
+            out.write(line); out.newLine()
+            kept += 1
+            val s = t(0).toLong; val d = t(1).toLong
+            if (s < minSrc) minSrc = s; if (s > maxSrc) maxSrc = s
+            if (d < minDst) minDst = d; if (d > maxDst) maxDst = d
+          } else dropped += 1
           line = in.readLine()
         }
       } finally { in.close(); out.close() }
@@ -269,6 +282,9 @@ private[sources] class EdgeListTable(path: String,
         java.nio.file.Files.move(tmp.toPath, f.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (kept > 0)
+          EdgeStats.write(f, EdgeStats(minSrc, maxSrc, minDst, maxDst, kept))
+        else EdgeStats.file(f).delete()
         rewrote = true
       } else tmp.delete()
     }
@@ -572,17 +588,31 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     }
 
   /** CBO/AQE sizing: raw bytes on disk (the text IS the row payload —
-    * no decode amplification worth modeling), rows ≈ bytes / the
-    * 8-byte "1 2\n"-scale lower bound is too coarse to claim; sizing
-    * alone already drives broadcast-side selection. */
+    * no decode amplification worth modeling). Row count: when EVERY
+    * planned file carries a zone-map sidecar and no filter was pushed,
+    * the sidecars' row counts sum to the EXACT scan cardinality
+    * (commit-time counts over immutable files) — free CBO statistics a
+    * text format normally can't offer; any filtered, sidecar-less, or
+    * agg-reshaped scan declines rather than estimates. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = plannedFiles().map(_._2).sum
+      private val files = plannedFiles()
+      private val bytes = files.map(_._2).sum
+      private val rows: Option[Long] =
+        if (pushed.nonEmpty || runtimeFilters.nonEmpty || aggs.nonEmpty ||
+            limit.isDefined)
+          None
+        else {
+          val counts = files.map { case (f, _) => EdgeStats.read(f) }
+          if (counts.nonEmpty && counts.forall(_.isDefined))
+            Some(counts.flatten.map(_.rows).sum)
+          else None
+        }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
 
   /** The bucket layout this scan can REPORT as key-grouped partitioning:

@@ -62,15 +62,41 @@ class EdgeListStatsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq === Seq((10L, 1000L)))
   }
 
-  test("bounds stay conservative across DELETE rewrites") {
+  test("DELETE refreshes the rewritten file's sidecar to exact bounds") {
     val root = twoFileTable()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
     spark.sql(s"DELETE FROM graft.`$root` WHERE src = 3")
-    // sidecar still present and still a valid (wider) bound
+    // the rewrite parses every surviving line anyway, so the sidecar is
+    // re-written EXACT (bounds narrowed, row count correct — the count
+    // feeds estimateStatistics.numRows, where stale would mean wrong)
     assert(plannedPartitions(root, col("src") === 1) === 1)
+    val stats = EdgeListSource.listFiles(root).flatMap(EdgeStats.read)
+    assert(stats.map(s => (s.minSrc, s.maxSrc, s.rows)).toSet ===
+      Set((1L, 2L, 2L), (10L, 11L, 2L)))
     assert(spark.read.format(Fmt).load(root).as[(Long, Long)]
       .collect().toSet ===
       Set((1L, 100L), (2L, 200L), (10L, 1000L), (11L, 1100L)))
+  }
+
+  test("exact numRows statistics when every planned file has a sidecar") {
+    val root = twoFileTable()
+    def reportedRows(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.stats.rowCount
+    assert(reportedRows(spark.read.format(Fmt).load(root)) ===
+      Some(BigInt(5)))
+    // a pushed filter makes the count an upper bound, not a fact:
+    // the scan declines rather than estimates
+    assert(reportedRows(spark.read.format(Fmt).load(root)
+      .where(col("src") === 1)).isEmpty)
+    // DELETE keeps the count exact through the sidecar refresh
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE src IN (1, 11)")
+    assert(reportedRows(spark.read.format(Fmt).load(root)) ===
+      Some(BigInt(3)))
+    // a sidecar-less file (hand-dropped: the crash-between-renames
+    // shape) downgrades the whole report — never a wrong number
+    EdgeStats.file(EdgeListSource.listFiles(root).head).delete()
+    assert(reportedRows(spark.read.format(Fmt).load(root)).isEmpty)
   }
 
   test("DELETE + immediate filtered read is exact under stale zone maps") {
@@ -87,7 +113,13 @@ class EdgeListStatsSpec extends SparkSpec {
     // max (src=3), file2 loses its max (src=11)
     spark.sql(s"DELETE FROM graft.`$root` WHERE src IN (1, 3, 11)")
     val truth = Set((2L, 200L), (10L, 1000L))
-    // sidecars are STALE by construction (old bounds, old row counts)
+    // deleteWhere refreshes sidecars now, so STALENESS is constructed
+    // by hand — the crash-between-rename-and-sidecar shape: write the
+    // ORIGINAL (pre-DELETE) maps back over the fresh ones
+    val byMin = EdgeListSource.listFiles(root)
+      .sortBy(f => EdgeStats.read(f).get.minSrc)
+    EdgeStats.write(byMin(0), EdgeStats(1L, 3L, 100L, 300L, 3L))
+    EdgeStats.write(byMin(1), EdgeStats(10L, 11L, 1000L, 1100L, 2L))
     val stats = EdgeListSource.listFiles(root).flatMap(EdgeStats.read)
     assert(stats.map(s => (s.minSrc, s.maxSrc)).toSet ===
       Set((1L, 3L), (10L, 11L)), "precondition: maps must still be stale")
