@@ -350,6 +350,52 @@ object Bench {
       val tf = (1 to 3).map(_ => timeIt(full())).sorted
       Seq("cc_inc_refresh_sec" -> tr(1), "cc_full_recompute_sec" -> tf(1))
     }
+    // Storage-partitioned join vs plain shuffled join through the
+    // connector (round 11): the same ~10M-row fact and its per-key
+    // dim, written once bucketed (the layout pays the shuffle at
+    // write) and once plain; the SPJ plan moves ZERO fact/dim bytes at
+    // join time, the plain plan exchanges both sides every query. The
+    // gap is what the layout buys EVERY downstream join on the key.
+    val bucketSpj = section("bucket_spj") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_spj_")
+        .toFile
+      root.deleteOnExit()
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        .crossJoin(broadcast(spark.range(16).toDF("rep")))
+        .select((col("src") * 16 + col("rep")).as("src"), col("dst"))
+      val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("dst"))
+      e.repartition(8).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/fact_b")
+      deg.repartition(8).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/dim_b")
+      e.repartition(8).write.format(fmtName)
+        .mode("overwrite").save(s"$root/fact_p")
+      deg.repartition(8).write.format(fmtName)
+        .mode("overwrite").save(s"$root/dim_p")
+      def q(fa: String, di: String) =
+        s"SELECT /*+ MERGE(a) */ count(*) AS n, " +
+          s"CAST(sum(a.dst + b.dst) AS BIGINT) AS s " +
+          s"FROM graft.`$root/$fa` a JOIN graft.`$root/$di` b " +
+          "ON a.src = b.src"
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      def spj(): Unit = {
+        keys.foreach(spark.conf.set(_, "true"))
+        try materialize(spark.sql(q("fact_b", "dim_b")))
+        finally keys.foreach(spark.conf.unset)
+      }
+      def plain(): Unit = materialize(spark.sql(q("fact_p", "dim_p")))
+      spj(); plain() // warm
+      val ts = (1 to 3).map(_ => timeIt(spj())).sorted
+      val tp = (1 to 3).map(_ => timeIt(plain())).sorted
+      Seq("bucket_spj_join_sec" -> ts(1), "bucket_shuffle_join_sec" -> tp(1))
+    }
     // Multi-index aHash probe vs brute-force all-pairs Hamming
     // (round 10) on a HIGH-ENTROPY fingerprint corpus (200k standing,
     // 2k batch with planted 1-bit flips). Honest reading: at this
@@ -446,7 +492,7 @@ object Bench {
     // real media the decode the index amortizes dominates by orders
     // of magnitude.
     val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
-      changesFeed ++ ccInc ++ ahashIdx
+      changesFeed ++ ccInc ++ bucketSpj ++ ahashIdx
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

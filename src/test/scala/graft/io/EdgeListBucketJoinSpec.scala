@@ -243,6 +243,52 @@ class EdgeListBucketJoinSpec extends SparkSpec {
     assert(rng.count() === edges(5000).where(col("src") < 3L).count())
   }
 
+  test("SPJ survives time travel: a pinned snapshot still joins exchange-free") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/a")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/b")
+    val v = graft.sources.EdgeLog
+      .currentVersion(new java.io.File(s"$root/a")).get
+    // later append grows the live table; the pinned snapshot's file set
+    // is still fully tagged and reports the same layout
+    edges(100).write.format(fmt).mode("append").save(s"$root/a")
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src, count(*) AS n
+           |FROM graft.`$root/a` VERSION AS OF $v a
+           |JOIN graft.`$root/b` b ON a.src = b.src
+           |GROUP BY a.src""".stripMargin)
+      val n = df.collect().map(_.getLong(1)).sum
+      assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[Exchange]) === 0)
+      val truth = edges(2000).join(edges(2000), "src").count()
+      assert(n === truth, "pinned snapshot must exclude the later append")
+    }
+  }
+
+  test("weighted bucketed table: fanout keeps the third column, SPJ holds") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val w = edges(2000).withColumn("weight",
+      (col("src") % 5 + 1).cast("double"))
+    w.repartition(3).write.format(fmt)
+      .option("withWeight", "true")
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/w")
+    val back = spark.read.format(fmt).option("withWeight", "true")
+      .load(s"$root/w")
+    assert(back.count() === 2000)
+    assert(back.agg(sum("weight")).head().getDouble(0) ===
+      w.agg(sum("weight")).head().getDouble(0))
+    graft.sources.EdgeListSource.listFiles(s"$root/w").foreach(f =>
+      assert(graft.sources.BucketSpecIO.bucketOf(f.getName).isDefined))
+  }
+
   test("DELETE preserves tags and the layout keeps joining exchange-free") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
