@@ -226,6 +226,31 @@ object PipelineQueries {
           col("stopword_ratio"), col("rep_ratio"))
     }),
 
+    // The curation pipeline with the LEARNED scorer as a conjunct
+    // (r11): rule filters (language, length, stopword, repetition,
+    // exact-dedup keeper) AND the hashed-n-gram classifier's keep —
+    // the fastText-style complement wired into the decision, not just
+    // scored beside it. Integer score carried through for ranking.
+    "d_curate_learned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lang = graft.text.TextAnalysis.langId(d, col("doc_id"), col("text"))
+      val q = graft.text.TextAnalysis.quality(d, col("doc_id"), col("text"))
+        .select("doc_id", "n_tokens", "stopword_ratio")
+      val r = graft.text.TextAnalysis.repetition(d, col("doc_id"), col("text"))
+        .select("doc_id", "rep_ratio")
+      val c = graft.text.TextAnalysis.classify(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("score"), col("keep"))
+      val keep = Dedup.exact(d, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      lang.join(q, "doc_id").join(r, "doc_id").join(c, "doc_id")
+        .join(keep, "doc_id")
+        .where(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
+          col("stopword_ratio") >= 0.02 && col("rep_ratio") <= 0.05 &&
+          col("keep"))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("score"))
+    }),
+
     // Dedup cluster assignment: CC over the LSH candidate graph, keeper
     // = min doc_id per cluster — the production "which docs to drop".
     "d_dedup_clusters" -> ((s, dir) =>
@@ -1642,6 +1667,22 @@ object PipelineQueries {
          |JOIN (SELECT keeper_id AS doc_id FROM x) k USING (doc_id)
          |WHERE l.lang_pred = 'en' AND q.n_tokens >= 30
          |  AND q.stopword_ratio >= 0.02 AND r.rep_ratio <= 0.05""".stripMargin,
+
+    // d_curate's CTE chain plus the classifier's keep as a conjunct
+    "d_curate_learned" ->
+      s"""WITH l AS (${TextQueries.oracles("t_langid")}),
+         |q AS (${TextQueries.oracles("t_quality")}),
+         |r AS (${TextQueries.oracles("t_repetition")}),
+         |c AS (${TextQueries.oracles("t_classify")}),
+         |x AS (SELECT ${H("text")} AS content_hash, min(doc_id) AS keeper_id
+         |      FROM documents GROUP BY 1)
+         |SELECT doc_id, l.lang_pred, q.n_tokens, c.score
+         |FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |JOIN c USING (doc_id)
+         |JOIN (SELECT keeper_id AS doc_id FROM x) k USING (doc_id)
+         |WHERE l.lang_pred = 'en' AND q.n_tokens >= 30
+         |  AND q.stopword_ratio >= 0.02 AND r.rep_ratio <= 0.05
+         |  AND c.keep""".stripMargin,
 
     "d_exact_inc" ->
       s"""WITH oldh AS (SELECT DISTINCT ${H("text")} AS content_hash
