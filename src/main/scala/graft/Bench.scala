@@ -368,15 +368,24 @@ object Bench {
         .crossJoin(broadcast(spark.range(16).toDF("rep")))
         .select((col("src") * 16 + col("rep")).as("src"), col("dst"))
       val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("dst"))
-      e.repartition(8).write.format(fmtName)
-        .option("bucketBy", "src").option("numBuckets", "8")
+      // bucket count = TARGET JOIN PARALLELISM (here local[32]): the
+      // key-grouped join runs one task per bucket, so under-bucketing
+      // clamps the join to fewer cores than the plain plan's 32-way
+      // exchange gets (measured: 8 buckets on 32 cores lost more to
+      // idle cores than the exchange cost) — the same sizing rule as
+      // cluster bucketing
+      e.repartition(4).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "32")
         .mode("overwrite").save(s"$root/fact_b")
-      deg.repartition(8).write.format(fmtName)
-        .option("bucketBy", "src").option("numBuckets", "8")
+      deg.repartition(4).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "32")
         .mode("overwrite").save(s"$root/dim_b")
-      e.repartition(8).write.format(fmtName)
+      // same FILE COUNT as the fanout layout (4 tasks x 32 buckets =
+      // 128): local file-open overhead would otherwise mask the
+      // exchange the pair is meant to isolate
+      e.repartition(128).write.format(fmtName)
         .mode("overwrite").save(s"$root/fact_p")
-      deg.repartition(8).write.format(fmtName)
+      deg.repartition(128).write.format(fmtName)
         .mode("overwrite").save(s"$root/dim_p")
       def q(fa: String, di: String) =
         s"SELECT /*+ MERGE(a) */ count(*) AS n, " +
