@@ -81,7 +81,13 @@ private[graft] object BucketSpecIO {
   * lets Catalyst resolve a reported `bucket(n, col)` transform and
   * prove two scans share a layout (`TransformExpression` compatibility
   * is by the bound function's `canonicalName`). Signature follows the
-  * V2 bucket-transform convention: (numBuckets INT, key BIGINT) → INT. */
+  * V2 bucket-transform convention: (numBuckets INT, key BIGINT) → INT.
+  *
+  * Sizing: the key-grouped join runs ONE task per bucket, so the
+  * bucket count is the join's parallelism ceiling — size it to the
+  * intended cluster width (measured locally: 8 buckets on 32 cores
+  * lost the exchange saving to idle cores; 32 buckets won 2.5× —
+  * SCALING.md round-11 section). */
 private[graft] object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
