@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_changes"),
       graft.functions.GraftFunctions.changesTvfBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_buckets"),
+      new ExpressionInfo(classOf[graft.sources.EdgeListSource].getName, "graft_buckets"),
+      graft.functions.GraftFunctions.bucketsTvfBuilder _))
   }
 }

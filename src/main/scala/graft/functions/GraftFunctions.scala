@@ -108,6 +108,46 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** `SELECT * FROM graft_buckets('path')` — the bucketed layout as a
+    * relation: one row per bucket with its file count, bytes, and
+    * sidecar row sum (NULL when any of the bucket's files lacks a
+    * sidecar). The DESCRIBE-layout face of storage-partitioned joins:
+    * what an operator checks before relying on co-location, and where
+    * bucket-level skew shows up before a job does. Errors on an
+    * unbucketed table — absence of layout is a fact, not an empty
+    * relation. */
+  private[graft] def bucketsTvfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 && exprs.head.foldable,
+      "graft_buckets expects one literal path STRING")
+    val path = exprs.head.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"graft_buckets path: got $other")
+    }
+    val (col, n) = graft.sources.BucketSpecIO.read(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"edge-list table $path has no bucketed layout (_graft_buckets)"))
+    val byBucket = graft.sources.EdgeListSource.listFiles(path)
+      .groupBy(f => graft.sources.BucketSpecIO.bucketOf(f.getName))
+    val rows = (0 until n).map { b =>
+      val fs = byBucket.getOrElse(Some(b), Seq.empty)
+      val sidecars = fs.map(graft.sources.EdgeStats.read)
+      (b, col, fs.size, fs.map(_.length()).sum,
+        if (fs.nonEmpty && sidecars.forall(_.isDefined))
+          Some(sidecars.flatten.map(_.rows).sum)
+        else if (fs.isEmpty) Some(0L)
+        else None)
+    } ++ byBucket.get(None).map(fs =>
+      // untagged files (pre-layout appends): surfaced, never hidden —
+      // their presence is exactly what degrades the partitioning report
+      (-1, col, fs.size, fs.map(_.length()).sum, Option.empty[Long]))
+    org.apache.spark.sql.SparkSession.active.createDataFrame(rows)
+      .toDF("bucket", "bucket_col", "n_files", "bytes", "rows")
+      .queryExecution.logical
+  }
+
   /** `SELECT * FROM graft_changes('path', fromV [, toV])` — the
     * append-only changes feed as a relation: the rows committed in
     * version window (fromV, toV] (toV defaults to the current

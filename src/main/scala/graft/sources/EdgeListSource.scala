@@ -1257,10 +1257,10 @@ private[sources] class EdgeListRowLevelOperation(path: String,
   * to parquet row-group statistics. Bounds stay CONSERVATIVE under
   * row deletion (removing rows can only narrow the true range), so
   * `deleteWhere` rewrites never invalidate a sidecar. */
-private[sources] case class EdgeStats(
+private[graft] case class EdgeStats(
     minSrc: Long, maxSrc: Long, minDst: Long, maxDst: Long, rows: Long)
 
-private[sources] object EdgeStats {
+private[graft] object EdgeStats {
   def file(dataFile: java.io.File): java.io.File =
     new java.io.File(new java.io.File(dataFile.getParentFile, "_stats"),
       dataFile.getName + ".zmap")

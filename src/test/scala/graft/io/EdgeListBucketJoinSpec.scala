@@ -289,6 +289,38 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       assert(graft.sources.BucketSpecIO.bucketOf(f.getName).isDefined))
   }
 
+  test("graft_buckets TVF describes the layout, per-bucket, exactly") {
+    val root = tmp()
+    edges(5000).repartition(2).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/t")
+    val desc = spark.sql(s"SELECT * FROM graft_buckets('$root/t')").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2), r.getLong(4))))
+      .toMap
+    assert(desc.keySet === Set(0, 1, 2, 3))
+    assert(desc.values.forall(_._1 == "src"))
+    // per-bucket row sums from sidecars reconcile to the table total
+    assert(desc.values.map(_._3).sum === 5000L)
+    // and each bucket's count equals the hash's truth
+    val truth = edges(5000).collect().groupBy(r =>
+      graft.sources.BucketHash.bucket(r.getLong(0), 4))
+      .view.mapValues(_.length.toLong).toMap
+    (0 until 4).foreach(b => assert(desc(b)._3 === truth.getOrElse(b, 0L)))
+    // an untagged file surfaces as bucket -1 with NULL rows
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/t", "part-legacy.txt").toPath,
+      "1 2\n".getBytes("UTF-8"))
+    val withLegacy = spark.sql(s"SELECT * FROM graft_buckets('$root/t')")
+      .collect().map(r => r.getInt(0) -> r.isNullAt(4)).toMap
+    assert(withLegacy(-1) === true)
+    // unbucketed table: absence of layout is an error, not empty
+    edges(10).write.format(fmt).mode("overwrite").save(s"$root/plain")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_buckets('$root/plain')").collect()
+    }
+    assert(e.getMessage.contains("no bucketed layout"))
+  }
+
   test("DELETE preserves tags and the layout keeps joining exchange-free") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
