@@ -113,6 +113,25 @@ object OinkScript {
       else new java.io.File(cwd, path).getPath
     }
 
+    // The connector writes exactly three shapes: (src,dst),
+    // (src,dst,weight), (src,dst,label). Select the widest one the
+    // input carries; a table with NEITHER src nor dst is a script
+    // error (not a bare AnalysisException), and extra columns beyond
+    // the edge shape are named in the error rather than dropped.
+    def edgeSinkColumns(df: DataFrame, line: String): DataFrame = {
+      val cols = df.columns.toSeq
+      if (!cols.contains("src") || !cols.contains("dst"))
+        throw ScriptError(line,
+          s"edge sink needs src and dst columns; got (${cols.mkString(", ")})")
+      val extra = cols.filterNot(Set("src", "dst", "weight", "label"))
+      if (extra.nonEmpty) throw ScriptError(line,
+        s"edge sink would drop columns (${extra.mkString(", ")}); " +
+          "project to (src, dst[, weight|label]) first")
+      if (cols.contains("weight")) df.select("src", "dst", "weight")
+      else if (cols.contains("label")) df.select("src", "dst", "label")
+      else df.select("src", "dst")
+    }
+
     def sinkAndBind(df: DataFrame, outs: Seq[String], line: String): Unit = {
       outs.headOption.filter(_ != "NULL").foreach { file =>
         if (df.isStreaming) throw ScriptError(line,
@@ -460,24 +479,27 @@ object OinkScript {
                 .toDF("version", "committed_at_ms", "n_files", "bytes"),
                 outs, line)
             case "write_edge_dsv2" =>
-              // sink verb: emit (src, dst) through the connector's
-              // temp-file + rename commit; -o DIR [OBJ]
+              // sink verb: emit edges through the connector's
+              // temp-file + rename commit; -o DIR [OBJ]. Preserves a
+              // weight/label column when present (the connector's
+              // three on-disk shapes), never silently drops one.
               if (outs.isEmpty) throw ScriptError(line, "write_edge_dsv2 requires -o dir [OBJ]")
-              in0.select("src", "dst")
+              edgeSinkColumns(in0, line)
                 .write.format("graft.sources.EdgeListSource")
                 .mode("overwrite").save(resolve(outs.head))
               outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
             case "write_edge_bucketed" =>
               // bucketed sink: write_edge_bucketed COL N -o DIR [OBJ] —
               // pays the layout shuffle once; every later join/point
-              // probe on COL rides it (SPJ + bucket pruning)
+              // probe on COL rides it (SPJ + bucket pruning).
+              // weight/label pass through like write_edge_dsv2.
               val bcol = pos.lift(0).getOrElse(
                 throw ScriptError(line, "write_edge_bucketed needs COL N"))
               val n = pos.lift(1).map(_.toInt).getOrElse(
                 throw ScriptError(line, "write_edge_bucketed needs COL N"))
               if (outs.isEmpty)
                 throw ScriptError(line, "write_edge_bucketed requires -o dir [OBJ]")
-              in0.select("src", "dst")
+              edgeSinkColumns(in0, line)
                 .write.format("graft.sources.EdgeListSource")
                 .option("bucketBy", bcol).option("numBuckets", n.toString)
                 .mode("overwrite").save(resolve(outs.head))

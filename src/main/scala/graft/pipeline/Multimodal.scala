@@ -853,8 +853,11 @@ object Multimodal {
   def aHashNearDupAuto(standingIndex: DataFrame, standing: DataFrame,
       batch: DataFrame, maxDist: Int,
       bruteMaxPairs: Long = 10000000000L): DataFrame = {
-    val pairs = standing.count() * batch.count()
-    if (pairs <= bruteMaxPairs) aHashNearDupBrute(standing, batch, maxDist)
+    // Overflow-safe pair-product test: at 100 TB counts the raw product
+    // sc*bc can wrap past 2^63 negative and falsely select brute (OOM).
+    val sc = standing.count(); val bc = batch.count()
+    val bruteOk = bc == 0L || sc <= bruteMaxPairs / bc
+    if (bruteOk) aHashNearDupBrute(standing, batch, maxDist)
     else aHashNearDupProbe(standingIndex, standing, batch, maxDist)
   }
 

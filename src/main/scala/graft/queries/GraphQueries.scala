@@ -425,6 +425,144 @@ object GraphQueries {
       }
     }),
 
+    // SORTED storage-partitioned join — the full layout contract: both
+    // tables bucketed AND sorted by the join key at write time (the
+    // writer demands an in-partition ascending sort; the `_graft_buckets`
+    // sidecar records `sorted`; every bucket's files are internally
+    // ordered), the scans report per-partition ordering
+    // (SupportsReportOrdering) over one merge-read partition per
+    // bucket, and the sort-merge join plans with ZERO Exchange and
+    // ZERO Sort — both halves of the shuffle+sort paid once at write
+    // time, the reference's sort_keys (mapreduce.cpp:2007-2054)
+    // amortized into the layout. The in-query audit walks the EXECUTED
+    // plan (AQE stages included) for both absences.
+    "g_dsv2_bucket_sorted" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bs_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(3).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/out_edges")
+      e.select(col("dst").as("src"), col("src").as("dst"))
+        .repartition(3).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/in_edges")
+      require(graft.sources.BucketSpecIO.sortedOf(s"$root/out_edges") &&
+        graft.sources.BucketSpecIO.sortedOf(s"$root/in_edges"),
+        "bucketed writes must persist the sorted-layout flag")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n_two_paths,
+             |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+             |FROM graft.`$root/out_edges` a
+             |JOIN graft.`$root/in_edges` b ON a.src = b.src
+             |GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint() // executes the join
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join over the sorted bucketed tables:\n" +
+            df.queryExecution.executedPlan)
+        val exchanges = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(exchanges.isEmpty,
+          s"sorted bucketed join planned ${exchanges.size} Exchange(s):\n" +
+            df.queryExecution.executedPlan)
+        val sorts = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+        require(sorts.isEmpty,
+          s"sorted bucketed join planned ${sorts.size} Sort(s) — the " +
+            s"layout ordering was not honored:\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // SPJ SKEW MITIGATION (partially-clustered distribution) — the one
+    // shape plain SPJ cannot survive at 100 TB: a skewed key inside one
+    // bucket pins that bucket's row mass to a single task, because the
+    // key-grouped join runs one task per bucket and AQE cannot split a
+    // pinned partitioning. The reference hand-built the mitigation in
+    // cc_find's big-zone splitting (oink/cc_find.cpp:38-109); the
+    // engine's equivalent is Spark's partially-clustered distribution
+    // over the connector's chunk-granular splits: the fact side's hot
+    // bucket stays UNGROUPED (its files become separate tasks) and the
+    // small dim's groups are replicated to match — still zero shuffle
+    // of the fact. In-query audit: SMJ, no Exchange below the join,
+    // partial-clustering flags on both scans, fact task count ABOVE the
+    // bucket count (the split happened), dim task count equal to it
+    // (the replication happened). The oracle computes the same skewed
+    // join from the derived tables and never sees the layout.
+    "g_dsv2_bucket_skew" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2sk_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      // hot key 7 carries ~25% of the fact; 4 write tasks x 8 buckets
+      // give the hot bucket several files (= several splittable chunks)
+      e.selectExpr("CASE WHEN src % 4 = 0 THEN 7L ELSE src END AS src", "dst")
+        .repartition(4).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/fact")
+      e.groupBy("src").agg(count(lit(1)).as("dst"))
+        .repartition(1).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/dim")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+          -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+             |  CAST(sum(a.dst + b.dst) AS BIGINT) AS s
+             |FROM graft.`$root/fact` a JOIN graft.`$root/dim` b
+             |ON a.src = b.src GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint()
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        val smj = nodes.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+          .getOrElse(throw new IllegalStateException(
+            s"no SMJ:\n${df.queryExecution.executedPlan}"))
+        require(graft.plans.PlanWalk.nodes(smj)
+            .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) == 0,
+          s"exchange below the join:\n${df.queryExecution.executedPlan}")
+        val scans = nodes.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        val fact = scans.find(_.scan.description().contains("/fact")).get
+        val dim = scans.find(_.scan.description().contains("/dim")).get
+        require(fact.spjParams.applyPartialClustering &&
+            !fact.spjParams.replicatePartitions,
+          "fact side did not partially cluster")
+        require(dim.spjParams.replicatePartitions,
+          "dim side was not replicated")
+        val factTasks = fact.inputRDDs().head.getNumPartitions
+        val dimTasks = dim.inputRDDs().head.getNumPartitions
+        require(factTasks > 8,
+          s"hot bucket not split: $factTasks tasks for 8 buckets")
+        require(dimTasks == factTasks,
+          s"dim not replicated to match: $dimTasks vs $factTasks")
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // MIXED storage-partitioned join — the realistic 100 TB refresh
     // shape: the standing fact table is bucketed, the fresh batch is
     // not; with v2 bucketing-shuffle enabled, ONLY the batch side
@@ -508,7 +646,12 @@ object GraphQueries {
       val files = graft.sources.EdgeListSource.listFiles(s"$root/edges")
       val expected = files.count(f => graft.sources.BucketSpecIO
         .bucketOf(f.getName).exists(allowedB.contains))
-      val scanned = scans.map(_.inputPartitions.size).sum
+      // planned FILES, not partitions — a sorted layout plans one
+      // merged partition per bucket carrying that bucket's file list
+      val scanned = scans.flatMap(_.inputPartitions.flatMap {
+        case s: graft.sources.SortedBucketFiles => s.files.map(_._1)
+        case e: graft.sources.EdgeRange => Seq(e.file)
+      }).distinct.size
       require(scanned == expected && expected < files.size,
         s"bucket pruning inactive: scanned=$scanned expected=$expected " +
           s"of ${files.size} files")
@@ -1104,6 +1247,29 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE src IN (7, 11, 40) GROUP BY src""".stripMargin,
+
+    // the skew mitigation is a planning optimization: the oracle sees
+    // only the skewed join, never the split/replicated plan
+    "g_dsv2_bucket_skew" ->
+      s"""WITH edges AS ($E),
+         |fact AS (SELECT CASE WHEN src % 4 = 0 THEN 7 ELSE src END AS src,
+         |  dst FROM edges),
+         |dim AS (SELECT src, CAST(count(*) AS BIGINT) AS dst FROM edges
+         |  GROUP BY src)
+         |SELECT a.src AS v, count(*) AS n,
+         |  CAST(sum(a.dst + b.dst) AS BIGINT) AS s
+         |FROM fact a JOIN dim b ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
+
+    // the sorted layout is a planning optimization: the oracle sees
+    // only the 2-paths aggregate, never the zero-Exchange/zero-Sort plan
+    "g_dsv2_bucket_sorted" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n_two_paths,
+         |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+         |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
 
     // 2-paths through each vertex: out-edges joined to in-edges on the
     // shared middle vertex — the layout (bucketed files, SPJ plan) is

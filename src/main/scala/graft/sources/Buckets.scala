@@ -40,8 +40,17 @@ private[graft] object BucketHash {
 }
 
 /** The persisted bucket layout of a table: `_graft_buckets` sidecar
-  * holding `<col> <numBuckets>`. Absent file = unbucketed (every
-  * pre-existing table). */
+  * holding `<col> <numBuckets>[ sorted]`. Absent file = unbucketed
+  * (every pre-existing table). The optional third token records that
+  * EVERY committed data file is internally sorted ascending by the
+  * bucket column — the `SORTED BY` half of the layout contract
+  * (the reference's `sort_keys`, `mapreduce.cpp:2007-2054`, amortized
+  * into the write): reads of such a table report per-partition
+  * ordering ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]])
+  * and merge-read each bucket's files, so a storage-partitioned
+  * sort-merge join plans with zero Exchange AND zero Sort. Tables
+  * written before the flag existed read as unsorted — a weaker plan,
+  * never a wrong one. */
 private[graft] object BucketSpecIO {
   def file(root: java.io.File): java.io.File =
     new java.io.File(root, "_graft_buckets")
@@ -52,16 +61,33 @@ private[graft] object BucketSpecIO {
     else new String(java.nio.file.Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).trim.split("\\s+") match {
       case Array(col, n) if (col == "src" || col == "dst") &&
-          n.forall(_.isDigit) && n.toInt >= 1 => Some((col, n.toInt))
+          scala.util.Try(n.toInt).toOption.exists(_ >= 1) =>
+        Some((col, n.toInt))
+      case Array(col, n, "sorted") if (col == "src" || col == "dst") &&
+          scala.util.Try(n.toInt).toOption.exists(_ >= 1) =>
+        Some((col, n.toInt))
       case other => throw new IllegalStateException(
         s"corrupt _graft_buckets sidecar in $path: '${other.mkString(" ")}'" +
-          " (expected '<src|dst> <numBuckets>')")
+          " (expected '<src|dst> <numBuckets>[ sorted]')")
     }
   }
 
-  def write(root: java.io.File, spec: (String, Int)): Unit = {
+  /** Whether the sidecar carries the sorted-layout flag. Reading it
+    * never throws on a corrupt sidecar — [[read]] owns that error. */
+  def sortedOf(path: String): Boolean = {
+    val f = file(new java.io.File(path))
+    f.isFile && {
+      val t = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      t.length == 3 && t(2) == "sorted"
+    }
+  }
+
+  def write(root: java.io.File, spec: (String, Int),
+      sorted: Boolean = false): Unit = {
     java.nio.file.Files.write(file(root).toPath,
-      s"${spec._1} ${spec._2}\n".getBytes(StandardCharsets.UTF_8))
+      (s"${spec._1} ${spec._2}" + (if (sorted) " sorted" else "") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
     ()
   }
 

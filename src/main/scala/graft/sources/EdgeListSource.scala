@@ -547,7 +547,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     bucketSpec: Option[(String, Int)] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Validate recorded (file, length) pairs against the live
     * directory: data files are immutable once published, so an
@@ -629,6 +629,42 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         }
       }
 
+  /** The layout sort the scan can REPORT as per-partition output
+    * ordering ([[SupportsReportOrdering]] — the read half of the
+    * `SORTED BY` contract): only a sorted-flagged bucketed table, only
+    * a plain row scan, and only when the bucket column survives column
+    * pruning (the merge needs the key). Each bucket's files are then
+    * planned as ONE [[SortedBucketFiles]] partition read through a
+    * k-way merge, so every output partition is ascending in the bucket
+    * column and a storage-partitioned sort-merge join plans with zero
+    * Exchange AND zero Sort — the reference's `sort_keys`
+    * (`mapreduce.cpp:2007-2054`) amortized into the layout. */
+  private def sortedBuckets: Option[(String, Int)] =
+    reportableBuckets.filter { case (c, _) =>
+      BucketSpecIO.sortedOf(path) && required.fieldNames.contains(c) &&
+        // SKEW INTERPLAY: under partially-clustered distribution the
+        // planner splits a hot bucket across that bucket's input
+        // partitions — a single merged partition per bucket would pin
+        // the hot bucket to one task. When the user opts into skew
+        // mitigation, keep the chunk-granular (splittable) planning and
+        // give up the ordering report (the join re-sorts; skew tail
+        // beats sort cost exactly when the user flips this conf).
+        !org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "false").toBoolean
+    }
+
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortedBuckets match {
+      case Some((c, _)) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None =>
+        Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    }
+
   /** Storage-partitioned-join face ([[SupportsReportPartitioning]]):
     * a fully-bucketed table reports `bucket(n, col)` key-grouped
     * partitioning — each chunk carries its bucket id — so two tables
@@ -658,22 +694,31 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   // a row-level-operation rewrite scan must see EVERY current row:
   // advertising no filterable attributes keeps runtime/group filtering
   // away from it (runtimePrunable = false there). A key-grouped-
-  // reporting scan opts out too: runtime filtering may drop whole
-  // buckets from the plan, and Spark requires the reported partitioning
-  // be preserved across filter() — degrading the filter is safe,
-  // degrading the partitioning mid-plan is not.
+  // reporting scan DOES participate (the 100 TB star-join shape: a
+  // broadcast dim's build-side key set prunes the bucketed fact's
+  // buckets/files at execution) but advertises ONLY the bucket column,
+  // and [[planInputPartitions]] pads runtime-emptied buckets with
+  // explicit empty partitions so the reported KeyGroupedPartitioning's
+  // value universe survives filter() — Spark requires the partitioning
+  // be preserved across runtime filtering, and an absent value would
+  // degrade it mid-plan.
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!runtimePrunable || reportableBuckets.isDefined)
+    if (!runtimePrunable)
       Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
-    else
-      // only columns that SURVIVED pruning: Spark resolves these against
-      // the scan's output, and a dst reference on a src-only scan is an
-      // analysis crash inside PartitionPruning (surfaced the first time
-      // two pruned connector scans met in a join)
-      Array("src", "dst")
-        .filter(c => readSchema().fieldNames.contains(c))
-        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    else reportableBuckets match {
+      case Some((c, _)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(c))
+          .filter(_ => readSchema().fieldNames.contains(c))
+      case None =>
+        // only columns that SURVIVED pruning: Spark resolves these
+        // against the scan's output, and a dst reference on a src-only
+        // scan is an analysis crash inside PartitionPruning (surfaced
+        // the first time two pruned connector scans met in a join)
+        Array("src", "dst")
+          .filter(c => readSchema().fieldNames.contains(c))
+          .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    }
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(EdgeListFilters.supported)
 
@@ -726,21 +771,63 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     // a validated snapshot/changes file equals its committed content,
     // so the current sidecar (if any) describes exactly these rows —
     // zone maps keep pruning under time travel and changes feeds
-    plannedFiles().flatMap { case (f, len) =>
-      val skip = len == 0 || (fs.nonEmpty && EdgeStats.read(f).exists(st =>
-        !EdgeListFilters.mayMatch(fs,
-          st.minSrc, st.maxSrc, st.minDst, st.maxDst))) ||
-        allowed.exists(ok => BucketSpecIO.bucketOf(f.getName)
-          .exists(b => !ok.contains(b)))
-      if (skip) Seq.empty
-      else (0L until len by chunkBytes).map { start =>
-        val end = math.min(start + chunkBytes, len)
-        if (keyed)
-          BucketedEdgeChunk(f.getAbsolutePath, start, end,
-            BucketSpecIO.bucketOf(f.getName).get)
-        else EdgeChunk(f.getAbsolutePath, start, end)
+    def keep(filters: Array[Filter],
+        okBuckets: Option[Set[Int]]): Seq[(java.io.File, Long)] =
+      plannedFiles().filterNot { case (f, len) =>
+        len == 0 || (filters.nonEmpty && EdgeStats.read(f).exists(st =>
+          !EdgeListFilters.mayMatch(filters,
+            st.minSrc, st.maxSrc, st.minDst, st.maxDst))) ||
+          okBuckets.exists(ok => BucketSpecIO.bucketOf(f.getName)
+            .exists(b => !ok.contains(b)))
       }
-    }.toArray
+    val kept = keep(fs, allowed)
+    // KeyGroupedPartitioning preservation under runtime filtering: the
+    // reported partition-value universe is what STATIC planning saw —
+    // a bucket emptied by a runtime (DPP) filter must still plan, as an
+    // explicit empty partition, or Spark would see the partitioning
+    // degrade mid-plan. Universe = buckets surviving static-only
+    // pruning.
+    val padBuckets: Seq[Int] =
+      if (!keyed || runtimeFilters.isEmpty) Nil
+      else {
+        val staticAllowed = bucketSpec.flatMap { case (c, n) =>
+          EdgeListFilters.allowedBuckets(pushed, c, n) }
+        val universe = keep(pushed, staticAllowed)
+          .flatMap { case (f, _) => BucketSpecIO.bucketOf(f.getName) }.toSet
+        val present = kept
+          .flatMap { case (f, _) => BucketSpecIO.bucketOf(f.getName) }.toSet
+        (universe -- present).toSeq.sorted
+      }
+    sortedBuckets match {
+      case Some((c, _)) =>
+        // sorted layout: one merge partition per bucket — whole files,
+        // no byte-range splits (the bucket count is the parallelism
+        // unit under SPJ anyway), merged on the bucket column so the
+        // partition's output IS the reported ordering
+        val keyOrd = required.fieldNames.indexOf(c)
+        (kept.groupBy { case (f, _) =>
+          BucketSpecIO.bucketOf(f.getName).get }
+          .toSeq.sortBy(_._1)
+          .map { case (b, files) =>
+            SortedBucketFiles(
+              files.map { case (f, len) => (f.getAbsolutePath, len) },
+              b, keyOrd): InputPartition
+          } ++
+          padBuckets.map(b =>
+            SortedBucketFiles(Nil, b, keyOrd): InputPartition)).toArray
+      case None =>
+        (kept.flatMap { case (f, len) =>
+          (0L until len by chunkBytes).map { start =>
+            val end = math.min(start + chunkBytes, len)
+            if (keyed)
+              BucketedEdgeChunk(f.getAbsolutePath, start, end,
+                BucketSpecIO.bucketOf(f.getName).get): InputPartition
+            else EdgeChunk(f.getAbsolutePath, start, end): InputPartition
+          }
+        } ++
+          padBuckets.map(b =>
+            SortedBucketFiles(Nil, b, -1): InputPartition)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -750,20 +837,112 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
 }
 
 /** One byte range of one data file — the unit of scan parallelism. */
-private[sources] sealed trait EdgeRange extends InputPartition {
+private[graft] sealed trait EdgeRange extends InputPartition {
   def file: String; def start: Long; def end: Long
 }
 
-private[sources] case class EdgeChunk(file: String, start: Long, end: Long)
+private[graft] case class EdgeChunk(file: String, start: Long, end: Long)
     extends EdgeRange
 
 /** A chunk of a bucket-tagged file: carries its bucket id as the
   * partition key, which is what lets Spark group both join sides'
   * chunks bucket-by-bucket (storage-partitioned join). */
-private[sources] case class BucketedEdgeChunk(file: String, start: Long,
+private[graft] case class BucketedEdgeChunk(file: String, start: Long,
     end: Long, bucket: Int) extends EdgeRange with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+}
+
+/** ALL files of one bucket of a sorted bucketed table, read as one
+  * k-way merge on the bucket column (`keyOrdinal` indexes the merge
+  * key in the OUTPUT columns): each file is internally sorted (the
+  * write demanded the sort), so the merged partition stream is sorted
+  * — what [[SupportsReportOrdering]] promises. */
+private[graft] case class SortedBucketFiles(files: Seq[(String, Long)],
+    bucket: Int, keyOrdinal: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+/** K-way merge reader over one bucket's internally-sorted files. Holds
+  * one [[EdgeChunkReader]] per file (bounded by files-per-bucket, not
+  * table size) and a binary heap of their current heads; rows surface
+  * in ascending merge-key order. EdgeChunkReader.get() allocates per
+  * row, so held heads are never clobbered by a reader's advance. */
+private[sources] class EdgeMergeReader(part: SortedBucketFiles,
+    columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
+    withWeight: Boolean, withLabel: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val readers: Array[EdgeChunkReader] = part.files.map {
+    case (f, len) => new EdgeChunkReader(EdgeChunk(f, 0L, len), columns,
+      pushed, skipMalformed, None, withWeight, withLabel)
+  }.toArray
+
+  // heap entries: (key, readerIdx) with the reader's current row held
+  // alongside; classic array binary heap, size = live readers
+  private val heapKey = new Array[Long](readers.length)
+  private val heapIdx = new Array[Int](readers.length)
+  private val heapRow = new Array[InternalRow](readers.length)
+  private var heapSize = 0
+  private var current: InternalRow = _
+  private val keyOrd = part.keyOrdinal
+
+  locally {
+    var i = 0
+    while (i < readers.length) {
+      if (readers(i).next()) push(readers(i).get().getLong(keyOrd),
+        i, readers(i).get())
+      i += 1
+    }
+  }
+
+  private def push(k: Long, idx: Int, row: InternalRow): Unit = {
+    var c = heapSize
+    heapKey(c) = k; heapIdx(c) = idx; heapRow(c) = row
+    heapSize += 1
+    while (c > 0 && heapKey((c - 1) / 2) > heapKey(c)) {
+      swap(c, (c - 1) / 2); c = (c - 1) / 2
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val k = heapKey(a); heapKey(a) = heapKey(b); heapKey(b) = k
+    val i = heapIdx(a); heapIdx(a) = heapIdx(b); heapIdx(b) = i
+    val r = heapRow(a); heapRow(a) = heapRow(b); heapRow(b) = r
+  }
+
+  private def siftDown(): Unit = {
+    var c = 0
+    var done = false
+    while (!done) {
+      val l = 2 * c + 1; val r = l + 1
+      var m = c
+      if (l < heapSize && heapKey(l) < heapKey(m)) m = l
+      if (r < heapSize && heapKey(r) < heapKey(m)) m = r
+      if (m == c) done = true else { swap(c, m); c = m }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (heapSize == 0) return false
+    current = heapRow(0)
+    val idx = heapIdx(0)
+    // refill from the reader that surfaced, keeping heap shape
+    if (readers(idx).next()) {
+      val row = readers(idx).get()
+      heapKey(0) = row.getLong(keyOrd); heapRow(0) = row
+    } else {
+      heapSize -= 1
+      heapKey(0) = heapKey(heapSize); heapIdx(0) = heapIdx(heapSize)
+      heapRow(0) = heapRow(heapSize)
+    }
+    siftDown()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = readers.foreach(_.close())
 }
 
 private[sources] class EdgeListReaderFactory(columns: Array[String],
@@ -774,7 +953,12 @@ private[sources] class EdgeListReaderFactory(columns: Array[String],
     withWeight: Boolean = false, withLabel: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (aggs.nonEmpty && groupBy.nonEmpty)
+    if (p.isInstanceOf[SortedBucketFiles])
+      // sorted layout: k-way merge of the bucket's files (plain row
+      // scans only — the planner never mixes this with pushed reshapes)
+      new EdgeMergeReader(p.asInstanceOf[SortedBucketFiles], columns,
+        pushed, skipMalformed, withWeight, withLabel)
+    else if (aggs.nonEmpty && groupBy.nonEmpty)
       new EdgeChunkGroupAggReader(p.asInstanceOf[EdgeRange], pushed,
         skipMalformed, aggs, groupBy, maxGroups)
     else if (aggs.nonEmpty)
@@ -1130,7 +1314,7 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
       case (Some(c), Some(n)) =>
         require(c == "src" || c == "dst",
           s"bucketBy must be src or dst; got '$c'")
-        require(n.forall(_.isDigit) && n.toInt >= 1,
+        require(scala.util.Try(n.toInt).toOption.exists(_ >= 1),
           s"numBuckets must be a positive integer; got '$n'")
         Some((c, n.toInt))
       case _ => throw new IllegalArgumentException(
@@ -1160,23 +1344,65 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
         "(src BIGINT, dst BIGINT, weight DOUBLE) or " +
         s"(src BIGINT, dst BIGINT, label BIGINT); got ${in.simpleString}")
     val bucketSpec = resolveBuckets()
-    new Write {
-      override def toBatch: BatchWrite =
-        new EdgeListBatchWrite(path, doTruncate, weighted, labeled,
-          bucketSpec)
-      override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        require(!doTruncate, "edge-list streaming sink supports Append " +
-          "output only (Complete would rewrite committed epochs)")
-        // a streaming epoch's published names carry the epoch id, not a
-        // bucket tag — bucketed layouts are a batch-write feature; the
-        // sink's untagged appends simply degrade the table's reported
-        // partitioning (read-side fallback), never its rows
-        require(Option(info.options().get("bucketBy")).isEmpty,
-          "the edge-list streaming sink does not write bucketed layouts")
-        new EdgeListStreamingWrite(path, weighted, labeled)
-      }
+    // SORTED BY as part of the layout (the reference's sort_keys,
+    // mapreduce.cpp:2007-2054, paid once at write time): every bucketed
+    // batch write demands an in-partition ascending sort on the bucket
+    // column, so each fanout file comes out internally sorted (the
+    // bucket filter preserves the task stream's relative order).
+    // Appending to a pre-flag unsorted table still writes sorted files
+    // but cannot upgrade the table flag — mixed eras stay unsorted.
+    val sortedFlag = bucketSpec.isDefined &&
+      (doTruncate || BucketSpecIO.read(path).isEmpty ||
+        BucketSpecIO.sortedOf(path))
+    new EdgeListWrite(path, doTruncate, weighted, labeled, bucketSpec,
+      sortedFlag, allowStreaming = true,
+      streamingBucketBy = Option(info.options().get("bucketBy")))
+  }
+}
+
+/** The connector's Write: bucketed batch writes additionally implement
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+  * (unspecified distribution — the caller owns task count — plus an
+  * in-partition ascending sort on the bucket column), which is what
+  * makes every committed bucket file internally sorted and lets reads
+  * report ordering. */
+private[sources] class EdgeListWrite(path: String, doTruncate: Boolean,
+    weighted: Boolean, labeled: Boolean,
+    bucketSpec: Option[(String, Int)], sortedFlag: Boolean,
+    allowStreaming: Boolean, streamingBucketBy: Option[String])
+    extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketSpec match {
+      case Some((col, _)) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(col),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None =>
+        Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     }
+
+  override def toBatch: BatchWrite =
+    new EdgeListBatchWrite(path, doTruncate, weighted, labeled,
+      bucketSpec, sortedFlag)
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(allowStreaming, "streaming not supported for this write")
+    require(!doTruncate, "edge-list streaming sink supports Append " +
+      "output only (Complete would rewrite committed epochs)")
+    // a streaming epoch's published names carry the epoch id, not a
+    // bucket tag — bucketed layouts are a batch-write feature; the
+    // sink's untagged appends simply degrade the table's reported
+    // partitioning (read-side fallback), never its rows
+    require(streamingBucketBy.isEmpty,
+      "the edge-list streaming sink does not write bucketed layouts")
+    new EdgeListStreamingWrite(path, weighted, labeled)
   }
 }
 
@@ -1238,14 +1464,14 @@ private[sources] class EdgeListRowLevelOperation(path: String,
               tableSchema.fields.map(_.dataType).toSeq,
           s"edge-list rewrite needs ${tableSchema.simpleString}; " +
             s"got ${in.simpleString}")
-        new Write {
-          override def toBatch: BatchWrite =
-            new EdgeListBatchWrite(path, truncate = true,
-              weighted = withWeight, labeled = withLabel,
-              // a rewrite replaces every file — re-bucket through the
-              // fanout writer so the standing layout survives DML
-              bucketSpec = BucketSpecIO.read(path))
-        }
+        // a rewrite replaces every file — re-bucket through the fanout
+        // writer so the standing layout survives DML; the demanded
+        // in-partition sort means the replacement files come out
+        // sorted, so the layout UPGRADES to sorted under a rewrite
+        new EdgeListWrite(path, doTruncate = true, weighted = withWeight,
+          labeled = withLabel, bucketSpec = BucketSpecIO.read(path),
+          sortedFlag = BucketSpecIO.read(path).isDefined,
+          allowStreaming = false, streamingBucketBy = None)
       }
     }
 }
@@ -1307,7 +1533,7 @@ private[sources] case class EdgeFileCommit(
 
 private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     weighted: Boolean = false, labeled: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None, sortedFlag: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1337,8 +1563,9 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     } }
     if (truncate) EdgeStats.dropOrphans(dir)
     // the layout is table state: persist it so later reads report the
-    // partitioning and later appends keep bucketing without the option
-    bucketSpec.foreach(BucketSpecIO.write(dir, _))
+    // partitioning (and, when sorted, the ordering) and later appends
+    // keep bucketing without the option
+    bucketSpec.foreach(BucketSpecIO.write(dir, _, sortedFlag))
     EdgeLog.commit(dir) // snapshot manifest: this commit's file set
   }
 
@@ -1453,46 +1680,88 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
     * layout a task keeps one Sink PER BUCKET IT SEES (Hive-style
     * fanout, lazily opened — a task whose rows hit 3 of 1024 buckets
     * opens 3 files), each tagged `-b<k>` so readers recover the bucket
-    * id from the committed name. */
+    * id from the committed name.
+    *
+    * OPEN-HANDLE CAP: a task never holds more than
+    * [[EdgeFileWriter.MaxOpenSinks]] streams — with bucket counts
+    * sized to cluster width (1024+) and 32 concurrent tasks, unbounded
+    * fanout would hit the process ulimit and hold 64 KB of buffer per
+    * bucket. Past the cap the least-recently-written sink's stream is
+    * closed (flushing it) and transparently reopened in APPEND mode on
+    * the next row for that bucket; the tmp file, its accumulated
+    * bytes, and the zone-map state are untouched, so eviction costs an
+    * open()/close(), never correctness or file count. */
   private final class Sink(suffix: String) {
     val tmp = new java.io.File(dir,
       f".part-$stamp-$partitionId%05d-$taskId$suffix.txt")
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(tmp), 1 << 16)
+    private var stream: java.io.BufferedOutputStream = null
+    var lastTouch = 0L
     var minSrc = Long.MaxValue
     var maxSrc = Long.MinValue
     var minDst = Long.MaxValue
     var maxDst = Long.MinValue
     var rows = 0L
+    // touch the filesystem eagerly so an all-evicted or row-less sink
+    // still has its (empty) tmp on disk for commit/abort to see
+    java.nio.file.Files.createFile(tmp.toPath)
+
+    def isOpen: Boolean = stream != null
+
+    /** Flush-and-close this sink's stream only (evicted, not done). */
+    def suspend(): Unit = if (stream != null) {
+      stream.close(); stream = null; openSinks -= this
+    }
+
+    private def out: java.io.BufferedOutputStream = {
+      if (stream == null) { // lazily opened / evicted: (re)open appending
+        evictIfFull()
+        stream = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp, true), 1 << 16)
+        openSinks += this
+      }
+      stream
+    }
 
     def write(r: InternalRow): Unit = {
+      touchCounter += 1; lastTouch = touchCounter
       val s = r.getLong(0); val d = r.getLong(1)
       if (s < minSrc) minSrc = s
       if (s > maxSrc) maxSrc = s
       if (d < minDst) minDst = d
       if (d > maxDst) maxDst = d
       rows += 1
-      out.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
-      out.write(' ')
-      out.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
+      val o = out // resolve (and possibly reopen) once per row
+      o.write(java.lang.Long.toString(s).getBytes(StandardCharsets.US_ASCII))
+      o.write(' ')
+      o.write(java.lang.Long.toString(d).getBytes(StandardCharsets.US_ASCII))
       if (weighted) {
-        out.write(' ')
+        o.write(' ')
         // Double.toString: shortest text that re-parses to the same
         // double — a write→read round trip is bit-exact
-        out.write(java.lang.Double.toString(r.getDouble(2))
+        o.write(java.lang.Double.toString(r.getDouble(2))
           .getBytes(StandardCharsets.US_ASCII))
       } else if (labeled) {
-        out.write(' ')
-        out.write(java.lang.Long.toString(r.getLong(2))
+        o.write(' ')
+        o.write(java.lang.Long.toString(r.getLong(2))
           .getBytes(StandardCharsets.US_ASCII))
       }
-      out.write('\n')
+      o.write('\n')
     }
 
     def entry: (String, Option[EdgeStats]) = (tmp.getAbsolutePath,
       if (rows == 0) None
       else Some(EdgeStats(minSrc, maxSrc, minDst, maxDst, rows)))
   }
+
+  // LRU open-stream bookkeeping shared by this task's sinks: bounded
+  // handles under wide fanout (advice: 1024+ buckets × 32 tasks would
+  // otherwise exhaust ulimit). A java LinkedHashSet keeps insertion
+  // order cheap to scan; lastTouch breaks the LRU tie exactly.
+  private val openSinks = scala.collection.mutable.Set.empty[Sink]
+  private var touchCounter = 0L
+  private def evictIfFull(): Unit =
+    while (openSinks.size >= EdgeFileWriter.MaxOpenSinks)
+      openSinks.minBy(_.lastTouch).suspend()
 
   private val plain: Sink = if (bucketSpec.isEmpty) new Sink("") else null
   private val buckets: Array[Sink] =
@@ -1518,7 +1787,15 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
     EdgeFileCommit(sinks.map(_.entry))
   }
   override def abort(): Unit = { close(); sinks.foreach(_.tmp.delete()) }
-  override def close(): Unit = sinks.foreach(_.out.close())
+  override def close(): Unit = sinks.foreach(_.suspend())
+}
+
+private[sources] object EdgeFileWriter {
+  /** Per-task open-stream ceiling for the bucketed fanout writer. 128
+    * streams × 64 KB buffers = 8 MB per task; 32 concurrent tasks stay
+    * comfortably under default ulimits (4096+). Sinks past the cap are
+    * suspended LRU and transparently reopened in append mode. */
+  val MaxOpenSinks: Int = 128
 }
 
 /** Streaming read of an append-only edge-list directory — the third

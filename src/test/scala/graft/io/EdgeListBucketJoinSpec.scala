@@ -211,11 +211,16 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       .option("bucketBy", "src").option("numBuckets", "8")
       .mode("overwrite").save(s"$root/t")
     val files = graft.sources.EdgeListSource.listFiles(s"$root/t")
+    // count planned FILES, not partitions: a sorted layout plans one
+    // merged partition per bucket holding that bucket's file list
     def scanSize(df: DataFrame): Int = {
       df.collect()
       graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.size
+          b.inputPartitions.flatMap {
+            case s: graft.sources.SortedBucketFiles => s.files.map(_._1)
+            case e: graft.sources.EdgeRange => Seq(e.file)
+          }.distinct.size
       }.sum
     }
     val full = spark.read.format(fmt).load(s"$root/t")
@@ -344,6 +349,104 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       df.collect()
       assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
         .count(_.isInstanceOf[Exchange]) === 0)
+    }
+  }
+
+  test("sorted layout: flagged sidecar, internally-sorted files, merged sorted partitions") {
+    val root = tmp()
+    // 4 write tasks x 8 buckets: multiple files per bucket, so the read
+    // MUST k-way merge (concatenation would interleave key runs)
+    edges(6000).repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/t")
+    assert(graft.sources.BucketSpecIO.sortedOf(s"$root/t"),
+      "bucketed write did not persist the sorted flag")
+    val files = graft.sources.EdgeListSource.listFiles(s"$root/t")
+    assert(files.count(f => graft.sources.BucketSpecIO
+      .bucketOf(f.getName).contains(0)) > 1,
+      "fixture too small: need >1 file in a bucket to prove the merge")
+    // on-disk contract: every file is non-decreasing in src
+    files.foreach { f =>
+      val keys = scala.io.Source.fromFile(f).getLines()
+        .map(_.split(" ")(0).toLong).toSeq
+      assert(keys == keys.sorted, s"${f.getName} is not sorted by src")
+    }
+    // read-side contract: each planned partition is one whole bucket,
+    // merged ascending
+    val df = spark.read.format(fmt).load(s"$root/t")
+    val perPart = df.select("src").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    assert(perPart.length === 8)
+    perPart.foreach(ks => assert(ks == ks.sorted, "partition not merged"))
+    // and nothing lost through the merge
+    assert(df.count() === 6000)
+    assert(df.groupBy("src", "dst").count()
+      .except(edges(6000).groupBy("src", "dst").count()).isEmpty)
+  }
+
+  test("sorted SPJ: sort-merge join with ZERO Exchange and ZERO Sort") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    val b = edges(4000).selectExpr("dst AS src", "src AS dst")
+    a.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/a")
+    b.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/b")
+    val out = withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+           |  CAST(sum(b.dst) AS BIGINT) AS s
+           |FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src
+           |GROUP BY a.src""".stripMargin)
+      val rows = df.collect()
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      assert(nodes.count(_.isInstanceOf[Exchange]) === 0,
+        s"Exchange survived:\n${df.queryExecution.executedPlan}")
+      assert(nodes.count(
+          _.isInstanceOf[org.apache.spark.sql.execution.SortExec]) === 0,
+        s"SortExec survived — reported ordering was not honored:\n" +
+          df.queryExecution.executedPlan)
+      rows
+    }
+    val truth = a.as("a").join(b.as("b"), "src")
+      .groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("b.dst")).cast("long").as("s"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
+  test("pre-flag (unsorted) sidecar degrades to a sorted-at-read SPJ, never a wrong plan") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/a")
+    edges(2000).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/b")
+    // simulate a table written before the sorted flag existed
+    graft.sources.BucketSpecIO.write(new java.io.File(s"$root/a"), ("src", 4))
+    assert(!graft.sources.BucketSpecIO.sortedOf(s"$root/a"))
+    withSpj {
+      val df = spark.sql(s"SELECT /*+ MERGE(a) */ a.src, count(*) AS n " +
+        s"FROM graft.`$root/a` a JOIN graft.`$root/b` b ON a.src = b.src " +
+        s"GROUP BY a.src")
+      val n = df.collect().length
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      // still exchange-free (bucketing holds) but the unsorted side
+      // must be sorted at read — at least one SortExec reappears
+      assert(nodes.count(_.isInstanceOf[Exchange]) === 0)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        "expected the degraded side to pay a read-side sort")
+      assert(n > 0)
     }
   }
 }

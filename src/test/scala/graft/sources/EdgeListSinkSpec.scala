@@ -103,4 +103,28 @@ class EdgeListSinkSpec extends SparkSpec {
       c.getMessage != null && c.getMessage.contains("Append output only")),
       s"unexpected failure: $e")
   }
+
+  test("bucketed fanout past the open-handle cap: LRU suspend/append-reopen loses nothing") {
+    // 300 buckets > MaxOpenSinks (128) in ONE task, keys interleaved so
+    // every bucket is revisited after eviction — the worst thrash shape
+    assert(EdgeFileWriter.MaxOpenSinks < 300)
+    val out = tmpDir("fanout")
+    val edges = (0L until 3000L).map(i => (i % 300, i))
+    edges.toDF("src", "dst").coalesce(1)
+      .write.format(Fmt)
+      .option("bucketBy", "src").option("numBuckets", "300")
+      .mode("overwrite").save(out)
+    assert(readBack(out) == edges.toSet.map((t: (Long, Long)) => t))
+    // every committed file is bucket-tagged and holds only its bucket
+    val files = EdgeListSource.listFiles(out)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val b = BucketSpecIO.bucketOf(f.getName)
+      assert(b.isDefined, f.getName)
+      scala.io.Source.fromFile(f).getLines().foreach { ln =>
+        val k = ln.split(" ")(0).toLong
+        assert(BucketHash.bucket(k, 300) == b.get, s"$k in ${f.getName}")
+      }
+    }
+  }
 }
