@@ -242,6 +242,104 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic RGB PNG synthesized per doc through the JDK's own
+    * encoder (`javax.imageio` — a REAL zlib-compressed PNG, not a fake
+    * container): w = 8 + id%16, h = 4 + id%8, and every pixel of row y
+    * is (r,g,b) = ((3·id+2·y)%256, (2·id+y)%256, (id+y)%256) —
+    * row-constant, so the per-channel sums the decoder must recover are
+    * closed-form over (doc_id, y) and a DuckDB oracle that cannot parse
+    * PNG states them exactly. */
+  def synthPng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 16).toInt
+    val h = (4 + docId % 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      val r = ((3 * docId + 2 * y) % 256).toInt
+      val g = ((2 * docId + y) % 256).toInt
+      val b = ((docId + y) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a synthetic PNG payload column (the image twin of
+    * [[withAviPayload]]). */
+  def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** A REAL-pixel PNG decode record: dimensions, channel count, and
+    * per-channel pixel sums plus the row-weighted red checksum a
+    * flipped or permuted row map cannot fake. */
+  final case class PngDecode(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_px: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      ysum_r: Long)
+
+  /** REAL image decode through the gate (r11 Missing #4 retired for the
+    * image path): decompresses genuine PNG bytes via `javax.imageio`
+    * and folds the raster into per-channel sums. Refuses to run unless
+    * `spark.graft.media.decoder=imageio` is active — this operator IS
+    * the real-codec path, a stub here would be a lie — and cross-checks
+    * the raster dimensions against [[ImageIODecoder.decode]] (the
+    * metadata face the rest of the engine uses) so the two decode
+    * surfaces can never drift apart. Undecodable bytes fail loudly with
+    * the doc id; PNG is a JDK-guaranteed codec. */
+  def pngDecodeFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[PngDecode] = {
+    import spark.implicits._
+    require(spark.conf.getOption("spark.graft.media.decoder")
+        .contains("imageio"),
+      "pngDecodeFeatures decodes REAL pixels; set " +
+        "spark.graft.media.decoder=imageio")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable PNG payload for doc $id")
+        val (mw, mh, mc) = ImageIODecoder.decode(payload)
+        require(mw == img.getWidth && mh == img.getHeight &&
+            mc == img.getColorModel.getNumComponents,
+          s"metadata/raster decode drift for doc $id")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L; var ysr = 0L
+        var y = 0
+        while (y < h) {
+          var rowR = 0L
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            sr += (px >> 16) & 0xff
+            sg += (px >> 8) & 0xff
+            sb += px & 0xff
+            rowR += (px >> 16) & 0xff
+            x += 1
+          }
+          ysr += (y + 1).toLong * rowR
+          y += 1
+        }
+        PngDecode(id, w, h, mc, w.toLong * h, sr, sg, sb, ysr)
+      })
+  }
+
   /** Attach a synthetic AVI payload column (the video twin of
     * [[withWavPayload]]). */
   def withAviPayload(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -658,6 +658,60 @@ object GraphQueries {
       out
     }),
 
+    // RUNTIME (executor-side) filtering through the gate — the 100 TB
+    // star-join shape: a bucketed fact joined to a small filtered dim
+    // through a broadcast hash join; the dim's surviving keys are only
+    // known at EXECUTION, arrive at the fact scan as a
+    // DynamicPruningExpression (SupportsRuntimeV2Filtering face; In on
+    // the bucket column), and prune whole buckets/files before a byte
+    // is parsed. In-query audit: the DPP expression is present AND the
+    // executed RDD planned strictly fewer fact files than the static
+    // plan (counted from the runtime-filtered DataSourceRDD partitions,
+    // against the on-disk file census). The oracle computes the same
+    // join from the derived tables and never sees the pruning.
+    "g_dsv2_runtime_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2rt_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/fact")
+      val totalFiles =
+        graft.sources.EdgeListSource.listFiles(s"$root/fact").size
+      // dim: per-key aggregate of the same edges; the runtime-selective
+      // filter keeps <=2 of 401 possible keys (k % 293 = 7), so at most
+      // 2 buckets' files can survive the executor-side prune
+      val dim = e.groupBy(col("src").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("k") % 293 === 7)
+      val fact = s.read.format(fmtName).load(s"$root/fact")
+      val df = fact.join(broadcast(dim), col("src") === col("k"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"),
+          sum(col("dst") + col("c")).cast("long").as("sum_dc"))
+      val out = df.localCheckpoint()
+      val planStr = df.queryExecution.executedPlan.toString
+      require(planStr.toLowerCase.contains("dynamicpruning"),
+        s"no DynamicPruningExpression on the fact scan:\n$planStr")
+      val scan = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("/fact") => b }
+        .getOrElse(throw new IllegalStateException(s"no fact scan:\n$planStr"))
+      val planned = scan.inputRDDs().head.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+        case _ => Nil
+      }.flatMap {
+        case sb: graft.sources.SortedBucketFiles => sb.files.map(_._1)
+        case er: graft.sources.EdgeRange => Seq(er.file)
+      }.distinct.size
+      require(planned < totalFiles,
+        s"runtime pruning inactive: planned $planned of $totalFiles files")
+      out
+    }),
+
     // GROUPED aggregate pushdown through the gate: count/min/max GROUP
     // BY src fold inside the chunk readers (one partial row per group
     // per chunk — a degree query over a 100 TB edge file ships group
@@ -1247,6 +1301,17 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE src IN (7, 11, 40) GROUP BY src""".stripMargin,
+
+    // the runtime prune is a planning optimization: the oracle sees
+    // only the star join with the selective dim filter
+    "g_dsv2_runtime_prune" ->
+      s"""WITH edges AS ($E),
+         |dim AS (SELECT src AS k, count(*) AS c FROM edges GROUP BY src)
+         |SELECT a.src, count(*) AS n,
+         |  CAST(sum(a.dst + b.c) AS BIGINT) AS sum_dc
+         |FROM edges a JOIN (SELECT * FROM dim WHERE k % 293 = 7) b
+         |  ON a.src = b.k
+         |GROUP BY a.src""".stripMargin,
 
     // the skew mitigation is a planning optimization: the oracle sees
     // only the skewed join, never the split/replicated plan

@@ -291,6 +291,27 @@ object PipelineQueries {
       Multimodal.videoDecodeFeatures(s,
         Multimodal.withAviRgbPayload(s, docs(s, dir))).toDF()),
 
+    // REAL image decode (JDK PNG codec, `spark.graft.media.decoder=
+    // imageio` ACTIVE in this query): deterministic zlib-compressed
+    // PNGs synthesized per doc, decompressed back through javax.imageio,
+    // raster folded to per-channel pixel sums — the closed-form row law
+    // lets DuckDB state every sum without parsing a byte of PNG. This
+    // retires the image-path decode stub from the gate (the stub
+    // remains only for codecs the JDK lacks, e.g. compressed video).
+    "mm_png_decode" -> ((s, dir) => {
+      val key = "spark.graft.media.decoder"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "imageio")
+      try
+        Multimodal.pngDecodeFeatures(s,
+          Multimodal.withPngPayload(s, docs(s, dir))).toDF()
+          .localCheckpoint() // decode runs while the conf is active
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Nearest-neighbor resize of every decoded frame to a fixed 16x8
     // grid (floor-mapped source indices; covers up- AND down-sampling
     // since src w spans 8-23 / h spans 4-11). wsum_r is the
@@ -2579,6 +2600,24 @@ object PipelineQueries {
         |  CAST(sum(w * ((doc_id + 7 * f + y) % 256)) AS BIGINT) AS sum_b,
         |  CAST(max(w) * ((3 * doc_id) % 256) AS BIGINT) AS top_row_r
         |FROM fy GROUP BY doc_id, w, h, nf""".stripMargin,
+
+    // closed-form pixel-law replay of the PNG round trip: channels is
+    // always 3 (TYPE_3BYTE_BGR), rows are constant per y, and the
+    // y-weighted red checksum pins row orientation
+    "mm_png_decode" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |  4 + doc_id % 8 AS h FROM documents),
+        |py AS (SELECT p.doc_id, p.w, p.h, y.y FROM p,
+        |  (SELECT unnest(range(11)) AS y) y WHERE y.y < p.h)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, 3 AS channels,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum(w * ((3 * doc_id + 2 * y) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(sum(w * ((2 * doc_id + y) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(sum(w * ((doc_id + y) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(sum((y + 1) * w * ((3 * doc_id + 2 * y) % 256)) AS BIGINT)
+        |    AS ysum_r
+        |FROM py GROUP BY doc_id, w, h""".stripMargin,
 
     // closed-form NN-resize replay: output row yp reads source row
     // ys = (yp*h)//8; pixels are row-constant so the x' sum is a *16

@@ -493,6 +493,90 @@ object StreamingGateQueries {
           max("dst").as("max_id"))
     }),
 
+    // STREAMING MAINTENANCE OF THE BUCKETED LAYOUT — g_dsv2_bucket_mixed's
+    // streaming twin: micro-batches append INTO the bucketed standing
+    // table through the connector's BATCH write (foreachBatch), so each
+    // epoch's files come out bucket-tagged AND sorted (the sidecar
+    // layout rides every append), and the mixed storage-partitioned
+    // join runs against the standing table EACH BATCH with only the
+    // batch side shuffling — audited in-stream on every micro-batch's
+    // executed plan (one ShuffleExchange under the SMJ, zero on the
+    // standing side). After the drain the table must still be FULLY
+    // tagged (the layout survived streaming maintenance) and the gate
+    // aggregate reads the final table. Exactly-once caveat, stated
+    // honestly: foreachBatch+append is at-least-once under batch REPLAY
+    // (a crashed batch would re-append; the epoch-marker dedup of the
+    // native streaming sink does not apply here) — the gate run is a
+    // single clean drain, and a production deployment would fence
+    // appends on the EdgeLog version per batch id.
+    "st_dsv2_bucket" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val fmt = "graft.sources.EdgeListSource"
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2sb_").toFile
+      root.deleteOnExit()
+      val standing = s"$root/standing"
+      graft.io.Tables.edges(s, dir).repartition(2).write.format(fmt)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(standing)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val q = EventStreams.readEventsMultiBatch(s, dir)
+          .where(col("event_type") === "purchase")
+          .select((col("user_id") % 401).as("src"), col("event_id").as("dst"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // append rides the sidecar: bucketed, sorted, tagged files
+            batch.write.format(fmt).mode("append").save(standing)
+            // the mixed SPJ rides the layout each batch: standing side
+            // moves zero bytes, only the fresh batch shuffles into the
+            // reported partitioning
+            // the micro-batch DF lives in a cloned session — the view
+            // and the join must run THERE (confs were inherited at
+            // stream start)
+            batch.createOrReplaceTempView("graft_st_bucket_batch")
+            val j = batch.sparkSession.sql(
+              s"""SELECT /*+ MERGE(a) */ a.src, count(*) AS n
+                 |FROM graft.`$standing` a
+                 |JOIN graft_st_bucket_batch b ON a.src = b.src
+                 |GROUP BY a.src""".stripMargin)
+            j.collect()
+            val nodes =
+              graft.plans.PlanWalk.nodes(j.queryExecution.executedPlan)
+            val smj = nodes.collectFirst {
+              case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x }
+              .getOrElse(throw new IllegalStateException(
+                s"no SMJ in batch join:\n${j.queryExecution.executedPlan}"))
+            val shuffles = graft.plans.PlanWalk.nodes(smj).count(_.isInstanceOf[
+              org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+            require(shuffles == 1,
+              s"expected only the batch-side shuffle under the SMJ, got " +
+                s"$shuffles:\n${j.queryExecution.executedPlan}")
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // layout survived streaming maintenance: all files tagged
+        val files = graft.sources.EdgeListSource.listFiles(standing)
+        require(files.nonEmpty && files.forall(f =>
+          graft.sources.BucketSpecIO.bucketOf(f.getName).exists(_ < 8)),
+          "streaming appends broke the bucket tagging")
+        s.read.format(fmt).load(standing)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"), sum("dst").cast("long").as("sum_dst"),
+            min("dst").as("min_dst"), max("dst").as("max_dst"))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // The sink's MAINTENANCE companion: a 4-epoch drain accretes small
     // per-epoch files; compactEdgeList rewrites the closed sink toward
     // the size target (temp-dir + swap, epoch markers dropped with the
@@ -1403,6 +1487,16 @@ object StreamingGateQueries {
         |  1 AS files_after
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    // the standing table after the drain IS seed-edges ∪ appended
+    // purchases; the layout/plan audits are invisible to the result
+    "st_dsv2_bucket" ->
+      s"""WITH edges AS (${graft.io.Tables.EdgesSql}),
+        |appended AS (SELECT user_id % 401 AS src, event_id AS dst
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM edges UNION ALL SELECT * FROM appended)
+        |SELECT src, count(*) AS n, CAST(sum(dst) AS BIGINT) AS sum_dst,
+        |  min(dst) AS min_dst, max(dst) AS max_dst
+        |FROM t GROUP BY src""".stripMargin,
     "st_funnel_mb" -> baseOracles("st_funnel"),
     "st_dedup_mb" -> baseOracles("st_dedup"),
     "st_running_mb" -> baseOracles("st_running"),
