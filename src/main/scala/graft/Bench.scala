@@ -411,6 +411,60 @@ object Bench {
       val tp = (1 to 3).map(_ => timeIt(plain())).sorted
       Seq("bucket_spj_join_sec" -> ts(1), "bucket_shuffle_join_sec" -> tp(1))
     }
+    // SPJ skew pair (round 12): the hot-key tail under plain SPJ (one
+    // task per bucket — the hot bucket's ~27% of rows on ONE core) vs
+    // partially-clustered distribution (the hot bucket's 8 files become
+    // 8 tasks, the small dim replicates; zero fact shuffle either way).
+    // The partial arm pays read-side sorts (chunk-granular planning
+    // gives up the sorted-merge report — the documented interplay in
+    // EdgeListScan.sortedBuckets); the pair measures that trade where
+    // it matters, on the skewed table where the tail dominates.
+    val bucketSkew = section("bucket_skew") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_skw_")
+        .toFile
+      root.deleteOnExit()
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val fmtName = "graft.sources.EdgeListSource"
+      // 20M rows, 50% remapped onto one hot key; 8 write tasks x 32
+      // buckets → the hot bucket lands as 8 splittable files. Sizing
+      // note (SkewProbe): at 25%/10M the hot task is cheaper than the
+      // pair's fixed costs and the arms tie (~1.3 s each); at 50%/20M
+      // the tail dominates and partial clustering collapses it
+      // (measured 4.14 s → 1.73 s median, 2.4x).
+      spark.range(20000000L).selectExpr(
+          "CASE WHEN id % 2 = 0 THEN 7L ELSE id % 100000 END AS src",
+          "(id * 13) % 1000000 AS dst")
+        .repartition(8).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "32")
+        .mode("overwrite").save(s"$root/fact_sk")
+      spark.range(100000L).selectExpr("id AS src", "id * 2 AS dst")
+        .repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "32")
+        .mode("overwrite").save(s"$root/dim_sk")
+      val q = s"SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n, " +
+        s"CAST(sum(a.dst + b.dst) AS BIGINT) AS s " +
+        s"FROM graft.`$root/fact_sk` a JOIN graft.`$root/dim_sk` b " +
+        "ON a.src = b.src GROUP BY a.src"
+      val base = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val pcKey =
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+      def run(partial: Boolean): Unit = {
+        val keys = if (partial) base :+ pcKey else base
+        val prior = keys.map(k => k -> spark.conf.getOption(k))
+        keys.foreach(spark.conf.set(_, "true"))
+        try materialize(spark.sql(q))
+        finally prior.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      run(partial = false); run(partial = true) // warm
+      val tPlain = (1 to 3).map(_ => timeIt(run(partial = false))).sorted
+      val tPart = (1 to 3).map(_ => timeIt(run(partial = true))).sorted
+      Seq("bucket_skew_plain_spj_sec" -> tPlain(1),
+        "bucket_skew_part_clustered_sec" -> tPart(1))
+    }
     // Multi-index aHash probe vs brute-force all-pairs Hamming
     // (round 10) on a HIGH-ENTROPY fingerprint corpus (200k standing,
     // 2k batch with planted 1-bit flips). Honest reading: at this
@@ -507,7 +561,7 @@ object Bench {
     // real media the decode the index amortizes dominates by orders
     // of magnitude.
     val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
-      changesFeed ++ ccInc ++ bucketSpj ++ ahashIdx
+      changesFeed ++ ccInc ++ bucketSpj ++ bucketSkew ++ ahashIdx
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -129,12 +129,13 @@ object GraftFunctions {
     val (col, n) = graft.sources.BucketSpecIO.read(path).getOrElse(
       throw new IllegalArgumentException(
         s"edge-list table $path has no bucketed layout (_graft_buckets)"))
+    val sorted = graft.sources.BucketSpecIO.sortedOf(path)
     val byBucket = graft.sources.EdgeListSource.listFiles(path)
       .groupBy(f => graft.sources.BucketSpecIO.bucketOf(f.getName))
     val rows = (0 until n).map { b =>
       val fs = byBucket.getOrElse(Some(b), Seq.empty)
       val sidecars = fs.map(graft.sources.EdgeStats.read)
-      (b, col, fs.size, fs.map(_.length()).sum,
+      (b, col, sorted, fs.size, fs.map(_.length()).sum,
         if (fs.nonEmpty && sidecars.forall(_.isDefined))
           Some(sidecars.flatten.map(_.rows).sum)
         else if (fs.isEmpty) Some(0L)
@@ -142,9 +143,10 @@ object GraftFunctions {
     } ++ byBucket.get(None).map(fs =>
       // untagged files (pre-layout appends): surfaced, never hidden —
       // their presence is exactly what degrades the partitioning report
-      (-1, col, fs.size, fs.map(_.length()).sum, Option.empty[Long]))
+      (-1, col, sorted, fs.size, fs.map(_.length()).sum,
+        Option.empty[Long]))
     org.apache.spark.sql.SparkSession.active.createDataFrame(rows)
-      .toDF("bucket", "bucket_col", "n_files", "bytes", "rows")
+      .toDF("bucket", "bucket_col", "sorted", "n_files", "bytes", "rows")
       .queryExecution.logical
   }
 

@@ -300,23 +300,26 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       .option("bucketBy", "src").option("numBuckets", "4")
       .mode("overwrite").save(s"$root/t")
     val desc = spark.sql(s"SELECT * FROM graft_buckets('$root/t')").collect()
-      .map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2), r.getLong(4))))
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getInt(3), r.getLong(5))))
       .toMap
     assert(desc.keySet === Set(0, 1, 2, 3))
     assert(desc.values.forall(_._1 == "src"))
+    // round-12 writes carry the sorted-layout flag
+    assert(desc.values.forall(_._2 == true))
     // per-bucket row sums from sidecars reconcile to the table total
-    assert(desc.values.map(_._3).sum === 5000L)
+    assert(desc.values.map(_._4).sum === 5000L)
     // and each bucket's count equals the hash's truth
     val truth = edges(5000).collect().groupBy(r =>
       graft.sources.BucketHash.bucket(r.getLong(0), 4))
       .view.mapValues(_.length.toLong).toMap
-    (0 until 4).foreach(b => assert(desc(b)._3 === truth.getOrElse(b, 0L)))
+    (0 until 4).foreach(b => assert(desc(b)._4 === truth.getOrElse(b, 0L)))
     // an untagged file surfaces as bucket -1 with NULL rows
     java.nio.file.Files.write(
       new java.io.File(s"$root/t", "part-legacy.txt").toPath,
       "1 2\n".getBytes("UTF-8"))
     val withLegacy = spark.sql(s"SELECT * FROM graft_buckets('$root/t')")
-      .collect().map(r => r.getInt(0) -> r.isNullAt(4)).toMap
+      .collect().map(r => r.getInt(0) -> r.isNullAt(5)).toMap
     assert(withLegacy(-1) === true)
     // unbucketed table: absence of layout is an error, not empty
     edges(10).write.format(fmt).mode("overwrite").save(s"$root/plain")
