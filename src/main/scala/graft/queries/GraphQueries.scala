@@ -488,6 +488,63 @@ object GraphQueries {
       }
     }),
 
+    // COMPATIBLE-WIDTH storage-partitioned join (ReducibleFunction,
+    // `v2.bucketing.allowCompatibleTransforms.enabled`): two tables
+    // bucketed at DIFFERENT counts — 16 and 8 — join with ZERO
+    // Exchange, because bucket(k,16) % 8 == bucket(k,8) (one mixed
+    // value, nonneg modulo), so the wider side's buckets COALESCE onto
+    // the narrower layout via BucketReducer. At 100 TB this joins a
+    // 1024-wide table against a 256-wide one in place instead of
+    // re-bucketing a petabyte. The sorted planner defers to
+    // chunk-granular partitions under this conf (coalesced buckets
+    // cannot report ordering — and the merged-partition planning broke
+    // the reduced grouping, caught by the spec before it shipped).
+    // The oracle computes the same join from the derived edge list.
+    "g_dsv2_bucket_compat" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bc_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "16")
+        .mode("overwrite").save(s"$root/wide")
+      e.select(col("dst").as("src"), col("src").as("dst"))
+        .repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/narrow")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"
+          -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n_two_paths,
+             |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+             |FROM graft.`$root/wide` a
+             |JOIN graft.`$root/narrow` b ON a.src = b.src
+             |GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint()
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join over the width-mismatched tables:\n" +
+            df.queryExecution.executedPlan)
+        val exchanges = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(exchanges.isEmpty,
+          s"compatible-width join planned ${exchanges.size} Exchange(s):\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // SPJ SKEW MITIGATION (partially-clustered distribution) — the one
     // shape plain SPJ cannot survive at 100 TB: a skewed key inside one
     // bucket pins that bucket's row mass to a single task, because the
@@ -1301,6 +1358,16 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE src IN (7, 11, 40) GROUP BY src""".stripMargin,
+
+    // the width coalescing is a planning optimization: the oracle sees
+    // only the 2-paths aggregate
+    "g_dsv2_bucket_compat" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n_two_paths,
+         |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+         |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
 
     // the runtime prune is a planning optimization: the oracle sees
     // only the star join with the selective dim filter

@@ -127,7 +127,8 @@ private[graft] object GraftBucketFunction extends UnboundFunction {
   }
 }
 
-private[graft] object BoundBucket extends ScalarFunction[Integer] {
+private[graft] object BoundBucket extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -135,4 +136,34 @@ private[graft] object BoundBucket extends ScalarFunction[Integer] {
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer =
     BucketHash.bucket(input.getLong(1), input.getInt(0))
+
+  /** COMPATIBLE-WIDTH storage-partitioned joins ([[org.apache.spark.sql
+    * .connector.catalog.functions.ReducibleFunction]], gated by
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`):
+    * two tables bucketed at DIFFERENT counts still join with zero
+    * shuffle when one count divides the other, because the hash is a
+    * plain nonneg modulo of one mixed value — `bucket(k, n1) % n2 ==
+    * bucket(k, n2)` whenever `n2 | n1` — so the wider side's partition
+    * values REDUCE onto the narrower side's (Spark groups the wider
+    * side's buckets, `b % n2`). At 100 TB this is the difference
+    * between joining a table bucketed 1024-wide against one bucketed
+    * 256-wide in place, and re-bucketing a petabyte to match widths.
+    * Returns null when this side is the narrower one (Spark then asks
+    * the other side) or the counts don't divide. */
+  override def reducer(thisNumBuckets: Int,
+      otherFunc: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    if ((otherFunc eq BoundBucket) && thisNumBuckets != otherNumBuckets &&
+        otherNumBuckets > 0 && thisNumBuckets % otherNumBuckets == 0)
+      BucketReducer(otherNumBuckets)
+    else null
+}
+
+/** Maps a wide layout's bucket id onto a narrower compatible one:
+  * ids are nonneg, so `b % n` IS the mathematical modulo the hash
+  * uses. */
+private[graft] final case class BucketReducer(n: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] {
+  override def reduce(b: Integer): Integer = Integer.valueOf(b.intValue() % n)
 }

@@ -651,6 +651,18 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         // beats sort cost exactly when the user flips this conf).
         !org.apache.spark.sql.internal.SQLConf.get.getConfString(
           "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "false").toBoolean &&
+        // COMPATIBLE-WIDTH INTERPLAY: under allowCompatibleTransforms a
+        // wider table's buckets may be COALESCED onto a narrower
+        // layout's (BucketReducer) — and two buckets' sorted streams do
+        // not concatenate sorted, so the ordering report would be a
+        // lie; measured, the merged-single-partition planning also
+        // breaks the reduced grouping (wide buckets beyond the narrow
+        // count were dropped — caught by EdgeListBucketJoinSpec's
+        // compatible-width case before it could ship). Chunk-granular
+        // planning under this conf is both correct and honest.
+        !org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
           "false").toBoolean
     }
 

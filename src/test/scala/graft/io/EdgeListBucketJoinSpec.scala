@@ -425,6 +425,52 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
   }
 
+  test("compatible-width SPJ: bucket(16) x bucket(8) joins with zero exchanges via the reducer") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    val b = edges(4000).selectExpr("dst AS src", "src AS dst")
+    a.repartition(2).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "16")
+      .mode("overwrite").save(s"$root/wide")
+    b.repartition(2).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/narrow")
+    // the algebra the reducer rides on: bucket(k, 16) % 8 == bucket(k, 8)
+    Seq(0L, 7L, 42L, -1L, Long.MaxValue).foreach(k =>
+      assert(graft.sources.BucketHash.bucket(k, 16) % 8
+        === graft.sources.BucketHash.bucket(k, 8)))
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "true"))
+    val out = try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+           |  CAST(sum(b.dst) AS BIGINT) AS s
+           |FROM graft.`$root/wide` a JOIN graft.`$root/narrow` b
+           |ON a.src = b.src GROUP BY a.src""".stripMargin)
+      val rows = df.collect()
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      assert(nodes.count(_.isInstanceOf[Exchange]) === 0,
+        s"compatible-width SPJ still exchanged:\n" +
+          df.queryExecution.executedPlan)
+      rows
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val truth = a.as("a").join(b.as("b"), "src")
+      .groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("b.dst")).cast("long").as("s"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
   test("pre-flag (unsorted) sidecar degrades to a sorted-at-read SPJ, never a wrong plan") {
     val root = tmp()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
