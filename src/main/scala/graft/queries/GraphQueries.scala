@@ -545,6 +545,69 @@ object GraphQueries {
       }
     }),
 
+    // SPJ PARTITION FILTER (`v2.bucketing.partition.filter.enabled`):
+    // the join's OTHER side filters this side's partitions at PLANNING
+    // — an inner SPJ against a dim whose files exist in only a few
+    // buckets (here: a point-filtered derivative, ≤3 of 8) never scans
+    // the fact's unmatched buckets. This composes with bucket pruning
+    // (filters on THIS side) and runtime filtering (keys known at
+    // execution): three prune channels into the same layout. In-query
+    // audit: zero Exchange AND the fact's executed RDD planned strictly
+    // fewer files than the on-disk census. Oracle: the plain join.
+    "g_dsv2_bucket_pfilter" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2pf_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(2).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/fact")
+      e.where(col("src").isin(7L, 11L, 40L))
+        .select(col("src"), col("dst") + 1000000L)
+        .toDF("src", "dst")
+        .repartition(1).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/dim")
+      val totalFiles =
+        graft.sources.EdgeListSource.listFiles(s"$root/fact").size
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partition.filter.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n,
+             |  CAST(sum(b.dst) AS BIGINT) AS s
+             |FROM graft.`$root/fact` a JOIN graft.`$root/dim` b
+             |ON a.src = b.src GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint()
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) == 0,
+          s"partition-filtered SPJ exchanged:\n${df.queryExecution.executedPlan}")
+        val fact = nodes.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("/fact") => b }.head
+        val planned = fact.inputRDDs().head.partitions.flatMap {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions
+          case _ => Nil
+        }.flatMap {
+          case sb: graft.sources.SortedBucketFiles => sb.files.map(_._1)
+          case er: graft.sources.EdgeRange => Seq(er.file)
+        }.distinct.size
+        require(planned < totalFiles,
+          s"partition filter inactive: planned $planned of $totalFiles files")
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // SPJ SKEW MITIGATION (partially-clustered distribution) — the one
     // shape plain SPJ cannot survive at 100 TB: a skewed key inside one
     // bucket pins that bucket's row mass to a single task, because the
@@ -1358,6 +1421,17 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE src IN (7, 11, 40) GROUP BY src""".stripMargin,
+
+    // the partition filter is a planning optimization: the oracle sees
+    // only the join against the point-filtered derivative
+    "g_dsv2_bucket_pfilter" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n,
+         |  CAST(sum(b.dst) AS BIGINT) AS s
+         |FROM edges a JOIN (SELECT src, dst + 1000000 AS dst FROM edges
+         |  WHERE src IN (7, 11, 40)) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
 
     // the width coalescing is a planning optimization: the oracle sees
     // only the 2-paths aggregate
