@@ -880,7 +880,16 @@ private[graft] case class SortedBucketFiles(files: Seq[(String, Long)],
   * one [[EdgeChunkReader]] per file (bounded by files-per-bucket, not
   * table size) and a binary heap of their current heads; rows surface
   * in ascending merge-key order. EdgeChunkReader.get() allocates per
-  * row, so held heads are never clobbered by a reader's advance. */
+  * row, so held heads are never clobbered by a reader's advance.
+  *
+  * Open-handle bound: a k-way merge inherently holds k streams
+  * (64 KB buffer each), where k = files in THIS bucket = write tasks
+  * per append × appends since the last rewrite — an operational
+  * quantity, not a data quantity. A long-appended table should be
+  * periodically compacted ([[graft.io.Compaction.compactEdgeList]]),
+  * which is the same maintenance the small-files problem already
+  * demands; the writer side caps its fanout independently
+  * ([[EdgeFileWriter.MaxOpenSinks]]). */
 private[sources] class EdgeMergeReader(part: SortedBucketFiles,
     columns: Array[String], pushed: Array[Filter], skipMalformed: Boolean,
     withWeight: Boolean, withLabel: Boolean)
