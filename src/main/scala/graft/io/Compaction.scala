@@ -121,8 +121,25 @@ object Compaction {
     val fmt = "graft.sources.EdgeListSource"
     val files = dataFiles(spark, dir)
     val bytes = files.map(_._2).sum
+    // LAYOUT-PRESERVING on bucketed tables: a bucketed table's
+    // compaction problem is files-PER-BUCKET (every append adds up to
+    // one file per bucket per task; the sorted merge reader holds one
+    // stream per file), and dropping the paid-for layout to fix it
+    // would trade a handle bound for a full re-shuffle on the next
+    // join. The rewrite goes back through the connector's own bucketed
+    // (and therefore sorted) write: task count sized so tasks×buckets
+    // tracks the byte target, sidecar and tags re-created by the write
+    // itself, SPJ/ordering intact afterwards.
+    val layout = graft.sources.BucketSpecIO.read(dir)
     val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    if (files.length <= want)
+    val done = layout match {
+      // fully compacted bucketed table = one file per bucket per
+      // needed task group
+      case Some((_, n)) =>
+        files.length <= math.max(n, want)
+      case None => files.length <= want
+    }
+    if (done)
       return Report(files.length, files.length, bytes, targetFileBytes)
 
     val p = new Path(dir)
@@ -132,8 +149,16 @@ object Compaction {
     fs.delete(tmp, true); fs.delete(bak, true)
     val opt = extraColOption(dir)
     val rd = opt.foldLeft(spark.read.format(fmt))(_.option(_, "true"))
-    val wr = opt.foldLeft(rd.load(dir).repartition(want).write.format(fmt))(
-      _.option(_, "true"))
+    val wr = layout match {
+      case Some((col, n)) =>
+        val tasks = math.max(1, math.round(want.toDouble / n).toInt)
+        opt.foldLeft(rd.load(dir).repartition(tasks).write.format(fmt))(
+            _.option(_, "true"))
+          .option("bucketBy", col).option("numBuckets", n.toString)
+      case None =>
+        opt.foldLeft(rd.load(dir).repartition(want).write.format(fmt))(
+          _.option(_, "true"))
+    }
     wr.mode(SaveMode.Overwrite).save(tmp.toString)
     swapWithLogHistory(fs, p, tmp, bak, "compaction")
     Report(files.length, dataFiles(spark, dir).length, bytes, targetFileBytes)
@@ -177,6 +202,11 @@ object Compaction {
     * z-range slivers containing k. Same temp-dir + rename-swap (and
     * the same single-writer contract) as [[compactEdgeList]]; sidecars
     * for the new files are written by the connector commit itself.
+    * On a BUCKETED table this is a deliberate RE-layout: z-locality
+    * replaces the hash-bucket layout (the `_graft_buckets` sidecar
+    * does not survive the swap — compaction preserves it, zorder
+    * replaces it), exactly like an overwrite with different layout
+    * options; pick per table which locality the workload pays for.
     * @param bits per-column bit budget (keys clamped to [0, 2^bits)) */
   def zorderEdgeList(spark: SparkSession, dir: String, numFiles: Int,
       bits: Int = 20): Report = {

@@ -49,4 +49,59 @@ class CompactionSpec extends SparkSpec {
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
     assert(fileAfter.getName == fileBefore.getName && fileAfter.lastModified() == mtime)
   }
+
+  test("compacting a bucketed edge table PRESERVES the layout: sidecar, tags, sortedness, SPJ") {
+    val fmt = "graft.sources.EdgeListSource"
+    val root = Files.createTempDirectory("graft-compact-b").toFile
+    root.deleteOnExit()
+    val dir = s"$root/t"
+    val edges = spark.range(4000L)
+      .selectExpr("id % 97 AS src", "(id * 7) % 89 AS dst")
+    // 5 appends x 4 tasks x 4 buckets: files-per-bucket piles up —
+    // exactly the shape the merge reader's handle bound points at
+    edges.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(dir)
+    (1 to 4).foreach(_ => edges.repartition(4).write.format(fmt)
+      .mode("append").save(dir))
+    val before = graft.sources.EdgeListSource.listFiles(dir)
+    assert(before.size > 8, s"fixture too small: ${before.size} files")
+    val r = Compaction.compactEdgeList(spark, dir, 1L << 30)
+    // layout survived: sidecar (with the sorted flag), every file
+    // tagged, and far fewer files
+    assert(graft.sources.BucketSpecIO.read(dir) === Some(("src", 4)))
+    assert(graft.sources.BucketSpecIO.sortedOf(dir),
+      "compaction lost the sorted flag")
+    val after = graft.sources.EdgeListSource.listFiles(dir)
+    assert(after.size < before.size && r.filesAfter == after.size)
+    after.foreach(f => assert(graft.sources.BucketSpecIO
+      .bucketOf(f.getName).exists(_ < 4), s"untagged ${f.getName}"))
+    // content exact (5x the base multiset)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.count() === 20000L)
+    assert(back.groupBy("src", "dst").count()
+      .except(edges.groupBy("src", "dst")
+        .agg((count(lit(1)) * 5).as("count"))).isEmpty)
+    // and the compacted table still joins exchange-free
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try {
+      edges.repartition(2).write.format(fmt)
+        .option("bucketBy", "src").option("numBuckets", "4")
+        .mode("overwrite").save(s"$root/other")
+      val df = spark.sql(s"SELECT /*+ MERGE(a) */ a.src, count(*) AS n " +
+        s"FROM graft.`$dir` a JOIN graft.`$root/other` b ON a.src = b.src " +
+        "GROUP BY a.src")
+      df.collect()
+      assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.Exchange]) === 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
