@@ -503,12 +503,13 @@ object StreamingGateQueries {
     // executed plan (one ShuffleExchange under the SMJ, zero on the
     // standing side). After the drain the table must still be FULLY
     // tagged (the layout survived streaming maintenance) and the gate
-    // aggregate reads the final table. Exactly-once caveat, stated
-    // honestly: foreachBatch+append is at-least-once under batch REPLAY
-    // (a crashed batch would re-append; the epoch-marker dedup of the
-    // native streaming sink does not apply here) — the gate run is a
-    // single clean drain, and a production deployment would fence
-    // appends on the EdgeLog version per batch id.
+    // aggregate reads the final table. EXACTLY-ONCE: each append
+    // carries `idempotencyMarker=b<batchId>` — the connector's batch
+    // commit fences on a marker file (replay of a committed batch is a
+    // no-op; a crashed half-commit is unpublished by its `-m<token>`
+    // filename tag first), the native streaming sink's epoch recipe
+    // generalized to foreachBatch maintenance (EdgeListSinkSpec pins
+    // both recovery branches).
     "st_dsv2_bucket" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
       val fmt = "graft.sources.EdgeListSource"
@@ -529,9 +530,12 @@ object StreamingGateQueries {
           .where(col("event_type") === "purchase")
           .select((col("user_id") % 401).as("src"), col("event_id").as("dst"))
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // append rides the sidecar: bucketed, sorted, tagged files
-            batch.write.format(fmt).mode("append").save(standing)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // append rides the sidecar: bucketed, sorted, tagged files;
+            // the marker makes a Spark batch replay a no-op
+            batch.write.format(fmt)
+              .option("idempotencyMarker", s"b$batchId")
+              .mode("append").save(standing)
             // the mixed SPJ rides the layout each batch: standing side
             // moves zero bytes, only the fresh batch shuffles into the
             // reported partitioning

@@ -1375,9 +1375,18 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
     val sortedFlag = bucketSpec.isDefined &&
       (doTruncate || BucketSpecIO.read(path).isEmpty ||
         BucketSpecIO.sortedOf(path))
+    // idempotent batch appends (foreachBatch maintenance): a marker
+    // token tags this write's files and fences its commit — a replay
+    // with the same token is a no-op, a crashed half-commit is
+    // unpublished by its tag first. Filename-safe tokens only.
+    val marker = Option(info.options().get("idempotencyMarker"))
+    marker.foreach(m => require(m.nonEmpty && m.forall(c =>
+        c.isLetterOrDigit || c == '_'),
+      s"idempotencyMarker must be [A-Za-z0-9_]+; got '$m'"))
     new EdgeListWrite(path, doTruncate, weighted, labeled, bucketSpec,
       sortedFlag, allowStreaming = true,
-      streamingBucketBy = Option(info.options().get("bucketBy")))
+      streamingBucketBy = Option(info.options().get("bucketBy")),
+      marker = marker)
   }
 }
 
@@ -1390,7 +1399,8 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
 private[sources] class EdgeListWrite(path: String, doTruncate: Boolean,
     weighted: Boolean, labeled: Boolean,
     bucketSpec: Option[(String, Int)], sortedFlag: Boolean,
-    allowStreaming: Boolean, streamingBucketBy: Option[String])
+    allowStreaming: Boolean, streamingBucketBy: Option[String],
+    marker: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def requiredDistribution()
@@ -1410,7 +1420,7 @@ private[sources] class EdgeListWrite(path: String, doTruncate: Boolean,
 
   override def toBatch: BatchWrite =
     new EdgeListBatchWrite(path, doTruncate, weighted, labeled,
-      bucketSpec, sortedFlag)
+      bucketSpec, sortedFlag, marker)
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -1554,16 +1564,41 @@ private[sources] case class EdgeFileCommit(
 
 private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     weighted: Boolean = false, labeled: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None, sortedFlag: Boolean = false)
+    bucketSpec: Option[(String, Int)] = None, sortedFlag: Boolean = false,
+    marker: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): DataWriterFactory =
-    new EdgeListWriterFactory(path, weighted, labeled, bucketSpec)
+    new EdgeListWriterFactory(path, weighted, labeled, bucketSpec, marker)
+
+  /** Marker file fencing an idempotent write (the native streaming
+    * sink's epoch recipe generalized to batch appends): present = the
+    * token's write committed FULLY — a replay discards its temps and
+    * does nothing. Absent with `-m<token>` files published = a crash
+    * landed between renames and the marker; those partials are
+    * identifiable by their tag and removed before the replay publishes
+    * its complete set. */
+  private def markerFile(m: String) =
+    new java.io.File(new java.io.File(path, "_graft_commits"), s"_m_$m")
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
+    marker match {
+      case Some(m) if markerFile(m).exists() =>
+        // replay of a fully-committed write: drop temps, change nothing
+        messages.foreach { case EdgeFileCommit(files) =>
+          files.foreach { case (t, _) => new java.io.File(t).delete() } }
+        return
+      case Some(m) =>
+        // unpublish a half-committed earlier attempt of this token
+        val half = dir.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith(".") &&
+          f.getName.matches(s".*-m$m(-b\\d+)?\\.txt"))
+        half.foreach { f => EdgeStats.file(f).delete(); f.delete() }
+      case None => ()
+    }
     if (truncate)
       // data files only: dot-temps are in-flight writers' property and
       // _-prefixed entries are metadata (_graft_meta schema sidecar;
@@ -1588,6 +1623,10 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     // keep bucketing without the option
     bucketSpec.foreach(BucketSpecIO.write(dir, _, sortedFlag))
     EdgeLog.commit(dir) // snapshot manifest: this commit's file set
+    marker.foreach { m =>
+      markerFile(m).getParentFile.mkdirs()
+      java.nio.file.Files.write(markerFile(m).toPath, Array.emptyByteArray)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1597,11 +1636,12 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
 
 private[sources] class EdgeListWriterFactory(path: String,
     weighted: Boolean = false, labeled: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    marker: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new EdgeFileWriter(path, partitionId, taskId, weighted, labeled,
-      bucketSpec)
+      bucketSpec, marker)
 }
 
 /** EXACTLY-ONCE streaming sink (Append mode): the connector's fourth
@@ -1682,10 +1722,14 @@ private[sources] class EdgeListStreamingWriterFactory(path: String,
 
 private[sources] class EdgeFileWriter(path: String, partitionId: Int,
     taskId: Long, weighted: Boolean = false, labeled: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    marker: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val dir = { val d = new java.io.File(path); d.mkdirs(); d }
+  // idempotency tag: precedes any bucket suffix so bucketOf's
+  // trailing `-b<k>.txt` match is untouched
+  private val markTag = marker.fold("")(m => s"-m$m")
 
   // dot-prefixed → invisible to listFiles until commit renames it.
   // Name order IS the stream-offset contract: the micro-batch reader
@@ -1714,7 +1758,7 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
     * open()/close(), never correctness or file count. */
   private final class Sink(suffix: String) {
     val tmp = new java.io.File(dir,
-      f".part-$stamp-$partitionId%05d-$taskId$suffix.txt")
+      f".part-$stamp-$partitionId%05d-$taskId$markTag$suffix.txt")
     private var stream: java.io.BufferedOutputStream = null
     var lastTouch = 0L
     var minSrc = Long.MaxValue

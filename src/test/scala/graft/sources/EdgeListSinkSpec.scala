@@ -104,6 +104,49 @@ class EdgeListSinkSpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("idempotencyMarker: replayed batch append is a no-op; half-commit is unpublished by its tag") {
+    import spark.implicits._
+    val out = tmpDir("idem")
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    base.coalesce(1).write.format(Fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(out)
+    val batch = Seq((5L, 6L), (7L, 8L)).toDF("src", "dst")
+    def append(): Unit = batch.coalesce(1).write.format(Fmt)
+      .option("idempotencyMarker", "b17").mode("append").save(out)
+    append()
+    assert(readBack(out) == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    assert(new java.io.File(out, "_graft_commits/_m_b17").isFile)
+    // replay of the fully-committed batch: NOTHING duplicates
+    append()
+    assert(readBack(out) == Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)))
+    // half-commit recovery: simulate a crash that published tagged
+    // files but never dropped the marker for token b18
+    val b = graft.sources.BucketHash.bucket(9L, 4)
+    java.nio.file.Files.write(
+      new java.io.File(out, f"part-9999999999999-00000-0-mb18-b$b.txt").toPath,
+      "9 10\n".getBytes("UTF-8"))
+    assert(readBack(out).contains((9L, 10L))) // the partial is visible...
+    Seq((9L, 10L), (11L, 12L)).toDF("src", "dst").coalesce(1)
+      .write.format(Fmt).option("idempotencyMarker", "b18")
+      .mode("append").save(out)
+    // ...until the replay unpublishes it and lands the complete set once
+    val rows = spark.read.format(Fmt).load(out)
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.sorted == Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L),
+      (9L, 10L), (11L, 12L)))
+    // the layout survived all of it: every file tagged, sidecar sorted
+    graft.sources.EdgeListSource.listFiles(out).foreach(f =>
+      assert(BucketSpecIO.bucketOf(f.getName).exists(_ < 4), f.getName))
+    assert(BucketSpecIO.sortedOf(out))
+    // token hygiene: regex-hostile tokens are rejected loudly
+    val e = intercept[Exception] {
+      batch.write.format(Fmt).option("idempotencyMarker", "a.b*")
+        .mode("append").save(out)
+    }
+    assert(e.getMessage.contains("idempotencyMarker"))
+  }
+
   test("bucketed fanout past the open-handle cap: LRU suspend/append-reopen loses nothing") {
     // 300 buckets > MaxOpenSinks (128) in ONE task, keys interleaved so
     // every bucket is revisited after eviction — the worst thrash shape
