@@ -504,6 +504,21 @@ object OinkScript {
                 .option("bucketBy", bcol).option("numBuckets", n.toString)
                 .mode("overwrite").save(resolve(outs.head))
               outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
+            case "append_edge_idem" =>
+              // idempotent append: append_edge_idem TOKEN -o DIR [OBJ] —
+              // the connector's marker-fenced commit makes a re-run of
+              // the same TOKEN a no-op and unpublishes a crashed
+              // half-commit by its filename tag (the retry-safe verb a
+              // scripted ingestion loop wraps each batch in)
+              val token = pos.headOption.getOrElse(
+                throw ScriptError(line, "append_edge_idem needs TOKEN"))
+              if (outs.isEmpty)
+                throw ScriptError(line, "append_edge_idem requires -o dir [OBJ]")
+              edgeSinkColumns(in0, line)
+                .write.format("graft.sources.EdgeListSource")
+                .option("idempotencyMarker", token)
+                .mode("append").save(resolve(outs.head))
+              outs.drop(1).headOption.filter(_ != "NULL").foreach(objects(_) = in0)
             case "dedup_exact" =>
               sinkAndBind(Dedup.exact(in0, col("doc_id"), col("text")), outs, line)
             case "minhash_sig" =>

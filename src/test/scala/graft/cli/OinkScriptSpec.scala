@@ -654,4 +654,23 @@ class OinkScriptSpec extends SparkSpec {
     assert(graft.sources.BucketSpecIO.read(s"$dir/edges") === Some(("src", 4)))
     assert(reg("back").count() === reg("mre").count())
   }
+
+  test("append_edge_idem: the same token appended twice lands exactly once") {
+    val dir = Files.createTempDirectory("oinkidem").toString
+    val reg = OinkScript.run(spark, Seq(
+      "rmat 5 2 0.25 0.25 0.25 0.25 0.0 7 -o NULL base",
+      s"write_edge_bucketed src 2 -i base -o $dir/t b2",
+      "rmat 4 2 0.25 0.25 0.25 0.25 0.0 11 -o NULL extra",
+      // a scripted retry: the second append with the SAME token no-ops
+      s"append_edge_idem batch42 -i extra -o $dir/t x1",
+      s"append_edge_idem batch42 -i extra -o $dir/t x2",
+      s"read_edge_dsv2 -i $dir/t -o NULL back"))
+    assert(reg("back").count() ===
+      reg("base").count() + reg("extra").count())
+    // layout survived the marked appends
+    assert(graft.sources.BucketSpecIO.sortedOf(s"$dir/t"))
+    graft.sources.EdgeListSource.listFiles(s"$dir/t").foreach(f =>
+      assert(graft.sources.BucketSpecIO.bucketOf(f.getName).exists(_ < 2),
+        f.getName))
+  }
 }
