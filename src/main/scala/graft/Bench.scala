@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main — one JSON line on stdout per the driver contract.
   *
+  * SECTION LAYOUT (r13): the parent JVM runs the 14 headline queries
+  * (5 reps, spreads recorded) and prints the JSON; every OTHER family —
+  * mr_phase ×2, topk, streaming, asof, each of the 12 trend queries,
+  * decontam_kmv, edge_changes, cc_inc, bucket_spj, bucket_skew,
+  * ahash_index — runs in its OWN forked JVM (same classpath/flags/
+  * heap), reporting results plus a per-family q1_agg control
+  * (`<family>_ctl_sec`) over BENCHKV stdout lines. Families therefore
+  * cannot contaminate each other through shared old-gen state, and
+  * every extras number is clean-JVM-probe-comparable by construction
+  * (the r11–r12 d_setsim/ivfpq/ahash watch churn was exactly such
+  * cross-section GC bleed, re-proven each time by SetSimProbe /
+  * AhashProbe).
+  *
   * Two sections:
   *  - `queries`: headline operators from SparkEntry on
   *    SPARK_GRAFT_SF_DIR (default sf0.1), each fully materialized via the
@@ -29,6 +42,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SECTION ISOLATION (round 13): every extras family runs in a
+    // FRESH child JVM, so no section's old-gen pressure bleeds into
+    // the next one's numbers — three consecutive rounds (d_setsim
+    // r11→12, ivfpq r11→12, ahash r12) re-adjudicated exactly that
+    // GC-bleed pattern; clean-JVM probes (SetSimProbe, AhashProbe)
+    // reproduced the anchors every time. Forking makes every published
+    // number probe-comparable BY CONSTRUCTION, and each child also
+    // reports its own q1_agg control (`<family>_ctl_sec`) so host
+    // noise during that family's window is visible next to it.
+    // `--section <name>` = child mode (run one family, print KV lines);
+    // SPARK_GRAFT_BENCH_INLINE=1 restores the pre-r13 in-process run.
+    val childTarget: Option[String] =
+      args.sliding(2).collectFirst { case Array("--section", n) => n }
+    val inline = sys.env.get("SPARK_GRAFT_BENCH_INLINE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -49,7 +76,9 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // warm: session, codegen, file listing — untimed, smallest sf
-    Headline.foreach { name =>
+    // (child JVMs skip the headline entirely — they warm their one
+    // family plus the control below)
+    if (childTarget.isEmpty) Headline.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -58,7 +87,8 @@ object Bench {
     // GC/JIT state and host noisy-neighbor jitter; the median is what a
     // steady-state cluster run sees. The cc/tri memo is cleared per rep
     // so every rep does real work.
-    val timed = Headline.map { name =>
+    val timed = (if (childTarget.isDefined) Seq.empty[String]
+      else Headline).map { name =>
       // one untimed rep at the TARGET sf first: the global sf0.001 warm
       // compiles different AQE plan shapes, and the iterative graph
       // queries keep JIT-warming for several sf0.1 reps without this
@@ -91,10 +121,84 @@ object Bench {
     // whole bench (round-5 postmortem — a streaming AnalysisException
     // outside any try/catch killed the entire JSON line). Each section
     // runs fenced; a failed section contributes no keys and the line
-    // still prints with whatever succeeded.
+    // still prints with whatever succeeded. Three modes (r13 isolation):
+    //  - parent (default): fork `graft.Bench --section <name>` in a
+    //    fresh JVM, collect its BENCHKV lines;
+    //  - child: execute ONLY the target family (preceded by a q1_agg
+    //    control), print results as BENCHKV lines;
+    //  - inline (SPARK_GRAFT_BENCH_INLINE=1): the pre-r13 in-process
+    //    run, kept for debugging and quick local iteration.
     def section(name: String)(f: => Seq[(String, Double)]): Seq[(String, Double)] =
-      try f catch { case e: Throwable =>
-        System.err.println(s"[bench] section $name failed: ${e.getMessage}")
+      childTarget match {
+        case Some(t) if t != name => Nil // child: not my family
+        case Some(_) => // child: control, then the one family
+          try {
+            materialize(SparkEntry.queries("q1_agg")(spark, sfDir)) // warm
+            val ctl = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            // no ctl key for the ms-scale reference metric: its KVs
+            // feed the mr_phase_ms map, where a seconds-unit control
+            // would masquerade as a phase time
+            val kvs =
+              if (name.startsWith("mr_phase:")) f
+              else (s"${name}_ctl_sec" -> ctl) +: f
+            kvs.foreach { case (k, v) =>
+              println(f"BENCHKV\t$k\t$v%.6f") }
+            kvs
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] section $name failed: ${e.getMessage}")
+            Nil
+          }
+        case None if !inline => forkSection(name)
+        case None =>
+          try f catch { case e: Throwable =>
+            System.err.println(s"[bench] section $name failed: ${e.getMessage}")
+            Nil
+          }
+      }
+
+    // Fork one extras family into a fresh JVM (same classpath, same
+    // JDK17 --add-opens as build.sbt, same heap), parse its BENCHKV
+    // stdout lines. Child stderr flows through to ours; a dead or
+    // KV-less child contributes nothing — the round-5 isolation, now
+    // process-grade.
+    def forkSection(name: String): Seq[(String, Double)] =
+      try {
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getPath
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar")
+          .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.Bench", "--section", name)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toList
+        val code = p.waitFor()
+        if (code != 0)
+          System.err.println(s"[bench] section $name child exited $code")
+        out.filter(_.startsWith("BENCHKV\t")).flatMap { l =>
+          l.split('\t') match {
+            case Array(_, k, v) => scala.util.Try(k -> v.toDouble).toOption
+            case _ => None
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] section $name fork failed: ${e.getMessage}")
         Nil
       }
 
@@ -563,6 +667,10 @@ object Bench {
     val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
       changesFeed ++ ccInc ++ bucketSpj ++ bucketSkew ++ ahashIdx
 
+    // child mode: the one family's KVs are already on stdout — the
+    // parent owns the JSON contract
+    if (childTarget.isDefined) { spark.stop(); return }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val mr = mrPhase.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
@@ -593,7 +701,10 @@ object Bench {
       "d_decontam_kmv_refresh_sec",
       "ahash_auto_sec", "ahash_brute_sec", "ahash_probe_sec",
       "ahash_dup_auto_sec", "ahash_dup_brute_sec", "ahash_dup_probe_sec",
-      "s_ann_ivfpq_min_sec", "s_ann_ivfpq_sec", "s_ann_ivfpq_max_sec")
+      "s_ann_ivfpq_min_sec", "s_ann_ivfpq_sec", "s_ann_ivfpq_max_sec",
+      // per-family controls of the two watched sections: the fresh-JVM
+      // number plus the host state DURING that family's window
+      "ahash_index_ctl_sec", "s_ann_ivfpq_ctl_sec")
     val extrasMap = extras.toMap
     val ev = evidenceKeys.flatMap(k => extrasMap.get(k).map(v =>
       "\"" + k + f"\":$v%.2f")).mkString("{", ",", "}")

@@ -127,6 +127,12 @@ object OinkScript {
       if (extra.nonEmpty) throw ScriptError(line,
         s"edge sink would drop columns (${extra.mkString(", ")}); " +
           "project to (src, dst[, weight|label]) first")
+      if (cols.contains("weight") && cols.contains("label"))
+        // the connector has no 4-column shape — refusing beats the
+        // silent weight-wins drop the select below would otherwise do
+        throw ScriptError(line,
+          "edge sink has no (src, dst, weight, label) shape; project to" +
+            " (src, dst, weight) or (src, dst, label) first")
       if (cols.contains("weight")) df.select("src", "dst", "weight")
       else if (cols.contains("label")) df.select("src", "dst", "label")
       else df.select("src", "dst")

@@ -365,6 +365,70 @@ object GraphQueries {
                |FROM $t GROUP BY src""".stripMargin)
     }),
 
+    // NAMED-TABLE catalog face (round 13): a real user's first query is
+    // `SELECT … FROM db.edges`, not a path literal — the reference's
+    // named MR-object layer (oink/object.cpp:96-295 binds names to
+    // inputs/outputs) as a Spark TableCatalog with a warehouse mapping
+    // (`spark.sql.catalog.graft.warehouse`). End-to-end by NAME only:
+    // CREATE NAMESPACE, CREATE TABLE … PARTITIONED BY (bucket(8, src))
+    // (the SPJ layout declared at DDL time — sidecar lands before any
+    // row), INSERT INTO … SELECT (rides the sidecar: fanout-bucketed,
+    // sorted), SHOW TABLES audited in-query, then a storage-partitioned
+    // join of the two named tables with ZERO Exchange asserted on the
+    // executed plan. No absolute path appears in any statement after
+    // the warehouse conf. The oracle computes the same aggregate from
+    // the derived edge list and never sees names, layout, or plan.
+    "g_dsv2_catalog" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2cat_").toFile
+      root.deleteOnExit()
+      s.conf.set("spark.sql.catalog.graft.warehouse", root.getPath)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        s.sql("CREATE NAMESPACE graft.db")
+        s.sql("CREATE TABLE graft.db.out_edges (src BIGINT, dst BIGINT)" +
+          " PARTITIONED BY (bucket(8, src))")
+        s.sql("CREATE TABLE graft.db.in_edges (src BIGINT, dst BIGINT)" +
+          " PARTITIONED BY (bucket(8, src))")
+        Tables.edges(s, dir).createOrReplaceTempView("g_cat_src")
+        s.sql("INSERT INTO graft.db.out_edges SELECT src, dst FROM g_cat_src")
+        s.sql("INSERT INTO graft.db.in_edges" +
+          " SELECT dst AS src, src AS dst FROM g_cat_src")
+        val listed = s.sql("SHOW TABLES IN graft.db")
+          .select("tableName").collect().map(_.getString(0)).toSet
+        require(listed == Set("in_edges", "out_edges"),
+          s"SHOW TABLES IN graft.db listed $listed")
+        val df = s.sql(
+          """SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n_two_paths,
+            |  CAST(min(b.dst) AS BIGINT) AS min_origin
+            |FROM graft.db.out_edges a
+            |JOIN graft.db.in_edges b ON a.src = b.src
+            |GROUP BY a.src""".stripMargin)
+        val out = df.localCheckpoint() // executes the join
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join over the named bucketed tables:\n" +
+            df.queryExecution.executedPlan)
+        val exchanges = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(exchanges.isEmpty,
+          s"named-table SPJ planned ${exchanges.size} Exchange(s):\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        s.conf.unset("spark.sql.catalog.graft.warehouse")
+      }
+    }),
+
     // STORAGE-PARTITIONED JOIN through the connector — q45's zero-
     // Exchange lesson extended to the engine's OWN storage format: both
     // edge tables are written bucketed by the join key (the fanout
@@ -1473,6 +1537,16 @@ object GraphQueries {
       s"""WITH edges AS ($E)
          |SELECT a.src AS v, count(*) AS n_two_paths,
          |  CAST(sum(b.dst) AS BIGINT) AS sum_origin
+         |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges) b
+         |  ON a.src = b.src
+         |GROUP BY a.src""".stripMargin,
+
+    // names, namespaces, DDL, and the SPJ plan are all invisible to
+    // the result: the oracle only sees the 2-paths aggregate
+    "g_dsv2_catalog" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, count(*) AS n_two_paths,
+         |  CAST(min(b.dst) AS BIGINT) AS min_origin
          |FROM edges a JOIN (SELECT dst AS src, src AS dst FROM edges) b
          |  ON a.src = b.src
          |GROUP BY a.src""".stripMargin,

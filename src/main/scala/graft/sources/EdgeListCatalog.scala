@@ -2,15 +2,16 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Path-based `TableCatalog` over [[EdgeListSource]] directories — what
-  * turns the connector into a SQL DML target with no metastore:
+/** `TableCatalog` over [[EdgeListSource]] directories with two
+  * addressing faces and no metastore:
   *
+  *  - **path literals** — a backquoted absolute path IS the table:
   * {{{
   *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
   *   CREATE TABLE graft.`/data/edges` (src BIGINT, dst BIGINT)
@@ -19,23 +20,44 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   DELETE FROM  graft.`/data/edges` WHERE src = 1     -- SupportsDeleteV2
   *   DROP TABLE   graft.`/data/edges`
   * }}}
+  *  - **named tables** — with `spark.sql.catalog.graft.warehouse=/wh`,
+  *    dotted identifiers resolve UNDER the warehouse (`graft.db.edges`
+  *    → `/wh/db/edges`), which is what a real user types first
+  *    (`SELECT … FROM db.edges`, never a path) — the reference's named
+  *    MR-object layer (`oink/object.cpp:96-295` binds names to
+  *    inputs/outputs the same way). Namespaces are directories
+  *    ([[SupportsNamespaces]]: CREATE/SHOW/DROP NAMESPACE, `USE`),
+  *    `SHOW TABLES IN graft.db` lists the directory, and every face —
+  *    SPJ layouts (`PARTITIONED BY (bucket(n, src))` at CREATE), DML,
+  *    time travel — rides the same named identity.
   *
-  * Table identity IS the filesystem path: a backquoted absolute path is
-  * the table name; dotted identifiers join namespace segments with '/'
-  * (`graft.data.edges` → `data/edges`). Nothing is cached — every load
-  * re-lists the directory, so concurrent writers (the streaming sink,
-  * compaction) are always seen at their latest committed state. The
-  * schema is (src BIGINT, dst BIGINT), optionally + weight DOUBLE or
-  * + label BIGINT chosen at CREATE — the extra-column choice persists
-  * as a `_graft_meta` sidecar so later loads resolve it with no read
-  * option. */
-class EdgeListCatalog extends TableCatalog
+  * The warehouse conf is read dynamically (SQLConf) so setting it
+  * after the catalog instance was cached still applies. Nothing else
+  * is cached — every load re-lists the directory, so concurrent
+  * writers (the streaming sink, compaction) are always seen at their
+  * latest committed state. The schema is (src BIGINT, dst BIGINT),
+  * optionally + weight DOUBLE or + label BIGINT chosen at CREATE — the
+  * extra-column choice persists as a `_graft_meta` sidecar so later
+  * loads resolve it with no read option. */
+class EdgeListCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  private var initWarehouse: Option[String] = None
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    initWarehouse = Option(options.get("warehouse"))
+  }
   override def name(): String = catName
+
+  /** Warehouse root for NAMED identifiers, resolved per-call from the
+    * session conf (the catalog instance is cached by Spark's
+    * CatalogManager on first use — a static capture would ignore a
+    * warehouse set afterwards). Absent = named tables resolve
+    * cwd-relative, the pre-warehouse behavior. */
+  private def warehouse: Option[String] =
+    Option(org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      s"spark.sql.catalog.$catName.warehouse", null)).orElse(initWarehouse)
 
   /** FunctionCatalog face — serves the ONE function the storage layer
     * defines: `bucket(n, key)`, the hash behind bucketed layouts. This
@@ -55,12 +77,88 @@ class EdgeListCatalog extends TableCatalog
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
-  private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  private def resolve(rel: String): String =
+    if (new java.io.File(rel).isAbsolute) rel
+    else warehouse.map(w => s"$w/$rel").getOrElse(rel)
 
-  /** No metastore to enumerate — tables are paths. */
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+  private def pathOf(ident: Identifier): String =
+    resolve((ident.namespace() :+ ident.name()).mkString("/"))
+
+  /** Namespace marker: distinguishes a database directory from a table
+    * directory under the warehouse (both are just directories; a
+    * freshly CREATEd table is even empty). Written by CREATE NAMESPACE
+    * and for the implicit parents a CREATE TABLE mkdirs. */
+  private val NsMarker = "_graft_namespace"
+  private def nsDir(namespace: Array[String]): java.io.File =
+    new java.io.File(resolve(namespace.mkString("/")))
+
+  /** Named tables under the warehouse: the namespace's subdirectories
+    * that are not metadata (`_`-prefixed) and not namespaces. Without a
+    * warehouse there is no root to enumerate — tables are paths. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (warehouse.isEmpty && namespace.isEmpty) return Array.empty
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d.listFiles().filter(f => f.isDirectory &&
+        !f.getName.startsWith("_") &&
+        !new java.io.File(f, NsMarker).isFile)
+      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
+  }
+
+  // ---- SupportsNamespaces: databases are warehouse directories ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (warehouse.isEmpty) return Array.empty
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d.listFiles().filter(f => f.isDirectory &&
+        new java.io.File(f, NsMarker).isFile)
+      .map(f => namespace :+ f.getName).sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (namespace.isEmpty || !nsDir(namespace).isDirectory)
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap[String, String]()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || nsDir(namespace).isDirectory
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val d = nsDir(namespace)
+    if (new java.io.File(d, NsMarker).isFile)
+      throw new NamespaceAlreadyExistsException(namespace)
+    require(d.isDirectory || d.mkdirs(),
+      s"cannot create namespace directory $d")
+    java.nio.file.Files.write(new java.io.File(d, NsMarker).toPath,
+      Array.emptyByteArray)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "edge-list namespaces are plain directories and carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) return false
+    if (!cascade && d.listFiles().exists(f =>
+        f.isDirectory && !f.getName.startsWith("_")))
+      throw new NonEmptyNamespaceException(namespace)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(d); true
+  }
 
   /** The persisted extra-column choice of a catalog-created table
     * (`_graft_meta` holding "weight" or "label"), so SQL resolves a
@@ -115,7 +213,29 @@ class EdgeListCatalog extends TableCatalog
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val f = new java.io.File(pathOf(ident))
     if (f.exists()) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "edge-list tables are unpartitioned")
+    // `PARTITIONED BY (bucket(n, src|dst))` — the SPJ layout declared
+    // at CREATE: the sidecar lands before any row does, so every later
+    // INSERT fans out bucketed (and sorted — an empty table trivially
+    // satisfies the all-files-sorted contract, and the writer's
+    // required ordering maintains it), and named-table joins on the
+    // key plan with zero Exchange from the first insert on.
+    val bucketSpecOpt: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }
+        val cols = t.references.flatMap(_.fieldNames)
+        require(n.exists(_ >= 1) && cols.length == 1 &&
+            (cols(0) == "src" || cols(0) == "dst"),
+          "edge-list bucketing is bucket(<n>, src|dst); got " + t.describe)
+        Some((cols(0), n.get))
+      case other => throw new IllegalArgumentException(
+        "edge-list tables support only PARTITIONED BY (bucket(n, src|dst));" +
+          s" got ${other.map(_.describe).mkString(", ")}")
+    }
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val plain = schema.isEmpty ||
       (schema.fieldNames.toSeq == Seq("src", "dst") &&
@@ -130,12 +250,22 @@ class EdgeListCatalog extends TableCatalog
         " [, weight DOUBLE | label BIGINT]; " +
         s"got ${schema.simpleString}")
     require(f.mkdirs(), s"cannot create edge-list table directory $f")
+    // a NAMED create under the warehouse marks its implicit parent
+    // namespaces (CREATE TABLE graft.db.t without CREATE NAMESPACE db),
+    // so SHOW NAMESPACES and listTables stay consistent with use
+    if (warehouse.isDefined && ident.namespace().nonEmpty)
+      ident.namespace().inits.toSeq.reverse.filter(_.nonEmpty).foreach { ns =>
+        val marker = new java.io.File(nsDir(ns), NsMarker)
+        if (!marker.isFile)
+          java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
     // persist the extra-column choice so loadTable resolves it with no
     // read option (pre-existing plain tables simply have no meta file)
     if (weighted || labeled)
       java.nio.file.Files.write(new java.io.File(f, "_graft_meta").toPath,
         (if (weighted) "weight" else "label")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    bucketSpecOpt.foreach(BucketSpecIO.write(f, _, sorted = true))
     new EdgeListTable(f.getPath, withWeight = weighted, withLabel = labeled)
   }
 

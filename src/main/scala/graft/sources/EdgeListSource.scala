@@ -642,6 +642,16 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   private def sortedBuckets: Option[(String, Int)] =
     reportableBuckets.filter { case (c, _) =>
       BucketSpecIO.sortedOf(path) && required.fieldNames.contains(c) &&
+        // CONSUMER GATE: merged one-partition-per-bucket planning costs
+        // a plain scan its chunk-granular parallelism (bucket-count
+        // tasks + a k-way merge nobody reads the order of). Spark only
+        // consumes the partitioning/ordering reports when V2 bucketing
+        // is on (DataSourceV2ScanExecBase.groupedPartitions gates on
+        // it), so a scan under the default conf keeps byte-range splits
+        // — full-scan/compaction parallelism is never sacrificed to an
+        // ordering report no operator will use.
+        org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
         // SKEW INTERPLAY: under partially-clustered distribution the
         // planner splits a hot bucket across that bucket's input
         // partitions — a single merged partition per bucket would pin
@@ -1585,27 +1595,48 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
-    marker match {
+    // Marker fencing applies to APPENDS only. An overwrite is naturally
+    // idempotent (a replay re-truncates and republishes the same rows),
+    // and consulting a pre-existing marker on a truncate is exactly the
+    // stale-token data-loss trap: a token used BEFORE the overwrite
+    // would silently discard the overwrite itself.
+    marker.filterNot(_ => truncate) match {
       case Some(m) if markerFile(m).exists() =>
-        // replay of a fully-committed write: drop temps, change nothing
+        // replay of a fully-committed write: drop temps, then make the
+        // log current — the first attempt may have crashed AFTER the
+        // marker landed but BEFORE its manifest did (marker-first
+        // ordering below); re-committing here is idempotent because it
+        // snapshots the listing and skips when nothing changed.
         messages.foreach { case EdgeFileCommit(files) =>
           files.foreach { case (t, _) => new java.io.File(t).delete() } }
+        EdgeLog.commitIfChanged(dir)
         return
       case Some(m) =>
-        // unpublish a half-committed earlier attempt of this token
+        // unpublish a half-committed earlier attempt of this token —
+        // safe precisely because the marker (and therefore the log
+        // manifest, which lands after it) never recorded those files
         val half = dir.listFiles().filter(f => f.isFile &&
           !f.getName.startsWith(".") &&
           f.getName.matches(s".*-m$m(-b\\d+)?\\.txt"))
         half.foreach { f => EdgeStats.file(f).delete(); f.delete() }
       case None => ()
     }
-    if (truncate)
+    if (truncate) {
       // data files only: dot-temps are in-flight writers' property and
       // _-prefixed entries are metadata (_graft_meta schema sidecar;
       // _stats/_graft_log/_graft_commits are directories anyway)
       dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
           !f.getName.startsWith("_"))
         .foreach(_.delete())
+      // an overwrite RESETS the table's commit history: stale batch
+      // tokens (_m_*) and streaming epoch markers must not survive it,
+      // or a post-overwrite append reusing a pre-overwrite token (e.g.
+      // foreachBatch after a checkpoint reset) hits the marker-exists
+      // branch and silently discards its batch
+      val commits = new java.io.File(dir, "_graft_commits")
+      if (commits.isDirectory)
+        commits.listFiles().filter(_.isFile).foreach(_.delete())
+    }
     messages.foreach { case EdgeFileCommit(files) => files.foreach {
       case (tmp, stats) =>
         val f = new java.io.File(tmp)
@@ -1622,11 +1653,16 @@ private[sources] class EdgeListBatchWrite(path: String, truncate: Boolean,
     // partitioning (and, when sorted, the ordering) and later appends
     // keep bucketing without the option
     bucketSpec.foreach(BucketSpecIO.write(dir, _, sortedFlag))
-    EdgeLog.commit(dir) // snapshot manifest: this commit's file set
+    // MARKER BEFORE MANIFEST: once the marker exists a replay discards
+    // its temps and (re-)commits the log; were the manifest first, a
+    // crash between the two would leave a committed snapshot whose
+    // files the replay's unpublish-by-tag pass then deletes — breaking
+    // that version's immutable-file validation forever.
     marker.foreach { m =>
       markerFile(m).getParentFile.mkdirs()
       java.nio.file.Files.write(markerFile(m).toPath, Array.emptyByteArray)
     }
+    EdgeLog.commit(dir) // snapshot manifest: this commit's file set
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

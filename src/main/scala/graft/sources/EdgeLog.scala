@@ -79,6 +79,19 @@ private[graft] object EdgeLog {
     committed
   }
 
+  /** [[commit]] only when the current data-file set differs from the
+    * latest manifest — the replay-recovery shape: re-running a commit
+    * whose marker landed but whose manifest may not have must publish
+    * the missing snapshot exactly once, not mint a duplicate version
+    * per replay. */
+  def commitIfChanged(root: java.io.File): Option[Int] = {
+    val current = EdgeListSource.listFiles(root.getPath)
+      .map(f => f.getPath -> f.length()).sorted
+    val latest = currentVersion(root).map(read(root, _)
+      .map { case (f, l) => f.getPath -> l }.sorted)
+    if (latest.contains(current)) None else Some(commit(root))
+  }
+
   /** The recorded (file, length) set of `version`, in manifest (=
     * deterministic listing) order. */
   def read(root: java.io.File, version: Int): Seq[(java.io.File, Long)] = {

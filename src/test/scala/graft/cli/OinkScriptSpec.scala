@@ -87,6 +87,23 @@ class OinkScriptSpec extends SparkSpec {
     assert(ex.getMessage.contains("include cycle"))
   }
 
+  test("edge sink refuses an input carrying BOTH weight and label") {
+    val dir = Files.createTempDirectory("oinkwl")
+    import spark.implicits._
+    Seq((1L, 2L, 1.5, 7L)).toDF("src", "dst", "weight", "label")
+      .write.parquet(s"$dir/wl.parquet")
+    // both columns are individually in the allowed edge shape, but the
+    // connector has no 4-column layout — the sink must refuse, never
+    // silently keep weight and drop label
+    val ex = intercept[OinkScript.ScriptError] {
+      OinkScript.run(spark, Seq(
+        s"read_parquet -i $dir/wl.parquet -o NULL wl",
+        s"write_edge_dsv2 -i wl -o $dir/out"))
+    }
+    assert(ex.getMessage.contains("weight") &&
+      ex.getMessage.contains("label"))
+  }
+
   test("shell mkdir/cd scope relative sink paths; rm deletes; rest rejected") {
     val dir = Files.createTempDirectory("oinkshell")
     OinkScript.run(spark, Seq(

@@ -134,4 +134,72 @@ class EdgeListCatalogSpec extends SparkSpec {
       .collect().toSeq === Seq((8L, 9L)))
     intercept[AnalysisException](spark.sql(s"SELECT * FROM $t").collect())
   }
+
+  test("named tables under a warehouse: namespaces, listing, rename, errors") {
+    val wh = Files.createTempDirectory("graftwh").toFile
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getPath)
+    try {
+      spark.sql("CREATE NAMESPACE graft.mart")
+      intercept[AnalysisException](spark.sql("CREATE NAMESPACE graft.mart"))
+      spark.sql("CREATE TABLE graft.mart.edges (src BIGINT, dst BIGINT)")
+      spark.sql("INSERT INTO graft.mart.edges VALUES (1, 2), (3, 4)")
+      assert(spark.sql("SELECT CAST(sum(src + dst) AS BIGINT)" +
+        " FROM graft.mart.edges").head.getLong(0) === 10L)
+      // the name resolved UNDER the warehouse, not cwd
+      assert(new java.io.File(wh, "mart/edges").isDirectory)
+      assert(spark.sql("SHOW TABLES IN graft.mart")
+        .select("tableName").as[String].collect().toSeq === Seq("edges"))
+      // a CREATE TABLE with no prior CREATE NAMESPACE marks its parent
+      spark.sql("CREATE TABLE graft.raw.e2 (src BIGINT, dst BIGINT)")
+      assert(spark.sql("SHOW NAMESPACES IN graft")
+        .select("namespace").as[String].collect().toSet === Set("mart", "raw"))
+      // missing-table and missing-namespace errors
+      intercept[AnalysisException](
+        spark.sql("SELECT * FROM graft.mart.nope").collect())
+      intercept[AnalysisException](
+        spark.sql("SHOW TABLES IN graft.nowhere").collect())
+      // rename by name stays inside the warehouse
+      spark.sql("ALTER TABLE graft.mart.edges RENAME TO mart.edges2")
+      assert(spark.sql("SELECT src, dst FROM graft.mart.edges2")
+        .as[(Long, Long)].collect().toSet === Set((1L, 2L), (3L, 4L)))
+      intercept[AnalysisException](
+        spark.sql("SELECT * FROM graft.mart.edges").collect())
+      spark.sql("DROP TABLE graft.mart.edges2")
+      assert(spark.sql("SHOW TABLES IN graft.mart").count() === 0L)
+      // non-empty namespace refuses a bare DROP, CASCADE removes it
+      intercept[AnalysisException](spark.sql("DROP NAMESPACE graft.raw"))
+      spark.sql("DROP NAMESPACE graft.raw CASCADE")
+      assert(!new java.io.File(wh, "raw").exists())
+      // the path-literal face is untouched by the warehouse conf
+      val abs = Files.createTempDirectory("graftcat").resolve("absedges")
+      spark.sql(s"CREATE TABLE graft.`$abs` (src BIGINT, dst BIGINT)")
+      assert(new java.io.File(abs.toString).isDirectory)
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
+  test("PARTITIONED BY (bucket(n, src)) at CREATE: inserts ride the layout") {
+    val wh = Files.createTempDirectory("graftwh").toFile
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getPath)
+    try {
+      spark.sql("CREATE TABLE graft.db.be (src BIGINT, dst BIGINT)" +
+        " PARTITIONED BY (bucket(4, src))")
+      val dir = new java.io.File(wh, "db/be")
+      assert(BucketSpecIO.read(dir.getPath) === Some(("src", 4)))
+      assert(BucketSpecIO.sortedOf(dir.getPath))
+      spark.sql("INSERT INTO graft.db.be" +
+        " SELECT id AS src, id * 7 AS dst FROM range(100)")
+      // every data file carries its bucket tag and the sorted flag held
+      val files = EdgeListSource.listFiles(dir.getPath)
+      assert(files.nonEmpty)
+      assert(files.forall(f =>
+        BucketSpecIO.bucketOf(f.getName).exists(_ < 4)))
+      assert(BucketSpecIO.sortedOf(dir.getPath))
+      assert(spark.sql("SELECT count(*) FROM graft.db.be")
+        .head.getLong(0) === 100L)
+      // only the bucket transform is accepted
+      intercept[Exception](spark.sql(
+        "CREATE TABLE graft.db.bad (src BIGINT, dst BIGINT)" +
+          " PARTITIONED BY (bucket(4, src), bucket(4, dst))"))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
 }

@@ -147,6 +147,67 @@ class EdgeListSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("idempotencyMarker"))
   }
 
+  test("overwrite resets markers: a stale pre-overwrite token cannot discard a later append") {
+    import spark.implicits._
+    val out = tmpDir("stale_token")
+    // a token commits before the overwrite (e.g. foreachBatch id 17)
+    Seq((1L, 2L)).toDF("src", "dst").coalesce(1).write.format(Fmt)
+      .option("idempotencyMarker", "b17").mode("append").save(out)
+    // streaming sink epochs leave markers too
+    java.nio.file.Files.write(
+      new java.io.File(out, "_graft_commits/_5").toPath,
+      Array.emptyByteArray)
+    // the overwrite RESETS commit history: all markers must die with it
+    Seq((10L, 20L)).toDF("src", "dst").coalesce(1).write.format(Fmt)
+      .mode("overwrite").save(out)
+    val commits = new java.io.File(out, "_graft_commits")
+    assert(!commits.isDirectory ||
+      commits.listFiles().count(_.isFile) === 0)
+    // a post-overwrite append reusing the pre-overwrite token (replayed
+    // batch id after a checkpoint reset) must LAND, not be discarded
+    Seq((30L, 40L)).toDF("src", "dst").coalesce(1).write.format(Fmt)
+      .option("idempotencyMarker", "b17").mode("append").save(out)
+    assert(readBack(out) === Set((10L, 20L), (30L, 40L)))
+    // and an overwrite CARRYING a stale token must land too (overwrite
+    // is naturally idempotent — the marker fence applies to appends)
+    Seq((50L, 60L)).toDF("src", "dst").coalesce(1).write.format(Fmt)
+      .option("idempotencyMarker", "b17").mode("overwrite").save(out)
+    assert(readBack(out) === Set((50L, 60L)))
+  }
+
+  test("marker-before-manifest: a crash between them heals on replay without breaking time travel") {
+    import spark.implicits._
+    val out = tmpDir("mkr_order")
+    Seq((1L, 2L)).toDF("src", "dst").coalesce(1).write.format(Fmt)
+      .mode("overwrite").save(out)
+    val root = new java.io.File(out)
+    val v0 = EdgeLog.currentVersion(root).get
+    def append(): Unit = Seq((3L, 4L)).toDF("src", "dst").coalesce(1)
+      .write.format(Fmt).option("idempotencyMarker", "m9")
+      .mode("append").save(out)
+    append()
+    val v1 = EdgeLog.currentVersion(root).get
+    assert(v1 === v0 + 1)
+    // simulate the crash window: marker landed, manifest did not
+    assert(new java.io.File(out, "_graft_commits/_m_m9").isFile)
+    java.nio.file.Files.delete(
+      new java.io.File(out, f"_graft_log/v$v1%08d.manifest").toPath)
+    assert(EdgeLog.currentVersion(root).get === v0)
+    // the replay must NOT unpublish the committed files (the marker
+    // proves the write completed) — it re-commits the missing manifest
+    append()
+    assert(readBack(out) === Set((1L, 2L), (3L, 4L)))
+    val v2 = EdgeLog.currentVersion(root).get
+    assert(v2 === v0 + 1)
+    // the healed snapshot is a valid time-travel target
+    assert(spark.read.format(Fmt).option("versionAsOf", v2).load(out)
+      .as[(Long, Long)].collect().toSet === Set((1L, 2L), (3L, 4L)))
+    // and a SECOND replay of the same token mints no duplicate version
+    append()
+    assert(EdgeLog.currentVersion(root).get === v2)
+    assert(readBack(out) === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("bucketed fanout past the open-handle cap: LRU suspend/append-reopen loses nothing") {
     // 300 buckets > MaxOpenSinks (128) in ONE task, keys interleaved so
     // every bucket is revisited after eviction — the worst thrash shape
