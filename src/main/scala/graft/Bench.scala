@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Benchmark main — one JSON line on stdout per the driver contract.
   *
   * SECTION LAYOUT (r13): the parent JVM runs the 14 headline queries
-  * (5 reps, spreads recorded) and prints the JSON; every OTHER family —
-  * mr_phase ×2, topk, streaming, asof, each of the 12 trend queries,
-  * decontam_kmv, edge_changes, cc_inc, bucket_spj, bucket_skew,
-  * ahash_index — runs in its OWN forked JVM (same classpath/flags/
-  * heap), reporting results plus a per-family q1_agg control
+  * (5 reps, spreads recorded), the ms-scale mr_phase reference metric
+  * (warmed-process shape — a fresh JVM reads it ~3× slower from lost
+  * JIT state, breaking BASELINE comparability), and prints the JSON;
+  * every OTHER family — topk, streaming, asof, each of the 12 trend
+  * queries, decontam_kmv, edge_changes, cc_inc, bucket_spj,
+  * bucket_skew, ahash_index — runs in its OWN forked JVM (same
+  * classpath/flags/heap), reporting results plus a per-family q1_agg
+  * control
   * (`<family>_ctl_sec`) over BENCHKV stdout lines. Families therefore
   * cannot contaminate each other through shared old-gen state, and
   * every extras number is clean-JVM-probe-comparable by construction
@@ -152,7 +155,14 @@ object Bench {
             System.err.println(s"[bench] section $name failed: ${e.getMessage}")
             Nil
           }
-        case None if !inline => forkSection(name)
+        // the ms-scale reference metric stays IN the warmed parent: a
+        // fresh JVM reads ~3× slower (measured 94 vs 29 ms barabasi-
+        // local) purely from lost JIT state — the metric's cross-round
+        // and BASELINE comparability lives in the warmed-process shape,
+        // and ms-scale phases are not GC-bleed victims (own warm rep,
+        // median of 5)
+        case None if !inline && !name.startsWith("mr_phase:") =>
+          forkSection(name)
         case None =>
           try f catch { case e: Throwable =>
             System.err.println(s"[bench] section $name failed: ${e.getMessage}")

@@ -132,7 +132,9 @@ object GraftFunctions {
     val sorted = graft.sources.BucketSpecIO.sortedOf(path)
     val byBucket = graft.sources.EdgeListSource.listFiles(path)
       .groupBy(f => graft.sources.BucketSpecIO.bucketOf(f.getName))
-    val rows = (0 until n).map { b =>
+    // a compound (grid) layout has n×n cells — describe every cell
+    val cells = graft.sources.BucketSpecIO.totalCells((col, n))
+    val rows = (0 until cells).map { b =>
       val fs = byBucket.getOrElse(Some(b), Seq.empty)
       val sidecars = fs.map(graft.sources.EdgeStats.read)
       (b, col, sorted, fs.size, fs.map(_.length()).sum,

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, regexp_extract}
 import org.apache.hadoop.fs.Path
 
 /** Small-file compaction — the table-maintenance pass every long-lived
@@ -133,10 +133,10 @@ object Compaction {
     val layout = graft.sources.BucketSpecIO.read(dir)
     val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val done = layout match {
-      // fully compacted bucketed table = one file per bucket per
-      // needed task group
-      case Some((_, n)) =>
-        files.length <= math.max(n, want)
+      // fully compacted bucketed table = one file per bucket (or grid
+      // cell) per needed task group
+      case Some(sp) =>
+        files.length <= math.max(graft.sources.BucketSpecIO.totalCells(sp), want)
       case None => files.length <= want
     }
     if (done)
@@ -150,8 +150,9 @@ object Compaction {
     val opt = extraColOption(dir)
     val rd = opt.foldLeft(spark.read.format(fmt))(_.option(_, "true"))
     val wr = layout match {
-      case Some((col, n)) =>
-        val tasks = math.max(1, math.round(want.toDouble / n).toInt)
+      case Some(sp @ (col, n)) =>
+        val tasks = math.max(1, math.round(want.toDouble /
+          graft.sources.BucketSpecIO.totalCells(sp)).toInt)
         opt.foldLeft(rd.load(dir).repartition(tasks).write.format(fmt))(
             _.option(_, "true"))
           .option("bucketBy", col).option("numBuckets", n.toString)
@@ -202,11 +203,20 @@ object Compaction {
     * z-range slivers containing k. Same temp-dir + rename-swap (and
     * the same single-writer contract) as [[compactEdgeList]]; sidecars
     * for the new files are written by the connector commit itself.
-    * On a BUCKETED table this is a deliberate RE-layout: z-locality
-    * replaces the hash-bucket layout (the `_graft_buckets` sidecar
-    * does not survive the swap — compaction preserves it, zorder
-    * replaces it), exactly like an overwrite with different layout
-    * options; pick per table which locality the workload pays for.
+    * On a BUCKETED table the pass is BUCKET-LOCAL (round 13): rows are
+    * range-split on (bucket, z) — each rewrite task holds one bucket's
+    * contiguous z-slice — and written back THROUGH the connector's
+    * bucketed write, so the `_graft_buckets` sidecar, the `-b<k>` tags,
+    * the sorted flag, and therefore the exchange-free SPJ all survive,
+    * while every bucket file now covers a small (src, dst) rectangle
+    * and the zone maps prune on both dimensions. Z-locality is a
+    * FILE-granular property (zone maps are per-file min/max), so the
+    * write path's in-file ascending-src sort — the merge-read
+    * contract — costs the skipping nothing. The 100 TB table keeps
+    * BOTH layouts: the join rides the buckets, the 2-dim filter rides
+    * the curve. (Effective file floor on a bucketed table is one file
+    * per non-empty bucket; a `numFiles` below the bucket count cannot
+    * merge across buckets.)
     * @param bits per-column bit budget (keys clamped to [0, 2^bits)) */
   def zorderEdgeList(spark: SparkSession, dir: String, numFiles: Int,
       bits: Int = 20): Report = {
@@ -221,11 +231,38 @@ object Compaction {
     fs.delete(tmp, true); fs.delete(bak, true)
     val opt = extraColOption(dir)
     val rd = opt.foldLeft(spark.read.format(fmt))(_.option(_, "true"))
-    val laid = ZOrder.layoutBy(rd.load(dir),
-      Seq(col("src"), col("dst")), bits, numFiles)
-    ZOrder.withExactRangeSampling(laid) {
-      opt.foldLeft(laid.write.format(fmt))(_.option(_, "true"))
-        .mode(SaveMode.Overwrite).save(tmp.toString)
+    graft.sources.BucketSpecIO.read(dir) match {
+      case Some((bcol, n)) =>
+        // bucket-local: slice the z-curve WITHIN each bucket. The row's
+        // bucket comes from its file tag (`_file` metadata column) —
+        // exact, and no driver-side re-hash; the range exchange on
+        // (bucket, z) makes each task one bucket's z-slice, and the
+        // bucketed fanout write re-tags and re-sorts it in place.
+        val base = rd.load(dir)
+        val bc = Iterator.from(0).map(i => s"__zb$i")
+          .find(c => !base.columns.contains(c)).get
+        val zc = Iterator.from(0).map(i => s"__zv$i")
+          .find(c => !base.columns.contains(c)).get
+        val laid = base.select(col("*"), col("_file"))
+          .withColumn(bc,
+            regexp_extract(col("_file"), "-b(\\d+)\\.txt$", 1).cast("int"))
+          .drop("_file")
+          .withColumn(zc,
+            ZOrder.zValueClamped(Seq(col("src"), col("dst")), bits))
+          .repartitionByRange(math.max(numFiles, n), col(bc), col(zc))
+          .drop(bc, zc)
+        ZOrder.withExactRangeSampling(laid) {
+          opt.foldLeft(laid.write.format(fmt))(_.option(_, "true"))
+            .option("bucketBy", bcol).option("numBuckets", n.toString)
+            .mode(SaveMode.Overwrite).save(tmp.toString)
+        }
+      case None =>
+        val laid = ZOrder.layoutBy(rd.load(dir),
+          Seq(col("src"), col("dst")), bits, numFiles)
+        ZOrder.withExactRangeSampling(laid) {
+          opt.foldLeft(laid.write.format(fmt))(_.option(_, "true"))
+            .mode(SaveMode.Overwrite).save(tmp.toString)
+        }
     }
     swapWithLogHistory(fs, p, tmp, bak, "zorder")
     Report(files.length, dataFiles(spark, dir).length, bytes, bytes)

@@ -340,6 +340,82 @@ object Multimodal {
       })
   }
 
+  /** Synthetic JPEG payload — the SAME pixel law as [[synthPng]],
+    * pushed through the JDK's LOSSY JPEG writer. Geometry (width,
+    * height, channel count) survives the lossy round-trip exactly —
+    * that is what the gate states in closed form ([[jpegMetaFeatures]])
+    * — while pixel sums only hold within an envelope (MultimodalSpec
+    * bounds the per-pixel deviation; a closed-form oracle cannot gate
+    * lossy pixels). */
+  def synthJpeg(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 16).toInt
+    val h = (4 + docId % 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      val r = ((3 * docId + 2 * y) % 256).toInt
+      val g = ((2 * docId + y) % 256).toInt
+      val b = ((docId + y) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a synthetic JPEG payload column (the lossy-image twin of
+    * [[withPngPayload]]). */
+  def withJpegPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthJpeg(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Geometry record of a REAL JPEG decode — the exact face of the
+    * lossy codec. */
+  final case class JpegMeta(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_px: Long)
+
+  /** REAL JPEG decode through the gate, exact half: decompresses
+    * genuine JFIF bytes via `javax.imageio` and emits the geometry —
+    * dimensions and channel count survive the lossy codec exactly, so
+    * a closed-form oracle CAN state them (the pixel half is spec-bound
+    * with an envelope instead: JPEG is lossy and an exact pixel oracle
+    * would be a lie). Same guard rails as [[pngDecodeFeatures]]:
+    * refuses to run without `spark.graft.media.decoder=imageio`, and
+    * cross-checks the raster against [[ImageIODecoder.decode]] so the
+    * two decode surfaces never drift. */
+  def jpegMetaFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[JpegMeta] = {
+    import spark.implicits._
+    require(spark.conf.getOption("spark.graft.media.decoder")
+        .contains("imageio"),
+      "jpegMetaFeatures decodes REAL bytes; set " +
+        "spark.graft.media.decoder=imageio")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"undecodable JPEG payload for doc $id")
+        val (mw, mh, mc) = ImageIODecoder.decode(payload)
+        require(mw == img.getWidth && mh == img.getHeight &&
+            mc == img.getColorModel.getNumComponents,
+          s"metadata/raster decode drift for doc $id")
+        JpegMeta(id, img.getWidth, img.getHeight, mc,
+          img.getWidth.toLong * img.getHeight)
+      })
+  }
+
   /** Attach a synthetic AVI payload column (the video twin of
     * [[withWavPayload]]). */
   def withAviPayload(spark: SparkSession, docs: DataFrame): DataFrame = {

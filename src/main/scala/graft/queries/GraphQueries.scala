@@ -325,6 +325,140 @@ object GraphQueries {
         .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
     }),
 
+    // COMPOUND (grid) bucket keys (round 13): real fact tables
+    // co-locate on multi-column keys. Spark 4.1's SPJ machinery only
+    // accepts SINGLE-argument transforms (KeyGroupedPartitioning.
+    // isSupportedTransform requires children.size == 1 — verified
+    // against the bytecode; a reported bucket(n, src, dst) resolves but
+    // never plans exchange-free, CompoundSpjProbe), so the compound
+    // layout is a GRID: `bucketBy=src,dst` fans out to n×n cells
+    // (tag = bucket(src,n)*n + bucket(dst,n)), the scan reports TWO
+    // transforms [bucket(n,src), bucket(n,dst)] with the pair as
+    // partition key, and a join on BOTH columns plans with ZERO
+    // Exchange (asserted in-query on the executed plan, aggregate
+    // grouped on both keys so the grid satisfies it end-to-end).
+    // Bonus over a combined hash: a filter on EITHER column prunes its
+    // grid dimension alone, and the width-reduction algebra composes
+    // per dimension. The oracle computes the same two-key join.
+    "g_dsv2_bucket_multi" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2bm_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(4).write.format(fmtName)
+        .option("bucketBy", "src,dst").option("numBuckets", "4")
+        .mode("overwrite").save(s"$root/a")
+      e.where((col("src") + col("dst")) % 3 === 0)
+        .repartition(2).write.format(fmtName)
+        .option("bucketBy", "src,dst").option("numBuckets", "4")
+        .mode("overwrite").save(s"$root/b")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, a.dst AS w,
+             |  count(*) AS n_pairs
+             |FROM graft.`$root/a` a JOIN graft.`$root/b` b
+             |ON a.src = b.src AND a.dst = b.dst
+             |GROUP BY a.src, a.dst""".stripMargin)
+        val out = df.localCheckpoint() // executes the join
+        val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        require(nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "expected a sort-merge join over the grid-bucketed tables:\n" +
+            df.queryExecution.executedPlan)
+        val exchanges = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(exchanges.isEmpty,
+          s"compound-key SPJ planned ${exchanges.size} Exchange(s):\n" +
+            df.queryExecution.executedPlan)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // BUCKET-LOCAL Z-ORDER (round 13): the 100 TB table wants BOTH
+    // layouts — the SPJ buckets for the join and the Morton curve for
+    // multi-dimensional skipping — and until this round zorder dropped
+    // the bucket tags (a deliberate re-layout). Now `zorderEdgeList` on
+    // a bucketed table range-splits rows on (bucket, z) and rewrites
+    // THROUGH the connector's bucketed write: tags, sidecar, sorted
+    // flag all survive, while each bucket's files become narrow
+    // (src, dst) rectangles. In-query audits: (1) a 2-dim filtered scan
+    // plans STRICTLY FEWER files than the on-disk census (zone-map
+    // pruning through the kept layout), (2) an SPJ join of the
+    // z-ordered table still plans ZERO Exchange. The oracle sees only
+    // the filtered aggregate.
+    "g_dsv2_zorder_bucket" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2zb_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(4).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "8")
+        .mode("overwrite").save(s"$root/edges")
+      graft.io.Compaction.zorderEdgeList(s, s"$root/edges",
+        numFiles = 32, bits = 20)
+      require(graft.sources.BucketSpecIO.read(s"$root/edges")
+          .contains(("src", 8)),
+        "bucket-local zorder dropped the _graft_buckets sidecar")
+      val census =
+        graft.sources.EdgeListSource.listFiles(s"$root/edges").size
+      val df = s.read.format(fmtName).load(s"$root/edges")
+        .where(col("src") >= 100 && col("dst") < 5000)
+        .groupBy("src")
+        .agg(count(lit(1)).as("out_deg"), sum("dst").as("sum_dst"))
+      val out = df.localCheckpoint()
+      val scan = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            => b }.head
+      val planned = scan.inputRDDs().head.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+        case _ => Nil
+      }.flatMap {
+        case sb: graft.sources.SortedBucketFiles => sb.files.map(_._1)
+        case er: graft.sources.EdgeRange => Seq(er.file)
+      }.distinct.size
+      require(planned < census,
+        s"z-order pruning inactive on the bucketed layout: planned" +
+          s" $planned of $census files")
+      // the kept layout still serves the exchange-free join
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        e.select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(2).write.format(fmtName)
+          .option("bucketBy", "src").option("numBuckets", "8")
+          .mode("overwrite").save(s"$root/other")
+        val j = s.sql(
+          s"""SELECT /*+ MERGE(a) */ a.src AS v, count(*) AS n
+             |FROM graft.`$root/edges` a JOIN graft.`$root/other` b
+             |ON a.src = b.src GROUP BY a.src""".stripMargin)
+        j.localCheckpoint()
+        val ex = graft.plans.PlanWalk.nodes(j.queryExecution.executedPlan)
+          .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+        require(ex == 0,
+          s"SPJ over the z-ordered bucketed table planned $ex Exchange(s):\n" +
+            j.queryExecution.executedPlan)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      out
+    }),
+
     // The connector as a PURE-SQL relation (graft_edges table function):
     // the same grouped-pushdown degree query, written entirely in SQL —
     // the thrift-server / SQL-script access path. Shares g_dsv2_degree's
@@ -1454,6 +1588,23 @@ object GraphQueries {
          |FROM edges WHERE dst < 5000 GROUP BY src""".stripMargin,
 
     "g_dsv2_zorder" ->
+      s"""WITH edges AS ($E)
+         |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
+         |FROM edges WHERE src >= 100 AND dst < 5000 GROUP BY src""".stripMargin,
+
+    // compound-key join: the grid layout and the exchange-free plan are
+    // invisible to the result — the oracle computes the two-key join
+    "g_dsv2_bucket_multi" ->
+      s"""WITH edges AS ($E)
+         |SELECT a.src AS v, a.dst AS w, count(*) AS n_pairs
+         |FROM edges a
+         |JOIN (SELECT * FROM edges WHERE (src + dst) % 3 = 0) b
+         |  ON a.src = b.src AND a.dst = b.dst
+         |GROUP BY a.src, a.dst""".stripMargin,
+
+    // bucket-local z-order: the kept SPJ layout and the pruned scan are
+    // both plan-side; the oracle sees only the filtered aggregate
+    "g_dsv2_zorder_bucket" ->
       s"""WITH edges AS ($E)
          |SELECT src, count(*) AS out_deg, CAST(sum(dst) AS BIGINT) AS sum_dst
          |FROM edges WHERE src >= 100 AND dst < 5000 GROUP BY src""".stripMargin,

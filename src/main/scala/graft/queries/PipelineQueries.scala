@@ -312,6 +312,28 @@ object PipelineQueries {
       }
     }),
 
+    // REAL JPEG decode, exact half (round 13 — Missing #5): genuine
+    // JFIF bytes from the JDK's lossy writer, decompressed back through
+    // javax.imageio. The gate states what survives a LOSSY codec
+    // exactly — width/height/channels/pixel count in closed form over
+    // doc_id — while the pixel sums are spec-bound within an envelope
+    // (MultimodalSpec): an exact pixel oracle for a lossy codec would
+    // be a lie. The decode stub boundary is now compressed audio/video
+    // codecs ONLY.
+    "mm_jpeg_meta" -> ((s, dir) => {
+      val key = "spark.graft.media.decoder"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "imageio")
+      try
+        Multimodal.jpegMetaFeatures(s,
+          Multimodal.withJpegPayload(s, docs(s, dir))).toDF()
+          .localCheckpoint() // decode runs while the conf is active
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Nearest-neighbor resize of every decoded frame to a fixed 16x8
     // grid (floor-mapped source indices; covers up- AND down-sampling
     // since src w spans 8-23 / h spans 4-11). wsum_r is the
@@ -2618,6 +2640,16 @@ object PipelineQueries {
         |  CAST(sum((y + 1) * w * ((3 * doc_id + 2 * y) % 256)) AS BIGINT)
         |    AS ysum_r
         |FROM py GROUP BY doc_id, w, h""".stripMargin,
+
+    // geometry of the lossy round-trip in closed form: dimensions and
+    // channel count survive JPEG exactly; pixels deliberately do not
+    // appear here (envelope-bound in MultimodalSpec instead)
+    "mm_jpeg_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 8 AS INTEGER) AS height, 3 AS channels,
+        |  CAST((8 + doc_id % 16) * (4 + doc_id % 8) AS BIGINT) AS n_px
+        |FROM documents""".stripMargin,
 
     // closed-form NN-resize replay: output row yp reads source row
     // ys = (yp*h)//8; pixels are row-constant so the x' sum is a *16

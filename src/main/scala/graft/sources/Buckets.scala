@@ -25,18 +25,37 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
   *    shuffle is paid once at write time, then never again.
   */
 private[graft] object BucketHash {
+  private def mix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   /** Murmur3 fmix64 finalizer, then a nonneg modulo — a full-avalanche
     * mix so sequential vertex ids spread across buckets (a raw `id % n`
     * would alias arithmetic progressions in the data onto few buckets).
     * This function IS the contract between the writer and the reported
     * partitioning: [[BoundBucket.produceResult]] delegates here. */
-  def bucket(key: Long, n: Int): Int = {
-    var h = key
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    (((h % n) + n) % n).toInt
-  }
+  def bucket(key: Long, n: Int): Int =
+    (((mix64(key) % n) + n) % n).toInt
+
+  /** Compound-key GRID cell (round 13): `bucket(k1, n) * n +
+    * bucket(k2, n)` — the two keys hash independently and the pair
+    * indexes an n×n grid. A grid (not a combined hash) because Spark's
+    * SPJ machinery accepts only SINGLE-argument transforms
+    * (`KeyGroupedPartitioning.isSupportedTransform` requires
+    * `children.size == 1` — verified against the 4.1.2 bytecode), so a
+    * compound layout must be expressed as TWO reported transforms
+    * `[bucket(n, c1), bucket(n, c2)]` whose partition key is the pair
+    * `(b1, b2)`; the cell is just the pair flattened for the file tag.
+    * Bonus over a combined hash: a filter on EITHER column prunes its
+    * grid dimension alone, and the per-dimension width-reduction
+    * algebra ([[BoundBucket]]'s ReducibleFunction) composes per
+    * transform unchanged. */
+  def cell(k1: Long, k2: Long, n: Int): Int =
+    bucket(k1, n) * n + bucket(k2, n)
 }
 
 /** The persisted bucket layout of a table: `_graft_buckets` sidecar
@@ -55,20 +74,33 @@ private[graft] object BucketSpecIO {
   def file(root: java.io.File): java.io.File =
     new java.io.File(root, "_graft_buckets")
 
+  /** Valid bucket-column spec: a single key (`src`/`dst`) or the
+    * compound pair (`src,dst` / `dst,src` — order fixes which key
+    * indexes the grid's rows). */
+  def validCols(c: String): Boolean =
+    Set("src", "dst", "src,dst", "dst,src").contains(c)
+
+  /** File-tag universe of a layout: `n` buckets for a single key,
+    * `n × n` grid cells for a compound one (numBuckets is PER KEY
+    * COLUMN — a compound `numBuckets=8` lays out 64 cells; the grid's
+    * two reported transforms each carry n=8). */
+  def totalCells(spec: (String, Int)): Int =
+    if (spec._1.contains(",")) spec._2 * spec._2 else spec._2
+
   def read(path: String): Option[(String, Int)] = {
     val f = file(new java.io.File(path))
     if (!f.isFile) None
     else new String(java.nio.file.Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).trim.split("\\s+") match {
-      case Array(col, n) if (col == "src" || col == "dst") &&
+      case Array(col, n) if validCols(col) &&
           scala.util.Try(n.toInt).toOption.exists(_ >= 1) =>
         Some((col, n.toInt))
-      case Array(col, n, "sorted") if (col == "src" || col == "dst") &&
+      case Array(col, n, "sorted") if validCols(col) &&
           scala.util.Try(n.toInt).toOption.exists(_ >= 1) =>
         Some((col, n.toInt))
       case other => throw new IllegalStateException(
         s"corrupt _graft_buckets sidecar in $path: '${other.mkString(" ")}'" +
-          " (expected '<src|dst> <numBuckets>[ sorted]')")
+          " (expected '<src|dst|src,dst|dst,src> <numBuckets>[ sorted]')")
     }
   }
 

@@ -228,12 +228,14 @@ class EdgeListCatalog extends TableCatalog with SupportsNamespaces
             l.value.asInstanceOf[Int]
         }
         val cols = t.references.flatMap(_.fieldNames)
-        require(n.exists(_ >= 1) && cols.length == 1 &&
-            (cols(0) == "src" || cols(0) == "dst"),
-          "edge-list bucketing is bucket(<n>, src|dst); got " + t.describe)
-        Some((cols(0), n.get))
+        require(n.exists(_ >= 1) &&
+            BucketSpecIO.validCols(cols.mkString(",")),
+          "edge-list bucketing is bucket(<n>, src|dst) or the compound" +
+            " bucket(<n>, src, dst); got " + t.describe)
+        Some((cols.mkString(","), n.get))
       case other => throw new IllegalArgumentException(
-        "edge-list tables support only PARTITIONED BY (bucket(n, src|dst));" +
+        "edge-list tables support only PARTITIONED BY" +
+          " (bucket(n, src|dst) | bucket(n, src, dst));" +
           s" got ${other.map(_.describe).mkString(", ")}")
     }
     import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -265,7 +267,11 @@ class EdgeListCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(new java.io.File(f, "_graft_meta").toPath,
         (if (weighted) "weight" else "label")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    bucketSpecOpt.foreach(BucketSpecIO.write(f, _, sorted = true))
+    // compound layouts never carry the sorted flag (single-key merge
+    // reader); single-key ones start sorted — an empty table trivially
+    // satisfies the contract and the writer's ordering maintains it
+    bucketSpecOpt.foreach(sp =>
+      BucketSpecIO.write(f, sp, sorted = !sp._1.contains(",")))
     new EdgeListTable(f.getPath, withWeight = weighted, withLabel = labeled)
   }
 

@@ -622,10 +622,11 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * the report to unknown partitioning, never to a wrong plan. */
   private def reportableBuckets: Option[(String, Int)] =
     bucketSpec.filter(_ => aggs.isEmpty && topN.isEmpty && limit.isEmpty)
-      .filter { case (_, n) =>
+      .filter { sp =>
+        val cells = BucketSpecIO.totalCells(sp)
         val fs = plannedFiles()
         fs.nonEmpty && fs.forall { case (f, _) =>
-          BucketSpecIO.bucketOf(f.getName).exists(_ < n)
+          BucketSpecIO.bucketOf(f.getName).exists(_ < cells)
         }
       }
 
@@ -641,6 +642,9 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * (`mapreduce.cpp:2007-2054`) amortized into the layout. */
   private def sortedBuckets: Option[(String, Int)] =
     reportableBuckets.filter { case (c, _) =>
+      // compound layouts don't report ordering (single-key merge reader;
+      // the write never sets the sorted flag for them — belt+braces)
+      !c.contains(",") &&
       BucketSpecIO.sortedOf(path) && required.fieldNames.contains(c) &&
         // CONSUMER GATE: merged one-partition-per-bucket planning costs
         // a plain scan its chunk-granular parallelism (bucket-count
@@ -652,16 +656,18 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         // ordering report no operator will use.
         org.apache.spark.sql.internal.SQLConf.get.getConfString(
           "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
-        // SKEW INTERPLAY: under partially-clustered distribution the
-        // planner splits a hot bucket across that bucket's input
-        // partitions — a single merged partition per bucket would pin
-        // the hot bucket to one task. When the user opts into skew
-        // mitigation, keep the chunk-granular (splittable) planning and
-        // give up the ordering report (the join re-sorts; skew tail
-        // beats sort cost exactly when the user flips this conf).
-        !org.apache.spark.sql.internal.SQLConf.get.getConfString(
-          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
-          "false").toBoolean &&
+        // SKEW INTERPLAY (round 13 — selective, no longer give-up):
+        // under partially-clustered distribution, planInputPartitions
+        // keeps merged+ordered partitions for COLD buckets and splits
+        // only HOT ones (bytes > 2× the median bucket) into per-file /
+        // per-chunk partitions — one hot bucket no longer costs every
+        // cold bucket its sort-free merge. Correctness is guarded
+        // upstream either way: DataSourceV2ScanExecBase.outputOrdering
+        // honors a reported ordering only when EVERY key group holds a
+        // single input partition (bytecode-verified), so if Spark ends
+        // up grouping the hot splits (e.g. this side is chosen fully
+        // clustered), the ordering silently degrades to a re-sort — a
+        // weaker plan, never a wrong one.
         // COMPATIBLE-WIDTH INTERPLAY: under allowCompatibleTransforms a
         // wider table's buckets may be COALESCED onto a narrower
         // layout's (BucketReducer) — and two buckets' sorted streams do
@@ -699,10 +705,18 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     reportableBuckets match {
-      case Some((col, n)) =>
+      case Some((cols, n)) =>
+        // a compound layout reports TWO single-argument transforms
+        // ([bucket(n, c1), bucket(n, c2)], partition key = the pair) —
+        // NOT one bucket(n, c1, c2): Spark's SPJ machinery accepts only
+        // single-reference transforms (KeyGroupedPartitioning.
+        // isSupportedTransform requires children.size == 1; verified
+        // against the 4.1.2 bytecode, probe in CompoundSpjProbe), so
+        // the grid form is what actually plans exchange-free
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(n, col)),
+          cols.split(",").map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c): org.apache.spark.sql.connector.expressions.Transform),
           planInputPartitions().length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -729,6 +743,11 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     if (!runtimePrunable)
       Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
     else reportableBuckets match {
+      case Some((c, _)) if c.contains(",") =>
+        // compound layout: a runtime key set on ONE column cannot prune
+        // compound buckets (the hash needs both) — stay out of runtime
+        // filtering rather than advertise an attribute we can't honor
+        Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
       case Some((c, _)) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.column(c))
           .filter(_ => readSchema().fieldNames.contains(c))
@@ -787,9 +806,26 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     // bucket pruning: a point filter on the bucket column (=, IN) keeps
     // only files whose tag can hold a match — exact (a tagged file holds
     // ONLY its bucket's rows) where hash-scattered keys defeat zone
-    // maps; untagged files never prune this way
-    val allowed = bucketSpec.flatMap { case (c, n) =>
-      EdgeListFilters.allowedBuckets(fs, c, n) }
+    // maps; untagged files never prune this way. A compound GRID prunes
+    // per dimension: a point filter on EITHER key column keeps only its
+    // grid row/column of cells — something a combined hash could never
+    // do (it needs both keys).
+    def allowedTags(filters: Array[Filter]): Option[Set[Int]] =
+      bucketSpec.flatMap { case (c, n) =>
+        if (!c.contains(",")) EdgeListFilters.allowedBuckets(filters, c, n)
+        else {
+          val Array(c1, c2) = c.split(",")
+          val rows = EdgeListFilters.allowedBuckets(filters, c1, n)
+          val cols = EdgeListFilters.allowedBuckets(filters, c2, n)
+          if (rows.isEmpty && cols.isEmpty) None
+          else {
+            val rs = rows.getOrElse((0 until n).toSet)
+            val cs = cols.getOrElse((0 until n).toSet)
+            Some(for { i <- rs; j <- cs } yield i * n + j)
+          }
+        }
+      }
+    val allowed = allowedTags(fs)
     // a validated snapshot/changes file equals its committed content,
     // so the current sidecar (if any) describes exactly these rows —
     // zone maps keep pruning under time travel and changes feeds
@@ -812,8 +848,7 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     val padBuckets: Seq[Int] =
       if (!keyed || runtimeFilters.isEmpty) Nil
       else {
-        val staticAllowed = bucketSpec.flatMap { case (c, n) =>
-          EdgeListFilters.allowedBuckets(pushed, c, n) }
+        val staticAllowed = allowedTags(pushed)
         val universe = keep(pushed, staticAllowed)
           .flatMap { case (f, _) => BucketSpecIO.bucketOf(f.getName) }.toSet
         val present = kept
@@ -825,16 +860,39 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         // sorted layout: one merge partition per bucket — whole files,
         // no byte-range splits (the bucket count is the parallelism
         // unit under SPJ anyway), merged on the bucket column so the
-        // partition's output IS the reported ordering
+        // partition's output IS the reported ordering.
+        // HOT-BUCKET-SELECTIVE SKEW (round 13): when the user opts into
+        // partially-clustered distribution, a bucket holding > 2× the
+        // median bucket's bytes is emitted as per-file partitions
+        // (chunked further past chunkBytes) instead of one merged one —
+        // each split is still internally sorted (whole sorted file, or
+        // a byte range of one), so the ordering report stays honest,
+        // cold buckets keep their sort-free merge, and only the hot
+        // tail fans out for the dim side to replicate against.
         val keyOrd = required.fieldNames.indexOf(c)
-        (kept.groupBy { case (f, _) =>
-          BucketSpecIO.bucketOf(f.getName).get }
-          .toSeq.sortBy(_._1)
-          .map { case (b, files) =>
-            SortedBucketFiles(
-              files.map { case (f, len) => (f.getAbsolutePath, len) },
-              b, keyOrd): InputPartition
-          } ++
+        val partialClustering =
+          org.apache.spark.sql.internal.SQLConf.get.getConfString(
+            "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+            "false").toBoolean
+        val byBucket = kept.groupBy { case (f, _) =>
+          BucketSpecIO.bucketOf(f.getName).get }.toSeq.sortBy(_._1)
+        val medianBytes: Long =
+          if (byBucket.isEmpty) 0L
+          else byBucket.map(_._2.map(_._2).sum).sorted
+            .apply(byBucket.size / 2)
+        (byBucket.flatMap { case (b, files) =>
+          val bytes = files.map(_._2).sum
+          if (partialClustering && bytes > 2L * medianBytes)
+            files.flatMap { case (f, len) =>
+              (0L until len by chunkBytes).map { start =>
+                BucketedEdgeChunk(f.getAbsolutePath, start,
+                  math.min(start + chunkBytes, len), b): InputPartition
+              }
+            }
+          else Seq(SortedBucketFiles(
+            files.map { case (f, len) => (f.getAbsolutePath, len) },
+            b, keyOrd): InputPartition)
+        } ++
           padBuckets.map(b =>
             SortedBucketFiles(Nil, b, keyOrd): InputPartition)).toArray
       case None =>
@@ -843,7 +901,9 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
             val end = math.min(start + chunkBytes, len)
             if (keyed)
               BucketedEdgeChunk(f.getAbsolutePath, start, end,
-                BucketSpecIO.bucketOf(f.getName).get): InputPartition
+                BucketSpecIO.bucketOf(f.getName).get,
+                bucketSpec.filter(_._1.contains(",")).map(_._2)
+                  .getOrElse(0)): InputPartition
             else EdgeChunk(f.getAbsolutePath, start, end): InputPartition
           }
         } ++
@@ -868,11 +928,15 @@ private[graft] case class EdgeChunk(file: String, start: Long, end: Long)
 
 /** A chunk of a bucket-tagged file: carries its bucket id as the
   * partition key, which is what lets Spark group both join sides'
-  * chunks bucket-by-bucket (storage-partitioned join). */
+  * chunks bucket-by-bucket (storage-partitioned join). A compound
+  * (grid) layout passes `gridN` > 0 and the key is the PAIR
+  * `(tag / n, tag % n)` — one value per reported transform. */
 private[graft] case class BucketedEdgeChunk(file: String, start: Long,
-    end: Long, bucket: Int) extends EdgeRange with HasPartitionKey {
+    end: Long, bucket: Int, gridN: Int = 0)
+    extends EdgeRange with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket))
+    if (gridN <= 0) new GenericInternalRow(Array[Any](bucket))
+    else new GenericInternalRow(Array[Any](bucket / gridN, bucket % gridN))
 }
 
 /** ALL files of one bucket of a sorted bucketed table, read as one
@@ -1343,8 +1407,8 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
         Option(opts.get("numBuckets"))) match {
       case (None, None) => None
       case (Some(c), Some(n)) =>
-        require(c == "src" || c == "dst",
-          s"bucketBy must be src or dst; got '$c'")
+        require(BucketSpecIO.validCols(c),
+          s"bucketBy must be src, dst, src,dst or dst,src; got '$c'")
         require(scala.util.Try(n.toInt).toOption.exists(_ >= 1),
           s"numBuckets must be a positive integer; got '$n'")
         Some((c, n.toInt))
@@ -1382,7 +1446,10 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
     // bucket filter preserves the task stream's relative order).
     // Appending to a pre-flag unsorted table still writes sorted files
     // but cannot upgrade the table flag — mixed eras stay unsorted.
-    val sortedFlag = bucketSpec.isDefined &&
+    // COMPOUND layouts never claim the flag: the merge reader (and the
+    // ordering report it feeds) is single-key; the files are still
+    // written (src, dst)-sorted, just not advertised.
+    val sortedFlag = bucketSpec.exists(!_._1.contains(",")) &&
       (doTruncate || BucketSpecIO.read(path).isEmpty ||
         BucketSpecIO.sortedOf(path))
     // idempotent batch appends (foreachBatch maintenance): a marker
@@ -1420,9 +1487,9 @@ private[sources] class EdgeListWrite(path: String, doTruncate: Boolean,
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     bucketSpec match {
-      case Some((col, _)) => Array(
+      case Some((cols, _)) => cols.split(",").map(c =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(col),
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       case None =>
         Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
@@ -1865,10 +1932,14 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
       openSinks.minBy(_.lastTouch).suspend()
 
   private val plain: Sink = if (bucketSpec.isEmpty) new Sink("") else null
+  // one sink per file tag: n buckets, or n×n grid cells (compound)
   private val buckets: Array[Sink] =
-    bucketSpec.map { case (_, n) => new Array[Sink](n) }.orNull
-  private val keyOrdinal = bucketSpec.map { case (c, _) =>
-    if (c == "src") 0 else 1 }.getOrElse(0)
+    bucketSpec.map(sp => new Array[Sink](BucketSpecIO.totalCells(sp))).orNull
+  // single key: its ordinal; compound "c1,c2": both ordinals, the pair
+  // indexing the grid cell (src=0, dst=1 — the connector schema is fixed)
+  private val keyOrdinals: Array[Int] = bucketSpec.map { case (c, _) =>
+    c.split(",").map(k => if (k == "src") 0 else 1) }
+    .getOrElse(Array(0))
   private val nBuckets = bucketSpec.map(_._2).getOrElse(0)
 
   private def sinks: Seq[Sink] =
@@ -1877,7 +1948,12 @@ private[sources] class EdgeFileWriter(path: String, partitionId: Int,
   override def write(r: InternalRow): Unit =
     if (plain != null) plain.write(r)
     else {
-      val b = BucketHash.bucket(r.getLong(keyOrdinal), nBuckets)
+      val b =
+        if (keyOrdinals.length == 1)
+          BucketHash.bucket(r.getLong(keyOrdinals(0)), nBuckets)
+        else
+          BucketHash.cell(r.getLong(keyOrdinals(0)),
+            r.getLong(keyOrdinals(1)), nBuckets)
       var s = buckets(b)
       if (s == null) { s = new Sink(s"-b$b"); buckets(b) = s }
       s.write(r)

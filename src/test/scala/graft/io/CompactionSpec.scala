@@ -104,4 +104,67 @@ class CompactionSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("zorder on a bucketed table is BUCKET-LOCAL: layout kept, files z-narrow, SPJ intact") {
+    val fmt = "graft.sources.EdgeListSource"
+    val root = Files.createTempDirectory("graft-zorder-b").toFile
+    root.deleteOnExit()
+    val dir = s"$root/t"
+    val edges = spark.range(8000L)
+      .selectExpr("id % 97 AS src", "(id * 7) % 89 AS dst")
+    edges.repartition(4).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "4")
+      .mode("overwrite").save(dir)
+    (1 to 3).foreach(_ => edges.repartition(4).write.format(fmt)
+      .mode("append").save(dir))
+    def meanArea(files: Seq[java.io.File]): Double = {
+      val as = files.flatMap(f => graft.sources.EdgeStats.read(f)).map(s =>
+        (s.maxSrc - s.minSrc + 1).toDouble * (s.maxDst - s.minDst + 1))
+      as.sum / as.size
+    }
+    val before = graft.sources.EdgeListSource.listFiles(dir)
+    val areaBefore = meanArea(before)
+    Compaction.zorderEdgeList(spark, dir, numFiles = 16, bits = 8)
+    // the layout SURVIVED the re-cluster: sidecar (sorted), tags
+    assert(graft.sources.BucketSpecIO.read(dir) === Some(("src", 4)))
+    assert(graft.sources.BucketSpecIO.sortedOf(dir),
+      "bucket-local zorder lost the sorted flag")
+    val after = graft.sources.EdgeListSource.listFiles(dir)
+    after.foreach(f => assert(graft.sources.BucketSpecIO
+      .bucketOf(f.getName).exists(_ < 4), s"untagged ${f.getName}"))
+    // content exact (4x the base multiset)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.count() === 32000L)
+    assert(back.groupBy("src", "dst").count()
+      .except(edges.groupBy("src", "dst")
+        .agg((count(lit(1)) * 4).as("count"))).isEmpty)
+    // z-locality is now per FILE: append-order files each spanned the
+    // whole (src, dst) domain; z-sliced bucket files cover small
+    // rectangles, so the zone maps prune on either or both dimensions
+    assert(after.size >= 8, s"too few files to slice: ${after.size}")
+    val areaAfter = meanArea(after)
+    assert(areaAfter < areaBefore * 0.6,
+      f"zone-map rectangles did not shrink: $areaBefore%.0f -> $areaAfter%.0f")
+    // and the z-ordered table still joins exchange-free
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try {
+      edges.repartition(2).write.format(fmt)
+        .option("bucketBy", "src").option("numBuckets", "4")
+        .mode("overwrite").save(s"$root/other")
+      val df = spark.sql(s"SELECT /*+ MERGE(a) */ a.src, count(*) AS n " +
+        s"FROM graft.`$dir` a JOIN graft.`$root/other` b ON a.src = b.src " +
+        "GROUP BY a.src")
+      df.collect()
+      assert(graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.Exchange]) === 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -105,6 +105,68 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
   }
 
+  test("COMPOUND bucket key (src,dst): tagged write, exact fanout, SPJ on both columns") {
+    val root = tmp()
+    val a = edges(4000)
+    val b = edges(4000).where((col("src") + col("dst")) % 3 === 0)
+    a.repartition(4).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/a")
+    b.repartition(2).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/b")
+    assert(graft.sources.BucketSpecIO.read(s"$root/a") === Some(("src,dst", 8)))
+    // compound layouts never claim the (single-key) sorted contract
+    assert(!graft.sources.BucketSpecIO.sortedOf(s"$root/a"))
+    // each file holds ONLY rows of its grid cell (tag = cell index)
+    spark.read.format(fmt).load(s"$root/a")
+      .select(col("src"), col("dst"), col("_file")).collect().foreach { r =>
+        val tag = graft.sources.BucketSpecIO
+          .bucketOf(new java.io.File(r.getString(2)).getName).get
+        assert(graft.sources.BucketHash
+          .cell(r.getLong(0), r.getLong(1), 8) === tag)
+      }
+    // SPJ on BOTH key columns: zero Exchange, answer matches in-memory.
+    // The aggregate groups by BOTH keys — the grid partitioning
+    // satisfies (src, dst) grouping; a src-only GROUP BY would
+    // (correctly) re-exchange above the still-exchange-free join.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val out = withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, a.dst AS w, count(*) AS n
+           |FROM graft.`$root/a` a JOIN graft.`$root/b` b
+           |ON a.src = b.src AND a.dst = b.dst
+           |GROUP BY a.src, a.dst""".stripMargin)
+      val rows = df.collect()
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      val ex = nodes.filter(_.isInstanceOf[Exchange])
+      assert(ex.isEmpty,
+        s"compound SPJ planned ${ex.size} Exchange(s):\n${df.queryExecution.executedPlan}")
+      rows
+    }
+    val truth = a.join(b, Seq("src", "dst"))
+      .groupBy(col("src").as("v"), col("dst").as("w"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === truth.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+    // a single-key layout must NOT prove compatible with a compound one
+    // (different hash functions): the join still answers correctly,
+    // through an exchange
+    edges(4000).repartition(2).write.format(fmt)
+      .option("bucketBy", "src").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/c")
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT count(*) AS n FROM graft.`$root/a` a
+           |JOIN graft.`$root/c` c
+           |ON a.src = c.src AND a.dst = c.dst""".stripMargin)
+      val n = df.collect().head.getLong(0)
+      assert(n === a.join(edges(4000), Seq("src", "dst")).count())
+    }
+  }
+
   test("append without options keeps the layout; contradicting append fails") {
     val root = tmp()
     edges(1000).write.format(fmt)

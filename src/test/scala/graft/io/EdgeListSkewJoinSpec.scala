@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   * bucket's chunks become several tasks) and the small side's groups
   * are replicated to match — still ZERO shuffle of the fact side.
   *
-  * The connector's part of the contract: chunk-granular
-  * HasPartitionKey input splits (several per bucket), honest
-  * per-scan size statistics (Spark picks the replicate side by size),
-  * and NOT collapsing buckets into single merged partitions when the
-  * conf is on (the sorted-layout planner defers — see
-  * EdgeListScan.sortedBuckets). */
+  * The connector's part of the contract (round 13 — hot-bucket
+  * SELECTIVE): under the conf, COLD buckets keep their single
+  * merged+ordered partition (the sort-free SPJ merge) and only a
+  * bucket holding > 2× the median bucket's bytes fans out into
+  * per-file/per-chunk HasPartitionKey splits — each still internally
+  * sorted, so the ordering report stays honest. Plus honest per-scan
+  * size statistics (Spark picks the replicate side by size). */
 class EdgeListSkewJoinSpec extends SparkSpec {
 
   private val fmt = "graft.sources.EdgeListSource"
@@ -107,8 +108,16 @@ class EdgeListSkewJoinSpec extends SparkSpec {
       (rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted,
         factTasks)
     }
-    // the split actually happened: more tasks than buckets
+    // the split actually happened: more tasks than buckets...
     assert(factParts > 8, s"hot bucket not split: $factParts partitions")
+    // ...and it was SELECTIVE: cold buckets stayed merged (one task
+    // each) instead of every file becoming a task — 7 cold merges +
+    // the hot bucket's splits, strictly fewer than the file census
+    val factFiles = graft.sources.EdgeListSource
+      .listFiles(s"$root/fact").size
+    assert(factParts < factFiles,
+      s"cold buckets lost their merge: $factParts tasks over " +
+        s"$factFiles files")
 
     // identical answer without the mitigation (plain SPJ)
     val rowsPlain = withConfs(spjConfs) {

@@ -68,6 +68,62 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L).byte_len == png(7, 5).length.toLong)
   }
 
+  test("JPEG reality check: geometry exact, pixel sums inside a lossy envelope") {
+    // decode a JDK-encoded JPEG of the SAME pixel law as the PNG gate
+    // through the real-pixel path. Geometry must be EXACT (that half is
+    // gate-checked in mm_jpeg_meta); pixel sums are lossy — bound the
+    // MEAN per-pixel per-channel deviation from the pre-encode truth.
+    val docs = (0L until 40L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val decoded = withDecoder("imageio") {
+      Multimodal.pngDecodeFeatures(spark,
+        Multimodal.withJpegPayload(spark, docs))
+        .collect().map(d => d.doc_id -> d).toMap
+    }
+    assert(decoded.size == 40)
+    (0L until 40L).foreach { id =>
+      val d = decoded(id)
+      val w = (8 + id % 16).toInt
+      val h = (4 + id % 8).toInt
+      // geometry survives the lossy codec exactly
+      assert((d.width, d.height, d.channels, d.n_px) ==
+        (w, h, 3, w.toLong * h), s"geometry drift for doc $id")
+      // closed-form pre-encode channel sums (the PNG law)
+      def truth(f: Long => Long): Long =
+        (0 until h).map(y => w.toLong * f(y.toLong)).sum
+      val tr = truth(y => (3 * id + 2 * y) % 256)
+      val tg = truth(y => (2 * id + y) % 256)
+      val tb = truth(y => (id + y) % 256)
+      // lossy envelope: mean |deviation| per pixel per channel must be
+      // small (JPEG quantization + chroma subsampling noise), while a
+      // wrong decode (flipped rows, channel swap, garbage) blows it up
+      val nPx = w.toLong * h
+      def meanDev(got: Long, want: Long): Double =
+        math.abs(got - want).toDouble / nPx
+      assert(meanDev(d.sum_r, tr) < 24.0,
+        s"doc $id red drift ${meanDev(d.sum_r, tr)}")
+      assert(meanDev(d.sum_g, tg) < 24.0,
+        s"doc $id green drift ${meanDev(d.sum_g, tg)}")
+      assert(meanDev(d.sum_b, tb) < 24.0,
+        s"doc $id blue drift ${meanDev(d.sum_b, tb)}")
+    }
+    // the geometry face jpegMetaFeatures agrees with the raster decode
+    val meta = withDecoder("imageio") {
+      Multimodal.jpegMetaFeatures(spark,
+        Multimodal.withJpegPayload(spark, docs))
+        .collect().map(m => m.doc_id -> m).toMap
+    }
+    (0L until 40L).foreach { id =>
+      val (m, d) = (meta(id), decoded(id))
+      assert((m.width, m.height, m.channels, m.n_px) ==
+        (d.width, d.height, d.channels, d.n_px))
+    }
+    // the guard rail: no real-decoder conf, no silent stub
+    intercept[IllegalArgumentException] {
+      Multimodal.jpegMetaFeatures(spark,
+        Multimodal.withJpegPayload(spark, docs))
+    }
+  }
+
   test("default (no conf) stays on the stub decoder — mm_features gate shape") {
     val docs = Seq((1L, "gate text")).toDF("doc_id", "text")
     val viaDefault = Multimodal.extractFeatures(spark, docs).collect().head

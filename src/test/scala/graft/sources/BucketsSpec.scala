@@ -38,6 +38,27 @@ class BucketsSpec extends AnyFunSuite {
       s"strided keys collapsed: max bucket ${strided.max}")
   }
 
+  test("golden values: the compound GRID cell is frozen") {
+    // computed once at introduction (round 13); these must NEVER change
+    // — compound file tags are cells of the n×n grid
+    val expected = Seq(
+      (0L, 0L) -> (0, 0), (1L, 2L) -> (39, 3), (2L, 1L) -> (60, 12),
+      (42L, -1L) -> (33, 1),
+      (Long.MaxValue, Long.MinValue) -> (19, 11),
+      (100L, 3L) -> (22, 10))
+    expected.foreach { case ((k1, k2), (c8, c4)) =>
+      assert(BucketHash.cell(k1, k2, 8) === c8, s"cell($k1, $k2, 8)")
+      assert(BucketHash.cell(k1, k2, 4) === c4, s"cell($k1, $k2, 4)")
+    }
+    // the cell IS the pair: row = bucket(k1), column = bucket(k2) —
+    // the partition-key contract of the two reported transforms
+    (0L until 200L).foreach { k =>
+      val c = BucketHash.cell(k, k * 13 + 1, 8)
+      assert(c / 8 === BucketHash.bucket(k, 8))
+      assert(c % 8 === BucketHash.bucket(k * 13 + 1, 8))
+    }
+  }
+
   test("negative keys land in range and BoundBucket agrees with the writer") {
     Seq(-1L, Long.MinValue, -999999L).foreach { k =>
       val b = BucketHash.bucket(k, 8)
