@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * JIT state, breaking BASELINE comparability), and prints the JSON;
   * every OTHER family — topk, streaming, asof, each of the 12 trend
   * queries, decontam_kmv, edge_changes, cc_inc, bucket_spj,
-  * bucket_skew, ahash_index — runs in its OWN forked JVM (same
+  * bucket_skew, bucket_grid, zorder_bucket, ahash_index — runs in its
+  * OWN forked JVM (same
   * classpath/flags/heap), reporting results plus a per-family q1_agg
   * control
   * (`<family>_ctl_sec`) over BENCHKV stdout lines. Families therefore
@@ -579,6 +580,88 @@ object Bench {
       Seq("bucket_skew_plain_spj_sec" -> tPlain(1),
         "bucket_skew_part_clustered_sec" -> tPart(1))
     }
+    // Compound-key GRID SPJ (round 13): the same ~10M-row fact joined
+    // on BOTH key columns — once through the n×n grid layout (two
+    // reported transforms, pair partition key, zero Exchange) and once
+    // through plain tables (both sides exchange). What the compound
+    // layout buys every multi-column-key join.
+    val bucketGrid = section("bucket_grid") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_grid_")
+        .toFile
+      root.deleteOnExit()
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        .crossJoin(broadcast(spark.range(16).toDF("rep")))
+        .select((col("src") * 16 + col("rep")).as("src"), col("dst"))
+      val sub = e.where((col("src") + col("dst")) % 3 === 0)
+      // 6 buckets/dim = 36 grid cells ≈ the 32-core target parallelism
+      e.repartition(4).write.format(fmtName)
+        .option("bucketBy", "src,dst").option("numBuckets", "6")
+        .mode("overwrite").save(s"$root/fact_g")
+      sub.repartition(2).write.format(fmtName)
+        .option("bucketBy", "src,dst").option("numBuckets", "6")
+        .mode("overwrite").save(s"$root/sub_g")
+      e.repartition(40).write.format(fmtName)
+        .mode("overwrite").save(s"$root/fact_p")
+      sub.repartition(40).write.format(fmtName)
+        .mode("overwrite").save(s"$root/sub_p")
+      def q(fa: String, su: String) =
+        s"SELECT /*+ MERGE(a) */ count(*) AS n " +
+          s"FROM graft.`$root/$fa` a JOIN graft.`$root/$su` b " +
+          "ON a.src = b.src AND a.dst = b.dst"
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      def spj(): Unit = {
+        val prior = keys.map(k => k -> spark.conf.getOption(k))
+        keys.foreach(spark.conf.set(_, "true"))
+        try materialize(spark.sql(q("fact_g", "sub_g")))
+        finally prior.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      def plain(): Unit = materialize(spark.sql(q("fact_p", "sub_p")))
+      spj(); plain() // warm
+      val ts = (1 to 3).map(_ => timeIt(spj())).sorted
+      val tp = (1 to 3).map(_ => timeIt(plain())).sorted
+      Seq("bucket_grid_spj_sec" -> ts(1),
+        "bucket_grid_shuffle_sec" -> tp(1))
+    }
+    // Bucket-local z-order (round 13): a 2-dim box filter on the SAME
+    // bucketed table before and after the bucket-local rewrite — what
+    // the kept-layout Morton pass buys a multi-dimensional scan
+    // (file-skipping via zone maps) without costing the SPJ anything.
+    val zorderBucket = section("zorder_bucket") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_zb_")
+        .toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        .crossJoin(broadcast(spark.range(16).toDF("rep")))
+        .select((col("src") * 16 + col("rep")).as("src"), col("dst"))
+      e.repartition(8).write.format(fmtName)
+        .option("bucketBy", "src").option("numBuckets", "16")
+        .mode("overwrite").save(s"$root/t")
+      val hi = e.agg(max("src"), max("dst")).head
+      val (sLim, dLim) = (hi.getLong(0) / 4, hi.getLong(1) / 4)
+      def boxScan(): Unit = materialize(
+        spark.read.format(fmtName).load(s"$root/t")
+          .where(col("src") < sLim && col("dst") < dLim)
+          .agg(count(lit(1)), sum("dst")))
+      boxScan() // warm
+      val before = (1 to 3).map(_ => timeIt(boxScan())).sorted
+      graft.io.Compaction.zorderEdgeList(spark, s"$root/t",
+        numFiles = 64, bits = 24)
+      boxScan() // warm post-layout
+      val after = (1 to 3).map(_ => timeIt(boxScan())).sorted
+      Seq("zorder_bucket_box_before_sec" -> before(1),
+        "zorder_bucket_box_after_sec" -> after(1))
+    }
     // Multi-index aHash probe vs brute-force all-pairs Hamming
     // (round 10) on a HIGH-ENTROPY fingerprint corpus (200k standing,
     // 2k batch with planted 1-bit flips). Honest reading: at this
@@ -675,7 +758,8 @@ object Bench {
     // real media the decode the index amortizes dominates by orders
     // of magnitude.
     val extras = topk ++ streaming ++ asof ++ trend ++ decontamKmv ++
-      changesFeed ++ ccInc ++ bucketSpj ++ bucketSkew ++ ahashIdx
+      changesFeed ++ ccInc ++ bucketSpj ++ bucketSkew ++ bucketGrid ++
+      zorderBucket ++ ahashIdx
 
     // child mode: the one family's KVs are already on stdout — the
     // parent owns the JSON contract
@@ -706,6 +790,8 @@ object Bench {
     val evidenceKeys = Seq(
       "bucket_spj_join_sec", "bucket_shuffle_join_sec",
       "bucket_skew_part_clustered_sec", "bucket_skew_plain_spj_sec",
+      "bucket_grid_spj_sec", "bucket_grid_shuffle_sec",
+      "zorder_bucket_box_before_sec", "zorder_bucket_box_after_sec",
       "cc_inc_refresh_sec", "cc_full_recompute_sec",
       "edge_changes_window_sec", "edge_full_scan_sec",
       "d_decontam_kmv_refresh_sec",

@@ -451,6 +451,20 @@ object OinkScript {
               if (ins.isEmpty) throw ScriptError(line, "read_parquet requires -i paths")
               sinkAndBind(spark.read.option("recursiveFileLookup", "true")
                 .parquet(ins.map(resolve): _*), outs, line)
+            case "sql" =>
+              // sql "STATEMENT" [-o FILE OBJ] — one SQL statement
+              // against the session: the named-catalog face (CREATE
+              // NAMESPACE / CREATE TABLE graft.db.t PARTITIONED BY
+              // (bucket(n, src)) / INSERT / SELECT) scripted — the
+              // reference's named-object layer (oink/object.cpp:96-295)
+              // driven through Spark SQL. `$var` substitution applies,
+              // so loops can parameterize table names. DDL/DML execute
+              // eagerly; a query's frame binds/sinks like any source
+              // verb (no -o = validate-only).
+              val stmt = pos.headOption.filter(_.nonEmpty).getOrElse(
+                throw ScriptError(line, "sql requires a quoted statement"))
+              val df = spark.sql(subst(stmt))
+              if (outs.nonEmpty) sinkAndBind(df, outs, line)
             case "read_edge_dsv2" =>
               // read_edge_dsv2 [version] -i path — edge list through
               // the V2 connector (byte-range chunked scan with

@@ -87,6 +87,33 @@ class OinkScriptSpec extends SparkSpec {
     assert(ex.getMessage.contains("include cycle"))
   }
 
+  test("sql verb: scripted named-catalog DDL/DML/query round trip") {
+    val wh = Files.createTempDirectory("oinksql").toFile
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getPath)
+    try {
+      val reg = OinkScript.run(spark, Seq(
+        """sql "CREATE NAMESPACE graft.db"""",
+        """sql "CREATE TABLE graft.db.edges (src BIGINT, dst BIGINT) PARTITIONED BY (bucket(4, src))"""",
+        """sql "INSERT INTO graft.db.edges SELECT id AS src, id * 3 AS dst FROM range(50)"""",
+        """sql "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dst) AS BIGINT) AS s FROM graft.db.edges" -o NULL agg"""))
+      val row = reg("agg").collect().head
+      assert((row.getLong(0), row.getLong(1)) === (50L, 3L * (49L * 50L / 2)))
+      // the DDL-declared layout was real: bucketed + sorted on disk
+      val dir = new java.io.File(wh, "db/edges")
+      assert(graft.sources.BucketSpecIO.read(dir.getPath) === Some(("src", 4)))
+      assert(graft.sources.EdgeListSource.listFiles(dir.getPath).forall(f =>
+        graft.sources.BucketSpecIO.bucketOf(f.getName).exists(_ < 4)))
+      // usage guard
+      val e = intercept[OinkScript.ScriptError] {
+        OinkScript.run(spark, Seq("sql"))
+      }
+      assert(e.getMessage.contains("quoted statement"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+  }
+
   test("edge sink refuses an input carrying BOTH weight and label") {
     val dir = Files.createTempDirectory("oinkwl")
     import spark.implicits._
