@@ -376,6 +376,14 @@ object GraphQueries {
         require(exchanges.isEmpty,
           s"compound-key SPJ planned ${exchanges.size} Exchange(s):\n" +
             df.queryExecution.executedPlan)
+        // full compound layout contract: files are lexicographically
+        // sorted on the pair and the two-key merge reader reports the
+        // ordering — the grid pays shuffle AND sort once, at write time
+        val sorts = nodes.filter(
+          _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+        require(sorts.isEmpty,
+          s"compound-key SPJ planned ${sorts.size} Sort(s):\n" +
+            df.queryExecution.executedPlan)
         out
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)

@@ -267,11 +267,10 @@ class EdgeListCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(new java.io.File(f, "_graft_meta").toPath,
         (if (weighted) "weight" else "label")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // compound layouts never carry the sorted flag (single-key merge
-    // reader); single-key ones start sorted — an empty table trivially
-    // satisfies the contract and the writer's ordering maintains it
-    bucketSpecOpt.foreach(sp =>
-      BucketSpecIO.write(f, sp, sorted = !sp._1.contains(",")))
+    // the layout starts sorted (compound: lexicographically on both
+    // keys) — an empty table trivially satisfies the contract and the
+    // writer's required ordering maintains it on every insert
+    bucketSpecOpt.foreach(BucketSpecIO.write(f, _, sorted = true))
     new EdgeListTable(f.getPath, withWeight = weighted, withLabel = labeled)
   }
 

@@ -642,10 +642,10 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
     * (`mapreduce.cpp:2007-2054`) amortized into the layout. */
   private def sortedBuckets: Option[(String, Int)] =
     reportableBuckets.filter { case (c, _) =>
-      // compound layouts don't report ordering (single-key merge reader;
-      // the write never sets the sorted flag for them — belt+braces)
-      !c.contains(",") &&
-      BucketSpecIO.sortedOf(path) && required.fieldNames.contains(c) &&
+      // compound (grid) layouts merge lexicographically on the pair —
+      // BOTH key columns must survive pruning for the merge to key
+      BucketSpecIO.sortedOf(path) &&
+      c.split(",").forall(required.fieldNames.contains) &&
         // CONSUMER GATE: merged one-partition-per-bucket planning costs
         // a plain scan its chunk-granular parallelism (bucket-count
         // tasks + a k-way merge nobody reads the order of). Spark only
@@ -685,9 +685,9 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
   override def outputOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     sortedBuckets match {
-      case Some((c, _)) => Array(
+      case Some((c, _)) => c.split(",").map(k =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.Expressions.column(k),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       case None =>
         Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
@@ -869,7 +869,13 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
         // a byte range of one), so the ordering report stays honest,
         // cold buckets keep their sort-free merge, and only the hot
         // tail fans out for the dim side to replicate against.
-        val keyOrd = required.fieldNames.indexOf(c)
+        val specCols = c.split(",")
+        val keyOrd = required.fieldNames.indexOf(specCols(0))
+        val keyOrd2 =
+          if (specCols.length < 2) -1
+          else required.fieldNames.indexOf(specCols(1))
+        val gridN = bucketSpec.filter(_._1.contains(",")).map(_._2)
+          .getOrElse(0)
         val partialClustering =
           org.apache.spark.sql.internal.SQLConf.get.getConfString(
             "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
@@ -886,15 +892,17 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
             files.flatMap { case (f, len) =>
               (0L until len by chunkBytes).map { start =>
                 BucketedEdgeChunk(f.getAbsolutePath, start,
-                  math.min(start + chunkBytes, len), b): InputPartition
+                  math.min(start + chunkBytes, len), b,
+                  gridN): InputPartition
               }
             }
           else Seq(SortedBucketFiles(
             files.map { case (f, len) => (f.getAbsolutePath, len) },
-            b, keyOrd): InputPartition)
+            b, keyOrd, keyOrd2, gridN): InputPartition)
         } ++
           padBuckets.map(b =>
-            SortedBucketFiles(Nil, b, keyOrd): InputPartition)).toArray
+            SortedBucketFiles(Nil, b, keyOrd, keyOrd2,
+              gridN): InputPartition)).toArray
       case None =>
         (kept.flatMap { case (f, len) =>
           (0L until len by chunkBytes).map { start =>
@@ -939,15 +947,21 @@ private[graft] case class BucketedEdgeChunk(file: String, start: Long,
     else new GenericInternalRow(Array[Any](bucket / gridN, bucket % gridN))
 }
 
-/** ALL files of one bucket of a sorted bucketed table, read as one
-  * k-way merge on the bucket column (`keyOrdinal` indexes the merge
-  * key in the OUTPUT columns): each file is internally sorted (the
-  * write demanded the sort), so the merged partition stream is sorted
-  * — what [[SupportsReportOrdering]] promises. */
+/** ALL files of one bucket (or grid cell) of a sorted bucketed table,
+  * read as one k-way merge on the bucket column(s) (`keyOrdinal`
+  * indexes the merge key in the OUTPUT columns; `keyOrdinal2` >= 0
+  * makes the merge LEXICOGRAPHIC on the compound pair): each file is
+  * internally sorted (the write demanded the sort), so the merged
+  * partition stream is sorted — what [[SupportsReportOrdering]]
+  * promises. A compound (grid) partition passes `gridN` > 0 and keys
+  * on the pair `(tag / n, tag % n)`, one value per reported
+  * transform. */
 private[graft] case class SortedBucketFiles(files: Seq[(String, Long)],
-    bucket: Int, keyOrdinal: Int) extends InputPartition with HasPartitionKey {
+    bucket: Int, keyOrdinal: Int, keyOrdinal2: Int = -1, gridN: Int = 0)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket))
+    if (gridN <= 0) new GenericInternalRow(Array[Any](bucket))
+    else new GenericInternalRow(Array[Any](bucket / gridN, bucket % gridN))
 }
 
 /** K-way merge reader over one bucket's internally-sorted files. Holds
@@ -974,35 +988,48 @@ private[sources] class EdgeMergeReader(part: SortedBucketFiles,
       pushed, skipMalformed, None, withWeight, withLabel)
   }.toArray
 
-  // heap entries: (key, readerIdx) with the reader's current row held
-  // alongside; classic array binary heap, size = live readers
+  // heap entries: (key[, key2], readerIdx) with the reader's current
+  // row held alongside; classic array binary heap, size = live
+  // readers. A compound layout (keyOrdinal2 >= 0) merges
+  // LEXICOGRAPHICALLY on the pair — files are written sorted by both
+  // columns, so the merged stream reports the full compound ordering.
   private val heapKey = new Array[Long](readers.length)
+  private val heapKey2 = new Array[Long](readers.length)
   private val heapIdx = new Array[Int](readers.length)
   private val heapRow = new Array[InternalRow](readers.length)
   private var heapSize = 0
   private var current: InternalRow = _
   private val keyOrd = part.keyOrdinal
+  private val keyOrd2 = part.keyOrdinal2
+
+  private def key2Of(row: InternalRow): Long =
+    if (keyOrd2 < 0) 0L else row.getLong(keyOrd2)
 
   locally {
     var i = 0
     while (i < readers.length) {
       if (readers(i).next()) push(readers(i).get().getLong(keyOrd),
-        i, readers(i).get())
+        key2Of(readers(i).get()), i, readers(i).get())
       i += 1
     }
   }
 
-  private def push(k: Long, idx: Int, row: InternalRow): Unit = {
+  private def less(a: Int, b: Int): Boolean =
+    heapKey(a) < heapKey(b) ||
+      (heapKey(a) == heapKey(b) && heapKey2(a) < heapKey2(b))
+
+  private def push(k: Long, k2: Long, idx: Int, row: InternalRow): Unit = {
     var c = heapSize
-    heapKey(c) = k; heapIdx(c) = idx; heapRow(c) = row
+    heapKey(c) = k; heapKey2(c) = k2; heapIdx(c) = idx; heapRow(c) = row
     heapSize += 1
-    while (c > 0 && heapKey((c - 1) / 2) > heapKey(c)) {
+    while (c > 0 && less(c, (c - 1) / 2)) {
       swap(c, (c - 1) / 2); c = (c - 1) / 2
     }
   }
 
   private def swap(a: Int, b: Int): Unit = {
     val k = heapKey(a); heapKey(a) = heapKey(b); heapKey(b) = k
+    val k2 = heapKey2(a); heapKey2(a) = heapKey2(b); heapKey2(b) = k2
     val i = heapIdx(a); heapIdx(a) = heapIdx(b); heapIdx(b) = i
     val r = heapRow(a); heapRow(a) = heapRow(b); heapRow(b) = r
   }
@@ -1013,8 +1040,8 @@ private[sources] class EdgeMergeReader(part: SortedBucketFiles,
     while (!done) {
       val l = 2 * c + 1; val r = l + 1
       var m = c
-      if (l < heapSize && heapKey(l) < heapKey(m)) m = l
-      if (r < heapSize && heapKey(r) < heapKey(m)) m = r
+      if (l < heapSize && less(l, m)) m = l
+      if (r < heapSize && less(r, m)) m = r
       if (m == c) done = true else { swap(c, m); c = m }
     }
   }
@@ -1026,10 +1053,12 @@ private[sources] class EdgeMergeReader(part: SortedBucketFiles,
     // refill from the reader that surfaced, keeping heap shape
     if (readers(idx).next()) {
       val row = readers(idx).get()
-      heapKey(0) = row.getLong(keyOrd); heapRow(0) = row
+      heapKey(0) = row.getLong(keyOrd); heapKey2(0) = key2Of(row)
+      heapRow(0) = row
     } else {
       heapSize -= 1
-      heapKey(0) = heapKey(heapSize); heapIdx(0) = heapIdx(heapSize)
+      heapKey(0) = heapKey(heapSize); heapKey2(0) = heapKey2(heapSize)
+      heapIdx(0) = heapIdx(heapSize)
       heapRow(0) = heapRow(heapSize)
     }
     siftDown()
@@ -1446,10 +1475,9 @@ private[sources] class EdgeListWriteBuilder(path: String, info: LogicalWriteInfo
     // bucket filter preserves the task stream's relative order).
     // Appending to a pre-flag unsorted table still writes sorted files
     // but cannot upgrade the table flag — mixed eras stay unsorted.
-    // COMPOUND layouts never claim the flag: the merge reader (and the
-    // ordering report it feeds) is single-key; the files are still
-    // written (src, dst)-sorted, just not advertised.
-    val sortedFlag = bucketSpec.exists(!_._1.contains(",")) &&
+    // COMPOUND layouts sort (and merge-read) lexicographically on both
+    // key columns, in spec order.
+    val sortedFlag = bucketSpec.isDefined &&
       (doTruncate || BucketSpecIO.read(path).isEmpty ||
         BucketSpecIO.sortedOf(path))
     // idempotent batch appends (foreachBatch maintenance): a marker

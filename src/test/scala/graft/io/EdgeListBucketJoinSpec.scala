@@ -116,8 +116,9 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       .option("bucketBy", "src,dst").option("numBuckets", "8")
       .mode("overwrite").save(s"$root/b")
     assert(graft.sources.BucketSpecIO.read(s"$root/a") === Some(("src,dst", 8)))
-    // compound layouts never claim the (single-key) sorted contract
-    assert(!graft.sources.BucketSpecIO.sortedOf(s"$root/a"))
+    // compound layouts carry the FULL sorted contract too (files
+    // lexicographically sorted on the pair; merge reader is two-key)
+    assert(graft.sources.BucketSpecIO.sortedOf(s"$root/a"))
     // each file holds ONLY rows of its grid cell (tag = cell index)
     spark.read.format(fmt).load(s"$root/a")
       .select(col("src"), col("dst"), col("_file")).collect().foreach { r =>
@@ -144,6 +145,12 @@ class EdgeListBucketJoinSpec extends SparkSpec {
       val ex = nodes.filter(_.isInstanceOf[Exchange])
       assert(ex.isEmpty,
         s"compound SPJ planned ${ex.size} Exchange(s):\n${df.queryExecution.executedPlan}")
+      // the compound sorted layout: zero Sort too — the grid pays the
+      // shuffle AND the lexicographic sort once, at write time
+      val sorts = nodes.filter(
+        _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+      assert(sorts.isEmpty,
+        s"compound SPJ planned ${sorts.size} Sort(s):\n${df.queryExecution.executedPlan}")
       rows
     }
     val truth = a.join(b, Seq("src", "dst"))
