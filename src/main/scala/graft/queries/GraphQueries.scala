@@ -391,6 +391,57 @@ object GraphQueries {
       }
     }),
 
+    // GRID RUNTIME (DPP) PRUNING (round 13, follow-on to bucket_multi):
+    // the compound layout's third prune channel. A broadcast dim's
+    // build-side key set arrives at EXECUTION as In(src, …) and prunes
+    // the grid's ROW dimension alone — precisely what a combined
+    // compound hash could never do (it needs both keys). In-query
+    // audit: DynamicPruningExpression present AND the executed RDD
+    // planned strictly fewer files than the on-disk census; cells
+    // emptied by the runtime filter pad as explicit empty partitions so
+    // the reported two-transform partitioning survives filter().
+    // Oracle: the plain join aggregate.
+    "g_dsv2_grid_runtime" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2gr_").toFile
+      root.deleteOnExit()
+      val fmtName = "graft.sources.EdgeListSource"
+      val e = Tables.edges(s, dir)
+      e.repartition(2).write.format(fmtName)
+        .option("bucketBy", "src,dst").option("numBuckets", "4")
+        .mode("overwrite").save(s"$root/fact")
+      val totalFiles =
+        graft.sources.EdgeListSource.listFiles(s"$root/fact").size
+      val dim = e.groupBy(col("src").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("k") % 293 === 7)
+      val fact = s.read.format(fmtName).load(s"$root/fact")
+      val df = fact.join(broadcast(dim), col("src") === col("k"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"),
+          sum(col("dst") + col("c")).cast("long").as("sum_dc"))
+      val out = df.localCheckpoint()
+      val planStr = df.queryExecution.executedPlan.toString
+      require(planStr.toLowerCase.contains("dynamicpruning"),
+        s"no DynamicPruningExpression on the grid fact scan:\n$planStr")
+      val scan = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("/fact") => b }
+        .getOrElse(throw new IllegalStateException(s"no fact scan:\n$planStr"))
+      val planned = scan.inputRDDs().head.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+        case _ => Nil
+      }.flatMap {
+        case sb: graft.sources.SortedBucketFiles => sb.files.map(_._1)
+        case er: graft.sources.EdgeRange => Seq(er.file)
+      }.distinct.size
+      require(planned < totalFiles,
+        s"grid runtime pruning inactive: planned $planned of" +
+          s" $totalFiles files")
+      out
+    }),
+
     // BUCKET-LOCAL Z-ORDER (round 13): the 100 TB table wants BOTH
     // layouts — the SPJ buckets for the join and the Morton curve for
     // multi-dimensional skipping — and until this round zorder dropped
@@ -1669,6 +1720,17 @@ object GraphQueries {
     // the runtime prune is a planning optimization: the oracle sees
     // only the star join with the selective dim filter
     "g_dsv2_runtime_prune" ->
+      s"""WITH edges AS ($E),
+         |dim AS (SELECT src AS k, count(*) AS c FROM edges GROUP BY src)
+         |SELECT a.src, count(*) AS n,
+         |  CAST(sum(a.dst + b.c) AS BIGINT) AS sum_dc
+         |FROM edges a JOIN (SELECT * FROM dim WHERE k % 293 = 7) b
+         |  ON a.src = b.k
+         |GROUP BY a.src""".stripMargin,
+
+    // the grid's runtime prune is execution-plan-side only: the oracle
+    // computes the same star join, blind to cells and DPP
+    "g_dsv2_grid_runtime" ->
       s"""WITH edges AS ($E),
          |dim AS (SELECT src AS k, count(*) AS c FROM edges GROUP BY src)
          |SELECT a.src, count(*) AS n,

@@ -744,10 +744,14 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
       Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
     else reportableBuckets match {
       case Some((c, _)) if c.contains(",") =>
-        // compound layout: a runtime key set on ONE column cannot prune
-        // compound buckets (the hash needs both) — stay out of runtime
-        // filtering rather than advertise an attribute we can't honor
-        Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
+        // compound GRID: a runtime key set on EITHER column prunes its
+        // own grid dimension (rows for a src key set, columns for a
+        // dst one — the grid's win over a combined hash, which needs
+        // both keys); allowedTags composes the surviving cells, and
+        // the padding below keeps the reported two-transform
+        // partitioning's value universe intact
+        c.split(",").filter(readSchema().fieldNames.contains)
+          .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       case Some((c, _)) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.column(c))
           .filter(_ => readSchema().fieldNames.contains(c))
@@ -904,19 +908,19 @@ private[sources] class EdgeListScan(path: String, chunkBytes: Long,
             SortedBucketFiles(Nil, b, keyOrd, keyOrd2,
               gridN): InputPartition)).toArray
       case None =>
+        val gridN = bucketSpec.filter(_._1.contains(",")).map(_._2)
+          .getOrElse(0)
         (kept.flatMap { case (f, len) =>
           (0L until len by chunkBytes).map { start =>
             val end = math.min(start + chunkBytes, len)
             if (keyed)
               BucketedEdgeChunk(f.getAbsolutePath, start, end,
-                BucketSpecIO.bucketOf(f.getName).get,
-                bucketSpec.filter(_._1.contains(",")).map(_._2)
-                  .getOrElse(0)): InputPartition
+                BucketSpecIO.bucketOf(f.getName).get, gridN): InputPartition
             else EdgeChunk(f.getAbsolutePath, start, end): InputPartition
           }
         } ++
           padBuckets.map(b =>
-            SortedBucketFiles(Nil, b, -1): InputPartition)).toArray
+            SortedBucketFiles(Nil, b, -1, -1, gridN): InputPartition)).toArray
     }
   }
 
