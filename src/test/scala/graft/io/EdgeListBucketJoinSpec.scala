@@ -174,6 +174,59 @@ class EdgeListBucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("compound grid + SPJ partition filter: the dim's present cells prune the fact at planning") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    // dim present in FEW grid cells: a handful of exact (src, dst)
+    // pairs → at most 3 of 16 cells hold files
+    val b = a.where(col("src").isin(7L, 11L) && col("dst") < 30)
+    a.repartition(3).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/fact")
+    b.repartition(1).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/dim")
+    val totalFiles = graft.sources.EdgeListSource.listFiles(s"$root/fact").size
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partition.filter.enabled")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "true"))
+    try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, a.dst AS w, count(*) AS n
+           |FROM graft.`$root/fact` a JOIN graft.`$root/dim` b
+           |ON a.src = b.src AND a.dst = b.dst
+           |GROUP BY a.src, a.dst""".stripMargin)
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val truth = a.join(b, Seq("src", "dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got === truth)
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.count(_.isInstanceOf[Exchange]) === 0,
+        s"grid partition-filtered SPJ exchanged:\n${df.queryExecution.executedPlan}")
+      val fact = nodes.collect {
+        case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if sc.scan.description().contains("/fact") => sc }.head
+      val planned = fact.inputRDDs().head.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+        case _ => Nil
+      }.flatMap {
+        case sb: graft.sources.SortedBucketFiles => sb.files.map(_._1)
+        case er: graft.sources.EdgeRange => Seq(er.file)
+      }.distinct.size
+      assert(planned < totalFiles,
+        s"grid partition filter inactive: planned $planned of $totalFiles")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("append without options keeps the layout; contradicting append fails") {
     val root = tmp()
     edges(1000).write.format(fmt)
