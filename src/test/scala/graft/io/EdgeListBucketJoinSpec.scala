@@ -227,6 +227,47 @@ class EdgeListBucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("compound grid width drift: 8/dim joins 4/dim exchange-free via per-transform reducers") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.EdgeListCatalog")
+    val a = edges(4000)
+    val b = edges(4000).where((col("src") + col("dst")) % 3 === 0)
+    a.repartition(2).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "8")
+      .mode("overwrite").save(s"$root/wide")
+    b.repartition(2).write.format(fmt)
+      .option("bucketBy", "src,dst").option("numBuckets", "4")
+      .mode("overwrite").save(s"$root/narrow")
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "true"))
+    try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.src AS v, a.dst AS w, count(*) AS n
+           |FROM graft.`$root/wide` a JOIN graft.`$root/narrow` b
+           |ON a.src = b.src AND a.dst = b.dst
+           |GROUP BY a.src, a.dst""".stripMargin)
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val truth = a.join(b, Seq("src", "dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got === truth)
+      val nodes = graft.plans.PlanWalk.nodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ:\n${df.queryExecution.executedPlan}")
+      val ex = nodes.filter(_.isInstanceOf[Exchange])
+      assert(ex.isEmpty,
+        s"width-drifted grid join planned ${ex.size} Exchange(s):\n" +
+          s"${df.queryExecution.executedPlan}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("append without options keeps the layout; contradicting append fails") {
     val root = tmp()
     edges(1000).write.format(fmt)
