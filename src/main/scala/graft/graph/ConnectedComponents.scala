@@ -34,10 +34,14 @@ object ConnectedComponents {
     val und = edges.union(edges.select(col("vj").as("vi"), col("vi").as("vj")))
     val mins = und.groupBy("vi").agg(min("vj").as("mn"))
       .select(col("vi").as("u"), least(col("mn"), col("vi")).as("m"))
+    // No distinct here (r13): the only consumer is smallStar, whose
+    // groupBy-min is duplicate-insensitive and whose own final distinct
+    // set-normalizes the round output — so the per-round edge-set
+    // trajectory (and the convergence signature) is unchanged while the
+    // round drops one full exchange of the intermediate (guide §2.4).
     und.join(mins, und("vi") === col("u"))
       .where(col("vj") > col("vi"))
       .select(col("vj").as("vi"), col("m").as("vj"))
-      .distinct()
   }
 
   /** Small-star: orient each edge toward its larger endpoint, then link
@@ -110,7 +114,9 @@ object ConnectedComponents {
     val verts = GraphOps.vertexExtract(edges)
 
     // Canonical undirected edge set; the star steps rewrite it in place.
-    var e = GraphOps.edgeUpper(edges).localCheckpoint(true)
+    // Lazy checkpoint: the initial signature aggregate below materializes
+    // it (one job, not checkpoint-then-signature).
+    var e = GraphOps.edgeUpper(edges).localCheckpoint(false)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -121,7 +127,7 @@ object ConnectedComponents {
 
     var sig = signature(e)
     var iter = 0
-    var converged = e.isEmpty
+    var converged = sig._1 == 0 // empty edge set: the count is already here
     while (!converged && iter < maxIter) {
       // localCheckpoint every round: each star step references the
       // round's edge set twice (groupBy + join), so the logical plan

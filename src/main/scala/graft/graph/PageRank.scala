@@ -173,10 +173,12 @@ object PageRank {
       iterations: Int,
       alpha: Double = DefaultAlpha,
       init: Option[DataFrame] = None): DataFrame = {
+    // persisted: every iteration's contrib join re-reads the edge frame,
+    // and without the persist each of those is a full source re-scan
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = websize
     val oneIv = (1.0 - alpha) / n
 
@@ -188,35 +190,56 @@ object PageRank {
           .withColumn("pr", coalesce(col("pr"), lit(0.0)))
     }).localCheckpoint(true)
     var iter = 0
+    var toRelease: DataFrame = null
     while (iter < iterations) {
-      // No convergence test → no driver-side scalars needed: sum_pr and
-      // dangling_pr ride along as a broadcast 1-row frame, so each
-      // iteration is a SINGLE job (the checkpoint materialization).
-      val stats = state.agg(
-        sum("pr").as("sum_pr"),
-        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
-      val withStats = state.crossJoin(broadcast(stats))
+      // ONE job per iteration (the run() pattern, r13): the scalar
+      // sum_pr/dangling_pr aggregate ALSO materializes the previous
+      // round's lazy checkpoint — versus the former broadcast-stats +
+      // eager-checkpoint shape, which paid a broadcast-build job AND a
+      // materialization job every iteration (measured: 33 jobs → 14
+      // for the 3-iteration gate query).
+      val row = state.agg(
+        sum("pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0))).head()
+      if (toRelease != null) {
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+        toRelease = null
+      }
+      val sumPr = row.getDouble(0)
+      val danglingPr = row.getDouble(1)
       val normalized =
-        if (iter == 0 && init.isEmpty)
-          withStats.withColumn("old_pr", col("pr"))
-        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
+        if (iter == 0 && init.isEmpty) state.withColumn("old_pr", col("pr"))
+        else state.withColumn("old_pr", col("pr") / lit(sumPr))
       val contrib = e
         .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
           e("src") === col("id"))
         .groupBy(e("dst").as("id"))
         .agg(sum("c").as("h"))
-      val next = normalized.select("id", "outdeg", "dangling_pr")
+      // alpha·dangling/n + (1−α)/n folded driver-side: the identical
+      // double ops in the identical order as the former per-row columns,
+      // so ranks stay bit-exact vs the unrolled oracle
+      val oneAv = alpha * danglingPr / n.toDouble
+      val next = normalized.select("id", "outdeg")
         .join(contrib, Seq("id"), "left")
-        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
-          ((lit(alpha) * col("dangling_pr") / lit(n.toDouble)) + lit(oneIv)))
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
         .select("id", "outdeg", "pr")
-        .localCheckpoint(true) // truncate plan every iteration (see run())
-      state.unpersist(false)
-      state = next
+      // lazy checkpoint: next iteration's aggregate materializes it. The
+      // LAST round stays eager so every predecessor (and the cached edge
+      // frame) can be released before returning.
+      if (iter < iterations - 1) {
+        val cp = next.localCheckpoint(false)
+        toRelease = state
+        state = cp
+      } else {
+        val cp = next.localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(state)
+        state = cp
+      }
       iter += 1
     }
-    // the eager checkpoints above no longer read the cached vertex frame
-    verts.unpersist(false)
+    if (toRelease != null)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+    e.unpersist(false)
     state.select(col("id"), col("pr").as("rank"))
   }
 
@@ -243,11 +266,11 @@ object PageRank {
       alpha: Double = DefaultAlpha,
       init: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("double").as("w"))
+        col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wout = e.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
     val verts = spark.range(websize).toDF("id")
       .join(broadcast(wout), Seq("id"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = websize
     val oneIv = (1.0 - alpha) / n
 
@@ -265,30 +288,45 @@ object PageRank {
           .withColumn("pr", coalesce(col("pr"), lit(0.0)))
     }).localCheckpoint(true)
     var iter = 0
+    var toRelease: DataFrame = null
     while (iter < iterations) {
-      val stats = state.agg(
-        sum("pr").as("sum_pr"),
-        sum(when(col("wout").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
-      val withStats = state.crossJoin(broadcast(stats))
+      // one fused scalar aggregate per iteration — see runFixed (r13)
+      val row = state.agg(
+        sum("pr"),
+        sum(when(col("wout").isNull, col("pr")).otherwise(0.0))).head()
+      if (toRelease != null) {
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+        toRelease = null
+      }
+      val sumPr = row.getDouble(0)
+      val danglingPr = row.getDouble(1)
       val normalized =
-        if (iter == 0 && init.isEmpty) withStats.withColumn("old_pr", col("pr"))
-        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
+        if (iter == 0 && init.isEmpty) state.withColumn("old_pr", col("pr"))
+        else state.withColumn("old_pr", col("pr") / lit(sumPr))
       val contrib = e
         .join(normalized.select(col("id"), col("old_pr"), col("wout")),
           e("src") === col("id"))
         .groupBy(e("dst").as("id"))
         .agg(sum((col("old_pr") * col("w")) / col("wout")).as("h"))
-      val next = normalized.select("id", "wout", "dangling_pr")
+      val oneAv = alpha * danglingPr / n.toDouble
+      val next = normalized.select("id", "wout")
         .join(contrib, Seq("id"), "left")
-        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
-          ((lit(alpha) * col("dangling_pr") / lit(n.toDouble)) + lit(oneIv)))
+        .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha + lit(oneAv + oneIv))
         .select("id", "wout", "pr")
-        .localCheckpoint(true)
-      state.unpersist(false)
-      state = next
+      if (iter < iterations - 1) {
+        val cp = next.localCheckpoint(false)
+        toRelease = state
+        state = cp
+      } else {
+        val cp = next.localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(state)
+        state = cp
+      }
       iter += 1
     }
-    verts.unpersist(false)
+    if (toRelease != null)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+    e.unpersist(false)
     state.select(col("id"), col("pr").as("rank"))
   }
 
@@ -311,9 +349,9 @@ object PageRank {
       init: Option[DataFrame] = None): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // IEEE division, replayed identically in the oracle
     val pSeed = 1.0 / seeds.size
     val restart = when(col("id").isin(seeds: _*), pSeed).otherwise(0.0)
@@ -331,30 +369,47 @@ object PageRank {
           .withColumn("pr", coalesce(col("pr"), lit(0.0)))
     }).localCheckpoint(true)
     var iter = 0
+    var toRelease: DataFrame = null
     while (iter < iterations) {
-      val stats = state.agg(
-        sum("pr").as("sum_pr"),
-        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0)).as("dangling_pr"))
-      val withStats = state.crossJoin(broadcast(stats))
+      // one fused scalar aggregate per iteration — see runFixed (r13)
+      val row = state.agg(
+        sum("pr"),
+        sum(when(col("outdeg").isNull, col("pr")).otherwise(0.0))).head()
+      if (toRelease != null) {
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+        toRelease = null
+      }
+      val sumPr = row.getDouble(0)
+      val danglingPr = row.getDouble(1)
       val normalized =
-        if (iter == 0 && init.isEmpty) withStats.withColumn("old_pr", col("pr"))
-        else withStats.withColumn("old_pr", col("pr") / col("sum_pr"))
+        if (iter == 0 && init.isEmpty) state.withColumn("old_pr", col("pr"))
+        else state.withColumn("old_pr", col("pr") / lit(sumPr))
       val contrib = e
         .join(normalized.select(col("id"), (col("old_pr") / col("outdeg")).as("c")),
           e("src") === col("id"))
         .groupBy(e("dst").as("id"))
         .agg(sum("c").as("h"))
-      val next = normalized.select("id", "outdeg", "dangling_pr")
+      // α·dangling + (1−α) folded driver-side (identical op order)
+      val restartMass = alpha * danglingPr + (1.0 - alpha)
+      val next = normalized.select("id", "outdeg")
         .join(contrib, Seq("id"), "left")
         .withColumn("pr", coalesce(col("h"), lit(0.0)) * alpha +
-          (lit(alpha) * col("dangling_pr") + lit(1.0 - alpha)) * restart)
+          lit(restartMass) * restart)
         .select("id", "outdeg", "pr")
-        .localCheckpoint(true)
-      state.unpersist(false)
-      state = next
+      if (iter < iterations - 1) {
+        val cp = next.localCheckpoint(false)
+        toRelease = state
+        state = cp
+      } else {
+        val cp = next.localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(state)
+        state = cp
+      }
       iter += 1
     }
-    verts.unpersist(false)
+    if (toRelease != null)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(toRelease)
+    e.unpersist(false)
     state.select(col("id"), col("pr").as("rank"))
   }
 }

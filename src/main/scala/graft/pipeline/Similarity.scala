@@ -333,8 +333,15 @@ object Similarity {
   /** Squared L2 via the dot-product identity |a|² − 2a·b + |b|² — three
     * of the same sequential folds the DuckDB oracle's list_dot_product
     * reproduces bit-for-bit (a fused (a−b)² fold would sum in a
-    * different order and drift). */
+    * different order and drift). Native codegen'd single-loop form
+    * (r13, [[graft.functions.SqDistL2]]); the composed-builtin twin
+    * below stays as the bit-identity cross-check reference. */
   private def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDistL2.sqDist(a, b)
+
+  /** Composed-builtin squared L2 (three interpreted folds) — kept as the
+    * cross-check reference for SqDistL2's bit-identity spec. */
+  def sqDistComposed(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Exact squared-L2 brute-force top-k — the recall REFERENCE for the
@@ -557,10 +564,11 @@ object Similarity {
       .join(codesArr, "vec_id")
       .join(broadcast(dtab), Seq("qid", "cid"))
       .select(col("qid"), col("vec_id"),
-        round(aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0d),
-          (acc, s) => acc + element_at(col("lut"),
-            (s * codewords + element_at(col("codes"), s + 1) + 1)
-              .cast("int"))), 6).as("ad2"))
+        // native fused LUT fold (r13, graft.functions.AdcSum) — the
+        // identical sequential Σ_s lut[s·kw + codes[s]] the interpreted
+        // aggregate(sequence(...)) fold computed, bit-for-bit
+        round(graft.functions.AdcSum.adcSum(col("codes"), col("lut"),
+          codewords), 6).as("ad2"))
     graft.plans.TopKPerKey.topKPerKey(scored,
         Seq(col("qid")), Seq(col("ad2").asc, col("vec_id").asc), k)
       .withColumn("rank", row_number().over(
