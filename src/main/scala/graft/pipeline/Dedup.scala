@@ -48,6 +48,31 @@ object Dedup {
   /** MinHash signatures: one row per doc with mh0..mh15 columns — min
     * over affine permutations of the word-3-gram shingle base hash. */
   def minHashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // Fused row-local form (r13, graft.functions.MinHashSigExpr): one
+    // native loop per document replaces the exploded-shingle rows, the
+    // interpreted shingle lambda, and the groupBy exchange — ZERO
+    // shuffle at any scale, values bit-identical to the aggregate form
+    // below (PipelineSpec pins it). Docs shorter than the shingle width
+    // yield a null signature and are filtered, exactly the rows the
+    // aggregate form never produced a group for.
+    val coeffs = (0 until NumHashes).map(minHashCoeffs)
+    val sig = docs
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      // filter on the CHEAP size predicate, not sig.isNotNull: the
+      // optimizer pushes filters into the scan, and a sig-referencing
+      // predicate would evaluate the md5 chain once in the filter and
+      // again in the projection (guide §4.4's duplicated-UDF shape)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), graft.functions.MinHashSigExpr.minHashSig(
+        col("toks"), 3, coeffs.map(_._1), coeffs.map(_._2), MinHashP).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(h => col("sig").getItem(h).as(s"mh$h")): _*)
+  }
+
+  /** The original exploded-shingle aggregate form — kept as the
+    * bit-identity cross-check reference for [[minHashSignatures]]
+    * (PipelineSpec). */
+  def minHashSignaturesAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val sh = TextAnalysis.explodedShingles(docs, id, text, 3)
       .select(col("doc_id"), (Hashing.hash60(col("sh")) % MinHashP).as("x"))
     val aggs = (0 until NumHashes).map { h =>
@@ -133,7 +158,13 @@ object Dedup {
 
   /** MinHash/LSH candidate duplicate pairs (a < b). */
   def minHashCandidates(docs: DataFrame, id: Column, text: Column): DataFrame =
-    candidatesFromSignatures(minHashSignatures(docs, id, text))
+    // lazy localCheckpoint: the self-joined band table references the
+    // signature frame on BOTH sides, and with the shuffle-free fused
+    // signature (r13) there is no exchange for ReuseExchange to dedup —
+    // without truncation each side would recompute every md5. The first
+    // join-side materialization computes signatures exactly once.
+    candidatesFromSignatures(
+      minHashSignatures(docs, id, text).localCheckpoint(false))
 
   /** Winnowing near-dup candidates — the MOSS use-case, closing the loop
     * on [[TextAnalysis.winnowFingerprints]]: documents sharing ≥
