@@ -254,7 +254,21 @@ object Dedup {
     * to the per-bit formulation (the DuckDB oracle still computes the
     * plain 60-sum form). Duplicate tokens weigh multiply — standard
     * SimHash with unit weights. */
-  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    // Fused row-local form (r13, graft.functions.SimHashExpr): one
+    // native loop per document — no exploded token rows, no per-token
+    // 60-shift packing tree, no groupBy exchange at any scale. Sketch
+    // values bit-identical to the packed aggregate form kept below
+    // (PipelineSpec pins it); empty docs filtered on the cheap size
+    // predicate, exactly the rows the aggregate never grouped.
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashExpr.simHash60(col("toks")).as("simhash"))
+
+  /** The original packed-counter aggregate form — kept as the
+    * bit-identity cross-check reference for [[simHash]] (PipelineSpec). */
+  def simHashAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
       explode(TextAnalysis.tokens(text)).as("w"))
       .withColumn("th", Hashing.hash60(col("w")))
@@ -300,7 +314,10 @@ object Dedup {
   def simHashNearPairs(docs: DataFrame, id: Column, text: Column, maxDist: Int = 2): DataFrame = {
     val nb = maxDist + 1
     val bandBits = SimHashBits / nb
-    val sh = simHash(docs, id, text)
+    // lazy localCheckpoint (r13): with the shuffle-free fused sketch
+    // there is no exchange below the band self-join for ReuseExchange
+    // to dedup — truncate so each side reads the sketches, not the md5s
+    val sh = simHash(docs, id, text).localCheckpoint(false)
     def banded(idAs: String, shAs: String) =
       sh.select(col("doc_id").as(idAs), col("simhash").as(shAs),
         explode(array((0 until nb).map { b =>
