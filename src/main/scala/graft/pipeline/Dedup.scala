@@ -431,8 +431,8 @@ object Dedup {
   def decontaminate(train: DataFrame, bench: DataFrame,
       id: Column, text: Column, n: Int = 8): DataFrame = {
     def hashed(df: DataFrame) =
-      TextAnalysis.explodedShingles(df, id, text, n)
-        .select(col("doc_id"), Hashing.hash60(col("sh")).as("g"))
+      TextAnalysis.explodedShingleHashes(df, id, text, n)
+        .select(col("doc_id"), col("h").as("g"))
     val benchSet = hashed(bench).select("g").distinct()
     hashed(train)
       .join(broadcast(benchSet), "g")
@@ -459,8 +459,8 @@ object Dedup {
     *         unordered source pair with at least one shared gram. */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column,
       n: Int = 3): DataFrame = {
-    val sg = TextAnalysis.explodedShingles(docs, source, text, n)
-      .select(col("doc_id").as("s"), Hashing.hash60(col("sh")).as("g"))
+    val sg = TextAnalysis.explodedShingleHashes(docs, source, text, n)
+      .select(col("doc_id").as("s"), col("h").as("g"))
       .distinct()
     val counts = sg.groupBy("s").agg(count(lit(1)).as("ng"))
     val pairs = sg.select(col("s").as("s1"), col("g"))
@@ -491,8 +491,8 @@ object Dedup {
   def sourceOverlapSketch(docs: DataFrame, source: Column, text: Column,
       n: Int = 3, k: Int = 256): DataFrame = {
     import graft.functions.KmvSketch
-    val sg = TextAnalysis.explodedShingles(docs, source, text, n)
-      .select(col("doc_id").as("s"), Hashing.hash60(col("sh")).as("h"))
+    val sg = TextAnalysis.explodedShingleHashes(docs, source, text, n)
+      .select(col("doc_id").as("s"), col("h"))
     val sk = sg.groupBy("s")
       .agg(KmvSketch.kmv(col("h"), k).as("sk"), countDistinct("h").as("n"))
     val pairs = sk.select(col("s").as("s1"), col("sk").as("sk1"),
@@ -614,8 +614,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, r: Int = 5, maxDf: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = TextAnalysis.explodedShingles(docs, id, text, n)
-      .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+    val sh = TextAnalysis.explodedShingleHashes(docs, id, text, n)
       .distinct()
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(df.where(col("df").between(2, maxDf)), "h")
@@ -676,8 +675,7 @@ object Dedup {
     // sf0.1 the re-scan is cheaper than the persist barrier (3.45 s vs
     // 4.50 s median, tools/SetSimProbe + QueryTime) — at corpus scale,
     // where the scan dominates, callers persist `docs` themselves.
-    val sh = TextAnalysis.explodedShingles(docs, id, text, n)
-      .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+    val sh = TextAnalysis.explodedShingleHashes(docs, id, text, n)
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -733,8 +731,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, "setSimilarityJoinIncremental: tau in (0,1]")
     def grams(docs: DataFrame) =
-      TextAnalysis.explodedShingles(docs, id, text, n)
-        .select(col("doc_id"), Hashing.hash60(col("sh")).as("h"))
+      TextAnalysis.explodedShingleHashes(docs, id, text, n)
         .distinct()
     val shS = grams(standing)
     val shB = grams(batch)

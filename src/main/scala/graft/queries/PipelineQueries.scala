@@ -1063,10 +1063,10 @@ object PipelineQueries {
     "d_overlap_sketch" -> ((s, dir) => {
       val k = 256
       import graft.functions.KmvSketch
-      val sh = graft.text.TextAnalysis.explodedShingles(
+      val sh = graft.text.TextAnalysis.explodedShingleHashes(
           docs(s, dir), col("source"), col("text"), 3)
         .select((substring(col("doc_id"), 4, 8).cast("int") % 2).as("corpus"),
-          Hashing.hash60(col("sh")).as("h"))
+          col("h"))
       sh.agg(
           KmvSketch.kmv(when(col("corpus") === 0, col("h")), k).as("sk_a"),
           KmvSketch.kmv(when(col("corpus") === 1, col("h")), k).as("sk_b"),
@@ -1110,10 +1110,10 @@ object PipelineQueries {
     "d_kmv_diff" -> ((s, dir) => {
       val k = 256
       import graft.functions.KmvSketch
-      val sh = graft.text.TextAnalysis.explodedShingles(
+      val sh = graft.text.TextAnalysis.explodedShingleHashes(
           docs(s, dir), col("source"), col("text"), 3)
         .select((substring(col("doc_id"), 4, 8).cast("int") % 2).as("corpus"),
-          Hashing.hash60(col("sh")).as("h"))
+          col("h"))
       sh.agg(
           KmvSketch.kmv(when(col("corpus") === 0, col("h")), k).as("sk_a"),
           KmvSketch.kmv(when(col("corpus") === 1, col("h")), k).as("sk_b"),
@@ -1143,9 +1143,9 @@ object PipelineQueries {
     "d_kmv_inc" -> ((s, dir) => {
       val k = 256
       import graft.functions.KmvSketch
-      val all = graft.text.TextAnalysis.explodedShingles(
+      val all = graft.text.TextAnalysis.explodedShingleHashes(
           docs(s, dir), col("doc_id"), col("text"), 3)
-        .select(col("doc_id").as("id"), Hashing.hash60(col("sh")).as("h"))
+        .select(col("doc_id").as("id"), col("h"))
       val skBase = all.where(col("id") % 10 =!= 0)
         .agg(KmvSketch.kmv(col("h"), k).as("sk_base"))
       val skBatch = all.where(col("id") % 10 === 0)

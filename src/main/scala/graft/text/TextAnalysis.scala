@@ -541,6 +541,16 @@ object TextAnalysis {
     docs.select(id.as("doc_id"), tokens(text).as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
 
+  /** (doc_id, h) exploded word-n-gram shingle HASHES — the fused native
+    * form (r13, [[graft.functions.ShingleHashesExpr]]) for the
+    * hash-only consumers: per shingle, one byte-join + one md5, no
+    * interpreted shingle lambda, no intermediate string. Identical h
+    * values to `hash60(sh)` over [[explodedShingles]] (spec-pinned). */
+  def explodedShingleHashes(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashesExpr.shingleHashes(col("toks"), n)).as("h"))
+
   /** Word n-gram shingles of `text` (empty array when too short). */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
