@@ -24,7 +24,13 @@ object Triangles {
     *         triangle of the undirected simple graph.
     */
   def run(edges: DataFrame): DataFrame = {
-    val eu = GraphOps.edgeUpper(edges) // (vi < vj), distinct
+    // lazy localCheckpoints (r13): eu feeds BOTH the orientation join
+    // and the closing semi-join, and oriented feeds both wedge sides —
+    // without truncation Catalyst re-derives each subtree (scan +
+    // distinct exchange) per consumer (the before-plan shows the
+    // duplicated subplans); with it each is computed exactly once on
+    // the first action.
+    val eu = GraphOps.edgeUpper(edges).localCheckpoint(false) // (vi < vj), distinct
 
     // degree in the simple undirected graph
     val deg = eu.select(explode(array(col("vi"), col("vj"))).as("v"))
@@ -39,6 +45,7 @@ object Triangles {
           .otherwise(col("vj")).as("lo"),
         when(col("di") < col("dj") || (col("di") === col("dj") && col("vi") < col("vj")), col("vj"))
           .otherwise(col("vi")).as("hi"))
+      .localCheckpoint(false)
 
     // angles: two oriented edges sharing their low vertex. The probe
     // side is hash-spread on `lo` across the full core count first:

@@ -677,6 +677,7 @@ object Dedup {
     // where the scan dominates, callers persist `docs` themselves.
     val sh = TextAnalysis.explodedShingleHashes(docs, id, text, n)
       .distinct()
+      .localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // prefix length p = n − ⌈τ·n⌉ + 1, computed in exact integer math
@@ -686,6 +687,7 @@ object Dedup {
       .join(sizes, "doc_id")
       .where(col("rn") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
       .select(col("doc_id"), col("h"))
+      .localCheckpoint(false)
     val cand = prefix.select(col("h"), col("doc_id").as("a"))
       .join(prefix.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
@@ -698,6 +700,7 @@ object Dedup {
     // prunes pairs before the intersection is computed.
     val arrays = sh.groupBy("doc_id")
       .agg(collect_list(col("h")).as("grams"), count(lit(1)).as("nsh"))
+      .localCheckpoint(false)
     cand
       .join(arrays.select(col("doc_id").as("a"), col("grams").as("ga"),
         col("nsh").as("na")), "a")
@@ -917,6 +920,11 @@ object Dedup {
         })).as("c"))
       .select(col("doc_id"), col("c.ntk").as("ntk"),
         col("c.chunk_hash").as("chunk_hash"))
+      // lazy localCheckpoint (r13): chunks feeds BOTH the spread
+      // aggregate and the per-doc join below — truncate so the
+      // rolling-hash chunking (an md5 per token position) runs once,
+      // not once per consumer
+      .localCheckpoint(false)
     val spread = chunks.groupBy("chunk_hash")
       .agg(countDistinct("doc_id").as("nd"))
     chunks.join(spread, "chunk_hash")
