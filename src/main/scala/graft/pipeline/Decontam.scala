@@ -31,10 +31,10 @@ object Decontam {
   def shingleHashes(docs: DataFrame, n: Int = 8): DataFrame =
     docs.select(col("source"),
         graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      // fused native shingle hashing (r13, ShingleHashesExpr)
       .select(col("source"),
-        explode(graft.text.TextAnalysis.shinglesFromTokens(col("toks"), n))
-          .as("sh"))
-      .select(col("source"), Hashing.hash60(col("sh")).as("h"))
+        explode(graft.functions.ShingleHashesExpr.shingleHashes(
+          col("toks"), n)).as("h"))
       .distinct()
 
   /** Bootstrap the standing state from the standing corpus: one synopsis

@@ -537,9 +537,10 @@ object Dedup {
   def substrSpanStats(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
     val t = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
     val nt = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    // fused native shingle hashing (r13) — posexplode keeps positions
     val sh = t.select(col("doc_id"),
-        posexplode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), Hashing.hash60(col("sh")).as("g"))
+        posexplode(graft.functions.ShingleHashesExpr.shingleHashes(
+          col("toks"), k)).as(Seq("pos", "g")))
     val dup = sh.groupBy("g")
       .agg(count(lit(1)).as("nd"))
       .where(col("nd") > 1).select("g")

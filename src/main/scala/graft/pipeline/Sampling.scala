@@ -73,9 +73,11 @@ object Sampling {
     import graft.text.TextAnalysis
     def feats(df: DataFrame): DataFrame = df
       .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      // fused native shingle hashing (r13, ShingleHashesExpr)
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("sh"))
-      .select(col("doc_id"), (Hashing.hash60(col("sh")) % buckets).as("b"))
+        explode(graft.functions.ShingleHashesExpr.shingleHashes(
+          col("toks"), 2)).as("h"))
+      .select(col("doc_id"), (col("h") % buckets).as("b"))
     val docFeats = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
     val rawCounts = docFeats.groupBy("b").agg(sum("k").as("cr"))
     val tgtCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))

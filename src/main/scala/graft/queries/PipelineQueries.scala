@@ -1186,10 +1186,11 @@ object PipelineQueries {
       val sh = docs(s, dir).select(col("source"),
           (col("doc_id") % 10 === 0).as("isb"),
           graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+        // fused native shingle hashing (r13, ShingleHashesExpr) — same
+        // values as hash60 over the composed shingle strings, one loop
         .select(col("source"), col("isb"),
-          explode(graft.text.TextAnalysis.shinglesFromTokens(col("toks"), 8))
-            .as("sh"))
-        .select(col("source"), col("isb"), Hashing.hash60(col("sh")).as("h"))
+          explode(graft.functions.ShingleHashesExpr.shingleHashes(
+            col("toks"), 8)).as("h"))
         .distinct()
         .localCheckpoint()
       val evalH = sh.where(col("source") === "src0").select("h").distinct()
