@@ -462,6 +462,8 @@ object Dedup {
     val sg = TextAnalysis.explodedShingleHashes(docs, source, text, n)
       .select(col("doc_id").as("s"), col("h").as("g"))
       .distinct()
+      // lazy localCheckpoint (r13): sg feeds counts + both pair sides
+      .localCheckpoint(false)
     val counts = sg.groupBy("s").agg(count(lit(1)).as("ng"))
     val pairs = sg.select(col("s").as("s1"), col("g"))
       .join(sg.select(col("s").as("s2"), col("g")), "g")
@@ -541,6 +543,9 @@ object Dedup {
     val sh = t.select(col("doc_id"),
         posexplode(graft.functions.ShingleHashesExpr.shingleHashes(
           col("toks"), k)).as(Seq("pos", "g")))
+      // lazy localCheckpoint (r13): sh feeds the dup aggregate AND the
+      // span join — truncate so the per-position md5 pass runs once
+      .localCheckpoint(false)
     val dup = sh.groupBy("g")
       .agg(count(lit(1)).as("nd"))
       .where(col("nd") > 1).select("g")
