@@ -420,16 +420,41 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cb = pqCodebook(corpus, dim, subspaces, codewords)
     val codes = pqEncode(corpus, cb, dim, subspaces)
+    // ADC via lookup-table ARRAYS (r13 — the ivfPqTopK LUT shape applied
+    // here): one length-m code array per corpus vector and one
+    // length-m·kw distance array per query, scored with the native
+    // AdcSum fold. The former rows-per-subspace join materialized
+    // |corpus|·m·|Q| rows and re-aggregated them through an exchange;
+    // this touches ONE row per (query, candidate) and no exchange above
+    // the encode. Same 8 qd2 terms per pair, summed in subspace order.
+    val codesArr = codes
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subsp"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e.getField("code")).as("codes"))
     val dtab = subVectors(queries, dim, subspaces)
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(cb), "subsp")
-      .select(col("qid"), col("subsp"), col("code"),
+      .select(col("qid"),
+        (col("subsp") * codewords + col("code")).as("idx"),
         sqDist(col("sub"), col("cw")).as("qd2"))
-    val scored = codes.join(broadcast(dtab), Seq("subsp", "code"))
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("idx"), col("qd2")))).as("iq"))
+      .select(col("qid"), transform(col("iq"), e => e.getField("qd2")).as("lut"))
+    val scored = codesArr.crossJoin(broadcast(dtab))
       .where(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id").agg(round(sum("qd2"), 6).as("ad2"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.AdcSum.adcSum(col("codes"), col("lut"),
+          codewords), 6).as("ad2"))
+    // TopKPerKey cut before the ranking window (r13, the ivfPqTopK
+    // tail): bounded map-side heaps pass ≤ k rows per (query,
+    // partition) to the exchange; the row_number window then ranks
+    // only the ≤ |Q|·k survivors instead of sorting every scored pair.
+    // Same (ad2 asc, vec_id asc) order both stages — identical rows.
     val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        Seq(col("qid")), Seq(col("ad2").asc, col("vec_id").asc), k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Every-vector-against-the-corpus convenience over [[pqSearch]] —
