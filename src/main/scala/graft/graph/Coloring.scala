@@ -33,13 +33,28 @@ import graft.functions.Hashing
   */
 object Coloring {
 
+  /** Adaptive tail cutover (r13): once the uncolored set fits one
+    * bounded task, finish it with the SEQUENTIAL greedy pass the JP
+    * fixpoint provably equals — JP's tail colors O(1) vertices per
+    * round (on a dense graph, ~1: the gate graph ran ~390 rounds /
+    * 100 s at sf0.1), so each tail round pays full distributed-round
+    * freight for trivial work. Same crossover discipline as
+    * [[graft.pipeline.Multimodal.aHashNearDupAuto]]: the scale path
+    * (JP rounds, O(log n) w.h.p. on sparse graphs) runs until the
+    * remainder is ≤ `tailThreshold`, then one task colors the bounded
+    * remainder in ascending (p, v) order against the already-fixed
+    * colors — bit-identical output (ColoringSpec pins both regimes
+    * against the sequential reference). */
+  val DefaultTailThreshold = 1024
+
   /** @return (v BIGINT, color BIGINT) — the greedy coloring of the
     *         ascending (hash60(seed, v), v) order; colors are 0-based. */
-  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 500): DataFrame =
-    runCounted(spark, edges, seed, maxIter)._1
+  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 500,
+      tailThreshold: Int = DefaultTailThreshold): DataFrame =
+    runCounted(spark, edges, seed, maxIter, tailThreshold)._1
 
   def runCounted(spark: SparkSession, edges: DataFrame, seed: Long,
-      maxIter: Int = 500): (DataFrame, Int) = {
+      maxIter: Int = 500, tailThreshold: Int = DefaultTailThreshold): (DataFrame, Int) = {
     import org.apache.spark.sql.graftbridge.Bridge
     val und = Bridge.lazyCheckpoint(
       GraphOps.undirected(edges).repartition(col("vi")))
@@ -51,49 +66,97 @@ object Coloring {
 
     var iter = 0
     var remaining = state.where(col("color").isNull).count()
-    while (remaining > 0) {
+    while (remaining > tailThreshold.toLong) {
       if (iter >= maxIter) {
         Bridge.releaseCheckpoint(state)
         Bridge.releaseCheckpoint(und)
         throw new IllegalStateException(
           s"Coloring did not converge in $maxIter rounds ($remaining uncolored)")
       }
-      val unc = state.where(col("color").isNull)
-      // blocked: an uncolored vertex with an uncolored higher-priority
-      // ((p, v) ascending) neighbor must wait for it
-      val blocked = und
-        .join(unc.select(col("v").as("vi"), col("p").as("pi")), "vi")
-        .join(unc.select(col("v").as("vj"), col("p").as("pj")), "vj")
-        .where(struct(col("pj"), col("vj")) < struct(col("pi"), col("vi")))
-        .select(col("vi").as("v")).distinct()
-      val ready = unc.select("v").join(blocked, Seq("v"), "left_anti")
-      // mex over the colors of already-colored neighbors (every
-      // higher-priority neighbor is among them once ready)
-      val coloredNbr = state.where(col("color").isNotNull)
-        .select(col("v").as("vj"), col("color").as("nc"))
-      val nbrColors = und
-        .join(ready.withColumnRenamed("v", "vi"), Seq("vi"), "left_semi")
-        .join(coloredNbr, "vj")
+      // ONE pass over the edge frame per round (r13): the former
+      // blocked/ready/nbrColors chain walked und through three separate
+      // join pipelines (5 joins + a distinct per round — ~12 jobs/round,
+      // and the dense gate graph needs Θ(clique) rounds, 100 s at
+      // sf0.1). Fused: join und with the state on both endpoints once,
+      // then ONE groupBy(vi) — pre-partitioned on vi, so no exchange —
+      // computes both the blocked flag (an uncolored higher-priority
+      // neighbor exists) and the colored-neighbor color set. The same
+      // vertices become ready with the same mex each round, so the
+      // per-round assignments (and the fixpoint) are unchanged.
+      val s1 = state.select(col("v").as("vi"), col("p").as("pi"),
+        col("color").as("ci"))
+      val s2 = state.select(col("v").as("vj"), col("p").as("pj"),
+        col("color").as("cj"))
+      val perV = und.join(s1, "vi").join(s2, "vj")
+        .where(col("ci").isNull) // only uncolored vertices need a verdict
         .groupBy(col("vi").as("v"))
-        .agg(sort_array(collect_set(col("nc"))).as("cols"))
-      val assigned = ready.join(nbrColors, Seq("v"), "left")
-        .select(col("v"), coalesce(
-          expr("aggregate(cols, CAST(0 AS BIGINT), (acc, x) -> IF(x = acc, acc + 1, acc))"),
-          lit(0L)).as("nc"))
-      // capped-stats checkpoint: the round plan references `state` five
-      // times through inner joins, so the carried size estimate would
-      // otherwise multiply per round (see Bridge.lazyCheckpoint)
+        .agg(
+          max(when(col("cj").isNull &&
+              struct(col("pj"), col("vj")) < struct(col("pi"), col("vi")),
+            1).otherwise(0)).as("blocked"),
+          sort_array(collect_set(col("cj"))).as("cols")) // set drops nulls
       val next = Bridge.lazyCheckpoint(
-        state.join(assigned, Seq("v"), "left")
-          .select(col("v"), col("p"), coalesce(col("color"), col("nc")).as("color")))
+        state.join(perV, Seq("v"), "left")
+          .select(col("v"), col("p"), coalesce(
+            col("color"),
+            when(coalesce(col("blocked"), lit(0)) === 0,
+              coalesce(expr("aggregate(cols, CAST(0 AS BIGINT), " +
+                "(acc, x) -> IF(x = acc, acc + 1, acc))"), lit(0L))))
+            .as("color")))
       // the count materializes `next`; the previous round's blocks can go
       remaining = next.where(col("color").isNull).count()
       Bridge.releaseCheckpoint(state)
       state = next
       iter += 1
     }
+    if (remaining == 0L) {
+      Bridge.releaseCheckpoint(und)
+      return (state.select("v", "color"), iter)
+    }
+    // Bounded sequential tail: ≤ tailThreshold uncolored vertices left.
+    // Gather, per remaining vertex, its uncolored-neighbor list and the
+    // color set of its already-colored neighbors (all of which are its
+    // (p,v)-smaller neighbors — a JP invariant), then ONE task runs the
+    // sequential greedy pass in ascending (p, v). Identical colors: the
+    // JP fixpoint IS this sequential order (scaladoc above), and every
+    // already-fixed color equals its sequential value.
+    val unc = state.where(col("color").isNull).select(col("v"), col("p"))
+    val fixedCols = und
+      .join(unc.select(col("v").as("vi")), Seq("vi"), "left_semi")
+      .join(state.where(col("color").isNotNull)
+        .select(col("v").as("vj"), col("color").as("nc")), "vj")
+      .groupBy(col("vi").as("v")).agg(collect_set(col("nc")).as("fixedc"))
+    val tailAdj = und
+      .join(unc.select(col("v").as("vi")), Seq("vi"), "left_semi")
+      .join(unc.select(col("v").as("vj")), Seq("vj"), "left_semi")
+      .groupBy(col("vi").as("v")).agg(collect_set(col("vj")).as("nbrs"))
+    val rows = unc
+      .join(fixedCols, Seq("v"), "left")
+      .join(tailAdj, Seq("v"), "left")
+      .select(col("v"), col("p"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
+        coalesce(col("fixedc"), array().cast("array<bigint>")).as("fixedc"))
+    import spark.implicits._
+    val tail = rows.as[(Long, Long, Seq[Long], Seq[Long])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val vs = it.toArray.sortBy(t => (t._2, t._1)) // ascending (p, v)
+        val colors = scala.collection.mutable.LongMap.empty[Long]
+        vs.iterator.map { case (v, _, nbrs, fixedc) =>
+          val taken = new scala.collection.mutable.BitSet()
+          fixedc.foreach(c => taken += c.toInt)
+          nbrs.foreach(u => colors.get(u).foreach(c => taken += c.toInt))
+          var c = 0L
+          while (taken.contains(c.toInt)) c += 1
+          colors(v) = c
+          (v, c)
+        }
+      }
+      .toDF("v", "color")
+      .localCheckpoint(true) // bounded; lets the und/state blocks retire
     Bridge.releaseCheckpoint(und)
-    (state.select("v", "color"), iter)
+    (state.where(col("color").isNotNull).select("v", "color").unionAll(tail),
+      iter)
   }
 
   /** Recursive-CTE oracle: the sequential greedy coloring in ascending

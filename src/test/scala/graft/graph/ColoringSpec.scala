@@ -59,11 +59,26 @@ class ColoringSpec extends SparkSpec {
     assertProper(edges, got)
   }
 
-  test("chain converges in far fewer rounds than n") {
+  test("chain converges in far fewer rounds than n (pure JP, no tail cutover)") {
     val edges = (0L until 600L).map(i => (i, i + 1))
-    val (df, rounds) = Coloring.runCounted(spark, edges.toDF("src", "dst"), seed = 7L)
+    val (df, rounds) = Coloring.runCounted(spark, edges.toDF("src", "dst"),
+      seed = 7L, tailThreshold = 0)
     val got = df.as[(Long, Long)].collect().toMap
     assert(got === greedy(edges, 7L))
     assert(rounds <= 40, s"chain took $rounds JP rounds — priority DAG not peeling")
+  }
+
+  test("tail cutover equals pure JP and the sequential reference (r13)") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(900)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val df = edges.toDF("src", "dst")
+    val want = greedy(edges, 9L)
+    // pure JP (threshold 0), all-tail (threshold > |V|), and a mid
+    // cutover that runs some JP rounds THEN the bounded tail
+    for (th <- Seq(0, 30, 1024)) {
+      val got = Coloring.run(spark, df, seed = 9L, tailThreshold = th)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"tailThreshold=$th diverged from sequential greedy")
+    }
   }
 }
