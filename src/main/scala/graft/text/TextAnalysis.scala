@@ -216,27 +216,20 @@ object TextAnalysis {
     * position: a position's hash is a function of the position. */
   private def winnowed(docs: DataFrame, id: Column, text: Column,
       k: Int, w: Int): DataFrame =
-    docs.select(id.as("doc_id"),
-        transform(shinglesFromTokens(tokens(text), k),
-          s => Hashing.hash60(s)).as("hs0"))
-      // Materialize the hash array through a Generate: CollapseProject
-      // would otherwise inline `hs0` into every element_at of the fold
-      // below, re-evaluating the whole split→shingle→hash chain once
-      // per fold step — O(n²·w) per document (observed hanging the
-      // sf0.1 sweep). A Generate is a projection barrier; exploding a
-      // one-element array keeps exactly one row per document.
-      .select(col("doc_id"), explode(array(col("hs0"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    // Fused native form (r13, graft.functions.WinnowExpr): one loop per
+    // document replaces the interpreted O(n·w) window fold (a struct
+    // allocation per step) AND the composed shingle-hash transform under
+    // it — identical (h, pick) sets in identical array_distinct order
+    // (WinnowExprSpec pins it against the composed form). The filter
+    // uses the cheap position-count predicate so the pushed-down scan
+    // condition never evaluates the md5 chain (guide §4.4);
+    // size(toks) − k + 1 ≥ w ⟺ the old size(hs) ≥ w for every doc.
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n"))
       .where(col("n") >= w)
       .select(col("doc_id"), col("n").as("n_positions"),
-        array_distinct(transform(sequence(lit(0L), col("n") - w), j =>
-          aggregate(sequence(j, j + w - 1),
-            struct(lit(Long.MaxValue).as("h"), lit(-1L).as("pick")),
-            (acc, i) => {
-              val hi = element_at(col("hs"), (i + 1).cast("int"))
-              when(hi <= acc("h"), struct(hi.as("h"), i.as("pick")))
-                .otherwise(acc)
-            }))).as("fps"))
+        graft.functions.WinnowExpr.winnowFps(col("toks"), k, w).as("fps"))
 
   /** Within-document repetition signals — the classic quality filter
     * (Gopher/C4-style): the fraction of word-3-gram occurrences that are
