@@ -389,10 +389,16 @@ object PipelineQueries {
       val standing = h.where(col("doc_id") % 10 =!= 0).localCheckpoint()
       val batch = h.where(col("doc_id") % 10 === 0).localCheckpoint()
       val index = Multimodal.aHashIndex(standing)
+      // eager checkpoints (r13): the two-sided except audit below plus
+      // the returned frame re-ran each un-truncated plan (auto 3×,
+      // probe 2× — the mask-expanded index join each time); materialize
+      // each ONCE and audit/return the blocks
       val auto = Multimodal.aHashNearDupStats(
         Multimodal.aHashNearDupAuto(index, standing, batch, 8))
+        .localCheckpoint()
       val mih = Multimodal.aHashNearDupStats(
         Multimodal.aHashNearDupProbe(index, standing, batch, 8))
+        .localCheckpoint()
       require(auto.except(mih).isEmpty && mih.except(auto).isEmpty,
         "adaptive pick diverged from the multi-index probe")
       auto

@@ -82,19 +82,25 @@ object AHashStreams {
     val index = Multimodal.aHashIndex(standingHashes)
       .localCheckpoint()
 
+    // accumulated per-doc STATS rows, not pairs (r13): the staged
+    // batches partition the batch-doc universe, so every doc's pairs
+    // live in exactly one micro-batch and the terminal per-doc stats
+    // are the UNION of per-batch stats — accumulating pair rows meant
+    // rewriting the (self-similar corpus's ~20M-row) pair set into the
+    // checkpoint on every batch; stats rows are ≤ |batch docs| each
     var acc = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("frame_idx",
+        org.apache.spark.sql.types.StructField("n_near",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_exact",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("src_doc",
+        org.apache.spark.sql.types.StructField("min_hamming",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("src_frame",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("hamming",
-          org.apache.spark.sql.types.LongType))))
+        org.apache.spark.sql.types.StructField("n_src_docs",
+          org.apache.spark.sql.types.LongType, nullable = false))))
 
     val stream = spark.readStream
       .schema(spark.read.parquet(staged).schema)
@@ -104,20 +110,29 @@ object AHashStreams {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.getPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // checkpoint the batch hashes (r13): the probe references them
+        // on BOTH sides (band probes + the value fan-back join), and
+        // each un-truncated reference re-decodes the batch clips
         val hashes = Multimodal.videoAHash(spark,
           Multimodal.withAviRgbPayload(spark, batch)).toDF()
+          .localCheckpoint()
+        // aggregate to per-doc stats INSIDE the batch (one probe run,
+        // pairs never materialized), then fold the tiny stats rows
         val pairs = Multimodal.aHashNearDupProbe(
           index, standingHashes, hashes, maxDist)
-        if (!pairs.isEmpty) {
-          acc = acc.unionByName(pairs).localCheckpoint()
+        val st = Multimodal.aHashNearDupStats(pairs).localCheckpoint()
+        if (!st.isEmpty) {
+          acc = acc.unionByName(st).localCheckpoint()
         }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // staged doc files are disjoint, so pairs are unique already; the
-    // distinct guards foreachBatch re-delivery after a restart
-    Multimodal.aHashNearDupStats(acc.distinct())
+    // staged doc files are disjoint, so each doc's stats row lands in
+    // exactly one batch; a re-delivered batch reproduces IDENTICAL
+    // stats rows, which the distinct collapses (the same re-delivery
+    // guard the pair-level accumulation had)
+    acc.distinct()
   }
 }
