@@ -39,8 +39,12 @@ object LinkPrediction {
     *         with ≥1 surviving witness; u < w. */
   def run(spark: SparkSession, edges: DataFrame,
           maxCenterDegree: Option[Long] = None): DataFrame = {
-    val upper = GraphOps.edgeUpper(edges)
+    // lazy localCheckpoint (r13): upper feeds both sym orientations AND
+    // the non-adjacency anti-join; sym feeds deg and both wedge sides —
+    // truncate so the scan+distinct runs once, not per consumer
+    val upper = GraphOps.edgeUpper(edges).localCheckpoint(false)
     val sym = upper.union(upper.select(col("vj").as("vi"), col("vi").as("vj")))
+      .localCheckpoint(false)
     val deg = sym.groupBy(col("vi").as("v")).agg(count(lit(1)).as("deg"))
     val adj = sym.select(col("vi").as("c"), col("vj").as("n"))
     val centers = maxCenterDegree match {

@@ -498,12 +498,20 @@ object EventStreams {
     import spark.implicits._
     import graft.pipeline.Dedup
 
+    // fused native row-local signature (r13, MinHashSigExpr): same
+    // stateless shape the stream needs, identical mh values to the
+    // interpreted baseHashes+rowSignature chain it replaces
+    // (MinHashSigExprSpec), one loop per doc instead of 17 interpreted
+    // transforms; short docs filtered on the cheap size predicate
+    val coeffs = (0 until Dedup.NumHashes).map(Dedup.minHashCoeffs)
     val sig = docs
       .select(col("doc_id"), col("tts"),
         graft.text.TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("tts"), Dedup.baseHashes(col("toks")).as("xs"))
-      .where(size(col("xs")) > 0)
-      .select(Seq(col("doc_id"), col("tts")) ++ Dedup.rowSignature(col("xs")): _*)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("tts"), graft.functions.MinHashSigExpr.minHashSig(
+        col("toks"), 3, coeffs.map(_._1), coeffs.map(_._2), Dedup.MinHashP).as("s16"))
+      .select(Seq(col("doc_id"), col("tts")) ++
+        (0 until Dedup.NumHashes).map(h => col("s16").getItem(h).as(s"mh$h")): _*)
     val hits = sig
       .select(col("doc_id"), col("tts"), unix_micros(col("tts")).as("ts_us"),
         explode(Dedup.bandStructs).as("bb"))
