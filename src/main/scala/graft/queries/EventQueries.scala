@@ -274,13 +274,18 @@ object EventQueries {
             |  '}'))""".stripMargin).as("v"))
         .write.mode("overwrite").parquet(s"$root/v")
       s.read.parquet(s"$root/v")
+        // bind schema_of_variant ONCE below the aggregate (r13): the
+        // two schema aggregates otherwise each evaluate the full
+        // variant-schema derivation per row
+        .select(col("event_type"), col("v"),
+          expr("schema_of_variant(v)").as("sch"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("cnt"),
           sum(expr("variant_get(v, '$.u.id', 'bigint')")).as("sum_uid"),
           sum(expr("variant_get(v, '$.p.k', 'bigint')")).as("sum_k"),
-          countDistinct(expr("schema_of_variant(v)")).as("n_schemas"),
-          min(expr("schema_of_variant(v)")).as("schema_min"))
+          countDistinct(col("sch")).as("n_schemas"),
+          min(col("sch")).as("schema_min"))
     }),
 
     // Deterministic stratified sampling: hash-keyed keep decisions are
