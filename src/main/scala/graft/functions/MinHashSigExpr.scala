@@ -45,20 +45,23 @@ case class MinHashSigExpr(child: Expression, n: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val sigs = MinHashSigExpr.eval(toks, n, aArr, bArr, p)
+    val sigs = MinHashSigImpl.eval(toks, n, aArr, bArr, p)
     if (sigs == null) null else new GenericArrayData(sigs)
   }
 
   // Codegen: delegate the loop to the static helper (the md5 digest
   // dominates; what matters is removing per-shingle lambda/string/row
-  // machinery, not inlining the loop body).
+  // machinery, not inlining the loop body). The kernel lives in the
+  // standalone MinHashSigImpl object — a companion `eval` gets no
+  // static forwarder (name clash with Expression.eval) and the
+  // generated call would fail janino, dropping the stage to interpreted.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
     val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val sigs = ctx.freshName("sigs")
       s"""
-         |long[] $sigs = graft.functions.MinHashSigExpr.eval($c, $n, $aRef, $bRef, ${p}L);
+         |long[] $sigs = graft.functions.MinHashSigImpl.eval($c, $n, $aRef, $bRef, ${p}L);
          |if ($sigs == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs); }
        """.stripMargin
@@ -71,7 +74,9 @@ case class MinHashSigExpr(child: Expression, n: Int,
   override def prettyName: String = "minhash_sig"
 }
 
-object MinHashSigExpr {
+/** Static kernel in a standalone object so the mirror class carries a
+  * static `eval` the generated Java can link against. */
+object MinHashSigImpl {
 
   /** Static kernel shared by eval and codegen. Returns null when fewer
     * than `n` tokens (no shingles — the aggregate form had no group). */
@@ -99,7 +104,9 @@ object MinHashSigExpr {
     }
     sigs
   }
+}
 
+object MinHashSigExpr {
   /** Column API over a PRE-BOUND token-array attribute. */
   def minHashSig(toks: Column, n: Int, a: Seq[Long], b: Seq[Long], p: Long): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(toks), n, a, b, p))

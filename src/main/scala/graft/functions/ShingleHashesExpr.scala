@@ -35,13 +35,17 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ShingleHashesExpr.eval(input.asInstanceOf[ArrayData], n))
+    new GenericArrayData(ShingleHashesImpl.eval(input.asInstanceOf[ArrayData], n))
 
+  // The kernel lives in the standalone ShingleHashesImpl object: a
+  // companion `eval` would get no static forwarder (the case class
+  // inherits Expression.eval), so generated code referencing it fails
+  // janino compilation and drops the whole stage to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.ShingleHashesExpr.eval($c, $n));
+         |  graft.functions.ShingleHashesImpl.eval($c, $n));
        """.stripMargin
     })
 
@@ -51,7 +55,9 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "shingle_hashes"
 }
 
-object ShingleHashesExpr {
+/** Static kernel in a standalone object so the mirror class carries a
+  * static `eval` the generated Java can link against. */
+object ShingleHashesImpl {
   private val Empty = new Array[Long](0)
 
   def eval(toks: ArrayData, n: Int): Array[Long] = {
@@ -69,7 +75,9 @@ object ShingleHashesExpr {
     }
     out
   }
+}
 
+object ShingleHashesExpr {
   /** Column API over a PRE-BOUND token-array attribute. */
   def shingleHashes(toks: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(toks), n))

@@ -38,13 +38,16 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    SimHashExpr.eval(input.asInstanceOf[ArrayData])
+    SimHashImpl.eval(input.asInstanceOf[ArrayData])
 
+  // Kernel in the standalone SimHashImpl object — a companion `eval`
+  // gets no static forwarder (name clash with Expression.eval) and the
+  // generated call would fail janino, dropping the stage to interpreted.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val v = ctx.freshName("v")
       s"""
-         |Object $v = graft.functions.SimHashExpr.eval($c);
+         |Object $v = graft.functions.SimHashImpl.eval($c);
          |if ($v == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((java.lang.Long) $v).longValue(); }
        """.stripMargin
@@ -56,7 +59,9 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
-object SimHashExpr {
+/** Static kernel in a standalone object so the mirror class carries a
+  * static `eval` the generated Java can link against. */
+object SimHashImpl {
   private val Bits = 60
   private val MaxTokens = (1L << 20) - 1 // the packed form's counter ceiling
 
@@ -85,7 +90,9 @@ object SimHashExpr {
     }
     java.lang.Long.valueOf(sketch)
   }
+}
 
+object SimHashExpr {
   /** Column API over a PRE-BOUND token-array attribute. */
   def simHash60(toks: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(toks)))

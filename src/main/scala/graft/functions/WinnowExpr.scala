@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * chain (an interpreted O(n·w) fold with a struct allocation per step,
   * plus the composed shingle-hash transform under it) collapsed into
   * one loop per document: hash the k-gram shingles once
-  * ([[ShingleHashesExpr.eval]] — identical bytes/md5), slide the w-wide
+  * ([[ShingleHashesImpl.eval]] — identical bytes/md5), slide the w-wide
   * window keeping the RIGHTMOST minimum (`<=`, exactly the composed
   * fold's tie rule), and emit the distinct (h, pick) structs in first-
   * occurrence order (exactly `array_distinct`'s order).
@@ -36,13 +36,16 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    WinnowExpr.eval(input.asInstanceOf[ArrayData], k, w)
+    WinnowImpl.eval(input.asInstanceOf[ArrayData], k, w)
 
+  // Kernel in the standalone WinnowImpl object — a companion `eval`
+  // gets no static forwarder (name clash with Expression.eval) and the
+  // generated call would fail janino, dropping the stage to interpreted.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val v = ctx.freshName("v")
       s"""
-         |Object $v = graft.functions.WinnowExpr.eval($c, $k, $w);
+         |Object $v = graft.functions.WinnowImpl.eval($c, $k, $w);
          |if ($v == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $v; }
        """.stripMargin
@@ -54,11 +57,13 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   override def prettyName: String = "winnow_fps"
 }
 
-object WinnowExpr {
+/** Static kernel in a standalone object so the mirror class carries a
+  * static `eval` the generated Java can link against. */
+object WinnowImpl {
 
   /** Null when there are fewer than w shingle positions. */
   def eval(toks: ArrayData, k: Int, w: Int): ArrayData = {
-    val hs = ShingleHashesExpr.eval(toks, k)
+    val hs = ShingleHashesImpl.eval(toks, k)
     val n = hs.length
     if (n < w) return null
     // distinct (h, pick) in first-occurrence order over windows j asc
@@ -87,7 +92,9 @@ object WinnowExpr {
     }
     new GenericArrayData(out)
   }
+}
 
+object WinnowExpr {
   /** Column API over a PRE-BOUND token-array attribute. */
   def winnowFps(toks: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowExpr(Bridge.expression(toks), k, w))
