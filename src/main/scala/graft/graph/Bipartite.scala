@@ -93,22 +93,22 @@ object Bipartite {
     * hop guard (60) is far above the test graphs' diameter. */
   def oracleSql(edgesCte: String): String =
     s"""WITH RECURSIVE edges AS ($edgesCte),
-       |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+       |eu AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
        |       FROM edges WHERE src <> dst),
-       |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
-       |verts AS (SELECT DISTINCT v FROM
+       |und AS MATERIALIZED (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
        |reach(v, r) AS (
        |  SELECT v, v FROM verts
        |  UNION
        |  SELECT u.vj, re.r FROM reach re JOIN und u ON u.vi = re.v),
-       |cc AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+       |cc AS MATERIALIZED (SELECT v, min(r) AS comp FROM reach GROUP BY v),
        |walk(v, comp, d) AS (
        |  SELECT comp, comp, CAST(0 AS BIGINT) FROM (SELECT DISTINCT comp FROM cc)
        |  UNION
        |  SELECT u.vj, w.comp, w.d + 1 FROM walk w JOIN und u ON u.vi = w.v
        |  WHERE w.d < 60),
-       |dd AS (SELECT v, comp, min(d) % 2 AS par FROM walk GROUP BY v, comp),
+       |dd AS MATERIALIZED (SELECT v, comp, min(d) % 2 AS par FROM walk GROUP BY v, comp),
        |odd AS (
        |  SELECT a.comp, count(*) AS odd_edges
        |  FROM eu e JOIN dd a ON a.v = e.vi JOIN dd b ON b.v = e.vj

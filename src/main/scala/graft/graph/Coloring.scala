@@ -166,14 +166,14 @@ object Coloring {
     * missing from the already-assigned neighbor colors. */
   def oracleSql(edgesSql: String, seed: Long): String =
     s"""WITH RECURSIVE edges AS ($edgesSql),
-       |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+       |eu AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
        |       FROM edges WHERE src <> dst),
-       |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
-       |verts AS (SELECT DISTINCT v FROM
+       |und AS MATERIALIZED (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
-       |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY p, v) AS BIGINT) AS rk
+       |rk AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY p, v) AS BIGINT) AS rk
        |       FROM (SELECT v, ${Hashing.hash60Sql(seed, "v")} AS p FROM verts)),
-       |nbrs AS (SELECT r1.rk AS rk, list(r2.rk) AS nb
+       |nbrs AS MATERIALIZED (SELECT r1.rk AS rk, list(r2.rk) AS nb
        |         FROM und u JOIN rk r1 ON u.vi = r1.v JOIN rk r2 ON u.vj = r2.v
        |         GROUP BY r1.rk),
        |g(i, colors) AS (

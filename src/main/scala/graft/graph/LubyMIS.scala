@@ -39,13 +39,30 @@ object LubyMIS {
   private val InMis = "I"
   private val Out = "O"
 
+  /** Adaptive tail cutover (r14, the [[Coloring]] discipline): once the
+    * ACTIVE set fits one bounded task, finish with the SEQUENTIAL greedy
+    * MIS pass the Luby fixpoint provably equals — with fixed priorities
+    * the rounds peel exactly the greedy MIS of ascending (p, v) (the
+    * scaladoc invariant above), and Luby's tail admits O(1) winners per
+    * round on dense graphs, each paying full distributed-round freight
+    * (the r13 gate graph: ~10 s of rounds over ≤401 vertices). The tail
+    * is self-contained: an ACTIVE vertex never has an InMis neighbor
+    * (it would be Out), and `activeEdges` is already shrunk to
+    * active–active pairs, so the greedy pass over the bounded active
+    * subgraph is independent of every decided vertex. Bit-identical
+    * output in both regimes is pinned by LubyMISSpec. */
+  val DefaultTailThreshold = 1024
+
   /** @return single-column (v BIGINT): the MIS, deterministic per seed. */
-  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): DataFrame =
-    runCounted(spark, edges, seed, maxIter)._1
+  def run(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100,
+      tailThreshold: Int = DefaultTailThreshold): DataFrame =
+    runCounted(spark, edges, seed, maxIter, tailThreshold)._1
 
   /** Like [[run]] but also reports the round count — the O(log n)
-    * w.h.p. bound is asserted in LubyMISSpec on a long chain. */
-  def runCounted(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100): (DataFrame, Int) = {
+    * w.h.p. bound is asserted in LubyMISSpec on a long chain (with
+    * `tailThreshold = 0`, the pure distributed regime). */
+  def runCounted(spark: SparkSession, edges: DataFrame, seed: Long, maxIter: Int = 100,
+      tailThreshold: Int = DefaultTailThreshold): (DataFrame, Int) = {
     // All checkpoints here are LAZY (see ConnectedComponents.runCounted):
     // the plan truncates to a LogicalRDD leaf immediately, and the blocks
     // materialize inside the round's own count action — one job per round
@@ -62,7 +79,7 @@ object LubyMIS {
 
     var iter = 0
     var remaining = state.where(col("st") === Active).count()
-    while (remaining > 0 && iter < maxIter) {
+    while (remaining > tailThreshold.toLong && iter < maxIter) {
       val act = state.where(col("st") === Active)
       // best (priority, id) among ACTIVE neighbors of each vertex
       val pj = act.select(col("v").as("vj"), col("p").as("pj"))
@@ -98,6 +115,37 @@ object LubyMIS {
       }
       iter += 1
     }
-    (state.where(col("st") === InMis).select("v"), iter)
+    val decided = state.where(col("st") === InMis).select("v")
+    // maxIter exit with an oversize active set: legacy behavior (the
+    // accumulated MIS) — the tail task must stay bounded by the threshold
+    if (remaining == 0L || remaining > tailThreshold.toLong)
+      return (decided, iter)
+    // Bounded sequential tail: ≤ tailThreshold vertices still active.
+    // Gather each active vertex's ACTIVE-neighbor list (activeEdges is
+    // exactly the active–active pair set at this point — initially all
+    // vertices are active, and every completed round re-shrinks it),
+    // then ONE task replays the greedy MIS in ascending (p, v): a vertex
+    // joins iff no already-joined neighbor — the exact recurrence the
+    // Luby fixpoint satisfies for fixed priorities, so the union with
+    // the already-decided InMis set is the unchanged result.
+    val act = state.where(col("st") === Active).select(col("v"), col("p"))
+    val adj = activeEdges
+      .groupBy(col("vi").as("v")).agg(collect_set(col("vj")).as("nbrs"))
+    val rows = act.join(adj, Seq("v"), "left")
+      .select(col("v"), col("p"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+    import spark.implicits._
+    val tail = rows.as[(Long, Long, Seq[Long])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val vs = it.toArray.sortBy(t => (t._2, t._1)) // ascending (p, v)
+        val inMis = scala.collection.mutable.HashSet.empty[Long]
+        vs.iterator.flatMap { case (v, _, nbrs) =>
+          if (nbrs.exists(inMis.contains)) Iterator.empty
+          else { inMis += v; Iterator.single(v) }
+        }
+      }
+      .toDF("v")
+    (decided.unionAll(tail), iter)
   }
 }

@@ -223,7 +223,7 @@ object StronglyConnectedComponents {
        |  SELECT v, v FROM verts
        |  UNION
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-       |scc AS (
+       |scc AS MATERIALIZED (
        |  SELECT r1.a AS v, min(r1.b) AS scc
        |  FROM reach r1
        |  WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
@@ -253,12 +253,12 @@ object StronglyConnectedComponents {
     * recursion with sources at 0). */
   def topoOracleSql(edgesCte: String): String =
     s"""${oracleCtes(edgesCte)},
-       |cond AS (SELECT DISTINCT sa.scc AS f, sb.scc AS t
+       |cond AS MATERIALIZED (SELECT DISTINCT sa.scc AS f, sb.scc AS t
        |  FROM edges e
        |  JOIN scc sa ON sa.v = e.src
        |  JOIN scc sb ON sb.v = e.dst
        |  WHERE sa.scc <> sb.scc),
-       |cverts AS (SELECT DISTINCT x AS v FROM (
+       |cverts AS MATERIALIZED (SELECT DISTINCT x AS v FROM (
        |  SELECT f AS x FROM cond UNION ALL SELECT t AS x FROM cond)),
        |lp(v, l) AS (
        |  SELECT v, 0 FROM cverts

@@ -2166,14 +2166,14 @@ object GraphQueries {
   def lubySql(seed: Long): String = {
     import graft.functions.Hashing
     s"""WITH RECURSIVE edges AS ($E),
-       |eu AS (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
+       |eu AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS vi, greatest(src,dst) AS vj
        |       FROM edges WHERE src <> dst),
-       |und AS (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
-       |verts AS (SELECT DISTINCT v FROM
+       |und AS MATERIALIZED (SELECT vi, vj FROM eu UNION ALL SELECT vj AS vi, vi AS vj FROM eu),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
-       |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY p, v) AS BIGINT) AS rk
+       |rk AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY p, v) AS BIGINT) AS rk
        |       FROM (SELECT v, ${Hashing.hash60Sql(seed, "v")} AS p FROM verts)),
-       |nbrs AS (SELECT r1.rk AS rk, list(r2.rk) AS nb
+       |nbrs AS MATERIALIZED (SELECT r1.rk AS rk, list(r2.rk) AS nb
        |         FROM und u JOIN rk r1 ON u.vi = r1.v JOIN rk r2 ON u.vj = r2.v
        |         GROUP BY r1.rk),
        |g(i, mis) AS (
@@ -2197,24 +2197,24 @@ object GraphQueries {
     * literal 0.15 are different doubles). */
   def pprSql(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH edges AS ($E),\n")
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
     sb.append(s"$seededSrcsCtes,\n")
-    sb.append(s"outdeg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
-    sb.append(s"vertsu AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
-    sb.append("pv AS (SELECT v.id, CASE WHEN EXISTS (SELECT 1 FROM srcs s WHERE s.source = v.id)\n")
+    sb.append(s"outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(s"vertsu AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("pv AS MATERIALIZED (SELECT v.id, CASE WHEN EXISTS (SELECT 1 FROM srcs s WHERE s.source = v.id)\n")
     sb.append("  THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM srcs)\n")
     sb.append("  ELSE CAST(0.0 AS DOUBLE) END AS p FROM vertsu v),\n")
-    sb.append("r0 AS (SELECT v.id, o.outdeg, pv.p, pv.p AS pr\n")
+    sb.append("r0 AS MATERIALIZED (SELECT v.id, o.outdeg, pv.p, pv.p AS pr\n")
     sb.append("       FROM vertsu v LEFT JOIN outdeg o ON v.id = o.id JOIN pv ON pv.id = v.id),\n")
     for (i <- 0 until iters) {
       val norm =
         if (i == 0) "pr AS old_pr"
         else s"pr / (SELECT s FROM s$i) AS old_pr"
-      sb.append(s"s$i AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
-      sb.append(s"n$i AS (SELECT id, outdeg, p, $norm FROM r$i),\n")
-      sb.append(s"c$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"s$i AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT id, outdeg, p, $norm FROM r$i),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
       sb.append(s"        FROM edges e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"r${i + 1} AS (SELECT n.id, n.outdeg, n.p,\n")
+      sb.append(s"r${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg, n.p,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE))\n")
       sb.append(s"          + (0.85 * (SELECT d FROM s$i) + (CAST(1.0 AS DOUBLE) - 0.85)) * n.p AS pr\n")
       sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id)")
@@ -2317,36 +2317,36 @@ object GraphQueries {
     * of [[pagerankWeightedSql]]. */
   def pagerankWeightedWarmSql(standingIters: Int, warmIters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH edges AS ($E),\n")
-    sb.append("wedges AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
-    sb.append("wedges1 AS (SELECT * FROM wedges WHERE (src + dst) % 10 <> 0),\n")
-    sb.append("wout1 AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges1 GROUP BY src),\n")
-    sb.append("wout2 AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges GROUP BY src),\n")
-    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
-    sb.append("r0 AS (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    sb.append("wedges AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w FROM edges),\n")
+    sb.append("wedges1 AS MATERIALIZED (SELECT * FROM wedges WHERE (src + dst) % 10 <> 0),\n")
+    sb.append("wout1 AS MATERIALIZED (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges1 GROUP BY src),\n")
+    sb.append("wout2 AS MATERIALIZED (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout FROM wedges GROUP BY src),\n")
+    sb.append(s"verts AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("r0 AS MATERIALIZED (SELECT v.id, o.wout, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
     sb.append("       FROM verts v LEFT JOIN wout1 o ON v.id = o.id),\n")
     for (i <- 0 until standingIters) {
       val norm =
         if (i == 0) "pr AS old_pr"
         else s"pr / (SELECT s FROM s$i) AS old_pr"
-      sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
-      sb.append(s"n$i AS (SELECT id, wout, $norm FROM r$i),\n")
-      sb.append(s"c$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"s${i} AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT id, wout, $norm FROM r$i),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
       sb.append(s"        FROM wedges1 e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"r${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"r${i + 1} AS MATERIALIZED (SELECT n.id, n.wout,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id),\n")
     }
     // phase switch: carry pr, re-key wout to the union weighted graph
-    sb.append(s"w0 AS (SELECT v.id, o.wout, r.pr FROM verts v\n")
+    sb.append(s"w0 AS MATERIALIZED (SELECT v.id, o.wout, r.pr FROM verts v\n")
     sb.append(s"       LEFT JOIN wout2 o ON v.id = o.id\n")
     sb.append(s"       JOIN r$standingIters r ON r.id = v.id),\n")
     for (i <- 0 until warmIters) {
-      sb.append(s"ws${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
-      sb.append(s"wn$i AS (SELECT id, wout, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
-      sb.append(s"wc$i AS (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
+      sb.append(s"ws${i} AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN wout IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
+      sb.append(s"wn$i AS MATERIALIZED (SELECT id, wout, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
+      sb.append(s"wc$i AS MATERIALIZED (SELECT e.dst AS id, sum((n.old_pr * e.w) / n.wout) AS h\n")
       sb.append(s"        FROM wedges e JOIN wn$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"w${i + 1} AS (SELECT n.id, n.wout,\n")
+      sb.append(s"w${i + 1} AS MATERIALIZED (SELECT n.id, n.wout,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM ws$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM wn$i n LEFT JOIN wc$i c ON n.id = c.id)")
       sb.append(if (i == warmIters - 1) "\n" else ",\n")
@@ -2363,35 +2363,35 @@ object GraphQueries {
     * first, mirroring runFixed's init branch. */
   def pagerankWarmSql(standingIters: Int, warmIters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH edges AS ($E),\n")
-    sb.append("edges1 AS (SELECT * FROM edges WHERE (src + dst) % 10 <> 0),\n")
-    sb.append("outdeg1 AS (SELECT src AS id, count(*) AS outdeg FROM edges1 GROUP BY src),\n")
-    sb.append("outdeg2 AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
-    sb.append(s"verts AS (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
-    sb.append("r0 AS (SELECT v.id, o.outdeg, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
+    sb.append(s"WITH edges AS MATERIALIZED ($E),\n")
+    sb.append("edges1 AS MATERIALIZED (SELECT * FROM edges WHERE (src + dst) % 10 <> 0),\n")
+    sb.append("outdeg1 AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges1 GROUP BY src),\n")
+    sb.append("outdeg2 AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),\n")
+    sb.append(s"verts AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS id FROM range($N)),\n")
+    sb.append("r0 AS MATERIALIZED (SELECT v.id, o.outdeg, CASE WHEN v.id = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr\n")
     sb.append("       FROM verts v LEFT JOIN outdeg1 o ON v.id = o.id),\n")
     for (i <- 0 until standingIters) {
       val norm =
         if (i == 0) "pr AS old_pr"
         else s"pr / (SELECT s FROM s$i) AS old_pr"
-      sb.append(s"s${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
-      sb.append(s"n$i AS (SELECT id, outdeg, $norm FROM r$i),\n")
-      sb.append(s"c$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"s${i} AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM r$i),\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT id, outdeg, $norm FROM r$i),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
       sb.append(s"        FROM edges1 e JOIN n$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"r${i + 1} AS (SELECT n.id, n.outdeg,\n")
+      sb.append(s"r${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM s$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM n$i n LEFT JOIN c$i c ON n.id = c.id),\n")
     }
     // phase switch: carry pr, re-key outdeg to the union graph
-    sb.append(s"w0 AS (SELECT v.id, o.outdeg, r.pr FROM verts v\n")
+    sb.append(s"w0 AS MATERIALIZED (SELECT v.id, o.outdeg, r.pr FROM verts v\n")
     sb.append(s"       LEFT JOIN outdeg2 o ON v.id = o.id\n")
     sb.append(s"       JOIN r$standingIters r ON r.id = v.id),\n")
     for (i <- 0 until warmIters) {
-      sb.append(s"ws${i} AS (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
-      sb.append(s"wn$i AS (SELECT id, outdeg, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
-      sb.append(s"wc$i AS (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
+      sb.append(s"ws${i} AS MATERIALIZED (SELECT sum(pr) AS s, sum(CASE WHEN outdeg IS NULL THEN pr ELSE 0.0 END) AS d FROM w$i),\n")
+      sb.append(s"wn$i AS MATERIALIZED (SELECT id, outdeg, pr / (SELECT s FROM ws$i) AS old_pr FROM w$i),\n")
+      sb.append(s"wc$i AS MATERIALIZED (SELECT e.dst AS id, sum(n.old_pr / n.outdeg) AS h\n")
       sb.append(s"        FROM edges e JOIN wn$i n ON e.src = n.id GROUP BY e.dst),\n")
-      sb.append(s"w${i + 1} AS (SELECT n.id, n.outdeg,\n")
+      sb.append(s"w${i + 1} AS MATERIALIZED (SELECT n.id, n.outdeg,\n")
       sb.append(s"        0.85 * coalesce(c.h, CAST(0.0 AS DOUBLE)) + ((0.85 * (SELECT d FROM ws$i) / $N) + (0.15 / CAST($N AS DOUBLE))) AS pr\n")
       sb.append(s"        FROM wn$i n LEFT JOIN wc$i c ON n.id = c.id)")
       sb.append(if (i == warmIters - 1) "\n" else ",\n")

@@ -35,11 +35,34 @@ class LubyMISSpec extends SparkSpec {
   }
 
   test("1000-vertex chain converges in O(log n)-ish rounds, not O(n)") {
+    // tailThreshold = 0 pins the PURE distributed regime (the default
+    // cutover would finish a 1000-vertex graph in the sequential tail)
     val edges = (0L until 999L).map(i => (i, i + 1))
-    val (mis, rounds) = LubyMIS.runCounted(spark, edges.toDF("src", "dst"), seed = 13L)
+    val (mis, rounds) = LubyMIS.runCounted(spark, edges.toDF("src", "dst"),
+      seed = 13L, tailThreshold = 0)
     val got = mis.as[Long].collect().toSet
     assertMIS(edges, got)
     assert(rounds <= 25, s"chain took $rounds rounds — frontier not shrinking")
+  }
+
+  test("sequential tail cutover is bit-identical to the distributed regime") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val chain = (100L until 160L).map(i => (i, i + 1))
+    for ((es, label) <- Seq((edges, "random"), (chain, "chain"),
+        (edges ++ chain, "mixed"))) {
+      val df = es.toDF("src", "dst")
+      val dist = LubyMIS.run(spark, df, seed = 11L, tailThreshold = 0)
+        .as[Long].collect().toSet
+      val tail = LubyMIS.run(spark, df, seed = 11L, tailThreshold = 4096)
+        .as[Long].collect().toSet
+      // mid-flight cutover: a few distributed rounds, then the tail
+      val mid = LubyMIS.run(spark, df, seed = 11L, tailThreshold = 16)
+        .as[Long].collect().toSet
+      assert(dist == tail, s"$label: full-tail regime diverged")
+      assert(dist == mid, s"$label: mid-flight cutover diverged")
+      assertMIS(es, dist)
+    }
   }
 
   test("deterministic per seed, and converges on a denser graph") {
