@@ -30,6 +30,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Vertex-id frame with a DATA-derived slice count (~4M ids/slice,
+    * one slice minimum) instead of spark.range's default parallelism
+    * (= core count) slices: the |V|-row state frame inherits this width
+    * through every iteration's narrow joins, so per-iteration jobs stop
+    * paying core-count-wide task scheduling on small graphs (the gate
+    * query ran 32 tasks per scalar aggregate over 401 rows) while a
+    * 10^10-vertex graph still gets thousands of slices — width tracks
+    * the data, not the core count (guide SS2: scale-adaptive
+    * partitioning).
+    */
+  private def vertRange(spark: SparkSession, n: Long) =
+    spark.range(0L, n, 1L, math.max(1L, (n - 1) / 4000000L + 1L).min(262144L).toInt)
+      .toDF("id")
+
+
   val DefaultAlpha = 0.85
   val DefaultTol = 1e-5
   val DefaultMaxIter = 10000
@@ -73,7 +88,7 @@ object PageRank {
 
     // Static per-vertex frame: (id, outdeg); outdeg null => dangling.
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val verts = spark.range(n).toDF("id")
+    val verts = vertRange(spark, n)
       .join(outdeg, Seq("id"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
     verts.count() // materialize once
@@ -178,7 +193,7 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
+    val verts = vertRange(spark, websize).join(broadcast(outdeg), Seq("id"), "left")
     val n = websize
     val oneIv = (1.0 - alpha) / n
 
@@ -269,7 +284,7 @@ object PageRank {
         col("w").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wout = e.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
-    val verts = spark.range(websize).toDF("id")
+    val verts = vertRange(spark, websize)
       .join(broadcast(wout), Seq("id"), "left")
     val n = websize
     val oneIv = (1.0 - alpha) / n
@@ -351,7 +366,7 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val verts = spark.range(websize).toDF("id").join(broadcast(outdeg), Seq("id"), "left")
+    val verts = vertRange(spark, websize).join(broadcast(outdeg), Seq("id"), "left")
     // IEEE division, replayed identically in the oracle
     val pSeed = 1.0 / seeds.size
     val restart = when(col("id").isin(seeds: _*), pSeed).otherwise(0.0)

@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Single-source shortest paths — the reference's `sssp`
   * (`/root/reference/oink/sssp.cpp:49-186`): iterative relaxation — merge
@@ -29,11 +28,21 @@ object ShortestPaths {
       source: Long,
       maxIter: Int = 200): DataFrame = {
     import spark.implicits._
-    val weighted =
+    // Pre-partitioned ONCE on the per-round join key, then materialized
+    // through a lazy localCheckpoint rather than persist() (r14): the
+    // CacheManager compiles cached plans WITHOUT AQE partition
+    // coalescing, so persist pinned this frame at
+    // spark.sql.shuffle.partitions (= core count) partitions and every
+    // round paid a core-count-wide cache scan + join on a kB-scale
+    // graph — the measured c8-faster-than-c32 anti-scaling. The
+    // checkpoint materializes the AQE-coalesced exchange, so the width
+    // (and the per-round join width, which reuses the carried hash
+    // partitioning) tracks DATA volume at any scale: 1 task at gate
+    // scale, advisory-sized partitions on a 100 TB edge list.
+    val weighted = org.apache.spark.sql.graftbridge.Bridge.lazyCheckpoint(
       (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight").cast("double"))
        else edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(col("src")))
 
     var dist = Seq((source, 0.0)).toDF("v", "dist")
     var distCk: DataFrame = null // checkpoint frame owning dist's blocks
@@ -75,7 +84,7 @@ object ShortestPaths {
       frontier = improved
       iter += 1
     }
-    weighted.unpersist(false)
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(weighted)
     dist
   }
 
@@ -110,11 +119,11 @@ object ShortestPaths {
       sources: Seq[Long],
       maxIter: Int = 200): DataFrame = {
     import spark.implicits._
-    val weighted =
+    // same lazy-checkpoint shape as run() — see the note there
+    val weighted = org.apache.spark.sql.graftbridge.Bridge.lazyCheckpoint(
       (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight").cast("double"))
        else edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(col("src")))
 
     var dist = sources.map(s => (s, s, 0.0)).toDF("source", "v", "dist")
     var distCk: DataFrame = null
@@ -143,7 +152,7 @@ object ShortestPaths {
       frontier = improved
       iter += 1
     }
-    weighted.unpersist(false)
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(weighted)
     dist
   }
 }
