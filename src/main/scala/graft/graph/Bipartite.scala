@@ -27,18 +27,37 @@ object Bipartite {
     *           comp MUST be the component minimum (its default)
     * @return (comp BIGINT, size BIGINT, odd_edges BIGINT,
     *         bipartite BOOLEAN) per component. */
+  /** Adaptive tail cutover (r14, the engine's bounded-tail
+    * discipline): once the UNVISITED set fits one task, a sequential
+    * multi-source BFS finishes the layering. `dist` is the unique
+    * shortest distance from the component root — a pure function of the
+    * graph — so the tail's rows are identical to the distributed
+    * levels' by definition; BipartiteSpec pins both regimes. At
+    * cutover every edge from a vertex visited before the current
+    * frontier into an unvisited vertex is impossible (its endpoint
+    * would already be visited), so the frontier rows plus the
+    * unvisited-endpoint edges are a complete, bounded task input. */
+  val DefaultTailThreshold = 1024
+
   def run(spark: SparkSession, edges: DataFrame, cc: DataFrame,
-      maxIter: Int = 200): DataFrame = {
+      maxIter: Int = 200, tailThreshold: Int = DefaultTailThreshold): DataFrame = {
     val eu = GraphOps.edgeUpper(edges).persist()
     val und = eu.union(eu.select(col("vj").as("vi"), col("vi").as("vj")))
 
-    var vis = cc.where(col("v") === col("comp"))
+    // the labels are consumed by several actions (count, roots, the
+    // tail's anti-join); CC.run returns a live plan whose every action
+    // re-derives the vertex set, so pin it once (lazy — the count below
+    // materializes it)
+    val ccl = Bridge.lazyCheckpoint(cc.select(col("v"), col("comp")))
+    val nVerts = ccl.count()
+    var vis = ccl.where(col("v") === col("comp"))
       .select(col("v"), col("comp"), lit(0L).as("dist"))
       .localCheckpoint(false)
     var frontier = vis
-    var n = vis.count()
+    var visN = vis.count()
+    var n = visN
     var depth = 0L
-    while (n > 0 && depth < maxIter) {
+    while (n > 0 && nVerts - visN > tailThreshold.toLong && depth < maxIter) {
       depth += 1
       val grown = frontier.join(und, frontier("v") === und("vi"))
         .select(col("vj").as("v"), col("comp"))
@@ -48,24 +67,82 @@ object Bipartite {
         .withColumn("dist", lit(depth))
         .join(vis.select(col("v").as("xv")), col("v") === col("xv"), "left_anti")
         .localCheckpoint(false)
-      n = grown.count()
+      // ONE action per level (r14): the union count materializes `grown`
+      // (its source) and grown is disjoint from vis by the anti-join, so
+      // the frontier size is the count delta — one job per level, not
+      // two (the StronglyConnectedComponents sweep discipline).
+      val newVis = vis.union(grown).localCheckpoint(false)
+      val newN = newVis.count()
+      n = newN - visN
       if (n > 0) {
-        val oldVis = vis
-        val oldFrontier = frontier
-        vis = vis.union(grown).localCheckpoint(false)
-        vis.count()
-        if (oldFrontier ne oldVis) Bridge.releaseCheckpoint(oldFrontier)
-        Bridge.releaseCheckpoint(oldVis)
+        if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
+        Bridge.releaseCheckpoint(vis)
+        vis = newVis
         frontier = grown
+        visN = newN
       } else {
         Bridge.releaseCheckpoint(grown)
+        Bridge.releaseCheckpoint(newVis)
       }
     }
-    if (n > 0) {
+    if (n > 0 && nVerts - visN > tailThreshold.toLong) {
       if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
       Bridge.releaseCheckpoint(vis)
       eu.unpersist(false)
       throw new IllegalStateException(s"BFS did not drain in $maxIter levels")
+    }
+    if (n > 0 && nVerts - visN > 0) {
+      // Bounded sequential tail: multi-source BFS from the (single-
+      // level) frontier over the <= tailThreshold unvisited vertices.
+      val unvisited = ccl
+        .join(vis.select(col("v").as("xv")), col("v") === col("xv"), "left_anti")
+        .select(col("v"), col("comp"))
+      val tailEdges = und
+        .join(unvisited.select(col("v").as("uv")), col("vj") === col("uv"),
+          "left_semi")
+      val rows = frontier
+          .select(col("v").as("a"), col("dist").as("b"), lit(0).as("kind"))
+        .unionAll(unvisited
+          .select(col("v").as("a"), col("comp").as("b"), lit(1).as("kind")))
+        .unionAll(tailEdges
+          .select(col("vi").as("a"), col("vj").as("b"), lit(2).as("kind")))
+      import spark.implicits._
+      val tail = rows.as[(Long, Long, Int)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val front = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val comp = new scala.collection.mutable.HashMap[Long, Long]
+          val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach {
+            case (v, d, 0) => front += ((v, d))
+            case (v, c, 1) => comp(v) = c
+            case (a, b, _) =>
+              adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+          }
+          val dist = new scala.collection.mutable.HashMap[Long, Long]
+          var queue = front
+          while (queue.nonEmpty) {
+            val nextQ = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            queue.foreach { case (v, d) =>
+              adj.getOrElse(v, scala.collection.mutable.ArrayBuffer.empty)
+                .foreach { u =>
+                  if (comp.contains(u) && !dist.contains(u)) {
+                    dist(u) = d + 1L
+                    nextQ += ((u, d + 1L))
+                  }
+                }
+            }
+            queue = nextQ
+          }
+          dist.iterator.map { case (v, d) => (v, comp(v), d) }
+        }
+        .toDF("v", "comp", "dist")
+        .localCheckpoint(true)
+      val merged = vis.unionAll(tail).localCheckpoint(true)
+      Bridge.releaseCheckpoint(vis)
+      if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
+      vis = merged
+      frontier = vis
     }
     if (frontier ne vis) Bridge.releaseCheckpoint(frontier)
 
@@ -84,6 +161,7 @@ object Bipartite {
       .localCheckpoint(false)
     out.count()
     Bridge.releaseCheckpoint(vis)
+    Bridge.releaseCheckpoint(ccl)
     eu.unpersist(false)
     out
   }

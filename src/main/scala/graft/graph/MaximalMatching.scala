@@ -27,16 +27,28 @@ import graft.functions.Hashing
   */
 object MaximalMatching {
 
+  /** Adaptive tail cutover (r14, the [[LubyMIS]]/[[Coloring]]
+    * discipline): once the live edge set fits one bounded task, finish
+    * with the SEQUENTIAL greedy matching of ascending (h, vi, vj) — the
+    * exact fixpoint the rounds land on (scaladoc above), restricted to
+    * the live edges, whose endpoints are by construction all unmatched.
+    * The tail rounds of Israeli-Itai match O(1) edges each while paying
+    * full distributed-round freight (~60 rounds on the r13 gate graph);
+    * MaximalMatchingSpec pins both regimes against the sequential
+    * reference. */
+  val DefaultTailThreshold = 1024
+
   /** @return (vi BIGINT, vj BIGINT): the matched edges (vi < vj),
     *         deterministic per seed. */
   def run(spark: SparkSession, edges: DataFrame, seed: Long,
-      maxIter: Int = 100): DataFrame =
-    runCounted(spark, edges, seed, maxIter)._1
+      maxIter: Int = 100, tailThreshold: Int = DefaultTailThreshold): DataFrame =
+    runCounted(spark, edges, seed, maxIter, tailThreshold)._1
 
   /** Like [[run]] but also reports the round count (spec'd O(log) on a
-    * long path; it also bounds the oracle's unroll depth). */
+    * long path with `tailThreshold = 0`, the pure distributed regime;
+    * it also bounds the oracle's unroll depth). */
   def runCounted(spark: SparkSession, edges: DataFrame, seed: Long,
-      maxIter: Int = 100): (DataFrame, Int) = {
+      maxIter: Int = 100, tailThreshold: Int = DefaultTailThreshold): (DataFrame, Int) = {
     var live = GraphOps.edgeUpper(edges)
       .withColumn("h",
         Hashing.hash60(concat_ws("|", lit(seed), col("vi"), col("vj"))))
@@ -44,7 +56,7 @@ object MaximalMatching {
     var n = live.count()
     val parts = scala.collection.mutable.Buffer.empty[DataFrame]
     var rounds = 0
-    while (n > 0 && rounds < maxIter) {
+    while (n > tailThreshold.toLong && rounds < maxIter) {
       rounds += 1
       // per-vertex minimum incident edge, as an orderable struct
       val und = live.select(col("vi").as("v"), col("h"), col("vi"), col("vj"))
@@ -71,10 +83,31 @@ object MaximalMatching {
       live = nextLive
       n = nextN
     }
-    if (n > 0) {
+    if (n > tailThreshold.toLong) {
       (parts.toSeq :+ live).foreach(Bridge.releaseCheckpoint)
       throw new IllegalStateException(
         s"matching did not drain in $maxIter rounds")
+    }
+    if (n > 0) {
+      // Bounded sequential tail: every live edge still has BOTH
+      // endpoints unmatched, so the greedy continuation over the live
+      // set in ascending (h, vi, vj) IS the remainder of the global
+      // greedy matching the fixpoint equals — one task, bit-identical.
+      import spark.implicits._
+      val tail = live.select(col("h"), col("vi"), col("vj"))
+        .as[(Long, Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val es = it.toArray.sorted // ascending (h, vi, vj)
+          val used = scala.collection.mutable.HashSet.empty[Long]
+          es.iterator.flatMap { case (_, a, b) =>
+            if (used(a) || used(b)) Iterator.empty
+            else { used += a; used += b; Iterator.single((a, b)) }
+          }
+        }
+        .toDF("vi", "vj")
+        .localCheckpoint(true) // bounded; lets live's blocks retire
+      parts += tail
     }
     Bridge.releaseCheckpoint(live)
     if (parts.isEmpty)

@@ -49,8 +49,20 @@ object StronglyConnectedComponents {
     * @return (v BIGINT, scc BIGINT) for every vertex of `edges`, with
     *         scc = the minimum vertex id of v's strongly connected
     *         component. */
+  /** Adaptive tail cutover (r14, the [[Coloring]]/[[LubyMIS]]
+    * discipline): once the unassigned vertex set fits one bounded task,
+    * finish with a sequential Kosaraju pass over the induced remaining
+    * subgraph. Unlike the priority-fixpoint tails, NO replay argument is
+    * even needed: the output labels are canonical — scc(v) = min vertex
+    * id of v's component, a pure function of the graph — so any correct
+    * SCC algorithm lands on identical rows. The distributed peel's tail
+    * is Θ(residual-diameter) color/sweep levels over O(1)-size frames,
+    * each paying full round freight; the gate graph spent ~60 of its 71
+    * jobs there. SccSpec pins both regimes equal. */
+  val DefaultTailThreshold = 1024
+
   def run(spark: SparkSession, edges: DataFrame, maxOuter: Int = 100,
-      maxInner: Int = 200): DataFrame = {
+      maxInner: Int = 200, tailThreshold: Int = DefaultTailThreshold): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
@@ -62,7 +74,7 @@ object StronglyConnectedComponents {
     var remaining = verts.localCheckpoint(false)
     var nRemaining = remaining.count()
     var outer = 0
-    while (nRemaining > 0 && outer < maxOuter) {
+    while (nRemaining > tailThreshold.toLong && outer < maxOuter) {
       outer += 1
       // subgraph induced by the unassigned vertices
       val eR = e0
@@ -126,7 +138,8 @@ object StronglyConnectedComponents {
       var visited = color.where(col("v") === col("c")).select(col("v"))
         .localCheckpoint(false)
       var frontier = visited
-      var grownN = visited.count() // materializes the root set
+      var visN = visited.count() // materializes the root set
+      var grownN = visN
       inner = 0
       while (grownN > 0 && inner < maxInner) {
         inner += 1
@@ -134,17 +147,23 @@ object StronglyConnectedComponents {
           .select(col("to").as("v")).distinct()
           .join(visited.select(col("v").as("xv")), col("v") === col("xv"), "left_anti")
           .localCheckpoint(false)
-        grownN = grown.count()
+        // ONE action per level (r14): counting the union materializes
+        // `grown` too (it is the union's source), and grown is disjoint
+        // from visited by the anti-join, so the frontier size is the
+        // count delta — the former separate grown.count() job halved
+        // away.
+        val newVisited = visited.union(grown).localCheckpoint(false)
+        val newN = newVisited.count()
+        grownN = newN - visN
         if (grownN > 0) {
-          val oldVisited = visited
-          val oldFrontier = frontier
-          visited = visited.union(grown).localCheckpoint(false)
-          visited.count()
-          if (oldFrontier ne oldVisited) Bridge.releaseCheckpoint(oldFrontier)
-          Bridge.releaseCheckpoint(oldVisited)
+          if (frontier ne visited) Bridge.releaseCheckpoint(frontier)
+          Bridge.releaseCheckpoint(visited)
+          visited = newVisited
           frontier = grown
+          visN = newN
         } else {
           Bridge.releaseCheckpoint(grown)
+          Bridge.releaseCheckpoint(newVisited)
         }
       }
       if (grownN > 0) {
@@ -174,11 +193,84 @@ object StronglyConnectedComponents {
         .foreach(Bridge.releaseCheckpoint)
       remaining = newRemaining
     }
-    if (nRemaining > 0) {
+    if (nRemaining > tailThreshold.toLong) {
       (assignedParts.toSeq :+ remaining).foreach(Bridge.releaseCheckpoint)
       e0.unpersist(false)
       throw new IllegalStateException(
         s"SCC did not drain in $maxOuter peel rounds")
+    }
+    if (nRemaining > 0) {
+      // Bounded sequential tail: one task runs Kosaraju over the
+      // subgraph induced by the <= tailThreshold remaining vertices.
+      // Rows carry both the vertex list (isEdge=false — a remaining
+      // vertex may have lost all its induced edges since the last trim)
+      // and the induced edge list; labels are the canonical
+      // min-id-per-component, identical to the peel's by definition.
+      val eRem = e0
+        .join(remaining.select(col("v").as("rs")), col("src") === col("rs"), "left_semi")
+        .join(remaining.select(col("v").as("rd")), col("dst") === col("rd"), "left_semi")
+      val rows = remaining.select(col("v").as("a"), col("v").as("b"),
+          lit(false).as("isEdge"))
+        .unionAll(eRem.select(col("src").as("a"), col("dst").as("b"),
+          lit(true).as("isEdge")))
+      import spark.implicits._
+      val tail = rows.as[(Long, Long, Boolean)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          val radj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach { case (a, b, isEdge) =>
+            if (isEdge) {
+              adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+              radj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+            } else vs += a
+          }
+          val verts0 = vs.sorted.toArray // deterministic traversal order
+          // pass 1: iterative DFS on G, record finish order
+          val visited = scala.collection.mutable.HashSet.empty[Long]
+          val finish = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          for (s <- verts0 if !visited.contains(s)) {
+            visited += s
+            stack += ((s, 0))
+            while (stack.nonEmpty) {
+              val (v, i) = stack.remove(stack.length - 1)
+              val nbrs = adj.getOrElse(v, scala.collection.mutable.ArrayBuffer.empty)
+              var j = i
+              while (j < nbrs.length && visited.contains(nbrs(j))) j += 1
+              if (j < nbrs.length) {
+                stack += ((v, j + 1))
+                visited += nbrs(j)
+                stack += ((nbrs(j), 0))
+              } else finish += v
+            }
+          }
+          // pass 2: DFS on G^T in reverse finish order; each tree is one
+          // SCC; label = min vertex id in the tree
+          val label = new scala.collection.mutable.HashMap[Long, Long]
+          val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val st2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+          for (s <- finish.reverseIterator if !label.contains(s)) {
+            comp.clear()
+            st2 += s
+            label(s) = Long.MinValue // claimed marker
+            while (st2.nonEmpty) {
+              val v = st2.remove(st2.length - 1)
+              comp += v
+              radj.getOrElse(v, scala.collection.mutable.ArrayBuffer.empty)
+                .foreach { u =>
+                  if (!label.contains(u)) { label(u) = Long.MinValue; st2 += u }
+                }
+            }
+            val m = comp.min
+            comp.foreach(v => label(v) = m)
+          }
+          label.iterator.map { case (v, c) => (v, c) }
+        }
+        .toDF("v", "scc")
+        .localCheckpoint(true) // bounded; lets remaining/e0 retire
+      assignedParts += tail
     }
     Bridge.releaseCheckpoint(remaining)
     if (assignedParts.isEmpty) { // edge list with no vertices at all

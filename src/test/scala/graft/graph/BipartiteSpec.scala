@@ -7,11 +7,21 @@ class BipartiteSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** Runs BOTH regimes — the pure distributed BFS (tailThreshold = 0),
+    * the default (these small graphs finish in the bounded sequential
+    * tail) and a mid-flight cutover — and asserts they agree, so every
+    * test in this suite pins the r14 tail against the distributed
+    * path. */
   private def got(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Boolean)] = {
     val df = edges.toDF("src", "dst")
-    Bipartite.run(spark, df, ConnectedComponents.run(spark, df))
+    val cc = ConnectedComponents.run(spark, df)
+    def runAt(t: Int) = Bipartite.run(spark, df, cc, tailThreshold = t)
       .as[(Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val dist = runAt(0)
+    assert(runAt(4096) == dist, "full-tail regime diverged")
+    assert(runAt(16) == dist, "mid-flight cutover diverged")
+    dist
   }
 
   test("even cycle bipartite, odd cycle not, path bipartite") {

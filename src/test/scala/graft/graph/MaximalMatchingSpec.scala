@@ -62,12 +62,33 @@ class MaximalMatchingSpec extends SparkSpec {
   }
 
   test("drains a long path in O(log) rounds and handles edge cases") {
+    // tailThreshold = 0 pins the PURE distributed regime (the default
+    // cutover would finish a 300-edge path in the sequential tail)
     val path = (0L until 300L).map(i => (i, i + 1))
-    val (m, rounds) = MaximalMatching.runCounted(spark, path.toDF("src", "dst"), 1L)
+    val (m, rounds) = MaximalMatching.runCounted(spark, path.toDF("src", "dst"),
+      1L, tailThreshold = 0)
     assert(m.count() >= 100, "path matching too small") // maximal ≥ n/3
     assert(rounds <= 14, s"too many rounds: $rounds")   // O(log |E|) w.h.p.
     // self-loop-only input: empty matching, no crash
     val empty = got(Seq((4L, 4L)), 1L)
     assert(empty.isEmpty)
+  }
+
+  test("sequential tail cutover is bit-identical to the distributed regime") {
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(300)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+    val path = (200L until 260L).map(i => (i, i + 1))
+    for ((es, label) <- Seq((edges, "random"), (path, "path"),
+        (edges ++ path, "mixed"))) {
+      val df = es.toDF("src", "dst")
+      def mm(t: Int) = MaximalMatching.run(spark, df, seed = 13L, tailThreshold = t)
+        .as[(Long, Long)].collect().toSet
+      val dist = mm(0)        // pure distributed
+      val tail = mm(4096)     // everything in the tail
+      val mid = mm(16)        // a few distributed rounds, then the tail
+      assert(dist == greedy(es, 13L), s"$label: distributed != sequential greedy")
+      assert(tail == dist, s"$label: full-tail regime diverged")
+      assert(mid == dist, s"$label: mid-flight cutover diverged")
+    }
   }
 }

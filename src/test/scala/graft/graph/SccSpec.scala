@@ -24,9 +24,23 @@ class SccSpec extends SparkSpec {
     verts.map(v => v -> r(v).filter(w => r(w).contains(v)).min).toMap
   }
 
-  private def got(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    StronglyConnectedComponents.run(spark, edges.toDF("src", "dst"))
+  /** Runs BOTH regimes — the pure distributed peel (tailThreshold = 0)
+    * and the default, which finishes these small graphs in the bounded
+    * sequential Kosaraju tail — and asserts they agree, so every test
+    * in this suite pins the r14 cutover against the distributed path. */
+  private def got(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val dist = StronglyConnectedComponents.run(spark, df, tailThreshold = 0)
       .as[(Long, Long)].collect().toMap
+    val tail = StronglyConnectedComponents.run(spark, df)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == tail, "distributed and sequential-tail regimes diverged")
+    // mid-flight cutover: a few distributed peel rounds, then the tail
+    val mid = StronglyConnectedComponents.run(spark, df, tailThreshold = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == mid, "mid-flight cutover diverged")
+    dist
+  }
 
   test("hand graphs: cycles, DAG bridges, self-loops") {
     // two 3-cycles joined by a one-way bridge, plus a pendant DAG tail
