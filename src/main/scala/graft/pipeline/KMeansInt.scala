@@ -53,8 +53,15 @@ object KMeansInt {
         when(col("scale") === 0.0, lit(0L))
           .otherwise(floor(x / col("scale") + 0.5).cast("long")) + Shift).as("qv"))
 
-  /** Squared fixed-point distance of codes `qv` to centroid `m`. */
+  /** Squared fixed-point distance of codes `qv` to centroid `m` — the
+    * native fused loop (r14, [[graft.functions.SqDistFx]]); the composed
+    * twin below stays as its bit-identity cross-check reference. */
   private def cost(qv: Column, m: Column): Column =
+    graft.functions.SqDistFx.sqDistFx(qv, m, Scale)
+
+  /** Composed-builtin form (interpreted lambda + zipped intermediate
+    * array per pair) — the SqDistFxSpec cross-check reference. */
+  def costComposed(qv: Column, m: Column): Column =
     aggregate(zip_with(qv, m, (x, mj) => {
       val d = x * Scale - mj
       d * d
