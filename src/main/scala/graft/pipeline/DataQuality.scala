@@ -754,8 +754,14 @@ object DataQuality {
           .as(s"${v}_med2"))
     }
     val tot = counts.groupBy("grp").agg(sum("cnt").as("n"))
-    val cn = counts.join(broadcast(tot), Seq("grp"))
-    val med = medianAt2x(cn, "c").withColumnRenamed("c_med2", "med2")
+    // cn feeds three consumers and med two (the deviation ladder and the
+    // final report); without the pins the executed plan re-derived the
+    // counts aggregation per reference — 16 parquet scans, zero
+    // ReusedExchange (the r13 shared-subtree pattern, guide SS5)
+    val cn = org.apache.spark.sql.graftbridge.Bridge.lazyCheckpoint(
+      counts.join(broadcast(tot), Seq("grp")))
+    val med = org.apache.spark.sql.graftbridge.Bridge.lazyCheckpoint(
+      medianAt2x(cn, "c").withColumnRenamed("c_med2", "med2"))
     val dev = cn.join(broadcast(med.drop("n")), Seq("grp"))
       .withColumn("d", abs(lit(2L) * col("c") - col("med2")))
       .groupBy("grp", "n", "med2", "d").agg(sum("cnt").as("cnt"))
