@@ -64,8 +64,24 @@ object ConnectedComponents {
     *              graph (the reference treats edges as undirected zones).
     * @return (v BIGINT, comp BIGINT) — comp = min vertex id reachable.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
-    runCounted(spark, edges, maxIter)._1
+  /** Bounded one-task cutover (r14, the engine's tail discipline): the
+    * loop's FIRST convergence-signature aggregate already returns the
+    * canonical edge count, so a ≤ tailThreshold edge set skips the star
+    * rounds entirely and one task runs union-find with union-by-min
+    * (invariant: every root is the minimum of its set, so find() yields
+    * exactly the canonical comp = min-reachable-id label — CC output is
+    * a pure function of the graph, no replay argument needed). This is
+    * the shape the incremental/dedup family feeds: contracted refresh
+    * graphs and near-dup pair sets are tiny next to the standing graph,
+    * and each paid O(log n) full-freight star rounds. Isolated vertices
+    * keep riding the existing verts left-join. Distributed path
+    * unchanged for anything larger; GraphAlgoSpec pins both regimes
+    * equal and keeps the star loop exercised with tailThreshold = 0. */
+  val DefaultTailThreshold = 1024
+
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      tailThreshold: Int = DefaultTailThreshold): DataFrame =
+    runCounted(spark, edges, maxIter, tailThreshold)._1
 
   /** INCREMENTAL maintenance: components of (standing graph ∪ edge
     * batch) from the standing ASSIGNMENT alone — the standing edges are
@@ -110,7 +126,8 @@ object ConnectedComponents {
   /** Like [[run]] but also reports the number of star rounds executed —
     * the O(log n) bound is asserted in GraphAlgoSpec on a long chain.
     */
-  def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+  def runCounted(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      tailThreshold: Int = DefaultTailThreshold): (DataFrame, Int) = {
     val verts = GraphOps.vertexExtract(edges)
 
     // Canonical undirected edge set; the star steps rewrite it in place.
@@ -126,6 +143,42 @@ object ConnectedComponents {
     }
 
     var sig = signature(e)
+    if (sig._1 > 0 && sig._1 <= tailThreshold.toLong) {
+      import spark.implicits._
+      val labels = e.select(col("vi"), col("vj")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) { parent(a) = a; seen += a }
+            if (!parent.contains(b)) { parent(b) = b; seen += b }
+            val ra = find(a); val rb = find(b)
+            // union-by-min keeps every root the minimum of its set
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          // star-forest contract: one (v, root) row per NON-root vertex
+          seen.iterator.flatMap { v =>
+            val r = find(v)
+            if (r == v) Iterator.empty else Iterator.single((v, r))
+          }
+        }
+        .toDF("vi", "vj")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(e)
+      val comp = verts.join(labels, verts("v") === labels("vi"), "left")
+        .select(col("v"), coalesce(col("vj"), col("v")).as("comp"))
+      return (comp, 0)
+    }
     var iter = 0
     var converged = sig._1 == 0 // empty edge set: the count is already here
     while (!converged && iter < maxIter) {

@@ -41,9 +41,12 @@ class GraphAlgoSpec extends SparkSpec {
   }
 
   test("connected components converge in O(log n) rounds on a long chain") {
+    // tailThreshold = 0 pins the PURE distributed star loop (the default
+    // cutover would finish a 999-edge chain in the one-task union-find)
     val n = 1000
     val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val (comp, rounds) = ConnectedComponents.runCounted(spark, chain)
+    val (comp, rounds) = ConnectedComponents.runCounted(spark, chain,
+      tailThreshold = 0)
     assert(rounds <= 15, s"expected O(log n) star rounds on a $n-chain, got $rounds")
     val c = comp.agg(countDistinct("comp"), count(lit(1))).head()
     assert(c.getLong(0) == 1 && c.getLong(1) == n)
@@ -53,9 +56,24 @@ class GraphAlgoSpec extends SparkSpec {
   test("connected components refuse a maxIter bailout instead of emitting garbage") {
     val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
-      ConnectedComponents.run(spark, edges, maxIter = 0).collect()
+      ConnectedComponents.run(spark, edges, maxIter = 0, tailThreshold = 0)
+        .collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: union-find cutover is identical to the star loop") {
+    val rnd = new scala.util.Random(59)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val chain = (200L until 290L).map(i => (i, i + 1))
+    for ((es, label) <- Seq((edges, "random"), (chain, "chain"),
+        (edges ++ chain, "mixed"))) {
+      val df = es.toDF("src", "dst")
+      def cc(t: Int) = ConnectedComponents.run(spark, df, tailThreshold = t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = cc(0)
+      assert(cc(4096) == dist, s"$label: union-find cutover diverged")
+    }
   }
 
   test("sssp unit-weight BFS distances on a diamond with a shortcut") {
